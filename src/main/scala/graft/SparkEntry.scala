@@ -14,7 +14,9 @@ object SparkEntry {
 
   /** All declared query definitions, grouped by operator family. */
   def allDefs: Seq[QueryDef] =
-    operators.Relational.defs
+    operators.Relational.defs ++ operators.Scalars.defs ++
+      operators.Dedup.defs ++ operators.Similarity.defs ++
+      operators.TextAnalysis.defs ++ operators.Multimodal.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Uses the 6-way join + grouped aggregation (q08) — exercises scan,

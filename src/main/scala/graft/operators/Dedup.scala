@@ -1,0 +1,196 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deduplication operators over the `documents` corpus — the LLM-pipeline
+  * surface the north star requires: exact dedup, MinHash+LSH near-dup,
+  * SimHash near-dup, and n-gram-Jaccard near-dup (embedding near-dup lives
+  * with Similarity).
+  *
+  * The oracle-checked ground truth for near-dup pairs is the exact
+  * shingle-join query (q30); MinHash (q28) is oracle-checked against the
+  * SAME truth because at (r=2, b=32) the per-pair miss probability for the
+  * planted j≥0.7 duplicates is (1-j²)³² < 1e-8 — the LSH pipeline must
+  * reproduce the exact answer or the gate fails, which is precisely the
+  * guarantee a production near-dup pass wants.
+  */
+object Dedup {
+
+  def defs: Seq[QueryDef] = Seq(q27, q28, q29, q30)
+
+  /** Shared: exact near-dup pair SQL (token-3-gram Jaccard ≥ 0.5) for the
+    * DuckDB oracle. DuckDB 1.0 cannot lateral-join generate_series on a
+    * column, so shingles are built with window `lead` over unnested
+    * tokens — semantically identical to Spark's transform(sequence(...)).
+    */
+  private val nearDupOracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS t,
+      |         generate_subscripts(string_split(text, ' '), 1) AS pos
+      |  FROM documents),
+      |tri AS (
+      |  SELECT DISTINCT doc_id, t || ' ' || lead(t) OVER w || ' ' || lead(t, 2) OVER w AS g
+      |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+      |  QUALIFY lead(t, 2) OVER w IS NOT NULL),
+      |pair AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |  FROM tri a JOIN tri b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id)
+      |SELECT doc_a, doc_b,
+      |       inter * 1.0 / (sa.n + sb.n - inter) AS jac
+      |FROM pair JOIN sizes sa ON doc_a = sa.doc_id
+      |          JOIN sizes sb ON doc_b = sb.doc_id
+      |WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** doc_id → distinct token-trigram shingle set. */
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), TF.shingleSet(col("text"), 3).as("sh"))
+
+  /** Exact content dedup: deterministic representative selection (keep
+    * lowest doc_id per md5-fingerprint group) — the scalable form of
+    * `dropDuplicates` when the survivor must be well-defined. One shuffle
+    * on the fingerprint; at 100 TB the fingerprint groupBy is the standard
+    * exact-dedup pass (hash-partitioned, no skew: md5 is uniform).
+    */
+  val q27: QueryDef = QueryDef.checked(
+    "q27_dedup_exact",
+    """WITH ranked AS (
+      |  SELECT doc_id, lang, source, md5(text) AS fp,
+      |         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn,
+      |         count(*) OVER (PARTITION BY md5(text)) AS n_copies
+      |  FROM documents)
+      |SELECT doc_id, lang, source, fp, n_copies
+      |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val fp = md5(col("text").cast("binary"))
+    val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"), fp.as("fp"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_copies", count(lit(1)).over(Window.partitionBy(col("fp"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("source"), col("fp"), col("n_copies"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** MinHash + LSH near-dup detection, end to end and fully distributed:
+    *
+    *   shingle → 31-bit hash → 64 permutations → min per permutation
+    *   (signature) → 32 bands × 2 rows → band-hash equi-join (candidates)
+    *   → exact Jaccard verify ≥ 0.5.
+    *
+    * Everything up to the band join is per-row `transform`/`aggregate`
+    * expressions (no explode of the permutation dimension, no UDF). The
+    * candidate join is an equi-join on (band, bandHash) — the piece that
+    * replaces the O(n²) cross join at scale. Hash arithmetic stays in
+    * 31-bit space so ANSI-mode Long multiplication cannot overflow.
+    */
+  val q28: QueryDef = QueryDef.checked("q28_dedup_minhash_lsh", nearDupOracle) {
+    (s, d) =>
+      val P = 2147483647L // 2^31 - 1, prime
+      val nPerm = 64
+      val bands = 32 // r = 2 rows per band
+      val r = nPerm / bands
+      val rnd = new scala.util.Random(7)
+      val aCoef = typedLit(Seq.fill(nPerm)(1L + rnd.nextLong(P - 1)))
+      val bCoef = typedLit(Seq.fill(nPerm)(rnd.nextLong(P)))
+
+      val sh = shingles(s, d).filter(size(col("sh")) > 0)
+      val hashed = sh.withColumn("hs",
+        transform(col("sh"), g => pmod(xxhash64(g), lit(P))))
+      val sig = hashed.withColumn("sig",
+        transform(sequence(lit(0), lit(nPerm - 1)), i =>
+          array_min(transform(col("hs"), h =>
+            pmod(element_at(aCoef, i + 1) * h + element_at(bCoef, i + 1), lit(P))))))
+      val banded = sig.select(col("doc_id"),
+          posexplode(array((0 until bands).map(j =>
+            xxhash64(slice(col("sig"), j * r + 1, r))): _*)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bsig")
+
+      val cand = banded.as("x").join(banded.as("y"),
+          col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+
+      val withSets = cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      withSets
+        .select(col("doc_a"), col("doc_b"), TF.jaccard(col("sh_a"), col("sh_b")).as("jac"))
+        .filter(col("jac") >= 0.5)
+        .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** SimHash near-dup: 64-bit fingerprint from token-hash sign sums,
+    * candidates via 4×16-bit band buckets, verified by Hamming distance.
+    * xxhash64 seeds the bit contributions, so no SQL oracle exists
+    * (rows-only check); DedupSpec cross-checks the found pairs against the
+    * exact-Jaccard truth. Aggregation is a single groupBy over exploded
+    * tokens with 64 conditional sums — partial aggregation collapses each
+    * partition before the shuffle.
+    */
+  val q29: QueryDef = QueryDef.rowsOnly("q29_dedup_simhash") { (s, d) =>
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(TF.tokens(col("text"))).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val bitSums: Seq[Column] = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"b$i")
+    }
+    val fps = toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(i =>
+          when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+    // band into 4 × 16-bit chunks for candidate generation
+    val banded = fps.select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until 4).map(j =>
+          shiftright(col("simhash"), j * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.chunk") === col("y.chunk") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("x.simhash").as("fp_a"),
+        col("y.doc_id").as("doc_b"), col("y.simhash").as("fp_b"))
+      .distinct()
+    cand
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+      .filter(col("hamming") <= 6)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Exact n-gram Jaccard near-dup (the ground truth for q28/q29): distinct
+    * shingles exploded → equi-join on shingle → intersection counts →
+    * Jaccard ≥ 0.5. Scale note: the shingle join's key distribution is the
+    * shingle document-frequency; ultra-common shingles create hot keys, so
+    * a production pass at 100 TB first drops shingles with df above a cap
+    * (they contribute little to Jaccard but dominate the join) — at this
+    * corpus size the skew is immaterial, so the query keeps full fidelity
+    * with the oracle instead.
+    */
+  val q30: QueryDef = QueryDef.checked("q30_dedup_ngram_jaccard", nearDupOracle) {
+    (s, d) =>
+      val sh = shingles(s, d)
+      val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
+      val exploded = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+      val inter = exploded.as("x").join(exploded.as("y"),
+          col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jac"))
+        .filter(col("jac") >= 0.5)
+        .orderBy(col("doc_a"), col("doc_b"))
+  }
+}

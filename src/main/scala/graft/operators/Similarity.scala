@@ -1,0 +1,121 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.{VectorFunctions => VF}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over the `embeddings` table (ARRAY<FLOAT>, 64-dim):
+  * brute-force cosine top-k as the exact baseline, LSH-bucketed ANN as the
+  * scale path, and cosine-threshold near-dup pairs.
+  *
+  * All vector math is double-precision sequential-fold (VectorFunctions),
+  * bit-compatible with the DuckDB oracle's list_dot_product over DOUBLE[].
+  */
+object Similarity {
+
+  def defs: Seq[QueryDef] = Seq(q31, q32, q33)
+
+  /** Embedding-cosine near-duplicate pairs (threshold 0.4). Exact O(n²)
+    * form — correct baseline and the verifier for q33's bucketed variant.
+    * At 100 TB you never run this shape; it exists as the ground truth at
+    * test scale (the same role q30 plays for MinHash).
+    */
+  val q31: QueryDef = QueryDef.checked(
+    "q31_embedding_neardup",
+    """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      | ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+      |   / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+      |      * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS cos_sim
+      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+      |   / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+      |      * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.4
+      |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), VF.asDouble(col("embedding")).as("v"),
+        VF.norm(VF.asDouble(col("embedding"))).as("nrm"))
+    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cs", VF.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cs") >= 0.4)
+      .select(col("id_a"), col("id_b"), round(col("cs"), 6).as("cos_sim"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Brute-force cosine top-k: 5 query vectors against the full corpus,
+    * top-10 neighbors each via per-group window rank. The query side is
+    * tiny → broadcast; the corpus side streams — this is the honest
+    * exact-kNN shape (scan-and-rank), and the baseline q33 must match.
+    */
+  val q32: QueryDef = QueryDef.checked(
+    "q32_ann_bruteforce_topk",
+    """WITH sims AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+      |      / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+      |         * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))) AS cs
+      |  FROM embeddings q JOIN embeddings c ON q.vec_id < 5 AND c.vec_id <> q.vec_id)
+      |SELECT query_id, neighbor_id, rnk, ROUND(cs, 6) AS cos_sim FROM (
+      |  SELECT query_id, neighbor_id, cs,
+      |         row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rnk
+      |  FROM sims) t
+      |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), VF.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", VF.norm(col("v")))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("vq"), col("nrm").as("nq"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("v").as("vc"), col("nrm").as("nc"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cs").desc, col("neighbor_id"))
+    broadcast(q).join(c, col("neighbor_id") =!= col("query_id"))
+      .withColumn("cs", VF.dot(col("vq"), col("vc")) / (col("nq") * col("nc")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        round(col("cs"), 6).as("cos_sim"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** LSH-bucketed ANN (the scale path): 32-bit random-hyperplane
+    * signatures, banded 8×4 bits; corpus vectors sharing any band with a
+    * query become candidates (multi-probe), then exact cosine ranks the
+    * candidates. The cross join becomes an equi-join on (band, chunk) —
+    * at 100 TB this is the difference between infeasible and a shuffle.
+    * Recall vs q32 is asserted in SimilaritySpec (hash-seeded → rows-only
+    * here).
+    */
+  val q33: QueryDef = QueryDef.rowsOnly("q33_ann_lsh_topk") { (s, d) =>
+    val nBits = 32
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), VF.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", VF.norm(col("v")))
+      .withColumn("sig", VF.lshSignature(col("v"), dim = 64, nBits = nBits))
+    val banded = e.select(col("vec_id"), col("v"), col("nrm"),
+        posexplode(array((0 until 8).map(j =>
+          shiftright(col("sig"), j * 4).bitwiseAND(lit(0xFL))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
+    val q = banded.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("vq"), col("nrm").as("nq"),
+        col("band"), col("chunk"))
+    val c = banded
+      .select(col("vec_id").as("neighbor_id"), col("v").as("vc"), col("nrm").as("nc"),
+        col("band"), col("chunk"))
+    val cand = q.join(c, Seq("band", "chunk"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("vq"), col("nq"),
+        col("vc"), col("nc"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cs").desc, col("neighbor_id"))
+    cand
+      .withColumn("cs", VF.dot(col("vq"), col("vc")) / (col("nq") * col("nc")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        round(col("cs"), 6).as("cos_sim"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+}
