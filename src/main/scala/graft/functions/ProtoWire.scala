@@ -1,0 +1,280 @@
+package graft.functions
+
+import java.io.ByteArrayOutputStream
+import graft.model._
+
+/** Hand-rolled protobuf wire-format codec for the Envelope message family.
+  *
+  * /opt/spark/jars ships no spark-protobuf module (SURVEY.md §7 fallback
+  * path), so the engine encodes/decodes the two-message subset directly
+  * against the public protobuf wire format (varint + length-delimited
+  * fields). Field numbers match the reference schema exactly:
+  * envelope.pb.go:100-116 (origin=1, eventType=2, timestamp=6,
+  * logMessage=8, valueMetric=9, counterEvent=10, error=11,
+  * containerMetric=12, deployment=13, job=14, index=15, ip=16, tags=17),
+  * log.pb.go:58-63 (message=1, message_type=2, timestamp=3, app_id=4,
+  * source_type=5, source_instance=6) — so bytes interop with any real
+  * Loggregator consumer.
+  *
+  * Fields are emitted in ascending field-number order (canonical, matches
+  * the generated Go marshaler's layout).
+  */
+object ProtoWire {
+
+  // ---- primitive writers -------------------------------------------------
+
+  private def writeVarint(out: ByteArrayOutputStream, v0: Long): Unit = {
+    var v = v0
+    while ((v & ~0x7fL) != 0) {
+      out.write(((v & 0x7f) | 0x80).toInt)
+      v >>>= 7
+    }
+    out.write(v.toInt & 0x7f)
+  }
+
+  private def tag(field: Int, wireType: Int): Long = (field.toLong << 3) | wireType
+
+  private def writeVarintField(out: ByteArrayOutputStream, field: Int, v: Long): Unit = {
+    writeVarint(out, tag(field, 0)); writeVarint(out, v)
+  }
+
+  private def writeBytesField(out: ByteArrayOutputStream, field: Int, b: Array[Byte]): Unit = {
+    writeVarint(out, tag(field, 2)); writeVarint(out, b.length.toLong); out.write(b, 0, b.length)
+  }
+
+  private def writeStringField(out: ByteArrayOutputStream, field: Int, s: String): Unit =
+    writeBytesField(out, field, s.getBytes("UTF-8"))
+
+  private def writeDoubleField(out: ByteArrayOutputStream, field: Int, d: Double): Unit = {
+    writeVarint(out, tag(field, 1))
+    val bits = java.lang.Double.doubleToLongBits(d)
+    var i = 0
+    while (i < 8) { out.write(((bits >>> (8 * i)) & 0xff).toInt); i += 1 }
+  }
+
+  // ---- message encoders --------------------------------------------------
+
+  def encodeLogMessage(m: LogMessage): Array[Byte] = {
+    val out = new ByteArrayOutputStream(m.message.length + 64)
+    writeBytesField(out, 1, m.message)
+    writeVarintField(out, 2, Envelope.MessageTypeCodes(m.message_type).toLong)
+    writeVarintField(out, 3, m.timestamp)
+    m.app_id.foreach(writeStringField(out, 4, _))
+    writeStringField(out, 5, m.source_type)
+    writeStringField(out, 6, m.source_instance)
+    out.toByteArray
+  }
+
+  def encodeValueMetric(m: ValueMetric): Array[Byte] = {
+    val out = new ByteArrayOutputStream(48)
+    writeStringField(out, 1, m.name)
+    writeDoubleField(out, 2, m.value)
+    writeStringField(out, 3, m.unit)
+    out.toByteArray
+  }
+
+  def encodeCounterEvent(m: CounterEvent): Array[Byte] = {
+    val out = new ByteArrayOutputStream(32)
+    writeStringField(out, 1, m.name)
+    writeVarintField(out, 2, m.delta)
+    m.total.foreach(writeVarintField(out, 3, _))
+    out.toByteArray
+  }
+
+  def encodeError(m: ErrorEvent): Array[Byte] = {
+    val out = new ByteArrayOutputStream(48)
+    writeStringField(out, 1, m.source)
+    writeVarintField(out, 2, m.code.toLong)
+    writeStringField(out, 3, m.message)
+    out.toByteArray
+  }
+
+  def encodeContainerMetric(m: ContainerMetric): Array[Byte] = {
+    val out = new ByteArrayOutputStream(64)
+    writeStringField(out, 1, m.applicationId)
+    writeVarintField(out, 2, m.instanceIndex.toLong)
+    writeDoubleField(out, 3, m.cpuPercentage)
+    writeVarintField(out, 4, m.memoryBytes)
+    writeVarintField(out, 5, m.diskBytes)
+    m.memoryBytesQuota.foreach(writeVarintField(out, 6, _))
+    m.diskBytesQuota.foreach(writeVarintField(out, 7, _))
+    out.toByteArray
+  }
+
+  def encode(e: Envelope): Array[Byte] = {
+    val out = new ByteArrayOutputStream(256)
+    writeStringField(out, 1, e.origin)
+    writeVarintField(out, 2, Envelope.EventTypeCodes(e.eventType).toLong)
+    e.timestamp.foreach(writeVarintField(out, 6, _))
+    e.logMessage.foreach(m => writeBytesField(out, 8, encodeLogMessage(m)))
+    e.valueMetric.foreach(m => writeBytesField(out, 9, encodeValueMetric(m)))
+    e.counterEvent.foreach(m => writeBytesField(out, 10, encodeCounterEvent(m)))
+    e.error.foreach(m => writeBytesField(out, 11, encodeError(m)))
+    e.containerMetric.foreach(m => writeBytesField(out, 12, encodeContainerMetric(m)))
+    e.deployment.foreach(writeStringField(out, 13, _))
+    e.job.foreach(writeStringField(out, 14, _))
+    e.index.foreach(writeStringField(out, 15, _))
+    e.ip.foreach(writeStringField(out, 16, _))
+    // map<string,string> = repeated nested {key=1, value=2}
+    e.tags.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      val kv = new ByteArrayOutputStream(k.length + v.length + 8)
+      writeStringField(kv, 1, k)
+      writeStringField(kv, 2, v)
+      writeBytesField(out, 17, kv.toByteArray)
+    }
+    out.toByteArray
+  }
+
+  // ---- decoder -----------------------------------------------------------
+
+  private final class Reader(buf: Array[Byte]) {
+    var pos = 0
+    def hasMore: Boolean = pos < buf.length
+    def readVarint(): Long = {
+      var shift = 0; var acc = 0L
+      while (true) {
+        val b = buf(pos); pos += 1
+        acc |= (b & 0x7fL) << shift
+        if ((b & 0x80) == 0) return acc
+        shift += 7
+        if (shift > 63) throw new IllegalArgumentException("varint too long")
+      }
+      acc
+    }
+    def readBytes(): Array[Byte] = {
+      val n = readVarint().toInt
+      val r = java.util.Arrays.copyOfRange(buf, pos, pos + n)
+      pos += n
+      r
+    }
+    def readString(): String = new String(readBytes(), "UTF-8")
+    def readFixed64(): Long = {
+      var bits = 0L; var i = 0
+      while (i < 8) { bits |= (buf(pos + i) & 0xffL) << (8 * i); i += 1 }
+      pos += 8
+      bits
+    }
+    def skip(wireType: Int): Unit = wireType match {
+      case 0 => readVarint()
+      case 1 => pos += 8
+      case 2 => pos += readVarint().toInt
+      case 5 => pos += 4
+      case t => throw new IllegalArgumentException(s"unsupported wire type $t")
+    }
+  }
+
+  def decodeLogMessage(bytes: Array[Byte]): LogMessage = {
+    val r = new Reader(bytes)
+    var message: Array[Byte] = Array.emptyByteArray
+    var mtype = "OUT"; var ts = 0L
+    var appId: Option[String] = None
+    var srcType = ""; var srcInst = ""
+    while (r.hasMore) {
+      val t = r.readVarint(); val field = (t >>> 3).toInt; val wt = (t & 7).toInt
+      field match {
+        case 1 => message = r.readBytes()
+        case 2 => mtype = Envelope.CodeToMessageType(r.readVarint().toInt)
+        case 3 => ts = r.readVarint()
+        case 4 => appId = Some(r.readString())
+        case 5 => srcType = r.readString()
+        case 6 => srcInst = r.readString()
+        case _ => r.skip(wt)
+      }
+    }
+    LogMessage(message, mtype, ts, appId, srcType, srcInst)
+  }
+
+  def decode(bytes: Array[Byte]): Envelope = {
+    val r = new Reader(bytes)
+    var origin = ""; var eventType = ""
+    var ts: Option[Long] = None
+    var deployment, job, index, ip: Option[String] = None
+    var tags = Map.newBuilder[String, String]
+    var logMessage: Option[LogMessage] = None
+    var valueMetric: Option[ValueMetric] = None
+    var counterEvent: Option[CounterEvent] = None
+    var error: Option[ErrorEvent] = None
+    var containerMetric: Option[ContainerMetric] = None
+    while (r.hasMore) {
+      val t = r.readVarint(); val field = (t >>> 3).toInt; val wt = (t & 7).toInt
+      field match {
+        case 1 => origin = r.readString()
+        case 2 => eventType = Envelope.CodeToEventType(r.readVarint().toInt)
+        case 6 => ts = Some(r.readVarint())
+        case 8 => logMessage = Some(decodeLogMessage(r.readBytes()))
+        case 9 =>
+          val n = new Reader(r.readBytes())
+          var name = ""; var v = 0.0; var unit = ""
+          while (n.hasMore) {
+            val tt = n.readVarint(); (tt >>> 3).toInt match {
+              case 1 => name = n.readString()
+              case 2 => v = java.lang.Double.longBitsToDouble(n.readFixed64())
+              case 3 => unit = n.readString()
+              case _ => n.skip((tt & 7).toInt)
+            }
+          }
+          valueMetric = Some(ValueMetric(name, v, unit))
+        case 10 =>
+          val n = new Reader(r.readBytes())
+          var name = ""; var delta = 0L; var total: Option[Long] = None
+          while (n.hasMore) {
+            val tt = n.readVarint(); (tt >>> 3).toInt match {
+              case 1 => name = n.readString()
+              case 2 => delta = n.readVarint()
+              case 3 => total = Some(n.readVarint())
+              case _ => n.skip((tt & 7).toInt)
+            }
+          }
+          counterEvent = Some(CounterEvent(name, delta, total))
+        case 11 =>
+          val n = new Reader(r.readBytes())
+          var src = ""; var code = 0; var msg = ""
+          while (n.hasMore) {
+            val tt = n.readVarint(); (tt >>> 3).toInt match {
+              case 1 => src = n.readString()
+              case 2 => code = n.readVarint().toInt
+              case 3 => msg = n.readString()
+              case _ => n.skip((tt & 7).toInt)
+            }
+          }
+          error = Some(ErrorEvent(src, code, msg))
+        case 12 =>
+          val n = new Reader(r.readBytes())
+          var app = ""; var idx = 0; var cpu = 0.0
+          var mem = 0L; var disk = 0L
+          var memQ, diskQ: Option[Long] = None
+          while (n.hasMore) {
+            val tt = n.readVarint(); (tt >>> 3).toInt match {
+              case 1 => app = n.readString()
+              case 2 => idx = n.readVarint().toInt
+              case 3 => cpu = java.lang.Double.longBitsToDouble(n.readFixed64())
+              case 4 => mem = n.readVarint()
+              case 5 => disk = n.readVarint()
+              case 6 => memQ = Some(n.readVarint())
+              case 7 => diskQ = Some(n.readVarint())
+              case _ => n.skip((tt & 7).toInt)
+            }
+          }
+          containerMetric = Some(ContainerMetric(app, idx, cpu, mem, disk, memQ, diskQ))
+        case 13 => deployment = Some(r.readString())
+        case 14 => job = Some(r.readString())
+        case 15 => index = Some(r.readString())
+        case 16 => ip = Some(r.readString())
+        case 17 =>
+          val n = new Reader(r.readBytes())
+          var k = ""; var v = ""
+          while (n.hasMore) {
+            val tt = n.readVarint(); (tt >>> 3).toInt match {
+              case 1 => k = n.readString()
+              case 2 => v = n.readString()
+              case _ => n.skip((tt & 7).toInt)
+            }
+          }
+          tags += (k -> v)
+        case _ => r.skip(wt)
+      }
+    }
+    Envelope(origin, eventType, ts, deployment, job, index, ip, tags.result(),
+      logMessage, valueMetric, counterEvent, error, containerMetric)
+  }
+}

@@ -1,0 +1,113 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQueryListener}
+
+/** Event shape used by the streaming operators (matches the `events`
+  * testdata table after Tables.events).
+  */
+final case class StreamEvent(
+    event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+final case class UserSession(
+    user_id: Long, n_events: Long, total_value: Double, closed: Boolean)
+
+/** Structured-Streaming operator surface (SURVEY.md §2.5 "Streaming
+  * windows" / "Watermark" / "Stateful ops"): every function takes a
+  * DataFrame that can come from `readStream` (MemoryStream in specs) or a
+  * batch frame — the transformations are identical, only the source and
+  * sink differ. StreamingSpec drives them with MemoryStream +
+  * processAllAvailable.
+  */
+object StreamingOps {
+
+  /** Tumbling event-time window with watermark: late rows beyond 10min
+    * are dropped once the watermark passes (the reference can't have late
+    * data at all — ingest-time stamping, main.go:331 — so the watermark
+    * is the engine's strictly-more-general replacement).
+    */
+  def tumblingCounts(events: DataFrame, window_ : String = "10 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("window.start").as("wstart"), col("window.end").as("wend"),
+        col("event_type"), col("n"), col("total"))
+
+  /** Sliding window variant. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("wstart"), col("n"))
+
+  /** Session window (event-time gap) — streaming equivalent of q26. */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("session_window.start").as("sstart"), col("n"))
+
+  /** Streaming dedup bounded by watermark (S4's registry, generalized to
+    * data-plane dedup; state is pruned as the watermark advances —
+    * mandatory at 100 TB, unbounded dedup state OOMs).
+    */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Custom keyed state (K4/K6-style bookkeeping generalized):
+    * per-user running totals via flatMapGroupsWithState — emits a snapshot
+    * per input group per batch. NoTimeout keeps micro-batch scheduling
+    * data-driven (a processing-time timeout would have Spark re-firing
+    * empty batches to evaluate timers, which never converges under
+    * `processAllAvailable` in tests; production timer-based eviction is a
+    * policy layered on top, not exercised here).
+    */
+  def statefulUserTotals(events: Dataset[StreamEvent])(
+      implicit s: SparkSession): Dataset[UserSession] = {
+    import s.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserSession, UserSession](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[StreamEvent], state: GroupState[UserSession]) =>
+          val prev = state.getOption.getOrElse(UserSession(uid, 0L, 0.0, closed = false))
+          var n = prev.n_events
+          var tot = prev.total_value
+          rows.foreach { e => n += 1; tot += e.value }
+          val next = UserSession(uid, n, tot, closed = false)
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
+}
+
+/** A2–A4: the reference's 5s stats emission + Prometheus-name metrics
+  * (main.go:27-47,147-152) mapped onto StreamingQueryListener progress
+  * events. Counters accumulate per query run; `snapshot` exposes them
+  * under the reference's metric names.
+  */
+final class FirehoseMetricsListener(instance: String) extends StreamingQueryListener {
+  @volatile private var rowsIn = 0L
+  @volatile private var rowsPerSec = 0.0
+  @volatile private var batches = 0L
+
+  override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+  override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+  override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+    rowsIn += e.progress.numInputRows
+    rowsPerSec = e.progress.processedRowsPerSecond
+    batches += 1
+  }
+
+  /** Reference metric names, labeled by `system` = instance (main.go:32-46). */
+  def snapshot: Map[String, Double] = Map(
+    s"""firehose_to_kinesis_sent_count{system="$instance"}""" -> rowsIn.toDouble,
+    s"""firehose_to_kinesis_rows_per_sec{system="$instance"}""" -> rowsPerSec,
+    s"""firehose_to_kinesis_batches{system="$instance"}""" -> batches.toDouble)
+}

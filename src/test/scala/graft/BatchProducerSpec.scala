@@ -1,0 +1,113 @@
+package graft
+
+import graft.pipeline._
+import org.scalatest.funsuite.AnyFunSuite
+import scala.collection.mutable
+
+/** K1–K7 semantics against the scripted fake client (FIXTURES.md §A.3);
+  * sleep is injected so the exact backoff sequence is asserted without
+  * wall-clock waits (reference: batchproducer.go:326-336).
+  */
+class BatchProducerSpec extends AnyFunSuite {
+
+  private def rec(i: Int): Array[Byte] = Array(i.toByte)
+  private val noSleep: Long => Unit = _ => ()
+
+  private def requestError = PutRecordsResult(Some("ServiceUnavailable"), Nil)
+  private def partialFail(n: Int, failIdx: Set[Int]) = PutRecordsResult(None,
+    (0 until n).map(i => if (failIdx(i)) RecordResult("ProvisionedThroughputExceededException") else RecordResult()))
+
+  test("K2 size trigger: a full batch is sent as soon as batchSize is buffered") {
+    val client = new FakeKinesisClient()
+    val p = new BatchProducer(client, ProducerConfig(batchSize = 10, bufferSize = 100), noSleep)
+    (0 until 9).foreach(i => p.add(rec(i), "k"))
+    assert(client.calls === 0) // below batch size: nothing sent yet
+    p.add(rec(9), "k")
+    assert(client.calls === 1)
+    assert(client.sent.head.size === 10)
+    assert(p.stats.sent === 10 && p.stats.buffered === 0)
+  }
+
+  test("K7 flush drains a partial batch") {
+    val client = new FakeKinesisClient()
+    val p = new BatchProducer(client, ProducerConfig(batchSize = 10), noSleep)
+    (0 until 3).foreach(i => p.add(rec(i), "k"))
+    assert(p.flush() === 0)
+    assert(client.calls === 1 && p.stats.sent === 3)
+  }
+
+  test("K4 exponential backoff: 50ms doubling per consecutive request error") {
+    val client = new FakeKinesisClient(Seq(requestError, requestError, requestError))
+    val sleeps = mutable.ArrayBuffer[Long]()
+    val p = new BatchProducer(client, ProducerConfig(batchSize = 5), sleeps += _)
+    (0 until 4).foreach(i => p.add(rec(i), "k"))
+    p.flush()
+    assert(sleeps.toSeq === Seq(50L, 100L, 200L)) // batchproducer.go:326-331
+    assert(p.stats.sent === 4) // eventually delivered after script exhausts
+    assert(p.stats.requestErrors === 3)
+    assert(p.stats.droppedRecords === 0)
+  }
+
+  test("K4 failed batch is re-enqueued at the back (order loss accepted)") {
+    // add 0,1,2 → send fails → requeued; add 3 → [0,1,2,3] → send [0,1,2]
+    // fails again → requeued behind 3 → next sends are [3,0,1], [2,4]:
+    // the failed batch drops behind newer records, as in the reference
+    // (batchproducer.go:349-354, ordering-loss TODO :413-414).
+    val client = new FakeKinesisClient(Seq(requestError, requestError))
+    val p = new BatchProducer(client, ProducerConfig(batchSize = 3, bufferSize = 100), noSleep)
+    (0 until 5).foreach(i => p.add(rec(i), "k"))
+    p.flush()
+    val order = client.allSentRecords.map(_.data(0).toInt)
+    assert(order === Seq(3, 0, 1, 2, 4))
+  }
+
+  test("K5 load shed: drop batch only after ≥5 consecutive errors AND ≥95% full") {
+    // Fullness is measured on the buffer AFTER the failing batch was
+    // dequeued (reference: bufferFullnessPct over the channel,
+    // batchproducer.go:377-379), so capacity must be ≫ batch size for the
+    // threshold to be reachable — as in the real 5000/500 config.
+    val client = new FakeKinesisClient(Seq.fill(300)(requestError))
+    val p = new BatchProducer(client,
+      ProducerConfig(batchSize = 5, bufferSize = 100, addBlockFullnessPct = 200), noSleep)
+    (0 until 100).foreach(i => p.add(rec(i), "k"))
+    p.flush()
+    assert(p.stats.droppedBatches >= 1)
+    assert(p.stats.sent + p.stats.droppedRecords === 100)
+  }
+
+  test("no shed below the fullness threshold: errors alone never drop") {
+    val client = new FakeKinesisClient(Seq.fill(8)(requestError))
+    val p = new BatchProducer(client, ProducerConfig(batchSize = 10, bufferSize = 1000), noSleep)
+    (0 until 10).foreach(i => p.add(rec(i), "k"))
+    p.flush()
+    assert(p.stats.droppedBatches === 0 && p.stats.droppedRecords === 0)
+    assert(p.stats.sent === 10)
+  }
+
+  test("K6 per-record retry then drop after maxAttemptsPerRecord") {
+    // record index 2 fails in every batch it appears in
+    val script = Seq(
+      partialFail(5, Set(2)), // attempt 1 for record 2, others sent
+      partialFail(1, Set(0)), // attempt 2 (record 2 alone in retry batch)
+      partialFail(1, Set(0))) // attempt 3 → dropped (maxAttempts=3)
+    val client = new FakeKinesisClient(script)
+    val p = new BatchProducer(client,
+      ProducerConfig(batchSize = 5, maxAttemptsPerRecord = 3), noSleep)
+    (0 until 5).foreach(i => p.add(rec(i), "k"))
+    p.flush()
+    assert(p.stats.sent === 4)
+    assert(p.stats.droppedRecords === 1)
+    assert(p.stats.recordErrors === 3)
+    assert(p.stats.buffered === 0)
+  }
+
+  test("K1 backpressure: buffer never exceeds capacity when client succeeds") {
+    val client = new FakeKinesisClient()
+    val cfg = ProducerConfig(batchSize = 10, bufferSize = 50)
+    val p = new BatchProducer(client, cfg, noSleep)
+    (0 until 500).foreach(i => p.add(rec(i), s"k${i % 3}"))
+    p.flush()
+    assert(p.stats.sent === 500)
+    assert(client.allSentRecords.size === 500)
+  }
+}

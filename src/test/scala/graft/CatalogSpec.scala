@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Catalog-level contract checks + semantic cross-checks between the
+  * approximate (hash-seeded, oracle-less) operators and their exact
+  * ground-truth counterparts at sf0.001.
+  */
+class CatalogSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.Sf0001
+
+  test("driver contract: oracle keys ⊆ query keys, names unique") {
+    val defs = SparkEntry.allDefs
+    assert(defs.map(_.name).distinct.size === defs.size)
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("driver smoke: entry() returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("MinHash-LSH near-dup pairs equal the exact n-gram Jaccard truth") {
+    val exact = SparkEntry.queries("q30_dedup_ngram_jaccard")(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val minhash = SparkEntry.queries("q28_dedup_minhash_lsh")(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty) // the corpus has planted near-dups
+    assert(minhash === exact)
+  }
+
+  test("SimHash finds most true near-dup pairs (different similarity notion)") {
+    val exact = SparkEntry.queries("q30_dedup_ngram_jaccard")(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val simhash = SparkEntry.queries("q29_dedup_simhash")(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(simhash.contains).toDouble / exact.size
+    assert(recall >= 0.7, s"simhash recall $recall")
+  }
+
+  test("LSH ANN reaches ≥50% recall@10 vs brute force") {
+    val brute = SparkEntry.queries("q32_ann_bruteforce_topk")(spark, sf)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SparkEntry.queries("q33_ann_lsh_topk")(spark, sf)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.count(lsh.contains).toDouble / brute.size
+    assert(recall >= 0.5, s"ann recall $recall")
+  }
+
+  test("proto roundtrip query reports zero corrupt envelopes") {
+    val row = SparkEntry.queries("q41_proto_roundtrip")(spark, sf).collect().head
+    assert(row.getAs[Long]("n") === row.getAs[Long]("n_roundtrip_ok"))
+    assert(row.getAs[Long]("n") > 0)
+  }
+
+  test("media features pipeline is deterministic and complete") {
+    val df = SparkEntry.queries("q39_media_features")(spark, sf)
+    val rows = df.collect()
+    assert(rows.length === 500)
+    val again = SparkEntry.queries("q39_media_features")(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+}

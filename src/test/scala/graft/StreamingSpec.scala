@@ -1,0 +1,135 @@
+package graft
+
+import graft.streaming._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  private def ev(id: Long, minute: Int, uid: Long, typ: String = "click", v: Double = 1.0) =
+    StreamEvent(id, ts(minute), uid, typ, v)
+
+  test("tumbling window counts (complete mode over MemoryStream)") {
+    implicit val s = spark
+    implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import s.implicits._
+    val in = MemoryStream[StreamEvent]
+    val q = StreamingOps.tumblingCounts(in.toDF())
+      .writeStream.format("memory").queryName("tumbling").outputMode("complete").start()
+    try {
+      in.addData(ev(1, 0, 1), ev(2, 5, 1), ev(3, 12, 2), ev(4, 19, 2))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM tumbling ORDER BY wstart").collect()
+      assert(rows.map(_.getAs[Long]("n")).toSeq === Seq(2L, 2L))
+    } finally q.stop()
+  }
+
+  test("watermark drops late rows in append mode") {
+    implicit val s = spark
+    implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import s.implicits._
+    val in = MemoryStream[StreamEvent]
+    val q = StreamingOps.tumblingCounts(in.toDF(), window_ = "10 minutes", watermark = "5 minutes")
+      .writeStream.format("memory").queryName("wm").outputMode("append").start()
+    try {
+      in.addData(ev(1, 0, 1), ev(2, 5, 1))
+      q.processAllAvailable()
+      in.addData(ev(3, 40, 1)) // advances watermark to 10:35 → [10:00,10:10) finalized
+      q.processAllAvailable()
+      in.addData(ev(4, 2, 9)) // late beyond watermark → dropped
+      q.processAllAvailable()
+      in.addData(ev(5, 59, 1)) // close the 10:40 window too
+      q.processAllAvailable()
+      val emitted = spark.sql("SELECT event_type, n FROM wm ORDER BY n").collect()
+      // first window emitted with n=2 (late row 4 NOT counted anywhere)
+      assert(emitted.exists(_.getAs[Long]("n") === 2L))
+      val total = spark.sql("SELECT sum(n) s FROM wm").collect().head.getLong(0)
+      assert(total <= 3L) // rows 1,2 and possibly 3; late row 4 dropped
+    } finally q.stop()
+  }
+
+  test("session windows with 30-minute gap") {
+    implicit val s = spark
+    implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import s.implicits._
+    val in = MemoryStream[StreamEvent]
+    val q = StreamingOps.sessionCounts(in.toDF())
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    try {
+      // user 1: events at 10:00,10:05 (one session), then 11:00 (new session)
+      in.addData(ev(1, 0, 1), ev(2, 5, 1))
+      q.processAllAvailable()
+      in.addData(StreamEvent(3, Timestamp.valueOf("2024-01-01 11:00:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      // push watermark far ahead so both sessions finalize
+      in.addData(StreamEvent(4, Timestamp.valueOf("2024-01-01 15:00:00"), 2, "click", 1.0))
+      q.processAllAvailable()
+      in.addData(StreamEvent(5, Timestamp.valueOf("2024-01-01 20:00:00"), 2, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT user_id, n FROM sess WHERE user_id = 1 ORDER BY sstart").collect()
+      assert(rows.map(_.getAs[Long]("n")).toSeq === Seq(2L, 1L))
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark removes dup event ids") {
+    implicit val s = spark
+    implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import s.implicits._
+    val in = MemoryStream[StreamEvent]
+    val q = StreamingOps.dedupWithinWatermark(in.toDF())
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      in.addData(ev(1, 0, 1), ev(1, 1, 1), ev(2, 2, 1), ev(1, 3, 1))
+      q.processAllAvailable()
+      val n = spark.sql("SELECT count(*) c FROM dedup").collect().head.getLong(0)
+      assert(n === 2L) // event_ids 1 and 2
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState keeps per-user running totals across batches") {
+    implicit val s = spark
+    implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import s.implicits._
+    val in = MemoryStream[StreamEvent]
+    val q = StreamingOps.statefulUserTotals(in.toDS())
+      .writeStream.format("memory").queryName("stateful").outputMode("append").start()
+    try {
+      in.addData(ev(1, 0, 7, v = 2.0), ev(2, 1, 7, v = 3.0))
+      q.processAllAvailable()
+      in.addData(ev(3, 2, 7, v = 5.0))
+      q.processAllAvailable()
+      val last = spark.sql(
+        "SELECT n_events, total_value FROM stateful WHERE user_id = 7 ORDER BY n_events DESC LIMIT 1")
+        .collect().head
+      assert(last.getLong(0) === 3L)
+      assert(last.getDouble(1) === 10.0)
+    } finally q.stop()
+  }
+
+  test("FirehoseMetricsListener exposes reference metric names from progress") {
+    implicit val s = spark
+    implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import s.implicits._
+    val listener = new FirehoseMetricsListener("node-1")
+    spark.streams.addListener(listener)
+    val in = MemoryStream[StreamEvent]
+    val q = in.toDF().writeStream.format("memory").queryName("mx").start()
+    try {
+      in.addData(ev(1, 0, 1), ev(2, 1, 1), ev(3, 2, 1))
+      q.processAllAvailable()
+      // listener events are async; poll briefly
+      val deadline = System.currentTimeMillis() + 10000
+      while (listener.snapshot.values.sum == 0 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      val snap = listener.snapshot
+      assert(snap.keys.exists(_.startsWith("firehose_to_kinesis_sent_count")))
+      assert(snap("""firehose_to_kinesis_sent_count{system="node-1"}""") >= 3.0)
+    } finally { q.stop(); spark.streams.removeListener(listener) }
+  }
+}
