@@ -48,10 +48,26 @@ object Dedup {
       |WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
 
-  /** doc_id → distinct token-trigram shingle set. */
-  private def shingles(s: SparkSession, d: String): DataFrame =
+  /** Exploded distinct token-trigram shingles: (doc_id, g) rows built
+    * with posexplode + window `lead` — all codegen'd (string concat over a
+    * doc_id-partitioned window), no higher-order-function lambdas. The
+    * array-based form (TF.shingleSet) measured ~10× slower here because
+    * nested transform/element_at lambdas evaluate interpreted, and
+    * self-joins recompute them per branch.
+    */
+  private def shingleRows(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     Tables.documents(s, d)
-      .select(col("doc_id"), TF.shingleSet(col("text"), 3).as("sh"))
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .withColumnRenamed("pos", "pos").withColumnRenamed("col", "t")
+      .select(col("doc_id"),
+        concat_ws(" ", col("t"), lead(col("t"), 1).over(w),
+          lead(col("t"), 2).over(w)).as("g"),
+        lead(col("t"), 2).over(w).isNotNull.as("complete"))
+      .filter(col("complete"))
+      .select(col("doc_id"), col("g"))
+      .distinct()
+  }
 
   /** Exact content dedup: deterministic representative selection (keep
     * lowest doc_id per md5-fingerprint group) — the scalable form of
@@ -85,11 +101,12 @@ object Dedup {
     *   (signature) → 32 bands × 2 rows → band-hash equi-join (candidates)
     *   → exact Jaccard verify ≥ 0.5.
     *
-    * Everything up to the band join is per-row `transform`/`aggregate`
-    * expressions (no explode of the permutation dimension, no UDF). The
+    * The signature is 64 codegen'd min-aggregates over exploded shingle
+    * hashes (map-side combine → one row per doc pre-shuffle); the
     * candidate join is an equi-join on (band, bandHash) — the piece that
-    * replaces the O(n²) cross join at scale. Hash arithmetic stays in
-    * 31-bit space so ANSI-mode Long multiplication cannot overflow.
+    * replaces the O(n²) cross join at scale; the Jaccard verify touches
+    * only candidate pairs. Hash arithmetic stays in 31-bit space so
+    * ANSI-mode Long multiplication cannot overflow.
     */
   val q28: QueryDef = QueryDef.checked("q28_dedup_minhash_lsh", nearDupOracle) {
     (s, d) =>
@@ -98,16 +115,23 @@ object Dedup {
       val bands = 32 // r = 2 rows per band
       val r = nPerm / bands
       val rnd = new scala.util.Random(7)
-      val aCoef = typedLit(Seq.fill(nPerm)(1L + rnd.nextLong(P - 1)))
-      val bCoef = typedLit(Seq.fill(nPerm)(rnd.nextLong(P)))
+      val aCoefs = Seq.fill(nPerm)(1L + rnd.nextLong(P - 1))
+      val bCoefs = Seq.fill(nPerm)(rnd.nextLong(P))
 
-      val sh = shingles(s, d).filter(size(col("sh")) > 0)
-      val hashed = sh.withColumn("hs",
-        transform(col("sh"), g => pmod(xxhash64(g), lit(P))))
-      val sig = hashed.withColumn("sig",
-        transform(sequence(lit(0), lit(nPerm - 1)), i =>
-          array_min(transform(col("hs"), h =>
-            pmod(element_at(aCoef, i + 1) * h + element_at(bCoef, i + 1), lit(P))))))
+      // Signature via exploded shingles + 64 codegen'd min-aggregates:
+      // nested higher-order lambdas (transform-inside-transform) evaluate
+      // interpreted with per-element boxing — measured 455s at sf0.1 vs
+      // seconds for this shape. Explode+partial-agg is also the form that
+      // scales: map-side combine collapses each partition to one row per
+      // doc before the shuffle.
+      val tri = shingleRows(s, d)
+      val hashed = tri.select(col("doc_id"), pmod(xxhash64(col("g")), lit(P)).as("h"))
+      val minCols = (0 until nPerm).map(i =>
+        min(pmod(lit(aCoefs(i)) * col("h") + lit(bCoefs(i)), lit(P))).as(s"m$i"))
+      val sig = hashed.groupBy(col("doc_id"))
+        .agg(minCols.head, minCols.tail: _*)
+        .select(col("doc_id"),
+          array((0 until nPerm).map(i => col(s"m$i")): _*).as("sig"))
       val banded = sig.select(col("doc_id"),
           posexplode(array((0 until bands).map(j =>
             xxhash64(slice(col("sig"), j * r + 1, r))): _*)))
@@ -119,11 +143,21 @@ object Dedup {
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         .distinct()
 
-      val withSets = cand
-        .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      withSets
-        .select(col("doc_a"), col("doc_b"), TF.jaccard(col("sh_a"), col("sh_b")).as("jac"))
+      // Exact-Jaccard verify restricted to the candidate pairs: broadcast
+      // the (small) candidate set against the exploded shingles — the
+      // whole point of LSH is that this join touches |candidates| pairs,
+      // not O(n²).
+      val sizes = tri.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = broadcast(cand)
+        .join(tri.select(col("doc_id").as("doc_a"), col("g")), "doc_a")
+        .join(tri.select(col("doc_id").as("doc_b"), col("g").as("g2")), "doc_b")
+        .filter(col("g") === col("g2"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jac"))
         .filter(col("jac") >= 0.5)
         .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -178,9 +212,8 @@ object Dedup {
     */
   val q30: QueryDef = QueryDef.checked("q30_dedup_ngram_jaccard", nearDupOracle) {
     (s, d) =>
-      val sh = shingles(s, d)
-      val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
-      val exploded = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+      val exploded = shingleRows(s, d)
+      val sizes = exploded.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val inter = exploded.as("x").join(exploded.as("y"),
           col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
         .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
