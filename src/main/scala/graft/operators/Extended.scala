@@ -1,0 +1,180 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+/** Second-tier coverage: full window-function family, multiset set-ops,
+  * file-format round-trips, exact-formula statistics, and approximate
+  * sketches — completing the SURVEY.md §2.5 rows not already covered by
+  * Relational/Scalars.
+  */
+object Extended {
+  import Exact._
+
+  def defs: Seq[QueryDef] = Seq(q42, q43, q44, q45, q46)
+
+  /** The rest of the window-function family: rank, dense_rank, ntile,
+    * percent_rank, cume_dist, first_value, and a RANGE-framed running sum.
+    * Total order inside each partition is (o_totalprice DESC, o_orderkey)
+    * → every ranking function is deterministic; percent_rank/cume_dist are
+    * int/int double divisions (bit-stable in both engines).
+    *
+    * Scale note: partitions here are the 3 order statuses — at 100 TB you
+    * would sub-partition (status, hash-bucket) or pre-aggregate; the point
+    * of this query is function coverage, and window state spills to disk
+    * per partition either way.
+    */
+  val q42: QueryDef = QueryDef.checked(
+    "q42_window_family",
+    """SELECT o_orderkey, o_orderstatus,
+      | rank() OVER w AS rnk,
+      | dense_rank() OVER w AS drnk,
+      | ntile(4) OVER w AS quartile,
+      | percent_rank() OVER w AS prnk,
+      | cume_dist() OVER w AS cdist,
+      | first_value(o_orderkey) OVER w AS top_order,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |   PARTITION BY o_orderstatus ORDER BY o_totalprice
+      |   RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS DOUBLE) AS near_sum
+      |FROM orders
+      |WHERE o_orderkey < 3000
+      |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
+      |ORDER BY o_orderstatus, rnk""".stripMargin) { (s, d) =>
+    val base = Tables.orders(s, d).filter(col("o_orderkey") < 3000)
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val wRange = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice"))
+      .rangeBetween(-1000L, Window.currentRow)
+    base.select(col("o_orderkey"), col("o_orderstatus"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("prnk"),
+        cume_dist().over(w).as("cdist"),
+        first_value(col("o_orderkey")).over(w).as("top_order"),
+        sum(dec2(col("o_totalprice"))).over(wRange).cast("double").as("near_sum"))
+      .orderBy(col("o_orderstatus"), col("rnk"))
+  }
+
+  /** Multiset set operations (ALL variants): nation-key bags of customers
+    * vs suppliers.
+    */
+  val q43: QueryDef = QueryDef.checked(
+    "q43_setops_all",
+    """SELECT 'intersect_all' AS op, COUNT(*) AS n FROM (
+      |  SELECT c_nationkey AS k FROM customer INTERSECT ALL SELECT s_nationkey FROM supplier) t
+      |UNION ALL
+      |SELECT 'except_all' AS op, COUNT(*) AS n FROM (
+      |  SELECT c_nationkey AS k FROM customer EXCEPT ALL SELECT s_nationkey FROM supplier) t
+      |UNION ALL
+      |SELECT 'union_all' AS op, COUNT(*) AS n FROM (
+      |  SELECT c_nationkey AS k FROM customer UNION ALL SELECT s_nationkey FROM supplier) t
+      |ORDER BY op""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val c = Tables.customer(s, d).select(col("c_nationkey").as("k"))
+    val sup = Tables.supplier(s, d).select(col("s_nationkey").as("k"))
+    val ia = c.intersectAll(sup).agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+    val ea = c.exceptAll(sup).agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+    val ua = c.unionAll(sup).agg(count(lit(1)).as("n")).withColumn("op", lit("union_all"))
+    ia.unionByName(ea).unionByName(ua).select($"op", $"n").orderBy($"op")
+  }
+
+  /** File-format coverage: CSV and JSON write→read round-trips (lossless
+    * for the integer/string projection used), verified against the
+    * original table. Exercises spark.read/write csv+json alongside the
+    * parquet everything else uses.
+    */
+  val q44: QueryDef = QueryDef.checked(
+    "q44_format_roundtrip",
+    """SELECT fmt, COUNT(*) AS n,
+      | CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+      | COUNT(DISTINCT o_orderstatus) AS n_status
+      |FROM (
+      |  SELECT 'csv' AS fmt, o_orderkey, o_orderstatus FROM orders WHERE o_orderkey < 1000
+      |  UNION ALL
+      |  SELECT 'json' AS fmt, o_orderkey, o_orderstatus FROM orders WHERE o_orderkey < 1000)
+      |GROUP BY fmt ORDER BY fmt""".stripMargin) { (s, d) =>
+    val slice = Tables.orders(s, d).filter(col("o_orderkey") < 1000)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+    val tmp = s"/tmp/graft_fmt_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+    slice.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
+    slice.write.mode("overwrite").json(s"$tmp/json")
+    val fromCsv = s.read.option("header", "true")
+      .schema("o_orderkey LONG, o_custkey LONG, o_orderstatus STRING")
+      .csv(s"$tmp/csv").withColumn("fmt", lit("csv"))
+    val fromJson = s.read
+      .schema("o_orderkey LONG, o_custkey LONG, o_orderstatus STRING")
+      .json(s"$tmp/json").withColumn("fmt", lit("json"))
+    fromCsv.unionByName(fromJson)
+      .groupBy(col("fmt"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_orderkey")).as("sum_key"),
+        countDistinct(col("o_orderstatus")).as("n_status"))
+      .orderBy(col("fmt"))
+  }
+
+  /** Statistics via explicit exact-decimal moment sums: mean, sample
+    * variance/stddev, and Pearson correlation computed from Σx, Σx², Σxy
+    * (DECIMAL, order-independent) with the closed-form double arithmetic
+    * identical in both engines. The builtin stddev/corr aggregate doubles
+    * in partition order and can never hash-match — this is the
+    * deterministic route to the same statistics.
+    */
+  val q45: QueryDef = QueryDef.checked(
+    "q45_moment_stats",
+    """SELECT o_orderstatus, n,
+      | sx / n AS mean_price,
+      | (sxx - sx * sx / n) / (n - 1) AS var_price,
+      | sqrt((sxx - sx * sx / n) / (n - 1)) AS std_price,
+      | (n * sxy - sx * sy) /
+      |   (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_price_cust
+      |FROM (
+      |  SELECT o_orderstatus, COUNT(*) AS n,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(o_custkey AS DECIMAL(18,0))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(o_custkey * o_custkey AS DECIMAL(38,0))) AS DOUBLE) AS syy,
+      |    CAST(SUM(CAST(o_totalprice * o_custkey AS DECIMAL(38,2))) AS DOUBLE) AS sxy
+      |  FROM orders GROUP BY o_orderstatus) t
+      |ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+    val inner = Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(col("o_totalprice"))).cast("double").as("sx"),
+        sum((col("o_totalprice") * col("o_totalprice")).cast(DecimalType(38, 4)))
+          .cast("double").as("sxx"),
+        sum(col("o_custkey").cast(DecimalType(18, 0))).cast("double").as("sy"),
+        sum((col("o_custkey") * col("o_custkey")).cast(DecimalType(38, 0)))
+          .cast("double").as("syy"),
+        sum((col("o_totalprice") * col("o_custkey")).cast(DecimalType(38, 2)))
+          .cast("double").as("sxy"))
+    inner.select(col("o_orderstatus"), col("n"),
+        (col("sx") / col("n")).as("mean_price"),
+        ((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("var_price"),
+        sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("std_price"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("corr_price_cust"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** Approximate sketches: HLL++ distinct count and approximate quantiles.
+    * Sketch internals are engine-specific → rows-only; ApproxSpec asserts
+    * the estimates land within tolerance of the exact answers. At 100 TB
+    * these are the ONLY affordable forms (single pass, bounded memory,
+    * mergeable partial sketches).
+    */
+  val q46: QueryDef = QueryDef.rowsOnly("q46_approx_sketches") { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+}

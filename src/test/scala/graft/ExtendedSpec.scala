@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExtendedSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.Sf0001
+
+  test("approx sketches land within tolerance of exact answers") {
+    val rows = SparkEntry.queries("q46_approx_sketches")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_orders").toDouble
+      val exact = r.getAs[Long]("exact_orders").toDouble
+      assert(math.abs(approx - exact) / exact < 0.1,
+        s"HLL estimate $approx too far from exact $exact")
+      assert(r.getAs[Double]("approx_median") > 0.0)
+    }
+  }
+
+  test("GraftExtensions registers graft_cosine via spark.sql.extensions") {
+    // TestSpark's session is built with spark.sql.extensions=GraftExtensions,
+    // so the function must resolve through plain SQL with no manual
+    // registration call.
+    Tables.embeddings(spark, sf).limit(3).createOrReplaceTempView("e3")
+    val n = spark.sql(
+      """SELECT graft_cosine(a.embedding, b.embedding) AS cs
+        |FROM e3 a JOIN e3 b ON a.vec_id < b.vec_id""".stripMargin).count()
+    assert(n === 3L)
+    spark.catalog.dropTempView("e3")
+  }
+
+  test("format round-trip preserves the projected slice exactly") {
+    val out = SparkEntry.queries("q44_format_roundtrip")(spark, sf).collect()
+    assert(out.length === 2)
+    val Seq(csv, json) = out.toSeq.sortBy(_.getAs[String]("fmt"))
+    assert(csv.getAs[Long]("n") === json.getAs[Long]("n"))
+    assert(csv.getAs[Long]("sum_key") === json.getAs[Long]("sum_key"))
+  }
+}
