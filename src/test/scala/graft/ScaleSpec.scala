@@ -1,0 +1,64 @@
+package graft
+
+import graft.pipeline._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ScaleSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.Sf0001
+
+  test("IVF ANN reaches ≥40% recall@10 vs brute force with nprobe=2/16") {
+    val brute = SparkEntry.queries("q32_ann_bruteforce_topk")(spark, sf)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SparkEntry.queries("q47_ann_ivf_topk")(spark, sf)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.count(ivf.contains).toDouble / brute.size
+    assert(recall >= 0.4, s"ivf recall $recall")
+  }
+
+  test("salted join result equals the naive join result") {
+    import org.apache.spark.sql.functions._
+    val salted = SparkEntry.queries("q48_skew_salted_join")(spark, sf).collect()
+    val naive = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    salted.foreach { r =>
+      assert(r.getAs[Long]("n") === naive(r.getAs[String]("flag")))
+    }
+  }
+
+  /** SURVEY §5.4 property test: under arbitrary fail/success response
+    * sequences the producer never loses a record except by the declared
+    * drop rules (K5 batch shed, K6 attempt limit) — added == sent +
+    * dropped, buffer empty, after a successful drain.
+    */
+  test("property: producer conserves records under random failure scripts") {
+    val rnd = new scala.util.Random(2026)
+    (0 until 40).foreach { trial =>
+      val nRecords = 1 + rnd.nextInt(300)
+      val batchSize = 1 + rnd.nextInt(20)
+      val script = Seq.fill(rnd.nextInt(30)) {
+        rnd.nextInt(3) match {
+          case 0 => PutRecordsResult(Some("boom"), Nil)
+          case _ =>
+            val fails = Set.fill(rnd.nextInt(3))(rnd.nextInt(batchSize))
+            PutRecordsResult(None, (0 until batchSize).map(i =>
+              if (fails(i)) RecordResult("throttle") else RecordResult()))
+        }
+      }
+      val p = new BatchProducer(new FakeKinesisClient(script),
+        ProducerConfig(batchSize = batchSize, bufferSize = math.max(batchSize * 4, 40),
+          maxAttemptsPerRecord = 3),
+        sleep = _ => ())
+      (0 until nRecords).foreach(i => p.add(Array(i.toByte), s"k${i % 7}"))
+      val remaining = p.flush()
+      val st = p.stats
+      assert(remaining === 0, s"trial $trial: buffer not drained")
+      assert(st.sent + st.droppedRecords === nRecords,
+        s"trial $trial: ${st.sent}+${st.droppedRecords} != $nRecords")
+    }
+  }
+}
