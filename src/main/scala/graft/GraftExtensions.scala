@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, PolyHash}
 
 /** Session-extension entry point: registers graft's custom expressions for
   * SQL users. Enable with
@@ -19,5 +19,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_cosine(a, b) - fused cosine similarity over float/double arrays"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         CosineSimilarity(exprs(0), exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_polyhash"),
+      new ExpressionInfo(
+        classOf[PolyHash].getName, "graft_polyhash",
+        "graft_polyhash(str) - 61-bit polynomial rolling-hash fingerprint"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        PolyHash(exprs.head)))
   }
 }

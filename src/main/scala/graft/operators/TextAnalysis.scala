@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  def defs: Seq[QueryDef] = Seq(q34, q35, q36, q37)
+  def defs: Seq[QueryDef] = Seq(q34, q35, q36, q37, q49)
 
   private val stopList = TF.StopWords.map(w => s"'$w'").mkString(", ")
 
@@ -103,6 +103,22 @@ object TextAnalysis {
     val fp = TF.fingerprint(col("text"))
     Tables.documents(s, d)
       .select(col("doc_id"), fp.as("fp"), substring(fp, 1, 2).as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Rolling-hash fingerprints via the custom PolyHash codegen expression:
+    * whole-document 61-bit fingerprint plus first-token-chunk hash (the
+    * building block for content-defined chunk dedup). Rows-only — the
+    * polynomial is engine-specific; PolyHashSpec pins reference values
+    * computed independently with BigInt arithmetic.
+    */
+  val q49: QueryDef = QueryDef.rowsOnly("q49_rolling_fingerprint") { (s, d) =>
+    import graft.functions.PolyHash.polyhash
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        polyhash(TF.normalize(col("text"))).as("fp64"),
+        polyhash(substring(col("text"), 1, 32)).as("head_fp"),
+        pmod(polyhash(TF.normalize(col("text"))), lit(256)).as("bucket"))
       .orderBy(col("doc_id"))
   }
 }
