@@ -161,14 +161,20 @@ object Scalars {
     "q24_json_fns",
     """SELECT event_type,
       | CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      | CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k_typed,
       | MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
       | MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
       | COUNT(*) AS n
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+    // two extraction paths: string-path get_json_object and schema'd
+    // from_json — same values, both function families exercised
     val k = get_json_object(col("props"), "$.k").cast("long")
+    val kTyped = from_json(col("props"),
+      org.apache.spark.sql.types.StructType.fromDDL("k LONG")).getField("k")
     Tables.events(s, d)
       .groupBy(col("event_type"))
-      .agg(sum(k).as("sum_k"), min(k).as("min_k"), max(k).as("max_k"),
+      .agg(sum(k).as("sum_k"), sum(kTyped).as("sum_k_typed"),
+        min(k).as("min_k"), max(k).as("max_k"),
         count(lit(1)).as("n"))
       .orderBy(col("event_type"))
   }

@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQueryListener}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQueryListener, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Event shape used by the streaming operators (matches the `events`
   * testdata table after Tables.events).
@@ -84,6 +84,42 @@ object StreamingOps {
           state.update(next)
           Iterator.single(next)
       }
+  }
+  /** Same running totals on the transformWithState API (Spark 4's
+    * arbitrary-state v2: named typed state slots + TTL + timers instead
+    * of one opaque GroupState). Requires the RocksDB state store
+    * provider — set
+    * `spark.sql.streaming.stateStore.providerClass=...RocksDBStateStoreProvider`
+    * before starting the query (StreamingSpec does).
+    */
+  def statefulUserTotalsV2(events: Dataset[StreamEvent])(
+      implicit s: SparkSession): Dataset[UserSession] = {
+    import s.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new UserTotalsProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+}
+
+/** StatefulProcessor holding one ValueState[UserSession] per user. */
+class UserTotalsProcessor extends StatefulProcessor[Long, StreamEvent, UserSession] {
+  @transient private var state: ValueState[UserSession] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[UserSession](
+      "totals", Encoders.product[UserSession], TTLConfig.NONE)
+
+  override def handleInputRows(
+      uid: Long, rows: Iterator[StreamEvent],
+      timerValues: TimerValues): Iterator[UserSession] = {
+    val prev = if (state.exists()) state.get()
+      else UserSession(uid, 0L, 0.0, closed = false)
+    var n = prev.n_events
+    var tot = prev.total_value
+    rows.foreach { e => n += 1; tot += e.value }
+    val next = UserSession(uid, n, tot, closed = false)
+    state.update(next)
+    Iterator.single(next)
   }
 }
 

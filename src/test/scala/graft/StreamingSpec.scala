@@ -112,6 +112,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState (state v2, RocksDB) keeps per-user totals") {
+    implicit val s = spark
+    implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import s.implicits._
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[StreamEvent]
+    val q = StreamingOps.statefulUserTotalsV2(in.toDS())
+      .writeStream.format("memory").queryName("statefulv2").outputMode("append").start()
+    try {
+      in.addData(ev(1, 0, 3, v = 1.5), ev(2, 1, 3, v = 2.5))
+      q.processAllAvailable()
+      in.addData(ev(3, 2, 3, v = 6.0))
+      q.processAllAvailable()
+      val last = spark.sql(
+        "SELECT n_events, total_value FROM statefulv2 WHERE user_id = 3 ORDER BY n_events DESC LIMIT 1")
+        .collect().head
+      assert(last.getLong(0) === 3L)
+      assert(last.getDouble(1) === 10.0)
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("FirehoseMetricsListener exposes reference metric names from progress") {
     implicit val s = spark
     implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
