@@ -20,7 +20,7 @@ import org.apache.spark.sql.expressions.Window
   */
 object Dedup {
 
-  def defs: Seq[QueryDef] = Seq(q27, q28, q29, q30)
+  def defs: Seq[QueryDef] = Seq(q27, q28, q29, q30, q50)
 
   /** Shared: exact near-dup pair SQL (token-3-gram Jaccard ≥ 0.5) for the
     * DuckDB oracle. DuckDB 1.0 cannot lateral-join generate_series on a
@@ -232,5 +232,37 @@ object Dedup {
           (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jac"))
         .filter(col("jac") >= 0.5)
         .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** The production form of q30 for 100 TB: identical pipeline plus a
+    * document-frequency cap on shingles — shingles appearing in > dfCap
+    * docs are dropped BEFORE the self-join. Ultra-common shingles are
+    * exactly the join's hot keys (cost Σ df², so one shingle in 1M docs
+    * alone is 10¹² join rows) and contribute least to Jaccard. Rows-only:
+    * the df-cap makes it deliberately ≈-exact, and DedupDfCapSpec pins the
+    * invariant that at THIS corpus's df distribution the capped result
+    * still equals the exact truth.
+    */
+  val q50: QueryDef = QueryDef.rowsOnly("q50_neardup_dfcapped") { (s, d) =>
+    val dfCap = 50
+    val exploded = shingleRows(s, d)
+    val keep = exploded.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap).select(col("g"))
+    val pruned = exploded.join(broadcast(keep), Seq("g"))
+    // sizes stay UNCAPPED (Jaccard denominators use true set sizes;
+    // pruning only removes candidate-pair evidence, biasing jac down —
+    // the conservative direction for a dedup pass)
+    val sizes = exploded.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = pruned.as("x").join(pruned.as("y"),
+        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jac"))
+      .filter(col("jac") >= 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
   }
 }
