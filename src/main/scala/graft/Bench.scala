@@ -28,6 +28,10 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     def runOnce(name: String): Double = {
+      // Some queries persist() intermediate frames (q28/q30/q50 shingles)
+      // to make their single-pass property structural. Clear BEFORE timing
+      // so every pass pays the full pipeline cost — no cross-run caching.
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()

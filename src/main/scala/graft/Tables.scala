@@ -31,11 +31,18 @@ object Tables {
     * oracle compare bit-identical. The raw nanos stay available as `ts_ns`.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Idempotent guard (same value always written) — avoids re-mutating
+    // session conf on every call, which would be racy under concurrent
+    // query construction in one session.
+    if (!s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(s, d, "events")
+    // `div` = integer division: exact for ANY nanos input. A double `/`
+    // rounds at ~2^60 magnitudes (±128 ns), which can truncate to the
+    // wrong microsecond for whole-µs-granularity timestamps.
     raw.withColumnRenamed("ts", "ts_ns")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.col("ts_ns") / 1000 cast "long"))
+        org.apache.spark.sql.functions.expr("ts_ns div 1000")))
       .select("event_id", "ts", "ts_ns", "user_id", "event_type", "value", "props")
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")

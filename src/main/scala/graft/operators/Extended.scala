@@ -99,7 +99,10 @@ object Extended {
       |GROUP BY fmt ORDER BY fmt""".stripMargin) { (s, d) =>
     val slice = Tables.orders(s, d).filter(col("o_orderkey") < 1000)
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
-    val tmp = s"/tmp/graft_fmt_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+    // Per-invocation unique dir: two concurrent sessions (or bench's
+    // repeated passes) must not collide on a shared path.
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_fmt_").toAbsolutePath.toString
     slice.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
     slice.write.mode("overwrite").json(s"$tmp/json")
     val fromCsv = s.read.option("header", "true")
