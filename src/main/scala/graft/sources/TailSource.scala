@@ -10,7 +10,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadLimit, ReadMaxBytes, ReadMaxFiles, SupportsAdmissionControl}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
@@ -62,6 +62,12 @@ object TailSource {
     StructField("value", StringType, nullable = false),
     StructField("path", StringType, nullable = false)))
 
+  /** Hard bound on one reader's byte range (1 GiB): the reader holds the
+    * range in a single Array[Byte], so the per-file batch cap must stay
+    * far below Int.MaxValue (range + adopted line fragment).
+    */
+  val MaxRangeBytes: Long = 1L << 30
+
   /** Recursive listing, basename glob (filepath.Match semantics). */
   def listFiles(root: String, glob: String): Seq[Path] = {
     val rootPath = Paths.get(root)
@@ -97,7 +103,10 @@ private[sources] class TailScan(options: CaseInsensitiveStringMap) extends Scan 
         throw new IllegalArgumentException("graft-tail requires option 'path'")),
       glob = options.getOrDefault("glob", "*"),
       maxBytesPerFilePerBatch = options.getOrDefault(
-        "maxBytesPerFilePerBatch", (128L * 1024 * 1024).toString).toLong)
+        "maxBytesPerFilePerBatch", (128L * 1024 * 1024).toString).toLong,
+      maxFilesPerTrigger = options.getOrDefault("maxFilesPerTrigger", "0").toInt,
+      maxBytesPerTrigger = options.getOrDefault("maxBytesPerTrigger", "0").toLong,
+      listIntervalMs = options.getOrDefault("listIntervalMs", "0").toLong)
 }
 
 /** Offset = map(file path → bytes consumed). Hand-rolled JSON (flat
@@ -151,16 +160,132 @@ object TailOffset {
   }
 }
 
+/** Micro-batch stream with admission control.
+  *
+  * All read limits are applied in `latestOffset(start, limit)` — the
+  * offsets the engine COMMITS are exactly the byte ranges the readers
+  * consume. (An earlier design capped ranges in `planInputPartitions`
+  * while reporting uncapped sizes as the offset; that silently skipped
+  * the bytes between the cap and the committed end whenever a file grew
+  * faster than the cap. Admission control is the structural fix: cap at
+  * offset-reporting time, never at plan time.)
+  *
+  * Limits, all optional:
+  *  - `maxBytesPerFilePerBatch` (default 128 MiB, max 1 GiB): one file's
+  *    burst is spread over several micro-batches;
+  *  - `maxFilesPerTrigger` / `maxBytesPerTrigger`: bound total per-batch
+  *    admission (surfaced to the engine via `getDefaultReadLimit`). A
+  *    round-robin cursor over path order prevents lexicographically-late
+  *    files from starving while early files keep growing;
+  *  - `listIntervalMs`: cache the recursive discovery walk between
+  *    triggers (the reference rescans dirs every 60 s, main.go:286 — not
+  *    every poll). Known files are still `stat`ed fresh each trigger so
+  *    growth is seen immediately; an empty cached listing always
+  *    re-lists, keeping `--retry` root-appearance prompt.
+  */
 private[sources] class TailMicroBatchStream(
-    root: String, glob: String, maxBytesPerFilePerBatch: Long)
-    extends MicroBatchStream {
+    root: String, glob: String, maxBytesPerFilePerBatch: Long,
+    maxFilesPerTrigger: Int, maxBytesPerTrigger: Long, listIntervalMs: Long)
+    extends MicroBatchStream with SupportsAdmissionControl {
+
+  require(maxBytesPerFilePerBatch > 0 &&
+    maxBytesPerFilePerBatch <= TailSource.MaxRangeBytes,
+    s"maxBytesPerFilePerBatch must be in (0, ${TailSource.MaxRangeBytes}] " +
+      "(the reader materializes one range as a single array)")
+
+  // Discovery cache (driver-side; one stream instance per query run).
+  private var cachedListing: Seq[String] = Nil
+  private var lastListNanos: Long = Long.MinValue
+  // Round-robin admission cursor: first path NOT admitted last batch.
+  private var rrCursor: String = ""
+
+  private def listing(): Seq[String] = {
+    val now = System.nanoTime()
+    val stale = lastListNanos == Long.MinValue ||
+      (now - lastListNanos) / 1000000L >= listIntervalMs
+    if (stale || cachedListing.isEmpty) {
+      cachedListing = TailSource.listFiles(root, glob).map(_.toString)
+      lastListNanos = now
+    }
+    cachedListing
+  }
+
+  /** Fresh sizes for the (possibly cached) listing; vanished files drop
+    * out of the stat map but keep their committed offset (see below).
+    */
+  private def statSizes(): Seq[(String, Long)] =
+    listing().flatMap { p =>
+      val path = Paths.get(p)
+      try { if (Files.exists(path)) Some(p -> Files.size(path)) else None }
+      catch { case _: java.io.IOException => None }
+    }.sortBy(_._1)
 
   override def initialOffset(): Offset = TailOffset(Map.empty)
 
-  override def latestOffset(): Offset = {
-    val sizes = TailSource.listFiles(root, glob).map { p =>
-      p.toString -> Files.size(p)
-    }.toMap
+  override def getDefaultReadLimit: ReadLimit = {
+    val limits = mutable.ArrayBuffer[ReadLimit]()
+    if (maxFilesPerTrigger > 0) limits += ReadLimit.maxFiles(maxFilesPerTrigger)
+    if (maxBytesPerTrigger > 0) limits += ReadLimit.maxBytes(maxBytesPerTrigger)
+    limits.size match {
+      case 0 => ReadLimit.allAvailable()
+      case 1 => limits.head
+      case _ => ReadLimit.compositeLimit(limits.toArray)
+    }
+  }
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called (SupportsAdmissionControl)")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val committed = start.asInstanceOf[TailOffset].offsets
+
+    var fileLimit = Int.MaxValue
+    var byteLimit = Long.MaxValue
+    def absorb(l: ReadLimit): Unit = l match {
+      case f: ReadMaxFiles => fileLimit = math.min(fileLimit, f.maxFiles())
+      case b: ReadMaxBytes => byteLimit = math.min(byteLimit, b.maxBytes())
+      case c: CompositeReadLimit => c.getReadLimits.foreach(absorb)
+      case _ => () // ReadAllAvailable / row-based limits: no byte/file cap
+    }
+    absorb(limit)
+
+    // Rotate path order so admission starts after last batch's cursor —
+    // under sustained over-limit load every file still makes progress.
+    val sorted = statSizes()
+    val (tail0, head0) = sorted.partition(_._1 > rrCursor)
+    val ordered = tail0 ++ head0
+
+    var filesUsed = 0
+    var bytesUsed = 0L
+    var lastAdmitted: String = rrCursor
+    val out = mutable.Map[String, Long]()
+    ordered.foreach { case (path, size) =>
+      val c = committed.getOrElse(path, 0L)
+      val base = if (size < c) 0L else c // truncation → restart at 0
+      val avail = size - base
+      val admitted = avail > 0 && filesUsed < fileLimit && bytesUsed < byteLimit
+      val newEnd =
+        if (!admitted) math.min(size, c) // carry progress, no new bytes
+        else {
+          val budget = math.min(maxBytesPerFilePerBatch, byteLimit - bytesUsed)
+          val e = math.min(size, base + budget)
+          if (e > base) { filesUsed += 1; bytesUsed += e - base; lastAdmitted = path }
+          e
+        }
+      out(path) = newEnd
+    }
+    // Files that vanished from the listing keep their committed offset:
+    // a transient listing failure must not reset progress (a genuinely
+    // rotated file comes back smaller and hits the truncation rule).
+    committed.foreach { case (p, c) => if (!out.contains(p)) out(p) = c }
+    rrCursor = lastAdmitted
+    TailOffset(out.toMap)
+  }
+
+  /** True end-of-stream position (uncapped) — lets the engine report lag. */
+  override def reportLatestOffset(): Offset = {
+    val sizes = statSizes().toMap
     TailOffset(sizes)
   }
 
@@ -169,12 +294,13 @@ private[sources] class TailMicroBatchStream(
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[TailOffset].offsets
     val e = end.asInstanceOf[TailOffset].offsets
+    // No capping here: `end` already carries every admission limit, so
+    // committed offsets == bytes actually read, by construction.
     e.flatMap { case (path, endOff) =>
       val rawStart = s.getOrElse(path, 0L)
       // truncation/rotation: file shrank below committed offset → reread
       val startOff = if (endOff < rawStart) 0L else rawStart
-      val cappedEnd = math.min(endOff, startOff + maxBytesPerFilePerBatch)
-      if (cappedEnd > startOff) Some(TailInputPartition(path, startOff, cappedEnd))
+      if (endOff > startOff) Some(TailInputPartition(path, startOff, endOff))
       else None
     }.toArray
   }

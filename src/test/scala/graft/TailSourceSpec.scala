@@ -11,20 +11,22 @@ import graft.sources.TailOffset
 class TailSourceSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
-  private def startTail(root: Path, glob: String = "*.log") = {
+  private def startTail(root: Path, glob: String = "*.log",
+      extraOptions: Map[String, String] = Map.empty,
+      name: String = "tailq") = {
     val ckpt = Files.createTempDirectory("graft-tail-ckpt").toString
-    val q = spark.readStream.format("graft-tail")
+    var reader = spark.readStream.format("graft-tail")
       .option("path", root.toString).option("glob", glob)
-      .load()
+    extraOptions.foreach { case (k, v) => reader = reader.option(k, v) }
+    reader.load()
       .writeStream.format("memory")
-      .queryName("tailq")
+      .queryName(name)
       .option("checkpointLocation", ckpt)
       .start()
-    q
   }
 
-  private def rows(): Seq[(String, String)] =
-    spark.sql("SELECT value, path FROM tailq ORDER BY value").collect()
+  private def rows(name: String = "tailq"): Seq[(String, String)] =
+    spark.sql(s"SELECT value, path FROM $name ORDER BY value").collect()
       .map(r => (r.getString(0), r.getString(1))).toSeq
 
   test("offset json round-trips (incl. escaped paths)") {
@@ -60,6 +62,56 @@ class TailSourceSpec extends AnyFunSuite {
       val got = rows()
       assert(got.map(_._1) === Seq("hello"))
       assert(got.head._2.endsWith("late.log")) // basename glob, recursive, txt excluded
+    } finally q.stop()
+  }
+
+  /** Regression for the committed-vs-read offset bug: the per-file byte
+    * cap used to be applied in planInputPartitions while latestOffset
+    * reported (and the engine committed) the uncapped file size — every
+    * byte between the cap and the file size was skipped forever. With
+    * admission control the cap is applied at offset-reporting time, so a
+    * burst is spread across micro-batches with NO loss.
+    */
+  test("per-file byte cap spreads a burst over batches without losing data") {
+    val root = Files.createTempDirectory("graft-tail")
+    val lines = (0 until 100).map(i => f"line-$i%03d")
+    Files.writeString(root.resolve("burst.log"), lines.mkString("", "\n", "\n"))
+    val q = startTail(root,
+      extraOptions = Map("maxBytesPerFilePerBatch" -> "97"), name = "tailburst")
+    try {
+      q.processAllAvailable()
+      assert(rows("tailburst").map(_._1) === lines) // every line, exactly once
+      val nonEmpty = q.recentProgress.count(_.numInputRows > 0)
+      assert(nonEmpty > 1, s"expected the ~900-byte burst split over >1 batches, got $nonEmpty")
+    } finally q.stop()
+  }
+
+  test("maxFilesPerTrigger=1 round-robins across files, all data delivered") {
+    val root = Files.createTempDirectory("graft-tail")
+    (0 until 3).foreach { i =>
+      Files.writeString(root.resolve(s"f$i.log"), s"a$i\nb$i\n")
+    }
+    val q = startTail(root,
+      extraOptions = Map("maxFilesPerTrigger" -> "1"), name = "tailrr")
+    try {
+      q.processAllAvailable()
+      assert(rows("tailrr").map(_._1).sorted ===
+        Seq("a0", "a1", "a2", "b0", "b1", "b2"))
+      val nonEmpty = q.recentProgress.count(_.numInputRows > 0)
+      assert(nonEmpty >= 3, s"expected ≥3 single-file batches, got $nonEmpty")
+    } finally q.stop()
+  }
+
+  test("rejects per-file caps the single-array reader cannot hold") {
+    val root = Files.createTempDirectory("graft-tail")
+    Files.writeString(root.resolve("x.log"), "a\n")
+    val q = startTail(root,
+      extraOptions = Map("maxBytesPerFilePerBatch" -> (3L * 1024 * 1024 * 1024).toString),
+      name = "tailbad")
+    try {
+      val e = intercept[Exception](q.processAllAvailable())
+      assert(e.getMessage.contains("maxBytesPerFilePerBatch") ||
+        Option(e.getCause).exists(_.getMessage.contains("maxBytesPerFilePerBatch")))
     } finally q.stop()
   }
 
