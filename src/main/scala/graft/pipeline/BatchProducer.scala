@@ -14,7 +14,17 @@ final case class ProducerConfig(
     initialBackoffMillis: Long = 50,
     dropConsecutiveErrorThreshold: Int = 5,
     dropBufferFullnessPct: Int = 95,
-    addBlockFullnessPct: Int = 99)
+    addBlockFullnessPct: Int = 99,
+    // Deliberate delta vs the reference: its backoff doubles UNBOUNDED
+    // (batchproducer.go:326-331 — 20 consecutive errors ≈ 7 h of sleep).
+    // Capping the exponent (50ms << 6 = 3.2 s) keeps a failing partition
+    // task responsive so the flush deadline / task retry can take over.
+    maxBackoffExponent: Int = 6,
+    // Bound on sink-side drain (foreachBatch partition + DSv2 commit):
+    // records still undelivered at the deadline fail the task → Spark
+    // task retry replays the epoch (at-least-once, same class as the
+    // reference's requeue-at-back).
+    flushTimeoutMillis: Long = 30000)
 
 /** Delivery counters (StatsBatch, batchproducer.go:54-62). */
 final case class ProducerStats(
@@ -49,7 +59,7 @@ final case class ProducerStats(
   */
 final class BatchProducer(
     client: KinesisClient,
-    config: ProducerConfig = ProducerConfig(),
+    val config: ProducerConfig = ProducerConfig(),
     sleep: Long => Unit = Thread.sleep,
     nowMillis: () => Long = System.currentTimeMillis) {
 
@@ -103,7 +113,8 @@ final class BatchProducer(
         // K4: whole-request failure
         requestErrorCount += 1
         consecutiveErrors += 1
-        val backoff = config.initialBackoffMillis << math.min(consecutiveErrors - 1, 40)
+        val backoff = config.initialBackoffMillis <<
+          math.min(consecutiveErrors - 1, config.maxBackoffExponent)
         backoffsSeen += backoff
         sleep(backoff)
         if (consecutiveErrors >= config.dropConsecutiveErrorThreshold &&

@@ -30,28 +30,38 @@ trait KinesisClient extends Serializable {
 /** In-memory fake with a scripted response sequence (FIXTURES.md §A.3).
   * Responses are consumed one per call; when the script is exhausted every
   * call succeeds. Thread-confined (one per partition task / test).
+  *
+  * `sent` records only the ACKNOWLEDGED subset of each call (records whose
+  * scripted RecordResult has an empty errorCode) — retried records must
+  * not appear twice and failed-then-dropped records must not count as
+  * delivered, so delivery assertions built on `allSentRecords` are exact.
+  * `attempts` keeps every call's full input for call-shape asserts.
   */
 final class FakeKinesisClient(script: Seq[PutRecordsResult] = Nil)
     extends KinesisClient {
   private val remaining = mutable.Queue[PutRecordsResult](script: _*)
   val sent = mutable.ArrayBuffer[Seq[KinesisRecord]]()
+  val attempts = mutable.ArrayBuffer[Seq[KinesisRecord]]()
   var calls = 0
 
   override def putRecords(records: Seq[KinesisRecord]): PutRecordsResult = {
     calls += 1
-    if (remaining.nonEmpty) {
-      val r = remaining.dequeue()
-      if (r.requestError.isEmpty && r.records.isEmpty) {
-        sent += records
-        PutRecordsResult(None, Seq.fill(records.size)(RecordResult()))
-      } else {
-        if (r.requestError.isEmpty) sent += records
-        r
+    attempts += records
+    val result =
+      if (remaining.nonEmpty) {
+        val r = remaining.dequeue()
+        if (r.requestError.isEmpty && r.records.isEmpty)
+          PutRecordsResult(None, Seq.fill(records.size)(RecordResult()))
+        else r
+      } else PutRecordsResult(None, Seq.fill(records.size)(RecordResult()))
+    if (result.requestError.isEmpty) {
+      val acked = records.zipWithIndex.collect {
+        case (rec, i) if i >= result.records.size ||
+          result.records(i).errorCode.isEmpty => rec
       }
-    } else {
-      sent += records
-      PutRecordsResult(None, Seq.fill(records.size)(RecordResult()))
+      if (acked.nonEmpty) sent += acked
     }
+    result
   }
 
   def allSentRecords: Seq[KinesisRecord] = sent.toSeq.flatten

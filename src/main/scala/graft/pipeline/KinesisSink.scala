@@ -48,7 +48,14 @@ object KinesisSink {
     frame.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
       val producer = new BatchProducer(clientFactory(), config)
       it.foreach(r => producer.add(r.getAs[Array[Byte]](0), r.getString(1)))
-      producer.flush()
+      // Bounded drain: undelivered records fail the task → Spark retry
+      // replays the partition (at-least-once), instead of hanging forever
+      // on a persistently failing client.
+      val left = producer.flush(config.flushTimeoutMillis)
+      if (left > 0)
+        throw new java.io.IOException(
+          s"KinesisSink: $left records undelivered after " +
+            s"${config.flushTimeoutMillis} ms flush; failing task for retry")
       val s = producer.stats
       metrics.foreach { m =>
         m.sent.add(s.sent)

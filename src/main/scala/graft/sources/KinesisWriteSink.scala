@@ -134,7 +134,15 @@ private[sources] class KinesisDataWriter(producer: BatchProducer)
     producer.add(row.getBinary(0), row.getUTF8String(1).toString)
 
   override def commit(): WriterCommitMessage = {
-    producer.flush()
+    // Bounded drain: a persistently failing client below the load-shed
+    // fullness threshold would otherwise requeue forever and hang the
+    // Spark task. Undelivered records fail the task so Spark's task
+    // retry replays the epoch (at-least-once).
+    val left = producer.flush(producer.config.flushTimeoutMillis)
+    if (left > 0)
+      throw new java.io.IOException(
+        s"graft-kinesis: $left records undelivered after " +
+          s"${producer.config.flushTimeoutMillis} ms flush; failing task for retry")
     val s = producer.stats
     KinesisCommit(s.sent, s.droppedRecords, s.requestErrors)
   }

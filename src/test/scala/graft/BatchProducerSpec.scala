@@ -101,6 +101,41 @@ class BatchProducerSpec extends AnyFunSuite {
     assert(p.stats.buffered === 0)
   }
 
+  test("K4 backoff exponent is capped: sustained failure sleeps 3.2s/request, not hours") {
+    val client = new FakeKinesisClient(Seq.fill(20)(requestError))
+    val sleeps = mutable.ArrayBuffer[Long]()
+    val p = new BatchProducer(client, ProducerConfig(batchSize = 5), sleeps += _)
+    (0 until 4).foreach(i => p.add(rec(i), "k"))
+    p.flush()
+    assert(sleeps.take(7).toSeq === Seq(50L, 100L, 200L, 400L, 800L, 1600L, 3200L))
+    assert(sleeps.drop(7).forall(_ === 3200L)) // capped, never 50*2^19
+  }
+
+  test("bounded flush returns undelivered count at the deadline") {
+    // clock advances 10ms per inspection; every request fails and the
+    // buffer stays below the shed threshold → without a deadline this
+    // would loop forever (the old DSv2 commit hang)
+    var now = 0L
+    val clock = () => { now += 10; now }
+    val client = new FakeKinesisClient(Seq.fill(1000)(requestError))
+    val p = new BatchProducer(client,
+      ProducerConfig(batchSize = 10, bufferSize = 1000), noSleep, clock)
+    (0 until 10).foreach(i => p.add(rec(i), "k"))
+    val left = p.flush(timeoutMillis = 100)
+    assert(left === 10) // all still buffered, reported to the caller
+  }
+
+  test("fake client records only acknowledged records as sent") {
+    val client = new FakeKinesisClient(Seq(partialFail(3, Set(1))))
+    val p = new BatchProducer(client,
+      ProducerConfig(batchSize = 3, maxAttemptsPerRecord = 2), noSleep)
+    (0 until 3).foreach(i => p.add(rec(i), "k"))
+    p.flush()
+    // record 1 failed once then succeeded on retry: exactly once in sent
+    assert(client.allSentRecords.map(_.data(0).toInt).sorted === Seq(0, 1, 2))
+    assert(client.attempts.map(_.size).toSeq === Seq(3, 1))
+  }
+
   test("K1 backpressure: buffer never exceeds capacity when client succeeds") {
     val client = new FakeKinesisClient()
     val cfg = ProducerConfig(batchSize = 10, bufferSize = 50)
