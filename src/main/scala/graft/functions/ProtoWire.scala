@@ -10,11 +10,13 @@ import graft.model._
   * against the public protobuf wire format (varint + length-delimited
   * fields). Field numbers match the reference schema exactly:
   * envelope.pb.go:100-116 (origin=1, eventType=2, timestamp=6,
-  * logMessage=8, valueMetric=9, counterEvent=10, error=11,
-  * containerMetric=12, deployment=13, job=14, index=15, ip=16, tags=17),
-  * log.pb.go:58-63 (message=1, message_type=2, timestamp=3, app_id=4,
-  * source_type=5, source_instance=6) — so bytes interop with any real
-  * Loggregator consumer.
+  * httpStartStop=7, logMessage=8, valueMetric=9, counterEvent=10,
+  * error=11, containerMetric=12, deployment=13, job=14, index=15, ip=16,
+  * tags=17), log.pb.go:58-63 (message=1, message_type=2, timestamp=3,
+  * app_id=4, source_type=5, source_instance=6), http.pb.go:218-234 and
+  * uuid.pb.go:24-28 for the HTTP lifecycle event — so bytes interop with
+  * any real Loggregator consumer. Every decoder loop skips unknown
+  * fields by wire type (forward compatibility, like XXX_unrecognized).
   *
   * Fields are emitted in ascending field-number order (canonical, matches
   * the generated Go marshaler's layout).
@@ -89,6 +91,38 @@ object ProtoWire {
     out.toByteArray
   }
 
+  /** uuid.pb.go:24-28: low=1, high=2 (varint uint64 — Long bits pass
+    * through the varint encoder unchanged, so negative Longs round-trip).
+    */
+  def encodeUuid(u: Uuid): Array[Byte] = {
+    val out = new ByteArrayOutputStream(24)
+    writeVarintField(out, 1, u.low)
+    writeVarintField(out, 2, u.high)
+    out.toByteArray
+  }
+
+  /** http.pb.go:218-234 field layout (note: no field 11; forwarded=15 is
+    * `repeated string` — one length-delimited field per element).
+    */
+  def encodeHttpStartStop(m: HttpStartStop): Array[Byte] = {
+    val out = new ByteArrayOutputStream(128)
+    writeVarintField(out, 1, m.startTimestamp)
+    writeVarintField(out, 2, m.stopTimestamp)
+    writeBytesField(out, 3, encodeUuid(m.requestId))
+    writeVarintField(out, 4, Envelope.PeerTypeCodes(m.peerType).toLong)
+    writeVarintField(out, 5, Envelope.MethodCodes(m.method).toLong)
+    writeStringField(out, 6, m.uri)
+    writeStringField(out, 7, m.remoteAddress)
+    writeStringField(out, 8, m.userAgent)
+    writeVarintField(out, 9, m.statusCode.toLong)
+    writeVarintField(out, 10, m.contentLength)
+    m.applicationId.foreach(u => writeBytesField(out, 12, encodeUuid(u)))
+    m.instanceIndex.foreach(i => writeVarintField(out, 13, i.toLong))
+    m.instanceId.foreach(writeStringField(out, 14, _))
+    m.forwarded.foreach(writeStringField(out, 15, _))
+    out.toByteArray
+  }
+
   def encodeContainerMetric(m: ContainerMetric): Array[Byte] = {
     val out = new ByteArrayOutputStream(64)
     writeStringField(out, 1, m.applicationId)
@@ -106,6 +140,7 @@ object ProtoWire {
     writeStringField(out, 1, e.origin)
     writeVarintField(out, 2, Envelope.EventTypeCodes(e.eventType).toLong)
     e.timestamp.foreach(writeVarintField(out, 6, _))
+    e.httpStartStop.foreach(m => writeBytesField(out, 7, encodeHttpStartStop(m)))
     e.logMessage.foreach(m => writeBytesField(out, 8, encodeLogMessage(m)))
     e.valueMetric.foreach(m => writeBytesField(out, 9, encodeValueMetric(m)))
     e.counterEvent.foreach(m => writeBytesField(out, 10, encodeCounterEvent(m)))
@@ -157,10 +192,63 @@ object ProtoWire {
     def skip(wireType: Int): Unit = wireType match {
       case 0 => readVarint()
       case 1 => pos += 8
-      case 2 => pos += readVarint().toInt
+      case 2 =>
+        // NOT `pos += readVarint()`: += reads pos BEFORE readVarint's
+        // side effect advances it, silently dropping the length-prefix
+        // bytes and misaligning every field after the skipped one.
+        val n = readVarint().toInt
+        pos += n
       case 5 => pos += 4
       case t => throw new IllegalArgumentException(s"unsupported wire type $t")
     }
+  }
+
+  def decodeUuid(bytes: Array[Byte]): Uuid = {
+    val r = new Reader(bytes)
+    var low = 0L; var high = 0L
+    while (r.hasMore) {
+      val t = r.readVarint(); (t >>> 3).toInt match {
+        case 1 => low = r.readVarint()
+        case 2 => high = r.readVarint()
+        case _ => r.skip((t & 7).toInt)
+      }
+    }
+    Uuid(low, high)
+  }
+
+  def decodeHttpStartStop(bytes: Array[Byte]): HttpStartStop = {
+    val r = new Reader(bytes)
+    var startTs = 0L; var stopTs = 0L
+    var requestId = Uuid(0L, 0L)
+    var peerType = "Client"; var method = "GET"
+    var uri = ""; var remote = ""; var agent = ""
+    var status = 0; var contentLength = 0L
+    var appId: Option[Uuid] = None
+    var instIdx: Option[Int] = None
+    var instId: Option[String] = None
+    val fwd = Seq.newBuilder[String]
+    while (r.hasMore) {
+      val t = r.readVarint(); val wt = (t & 7).toInt
+      (t >>> 3).toInt match {
+        case 1 => startTs = r.readVarint()
+        case 2 => stopTs = r.readVarint()
+        case 3 => requestId = decodeUuid(r.readBytes())
+        case 4 => peerType = Envelope.CodeToPeerType(r.readVarint().toInt)
+        case 5 => method = Envelope.CodeToMethod(r.readVarint().toInt)
+        case 6 => uri = r.readString()
+        case 7 => remote = r.readString()
+        case 8 => agent = r.readString()
+        case 9 => status = r.readVarint().toInt
+        case 10 => contentLength = r.readVarint()
+        case 12 => appId = Some(decodeUuid(r.readBytes()))
+        case 13 => instIdx = Some(r.readVarint().toInt)
+        case 14 => instId = Some(r.readString())
+        case 15 => fwd += r.readString()
+        case _ => r.skip(wt)
+      }
+    }
+    HttpStartStop(startTs, stopTs, requestId, peerType, method, uri, remote,
+      agent, status, contentLength, appId, instIdx, instId, fwd.result())
   }
 
   def decodeLogMessage(bytes: Array[Byte]): LogMessage = {
@@ -190,6 +278,7 @@ object ProtoWire {
     var ts: Option[Long] = None
     var deployment, job, index, ip: Option[String] = None
     var tags = Map.newBuilder[String, String]
+    var httpStartStop: Option[HttpStartStop] = None
     var logMessage: Option[LogMessage] = None
     var valueMetric: Option[ValueMetric] = None
     var counterEvent: Option[CounterEvent] = None
@@ -201,6 +290,7 @@ object ProtoWire {
         case 1 => origin = r.readString()
         case 2 => eventType = Envelope.CodeToEventType(r.readVarint().toInt)
         case 6 => ts = Some(r.readVarint())
+        case 7 => httpStartStop = Some(decodeHttpStartStop(r.readBytes()))
         case 8 => logMessage = Some(decodeLogMessage(r.readBytes()))
         case 9 =>
           val n = new Reader(r.readBytes())
@@ -275,6 +365,6 @@ object ProtoWire {
       }
     }
     Envelope(origin, eventType, ts, deployment, job, index, ip, tags.result(),
-      logMessage, valueMetric, counterEvent, error, containerMetric)
+      httpStartStop, logMessage, valueMetric, counterEvent, error, containerMetric)
   }
 }

@@ -33,6 +33,33 @@ final case class ContainerMetric(
     memoryBytesQuota: Option[Long],
     diskBytesQuota: Option[Long])
 
+/** 128-bit request id (uuid.pb.go:24-28). Proto `uint64` halves carried as
+  * Long BITS — values above 2^63-1 appear negative in Scala but round-trip
+  * exactly on the wire (varint encodes the raw two's-complement bits).
+  */
+final case class Uuid(low: Long, high: Long)
+
+/** Whole-lifecycle HTTP request event (http.pb.go:218-234). Enums carried
+  * as their names (`peerType`: Client|Server, http.pb.go:25-26; `method`:
+  * GET…VERSION_CONTROL, http.pb.go:59-103); `forwarded` is the repeated
+  * X-Forwarded-For chain (http.pb.go:232).
+  */
+final case class HttpStartStop(
+    startTimestamp: Long,
+    stopTimestamp: Long,
+    requestId: Uuid,
+    peerType: String,
+    method: String,
+    uri: String,
+    remoteAddress: String,
+    userAgent: String,
+    statusCode: Int,
+    contentLength: Long,
+    applicationId: Option[Uuid],
+    instanceIndex: Option[Int],
+    instanceId: Option[String],
+    forwarded: Seq[String])
+
 final case class Envelope(
     origin: String,
     eventType: String, // enum name; reference produces only "LogMessage" (=5)
@@ -42,6 +69,7 @@ final case class Envelope(
     index: Option[String],
     ip: Option[String],
     tags: Map[String, String],
+    httpStartStop: Option[HttpStartStop],
     logMessage: Option[LogMessage],
     valueMetric: Option[ValueMetric],
     counterEvent: Option[CounterEvent],
@@ -59,6 +87,26 @@ object Envelope {
   val MessageTypeCodes: Map[String, Int] = Map("OUT" -> 1, "ERR" -> 2)
   val CodeToMessageType: Map[Int, String] = MessageTypeCodes.map(_.swap)
 
+  /** PeerType enum (http.pb.go:25-26). */
+  val PeerTypeCodes: Map[String, Int] = Map("Client" -> 1, "Server" -> 2)
+  val CodeToPeerType: Map[Int, String] = PeerTypeCodes.map(_.swap)
+
+  /** HTTP Method enum (http.pb.go:59-103). */
+  val MethodCodes: Map[String, Int] = Map(
+    "GET" -> 1, "POST" -> 2, "PUT" -> 3, "DELETE" -> 4, "HEAD" -> 5,
+    "ACL" -> 6, "BASELINE_CONTROL" -> 7, "BIND" -> 8, "CHECKIN" -> 9,
+    "CHECKOUT" -> 10, "CONNECT" -> 11, "COPY" -> 12, "DEBUG" -> 13,
+    "LABEL" -> 14, "LINK" -> 15, "LOCK" -> 16, "MERGE" -> 17,
+    "MKACTIVITY" -> 18, "MKCALENDAR" -> 19, "MKCOL" -> 20,
+    "MKREDIRECTREF" -> 21, "MKWORKSPACE" -> 22, "MOVE" -> 23,
+    "OPTIONS" -> 24, "ORDERPATCH" -> 25, "PATCH" -> 26, "PRI" -> 27,
+    "PROPFIND" -> 28, "PROPPATCH" -> 29, "REBIND" -> 30, "REPORT" -> 31,
+    "SEARCH" -> 32, "SHOWMETHOD" -> 33, "SPACEJUMP" -> 34,
+    "TEXTSEARCH" -> 35, "TRACE" -> 36, "TRACK" -> 37, "UNBIND" -> 38,
+    "UNCHECKOUT" -> 39, "UNLINK" -> 40, "UNLOCK" -> 41, "UPDATE" -> 42,
+    "UPDATEREDIRECTREF" -> 43, "VERSION_CONTROL" -> 44)
+  val CodeToMethod: Map[Int, String] = MethodCodes.map(_.swap)
+
   /** The projection the reference produces per log line (main.go:330-341). */
   def forLogLine(
       origin: String,
@@ -71,6 +119,7 @@ object Envelope {
       timestamp = None,
       deployment = None, job = None, index = None, ip = None,
       tags = Map.empty,
+      httpStartStop = None,
       logMessage = Some(LogMessage(
         message = line,
         message_type = "OUT",

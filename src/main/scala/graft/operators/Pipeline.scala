@@ -37,33 +37,62 @@ object PipelineOps {
       .orderBy(col("doc_id"))
   }
 
-  /** P3 round-trip at scale: encode every document as a LogMessage
-    * envelope (fixed per-doc timestamp → deterministic bytes), decode,
-    * verify. Wire size is asserted per-row inside the plan; the output is
-    * the corpus-level summary. Rows-only (protobuf layout is not
-    * SQL-expressible); ProtoWireSpec pins golden bytes.
+  /** P3 round-trip at scale over ALL SIX envelope event types
+    * (envelope.pb.go:49-60): each document becomes an envelope whose
+    * payload type is doc_id mod 6 — LogMessage carries the text,
+    * HttpStartStop carries a synthetic request (incl. the UUID request id
+    * and the repeated `forwarded` chain), the metric/error types carry
+    * derived values. Deterministic bytes → deterministic summary. Rows-only
+    * (protobuf layout is not SQL-expressible); ProtoWireSpec pins golden
+    * bytes per message type.
     */
   val q41: QueryDef = QueryDef.rowsOnly("q41_proto_roundtrip") { (s, d) =>
     import s.implicits._
+    import graft.model.{CounterEvent, ContainerMetric, ErrorEvent, HttpStartStop, Uuid, ValueMetric}
     val roundtrip = Tables.documents(s, d)
       .select(col("doc_id"), col("text"), col("source"))
       .as[(Long, String, String)]
       .map { case (id, text, source) =>
-        val env = Envelope.forLogLine(
+        val base = Envelope.forLogLine(
           origin = "graft",
           line = (text + "\n").getBytes("UTF-8"),
           ingestNanos = 1700000000000000000L + id,
           sourcePath = source)
+        val env = (id % 6) match {
+          case 0 => base // LogMessage
+          case 1 => base.copy(eventType = "HttpStartStop", logMessage = None,
+            httpStartStop = Some(HttpStartStop(
+              startTimestamp = id, stopTimestamp = id + 7,
+              requestId = Uuid(low = id * 1000003L, high = ~id),
+              peerType = if (id % 2 == 0) "Client" else "Server",
+              method = if (id % 3 == 0) "GET" else "POST",
+              uri = s"/docs/$id", remoteAddress = "10.0.0.1:61001",
+              userAgent = "graft", statusCode = 200, contentLength = text.length.toLong,
+              applicationId = Some(Uuid(id, id + 1)), instanceIndex = Some((id % 4).toInt),
+              instanceId = Some(source), forwarded = Seq("10.0.0.2", s"host-$id"))))
+          case 2 => base.copy(eventType = "ValueMetric", logMessage = None,
+            valueMetric = Some(ValueMetric(s"m$id", id * 0.5, "ms")))
+          case 3 => base.copy(eventType = "CounterEvent", logMessage = None,
+            counterEvent = Some(CounterEvent(s"c$id", id, Some(id * 2))))
+          case 4 => base.copy(eventType = "Error", logMessage = None,
+            error = Some(ErrorEvent(source, (id % 100).toInt, s"err$id")))
+          case _ => base.copy(eventType = "ContainerMetric", logMessage = None,
+            containerMetric = Some(ContainerMetric(source, (id % 8).toInt,
+              0.25, id * 10, id * 20, Some(id * 30), None)))
+        }
         val bytes = ProtoWire.encode(env)
         val back = ProtoWire.decode(bytes)
         // Array[Byte] fields compare by reference in case-class ==, so
         // compare the message bytes explicitly and the rest with nulled
         // message fields.
-        val blm = back.logMessage.get
-        val elm = env.logMessage.get
-        val ok = java.util.Arrays.equals(blm.message, elm.message) &&
-          blm.copy(message = null) == elm.copy(message = null) &&
-          back.copy(logMessage = None) == env.copy(logMessage = None)
+        val ok = (env.logMessage, back.logMessage) match {
+          case (Some(elm), Some(blm)) =>
+            java.util.Arrays.equals(blm.message, elm.message) &&
+              blm.copy(message = null) == elm.copy(message = null) &&
+              back.copy(logMessage = None) == env.copy(logMessage = None)
+          case (None, None) => back == env
+          case _ => false
+        }
         (id, bytes.length.toLong, if (ok) 1L else 0L)
       }
       .toDF("doc_id", "wire_len", "ok")

@@ -39,6 +39,13 @@ class ProtoWireSpec extends AnyFunSuite {
       origin = "org", eventType = "ValueMetric", timestamp = Some(42L),
       deployment = Some("dep"), job = Some("j"), index = Some("0"),
       ip = Some("10.0.0.1"), tags = Map("a" -> "1", "b" -> "2"),
+      httpStartStop = Some(HttpStartStop(
+        startTimestamp = 10L, stopTimestamp = 20L,
+        requestId = Uuid(1L, 2L), peerType = "Server", method = "PATCH",
+        uri = "/v2/apps", remoteAddress = "10.0.0.2:61001",
+        userAgent = "curl/8", statusCode = 503, contentLength = 1234L,
+        applicationId = Some(Uuid(7L, 8L)), instanceIndex = Some(3),
+        instanceId = Some("i-1"), forwarded = Seq("10.0.0.3", "10.0.0.4"))),
       logMessage = None,
       valueMetric = Some(ValueMetric("m", 1.5, "ms")),
       counterEvent = Some(CounterEvent("c", 3L, Some(9L))),
@@ -61,6 +68,92 @@ class ProtoWireSpec extends AnyFunSuite {
       assert(back.logMessage.get.source_instance === path)
       assert(back.copy(logMessage = None) === env.copy(logMessage = None))
     }
+  }
+
+  test("golden wire bytes for an HttpStartStop envelope") {
+    // Hand-derived from the wire rules + reference field numbers
+    // (envelope.pb.go:111 httpStartStop=7; http.pb.go:218-234;
+    // uuid.pb.go:24-28). Pins the layout, not just self-consistency.
+    val env = Envelope(
+      origin = "or", eventType = "HttpStartStop", timestamp = None,
+      deployment = None, job = None, index = None, ip = None, tags = Map.empty,
+      httpStartStop = Some(HttpStartStop(
+        startTimestamp = 1L, stopTimestamp = 2L, requestId = Uuid(3L, 4L),
+        peerType = "Client", method = "GET", uri = "u", remoteAddress = "r",
+        userAgent = "a", statusCode = 200, contentLength = 5L,
+        applicationId = None, instanceIndex = None, instanceId = None,
+        forwarded = Seq("f1", "f2"))),
+      logMessage = None, valueMetric = None, counterEvent = None,
+      error = None, containerMetric = None)
+    val expected =
+      "0a026f72" +            // f1 origin "or"
+        "1004" +              // f2 eventType = HttpStartStop(4)
+        "3a24" +              // f7 httpStartStop, len 36
+        "0801" + "1002" +     // start=1, stop=2
+        "1a04" + "0803" + "1004" + // f3 requestId{low=3,high=4}
+        "2001" +              // f4 peerType Client(1)
+        "2801" +              // f5 method GET(1)
+        "320175" +            // f6 uri "u"
+        "3a0172" +            // f7 remoteAddress "r"
+        "420161" +            // f8 userAgent "a"
+        "48c801" +            // f9 statusCode 200
+        "5005" +              // f10 contentLength 5
+        "7a026631" + "7a026632" // f15 forwarded ["f1","f2"]
+    assert(hex(ProtoWire.encode(env)) === expected)
+  }
+
+  test("uint64 UUID halves round-trip as raw bits (values above 2^63)") {
+    // Go carries low/high as uint64; Scala carries the same BITS in Long.
+    // -1L == 0xFFFF...FF == uint64 max; MinValue == 2^63.
+    val u = Uuid(low = -1L, high = Long.MinValue)
+    assert(ProtoWire.decodeUuid(ProtoWire.encodeUuid(u)) === u)
+    val h = HttpStartStop(0L, 0L, u, "Client", "GET", "", "", "", 0, 0L,
+      Some(Uuid(Long.MaxValue, -2L)), None, None, Nil)
+    assert(ProtoWire.decodeHttpStartStop(ProtoWire.encodeHttpStartStop(h)) === h)
+  }
+
+  test("property: arbitrary envelopes of every event type round-trip (seeded fuzz)") {
+    val rnd = new scala.util.Random(1234)
+    def str(max: Int): String = rnd.alphanumeric.take(rnd.nextInt(max)).mkString
+    def opt[A](a: => A): Option[A] = if (rnd.nextBoolean()) Some(a) else None
+    val eventTypes = Envelope.EventTypeCodes.keys.toSeq.sorted
+    (0 until 300).foreach { i =>
+      val et = eventTypes(i % eventTypes.size)
+      val env = Envelope(
+        origin = str(12), eventType = et, timestamp = opt(rnd.nextLong()),
+        deployment = opt(str(8)), job = opt(str(8)), index = opt(str(4)),
+        ip = opt(str(15)),
+        tags = (0 until rnd.nextInt(4)).map(_ => str(5) -> str(5)).toMap,
+        httpStartStop = if (et != "HttpStartStop") None else Some(HttpStartStop(
+          rnd.nextLong(), rnd.nextLong(), Uuid(rnd.nextLong(), rnd.nextLong()),
+          if (rnd.nextBoolean()) "Client" else "Server",
+          Envelope.CodeToMethod(1 + rnd.nextInt(44)),
+          str(30), str(20), str(20), rnd.nextInt(600), rnd.nextLong(),
+          opt(Uuid(rnd.nextLong(), rnd.nextLong())), opt(rnd.nextInt(10)),
+          opt(str(8)), (0 until rnd.nextInt(4)).map(_ => str(12)))),
+        logMessage = None, // byte-array equality covered by the other fuzz
+        valueMetric = if (et != "ValueMetric") None
+          else Some(ValueMetric(str(8), rnd.nextDouble(), str(4))),
+        counterEvent = if (et != "CounterEvent") None
+          else Some(CounterEvent(str(8), rnd.nextLong(), opt(rnd.nextLong()))),
+        error = if (et != "Error") None
+          else Some(ErrorEvent(str(8), rnd.nextInt(), str(20))),
+        containerMetric = if (et != "ContainerMetric") None
+          else Some(ContainerMetric(str(8), rnd.nextInt(16), rnd.nextDouble(),
+            rnd.nextLong(), rnd.nextLong(), opt(rnd.nextLong()), opt(rnd.nextLong()))))
+      assert(ProtoWire.decode(ProtoWire.encode(env)) === env, s"trial $i ($et)")
+    }
+  }
+
+  test("unknown fields inside a nested HttpStartStop are skipped cleanly") {
+    val h = HttpStartStop(1L, 2L, Uuid(3L, 4L), "Client", "GET", "u", "r",
+      "a", 200, 5L, None, None, None, Nil)
+    val base = ProtoWire.encodeHttpStartStop(h)
+    // http.pb.go leaves field 11 unused: inject varint f11 (tag 0x58) and
+    // an unknown length-delimited f16 (tag 0x82 0x01)
+    val withUnknown = base ++ Array[Byte](0x58, 0x2a) ++
+      Array[Byte](0x82.toByte, 0x01, 0x02, 0x09, 0x09)
+    assert(ProtoWire.decodeHttpStartStop(withUnknown) === h)
   }
 
   test("unknown fields are skipped, known fields still decode") {
