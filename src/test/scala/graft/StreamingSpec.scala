@@ -161,4 +161,32 @@ class StreamingSpec extends AnyFunSuite {
       assert(snap("""firehose_to_kinesis_sent_count{system="node-1"}""") >= 3.0)
     } finally { q.stop(); spark.streams.removeListener(listener) }
   }
+
+  test("A4: /metrics serves Prometheus exposition over HTTP (reference main.go:410-413)") {
+    implicit val s = spark
+    implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import s.implicits._
+    val listener = new FirehoseMetricsListener("web/0")
+    spark.streams.addListener(listener)
+    val http = new MetricsHttpServer(() => listener.snapshot, port = 0)
+    val in = MemoryStream[StreamEvent]
+    val q = in.toDF().writeStream.format("memory").queryName("mxh").start()
+    try {
+      in.addData(ev(1, 0, 1), ev(2, 1, 1))
+      q.processAllAvailable()
+      val deadline = System.currentTimeMillis() + 10000
+      while (listener.snapshot.values.sum == 0 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      val url = new java.net.URI(
+        s"http://127.0.0.1:${http.boundPort}/metrics").toURL
+      val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      val body = new String(conn.getInputStream.readAllBytes(), "UTF-8")
+      assert(conn.getResponseCode === 200)
+      assert(conn.getContentType.startsWith("text/plain"))
+      assert(body.contains("# TYPE firehose_to_kinesis_sent_count gauge"))
+      assert(body.linesIterator.exists(l =>
+        l.startsWith("firehose_to_kinesis_sent_count{system=\"web/0\"}") &&
+          l.split(' ').last.toDouble >= 2.0))
+    } finally { q.stop(); http.close(); spark.streams.removeListener(listener) }
+  }
 }
