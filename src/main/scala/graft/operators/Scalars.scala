@@ -136,11 +136,21 @@ object Scalars {
   }
 
   /** Map functions: build map from aggregation, then map_keys/values/
-    * element_at. DuckDB's map type round-trips differently through
-    * parquet, so this is a rows-only check; MapFunctionsSpec covers the
-    * semantics in ScalaTest.
+    * try_element_at. DuckDB cannot round-trip Spark's map parquet, but the
+    * OUTPUT here is flattened to strings/longs — so the oracle recomputes
+    * the same facts relationally (string_agg over the grouped maxima) and
+    * the row becomes hash-checkable.
     */
-  val q23: QueryDef = QueryDef.rowsOnly("q23_map_fns") { (s, d) =>
+  val q23: QueryDef = QueryDef.checked(
+    "q23_map_fns",
+    """WITH last AS (
+      |  SELECT user_id, event_type, max(event_id) AS last_id
+      |  FROM events GROUP BY user_id, event_type)
+      |SELECT user_id,
+      | string_agg(event_type, ',' ORDER BY event_type) AS types,
+      | COUNT(*) AS n_types,
+      | MAX(CASE WHEN event_type = 'click' THEN last_id END) AS click_id
+      |FROM last GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
     val agg = Tables.events(s, d)
       .groupBy(col("user_id"), col("event_type"))
       .agg(max(col("event_id")).as("last_id"))
@@ -150,7 +160,9 @@ object Scalars {
     agg.select(col("user_id"),
         map_keys(col("last_ids")).as("ks"),
         size(map_keys(col("last_ids"))).as("n_types"),
-        element_at(col("last_ids"), "click").as("click_id"))
+        // try_element_at: ANSI mode makes plain element_at throw on a
+        // missing map key; users without 'click' events must yield NULL
+        try_element_at(col("last_ids"), lit("click")).as("click_id"))
       .select(col("user_id"), array_join(array_sort(col("ks")), ",").as("types"),
         col("n_types"), col("click_id"))
       .orderBy(col("user_id"))
