@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Time-series join operators Spark has no native primitive for — each
+  * implemented as the composition that SCALES, not the naive inequality
+  * join (which Catalyst can only execute as a broadcast-nested-loop):
+  *
+  *  - as-of join (q51): most recent prior event of another stream, via a
+  *    union + ordered window carry — ONE shuffle on the key, no join
+  *    explosion, state bounded by the carry column. This is the classic
+  *    scalable as-of shape (same trick kdb/Flink use internally).
+  *  - interval range join (q52): containment join rewritten as a
+  *    time-bucketed equi-join + exact filter — the inequality predicate
+  *    only runs inside (key, bucket) pairs, so the plan is a hash join at
+  *    any scale instead of O(n·m) nested loops.
+  */
+object TimeJoins {
+
+  def defs: Seq[QueryDef] = Seq(q51, q52)
+
+  /** As-of join: for every 'click' event, the most recent 'view' event by
+    * the same user at-or-before it (order = (ts, event_id), so ties are
+    * deterministic). Spark shape: tag both streams, one window pass
+    * carrying the last non-null view id — the 100 TB plan is shuffle on
+    * user_id + per-partition sort, nothing quadratic.
+    */
+  val q51: QueryDef = QueryDef.checked(
+    "q51_asof_join",
+    """WITH t AS (
+      |  SELECT event_id, user_id, ts, event_type FROM events
+      |  WHERE event_type IN ('click', 'view')),
+      |w AS (
+      |  SELECT *, last_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_view_id
+      |  FROM t)
+      |SELECT event_id AS click_id, user_id, prev_view_id
+      |FROM w WHERE event_type = 'click' ORDER BY click_id""".stripMargin) { (s, d) =>
+    val t = Tables.events(s, d)
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.withColumn("prev_view_id",
+        last(when(col("event_type") === "view", col("event_id")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("prev_view_id"))
+      .orderBy(col("click_id"))
+  }
+
+  /** Interval range join: events ↔ per-user activity intervals
+    * (purchase-anchored ±30 minutes), matching every event inside an
+    * interval of the SAME user. Naive form is an inequality join →
+    * BroadcastNestedLoop at scale. Scale form here: both sides mapped to
+    * 30-minute epoch buckets (an interval spans ≤ 3 buckets → explode),
+    * equi-join on (user_id, bucket), exact containment filter, distinct.
+    * Identical result, hash-join plan. The oracle is the naive SQL.
+    */
+  val q52: QueryDef = QueryDef.checked(
+    "q52_interval_range_join",
+    """SELECT i.anchor_id, e.event_id
+      |FROM (SELECT event_id AS anchor_id, user_id,
+      |             ts - INTERVAL 30 MINUTE AS lo, ts + INTERVAL 30 MINUTE AS hi
+      |      FROM events WHERE event_type = 'purchase') i
+      |JOIN events e ON e.user_id = i.user_id
+      |  AND e.ts >= i.lo AND e.ts <= i.hi AND e.event_id <> i.anchor_id
+      |ORDER BY anchor_id, event_id""".stripMargin) { (s, d) =>
+    val bucketSec = 1800L // bucket = the interval half-width → ≤3 buckets/interval
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type"), unix_timestamp(col("ts")).as("sec"))
+    val intervals = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("anchor_id"), col("user_id").as("iuser"),
+        (col("sec") - 1800L).as("lo"), (col("sec") + 1800L).as("hi"))
+      .withColumn("bucket",
+        explode(sequence(floor(col("lo") / bucketSec), floor(col("hi") / bucketSec))))
+    val sides = ev.select(col("event_id"), col("user_id"), col("sec"),
+      floor(col("sec") / bucketSec).as("bucket"))
+    intervals.join(sides,
+        intervals("iuser") === sides("user_id") &&
+          intervals("bucket") === sides("bucket"))
+      .filter(col("sec") >= col("lo") && col("sec") <= col("hi") &&
+        col("event_id") =!= col("anchor_id"))
+      // no dedup needed: the event side has exactly ONE bucket and the
+      // interval side explodes DISTINCT bucket values, so each
+      // (interval, event) pair joins at most once
+      .select(col("anchor_id"), col("event_id"))
+      .orderBy(col("anchor_id"), col("event_id"))
+  }
+}
