@@ -14,6 +14,17 @@ final case class StreamEvent(
 final case class UserSession(
     user_id: Long, n_events: Long, total_value: Double, closed: Boolean)
 
+/** One as-of match: a click with the most recent prior view of the same
+  * user (None when no view has been seen yet).
+  */
+final case class AsOfMatch(
+    click_id: Long, user_id: Long, prev_view_id: Option[Long])
+
+/** Carried as-of state: the latest view seen so far, by (ts, event_id)
+  * order.
+  */
+final case class LastView(ts_millis: Long, event_id: Long)
+
 /** Structured-Streaming operator surface (SURVEY.md §2.5 "Streaming
   * windows" / "Watermark" / "Stateful ops"): every function takes a
   * DataFrame that can come from `readStream` (MemoryStream in specs) or a
@@ -85,6 +96,43 @@ object StreamingOps {
           Iterator.single(next)
       }
   }
+  /** Streaming as-of join (the unbounded form of the batch q51): every
+    * 'click' event is emitted with the most recent prior 'view' id of the
+    * same user. One state slot per user (the latest view's (ts, id)) —
+    * constant state per key, no join explosion, exactly the scalable
+    * as-of shape. Within a micro-batch rows are processed in (ts,
+    * event_id) order; across batches the carried state is monotonic by
+    * that order, so in-order streams get exact q51 semantics and
+    * late-arriving views only affect clicks in later batches (document
+    * delta: a full out-of-order guarantee needs watermark buffering).
+    */
+  def streamingAsOf(events: Dataset[StreamEvent])(
+      implicit s: SparkSession): Dataset[AsOfMatch] = {
+    import s.implicits._
+    events
+      .filter(e => e.event_type == "click" || e.event_type == "view")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastView, AsOfMatch](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[StreamEvent], state: GroupState[LastView]) =>
+          var last = state.getOption
+          val out = Seq.newBuilder[AsOfMatch]
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            if (e.event_type == "view") {
+              val cand = LastView(e.ts.getTime, e.event_id)
+              val newer = last.forall(l =>
+                cand.ts_millis > l.ts_millis ||
+                  (cand.ts_millis == l.ts_millis && cand.event_id > l.event_id))
+              if (newer) last = Some(cand)
+            } else {
+              out += AsOfMatch(e.event_id, uid, last.map(_.event_id))
+            }
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Same running totals on the transformWithState API (Spark 4's
     * arbitrary-state v2: named typed state slots + TTL + timers instead
     * of one opaque GroupState). Requires the RocksDB state store

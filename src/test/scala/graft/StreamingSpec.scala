@@ -162,6 +162,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally { q.stop(); spark.streams.removeListener(listener) }
   }
 
+  test("streaming as-of join carries the last view across micro-batches") {
+    implicit val s = spark
+    implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import s.implicits._
+    val in = MemoryStream[StreamEvent]
+    val q = StreamingOps.streamingAsOf(in.toDS())
+      .writeStream.format("memory").queryName("asof").outputMode("append").start()
+    try {
+      // batch 1: view(10) then click(11) for user 1; click(20) for user 2
+      // with no view yet → None
+      in.addData(ev(10, 0, 1, "view"), ev(11, 2, 1, "click"),
+        ev(20, 1, 2, "click"))
+      q.processAllAvailable()
+      // batch 2: user 1 clicks again (still matches view 10 from batch
+      // 1's state), then a newer view(12) and a click after it
+      in.addData(ev(13, 5, 1, "click"), ev(12, 7, 1, "view"),
+        ev(14, 9, 1, "click"))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT click_id, prev_view_id FROM asof ORDER BY click_id")
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      assert(rows(11L) === Some(10L)) // same-batch view before click
+      assert(rows(20L) === None) // no view for user 2
+      assert(rows(13L) === Some(10L)) // state carried from batch 1
+      assert(rows(14L) === Some(12L)) // newer view supersedes within batch 2
+    } finally q.stop()
+  }
+
   test("A4: /metrics serves Prometheus exposition over HTTP (reference main.go:410-413)") {
     implicit val s = spark
     implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
