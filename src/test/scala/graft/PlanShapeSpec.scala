@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the PLAN properties the 100 TB design claims — if a refactor
+  * regresses a broadcast side or degrades a bucketed join to a nested
+  * loop, these fail even though results stay correct. Executed (final
+  * AQE) plans are inspected, not the lazy explain, because exchange
+  * reuse and join-strategy selection finalize at runtime.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.Sf0001
+
+  private def executedPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    spark.catalog.clearCache()
+    s
+  }
+
+  test("q50 broadcasts the HOT shingle side of a left_anti join") {
+    val plan = executedPlan("q50_neardup_dfcapped")
+    // the df>cap set must be the broadcast (build) side of an anti join;
+    // broadcasting the keep/low-df side would invert at corpus scale
+    assert(plan.contains("LeftAnti"), "expected a left_anti prune join")
+    assert("BroadcastHashJoin.*LeftAnti".r.findFirstIn(plan).isDefined ||
+      plan.linesIterator.exists(l => l.contains("LeftAnti") && l.contains("Broadcast")),
+      s"left_anti prune should broadcast the tiny hot set:\n$plan")
+  }
+
+  test("q28 verify stage has no broadcast HINT and shingles come from cache") {
+    val df = SparkEntry.queries("q28_dedup_minhash_lsh")(spark, sf)
+    // static optimized plan: the candidate join must not carry a
+    // user-supplied broadcast hint (AQE may still CHOOSE broadcast at
+    // this sf — that is the point: size-based, not forced)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("ResolvedHint"),
+      s"no user broadcast hints expected in q28:\n$optimized")
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("InMemoryTableScan"),
+      "shingle frame should be served from the persisted cache")
+    spark.catalog.clearCache()
+  }
+
+  test("q52 interval range join is a hash join, not a nested loop") {
+    val plan = executedPlan("q52_interval_range_join")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"bucketed range join must never fall back to a nested loop:\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"expected an equi-join on (user, bucket):\n$plan")
+  }
+
+  test("q51 as-of join is one window pass — no join operator at all") {
+    val plan = executedPlan("q51_asof_join")
+    assert(!plan.contains("Join"), s"as-of must be join-free:\n$plan")
+    assert(plan.contains("Window"), s"expected the ordered carry window:\n$plan")
+  }
+
+  test("q47 IVF probes via broadcast of the tiny query side") {
+    val plan = executedPlan("q47_ann_ivf_topk")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"query-side broadcast expected for the probed-list join:\n$plan")
+  }
+}
