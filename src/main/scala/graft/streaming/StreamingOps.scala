@@ -96,6 +96,29 @@ object StreamingOps {
           Iterator.single(next)
       }
   }
+  /** Stream-stream inner join with an event-time range condition: each
+    * click joined to the same user's views from the preceding `lookback`.
+    * Both sides carry watermarks + the time-range predicate, so Spark
+    * bounds the join state (rows older than watermark+lookback are
+    * evicted) — the REQUIRED shape for an unbounded-stream join; without
+    * the range condition state grows forever.
+    */
+  def clickViewJoin(
+      clicks: DataFrame, views: DataFrame,
+      watermark: String = "10 minutes",
+      lookback: String = "10 minutes"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("cts"))
+    val v = views.withWatermark("ts", watermark)
+      .select(col("event_id").as("view_id"), col("user_id").as("vuser"),
+        col("ts").as("vts"))
+    c.join(v,
+      col("user_id") === col("vuser") &&
+        col("vts") >= col("cts") - expr(s"INTERVAL $lookback") &&
+        col("vts") <= col("cts"))
+      .select(col("click_id"), col("user_id"), col("view_id"))
+  }
+
   /** Streaming as-of join (the unbounded form of the batch q51): every
     * 'click' event is emitted with the most recent prior 'view' id of the
     * same user. One state slot per user (the latest view's (ts, id)) —

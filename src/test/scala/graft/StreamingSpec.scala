@@ -162,6 +162,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally { q.stop(); spark.streams.removeListener(listener) }
   }
 
+  test("stream-stream interval join matches views within the lookback only") {
+    implicit val s = spark
+    implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import s.implicits._
+    val in = MemoryStream[StreamEvent]
+    val all = in.toDF()
+    val q = StreamingOps.clickViewJoin(
+        all.filter(col("event_type") === "click"),
+        all.filter(col("event_type") === "view"))
+      .writeStream.format("memory").queryName("ssj").outputMode("append").start()
+    try {
+      in.addData(
+        ev(1, 0, 1, "view"),   // within 10 min of click@8 → match
+        ev(2, 30, 1, "view"),  // AFTER the click → no match
+        ev(3, 8, 1, "click"),
+        ev(4, 5, 2, "view"),   // other user's view
+        ev(5, 40, 2, "click")) // >10 min after view 4 → no match
+      q.processAllAvailable()
+      val got = spark.sql("SELECT click_id, view_id FROM ssj ORDER BY click_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got === Seq((3L, 1L)))
+    } finally q.stop()
+  }
+
   test("streaming as-of join carries the last view across micro-batches") {
     implicit val s = spark
     implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
