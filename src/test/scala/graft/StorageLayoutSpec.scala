@@ -1,0 +1,90 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The two storage-layout levers that matter most at 100 TB, proven on
+  * real writes + plan inspection:
+  *
+  *  - partition pruning: a filter on the partition column must reach the
+  *    scan as PartitionFilters so non-matching directories are never
+  *    listed, let alone read;
+  *  - bucketed co-located join: two tables bucketed the same way on the
+  *    join key must join with NO shuffle exchange on either side.
+  */
+class StorageLayoutSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.Sf0001
+
+  test("partition pruning: event_type filter becomes PartitionFilters, not a row filter") {
+    val dir = Files.createTempDirectory("graft-part").toString
+    Tables.events(spark, sf)
+      .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    val back = spark.read.parquet(dir).filter(col("event_type") === "click")
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      "PartitionFilters: \\[[^\\]]*event_type".r.findFirstIn(plan).isDefined,
+      s"event_type filter should prune partitions at the scan:\n$plan")
+    // and the pruned read returns exactly the clicks
+    val expected = Tables.events(spark, sf)
+      .filter(col("event_type") === "click").count()
+    assert(back.count() === expected)
+  }
+
+  test("bucketed tables join without any shuffle exchange") {
+    def cleanup(): Unit = Seq("b_orders", "b_lineitem").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      // a previously-failed run can leave the managed location behind,
+      // which CREATE TABLE then refuses — remove it explicitly
+      val loc = new java.io.File(
+        java.net.URI.create(spark.conf.get("spark.sql.warehouse.dir"))
+          .getPath, t)
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(loc)
+      }
+    }
+    cleanup()
+    Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("b_orders")
+    Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_quantity"))
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("b_lineitem")
+    // at this test scale Catalyst would just broadcast the dim side (no
+    // shuffle either way) — disable auto-broadcast so the plan shows the
+    // co-located sort-merge path the bucketing buys at 100 TB
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val (joined, plan) =
+      try {
+        val j = spark.table("b_lineitem")
+          .join(spark.table("b_orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderstatus")).agg(sum(col("l_quantity")).as("q"))
+        (j, j.queryExecution.executedPlan.toString)
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    // co-located bucketed sides: the JOIN needs no exchange on the join
+    // key — the only shuffle allowed is the final groupBy's
+    val keyExchanges = "Exchange hashpartitioning\\([lo]_orderkey".r
+      .findAllIn(plan).size
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      s"expected a co-located join:\n$plan")
+    assert(keyExchanges === 0,
+      s"bucketed join must not shuffle on the join key:\n$plan")
+    // correctness: equals the unbucketed join
+    val expected = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus")).agg(sum(col("l_quantity")).as("q"))
+      .collect().map(r => r.getString(0) -> r.get(1).toString).toMap
+    joined.collect().foreach { r =>
+      assert(r.get(1).toString === expected(r.getString(0)))
+    }
+    cleanup()
+  }
+}
