@@ -165,9 +165,14 @@ object ProtoWire {
   private final class Reader(buf: Array[Byte]) {
     var pos = 0
     def hasMore: Boolean = pos < buf.length
+    private def need(n: Int): Unit =
+      if (n < 0 || pos + n > buf.length)
+        throw new IllegalArgumentException(
+          s"truncated or corrupt message: need $n bytes at $pos of ${buf.length}")
     def readVarint(): Long = {
       var shift = 0; var acc = 0L
       while (true) {
+        need(1)
         val b = buf(pos); pos += 1
         acc |= (b & 0x7fL) << shift
         if ((b & 0x80) == 0) return acc
@@ -178,12 +183,14 @@ object ProtoWire {
     }
     def readBytes(): Array[Byte] = {
       val n = readVarint().toInt
+      need(n)
       val r = java.util.Arrays.copyOfRange(buf, pos, pos + n)
       pos += n
       r
     }
     def readString(): String = new String(readBytes(), "UTF-8")
     def readFixed64(): Long = {
+      need(8)
       var bits = 0L; var i = 0
       while (i < 8) { bits |= (buf(pos + i) & 0xffL) << (8 * i); i += 1 }
       pos += 8
@@ -197,8 +204,9 @@ object ProtoWire {
         // side effect advances it, silently dropping the length-prefix
         // bytes and misaligning every field after the skipped one.
         val n = readVarint().toInt
+        need(n)
         pos += n
-      case 5 => pos += 4
+      case 5 => need(4); pos += 4
       case t => throw new IllegalArgumentException(s"unsupported wire type $t")
     }
   }

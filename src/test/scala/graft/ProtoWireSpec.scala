@@ -156,6 +156,23 @@ class ProtoWireSpec extends AnyFunSuite {
     assert(ProtoWire.decodeHttpStartStop(withUnknown) === h)
   }
 
+  test("truncated or corrupt input raises a clear error, never a raw bounds crash") {
+    val good = ProtoWire.encode(Envelope.forLogLine("o", "payload".getBytes, 5L, "/p"))
+    // every strict prefix either decodes (clean field boundary) or
+    // throws the codec's own IllegalArgumentException
+    (1 until good.length).foreach { n =>
+      try ProtoWire.decode(java.util.Arrays.copyOf(good, n))
+      catch {
+        case e: IllegalArgumentException => () // expected shape
+        case e: Throwable => fail(s"prefix $n leaked ${e.getClass.getName}: ${e.getMessage}")
+      }
+    }
+    // declared length overrunning the buffer
+    val overrun = Array[Byte](0x0a, 0x7f, 0x61) // origin, len 127, 1 byte present
+    val e = intercept[IllegalArgumentException](ProtoWire.decode(overrun))
+    assert(e.getMessage.contains("truncated"))
+  }
+
   test("unknown fields are skipped, known fields still decode") {
     val base = ProtoWire.encode(Envelope.forLogLine("o", "x".getBytes, 5L, "/p"))
     // envelope leaves field numbers 3-5 unused: append an unknown varint
