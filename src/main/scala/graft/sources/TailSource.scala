@@ -106,7 +106,9 @@ private[sources] class TailScan(options: CaseInsensitiveStringMap) extends Scan 
         "maxBytesPerFilePerBatch", (128L * 1024 * 1024).toString).toLong,
       maxFilesPerTrigger = options.getOrDefault("maxFilesPerTrigger", "0").toInt,
       maxBytesPerTrigger = options.getOrDefault("maxBytesPerTrigger", "0").toLong,
-      listIntervalMs = options.getOrDefault("listIntervalMs", "0").toLong)
+      listIntervalMs = options.getOrDefault("listIntervalMs", "0").toLong,
+      dropAbsentAfterTriggers =
+        options.getOrDefault("dropAbsentAfterTriggers", "10").toInt)
 }
 
 /** Offset = map(file path → bytes consumed). Hand-rolled JSON (flat
@@ -185,7 +187,8 @@ object TailOffset {
   */
 private[sources] class TailMicroBatchStream(
     root: String, glob: String, maxBytesPerFilePerBatch: Long,
-    maxFilesPerTrigger: Int, maxBytesPerTrigger: Long, listIntervalMs: Long)
+    maxFilesPerTrigger: Int, maxBytesPerTrigger: Long, listIntervalMs: Long,
+    dropAbsentAfterTriggers: Int = 10)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   require(maxBytesPerFilePerBatch > 0 &&
@@ -198,6 +201,10 @@ private[sources] class TailMicroBatchStream(
   private var lastListNanos: Long = Long.MinValue
   // Round-robin admission cursor: first path NOT admitted last batch.
   private var rrCursor: String = ""
+  // Consecutive triggers each committed-but-vanished path has been
+  // absent from the listing (driver-side; resets on query restart —
+  // a restarted query just re-counts before evicting).
+  private val absentTriggers = mutable.Map[String, Int]()
 
   private def listing(): Seq[String] = {
     val now = System.nanoTime()
@@ -275,10 +282,21 @@ private[sources] class TailMicroBatchStream(
         }
       out(path) = newEnd
     }
-    // Files that vanished from the listing keep their committed offset:
-    // a transient listing failure must not reset progress (a genuinely
-    // rotated file comes back smaller and hits the truncation rule).
-    committed.foreach { case (p, c) => if (!out.contains(p)) out(p) = c }
+    // Files that vanished from the listing keep their committed offset
+    // for a bounded number of triggers: a transient listing failure must
+    // not reset progress (a genuinely rotated file comes back smaller
+    // and hits the truncation rule), but entries absent for
+    // `dropAbsentAfterTriggers` consecutive triggers are evicted —
+    // otherwise a rotating log directory grows the offset JSON forever.
+    committed.foreach { case (p, c) =>
+      if (!out.contains(p)) {
+        val n = absentTriggers.getOrElse(p, 0) + 1
+        if (n < dropAbsentAfterTriggers) { out(p) = c; absentTriggers(p) = n }
+        else absentTriggers.remove(p)
+      }
+    }
+    val present = ordered.iterator.map(_._1).toSet
+    absentTriggers.filterInPlace { case (p, _) => !present.contains(p) }
     rrCursor = lastAdmitted
     TailOffset(out.toMap)
   }

@@ -115,6 +115,42 @@ class TailSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("deleted files are evicted from the offset after N absent triggers") {
+    val root = Files.createTempDirectory("graft-tail")
+    val keep = root.resolve("keep.log")
+    val dead = root.resolve("dead.log")
+    Files.writeString(keep, "k1\n")
+    Files.writeString(dead, "d1\n")
+    val ckpt = Files.createTempDirectory("graft-tail-ckpt")
+    val q = spark.readStream.format("graft-tail")
+      .option("path", root.toString).option("glob", "*.log")
+      .option("dropAbsentAfterTriggers", "2")
+      .load()
+      .writeStream.format("memory").queryName("tailev")
+      .option("checkpointLocation", ckpt.toString)
+      .start()
+    def latestOffsetJson(): String = {
+      val dir = ckpt.resolve("offsets").toFile
+      val latest = dir.listFiles().filter(_.getName.forall(_.isDigit))
+        .maxBy(_.getName.toLong)
+      Files.readString(latest.toPath)
+    }
+    try {
+      q.processAllAvailable()
+      assert(latestOffsetJson().contains("dead.log"))
+      Files.delete(dead)
+      // each append forces a new non-empty batch; after ≥2 absent
+      // triggers the dead entry must leave the committed offset
+      (0 until 4).foreach { i =>
+        Files.writeString(keep, s"k$i\n", StandardOpenOption.APPEND)
+        q.processAllAvailable()
+      }
+      assert(!latestOffsetJson().contains("dead.log"),
+        s"evicted path still in offset: ${latestOffsetJson()}")
+      assert(rows("tailev").map(_._1).contains("d1")) // data was delivered
+    } finally q.stop()
+  }
+
   test("truncation rereads from the start (--follow=name after rotation)") {
     val root = Files.createTempDirectory("graft-tail")
     val f = root.resolve("rot.log")
