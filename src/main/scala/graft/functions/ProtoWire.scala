@@ -59,7 +59,7 @@ object ProtoWire {
   def encodeLogMessage(m: LogMessage): Array[Byte] = {
     val out = new ByteArrayOutputStream(m.message.length + 64)
     writeBytesField(out, 1, m.message)
-    writeVarintField(out, 2, Envelope.MessageTypeCodes(m.message_type).toLong)
+    writeVarintField(out, 2, Envelope.messageTypeCode(m.message_type).toLong)
     writeVarintField(out, 3, m.timestamp)
     m.app_id.foreach(writeStringField(out, 4, _))
     writeStringField(out, 5, m.source_type)
@@ -109,8 +109,8 @@ object ProtoWire {
     writeVarintField(out, 1, m.startTimestamp)
     writeVarintField(out, 2, m.stopTimestamp)
     writeBytesField(out, 3, encodeUuid(m.requestId))
-    writeVarintField(out, 4, Envelope.PeerTypeCodes(m.peerType).toLong)
-    writeVarintField(out, 5, Envelope.MethodCodes(m.method).toLong)
+    writeVarintField(out, 4, Envelope.peerTypeCode(m.peerType).toLong)
+    writeVarintField(out, 5, Envelope.methodCode(m.method).toLong)
     writeStringField(out, 6, m.uri)
     writeStringField(out, 7, m.remoteAddress)
     writeStringField(out, 8, m.userAgent)
@@ -138,7 +138,7 @@ object ProtoWire {
   def encode(e: Envelope): Array[Byte] = {
     val out = new ByteArrayOutputStream(256)
     writeStringField(out, 1, e.origin)
-    writeVarintField(out, 2, Envelope.EventTypeCodes(e.eventType).toLong)
+    writeVarintField(out, 2, Envelope.eventTypeCode(e.eventType).toLong)
     e.timestamp.foreach(writeVarintField(out, 6, _))
     e.httpStartStop.foreach(m => writeBytesField(out, 7, encodeHttpStartStop(m)))
     e.logMessage.foreach(m => writeBytesField(out, 8, encodeLogMessage(m)))
@@ -166,7 +166,7 @@ object ProtoWire {
     var pos = 0
     def hasMore: Boolean = pos < buf.length
     private def need(n: Int): Unit =
-      if (n < 0 || pos + n > buf.length)
+      if (n < 0 || pos.toLong + n > buf.length)
         throw new IllegalArgumentException(
           s"truncated or corrupt message: need $n bytes at $pos of ${buf.length}")
     def readVarint(): Long = {
@@ -181,9 +181,18 @@ object ProtoWire {
       }
       acc
     }
+    /** Length prefix validated as a LONG before narrowing — a 64-bit
+      * length like 2^32+5 must throw, not wrap to 5 and misparse.
+      */
+    private def readLen(): Int = {
+      val n = readVarint()
+      if (n < 0 || n > buf.length - pos)
+        throw new IllegalArgumentException(
+          s"truncated or corrupt message: declared length $n at $pos of ${buf.length}")
+      n.toInt
+    }
     def readBytes(): Array[Byte] = {
-      val n = readVarint().toInt
-      need(n)
+      val n = readLen()
       val r = java.util.Arrays.copyOfRange(buf, pos, pos + n)
       pos += n
       r
@@ -198,13 +207,12 @@ object ProtoWire {
     }
     def skip(wireType: Int): Unit = wireType match {
       case 0 => readVarint()
-      case 1 => pos += 8
+      case 1 => need(8); pos += 8
       case 2 =>
         // NOT `pos += readVarint()`: += reads pos BEFORE readVarint's
         // side effect advances it, silently dropping the length-prefix
         // bytes and misaligning every field after the skipped one.
-        val n = readVarint().toInt
-        need(n)
+        val n = readLen()
         pos += n
       case 5 => need(4); pos += 4
       case t => throw new IllegalArgumentException(s"unsupported wire type $t")
@@ -241,8 +249,8 @@ object ProtoWire {
         case 1 => startTs = r.readVarint()
         case 2 => stopTs = r.readVarint()
         case 3 => requestId = decodeUuid(r.readBytes())
-        case 4 => peerType = Envelope.CodeToPeerType(r.readVarint().toInt)
-        case 5 => method = Envelope.CodeToMethod(r.readVarint().toInt)
+        case 4 => peerType = Envelope.peerTypeName(r.readVarint().toInt)
+        case 5 => method = Envelope.methodName(r.readVarint().toInt)
         case 6 => uri = r.readString()
         case 7 => remote = r.readString()
         case 8 => agent = r.readString()
@@ -269,7 +277,7 @@ object ProtoWire {
       val t = r.readVarint(); val field = (t >>> 3).toInt; val wt = (t & 7).toInt
       field match {
         case 1 => message = r.readBytes()
-        case 2 => mtype = Envelope.CodeToMessageType(r.readVarint().toInt)
+        case 2 => mtype = Envelope.messageTypeName(r.readVarint().toInt)
         case 3 => ts = r.readVarint()
         case 4 => appId = Some(r.readString())
         case 5 => srcType = r.readString()
@@ -296,7 +304,7 @@ object ProtoWire {
       val t = r.readVarint(); val field = (t >>> 3).toInt; val wt = (t & 7).toInt
       field match {
         case 1 => origin = r.readString()
-        case 2 => eventType = Envelope.CodeToEventType(r.readVarint().toInt)
+        case 2 => eventType = Envelope.eventTypeName(r.readVarint().toInt)
         case 6 => ts = Some(r.readVarint())
         case 7 => httpStartStop = Some(decodeHttpStartStop(r.readBytes()))
         case 8 => logMessage = Some(decodeLogMessage(r.readBytes()))

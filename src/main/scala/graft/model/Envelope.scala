@@ -107,6 +107,28 @@ object Envelope {
     "UPDATEREDIRECTREF" -> 43, "VERSION_CONTROL" -> 44)
   val CodeToMethod: Map[Int, String] = MethodCodes.map(_.swap)
 
+  /** Lenient enum mapping: protobuf preserves unknown enum codes, so the
+    * String-name model decodes an unknown code N as "<PREFIX>_N" and
+    * encodes that name back to N — a newer producer's enum value
+    * round-trips instead of crashing the decode.
+    */
+  private def lenientName(names: Map[Int, String], prefix: String)(code: Int): String =
+    names.getOrElse(code, s"$prefix$code")
+  private def lenientCode(codes: Map[String, Int], prefix: String)(name: String): Int =
+    codes.getOrElse(name,
+      if (name.startsWith(prefix) && name.drop(prefix.length).forall(_.isDigit))
+        name.drop(prefix.length).toInt
+      else throw new IllegalArgumentException(s"unknown enum name '$name'"))
+
+  def eventTypeName(code: Int): String = lenientName(CodeToEventType, "EVENT_TYPE_")(code)
+  def eventTypeCode(name: String): Int = lenientCode(EventTypeCodes, "EVENT_TYPE_")(name)
+  def messageTypeName(code: Int): String = lenientName(CodeToMessageType, "MESSAGE_TYPE_")(code)
+  def messageTypeCode(name: String): Int = lenientCode(MessageTypeCodes, "MESSAGE_TYPE_")(name)
+  def peerTypeName(code: Int): String = lenientName(CodeToPeerType, "PEER_TYPE_")(code)
+  def peerTypeCode(name: String): Int = lenientCode(PeerTypeCodes, "PEER_TYPE_")(name)
+  def methodName(code: Int): String = lenientName(CodeToMethod, "METHOD_")(code)
+  def methodCode(name: String): Int = lenientCode(MethodCodes, "METHOD_")(name)
+
   /** The projection the reference produces per log line (main.go:330-341). */
   def forLogLine(
       origin: String,

@@ -100,9 +100,11 @@ object Extended {
     val slice = Tables.orders(s, d).filter(col("o_orderkey") < 1000)
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
     // Per-invocation unique dir: two concurrent sessions (or bench's
-    // repeated passes) must not collide on a shared path.
+    // repeated passes) must not collide on a shared path. All
+    // invocations live under one per-JVM root that a shutdown hook
+    // removes — repeated bench passes must not leak /tmp copies.
     val tmp = java.nio.file.Files
-      .createTempDirectory("graft_fmt_").toAbsolutePath.toString
+      .createTempDirectory(Exact.fmtRoot, "run_").toAbsolutePath.toString
     slice.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
     slice.write.mode("overwrite").json(s"$tmp/json")
     val fromCsv = s.read.option("header", "true")

@@ -35,6 +35,21 @@ object Exact {
     * scale, rounding is a no-op in both. */
   def sum6(c: Column): Column = sum(c.cast(DecimalType(18, 6))).cast("double")
   def sql6(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(18,6))) AS DOUBLE)"
+
+  /** Per-JVM root for query-scratch files (q44 format round-trips), with
+    * recursive removal at JVM exit — repeated bench/verify passes write
+    * unique subdirs here and nothing leaks past the process.
+    */
+  lazy val fmtRoot: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft_fmt_")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(p.toFile)
+    }))
+    p
+  }
 }
 
 /** Relational operator surface: scans+pushdown, joins (inner/outer/semi/

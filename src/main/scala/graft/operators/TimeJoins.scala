@@ -71,20 +71,28 @@ object TimeJoins {
       |  AND e.ts >= i.lo AND e.ts <= i.hi AND e.event_id <> i.anchor_id
       |ORDER BY anchor_id, event_id""".stripMargin) { (s, d) =>
     val bucketSec = 1800L // bucket = the interval half-width → ≤3 buckets/interval
+    // Buckets come from second-TRUNCATED epochs (cheap longs); the exact
+    // containment below compares full-precision timestamps. Truncation
+    // keeps bucket coverage a superset of the exact range:
+    // e.ts ≥ p.ts−1800 ⇒ floor(e) ≥ floor(p)−1800, and symmetrically for
+    // the upper bound — so no exact match can land outside the probed
+    // buckets, and the exact filter never disagrees with the oracle.
     val ev = Tables.events(s, d)
       .select(col("event_id"), col("user_id"), col("ts"),
         col("event_type"), unix_timestamp(col("ts")).as("sec"))
     val intervals = ev.filter(col("event_type") === "purchase")
       .select(col("event_id").as("anchor_id"), col("user_id").as("iuser"),
+        (col("ts") - expr("INTERVAL 30 MINUTE")).as("lo_ts"),
+        (col("ts") + expr("INTERVAL 30 MINUTE")).as("hi_ts"),
         (col("sec") - 1800L).as("lo"), (col("sec") + 1800L).as("hi"))
       .withColumn("bucket",
         explode(sequence(floor(col("lo") / bucketSec), floor(col("hi") / bucketSec))))
-    val sides = ev.select(col("event_id"), col("user_id"), col("sec"),
+    val sides = ev.select(col("event_id"), col("user_id"), col("ts").as("ets"),
       floor(col("sec") / bucketSec).as("bucket"))
     intervals.join(sides,
         intervals("iuser") === sides("user_id") &&
           intervals("bucket") === sides("bucket"))
-      .filter(col("sec") >= col("lo") && col("sec") <= col("hi") &&
+      .filter(col("ets") >= col("lo_ts") && col("ets") <= col("hi_ts") &&
         col("event_id") =!= col("anchor_id"))
       // no dedup needed: the event side has exactly ONE bucket and the
       // interval side explodes DISTINCT bucket values, so each

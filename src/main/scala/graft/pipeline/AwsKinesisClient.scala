@@ -33,8 +33,15 @@ final class AwsKinesisClient(
     endpointOverride: Option[String] = None)
     extends KinesisClient {
 
-  private val host = s"kinesis.$region.amazonaws.com" // kinesis.go:31
-  private val url = endpointOverride.getOrElse(s"https://$host/")
+  private val url = endpointOverride
+    .getOrElse(s"https://kinesis.$region.amazonaws.com/") // kinesis.go:31
+  // The SIGNED host must be the host actually sent on the wire — signing
+  // the regional endpoint while an override (LocalStack, VPC endpoint)
+  // sends its own Host header guarantees SignatureDoesNotMatch.
+  private val host = {
+    val u = java.net.URI.create(url)
+    u.getHost + (if (u.getPort > 0) s":${u.getPort}" else "")
+  }
 
   override def putRecords(records: Seq[KinesisRecord]): PutRecordsResult = {
     val body = requestJson(records).getBytes(UTF_8)

@@ -273,7 +273,12 @@ private[sources] class TailMicroBatchStream(
       val avail = size - base
       val admitted = avail > 0 && filesUsed < fileLimit && bytesUsed < byteLimit
       val newEnd =
-        if (!admitted) math.min(size, c) // carry progress, no new bytes
+        if (!admitted) c // carry the committed offset UNCHANGED: reporting
+        // min(size, c) for a truncated-but-unadmitted file would trip the
+        // truncation rule in planInputPartitions and schedule a FULL
+        // [0, size) read that bypasses every admission limit — the
+        // truncation restart must wait until the file is admitted, where
+        // the per-file budget caps it
         else {
           val budget = math.min(maxBytesPerFilePerBatch, byteLimit - bytesUsed)
           val e = math.min(size, base + budget)

@@ -27,12 +27,22 @@ final class MetricsHttpServer(
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   server.createContext("/metrics", new HttpHandler {
     override def handle(x: HttpExchange): Unit = {
-      val body = render(snapshot()).getBytes(StandardCharsets.UTF_8)
-      x.getResponseHeaders.add("Content-Type",
-        "text/plain; version=0.0.4; charset=utf-8")
-      x.sendResponseHeaders(200, body.length.toLong)
-      val os = x.getResponseBody
-      try os.write(body) finally os.close()
+      // Always answer: an exception from snapshot()/render() must become
+      // a 500, not a hung exchange blocking the dispatcher thread.
+      val (status, body) =
+        try (200, render(snapshot()).getBytes(StandardCharsets.UTF_8))
+        catch {
+          case e: Exception =>
+            (500, s"snapshot failed: ${e.getMessage}\n"
+              .getBytes(StandardCharsets.UTF_8))
+        }
+      try {
+        x.getResponseHeaders.add("Content-Type",
+          "text/plain; version=0.0.4; charset=utf-8")
+        x.sendResponseHeaders(status, body.length.toLong)
+        val os = x.getResponseBody
+        try os.write(body) finally os.close()
+      } finally x.close()
     }
   })
   server.setExecutor(null) // serve on the dispatcher thread; scrape QPS is tiny

@@ -173,6 +173,34 @@ class ProtoWireSpec extends AnyFunSuite {
     assert(e.getMessage.contains("truncated"))
   }
 
+  test("unknown enum codes round-trip as placeholder names (proto semantics)") {
+    // a newer producer's Method=99 / PeerType=7 must decode and re-encode
+    // to the same codes, not crash the envelope
+    val h = HttpStartStop(1L, 2L, Uuid(3L, 4L), "Client", "GET", "u", "r",
+      "a", 200, 5L, None, None, None, Nil)
+    val bytes = ProtoWire.encodeHttpStartStop(h)
+    // patch peerType (f4, offset: 08 01 10 02 1a 04 .. .. .. .. 20 XX) and
+    // method (f5: 28 XX) to out-of-range codes
+    val patched = bytes.clone()
+    assert(patched(10) === 0x20.toByte && patched(12) === 0x28.toByte)
+    patched(11) = 7 // PeerType 7 (unknown)
+    patched(13) = 99 // Method 99 (unknown)
+    val back = ProtoWire.decodeHttpStartStop(patched)
+    assert(back.peerType === "PEER_TYPE_7")
+    assert(back.method === "METHOD_99")
+    // re-encode restores the original codes
+    assert(java.util.Arrays.equals(ProtoWire.encodeHttpStartStop(back), patched))
+  }
+
+  test("64-bit declared length throws instead of wrapping to a small int") {
+    // field 1 (origin), wire type 2, declared length 2^32+5 as varint:
+    // 85 80 80 80 10 — .toInt would wrap to 5 and silently misparse
+    val evil = Array[Byte](0x0a, 0x85.toByte, 0x80.toByte, 0x80.toByte,
+      0x80.toByte, 0x10, 0x61, 0x62, 0x63, 0x64, 0x65)
+    val e = intercept[IllegalArgumentException](ProtoWire.decode(evil))
+    assert(e.getMessage.contains("length"))
+  }
+
   test("unknown fields are skipped, known fields still decode") {
     val base = ProtoWire.encode(Envelope.forLogLine("o", "x".getBytes, 5L, "/p"))
     // envelope leaves field numbers 3-5 unused: append an unknown varint
