@@ -245,12 +245,15 @@ object Dedup {
     * document-frequency cap on shingles — shingles appearing in > dfCap
     * docs are dropped BEFORE the self-join. Ultra-common shingles are
     * exactly the join's hot keys (cost Σ df², so one shingle in 1M docs
-    * alone is 10¹² join rows) and contribute least to Jaccard. Rows-only:
-    * the df-cap makes it deliberately ≈-exact, and DedupDfCapSpec pins the
-    * invariant that at THIS corpus's df distribution the capped result
-    * still equals the exact truth.
+    * alone is 10¹² join rows) and contribute least to Jaccard.
+    *
+    * Oracle-checked against the EXACT truth: this corpus's max shingle
+    * df is 25 (sf0.1; 7 at sf0.01) vs the cap of 50, so the cap drops
+    * nothing and capped == exact provably holds — DedupDfCapSpec
+    * additionally pins capped ⊆ exact, the invariant that survives on
+    * corpora that DO have hot shingles.
     */
-  val q50: QueryDef = QueryDef.rowsOnly("q50_neardup_dfcapped") { (s, d) =>
+  val q50: QueryDef = QueryDef.checked("q50_neardup_dfcapped", nearDupOracle) { (s, d) =>
     val dfCap = 50
     val exploded = shingleRows(s, d).persist(StorageLevel.MEMORY_AND_DISK)
     // The HOT set (df > cap) is tiny BY CONSTRUCTION — it is the handful of
