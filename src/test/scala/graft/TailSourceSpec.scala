@@ -115,6 +115,40 @@ class TailSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("restart from checkpoint resumes mid-file: no loss, no duplicates") {
+    val root = Files.createTempDirectory("graft-tail")
+    val f = root.resolve("r.log")
+    Files.writeString(f, "a\nb\n")
+    val ckpt = Files.createTempDirectory("graft-tail-ckpt").toString
+    val outDir = Files.createTempDirectory("graft-tail-out").toString
+    // file sink (memory sink refuses checkpoint recovery): the output
+    // dir accumulates across restarts, so loss OR duplication is visible
+    def start() = spark.readStream.format("graft-tail")
+      .option("path", root.toString).option("glob", "*.log")
+      .load()
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .start()
+    def delivered(): Seq[String] =
+      spark.read.parquet(outDir).collect().map(_.getString(0)).toSeq.sorted
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      assert(delivered() === Seq("a", "b"))
+    } finally q1.stop()
+    // file grows while the query is DOWN; the restarted query must
+    // resume from the checkpointed offset (deserializeOffset path) and
+    // deliver exactly the new bytes
+    Files.writeString(f, "c\nd\n", StandardOpenOption.APPEND)
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(delivered() === Seq("a", "b", "c", "d"),
+        "restart must deliver exactly the bytes appended while down")
+    } finally q2.stop()
+  }
+
   test("deleted files are evicted from the offset after N absent triggers") {
     val root = Files.createTempDirectory("graft-tail")
     val keep = root.resolve("keep.log")
