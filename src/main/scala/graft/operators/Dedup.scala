@@ -143,11 +143,15 @@ object Dedup {
         .agg(minCols.head, minCols.tail: _*)
         .select(col("doc_id"),
           array((0 until nPerm).map(i => col(s"m$i")): _*).as("sig"))
+      // NOT persisted: measured A/B (tools/Q28Variants, sf0.1 min-of-3)
+      // put tri-only at 4.1 s vs 23.2 s with banded also persisted — the
+      // cached tiny frame defeats the codegen/broadcast planning of the
+      // band self-join, and AQE's ReusedExchange already dedupes the two
+      // sides. The expensive stage (shingle pipeline) stays persisted.
       val banded = sig.select(col("doc_id"),
           posexplode(array((0 until bands).map(j =>
             xxhash64(slice(col("sig"), j * r + 1, r))): _*)))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bsig")
-        .persist(StorageLevel.MEMORY_AND_DISK) // both sides of the self-join
 
       val cand = banded.as("x").join(banded.as("y"),
           col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
