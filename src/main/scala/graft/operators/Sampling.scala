@@ -12,7 +12,7 @@ import org.apache.spark.sql.expressions.Window
   */
 object Sampling {
 
-  def defs: Seq[QueryDef] = Seq(q53, q54)
+  def defs: Seq[QueryDef] = Seq(q53, q54, q55, q56)
 
   /** Stratified sample: at most K documents per (lang, source) stratum,
     * selected by md5(text) order — deterministic, uniform-ish, and
@@ -63,5 +63,88 @@ object Sampling {
         min(col("len")).as("min_len"),
         max(col("len")).as("max_len"))
       .orderBy(col("bucket"))
+  }
+
+  /** Text normalization → dedup: the pass that collapses case/whitespace
+    * variants before exact dedup (run on every crawled corpus). This
+    * corpus is already canonical, so the query PLANTS one variant per
+    * document (upper-cased, doubled spaces, trailing blank) and proves
+    * the normalizer (lower + whitespace-collapse + trim) maps each
+    * variant back onto its original: every fingerprint group has exactly
+    * the pair (id, id+100000).
+    */
+  val q55: QueryDef = QueryDef.checked(
+    "q55_normalized_dedup",
+    """WITH both_forms AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, upper(replace(text, ' ', '  ')) || ' ' FROM documents),
+      |normed AS (
+      |  SELECT doc_id,
+      |         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      |  FROM both_forms)
+      |SELECT min(doc_id) AS doc_id, count(*) AS n_variants,
+      |       max(doc_id) - min(doc_id) AS id_gap
+      |FROM normed GROUP BY fp ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val variants = docs.select(
+      (col("doc_id") + 100000).as("doc_id"),
+      concat(upper(regexp_replace(col("text"), " ", "  ")), lit(" ")).as("text"))
+    val normed = docs.unionByName(variants)
+      .select(col("doc_id"),
+        md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")).cast("binary")).as("fp"))
+    normed.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        count(lit(1)).as("n_variants"),
+        (max(col("doc_id")) - min(col("doc_id"))).as("id_gap"))
+      .select(col("doc_id"), col("n_variants"), col("id_gap"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** PII-style redaction: regex scrubbing of emails and phone-like
+    * numbers (the pass every published training corpus runs). The corpus
+    * text is synthetic word soup, so the query PLANTS a contact string on
+    * every 7th document and verifies the scrubber finds exactly those:
+    * per-doc match counts plus the redacted text's fingerprint, all
+    * reproducible in the oracle.
+    */
+  val q56: QueryDef = QueryDef.checked(
+    "q56_pii_redaction",
+    """WITH planted AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 0
+      |         THEN text || ' contact john@a.io or 0412 345 678'
+      |         ELSE text END AS text
+      |  FROM documents),
+      |red AS (
+      |  SELECT doc_id,
+      |    len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS n_emails,
+      |    len(regexp_extract_all(text, '[0-9][0-9 -]{7,}[0-9]')) AS n_phones,
+      |    regexp_replace(
+      |      regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+      |      '[0-9][0-9 -]{7,}[0-9]', '<PHONE>', 'g') AS clean
+      |  FROM planted)
+      |SELECT doc_id, n_emails, n_phones, md5(clean) AS clean_fp, len(clean) AS clean_len
+      |FROM red ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+    val phoneRe = "[0-9][0-9 -]{7,}[0-9]"
+    val planted = Tables.documents(s, d)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" contact john@a.io or 0412 345 678")))
+          .otherwise(col("text")).as("text"))
+    planted
+      .select(col("doc_id"),
+        // idx 0 = the whole match (the default idx 1 means capture group
+        // 1, which these patterns don't have)
+        size(regexp_extract_all(col("text"), lit(emailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(phoneRe), lit(0))).as("n_phones"),
+        regexp_replace(
+          regexp_replace(col("text"), emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>").as("clean"))
+      .select(col("doc_id"), col("n_emails"), col("n_phones"),
+        md5(col("clean").cast("binary")).as("clean_fp"),
+        length(col("clean")).as("clean_len"))
+      .orderBy(col("doc_id"))
   }
 }
