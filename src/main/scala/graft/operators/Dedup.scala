@@ -64,15 +64,19 @@ object Dedup {
    * MEMORY_AND_DISK to make the single-pass property STRUCTURAL. The
    * harness (Bench/Verify) clears the cache between queries.
    */
-  private def shingleRows(s: SparkSession, d: String): DataFrame = {
+  /** Distinct token-trigram shingles (doc_id, g) of any (doc_id, text)
+    * frame — the generic entry point for user corpora.
+    */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    Tables.documents(s, d)
+    val lastLead = lead(col("t"), n - 1).over(w)
+    docs
       .select(col("doc_id"), posexplode(split(col("text"), " ")))
-      .withColumnRenamed("pos", "pos").withColumnRenamed("col", "t")
+      .withColumnRenamed("col", "t")
       .select(col("doc_id"),
-        concat_ws(" ", col("t"), lead(col("t"), 1).over(w),
-          lead(col("t"), 2).over(w)).as("g"),
-        lead(col("t"), 2).over(w).isNotNull.as("complete"))
+        concat_ws(" ", (col("t") +: (1 until n).map(i =>
+          lead(col("t"), i).over(w))): _*).as("g"),
+        lastLead.isNotNull.as("complete"))
       .filter(col("complete"))
       .select(col("doc_id"), col("g"))
       .distinct()
@@ -117,13 +121,16 @@ object Dedup {
     * only candidate pairs. Hash arithmetic stays in 31-bit space so
     * ANSI-mode Long multiplication cannot overflow.
     */
-  val q28: QueryDef = QueryDef.checked("q28_dedup_minhash_lsh", nearDupOracle) {
-    (s, d) =>
+  /** MinHash+LSH near-dup pairs of any (doc_id, text) frame — the
+    * generic production entry point (q28 is its catalog wrapper). At
+    * (nPerm=64, bands=32) the per-pair miss probability for true Jaccard
+    * j is (1-j²)³² — <1e-8 at j=0.7. Returns (doc_a, doc_b, jac).
+    */
+  def minhashNearDups(docs: DataFrame, threshold: Double = 0.5,
+      nPerm: Int = 64, bands: Int = 32, seed: Long = 7L): DataFrame = {
       val P = 2147483647L // 2^31 - 1, prime
-      val nPerm = 64
-      val bands = 32 // r = 2 rows per band
       val r = nPerm / bands
-      val rnd = new scala.util.Random(7)
+      val rnd = new scala.util.Random(seed)
       val aCoefs = Seq.fill(nPerm)(1L + rnd.nextLong(P - 1))
       val bCoefs = Seq.fill(nPerm)(rnd.nextLong(P))
 
@@ -135,7 +142,7 @@ object Dedup {
       // doc before the shuffle. The frame feeds the signature, both sides
       // of the Jaccard verify, and the size counts — persisted so the
       // shingle pipeline runs exactly once regardless of optimizer mood.
-      val tri = shingleRows(s, d).persist(StorageLevel.MEMORY_AND_DISK)
+      val tri = shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
       val hashed = tri.select(col("doc_id"), pmod(xxhash64(col("g")), lit(P)).as("h"))
       val minCols = (0 until nPerm).map(i =>
         min(pmod(lit(aCoefs(i)) * col("h") + lit(bCoefs(i)), lit(P))).as(s"m$i"))
@@ -176,8 +183,12 @@ object Dedup {
         .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
         .select(col("doc_a"), col("doc_b"),
           (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jac"))
-        .filter(col("jac") >= 0.5)
+        .filter(col("jac") >= threshold)
         .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val q28: QueryDef = QueryDef.checked("q28_dedup_minhash_lsh", nearDupOracle) {
+    (s, d) => minhashNearDups(Tables.documents(s, d))
   }
 
   /** SimHash near-dup: 64-bit fingerprint from token-hash sign sums,
@@ -188,8 +199,8 @@ object Dedup {
     * tokens with 64 conditional sums — partial aggregation collapses each
     * partition before the shuffle.
     */
-  val q29: QueryDef = QueryDef.rowsOnly("q29_dedup_simhash") { (s, d) =>
-    val toks = Tables.documents(s, d)
+  def simhashNearDups(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
+    val toks = docs
       .select(col("doc_id"), explode(TF.tokens(col("text"))).as("t"))
       .withColumn("h", xxhash64(col("t")))
     val bitSums: Seq[Column] = (0 until 64).map { i =>
@@ -214,9 +225,13 @@ object Dedup {
       .distinct()
     cand
       .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
-      .filter(col("hamming") <= 6)
+      .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val q29: QueryDef = QueryDef.rowsOnly("q29_dedup_simhash") { (s, d) =>
+    simhashNearDups(Tables.documents(s, d))
   }
 
   /** Exact n-gram Jaccard near-dup (the ground truth for q28/q29): distinct
@@ -228,9 +243,8 @@ object Dedup {
     * corpus size the skew is immaterial, so the query keeps full fidelity
     * with the oracle instead.
     */
-  val q30: QueryDef = QueryDef.checked("q30_dedup_ngram_jaccard", nearDupOracle) {
-    (s, d) =>
-      val exploded = shingleRows(s, d).persist(StorageLevel.MEMORY_AND_DISK)
+  def exactNearDups(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+      val exploded = shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
       val sizes = exploded.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val inter = exploded.as("x").join(exploded.as("y"),
           col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
@@ -241,8 +255,12 @@ object Dedup {
         .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
         .select(col("doc_a"), col("doc_b"),
           (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jac"))
-        .filter(col("jac") >= 0.5)
+        .filter(col("jac") >= threshold)
         .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val q30: QueryDef = QueryDef.checked("q30_dedup_ngram_jaccard", nearDupOracle) {
+    (s, d) => exactNearDups(Tables.documents(s, d))
   }
 
   /** The production form of q30 for 100 TB: identical pipeline plus a
@@ -257,9 +275,9 @@ object Dedup {
     * additionally pins capped ⊆ exact, the invariant that survives on
     * corpora that DO have hot shingles.
     */
-  val q50: QueryDef = QueryDef.checked("q50_neardup_dfcapped", nearDupOracle) { (s, d) =>
-    val dfCap = 50
-    val exploded = shingleRows(s, d).persist(StorageLevel.MEMORY_AND_DISK)
+  def dfCappedNearDups(docs: DataFrame, threshold: Double = 0.5,
+      dfCap: Int = 50): DataFrame = {
+    val exploded = shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
     // The HOT set (df > cap) is tiny BY CONSTRUCTION — it is the handful of
     // ultra-common shingles the cap exists to remove — so that is the side
     // to broadcast. (The keep/low-df set is ≈ the whole corpus vocabulary:
@@ -282,7 +300,11 @@ object Dedup {
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jac"))
-      .filter(col("jac") >= 0.5)
+      .filter(col("jac") >= threshold)
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val q50: QueryDef = QueryDef.checked("q50_neardup_dfcapped", nearDupOracle) {
+    (s, d) => dfCappedNearDups(Tables.documents(s, d))
   }
 }

@@ -17,4 +17,34 @@ class DedupDfCapSpec extends AnyFunSuite {
     assert(capped.subsetOf(exact))
     assert(capped === exact)
   }
+
+  /** The generic entry points must work on ANY (doc_id, text) frame, not
+    * just the catalog's documents table — a user corpus with one planted
+    * near-dup pair and unrelated filler.
+    */
+  test("generic dedup API finds a planted pair on a user-supplied corpus") {
+    val s = spark
+    import s.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and " +
+      "again until the fence falls down near the old red barn tonight"
+    val nearDup = base.replace("red barn", "blue barn") // high trigram overlap
+    val filler = (0 until 20).map(i =>
+      s"completely unrelated document number $i with words $i alpha$i " +
+        s"beta$i gamma$i delta$i epsilon$i zeta$i eta$i theta$i iota$i")
+    val corpus = ((0L, base) +: (1L, nearDup) +: filler.zipWithIndex.map {
+      case (t, i) => ((i + 2).toLong, t)
+    }).toDF("doc_id", "text")
+
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val exact = pairs(operators.Dedup.exactNearDups(corpus))
+    assert(exact === Set((0L, 1L)))
+    assert(pairs(operators.Dedup.minhashNearDups(corpus)) === exact)
+    assert(pairs(operators.Dedup.dfCappedNearDups(corpus)) === exact)
+    val sim = pairs(operators.Dedup.simhashNearDups(corpus))
+    assert(sim.contains((0L, 1L)))
+    spark.catalog.clearCache()
+  }
 }
