@@ -2,12 +2,15 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import graft.functions.{CosineSimilarity, VectorFunctions => VF}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-/** Similarity search over the `embeddings` table (ARRAY<FLOAT>, 64-dim):
-  * brute-force cosine top-k as the exact baseline, LSH-bucketed ANN as the
-  * scale path, and cosine-threshold near-dup pairs.
+/** Similarity search: brute-force cosine top-k as the exact baseline,
+  * LSH-bucketed ANN as the scale path, and cosine-threshold near-dup
+  * pairs. The generic functions take any (vec_id LONG, v ARRAY<DOUBLE>)
+  * frame(s); the catalog queries (q31–q33) wrap them over the
+  * `embeddings` table (ARRAY<FLOAT>, 64-dim, via VF.asDouble).
   *
   * All vector math is double-precision sequential-fold (VectorFunctions),
   * bit-compatible with the DuckDB oracle's list_dot_product over DOUBLE[].
@@ -16,11 +19,91 @@ object Similarity {
 
   def defs: Seq[QueryDef] = Seq(q31, q32, q33)
 
-  /** Embedding-cosine near-duplicate pairs (threshold 0.4). Exact O(n²)
-    * form — correct baseline and the verifier for q33's bucketed variant.
-    * At 100 TB you never run this shape; it exists as the ground truth at
-    * test scale (the same role q30 plays for MinHash).
+  /** Cosine near-duplicate pairs of one vector frame. Exact O(n²) form —
+    * correct baseline and the verifier for the bucketed variant. At
+    * 100 TB you never run this shape; it exists as the ground truth at
+    * test scale (the same role Dedup.exactNearDups plays for MinHash).
     */
+  def cosineNearDups(vectors: DataFrame, threshold: Double = 0.4): DataFrame = {
+    val a = vectors.select(col("vec_id").as("id_a"), col("v").as("va"))
+    val b = vectors.select(col("vec_id").as("id_b"), col("v").as("vb"))
+    // fused codegen expression: one loop for dot+norms, no per-pair array
+    // allocation (the builtin zip_with/aggregate composition measured 57s
+    // at sf0.1 on this O(n²) join); bit-identical to the builtin fold
+    // (CosineExprSpec), so the oracle compare is unaffected
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cs", CosineSimilarity.cosineSim(col("va"), col("vb")))
+      .filter(col("cs") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cs"), 6).as("cos_sim"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Brute-force cosine top-k of `queries` against `corpus`: the query
+    * side broadcasts, the corpus side streams, rank is a per-group
+    * window — the honest exact-kNN shape (scan-and-rank) that any ANN
+    * variant must match.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+      topK: Int = 10): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("v").as("vq"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("v").as("vc"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cs").desc, col("neighbor_id"))
+    broadcast(q).join(c, col("neighbor_id") =!= col("query_id"))
+      .withColumn("cs", CosineSimilarity.cosineSim(col("vq"), col("vc")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        round(col("cs"), 6).as("cos_sim"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** LSH-bucketed ANN (the scale path): independent random-hyperplane
+    * signature tables banded into 4-bit chunks; corpus vectors sharing
+    * any (band, chunk) with a query become candidates, then exact cosine
+    * ranks them. The cross join becomes an equi-join on (band, chunk) —
+    * at 100 TB this is the difference between infeasible and a shuffle.
+    * Two tables (seeds) lift recall@10 from ~0.62 to ~0.9 on this corpus
+    * while merely doubling candidates.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, dim: Int = 64,
+      topK: Int = 10, seeds: Seq[Long] = Seq(42L, 43L)): DataFrame = {
+    def banded(df: DataFrame): DataFrame = {
+      val withSigs = seeds.zipWithIndex.foldLeft(df) { case (acc, (seed, i)) =>
+        acc.withColumn(s"sig$i",
+          VF.lshSignature(col("v"), dim = dim, nBits = 32, seed = seed))
+      }
+      val bandCols = seeds.indices.flatMap(i =>
+        (0 until 8).map(j => shiftright(col(s"sig$i"), j * 4).bitwiseAND(lit(0xFL))))
+      withSigs.select(col("vec_id"), col("v"),
+          posexplode(array(bandCols: _*)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
+    }
+    val q = banded(queries)
+      .select(col("vec_id").as("query_id"), col("v").as("vq"),
+        col("band"), col("chunk"))
+    val c = banded(corpus)
+      .select(col("vec_id").as("neighbor_id"), col("v").as("vc"),
+        col("band"), col("chunk"))
+    val cand = q.join(c, Seq("band", "chunk"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("vq"), col("vc"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cs").desc, col("neighbor_id"))
+    cand
+      .withColumn("cs", CosineSimilarity.cosineSim(col("vq"), col("vc")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        round(col("cs"), 6).as("cos_sim"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  private def vecs(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), VF.asDouble(col("embedding")).as("v"))
+
   val q31: QueryDef = QueryDef.checked(
     "q31_embedding_neardup",
     """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -32,26 +115,9 @@ object Similarity {
       |   / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
       |      * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.4
       |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
-    val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), VF.asDouble(col("embedding")).as("v"))
-    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"))
-    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"))
-    // fused codegen expression: one loop for dot+norms, no per-pair array
-    // allocation (the builtin zip_with/aggregate composition measured 57s
-    // at sf0.1 on this O(n²) join); bit-identical to the builtin fold
-    // (CosineExprSpec), so the oracle compare is unaffected
-    a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cs", CosineSimilarity.cosineSim(col("va"), col("vb")))
-      .filter(col("cs") >= 0.4)
-      .select(col("id_a"), col("id_b"), round(col("cs"), 6).as("cos_sim"))
-      .orderBy(col("id_a"), col("id_b"))
+    cosineNearDups(vecs(s, d))
   }
 
-  /** Brute-force cosine top-k: 5 query vectors against the full corpus,
-    * top-10 neighbors each via per-group window rank. The query side is
-    * tiny → broadcast; the corpus side streams — this is the honest
-    * exact-kNN shape (scan-and-rank), and the baseline q33 must match.
-    */
   val q32: QueryDef = QueryDef.checked(
     "q32_ann_bruteforce_topk",
     """WITH sims AS (
@@ -65,62 +131,12 @@ object Similarity {
       |         row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rnk
       |  FROM sims) t
       |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin) { (s, d) =>
-    val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), VF.asDouble(col("embedding")).as("v"))
-    val q = e.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"), col("v").as("vq"))
-    val c = e.select(col("vec_id").as("neighbor_id"), col("v").as("vc"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cs").desc, col("neighbor_id"))
-    broadcast(q).join(c, col("neighbor_id") =!= col("query_id"))
-      .withColumn("cs", CosineSimilarity.cosineSim(col("vq"), col("vc")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 10)
-      .select(col("query_id"), col("neighbor_id"), col("rnk"),
-        round(col("cs"), 6).as("cos_sim"))
-      .orderBy(col("query_id"), col("rnk"))
+    val e = vecs(s, d)
+    bruteForceTopK(e, e.filter(col("vec_id") < 5))
   }
 
-  /** LSH-bucketed ANN (the scale path): two independent 32-bit
-    * random-hyperplane signature tables, banded 16×4 bits total; corpus
-    * vectors sharing any band with a query become candidates, then exact
-    * cosine ranks the candidates. The cross join becomes an equi-join on
-    * (band, chunk) — at 100 TB this is the difference between infeasible
-    * and a shuffle. Recall@10 vs q32 asserted ≥0.5 in CatalogSpec
-    * (hash-seeded → rows-only here).
-    */
   val q33: QueryDef = QueryDef.rowsOnly("q33_ann_lsh_topk") { (s, d) =>
-    // two independent 32-bit signature tables (seeds 42, 43) -> 16 bands
-    // of 4 bits: P(candidate) = 1-(1-p_band)^16, measured recall@10 ~0.9
-    // vs 0.62 with a single table; candidate count merely doubles.
-    val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), VF.asDouble(col("embedding")).as("v"))
-      .withColumn("sig1", VF.lshSignature(col("v"), dim = 64, nBits = 32, seed = 42L))
-      .withColumn("sig2", VF.lshSignature(col("v"), dim = 64, nBits = 32, seed = 43L))
-    val bandCols =
-      (0 until 8).map(j => shiftright(col("sig1"), j * 4).bitwiseAND(lit(0xFL))) ++
-        (0 until 8).map(j => shiftright(col("sig2"), j * 4).bitwiseAND(lit(0xFL)))
-    val banded = e.select(col("vec_id"), col("v"),
-        posexplode(array(bandCols: _*)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
-    val q = banded.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"), col("v").as("vq"),
-        col("band"), col("chunk"))
-    val c = banded
-      .select(col("vec_id").as("neighbor_id"), col("v").as("vc"),
-        col("band"), col("chunk"))
-    val cand = q.join(c, Seq("band", "chunk"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"), col("vq"), col("vc"))
-      .dropDuplicates("query_id", "neighbor_id")
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cs").desc, col("neighbor_id"))
-    cand
-      .withColumn("cs", CosineSimilarity.cosineSim(col("vq"), col("vc")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 10)
-      .select(col("query_id"), col("neighbor_id"), col("rnk"),
-        round(col("cs"), 6).as("cos_sim"))
-      .orderBy(col("query_id"), col("rnk"))
+    val e = vecs(s, d)
+    lshTopK(e, e.filter(col("vec_id") < 5))
   }
 }
