@@ -14,11 +14,22 @@ object Sampling {
 
   def defs: Seq[QueryDef] = Seq(q53, q54, q55, q56)
 
-  /** Stratified sample: at most K documents per (lang, source) stratum,
-    * selected by md5(text) order — deterministic, uniform-ish, and
-    * reproducible across engines/runs (rand() is none of those). At
-    * 100 TB this is one shuffle on the stratum key; the window top-k
-    * never global-sorts.
+  /** Generic stratified sample: at most `k` rows per stratum, selected
+    * by `hashOrder` (e.g. md5 of a content column) — deterministic,
+    * uniform-ish, and reproducible across engines/runs (rand() is none
+    * of those). One shuffle on the stratum key; the window top-k never
+    * global-sorts. Returns the input columns plus `rn` (1..k within the
+    * stratum).
+    */
+  def stratifiedSample(df: org.apache.spark.sql.DataFrame,
+      strata: Seq[String], k: Int,
+      hashOrder: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy(strata.map(col): _*).orderBy(hashOrder)
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
+  /** q53: ≤5 documents per (lang, source) stratum by (md5(text), doc_id)
+    * order, via [[stratifiedSample]].
     */
   val q53: QueryDef = QueryDef.checked(
     "q53_stratified_sample",
@@ -28,13 +39,11 @@ object Sampling {
       |  FROM documents)
       |SELECT lang, source, doc_id, rn
       |FROM ranked WHERE rn <= 5 ORDER BY lang, source, rn""".stripMargin) { (s, d) =>
-    val w = Window.partitionBy(col("lang"), col("source"))
-      .orderBy(col("h"), col("doc_id"))
-    Tables.documents(s, d)
+    val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), col("source"),
         md5(col("text").cast("binary")).as("h"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 5)
+    stratifiedSample(docs, Seq("lang", "source"), k = 5,
+        hashOrder = struct(col("h"), col("doc_id")))
       .select(col("lang"), col("source"), col("doc_id"), col("rn"))
       .orderBy(col("lang"), col("source"), col("rn"))
   }
