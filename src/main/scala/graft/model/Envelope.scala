@@ -115,10 +115,13 @@ object Envelope {
   private def lenientName(names: Map[Int, String], prefix: String)(code: Int): String =
     names.getOrElse(code, s"$prefix$code")
   private def lenientCode(codes: Map[String, Int], prefix: String)(name: String): Int =
-    codes.getOrElse(name,
-      if (name.startsWith(prefix) && name.drop(prefix.length).forall(_.isDigit))
-        name.drop(prefix.length).toInt
-      else throw new IllegalArgumentException(s"unknown enum name '$name'"))
+    codes.getOrElse(name, {
+      // accept negative codes too: int32 enum values with bit 31 set are
+      // valid protobuf and decode to "<PREFIX>-N" names
+      val suffix = name.drop(prefix.length)
+      if (name.startsWith(prefix) && suffix.matches("-?\\d+")) suffix.toInt
+      else throw new IllegalArgumentException(s"unknown enum name '$name'")
+    })
 
   def eventTypeName(code: Int): String = lenientName(CodeToEventType, "EVENT_TYPE_")(code)
   def eventTypeCode(name: String): Int = lenientCode(EventTypeCodes, "EVENT_TYPE_")(name)

@@ -125,9 +125,16 @@ object Dedup {
     * generic production entry point (q28 is its catalog wrapper). At
     * (nPerm=64, bands=32) the per-pair miss probability for true Jaccard
     * j is (1-j²)³² — <1e-8 at j=0.7. Returns (doc_a, doc_b, jac).
+    *
+    * `persistShingles=true` caches the shingle frame MEMORY_AND_DISK for
+    * the duration of the action (it feeds 4+ plan subtrees); in a
+    * long-lived session release it afterwards with
+    * `spark.catalog.clearCache()` (the engine's Verify/Bench harness
+    * does), or pass false to rely on AQE exchange reuse instead.
     */
   def minhashNearDups(docs: DataFrame, threshold: Double = 0.5,
-      nPerm: Int = 64, bands: Int = 32, seed: Long = 7L): DataFrame = {
+      nPerm: Int = 64, bands: Int = 32, seed: Long = 7L,
+      persistShingles: Boolean = true): DataFrame = {
       val P = 2147483647L // 2^31 - 1, prime
       val r = nPerm / bands
       val rnd = new scala.util.Random(seed)
@@ -142,7 +149,8 @@ object Dedup {
       // doc before the shuffle. The frame feeds the signature, both sides
       // of the Jaccard verify, and the size counts — persisted so the
       // shingle pipeline runs exactly once regardless of optimizer mood.
-      val tri = shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
+      val tri0 = shingles(docs)
+      val tri = if (persistShingles) tri0.persist(StorageLevel.MEMORY_AND_DISK) else tri0
       val hashed = tri.select(col("doc_id"), pmod(xxhash64(col("g")), lit(P)).as("h"))
       val minCols = (0 until nPerm).map(i =>
         min(pmod(lit(aCoefs(i)) * col("h") + lit(bCoefs(i)), lit(P))).as(s"m$i"))
@@ -243,8 +251,12 @@ object Dedup {
     * corpus size the skew is immaterial, so the query keeps full fidelity
     * with the oracle instead.
     */
-  def exactNearDups(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-      val exploded = shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
+  /** See [[minhashNearDups]] for the persistShingles cache contract. */
+  def exactNearDups(docs: DataFrame, threshold: Double = 0.5,
+      persistShingles: Boolean = true): DataFrame = {
+      val exploded0 = shingles(docs)
+      val exploded = if (persistShingles)
+        exploded0.persist(StorageLevel.MEMORY_AND_DISK) else exploded0
       val sizes = exploded.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val inter = exploded.as("x").join(exploded.as("y"),
           col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
@@ -275,9 +287,12 @@ object Dedup {
     * additionally pins capped ⊆ exact, the invariant that survives on
     * corpora that DO have hot shingles.
     */
+  /** See [[minhashNearDups]] for the persistShingles cache contract. */
   def dfCappedNearDups(docs: DataFrame, threshold: Double = 0.5,
-      dfCap: Int = 50): DataFrame = {
-    val exploded = shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
+      dfCap: Int = 50, persistShingles: Boolean = true): DataFrame = {
+    val exploded0 = shingles(docs)
+    val exploded = if (persistShingles)
+      exploded0.persist(StorageLevel.MEMORY_AND_DISK) else exploded0
     // The HOT set (df > cap) is tiny BY CONSTRUCTION — it is the handful of
     // ultra-common shingles the cap exists to remove — so that is the side
     // to broadcast. (The keep/low-df set is ≈ the whole corpus vocabulary:

@@ -64,8 +64,11 @@ object PipelineOps {
             httpStartStop = Some(HttpStartStop(
               startTimestamp = id, stopTimestamp = id + 7,
               requestId = Uuid(low = id * 1000003L, high = ~id),
-              peerType = if (id % 2 == 0) "Client" else "Server",
-              method = if (id % 3 == 0) "GET" else "POST",
+              // vary by the GROUP index id/6 — ids in this branch are all
+              // ≡1 (mod 6), so id-parity/mod-3 would be constant and the
+              // enum variety dead
+              peerType = if ((id / 6) % 2 == 0) "Client" else "Server",
+              method = if ((id / 6) % 3 == 0) "GET" else "POST",
               uri = s"/docs/$id", remoteAddress = "10.0.0.1:61001",
               userAgent = "graft", statusCode = 200, contentLength = text.length.toLong,
               applicationId = Some(Uuid(id, id + 1)), instanceIndex = Some((id % 4).toInt),

@@ -75,8 +75,13 @@ object SigV4 {
     val amzDate = AmzDateFmt.format(now)
     val dateStamp = DateStampFmt.format(now)
 
+    // lowercase caller keys BEFORE merging: "Host"/"X-Amz-Date" from a
+    // caller must collide with (not duplicate) the generated entries, or
+    // the canonical request carries the header twice and the signature
+    // can never match
     val allHeaders: Map[String, String] =
-      headers ++ Map("host" -> host, "x-amz-date" -> amzDate) ++
+      headers.map { case (k, v) => k.toLowerCase -> v } ++
+        Map("host" -> host, "x-amz-date" -> amzDate) ++
         creds.sessionToken.map("x-amz-security-token" -> _)
 
     val canonicalPath =

@@ -90,8 +90,16 @@ private[sources] class KinesisTable(options: CaseInsensitiveStringMap)
             options.getOrDefault("client", "accept"),
             ProducerConfig(
               batchSize = options.getOrDefault("batchSize", "500").toInt,
+              bufferSize = options.getOrDefault("bufferSize", "5000").toInt,
               maxAttemptsPerRecord =
-                options.getOrDefault("maxAttemptsPerRecord", "5").toInt))
+                options.getOrDefault("maxAttemptsPerRecord", "5").toInt,
+              initialBackoffMillis =
+                options.getOrDefault("initialBackoffMillis", "50").toLong,
+              // the commit deadline MUST be raisable per sink: a slow but
+              // healthy endpoint that needs >30 s per epoch would
+              // otherwise livelock on task retry with no knob to turn
+              flushTimeoutMillis =
+                options.getOrDefault("flushTimeoutMillis", "30000").toLong))
       }
     }
 }

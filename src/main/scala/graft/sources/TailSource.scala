@@ -367,13 +367,16 @@ private[sources] class TailPartitionReader(path: String, start: Long, end: Long)
   private var lines: Iterator[Array[Byte]] = _
   private var current: Array[Byte] = _
 
-  /** Last '\n' strictly before `pos`, or -1. Chunked backward scan. */
-  private def lastNewlineBefore(f: RandomAccessFile, pos: Long): Long = {
+  /** Last '\n' in [floor, pos), or -1. Chunked backward scan — bounded
+    * below by `floor` so a newline-free prefix cannot drag the scan (and
+    * the adopted-fragment allocation) past the representable range.
+    */
+  private def lastNewlineBefore(f: RandomAccessFile, pos: Long, floor: Long): Long = {
     val chunk = 64 * 1024
     var hi = pos
     val buf = new Array[Byte](chunk)
-    while (hi > 0) {
-      val lo = math.max(0L, hi - chunk)
+    while (hi > floor) {
+      val lo = math.max(floor, hi - chunk)
       f.seek(lo)
       val n = (hi - lo).toInt
       f.readFully(buf, 0, n)
@@ -387,13 +390,50 @@ private[sources] class TailPartitionReader(path: String, start: Long, end: Long)
     -1L
   }
 
+  /** First '\n' in [from, to), or -1. Chunked forward scan. */
+  private def firstNewlineIn(f: RandomAccessFile, from: Long, to: Long): Long = {
+    val chunk = 64 * 1024
+    var lo = from
+    val buf = new Array[Byte](chunk)
+    while (lo < to) {
+      val n = math.min(chunk.toLong, to - lo).toInt
+      f.seek(lo)
+      f.readFully(buf, 0, n)
+      var i = 0
+      while (i < n) {
+        if (buf(i) == '\n') return lo + i
+        i += 1
+      }
+      lo += n
+    }
+    -1L
+  }
+
   private def readRange(): Iterator[Array[Byte]] = {
     val f = new RandomAccessFile(path, "r")
     try {
       val len = math.min(end, f.length())
       if (len <= start) return Iterator.empty
-      // adopt the fragment left by the previous range (see protocol above)
-      val effStart = if (start == 0L) 0L else lastNewlineBefore(f, start) + 1
+      // Adopt the fragment left by the previous range (see protocol
+      // above) — but scan back at most ~MaxRangeBytes: a line whose start
+      // lies further back than that cannot be materialized in one array
+      // (String/Array are Int-indexed), so it is DROPPED and the read
+      // resumes after its terminating newline. The -16 slack keeps
+      // fragment + range strictly under Int.MaxValue.
+      val window = TailSource.MaxRangeBytes - 16
+      val effStart =
+        if (start == 0L) 0L
+        else {
+          val floor = math.max(0L, start - window)
+          val nl = lastNewlineBefore(f, start, floor)
+          if (nl >= 0) nl + 1
+          else if (floor == 0L) 0L
+          else {
+            val fw = firstNewlineIn(f, start, len)
+            if (fw < 0) return Iterator.empty // still inside the giant line
+            fw + 1
+          }
+        }
       f.seek(effStart)
       val buf = new Array[Byte]((len - effStart).toInt)
       f.readFully(buf)

@@ -5,21 +5,13 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.storage.StorageLevel
 
-/** Scratch A/B: q28 persist strategies. */
+/** Scratch A/B: q28 persist strategies. Uses the PRODUCTION shingle
+  * construction (Dedup.shingles) so the measurement cannot drift from
+  * the code it justifies.
+  */
 object Q28Variants {
-  private def shingleRows(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    graft.Tables.documents(s, d)
-      .select(col("doc_id"), posexplode(split(col("text"), " ")))
-      .withColumnRenamed("col", "t")
-      .select(col("doc_id"),
-        concat_ws(" ", col("t"), lead(col("t"), 1).over(w),
-          lead(col("t"), 2).over(w)).as("g"),
-        lead(col("t"), 2).over(w).isNotNull.as("complete"))
-      .filter(col("complete"))
-      .select(col("doc_id"), col("g"))
-      .distinct()
-  }
+  private def shingleRows(s: SparkSession, d: String): DataFrame =
+    graft.operators.Dedup.shingles(graft.Tables.documents(s, d))
 
   def q28(s: SparkSession, d: String, persistTri: Boolean, persistBanded: Boolean): DataFrame = {
     val P = 2147483647L

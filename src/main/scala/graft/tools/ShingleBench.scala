@@ -16,19 +16,11 @@ import org.apache.spark.sql.expressions.Window
   * shapes.
   */
 object ShingleBench {
-  def windowForm(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    graft.Tables.documents(s, d)
-      .select(col("doc_id"), posexplode(split(col("text"), " ")))
-      .withColumnRenamed("col", "t")
-      .select(col("doc_id"),
-        concat_ws(" ", col("t"), lead(col("t"), 1).over(w),
-          lead(col("t"), 2).over(w)).as("g"),
-        lead(col("t"), 2).over(w).isNotNull.as("complete"))
-      .filter(col("complete"))
-      .select(col("doc_id"), col("g"))
-      .distinct()
-  }
+  /** The production construction — measured straight from Dedup so the
+    * A/B cannot drift from the code it justifies.
+    */
+  def windowForm(s: SparkSession, d: String): DataFrame =
+    graft.operators.Dedup.shingles(graft.Tables.documents(s, d))
 
   def zipForm(s: SparkSession, d: String): DataFrame = {
     val a = split(col("text"), " ")

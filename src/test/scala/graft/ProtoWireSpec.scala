@@ -192,6 +192,13 @@ class ProtoWireSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(ProtoWire.encodeHttpStartStop(back), patched))
   }
 
+  test("negative enum codes (int32 bit-31 set) round-trip via placeholder names") {
+    val h = HttpStartStop(1L, 2L, Uuid(3L, 4L), "PEER_TYPE_-1", "METHOD_-5",
+      "u", "r", "a", 200, 5L, None, None, None, Nil)
+    val back = ProtoWire.decodeHttpStartStop(ProtoWire.encodeHttpStartStop(h))
+    assert(back === h)
+  }
+
   test("64-bit declared length throws instead of wrapping to a small int") {
     // field 1 (origin), wire type 2, declared length 2^32+5 as varint:
     // 85 80 80 80 10 — .toInt would wrap to 5 and silently misparse

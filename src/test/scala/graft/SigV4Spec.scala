@@ -59,6 +59,20 @@ class SigV4Spec extends AnyFunSuite {
     assert(a !== auth(body, "text/plain"))
   }
 
+  test("capitalized caller header keys collide with generated ones, never duplicate") {
+    val signed = SigV4.sign(
+      method = "GET", host = "example.amazonaws.com", path = "/",
+      query = Nil,
+      headers = Map("Host" -> "attacker.example", "X-Amz-Date" -> "19990101T000000Z"),
+      body = Array.emptyByteArray,
+      region = "us-east-1", service = "service",
+      creds = testCreds, now = testTime)
+    // generated values win; the canonical form carries each header once
+    assert(signed("host") === "example.amazonaws.com")
+    assert(signed("x-amz-date") === "20150830T123600Z")
+    assert(signed("Authorization").contains("SignedHeaders=host;x-amz-date,"))
+  }
+
   test("session token is signed as x-amz-security-token") {
     val signed = SigV4.sign(
       method = "GET", host = "example.amazonaws.com", path = "/",
