@@ -21,7 +21,7 @@ import org.apache.spark.storage.StorageLevel
   */
 object Dedup {
 
-  def defs: Seq[QueryDef] = Seq(q27, q28, q29, q30, q50)
+  def defs: Seq[QueryDef] = Seq(q27, q28, q29, q30, q50, q57)
 
   /** Shared: exact near-dup pair SQL (token-3-gram Jaccard ≥ 0.5) for the
     * DuckDB oracle. DuckDB 1.0 cannot lateral-join generate_series on a
@@ -321,5 +321,74 @@ object Dedup {
 
   val q50: QueryDef = QueryDef.checked("q50_neardup_dfcapped", nearDupOracle) {
     (s, d) => dfCappedNearDups(Tables.documents(s, d))
+  }
+
+  /** Connected components over near-dup pairs → dedup clusters: the last
+    * step of every near-dup pipeline (pairs alone don't dedup — A~B and
+    * B~C must collapse to ONE survivor). Iterative min-label propagation
+    * with an early-stop convergence check; iterations are bounded by the
+    * component diameter, which for near-dup graphs is tiny (dup clusters
+    * are cliques-ish). Each iteration is one join + one aggregate —
+    * at 100 TB you would switch to the alternating large-star/small-star
+    * algorithm (same primitive ops, O(log n) rounds on pathological
+    * chains); for dedup-shaped graphs plain propagation converges in a
+    * handful of rounds. Returns (doc_id, cluster_id, keep) where
+    * cluster_id = min doc id in the component and keep marks the
+    * survivor.
+    */
+  def dedupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id")).agg(min(col("label")).as("nlabel"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = updated.as("u")
+        .join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      labels = updated
+      converged = changed == 0
+      iter += 1
+    }
+    require(converged,
+      s"label propagation did not converge in $maxIters rounds — component " +
+        "diameter exceeds the bound; raise maxIters or use alternating stars")
+    edges.unpersist()
+    labels
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+        (col("id") === col("label")).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q57: dedup clusters over the exact near-dup pairs. The oracle
+    * computes the same components with a recursive reachability CTE
+    * (min reachable id == min-label fixpoint).
+    */
+  val q57: QueryDef = QueryDef.checked(
+    "q57_dedup_clusters",
+    s"""WITH RECURSIVE
+       |pairs AS ($nearDupOracle),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |walk(id, label) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.id)
+       |SELECT id AS doc_id, min(label) AS cluster_id,
+       |       min(label) = id AS keep
+       |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    dedupClusters(exactNearDups(Tables.documents(s, d)))
   }
 }
