@@ -47,4 +47,18 @@ class DedupDfCapSpec extends AnyFunSuite {
     assert(sim.contains((0L, 1L)))
     spark.catalog.clearCache()
   }
+
+  test("dedupClusters collapses transitive chains to one survivor") {
+    val s = spark
+    import s.implicits._
+    // components: {1,2,3,4} via a chain, {7,9}; 4-3-2-1 needs 3 hops
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 9L))
+      .toDF("doc_a", "doc_b")
+    val got = operators.Dedup.dedupClusters(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(got === Seq(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false), (4L, 1L, false),
+      (7L, 7L, true), (9L, 7L, false)))
+    spark.catalog.clearCache()
+  }
 }
