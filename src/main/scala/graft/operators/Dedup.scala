@@ -21,7 +21,7 @@ import org.apache.spark.storage.StorageLevel
   */
 object Dedup {
 
-  def defs: Seq[QueryDef] = Seq(q27, q28, q29, q30, q50, q57)
+  def defs: Seq[QueryDef] = Seq(q27, q28, q29, q30, q50, q57, q58)
 
   /** Shared: exact near-dup pair SQL (token-3-gram Jaccard ≥ 0.5) for the
     * DuckDB oracle. DuckDB 1.0 cannot lateral-join generate_series on a
@@ -390,5 +390,60 @@ object Dedup {
        |       min(label) = id AS keep
        |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin) { (s, d) =>
     dedupClusters(exactNearDups(Tables.documents(s, d)))
+  }
+
+  /** Benchmark decontamination: n-gram CONTAINMENT of each benchmark doc
+    * inside each training doc — |shingles(train) ∩ shingles(bench)| /
+    * |shingles(bench)| — the standard test-set-overlap check run before
+    * training. Asymmetric on purpose: a benchmark snippet fully quoted
+    * inside a long training doc has low Jaccard but containment ≈ 1,
+    * which is exactly the leak being hunted. Same bucketed equi-join
+    * shape as exactNearDups; the benchmark side is small → its shingle
+    * frame broadcasts.
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+      threshold: Double = 0.5): DataFrame = {
+    val trainG = shingles(corpus)
+    val benchG = shingles(benchmark)
+      .select(col("doc_id").as("bench_id"), col("g"))
+    val benchSizes = benchG.groupBy(col("bench_id")).agg(count(lit(1)).as("nb"))
+    val inter = trainG.join(benchG, "g")
+      .groupBy(col("doc_id"), col("bench_id")).agg(count(lit(1)).as("inter"))
+    inter.join(benchSizes, "bench_id")
+      .select(col("doc_id"), col("bench_id"),
+        (col("inter").cast("double") / col("nb")).as("containment"))
+      .filter(col("containment") >= threshold)
+      .orderBy(col("doc_id"), col("bench_id"))
+  }
+
+  /** q58: decontamination demo — every 10th document plays the benchmark
+    * set, the rest the training corpus; planted near-dup twins surface
+    * as containment hits.
+    */
+  val q58: QueryDef = QueryDef.checked(
+    "q58_decontamination",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS t,
+      |         generate_subscripts(string_split(text, ' '), 1) AS pos
+      |  FROM documents),
+      |tri AS (
+      |  SELECT DISTINCT doc_id, t || ' ' || lead(t) OVER w || ' ' || lead(t, 2) OVER w AS g
+      |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+      |  QUALIFY lead(t, 2) OVER w IS NOT NULL),
+      |train AS (SELECT * FROM tri WHERE doc_id % 10 <> 0),
+      |bench AS (SELECT doc_id AS bench_id, g FROM tri WHERE doc_id % 10 = 0),
+      |sizes AS (SELECT bench_id, count(*) AS nb FROM bench GROUP BY bench_id),
+      |inter AS (
+      |  SELECT t.doc_id, b.bench_id, count(*) AS inter
+      |  FROM train t JOIN bench b ON t.g = b.g
+      |  GROUP BY 1, 2)
+      |SELECT i.doc_id, i.bench_id, i.inter * 1.0 / s.nb AS containment
+      |FROM inter i JOIN sizes s ON i.bench_id = s.bench_id
+      |WHERE i.inter * 1.0 / s.nb >= 0.5
+      |ORDER BY i.doc_id, i.bench_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    decontaminate(
+      docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0))
   }
 }
