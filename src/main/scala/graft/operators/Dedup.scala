@@ -23,20 +23,26 @@ object Dedup {
 
   def defs: Seq[QueryDef] = Seq(q27, q28, q29, q30, q50, q57, q58)
 
-  /** Shared: exact near-dup pair SQL (token-3-gram Jaccard ≥ 0.5) for the
-    * DuckDB oracle. DuckDB 1.0 cannot lateral-join generate_series on a
-    * column, so shingles are built with window `lead` over unnested
-    * tokens — semantically identical to Spark's transform(sequence(...)).
+  /** Shared oracle CTE: distinct token-trigram shingles per document —
+    * the SQL twin of [[shingles]], used by every shingle-based oracle
+    * (near-dup, clusters, decontamination) so the definition cannot
+    * desynchronize between them. DuckDB 1.0 cannot lateral-join
+    * generate_series on a column, so shingles are built with window
+    * `lead` over unnested tokens.
     */
-  private val nearDupOracle: String =
-    """WITH tok AS (
+  private val shingleCte: String =
+    """tok AS (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS t,
       |         generate_subscripts(string_split(text, ' '), 1) AS pos
       |  FROM documents),
       |tri AS (
       |  SELECT DISTINCT doc_id, t || ' ' || lead(t) OVER w || ' ' || lead(t, 2) OVER w AS g
       |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
-      |  QUALIFY lead(t, 2) OVER w IS NOT NULL),
+      |  QUALIFY lead(t, 2) OVER w IS NOT NULL)""".stripMargin
+
+  /** Exact near-dup pair SQL (token-3-gram Jaccard ≥ 0.5). */
+  private val nearDupOracle: String =
+    s"""WITH $shingleCte,
       |pair AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
       |  FROM tri a JOIN tri b ON a.g = b.g AND a.doc_id < b.doc_id
@@ -402,12 +408,18 @@ object Dedup {
     * frame broadcasts.
     */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, persistShingles: Boolean = true): DataFrame = {
     val trainG = shingles(corpus)
-    val benchG = shingles(benchmark)
+    // the benchmark shingle frame feeds TWO subtrees (sizes + the
+    // containment join) — persist it per the module cache contract (see
+    // minhashNearDups) and broadcast the join side: benchmark sets are
+    // small by definition
+    val benchG0 = shingles(benchmark)
       .select(col("doc_id").as("bench_id"), col("g"))
+    val benchG = if (persistShingles)
+      benchG0.persist(StorageLevel.MEMORY_AND_DISK) else benchG0
     val benchSizes = benchG.groupBy(col("bench_id")).agg(count(lit(1)).as("nb"))
-    val inter = trainG.join(benchG, "g")
+    val inter = trainG.join(broadcast(benchG), "g")
       .groupBy(col("doc_id"), col("bench_id")).agg(count(lit(1)).as("inter"))
     inter.join(benchSizes, "bench_id")
       .select(col("doc_id"), col("bench_id"),
@@ -422,14 +434,7 @@ object Dedup {
     */
   val q58: QueryDef = QueryDef.checked(
     "q58_decontamination",
-    """WITH tok AS (
-      |  SELECT doc_id, unnest(string_split(text, ' ')) AS t,
-      |         generate_subscripts(string_split(text, ' '), 1) AS pos
-      |  FROM documents),
-      |tri AS (
-      |  SELECT DISTINCT doc_id, t || ' ' || lead(t) OVER w || ' ' || lead(t, 2) OVER w AS g
-      |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
-      |  QUALIFY lead(t, 2) OVER w IS NOT NULL),
+    s"""WITH $shingleCte,
       |train AS (SELECT * FROM tri WHERE doc_id % 10 <> 0),
       |bench AS (SELECT doc_id AS bench_id, g FROM tri WHERE doc_id % 10 = 0),
       |sizes AS (SELECT bench_id, count(*) AS nb FROM bench GROUP BY bench_id),

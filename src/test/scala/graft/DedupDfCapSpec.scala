@@ -45,6 +45,14 @@ class DedupDfCapSpec extends AnyFunSuite {
     assert(pairs(operators.Dedup.dfCappedNearDups(corpus)) === exact)
     val sim = pairs(operators.Dedup.simhashNearDups(corpus))
     assert(sim.contains((0L, 1L)))
+
+    // decontamination: doc 0 (the benchmark) is nearly contained in its
+    // near-dup twin doc 1 and in nothing else
+    val hits = operators.Dedup
+      .decontaminate(corpus.filter($"doc_id" =!= 0L),
+        corpus.filter($"doc_id" === 0L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits === Set((1L, 0L)))
     spark.catalog.clearCache()
   }
 
