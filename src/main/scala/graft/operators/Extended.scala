@@ -127,15 +127,22 @@ object Extended {
     * identical in both engines. The builtin stddev/corr aggregate doubles
     * in partition order and can never hash-match — this is the
     * deterministic route to the same statistics.
+    *
+    * Derived outputs are ROUNDED (identically on both sides) well above
+    * double-ulp scale: once a moment sum exceeds 2^53 (sf≥0.1 for Σx²)
+    * its decimal→double cast rounds, and the two engines' conversions
+    * can land 1 ulp apart — observed only in the correlation's 16th
+    * digit at sf0.1; the rounding grids (4–12 dp vs values of 1e-3..1e9)
+    * absorb it.
     */
   val q45: QueryDef = QueryDef.checked(
     "q45_moment_stats",
     """SELECT o_orderstatus, n,
-      | sx / n AS mean_price,
-      | (sxx - sx * sx / n) / (n - 1) AS var_price,
-      | sqrt((sxx - sx * sx / n) / (n - 1)) AS std_price,
-      | (n * sxy - sx * sy) /
-      |   (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_price_cust
+      | ROUND(sx / n, 6) AS mean_price,
+      | ROUND((sxx - sx * sx / n) / (n - 1), 4) AS var_price,
+      | ROUND(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS std_price,
+      | ROUND((n * sxy - sx * sy) /
+      |   (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 12) AS corr_price_cust
       |FROM (
       |  SELECT o_orderstatus, COUNT(*) AS n,
       |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sx,
@@ -157,12 +164,15 @@ object Extended {
         sum((col("o_totalprice") * col("o_custkey")).cast(DecimalType(38, 2)))
           .cast("double").as("sxy"))
     inner.select(col("o_orderstatus"), col("n"),
-        (col("sx") / col("n")).as("mean_price"),
-        ((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("var_price"),
-        sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("std_price"),
-        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+        round(col("sx") / col("n"), 6).as("mean_price"),
+        round((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1), 4)
+          .as("var_price"),
+        round(sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)), 6)
+          .as("std_price"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
           (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
-            sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("corr_price_cust"))
+            sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 12)
+          .as("corr_price_cust"))
       .orderBy(col("o_orderstatus"))
   }
 
