@@ -351,6 +351,10 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var converged = false
     var iter = 0
+    // labels only ever DECREASE (least of old and neighbor-min), so the
+    // fixpoint test is "Σlabel unchanged" — one narrow aggregate over the
+    // cached tiny frame per round instead of a self-join diff
+    var labelSum = Option.empty[String]
     while (!converged && iter < maxIters) {
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "dst"), "dst")
@@ -359,12 +363,14 @@ object Dedup {
         .select(col("id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val changed = updated.as("u")
-        .join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).limit(1).count()
+      // decimal accumulator: a Long sum could overflow (ANSI: throw) on
+      // billions of large ids; the comparison only needs equality
+      val newSum = updated
+        .agg(sum(col("label").cast("decimal(38,0)"))).collect()(0).get(0).toString
       labels.unpersist()
       labels = updated
-      converged = changed == 0
+      converged = labelSum.contains(newSum)
+      labelSum = Some(newSum)
       iter += 1
     }
     require(converged,

@@ -59,6 +59,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("Window"), s"expected the ordered carry window:\n$plan")
   }
 
+  test("q58 decontamination broadcasts the benchmark shingle side") {
+    val plan = executedPlan("q58_decontamination")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark side should broadcast in the containment join:\n$plan")
+  }
+
   test("q47 IVF probes via broadcast of the tiny query side") {
     val plan = executedPlan("q47_ann_ivf_topk")
     assert(plan.contains("BroadcastHashJoin"),
