@@ -48,7 +48,16 @@ object Bench {
     val results = names.map { n =>
       val a = runOnce(n)
       val b = runOnce(n)
-      val best = if (a < 0) b else if (b < 0) a else math.min(a, b)
+      val best0 = if (a < 0) b else if (b < 0) a else math.min(a, b)
+      // Adaptive third pass: this host shows transient multi-x slowdowns
+      // from external contention; when the two passes disagree by >2×,
+      // both may have been hit — one more sample makes the reported min
+      // measure the code, not the neighbor.
+      val best =
+        if (a > 0 && b > 0 && math.max(a, b) > 2 * math.min(a, b)) {
+          val c = runOnce(n)
+          if (c > 0) math.min(best0, c) else best0
+        } else best0
       n -> best
     }
     val qs = results
