@@ -115,6 +115,55 @@ class TailSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  /** Property: under an arbitrary append-only workload (random files,
+    * random growth, random per-trigger admission caps, partial trailing
+    * lines) the source is EXACTLY-ONCE: the delivered multiset equals
+    * the complete lines written. The strongest net over the offset
+    * protocol — any committed-vs-read skew, fragment mishandling or
+    * starvation shows up as a diff.
+    */
+  test("property: random append-only workload delivers exactly-once") {
+    val rnd = new scala.util.Random(20260812L)
+    val root = Files.createTempDirectory("graft-tail")
+    val q = startTail(root,
+      extraOptions = Map(
+        "maxBytesPerFilePerBatch" -> "64",
+        "maxFilesPerTrigger" -> "2"),
+      name = "tailprop")
+    val written = scala.collection.mutable.ArrayBuffer[String]()
+    val partial = scala.collection.mutable.Map[java.nio.file.Path, String]()
+    try {
+      (0 until 15).foreach { round =>
+        (0 until 1 + rnd.nextInt(3)).foreach { _ =>
+          val f = root.resolve(s"f${rnd.nextInt(4)}.log")
+          val sb = new StringBuilder
+          // flush any previously-pending partial line for this file first
+          partial.remove(f).foreach { head =>
+            val tail = s"c$round-${rnd.nextInt(100)}"
+            sb.append(tail).append('\n')
+            written += (head + tail)
+          }
+          (0 until rnd.nextInt(4)).foreach { i =>
+            val line = s"r$round-$i-${rnd.alphanumeric.take(rnd.nextInt(30)).mkString}"
+            sb.append(line).append('\n')
+            written += line
+          }
+          if (rnd.nextBoolean()) { // leave a dangling partial line
+            val head = s"p$round-"
+            sb.append(head)
+            partial(f) = head
+          }
+          Files.writeString(f, sb.toString,
+            StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+        }
+        q.processAllAvailable()
+      }
+      val delivered = rows("tailprop").map(_._1)
+      assert(delivered.sorted === written.sorted.toSeq,
+        s"delivered ${delivered.size} vs written ${written.size}")
+    } finally q.stop()
+  }
+
   test("restart from checkpoint resumes mid-file: no loss, no duplicates") {
     val root = Files.createTempDirectory("graft-tail")
     val f = root.resolve("r.log")
