@@ -10,7 +10,12 @@ import org.apache.spark.sql.functions._
   *
   *   P1 line framing   → `text` source (one row per line; Spark strips the
   *                       trailing newline, the projection re-appends it for
-  *                       byte-exact protobuf parity — main.go:231 keeps it)
+  *                       byte-exact protobuf parity — main.go:231 keeps it).
+  *                       DELTA: Hadoop's line reader strips \r\n and lone
+  *                       \r too, so CRLF files re-frame as \n-terminated
+  *                       here; the graft-tail source splits on \n ONLY
+  *                       (keeping the \r in the payload) and is the
+  *                       byte-exact path for CRLF input.
   *   P2 envelope proj  → narrow `select` / typed map (fused by codegen)
   *   P3 proto encode   → ProtoWire in a typed map (no UDF-boxing per field)
   *   P4 partition key  → source file path column (main.go:346)
@@ -30,7 +35,12 @@ object EnvelopePipeline {
     if (pattern.isEmpty) None
     else pattern.indexOf("/**/") match {
       case -1 => None
-      case i  => Some((pattern.substring(0, i), pattern.substring(i + 4)))
+      case i =>
+        val (root, glob) = (pattern.substring(0, i), pattern.substring(i + 4))
+        // an empty root would throw at load(""), an empty glob silently
+        // matches nothing forever — both are invalid patterns, not
+        // watchable sources
+        if (root.isEmpty || glob.isEmpty) None else Some((root, glob))
     }
   }
 
@@ -86,29 +96,26 @@ object EnvelopePipeline {
     serialize(toEnvelopes(project(spark.read.textFile(paths: _*).toDF("value"), origin)))
   }
 
+  /** One implementation for both watch forms: the reader differs, the
+    * options (RecursiveLookup + basename glob) and projection are shared.
+    */
+  private def watch(load: (Map[String, String], String) => DataFrame,
+      pattern: String, origin: String): Option[DataFrame] =
+    parseWatchPattern(pattern).map { case (root, glob) =>
+      project(load(RecursiveLookup + ("pathGlobFilter" -> glob), root), origin)
+    }
+
   /** Streaming source over a watch pattern (S3/S5 semantics): Spark's file
     * source re-lists the glob every micro-batch — new files are discovered
     * exactly like the reference's 60s WatchDir rescan, with the listing
     * interval = trigger interval.
     */
   def stream(spark: SparkSession, pattern: String, origin: String): Option[DataFrame] =
-    parseWatchPattern(pattern).map { case (root, glob) =>
-      project(
-        spark.readStream.format("text")
-          .option("recursiveFileLookup", "true")
-          .option("pathGlobFilter", glob)
-          .load(root).toDF("value"),
-        origin)
-    }
+    watch((opts, root) => spark.readStream.format("text").options(opts)
+      .load(root).toDF("value"), pattern, origin)
 
   /** Batch form of the same watch semantics (used by specs and backfills). */
   def batchWatch(spark: SparkSession, pattern: String, origin: String): Option[DataFrame] =
-    parseWatchPattern(pattern).map { case (root, glob) =>
-      project(
-        spark.read.format("text")
-          .option("recursiveFileLookup", "true")
-          .option("pathGlobFilter", glob)
-          .load(root).toDF("value"),
-        origin)
-    }
+    watch((opts, root) => spark.read.format("text").options(opts)
+      .load(root).toDF("value"), pattern, origin)
 }

@@ -56,10 +56,15 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("wstart"), col("n"))
 
-  /** Session window (event-time gap) — streaming equivalent of q26. */
-  def sessionCounts(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+  /** Session window (event-time gap) — streaming equivalent of q26. The
+    * watermark defaults to the session gap: a lateness bound SHORTER than
+    * the gap would split sessions the gap semantics still allow, and a
+    * longer one holds needless state.
+    */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+      watermark: Option[String] = None): DataFrame =
     events
-      .withWatermark("ts", "30 minutes")
+      .withWatermark("ts", watermark.getOrElse(gap))
       .groupBy(col("user_id"), session_window(col("ts"), gap))
       .agg(count(lit(1)).as("n"))
       .select(col("user_id"), col("session_window.start").as("sstart"), col("n"))
@@ -198,23 +203,37 @@ class UserTotalsProcessor extends StatefulProcessor[Long, StreamEvent, UserSessi
   * (main.go:27-47,147-152) mapped onto StreamingQueryListener progress
   * events. Counters accumulate per query run; `snapshot` exposes them
   * under the reference's metric names.
+  *
+  * `queryName`: restrict accumulation to one named query — a session
+  * listener sees EVERY streaming query's progress, and with more than
+  * one running the per-instance counters would silently sum them all.
+  * None = accumulate everything (single-query apps, tests).
   */
-final class FirehoseMetricsListener(instance: String) extends StreamingQueryListener {
-  @volatile private var rowsIn = 0L
-  @volatile private var rowsPerSec = 0.0
-  @volatile private var batches = 0L
+final class FirehoseMetricsListener(
+    instance: String, queryName: Option[String] = None)
+    extends StreamingQueryListener {
+  // listener-bus delivery is single-threaded, but snapshot() readers race
+  // the updates — guard the trio so a scrape never sees a torn pair
+  private val lock = new Object
+  private var rowsIn = 0L
+  private var rowsPerSec = 0.0
+  private var batches = 0L
 
   override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
   override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
   override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
-    rowsIn += e.progress.numInputRows
-    rowsPerSec = e.progress.processedRowsPerSecond
-    batches += 1
+    if (queryName.forall(_ == e.progress.name)) lock.synchronized {
+      rowsIn += e.progress.numInputRows
+      rowsPerSec = e.progress.processedRowsPerSecond
+      batches += 1
+    }
   }
 
   /** Reference metric names, labeled by `system` = instance (main.go:32-46). */
-  def snapshot: Map[String, Double] = Map(
-    s"""firehose_to_kinesis_sent_count{system="$instance"}""" -> rowsIn.toDouble,
-    s"""firehose_to_kinesis_rows_per_sec{system="$instance"}""" -> rowsPerSec,
-    s"""firehose_to_kinesis_batches{system="$instance"}""" -> batches.toDouble)
+  def snapshot: Map[String, Double] = lock.synchronized {
+    Map(
+      s"""firehose_to_kinesis_sent_count{system="$instance"}""" -> rowsIn.toDouble,
+      s"""firehose_to_kinesis_rows_per_sec{system="$instance"}""" -> rowsPerSec,
+      s"""firehose_to_kinesis_batches{system="$instance"}""" -> batches.toDouble)
+  }
 }
