@@ -340,7 +340,13 @@ object Dedup {
     * chains); for dedup-shaped graphs plain propagation converges in a
     * handful of rounds. Returns (doc_id, cluster_id, keep) where
     * cluster_id = min doc id in the component and keep marks the
-    * survivor.
+    * survivor. An empty `pairs` frame returns an empty result (a clean
+    * corpus is not an error).
+    *
+    * Cache contract: the RETURNED frame is persisted (MEMORY_AND_DISK)
+    * and already materialized; every intermediate persist is released
+    * before return. Long-lived sessions should call
+    * `result.unpersist()` when done with it.
     */
   def dedupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -364,9 +370,13 @@ object Dedup {
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       // decimal accumulator: a Long sum could overflow (ANSI: throw) on
-      // billions of large ids; the comparison only needs equality
-      val newSum = updated
-        .agg(sum(col("label").cast("decimal(38,0)"))).collect()(0).get(0).toString
+      // billions of large ids; the comparison only needs equality. On an
+      // empty labels frame (clean corpus, no near-dup pairs) the global
+      // sum is NULL — treat as "0" so the loop converges to an empty
+      // result instead of NPEing.
+      val newSum = Option(updated
+        .agg(sum(col("label").cast("decimal(38,0)"))).collect()(0).get(0))
+        .map(_.toString).getOrElse("0")
       labels.unpersist()
       labels = updated
       converged = labelSum.contains(newSum)
@@ -376,11 +386,20 @@ object Dedup {
     require(converged,
       s"label propagation did not converge in $maxIters rounds — component " +
         "diameter exceeds the bound; raise maxIters or use alternating stars")
-    edges.unpersist()
-    labels
+    // Materialize the result BEFORE releasing the iteration caches so the
+    // returned frame is self-contained: the caller gets exactly one
+    // persisted frame (the result itself) and releases it with
+    // `result.unpersist()` — nothing else leaks per call. The frame is
+    // small by construction (only docs that appear in a near-dup pair).
+    val out = labels
       .select(col("id").as("doc_id"), col("label").as("cluster_id"),
         (col("id") === col("label")).as("keep"))
       .orderBy(col("doc_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    labels.unpersist()
+    edges.unpersist()
+    out
   }
 
   /** q57: dedup clusters over the exact near-dup pairs. The oracle

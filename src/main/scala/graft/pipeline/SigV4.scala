@@ -78,9 +78,12 @@ object SigV4 {
     // lowercase caller keys BEFORE merging: "Host"/"X-Amz-Date" from a
     // caller must collide with (not duplicate) the generated entries, or
     // the canonical request carries the header twice and the signature
-    // can never match
+    // can never match. Values are trimmed HERE — before both signing and
+    // the returned wire map — so signed == sent; trimming only in the
+    // canonical step would sign a value different from the transmitted
+    // one and guarantee SignatureDoesNotMatch on whitespace-padded input.
     val allHeaders: Map[String, String] =
-      headers.map { case (k, v) => k.toLowerCase -> v } ++
+      headers.map { case (k, v) => k.toLowerCase -> v.trim } ++
         Map("host" -> host, "x-amz-date" -> amzDate) ++
         creds.sessionToken.map("x-amz-security-token" -> _)
 

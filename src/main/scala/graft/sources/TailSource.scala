@@ -205,6 +205,14 @@ private[sources] class TailMicroBatchStream(
   // absent from the listing (driver-side; resets on query restart —
   // a restarted query just re-counts before evicting).
   private val absentTriggers = mutable.Map[String, Int]()
+  // Serialized start offset of the previous latestOffset() call. The
+  // absence counters advance only when the start offset ADVANCED since
+  // the last call — i.e. the previous batch actually committed.
+  // Re-plans/retries and dataless triggers re-invoke latestOffset with
+  // the same start; counting those would evict a vanished file's offset
+  // faster than the documented dropAbsentAfterTriggers bound (and a
+  // reappearing file would then be fully re-read → duplicates).
+  private var lastStartJson: String = null
 
   private def listing(): Seq[String] = {
     val now = System.nanoTime()
@@ -246,6 +254,9 @@ private[sources] class TailMicroBatchStream(
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val committed = start.asInstanceOf[TailOffset].offsets
+    val startJson = start.asInstanceOf[TailOffset].json()
+    val startAdvanced = lastStartJson == null || startJson != lastStartJson
+    lastStartJson = startJson
 
     var fileLimit = Int.MaxValue
     var byteLimit = Long.MaxValue
@@ -295,13 +306,18 @@ private[sources] class TailMicroBatchStream(
     // otherwise a rotating log directory grows the offset JSON forever.
     committed.foreach { case (p, c) =>
       if (!out.contains(p)) {
-        val n = absentTriggers.getOrElse(p, 0) + 1
+        // count an absence only when this call reflects real progress
+        // (startAdvanced); a retried/dataless trigger keeps the counter
+        val n = absentTriggers.getOrElse(p, 0) + (if (startAdvanced) 1 else 0)
         if (n < dropAbsentAfterTriggers) { out(p) = c; absentTriggers(p) = n }
         else absentTriggers.remove(p)
       }
     }
     val present = ordered.iterator.map(_._1).toSet
     absentTriggers.filterInPlace { case (p, _) => !present.contains(p) }
+    // The cursor moves whenever this call admitted data (lastAdmitted
+    // stays == rrCursor otherwise): a dataless trigger followed by a
+    // same-start trigger that DOES admit must still rotate fairness.
     rrCursor = lastAdmitted
     TailOffset(out.toMap)
   }

@@ -56,6 +56,31 @@ class DedupDfCapSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("dedupClusters on a clean corpus (no pairs) returns empty, not NPE") {
+    val s = spark
+    import s.implicits._
+    val noPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val got = operators.Dedup.dedupClusters(noPairs)
+    assert(got.columns.toSeq === Seq("doc_id", "cluster_id", "keep"))
+    assert(got.count() === 0L)
+    got.unpersist()
+    spark.catalog.clearCache()
+  }
+
+  test("dedupClusters releases every cache except the returned frame") {
+    val s = spark
+    import s.implicits._
+    spark.catalog.clearCache()
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val got = operators.Dedup.dedupClusters(pairs)
+    // exactly one persisted frame may remain: the result itself
+    val cached = spark.sparkContext.getPersistentRDDs
+    assert(cached.size <= 1,
+      s"leaked caches: ${cached.values.map(_.name).mkString(", ")}")
+    got.unpersist()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
   test("dedupClusters collapses transitive chains to one survivor") {
     val s = spark
     import s.implicits._

@@ -73,6 +73,25 @@ class SigV4Spec extends AnyFunSuite {
     assert(signed("Authorization").contains("SignedHeaders=host;x-amz-date,"))
   }
 
+  test("whitespace-padded header values: signed form == sent form") {
+    val padded = SigV4.sign(
+      method = "GET", host = "example.amazonaws.com", path = "/",
+      query = Nil, headers = Map("x-custom" -> "  v  "),
+      body = Array.emptyByteArray,
+      region = "us-east-1", service = "service",
+      creds = testCreds, now = testTime)
+    val clean = SigV4.sign(
+      method = "GET", host = "example.amazonaws.com", path = "/",
+      query = Nil, headers = Map("x-custom" -> "v"),
+      body = Array.emptyByteArray,
+      region = "us-east-1", service = "service",
+      creds = testCreds, now = testTime)
+    // the wire map must carry the SAME value that was signed (trimmed):
+    // signing trimmed but sending padded guarantees SignatureDoesNotMatch
+    assert(padded("x-custom") === "v")
+    assert(padded("Authorization") === clean("Authorization"))
+  }
+
   test("session token is signed as x-amz-security-token") {
     val signed = SigV4.sign(
       method = "GET", host = "example.amazonaws.com", path = "/",

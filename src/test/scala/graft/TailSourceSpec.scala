@@ -222,6 +222,14 @@ class TailSourceSpec extends AnyFunSuite {
       q.processAllAvailable()
       assert(latestOffsetJson().contains("dead.log"))
       Files.delete(dead)
+      // Idle triggers (no committed progress) must NOT advance the
+      // absence counter: with the continuous trigger, latestOffset fires
+      // many times per second here, and per-call counting would evict
+      // dead.log within milliseconds of deletion even with no batch
+      // committing (the ADVICE r2 retry/dataless-trigger bug).
+      (0 until 5).foreach { _ => Thread.sleep(50); q.processAllAvailable() }
+      assert(latestOffsetJson().contains("dead.log"),
+        "absence counter advanced without committed progress")
       // each append forces a new non-empty batch; after ≥2 absent
       // triggers the dead entry must leave the committed offset
       (0 until 4).foreach { i =>
