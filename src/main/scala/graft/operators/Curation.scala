@@ -1,0 +1,169 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Corpus-curation operators, round 3: per-document distinctive terms
+  * (TF-IDF ranking), temperature-scaled language mixing (the sampling
+  * scheme multilingual training mixes use), and winnowing document
+  * fingerprints (the classic local-fingerprint scheme from the MOSS
+  * plagiarism detector — Schleimer, Wilkerson, Aiken, SIGMOD 2003).
+  *
+  * Determinism contract (oracle parity): every floating-point value that
+  * influences output ordering or filtering is produced by a SINGLE
+  * correctly-rounded IEEE operation on identical operands in both
+  * engines (one division, or one division + one sqrt) — never an
+  * accumulated sum — so the DuckDB compare is bit-exact. Outputs
+  * themselves carry only integers/strings.
+  */
+object Curation {
+
+  def defs: Seq[QueryDef] = Seq(q59, q60, q61)
+
+  /** Top-`k` distinctive terms per document, ranked by tf/df (document
+    * frequency as the rarity signal — the idf log is monotonic in 1/df,
+    * so ranking by tf/df orders identically to tf·idf for fixed tf and
+    * avoids cross-engine log() differences). Three shuffles at scale:
+    * tf groupBy (doc_id, term), df groupBy (term), and the per-doc
+    * window — all key-partitioned with map-side partial aggregation;
+    * the df (vocabulary) side of the join is left unhinted so AQE
+    * broadcasts it only when it actually fits.
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("term"))
+    val tf = tok.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tok.groupBy(col("term"))
+      .agg(count_distinct(col("doc_id")).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy((col("tf").cast("double") / col("df")).desc, col("term"))
+    tf.join(dfreq, "term")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rnk"))
+  }
+
+  val q59: QueryDef = QueryDef.checked(
+    "q59_tfidf_terms",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+      |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+      |ranked AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+      |    row_number() OVER (PARTITION BY tf.doc_id
+      |      ORDER BY tf.tf * 1.0 / df.df DESC, tf.term) AS rnk
+      |  FROM tf JOIN df USING (term))
+      |SELECT doc_id, term, tf, df, rnk FROM ranked WHERE rnk <= 3
+      |ORDER BY doc_id, rnk""".stripMargin) { (s, d) =>
+    tfidfTopTerms(Tables.documents(s, d))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
+  /** Temperature-scaled sampling across groups (α = 0.5): group g keeps
+    * each row with probability sqrt(n_min / n_g), so the kept-count
+    * ratio between groups moves from n_g/n_h toward sqrt(n_g/n_h) —
+    * the standard flattening multilingual training mixes apply so
+    * high-resource languages don't drown the tail. Deterministic: the
+    * keep decision hashes the row id (md5 fraction in [0,1)), not
+    * rand(), so the sample is reproducible across engines and runs.
+    * α=0.5 keeps the rate computation to one division + one sqrt (both
+    * correctly-rounded IEEE → bit-identical in the oracle); other α
+    * would need pow(), whose libm rounding is engine-specific.
+    *
+    * Scale shape: one tiny groupBy (n groups ≈ #languages), a broadcast
+    * of the rate table, and a stateless per-row filter — no shuffle of
+    * the corpus itself.
+    */
+  def temperatureSample(df: DataFrame, group: String, idCol: String): DataFrame = {
+    val counts = df.groupBy(col(group)).agg(count(lit(1)).as("n"))
+    val minN = counts.agg(min(col("n")).as("min_n"))
+    val rates = counts.crossJoin(broadcast(minN))
+      .withColumn("r", sqrt(col("min_n").cast("double") / col("n")))
+    val frac = df.withColumn("f",
+      conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast("long") / lit(4294967296.0))
+    frac.join(broadcast(rates), group).filter(col("f") < col("r"))
+  }
+
+  val q60: QueryDef = QueryDef.checked(
+    "q60_temperature_mix",
+    """WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+      |rates AS (
+      |  SELECT lang, n, sqrt((SELECT min(n) FROM counts) * 1.0 / n) AS r
+      |  FROM counts),
+      |frac AS (
+      |  SELECT doc_id, lang,
+      |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |      / 4294967296.0 AS f
+      |  FROM documents)
+      |SELECT f.doc_id, f.lang, r.n AS lang_n
+      |FROM frac f JOIN rates r USING (lang)
+      |WHERE f.f < r.r ORDER BY f.doc_id""".stripMargin) { (s, d) =>
+    temperatureSample(Tables.documents(s, d), "lang", "doc_id")
+      .select(col("doc_id"), col("lang"), col("n").as("lang_n"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Winnowing fingerprints (robust local document fingerprinting):
+    * hash every `k`-token shingle, slide a window of `w` consecutive
+    * shingle hashes, record the minimum of each complete window, and
+    * keep the distinct minima per document. Guarantees: any shared run
+    * of ≥ w+k-1 tokens between two documents yields at least one shared
+    * fingerprint, while storing only ~2/(w+1) of all shingle hashes —
+    * the sparse index plagiarism/near-dup detectors build at corpus
+    * scale. Hash = first 60 bits of md5 (computable in any engine, so
+    * the whole pipeline is oracle-checkable — unlike the rolling
+    * PolyHash in q49, which trades portability for codegen speed).
+    *
+    * Scale shape: one shuffle (doc_id) feeding BOTH windows — Catalyst
+    * evaluates the shingle-assembly window and the min-of-window over
+    * the same (doc_id, pos) sort, then a distinct keyed on (doc_id, fp).
+    */
+  def winnowFingerprints(docs: DataFrame, k: Int = 4, w: Int = 4): DataFrame = {
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val tok = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).as("n_tok"),
+        posexplode(split(col("text"), " ")))
+      .withColumnRenamed("col", "t")
+    val sh = tok
+      .withColumn("g", concat_ws(" ",
+        col("t") +: (1 until k).map(i => lead(col("t"), i).over(wOrd)): _*))
+      .filter(col("pos") <= col("n_tok") - k) // complete shingles only
+      .select(col("doc_id"), col("pos"),
+        (col("n_tok") - (k - 1)).as("n_sh"),
+        conv(substring(md5(col("g").cast("binary")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+    val wWin = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    sh.withColumn("fp", min(col("h")).over(wWin))
+      .filter(col("pos") <= col("n_sh") - w) // complete windows only
+      .select(col("doc_id"), col("fp"))
+      .distinct()
+  }
+
+  val q61: QueryDef = QueryDef.checked(
+    "q61_winnow_fingerprint",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |pos AS (
+      |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 3)) AS i
+      |  FROM t),
+      |sh AS (
+      |  SELECT doc_id, i AS pos,
+      |    ('0x' || substring(md5(array_to_string(toks[i:i+3], ' ')), 1, 15))::BIGINT AS h,
+      |    len(toks) - 3 AS n_sh
+      |  FROM pos),
+      |wmin AS (
+      |  SELECT doc_id, pos, n_sh,
+      |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+      |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      |  FROM sh)
+      |SELECT DISTINCT doc_id, fp FROM wmin WHERE pos <= n_sh - 3
+      |ORDER BY doc_id, fp""".stripMargin) { (s, d) =>
+    winnowFingerprints(Tables.documents(s, d))
+      .orderBy(col("doc_id"), col("fp"))
+  }
+}

@@ -21,7 +21,7 @@ import org.apache.spark.storage.StorageLevel
   */
 object Dedup {
 
-  def defs: Seq[QueryDef] = Seq(q27, q28, q29, q30, q50, q57, q58)
+  def defs: Seq[QueryDef] = Seq(q27, q28, q29, q30, q50, q57, q58, q62)
 
   /** Shared oracle CTE: distinct token-trigram shingles per document —
     * the SQL twin of [[shingles]], used by every shingle-based oracle
@@ -473,6 +473,74 @@ object Dedup {
       |ORDER BY i.doc_id, i.bench_id""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
     decontaminate(
+      docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0))
+  }
+
+  /** Bloom-prefiltered decontamination: build a Bloom filter over the
+    * benchmark shingle set (Spark's native Catalyst BloomFilterAggregate
+    * — the same machinery AQE's runtime row-group filtering injects) and
+    * filter the TRAINING shingle stream through BloomFilterMightContain
+    * before the containment join. Blooms have no false negatives, so
+    * every true intersection survives the prefilter and the result is
+    * IDENTICAL to [[decontaminate]] — which is exactly what the oracle
+    * checks (same SQL as q58).
+    *
+    * Why at 100 TB: the exact join shuffles the full training shingle
+    * stream on `g`; the bloom (a few MB for millions of benchmark
+    * shingles at 3% fpp) is evaluated map-side and discards the ~100%
+    * of training shingles that can't match BEFORE the shuffle. The one
+    * driver-side step — collecting the serialized bloom — is a single
+    * row, same class of legitimacy as collecting an IVF codebook.
+    */
+  def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame,
+      threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+
+    val trainG = shingles(corpus)
+    val benchG = shingles(benchmark)
+      .select(col("doc_id").as("bench_id"), col("g"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bloomAgg = GraftBridge.column(
+      new BloomFilterAggregate(new XxHash64(Seq(GraftBridge.expression(col("g")))))
+        .toAggregateExpression())
+    val bloomBytes = benchG.select(bloomAgg).head().getAs[Array[Byte]](0)
+    val mightContain = GraftBridge.column(new BloomFilterMightContain(
+      Literal(bloomBytes, BinaryType),
+      new XxHash64(Seq(GraftBridge.expression(col("g"))))))
+    val benchSizes = benchG.groupBy(col("bench_id")).agg(count(lit(1)).as("nb"))
+    val inter = trainG.filter(mightContain) // map-side prune before shuffle
+      .join(benchG, "g")
+      .groupBy(col("doc_id"), col("bench_id")).agg(count(lit(1)).as("inter"))
+    inter.join(benchSizes, "bench_id")
+      .select(col("doc_id"), col("bench_id"),
+        (col("inter").cast("double") / col("nb")).as("containment"))
+      .filter(col("containment") >= threshold)
+      .orderBy(col("doc_id"), col("bench_id"))
+  }
+
+  /** q62: bloom-prefiltered decontamination — same split and SAME oracle
+    * as q58; the bloom stage must be invisible in the result.
+    */
+  val q62: QueryDef = QueryDef.checked(
+    "q62_decon_bloom",
+    s"""WITH $shingleCte,
+      |train AS (SELECT * FROM tri WHERE doc_id % 10 <> 0),
+      |bench AS (SELECT doc_id AS bench_id, g FROM tri WHERE doc_id % 10 = 0),
+      |sizes AS (SELECT bench_id, count(*) AS nb FROM bench GROUP BY bench_id),
+      |inter AS (
+      |  SELECT t.doc_id, b.bench_id, count(*) AS inter
+      |  FROM train t JOIN bench b ON t.g = b.g
+      |  GROUP BY 1, 2)
+      |SELECT i.doc_id, i.bench_id, i.inter * 1.0 / s.nb AS containment
+      |FROM inter i JOIN sizes s ON i.bench_id = s.bench_id
+      |WHERE i.inter * 1.0 / s.nb >= 0.5
+      |ORDER BY i.doc_id, i.bench_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    decontaminateBloom(
       docs.filter(col("doc_id") % 10 =!= 0),
       docs.filter(col("doc_id") % 10 === 0))
   }

@@ -11,7 +11,7 @@ import org.apache.spark.sql.expressions.Window
   */
 object Scale {
 
-  def defs: Seq[QueryDef] = Seq(q47, q48)
+  def defs: Seq[QueryDef] = Seq(q47, q48, q63)
 
   /** Spherical k-means (Lloyd) on the driver over a bounded sample — the
     * standard way to train an IVF coarse quantizer (FAISS trains its
@@ -116,6 +116,140 @@ object Scale {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), VF.asDouble(col("embedding")).as("v"))
     ivfTopK(e)
+  }
+
+  /** Plain (L2) Lloyd k-means on the driver over a bounded sample —
+    * the per-subspace trainer for product quantization. Unlike the
+    * spherical variant above, centroids are member MEANS (subvectors
+    * don't live on the unit sphere even when the full vector does).
+    * Deterministic: seeded init, fixed iterations.
+    */
+  private[operators] def trainPqCodebook(
+      points: Array[Array[Double]], k: Int,
+      iters: Int = 10, seed: Long = 42L): Array[Array[Double]] = {
+    require(points.nonEmpty, "empty PQ training sample")
+    val rnd = new scala.util.Random(seed)
+    var centroids = rnd.shuffle(points.indices.toVector).take(k).map(points).toArray
+    while (centroids.length < k) centroids :+= points(rnd.nextInt(points.length))
+    val dim = points.head.length
+    (0 until iters).foreach { _ =>
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      points.foreach { p =>
+        var best = 0; var bestD = Double.PositiveInfinity; var c = 0
+        while (c < k) {
+          var d2 = 0.0; var i = 0
+          while (i < dim) { val t = p(i) - centroids(c)(i); d2 += t * t; i += 1 }
+          if (d2 < bestD) { bestD = d2; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += p(i); i += 1 }
+      }
+      centroids = Array.tabulate(k)(c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c)))
+    }
+    centroids
+  }
+
+  /** Product-quantization ANN with exact re-ranking: split each
+    * normalized vector into `m` subspaces, k-means each subspace on a
+    * driver-side sample (the PQ codebook — FAISS's IndexPQ trains the
+    * same way), encode every corpus vector as `m` small codes, score
+    * query↔corpus via asymmetric distance computation (query subvector ·
+    * centroid-of-code, summed over subspaces), keep the top `rerank`
+    * candidates per query, then re-rank those exactly.
+    *
+    * Why at 100 TB: the scored corpus representation is m bytes per
+    * vector (here 4 codes) instead of d floats — the candidate-scoring
+    * pass streams a table ~64× smaller than the embeddings, and the full
+    * vectors are touched only for `rerank` rows per query (an equi-join
+    * on vec_id). Encoding is one stateless map over the corpus.
+    *
+    * Result contract: approximate by nature → rows-only in the driver
+    * gate; ScaleSpec pins recall@topK against the exact brute force.
+    */
+  def pqTopK(
+      e: org.apache.spark.sql.DataFrame, nQueries: Int = 5, topK: Int = 10,
+      m: Int = 8, codebookSize: Int = 16, rerank: Int = 64,
+      sampleCap: Int = 2048): org.apache.spark.sql.DataFrame = {
+    def l2normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) v else v.map(_ / n)
+    }
+    val n = e.count()
+    val step = math.max(1L, n / sampleCap)
+    val sample = e.filter(col("vec_id") % step === 0)
+      .orderBy(col("vec_id")).collect()
+      .map(r => l2normalize(r.getSeq[Double](1).toArray))
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    val books: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
+      trainPqCodebook(sample.map(_.slice(j * sub, (j + 1) * sub)), codebookSize)
+    }
+
+    // normalized vector column (cosine == dot after normalization)
+    def withNorm(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("nrm", VF.norm(col("v")))
+      .withColumn("vn", transform(col("v"), x => x / col("nrm")))
+
+    // encode: per subspace, argmin_c ||x - c||² == argmax_c (x·c - ||c||²/2)
+    def codeCol(j: Int): org.apache.spark.sql.Column = {
+      val subv = slice(col("vn"), j * sub + 1, sub)
+      val scored = (0 until codebookSize).map { c =>
+        val cv = books(j)(c)
+        val half = cv.map(x => x * x).sum / 2.0
+        struct((VF.dot(subv, typedLit(cv.toSeq)) - lit(half)).as("s"),
+          lit(c).as("cid"))
+      }
+      element_at(array_sort(array(scored: _*)), -1).getField("cid")
+    }
+    val codes = withNorm(e)
+      .select(col("vec_id").as("neighbor_id") +:
+        (0 until m).map(j => codeCol(j).as(s"c$j")): _*)
+
+    val queries = withNorm(e.filter(col("vec_id") < nQueries))
+      .select(col("vec_id").as("query_id"), col("vn").as("vq"))
+
+    // ADC: approx dot = Σ_j  q_subj · centroid_j[code_j]
+    val approx = (0 until m).map { j =>
+      VF.dot(slice(col("vq"), j * sub + 1, sub),
+        element_at(typedLit(books(j).map(_.toSeq).toSeq), col(s"c$j") + 1))
+    }.reduce(_ + _)
+    val wApprox = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("neighbor_id"))
+    val cand = codes.join(broadcast(queries),
+        col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc", approx)
+      .withColumn("crnk", row_number().over(wApprox))
+      .filter(col("crnk") <= rerank)
+      .select(col("query_id"), col("vq"), col("neighbor_id"))
+
+    // exact re-rank of the surviving candidates only
+    val wExact = Window.partitionBy(col("query_id"))
+      .orderBy(col("cs").desc, col("neighbor_id"))
+    cand.join(withNorm(e).select(col("vec_id").as("neighbor_id"),
+        col("vn").as("vc")), "neighbor_id")
+      .withColumn("cs", VF.dot(col("vq"), col("vc")))
+      .withColumn("rnk", row_number().over(wExact))
+      .filter(col("rnk") <= topK)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        round(col("cs"), 6).as("cos_sim"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** PQ ANN as a catalog query: 8 subspaces × 16 centroids over the
+    * 64-dim embeddings table (8 dims per subspace — the standard PQ
+    * sizing), 64-candidate exact re-rank. Rows-only (codebook is
+    * engine-defined); ScaleSpec pins recall@10 vs brute force.
+    */
+  val q63: QueryDef = QueryDef.rowsOnly("q63_ann_pq_topk") { (s, d) =>
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), VF.asDouble(col("embedding")).as("v"))
+    pqTopK(e)
   }
 
   /** Skew-mitigated join via salting, oracle-checked: the join key

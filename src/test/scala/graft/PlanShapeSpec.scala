@@ -45,6 +45,12 @@ class PlanShapeSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("q62 bloom prefilter sits in the scan stage, before the shuffle") {
+    val plan = executedPlan("q62_decon_bloom")
+    assert(plan.contains("might_contain"),
+      s"training shingles must pass BloomFilterMightContain before the join:\n$plan")
+  }
+
   test("q52 interval range join is a hash join, not a nested loop") {
     val plan = executedPlan("q52_interval_range_join")
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
