@@ -21,7 +21,7 @@ import org.apache.spark.storage.StorageLevel
   */
 object Dedup {
 
-  def defs: Seq[QueryDef] = Seq(q27, q28, q29, q30, q50, q57, q58, q62)
+  def defs: Seq[QueryDef] = Seq(q27, q28, q29, q30, q50, q57, q58, q62, q65)
 
   /** Shared oracle CTE: distinct token-trigram shingles per document —
     * the SQL twin of [[shingles]], used by every shingle-based oracle
@@ -365,6 +365,10 @@ object Dedup {
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id")).agg(min(col("label")).as("nlabel"))
+      // persist (not checkpoint): lineage doubles per round, but this
+      // variant is for dup-shaped graphs that converge in a handful of
+      // rounds (require(converged) caps the growth); deep graphs belong
+      // to dedupClustersStars, which checkpoints.
       val updated = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
@@ -398,6 +402,103 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     out.count()
     labels.unpersist()
+    edges.unpersist()
+    out
+  }
+
+  /** Connected components via alternating large-star / small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014) — the 100 TB upgrade of [[dedupClusters]]: O(log n)
+    * rounds on ANY graph shape, including the pathological long chains
+    * where plain min-label propagation needs diameter rounds. Each round
+    * is two groupBy-join passes over the edge frame; edges only ever
+    * point "downhill" toward smaller ids, and at the fixpoint every node
+    * holds exactly one edge to its component minimum (a star).
+    *
+    * large-star: every node links its strictly-larger neighbors to the
+    * minimum of its closed neighborhood. small-star: orienting edges
+    * large→small, every node links its smaller neighbors (and itself) to
+    * that minimum. Both preserve connectivity; alternating them
+    * contracts any component to a star in logarithmic rounds.
+    *
+    * Same result contract as [[dedupClusters]]: (doc_id, cluster_id,
+    * keep), empty input → empty output, the RETURNED frame is persisted
+    * and materialized (release with `result.unpersist()`). Per-round
+    * edge frames are localCheckpoint'd (lineage must be truncated —
+    * each round references its input ~6 times, so plans would grow
+    * exponentially); their blocks are reclaimed by the ContextCleaner
+    * as the loop drops references, and on a cluster a lost executor
+    * fails the in-flight job (re-run) — the standard localCheckpoint
+    * trade every iterative graph algorithm on Spark makes (set a
+    * reliable checkpoint dir instead if executors are preemptible).
+    */
+  def dedupClustersStars(pairs: DataFrame, maxIters: Int = 30): DataFrame = {
+    var edges = pairs
+      .select(greatest(col("doc_a"), col("doc_b")).as("a"),
+        least(col("doc_a"), col("doc_b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val both = e.select(col("a").as("x"), col("b").as("y"))
+        .unionAll(e.select(col("b").as("x"), col("a").as("y")))
+      val mins = both.groupBy(col("x"))
+        .agg(min(col("y")).as("mn"))
+        .select(col("x"), least(col("mn"), col("x")).as("m"))
+      both.join(mins, "x").filter(col("y") > col("x"))
+        .select(col("y").as("a"), col("m").as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      // edges are kept oriented a > b, so grouping by a sees all
+      // smaller neighbors; m = min neighbor (< a by orientation)
+      val mins = e.groupBy(col("a")).agg(min(col("b")).as("m"))
+      val linkNeighbors = e.join(mins, "a")
+        .select(col("b").as("n"), col("m"))
+      val linkSelf = mins.select(col("a").as("n"), col("m"))
+      linkNeighbors.unionAll(linkSelf)
+        .filter(col("n") =!= col("m"))
+        .select(greatest(col("n"), col("m")).as("a"),
+          least(col("n"), col("m")).as("b"))
+        .distinct()
+    }
+
+    var converged = false
+    var iter = 0
+    var sig = Option.empty[(Long, String)]
+    while (!converged && iter < maxIters) {
+      // localCheckpoint (not persist): one round references its input
+      // frame ~6 times, so the LOGICAL plan would grow ~6× per round and
+      // the analyzer — not the data — becomes the bottleneck after a
+      // handful of iterations. Checkpointing truncates lineage each
+      // round; eager=true materializes it as this round's action.
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      // fixpoint = identical edge set; (count, Σhash) over the canonical
+      // oriented-distinct frame identifies it (decimal sum: overflow-safe
+      // under ANSI at any edge count)
+      val row = next.agg(count(lit(1)),
+        sum(hash(col("a"), col("b")).cast("decimal(38,0)"))).head()
+      val newSig = (row.getLong(0),
+        Option(row.get(1)).map(_.toString).getOrElse("0"))
+      edges.unpersist()
+      edges = next
+      converged = sig.contains(newSig)
+      sig = Some(newSig)
+      iter += 1
+    }
+    require(converged,
+      s"star contraction did not converge in $maxIters rounds")
+    val children = edges.select(col("a").as("doc_id"), col("b").as("cluster_id"))
+    val roots = edges.select(col("b").as("doc_id")).distinct()
+      .join(children.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+    val out = children.unionByName(roots)
+      .select(col("doc_id"), col("cluster_id"),
+        (col("doc_id") === col("cluster_id")).as("keep"))
+      .orderBy(col("doc_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
     edges.unpersist()
     out
   }
@@ -520,6 +621,61 @@ object Dedup {
         (col("inter").cast("double") / col("nb")).as("containment"))
       .filter(col("containment") >= threshold)
       .orderBy(col("doc_id"), col("bench_id"))
+  }
+
+  /** Incremental near-dup: dedup a NEW batch against the existing
+    * corpus AND within itself — the daily-ingest shape (recrawled pages,
+    * new dumps) where re-running all-pairs dedup over the whole corpus
+    * per increment would be quadratic in total over time. Pairs are
+    * restricted to (earlier doc, new doc): the index side is never
+    * joined against itself. The new batch is small BY DEFINITION (an
+    * increment), so its shingle frame is the broadcast side — the full
+    * corpus shingle stream is scanned once and never shuffled on `g`.
+    * Result = exactNearDups(index ∪ new) minus the index-internal
+    * pairs, which is what the oracle checks.
+    */
+  def incrementalNearDups(index: DataFrame, newBatch: DataFrame,
+      threshold: Double = 0.5, persistShingles: Boolean = true): DataFrame = {
+    val allG0 = shingles(index.unionByName(newBatch))
+    val allG = if (persistShingles)
+      allG0.persist(StorageLevel.MEMORY_AND_DISK) else allG0
+    val newIds = newBatch.select(col("doc_id").as("doc_b"))
+    val newG = allG.join(broadcast(newIds),
+        allG("doc_id") === newIds("doc_b"))
+      .select(col("doc_b"), col("g"))
+    val sizes = allG.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = allG.join(broadcast(newG),
+        allG("g") === newG("g") && allG("doc_id") < newG("doc_b"))
+      .groupBy(allG("doc_id").as("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jac"))
+      .filter(col("jac") >= threshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** q65: incremental dedup demo — docs ≥ 400 play the new batch. */
+  val q65: QueryDef = QueryDef.checked(
+    "q65_incremental_dedup",
+    s"""WITH $shingleCte,
+      |pair AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |  FROM tri a JOIN tri b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  WHERE b.doc_id >= 400
+      |  GROUP BY 1, 2),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id)
+      |SELECT doc_a, doc_b, inter * 1.0 / (sa.n + sb.n - inter) AS jac
+      |FROM pair JOIN sizes sa ON doc_a = sa.doc_id
+      |          JOIN sizes sb ON doc_b = sb.doc_id
+      |WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    incrementalNearDups(
+      docs.filter(col("doc_id") < 400),
+      docs.filter(col("doc_id") >= 400))
   }
 
   /** q62: bloom-prefiltered decontamination — same split and SAME oracle

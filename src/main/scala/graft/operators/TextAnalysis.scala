@@ -3,6 +3,7 @@ package graft.operators
 import graft.{QueryDef, Tables}
 import graft.functions.{TextFunctions => TF}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Text-analysis operators over `documents`: language ID (stopword-profile
   * heuristic), quality scoring, token counting (whitespace + BPE-ish
@@ -12,7 +13,7 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  def defs: Seq[QueryDef] = Seq(q34, q35, q36, q37, q49)
+  def defs: Seq[QueryDef] = Seq(q34, q35, q36, q37, q49, q64)
 
   private val stopList = TF.StopWords.map(w => s"'$w'").mkString(", ")
 
@@ -103,6 +104,68 @@ object TextAnalysis {
     val fp = TF.fingerprint(col("text"))
     Tables.documents(s, d)
       .select(col("doc_id"), fp.as("fp"), substring(fp, 1, 2).as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Repetition statistics (the Gopher/MassiveText repetition filters):
+    * most-frequent-token share and duplicate-bigram fraction per
+    * document, plus the composite `repetitive` flag. Boilerplate, SEO
+    * spam, and templated pages score high on these long before any
+    * cross-document dedup sees them — this is the in-document
+    * complement to q27-q30. All counts are integers; the two ratios are
+    * single int/int double divisions, and the flag compares those
+    * identically-rounded doubles against the same constants in both
+    * engines — bit-exact. One token explode feeding three keyed
+    * aggregations (term counts, totals, bigram counts), all
+    * partial-agg'd map-side; no cross-document shuffle at any size.
+    */
+  val q64: QueryDef = QueryDef.checked(
+    "q64_repetition_stats",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text,' ')) AS t,
+      |         generate_subscripts(string_split(text,' '), 1) AS pos
+      |  FROM documents),
+      |tf AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1,2),
+      |top AS (SELECT doc_id, max(c) AS top_c FROM tf GROUP BY 1),
+      |ntok AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY 1),
+      |bi AS (
+      |  SELECT doc_id, t || ' ' || lead(t) OVER w AS g
+      |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+      |  QUALIFY lead(t) OVER w IS NOT NULL),
+      |bc AS (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY 1,2),
+      |rep AS (
+      |  SELECT doc_id,
+      |    CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup2,
+      |    CAST(sum(c) AS BIGINT) AS n2, max(c) AS max2
+      |  FROM bc GROUP BY 1)
+      |SELECT t.doc_id, n.n_tok, t.top_c, r.dup2, r.n2, r.max2,
+      |  t.top_c * 1.0 / n.n_tok AS top_share,
+      |  r.dup2 * 1.0 / r.n2 AS dup2_frac,
+      |  (t.top_c * 1.0 / n.n_tok > 0.2 OR r.dup2 * 1.0 / r.n2 > 0.5) AS repetitive
+      |FROM top t JOIN ntok n USING (doc_id) JOIN rep r USING (doc_id)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .withColumnRenamed("col", "t")
+    val tf = tok.groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+    val top = tf.groupBy(col("doc_id")).agg(max(col("c")).as("top_c"))
+    val ntok = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tok"))
+    val bc = tok
+      .withColumn("nx", lead(col("t"), 1).over(wOrd))
+      .filter(col("nx").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("t"), col("nx")).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+    val rep = bc.groupBy(col("doc_id")).agg(
+      sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup2"),
+      sum(col("c")).as("n2"), max(col("c")).as("max2"))
+    val topShare = col("top_c").cast("double") / col("n_tok")
+    val dup2Frac = col("dup2").cast("double") / col("n2")
+    top.join(ntok, "doc_id").join(rep, "doc_id")
+      .select(col("doc_id"), col("n_tok"), col("top_c"),
+        col("dup2"), col("n2"), col("max2"),
+        topShare.as("top_share"), dup2Frac.as("dup2_frac"),
+        (topShare > 0.2 || dup2Frac > 0.5).as("repetitive"))
       .orderBy(col("doc_id"))
   }
 

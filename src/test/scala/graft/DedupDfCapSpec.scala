@@ -94,4 +94,54 @@ class DedupDfCapSpec extends AnyFunSuite {
       (7L, 7L, true), (9L, 7L, false)))
     spark.catalog.clearCache()
   }
+
+  test("star-contraction clustering matches label propagation on real pairs") {
+    val pairs = operators.Dedup.exactNearDups(
+      graft.Tables.documents(spark, sf).select("doc_id", "text"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    val prop = rows(operators.Dedup.dedupClusters(pairs))
+    val stars = rows(operators.Dedup.dedupClustersStars(pairs))
+    assert(prop.nonEmpty)
+    assert(stars === prop)
+    spark.catalog.clearCache()
+  }
+
+  test("star contraction needs only O(log n) rounds on a 64-node chain") {
+    val s = spark
+    import s.implicits._
+    // diameter-63 chain: plain propagation needs 63 rounds; alternating
+    // stars must finish (converge + verify) within 10
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = operators.Dedup.dedupClustersStars(chain, maxIters = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.length === 64)
+    assert(got.forall(_._2 == 0L))
+    assert(got.count(_._3) === 1)
+    spark.catalog.clearCache()
+  }
+
+  test("incremental dedup equals full dedup minus index-internal pairs") {
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cut = 400L
+    val full = pairs(operators.Dedup.exactNearDups(docs))
+    val incr = pairs(operators.Dedup.incrementalNearDups(
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") < cut),
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") >= cut)))
+    assert(incr === full.filter(_._2 >= cut))
+    spark.catalog.clearCache()
+  }
+
+  test("star-contraction clustering on a clean corpus returns empty") {
+    val s = spark
+    import s.implicits._
+    val noPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val got = operators.Dedup.dedupClustersStars(noPairs)
+    assert(got.count() === 0L)
+    got.unpersist()
+    spark.catalog.clearCache()
+  }
 }
