@@ -20,7 +20,7 @@ import org.apache.spark.sql.expressions.Window
   */
 object Curation {
 
-  def defs: Seq[QueryDef] = Seq(q59, q60, q61)
+  def defs: Seq[QueryDef] = Seq(q59, q60, q61, q66)
 
   /** Top-`k` distinctive terms per document, ranked by tf/df (document
     * frequency as the rarity signal — the idf log is monotonic in 1/df,
@@ -143,6 +143,45 @@ object Curation {
       .filter(col("pos") <= col("n_sh") - w) // complete windows only
       .select(col("doc_id"), col("fp"))
       .distinct()
+  }
+
+  /** Sequence packing: assign documents to fixed token-budget bins (the
+    * context-window packing step that turns a curated corpus into
+    * training sequences). Deterministic greedy-by-id within each
+    * source: bin = cumulative-tokens-before ÷ budget, i.e. a document
+    * spills into the next bin when the running total crosses the
+    * budget. Packing is PER SOURCE on purpose — the global-order
+    * variant needs a total sort of the corpus; per-shard packing is one
+    * shuffle on the shard key and each partition packs independently,
+    * which is how it stays linear at 100 TB (shard further by date for
+    * very large sources).
+    */
+  def sequencePack(docs: DataFrame, budget: Int = 512,
+      shard: String = "source"): DataFrame = {
+    val w = Window.partitionBy(col(shard)).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col("doc_id"), col(shard),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("bin", expr(s"cum_before div $budget"))
+  }
+
+  val q66: QueryDef = QueryDef.checked(
+    "q66_sequence_pack",
+    """WITH t AS (
+      |  SELECT doc_id, source, len(string_split(text,' ')) AS n_tok
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, source, n_tok,
+      |    CAST(COALESCE(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS cum_before
+      |  FROM t)
+      |SELECT doc_id, source, n_tok, cum_before, cum_before // 512 AS bin
+      |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
+    sequencePack(Tables.documents(s, d)).orderBy(col("doc_id"))
   }
 
   val q61: QueryDef = QueryDef.checked(

@@ -352,8 +352,13 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // init = identity fused with the first propagation round: label(id)
+    // = min(id, min neighbor). Identical to one round from label=id, so
+    // convergence needs one fewer iteration (each saved round is a
+    // join+agg job pair — measurable when rounds are few).
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("mn"))
+      .select(col("id"), least(col("id"), col("mn")).as("label"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var converged = false
     var iter = 0
@@ -605,8 +610,14 @@ object Dedup {
     val benchG = shingles(benchmark)
       .select(col("doc_id").as("bench_id"), col("g"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // size the bloom from the REAL benchmark shingle count (the frame is
+    // persisted; the count is one cheap cached pass): the default sizing
+    // assumes 1M items → a ~1 MB filter that every task would
+    // deserialize from the plan, 16× larger than needed here
+    val nBench = benchG.count()
     val bloomAgg = GraftBridge.column(
-      new BloomFilterAggregate(new XxHash64(Seq(GraftBridge.expression(col("g")))))
+      new BloomFilterAggregate(new XxHash64(Seq(GraftBridge.expression(col("g")))),
+        math.max(1L, nBench))
         .toAggregateExpression())
     val bloomBytes = benchG.select(bloomAgg).head().getAs[Array[Byte]](0)
     val mightContain = GraftBridge.column(new BloomFilterMightContain(
@@ -628,11 +639,12 @@ object Dedup {
     * new dumps) where re-running all-pairs dedup over the whole corpus
     * per increment would be quadratic in total over time. Pairs are
     * restricted to (earlier doc, new doc): the index side is never
-    * joined against itself. The new batch is small BY DEFINITION (an
-    * increment), so its shingle frame is the broadcast side — the full
-    * corpus shingle stream is scanned once and never shuffled on `g`.
-    * Result = exactNearDups(index ∪ new) minus the index-internal
-    * pairs, which is what the oracle checks.
+    * joined against itself. The joins are UNHINTED on purpose: a daily
+    * increment's shingle frame usually fits a broadcast and AQE will
+    * choose one, but the increment size is caller-controlled, so
+    * forcing the hint would invert on a bulk backfill (the q28/q50
+    * lesson from round 1). Result = exactNearDups(index ∪ new) minus
+    * the index-internal pairs, which is what the oracle checks.
     */
   def incrementalNearDups(index: DataFrame, newBatch: DataFrame,
       threshold: Double = 0.5, persistShingles: Boolean = true): DataFrame = {
@@ -640,11 +652,11 @@ object Dedup {
     val allG = if (persistShingles)
       allG0.persist(StorageLevel.MEMORY_AND_DISK) else allG0
     val newIds = newBatch.select(col("doc_id").as("doc_b"))
-    val newG = allG.join(broadcast(newIds),
+    val newG = allG.join(newIds,
         allG("doc_id") === newIds("doc_b"))
       .select(col("doc_b"), col("g"))
     val sizes = allG.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = allG.join(broadcast(newG),
+    val inter = allG.join(newG,
         allG("g") === newG("g") && allG("doc_id") < newG("doc_b"))
       .groupBy(allG("doc_id").as("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"))
@@ -657,14 +669,18 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** q65: incremental dedup demo — docs ≥ 400 play the new batch. */
+  /** q65: incremental dedup demo — the newest 10% of the id range plays
+    * the new batch (scale-proportional: a fixed cut would make the "new
+    * batch" 92% of the corpus at sf0.1, inverting the increment shape).
+    */
   val q65: QueryDef = QueryDef.checked(
     "q65_incremental_dedup",
     s"""WITH $shingleCte,
+      |cut AS (SELECT (max(doc_id) + 1) * 9 // 10 AS c FROM documents),
       |pair AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
       |  FROM tri a JOIN tri b ON a.g = b.g AND a.doc_id < b.doc_id
-      |  WHERE b.doc_id >= 400
+      |  WHERE b.doc_id >= (SELECT c FROM cut)
       |  GROUP BY 1, 2),
       |sizes AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id)
       |SELECT doc_a, doc_b, inter * 1.0 / (sa.n + sb.n - inter) AS jac
@@ -673,9 +689,10 @@ object Dedup {
       |WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val cut = (docs.agg(max(col("doc_id"))).head().getLong(0) + 1L) * 9L / 10L
     incrementalNearDups(
-      docs.filter(col("doc_id") < 400),
-      docs.filter(col("doc_id") >= 400))
+      docs.filter(col("doc_id") < cut),
+      docs.filter(col("doc_id") >= cut))
   }
 
   /** q62: bloom-prefiltered decontamination — same split and SAME oracle
