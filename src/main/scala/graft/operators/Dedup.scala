@@ -349,13 +349,18 @@ object Dedup {
     * `result.unpersist()` when done with it.
     */
   def dedupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    // Pre-partition the loop-INVARIANT edge frame on the per-round join
+    // key (dst): the cached partitioning satisfies every iteration's
+    // join distribution, so only the tiny labels frame moves per round —
+    // at any scale the big side is exchanged exactly once, here.
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .repartition(col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // init = identity fused with the first propagation round: label(id)
     // = min(id, min neighbor). Identical to one round from label=id, so
     // convergence needs one fewer iteration (each saved round is a
-    // join+agg job pair — measurable when rounds are few).
+    // join+agg job — measurable when rounds are few).
     var labels = edges.groupBy(col("src").as("id"))
       .agg(min(col("dst")).as("mn"))
       .select(col("id"), least(col("id"), col("mn")).as("label"))
@@ -367,16 +372,19 @@ object Dedup {
     // cached tiny frame per round instead of a self-join diff
     var labelSum = Option.empty[String]
     while (!converged && iter < maxIters) {
-      val neighborMin = edges
+      // one round = one join + one union-aggregate: neighbor labels flow
+      // src→dst-grouped messages, and unioning the previous labels into
+      // the min-aggregate replaces the old second (left) join — every
+      // node is present on the labels side, so nothing needs coalesce
+      val msgs = edges
         .join(labels.withColumnRenamed("id", "dst"), "dst")
-        .groupBy(col("src").as("id")).agg(min(col("label")).as("nlabel"))
+        .select(col("src").as("id"), col("label"))
       // persist (not checkpoint): lineage doubles per round, but this
       // variant is for dup-shaped graphs that converge in a handful of
       // rounds (require(converged) caps the growth); deep graphs belong
       // to dedupClustersStars, which checkpoints.
-      val updated = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+      val updated = msgs.unionByName(labels)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       // decimal accumulator: a Long sum could overflow (ANSI: throw) on
       // billions of large ids; the comparison only needs equality. On an
