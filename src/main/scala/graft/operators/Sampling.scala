@@ -12,7 +12,7 @@ import org.apache.spark.sql.expressions.Window
   */
 object Sampling {
 
-  def defs: Seq[QueryDef] = Seq(q53, q54, q55, q56)
+  def defs: Seq[QueryDef] = Seq(q53, q54, q55, q56, q67)
 
   /** Generic stratified sample: at most `k` rows per stratum, selected
     * by `hashOrder` (e.g. md5 of a content column) — deterministic,
@@ -72,6 +72,48 @@ object Sampling {
         min(col("len")).as("min_len"),
         max(col("len")).as("max_len"))
       .orderBy(col("bucket"))
+  }
+
+  /** Per-group EXACT quantiles of an expression — the cutoff-derivation
+    * pass behind every length/quality filter ("drop below p05 / above
+    * p95 per language"). Spark's `percentile` is the exact sort-based
+    * aggregate (not the approximate sketch q46 uses): one shuffle on the
+    * group key, per-group sort of the value multiset. At 100 TB exact
+    * per-group quantiles are fine when groups are few (languages,
+    * sources) — the per-group value lists are what sort, and those
+    * partition across the cluster; use q46's approx sketch when the
+    * GROUP count explodes. Interpolated values are rounded to 6 dp
+    * (cross-engine interpolation ulp — same class as q45's moment
+    * stats).
+    */
+  def groupQuantiles(df: org.apache.spark.sql.DataFrame, group: String,
+      value: org.apache.spark.sql.Column,
+      ps: Seq[Double]): org.apache.spark.sql.DataFrame = {
+    val aggs = ps.map(p => round(percentile(value, lit(p)), 6)
+      .as(s"p${(p * 100).round.toInt}"))
+    df.groupBy(col(group))
+      .agg(count(lit(1)).as("n"), aggs: _*)
+  }
+
+  /** q67: per-language token-length quantiles (p05/p50/p95) + range. */
+  val q67: QueryDef = QueryDef.checked(
+    "q67_group_quantiles",
+    """SELECT lang, count(*) AS n,
+      |  round(quantile_cont(len(string_split(text,' ')), 0.05), 6) AS p5,
+      |  round(quantile_cont(len(string_split(text,' ')), 0.5), 6) AS p50,
+      |  round(quantile_cont(len(string_split(text,' ')), 0.95), 6) AS p95,
+      |  min(len(string_split(text,' '))) AS lo,
+      |  max(len(string_split(text,' '))) AS hi
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+    val len = size(split(col("text"), " "))
+    Tables.documents(s, d)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        round(percentile(len, lit(0.05)), 6).as("p5"),
+        round(percentile(len, lit(0.5)), 6).as("p50"),
+        round(percentile(len, lit(0.95)), 6).as("p95"),
+        min(len).as("lo"), max(len).as("hi"))
+      .orderBy(col("lang"))
   }
 
   /** Text normalization → dedup: the pass that collapses case/whitespace
