@@ -205,6 +205,82 @@ object Dedup {
     (s, d) => minhashNearDups(Tables.documents(s, d))
   }
 
+  /** Banded MinHash signatures (doc_id, band, bsig) as a PERSISTENT
+    * dedup index: build once over the corpus, write to storage (bucket
+    * by (band, bsig) for shuffle-free candidate joins — see
+    * StorageLayoutSpec for the write recipe), then each ingest
+    * increment computes only its OWN signatures and joins them against
+    * the stored index — the corpus text is never re-shingled per
+    * increment. Same hash family/params as [[minhashNearDups]]
+    * (seed-deterministic: signatures built in different sessions
+    * match), so index-based results reproduce the one-shot pipeline's.
+    */
+  def minhashSignatures(docs: DataFrame, nPerm: Int = 64, bands: Int = 32,
+      seed: Long = 7L): DataFrame = {
+    val P = 2147483647L
+    val r = nPerm / bands
+    val rnd = new scala.util.Random(seed)
+    val aCoefs = Seq.fill(nPerm)(1L + rnd.nextLong(P - 1))
+    val bCoefs = Seq.fill(nPerm)(rnd.nextLong(P))
+    val hashed = shingles(docs)
+      .select(col("doc_id"), pmod(xxhash64(col("g")), lit(P)).as("h"))
+    val minCols = (0 until nPerm).map(i =>
+      min(pmod(lit(aCoefs(i)) * col("h") + lit(bCoefs(i)), lit(P))).as(s"m$i"))
+    hashed.groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"),
+        posexplode(array((0 until bands).map(j =>
+          xxhash64(array((j * r until (j + 1) * r).map(i => col(s"m$i")): _*))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bsig")
+  }
+
+  /** Candidate pairs of a FRESH batch against a prebuilt signature
+    * index, plus within-batch candidates — never index×index (that work
+    * was done when the index was built). Both joins are equi-joins on
+    * (band, bsig); output pairs are oriented doc_a < doc_b. Candidates
+    * only — run [[jaccardVerify]] on them.
+    */
+  def minhashCandidatesAgainst(indexSigs: DataFrame,
+      freshSigs: DataFrame): DataFrame = {
+    val xi = indexSigs.select(col("doc_id").as("ia"), col("band"), col("bsig"))
+    val yf = freshSigs.select(col("doc_id").as("ib"), col("band"), col("bsig"))
+    val cross = xi.join(yf, Seq("band", "bsig"))
+      .filter(col("ia") =!= col("ib"))
+      .select(least(col("ia"), col("ib")).as("doc_a"),
+        greatest(col("ia"), col("ib")).as("doc_b"))
+    val within = yf.as("x").join(yf.as("y"),
+        col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
+          col("x.ib") < col("y.ib"))
+      .select(col("x.ib").as("doc_a"), col("y.ib").as("doc_b"))
+    cross.unionByName(within).distinct()
+  }
+
+  /** Exact-Jaccard verification of arbitrary candidate pairs: shingles
+    * are computed only for documents that APPEAR in a pair (semi-join
+    * prune), so the verify cost scales with the candidate set, not the
+    * corpus. Returns (doc_a, doc_b, jac) ≥ threshold.
+    */
+  def jaccardVerify(docs: DataFrame, pairs: DataFrame,
+      threshold: Double = 0.5): DataFrame = {
+    val involved = pairs.select(col("doc_a").as("doc_id"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val tri = shingles(docs.join(involved, "doc_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sizes = tri.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(tri.select(col("doc_id").as("doc_a"), col("g")), "doc_a")
+      .join(tri.select(col("doc_id").as("doc_b"), col("g").as("g2")), "doc_b")
+      .filter(col("g") === col("g2"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jac"))
+      .filter(col("jac") >= threshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** SimHash near-dup: 64-bit fingerprint from token-hash sign sums,
     * candidates via 4×16-bit band buckets, verified by Hamming distance.
     * xxhash64 seeds the bit contributions, so no SQL oracle exists
