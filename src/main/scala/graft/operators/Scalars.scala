@@ -19,7 +19,7 @@ import org.apache.spark.sql.types.DecimalType
 object Scalars {
   import Exact._
 
-  def defs: Seq[QueryDef] = Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26)
+  def defs: Seq[QueryDef] = Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q68)
 
   /** String functions: upper/lower/length/substring/concat/trim/regexp/
     * split-element/levenshtein — projected per part row (codegen'd, no
@@ -188,6 +188,50 @@ object Scalars {
       .agg(sum(k).as("sum_k"), sum(kTyped).as("sum_k_typed"),
         min(k).as("min_k"), max(k).as("max_k"),
         count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Corrupt-record quarantine: the malformed-input routing every
+    * production ingest needs — parse a JSON payload against a schema,
+    * route unparseable rows to a quarantine count instead of failing
+    * the job or silently dropping them. The corpus `props` are all
+    * valid, so corruption is PLANTED (every 13th event gets a leading
+    * `!!`, which fails parsing unambiguously in any engine — trailing
+    * garbage would test parser leniency, not the routing). `from_json`
+    * in its default permissive mode yields a struct whose FIELDS are
+    * null for corrupt input (the struct itself stays non-null), so the
+    * quarantine flag tests the extracted field — sound here because
+    * every valid payload carries a non-null `k`; the flag, per-type
+    * quarantine counts, and the sum over surviving rows are all
+    * integers → bit-exact oracle. Stateless
+    * row-local parse + one keyed aggregation: no extra pass, no
+    * shuffle beyond the final per-type rollup.
+    */
+  val q68: QueryDef = QueryDef.checked(
+    "q68_corrupt_quarantine",
+    """WITH planted AS (
+      |  SELECT event_id, event_type,
+      |    CASE WHEN event_id % 13 = 0 THEN '!!' || props ELSE props END AS props
+      |  FROM events),
+      |flagged AS (
+      |  SELECT event_type, props, json_valid(props) AS ok FROM planted)
+      |SELECT event_type, count(*) AS n,
+      |  CAST(sum(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT) AS n_quarantined,
+      |  CAST(sum(CASE WHEN ok
+      |       THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+      |       ELSE 0 END) AS BIGINT) AS sum_k
+      |FROM flagged GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+    val planted = Tables.events(s, d)
+      .select(col("event_id"), col("event_type"),
+        when(col("event_id") % 13 === 0, concat(lit("!!"), col("props")))
+          .otherwise(col("props")).as("props"))
+    val parsed = planted.withColumn("p", from_json(col("props"),
+      org.apache.spark.sql.types.StructType.fromDDL("k LONG")))
+    val ok = col("p").getField("k").isNotNull
+    parsed.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(ok, 0L).otherwise(1L)).as("n_quarantined"),
+        sum(when(ok, col("p").getField("k")).otherwise(0L)).as("sum_k"))
       .orderBy(col("event_type"))
   }
 
