@@ -17,7 +17,7 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  def defs: Seq[QueryDef] = Seq(q31, q32, q33)
+  def defs: Seq[QueryDef] = Seq(q31, q32, q33, q69)
 
   /** Cosine near-duplicate pairs of one vector frame. Exact O(n²) form —
     * correct baseline and the verifier for the bucketed variant. At
@@ -138,5 +138,45 @@ object Similarity {
   val q33: QueryDef = QueryDef.rowsOnly("q33_ann_lsh_topk") { (s, d) =>
     val e = vecs(s, d)
     lshTopK(e, e.filter(col("vec_id") < 5))
+  }
+
+  /** Per-group embedding outliers: centroid per `label` (dimension-wise
+    * mean via posexplode + keyed partial aggregation — the only
+    * all-rows pass, map-side combined), then every vector's cosine to
+    * its own group centroid, bottom-`k` flagged. This is the
+    * embedding-space quality filter (mislabeled / off-topic / garbage
+    * vectors sit far from their group's centroid). The centroid frame
+    * is (groups × dims) rows — broadcast-sized at any corpus scale, so
+    * the scoring join never shuffles the embedding column.
+    *
+    * Rows-only: the mean's partial-aggregation order makes the
+    * centroid's low bits run-dependent (same class as q45 before its
+    * decimal fix, but here the value is intrinsically a double mean);
+    * SimilaritySpec pins planted outliers instead.
+    */
+  def groupOutliers(vectors: DataFrame, k: Int = 5): DataFrame = {
+    val ex = vectors.select(col("label"), col("vec_id"), posexplode(col("v")))
+      .withColumnRenamed("pos", "dim").withColumnRenamed("col", "x")
+    val centroids = ex.groupBy(col("label"), col("dim"))
+      .agg(avg(col("x")).as("c"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("cs"))
+      .select(col("label"),
+        transform(col("cs"), s => s.getField("c")).as("centroid"))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("cs_sim").asc, col("vec_id"))
+    vectors.join(centroids, "label")
+      .withColumn("cs_sim", CosineSimilarity.cosineSim(col("v"), col("centroid")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("label"), col("vec_id"), col("rnk"),
+        round(col("cs_sim"), 6).as("cos_sim"))
+      .orderBy(col("label"), col("rnk"))
+  }
+
+  /** q69: bottom-5 outliers per label over the embeddings table. */
+  val q69: QueryDef = QueryDef.rowsOnly("q69_embedding_outliers") { (s, d) =>
+    groupOutliers(Tables.embeddings(s, d)
+      .select(col("label"), col("vec_id"), VF.asDouble(col("embedding")).as("v")))
   }
 }

@@ -161,6 +161,29 @@ object StreamingOps {
       }
   }
 
+  /** Streaming exact dedup with TTL'd state (state v2): emit a record
+    * only the FIRST time its key is seen within `ttlMillis`; the store
+    * evicts stale fingerprints itself. This is the processing-time
+    * complement of [[dedupWithinWatermark]]: that one needs an
+    * event-time column and bounds state by watermark; this one bounds
+    * state by TTL and needs none — the right tool when the stream has
+    * no usable event time (the reference's ingest-stamped envelopes,
+    * main.go:331, are exactly that). Requires the RocksDB state store
+    * and TimeMode.ProcessingTime (TTL is wall-clock).
+    *
+    * Test-harness caveat: a ProcessingTime query performs TTL
+    * maintenance on every trigger, so `processAllAvailable()` never
+    * converges — drain with `Trigger.AvailableNow` instead (see
+    * StreamingSpec).
+    */
+  def dedupWithTtl(events: Dataset[StreamEvent], ttlMillis: Long = 60000L)(
+      implicit s: SparkSession): Dataset[StreamEvent] = {
+    import s.implicits._
+    events.groupByKey(_.event_id)
+      .transformWithState(new TtlDedupProcessor(ttlMillis),
+        TimeMode.ProcessingTime(), OutputMode.Append())
+  }
+
   /** Same running totals on the transformWithState API (Spark 4's
     * arbitrary-state v2: named typed state slots + TTL + timers instead
     * of one opaque GroupState). Requires the RocksDB state store
@@ -174,6 +197,33 @@ object StreamingOps {
     events.groupByKey(_.user_id)
       .transformWithState(new UserTotalsProcessor,
         TimeMode.None(), OutputMode.Append())
+  }
+}
+
+/** StatefulProcessor for TTL'd dedup: one TTL'd ValueState[Boolean] per
+  * key; a key with live state is a duplicate and emits nothing. The
+  * store prunes expired entries, so state is bounded by the key arrival
+  * rate × TTL, not the stream's lifetime.
+  */
+class TtlDedupProcessor(ttlMillis: Long)
+    extends StatefulProcessor[Long, StreamEvent, StreamEvent] {
+  @transient private var seen: ValueState[Boolean] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    seen = getHandle.getValueState[Boolean](
+      "seen", Encoders.scalaBoolean,
+      TTLConfig(java.time.Duration.ofMillis(ttlMillis)))
+
+  override def handleInputRows(
+      key: Long, rows: Iterator[StreamEvent],
+      timerValues: TimerValues): Iterator[StreamEvent] = {
+    if (seen.exists()) Iterator.empty
+    else {
+      seen.update(true)
+      // multiple rows for the key in ONE batch are also duplicates:
+      // emit only the first
+      rows.take(1)
+    }
   }
 }
 

@@ -101,6 +101,41 @@ class ScaleSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"pq planted-cluster recall $recall")
   }
 
+  test("group outliers flag exactly the planted off-centroid vectors") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val dim = 16
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    // two labeled clusters of 40 tight members each + 3 planted outliers
+    // per label pointing AWAY from the center
+    val centers = Array.fill(2)(normalize(Array.fill(dim)(rnd.nextGaussian())))
+    val rows = (0 until 2).flatMap { label =>
+      val c = centers(label)
+      val members = (0 until 40).map { i =>
+        val p = normalize(c.zip(Array.fill(dim)(rnd.nextGaussian() * 0.1))
+          .map { case (a, b) => a + b })
+        (label, (label * 100 + i).toLong, p.toSeq)
+      }
+      val outliers = (0 until 3).map { i =>
+        val p = normalize(c.map(-_).zip(Array.fill(dim)(rnd.nextGaussian() * 0.1))
+          .map { case (a, b) => a + b })
+        (label, (label * 100 + 90 + i).toLong, p.toSeq)
+      }
+      members ++ outliers
+    }
+    val e = rows.toDF("label", "vec_id", "v")
+    val flagged = graft.operators.Similarity.groupOutliers(e, k = 3)
+      .select("label", "vec_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+    val planted = (0 until 2).flatMap(l =>
+      (0 until 3).map(i => (l, (l * 100 + 90 + i).toLong))).toSet
+    assert(flagged === planted)
+    spark.catalog.clearCache()
+  }
+
   test("salted join result equals the naive join result") {
     import org.apache.spark.sql.functions._
     val salted = SparkEntry.queries("q48_skew_salted_join")(spark, sf).collect()

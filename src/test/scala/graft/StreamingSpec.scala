@@ -141,6 +141,68 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  // NOTE: a TimeMode.ProcessingTime query performs TTL maintenance on
+  // every trigger, so it NEVER goes idle: processAllAvailable() does not
+  // converge and even Trigger.AvailableNow does not terminate (both
+  // verified empirically). That matches production — such a query runs
+  // forever on a trigger interval — so the test polls the sink for the
+  // expected rows while the query runs, instead of waiting for an idle
+  // signal that never comes.
+  test("TTL'd dedup (state v2) drops within-TTL duplicates, re-admits after expiry") {
+    implicit val s = spark
+    implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import s.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def ids(table: String): Seq[Long] =
+      spark.sql(s"SELECT event_id FROM $table")
+        .collect().map(_.getLong(0)).toSeq.sorted
+    // poll until the sink holds exactly `want` ids (more would also stop
+    // the wait — the assert then reports the surplus)
+    def awaitIds(table: String, want: Seq[Long], timeoutMs: Long = 90000L): Unit = {
+      val deadline = System.currentTimeMillis() + timeoutMs
+      while (ids(table).size < want.size && System.currentTimeMillis() < deadline)
+        Thread.sleep(200L)
+      // grace period to catch over-emission (a dup leaking through shows
+      // up as an EXTRA row shortly after the expected ones)
+      Thread.sleep(1500L)
+      assert(ids(table) === want)
+    }
+    val in = MemoryStream[StreamEvent]
+    val q = StreamingOps.dedupWithTtl(in.toDS(), ttlMillis = 600000L)
+      .writeStream.format("memory").queryName("ttldedup")
+      .outputMode("append").trigger(Trigger.ProcessingTime("200 milliseconds"))
+      .start()
+    try {
+      in.addData(ev(1, 0, 1, v = 1.0), ev(1, 0, 1, v = 1.0), ev(2, 1, 2, v = 2.0))
+      awaitIds("ttldedup", Seq(1L, 2L))
+      in.addData(ev(1, 2, 1, v = 1.0), ev(3, 3, 3, v = 3.0)) // key 1 = dup
+      awaitIds("ttldedup", Seq(1L, 2L, 3L))
+      // expiry: with a short TTL, a key re-added after sleep >> ttl has
+      // expired state and must be re-admitted
+      val in2 = MemoryStream[StreamEvent]
+      val q2 = StreamingOps.dedupWithTtl(in2.toDS(), ttlMillis = 300L)
+        .writeStream.format("memory").queryName("ttldedup2")
+        .outputMode("append").trigger(Trigger.ProcessingTime("200 milliseconds"))
+        .start()
+      try {
+        in2.addData(ev(7, 0, 7, v = 1.0))
+        awaitIds("ttldedup2", Seq(7L))
+        Thread.sleep(2500L)
+        in2.addData(ev(7, 5, 7, v = 1.0))
+        awaitIds("ttldedup2", Seq(7L, 7L))
+      } finally q2.stop()
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("FirehoseMetricsListener exposes reference metric names from progress") {
     implicit val s = spark
     implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
