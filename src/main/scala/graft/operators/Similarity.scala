@@ -17,7 +17,7 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  def defs: Seq[QueryDef] = Seq(q31, q32, q33, q69)
+  def defs: Seq[QueryDef] = Seq(q31, q32, q33, q69, q71)
 
   /** Cosine near-duplicate pairs of one vector frame. Exact O(n²) form —
     * correct baseline and the verifier for the bucketed variant. At
@@ -178,5 +178,50 @@ object Similarity {
   val q69: QueryDef = QueryDef.rowsOnly("q69_embedding_outliers") { (s, d) =>
     groupOutliers(Tables.embeddings(s, d)
       .select(col("label"), col("vec_id"), VF.asDouble(col("embedding")).as("v")))
+  }
+
+  /** Hard-negative mining for contrastive training: for each anchor,
+    * the top-k most-similar vectors from a DIFFERENT label — the
+    * near-boundary negatives that dominate the gradient signal. Exact
+    * scan-and-rank form with the anchor set broadcast (anchors are the
+    * small side by construction — a training batch, not the corpus);
+    * swap the join for [[lshTopK]]'s banded candidates when the anchor
+    * set itself is corpus-sized. Inputs: (vec_id, label, v) frames.
+    */
+  def hardNegatives(corpus: DataFrame, anchors: DataFrame,
+      topK: Int = 10): DataFrame = {
+    val a = anchors.select(col("vec_id").as("anchor_id"),
+      col("label").as("anchor_label"), col("v").as("va"))
+    val c = corpus.select(col("vec_id").as("negative_id"),
+      col("label").as("neg_label"), col("v").as("vc"))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cs").desc, col("negative_id"))
+    broadcast(a)
+      .join(c, col("anchor_label") =!= col("neg_label"))
+      .withColumn("cs", CosineSimilarity.cosineSim(col("va"), col("vc")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("anchor_id"), col("negative_id"), col("rnk"),
+        round(col("cs"), 6).as("cos_sim"))
+      .orderBy(col("anchor_id"), col("rnk"))
+  }
+
+  /** q71: top-10 cross-label hard negatives for anchors vec_id < 5. */
+  val q71: QueryDef = QueryDef.checked(
+    "q71_hard_negatives",
+    """WITH sims AS (
+      |  SELECT a.vec_id AS anchor_id, c.vec_id AS negative_id,
+      |    list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+      |      / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+      |         * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))) AS cs
+      |  FROM embeddings a JOIN embeddings c ON a.vec_id < 5 AND a.label <> c.label)
+      |SELECT anchor_id, negative_id, rnk, ROUND(cs, 6) AS cos_sim FROM (
+      |  SELECT anchor_id, negative_id, cs,
+      |         row_number() OVER (PARTITION BY anchor_id ORDER BY cs DESC, negative_id) AS rnk
+      |  FROM sims) t
+      |WHERE rnk <= 10 ORDER BY anchor_id, rnk""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("label"),
+      VF.asDouble(col("embedding")).as("v"))
+    hardNegatives(e, e.filter(col("vec_id") < 5))
   }
 }

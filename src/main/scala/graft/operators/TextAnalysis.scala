@@ -13,7 +13,7 @@ import org.apache.spark.sql.expressions.Window
   */
 object TextAnalysis {
 
-  def defs: Seq[QueryDef] = Seq(q34, q35, q36, q37, q49, q64)
+  def defs: Seq[QueryDef] = Seq(q34, q35, q36, q37, q49, q64, q70)
 
   private val stopList = TF.StopWords.map(w => s"'$w'").mkString(", ")
 
@@ -166,6 +166,90 @@ object TextAnalysis {
         col("dup2"), col("n2"), col("max2"),
         topShare.as("top_share"), dup2Frac.as("dup2_frac"),
         (topShare > 0.2 || dup2Frac > 0.5).as("repetitive"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Gopher/MassiveText-style rule-based quality filter: five document
+    * rules — token-count bounds, mean-word-length band, distinct-token
+    * ratio, stopword-ratio floor, top-token-share cap — each surfaced as
+    * a flag plus a composite `keep` and a `reasons` CSV naming the
+    * failed rules (thresholds tuned to split this corpus; in production
+    * they're the knobs). Four rules are row-local codegen projections;
+    * the top-share rule is the one exploded token aggregation, map-side
+    * combined and joined back on doc_id — the same shape q64 uses, no
+    * cross-document shuffle beyond that keyed agg at any scale. All
+    * ratios are int/int double divisions against constants → bit-exact
+    * in both engines; `reasons` concat_ws skips NULLs identically.
+    */
+  val q70: QueryDef = QueryDef.checked(
+    "q70_gopher_rules",
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text,' ')) AS t FROM documents),
+       |tf AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1,2),
+       |ts AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_c,
+       |              CAST(sum(c) AS BIGINT) AS n_tok2 FROM tf GROUP BY 1),
+       |base AS (
+       |  SELECT doc_id,
+       |    len(string_split(text,' ')) AS n_tok,
+       |    length(replace(text,' ','')) * 1.0 / len(string_split(text,' ')) AS awl,
+       |    len(list_distinct(string_split(text,' '))) * 1.0
+       |      / len(string_split(text,' ')) AS uniq_ratio,
+       |    len(list_filter(string_split(text,' '), t -> t IN ($stopList))) * 1.0
+       |      / len(string_split(text,' ')) AS stop_ratio
+       |  FROM documents)
+       |SELECT b.doc_id, b.n_tok,
+       |  ROUND(b.awl, 6) AS awl, ROUND(b.uniq_ratio, 6) AS uniq_ratio,
+       |  ROUND(b.stop_ratio, 6) AS stop_ratio,
+       |  ROUND(t.top_c * 1.0 / t.n_tok2, 6) AS top_share,
+       |  b.n_tok BETWEEN 25 AND 100000 AS r_len,
+       |  b.awl >= 3.5 AND b.awl <= 5.0 AS r_awl,
+       |  b.uniq_ratio >= 0.3 AS r_uniq,
+       |  b.stop_ratio >= 0.02 AS r_stop,
+       |  t.top_c * 1.0 / t.n_tok2 <= 0.15 AS r_rep,
+       |  (b.n_tok BETWEEN 25 AND 100000) AND (b.awl >= 3.5 AND b.awl <= 5.0)
+       |    AND b.uniq_ratio >= 0.3 AND b.stop_ratio >= 0.02
+       |    AND t.top_c * 1.0 / t.n_tok2 <= 0.15 AS keep,
+       |  concat_ws(',',
+       |    CASE WHEN NOT b.n_tok BETWEEN 25 AND 100000 THEN 'len' END,
+       |    CASE WHEN NOT (b.awl >= 3.5 AND b.awl <= 5.0) THEN 'word_len' END,
+       |    CASE WHEN NOT b.uniq_ratio >= 0.3 THEN 'uniq' END,
+       |    CASE WHEN NOT b.stop_ratio >= 0.02 THEN 'stopwords' END,
+       |    CASE WHEN NOT t.top_c * 1.0 / t.n_tok2 <= 0.15 THEN 'repetition' END
+       |  ) AS reasons
+       |FROM base b JOIN ts t USING (doc_id)
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val toks = TF.tokens(col("text"))
+    val nTok = size(toks)
+    val awl = length(regexp_replace(col("text"), " ", "")).cast("double") / nTok
+    val uniqR = size(array_distinct(toks)).cast("double") / nTok
+    val stopR = TF.stopwordHits(toks).cast("double") / nTok
+    val base = Tables.documents(s, d).select(col("doc_id"),
+      nTok.as("n_tok"), awl.as("awl_raw"), uniqR.as("uniq_raw"),
+      stopR.as("stop_raw"))
+    val ts = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_c"), sum(col("c")).as("n_tok2"))
+    val topShare = col("top_c").cast("double") / col("n_tok2")
+    val rLen = col("n_tok").between(25, 100000)
+    val rAwl = col("awl_raw") >= 3.5 && col("awl_raw") <= 5.0
+    val rUniq = col("uniq_raw") >= 0.3
+    val rStop = col("stop_raw") >= 0.02
+    val rRep = topShare <= 0.15
+    base.join(ts, "doc_id")
+      .select(col("doc_id"), col("n_tok"),
+        round(col("awl_raw"), 6).as("awl"),
+        round(col("uniq_raw"), 6).as("uniq_ratio"),
+        round(col("stop_raw"), 6).as("stop_ratio"),
+        round(topShare, 6).as("top_share"),
+        rLen.as("r_len"), rAwl.as("r_awl"), rUniq.as("r_uniq"),
+        rStop.as("r_stop"), rRep.as("r_rep"),
+        (rLen && rAwl && rUniq && rStop && rRep).as("keep"),
+        concat_ws(",",
+          when(!rLen, "len"), when(!rAwl, "word_len"),
+          when(!rUniq, "uniq"), when(!rStop, "stopwords"),
+          when(!rRep, "repetition")).as("reasons"))
       .orderBy(col("doc_id"))
   }
 

@@ -136,6 +136,37 @@ class ScaleSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("hard negatives exclude same-label vectors and rank by similarity") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(13)
+    val dim = 8
+    def unit(): Seq[Double] = {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n).toSeq
+    }
+    val rows = (0 until 60).map(i => ((i % 3), i.toLong, unit()))
+    val e = rows.toDF("label", "vec_id", "v")
+    val out = graft.operators.Similarity.hardNegatives(e, e.filter(col("vec_id") < 6), topK = 5)
+      .collect()
+    val labelOf = rows.map(r => r._2 -> r._1).toMap
+    // every mined negative is cross-label
+    out.foreach { r =>
+      assert(labelOf(r.getAs[Long]("anchor_id")) !== labelOf(r.getAs[Long]("negative_id")))
+    }
+    // ranks are 1..5 per anchor and similarity is non-increasing in rank
+    val byAnchor = out.groupBy(_.getAs[Long]("anchor_id"))
+    assert(byAnchor.size === 6)
+    byAnchor.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Int]("rnk"))
+      assert(sorted.map(_.getAs[Int]("rnk")).toSeq === (1 to 5))
+      val sims = sorted.map(_.getAs[Double]("cos_sim"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+    spark.catalog.clearCache()
+  }
+
   test("salted join result equals the naive join result") {
     import org.apache.spark.sql.functions._
     val salted = SparkEntry.queries("q48_skew_salted_join")(spark, sf).collect()
