@@ -11,7 +11,7 @@ import org.apache.spark.sql.expressions.Window
   */
 object Scale {
 
-  def defs: Seq[QueryDef] = Seq(q47, q48, q63)
+  def defs: Seq[QueryDef] = Seq(q47, q48, q63, q72)
 
   /** Spherical k-means (Lloyd) on the driver over a bounded sample — the
     * standard way to train an IVF coarse quantizer (FAISS trains its
@@ -250,6 +250,77 @@ object Scale {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), VF.asDouble(col("embedding")).as("v"))
     pqTopK(e)
+  }
+
+  /** Distributed EXACT heavy hitters without a full-vocabulary shuffle:
+    * per-partition Misra-Gries sketches of capacity `k` (genuine
+    * per-partition imperative logic — the documented mapPartitions
+    * case), then one exact recount restricted to the merged candidate
+    * set. MG guarantee: a key with partition count > n_p/(k+1) survives
+    * that partition's sketch, so by pigeonhole any key with GLOBAL
+    * count > N/(k+1) survives somewhere — the candidate set is a
+    * superset of every key at share > 1/(k+1), and the recount makes
+    * the final answer exact (not approximate) for any threshold above
+    * that. The shuffle carries ≤ partitions×k candidate rows plus a
+    * broadcast — never the full key distribution; at a 100 TB corpus
+    * vocabulary that is the difference between this and a groupBy over
+    * every distinct token. Threshold is parts-per-million (integer, so
+    * the filter `c*1e6 >= ppm*N` is exact in both engines; no float
+    * boundary). Nulls are dropped. Returns (t, c) sorted by c desc.
+    *
+    * Cache contract: persists its small sketch frame; caller clears
+    * with `spark.catalog.clearCache()` (Verify/Bench do).
+    */
+  def heavyHitters(keys: org.apache.spark.sql.DataFrame, keyCol: String,
+      sharePpm: Long, k: Int = 4096): org.apache.spark.sql.DataFrame = {
+    require(sharePpm * (k + 1L) > 1000000L,
+      s"share $sharePpm ppm below MG bound 1/(k+1); raise k")
+    val s = keys.sparkSession
+    import s.implicits._
+    val toks = keys.select(col(keyCol).cast("string").as("t"))
+      .filter(col("t").isNotNull).as[String]
+    val sketch = toks.mapPartitions { it =>
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      var np = 0L
+      it.foreach { t =>
+        np += 1
+        m.get(t) match {
+          case Some(c) => m.update(t, c + 1)
+          case None =>
+            if (m.size < k) m.update(t, 1L)
+            else { // decrement-all, drop zeros (the new key is consumed)
+              m.mapValuesInPlace((_, v) => v - 1)
+              m.filterInPlace((_, v) => v > 0)
+            }
+        }
+      }
+      Iterator.single((true, "", np)) ++
+        m.keysIterator.map(t => (false, t, 0L))
+    }.toDF("is_count", "t", "c")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = sketch.filter(col("is_count")).agg(sum(col("c"))).head.getLong(0)
+    val cand = sketch.filter(!col("is_count")).select(col("t")).distinct()
+    toks.toDF("t").join(broadcast(cand), "t")
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+      .filter(col("c") * 1000000L >= lit(sharePpm) * lit(n))
+      .orderBy(col("c").desc, col("t"))
+  }
+
+  /** q72: corpus-level heavy-hitter tokens at share ≥ 0.5% (5000 ppm).
+    * The oracle is the naive full groupBy — identical output by the MG
+    * exactness argument above.
+    */
+  val q72: QueryDef = QueryDef.checked(
+    "q72_heavy_hitters",
+    """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+      |tot AS (SELECT count(*) AS n FROM tok)
+      |SELECT t, CAST(count(*) AS BIGINT) AS c
+      |FROM tok, tot GROUP BY t, n
+      |HAVING count(*) * 1000000 >= 5000 * n
+      |ORDER BY c DESC, t""".stripMargin) { (s, d) =>
+    heavyHitters(
+      Tables.documents(s, d).select(explode(split(col("text"), " ")).as("t")),
+      "t", sharePpm = 5000L)
   }
 
   /** Skew-mitigated join via salting, oracle-checked: the join key

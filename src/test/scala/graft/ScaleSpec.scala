@@ -167,6 +167,29 @@ class ScaleSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("heavy hitters are exact under forced MG evictions (small k, skewed keys)") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(17)
+    // zipf-ish: few hot keys + a long random tail; k=16 forces constant
+    // sketch evictions so the test exercises the MG bound, not a lucky fit.
+    // share 6% > 1/(k+1) = 5.88% (the exactness precondition); hot keys sit
+    // at ~6.7% each, tail keys far below.
+    val hot = (0 until 2000).map(_ => s"hot${rnd.nextInt(3)}")
+    val tail = (0 until 8000).map(_ => s"tail${rnd.nextInt(3000)}")
+    val df = rnd.shuffle(hot ++ tail).toDF("t").repartition(8)
+    val share = 60000L
+    val got = graft.operators.Scale.heavyHitters(df, "t", sharePpm = share, k = 16)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val want = df.groupBy("t").agg(count(lit(1)).as("c"))
+      .filter(col("c") * 1000000L >= lit(share) * 10000L)
+      .orderBy(col("c").desc, col("t"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(want.nonEmpty && got === want)
+    spark.catalog.clearCache()
+  }
+
   test("salted join result equals the naive join result") {
     import org.apache.spark.sql.functions._
     val salted = SparkEntry.queries("q48_skew_salted_join")(spark, sf).collect()
