@@ -20,7 +20,7 @@ import org.apache.spark.sql.expressions.Window
   */
 object Curation {
 
-  def defs: Seq[QueryDef] = Seq(q59, q60, q61, q66)
+  def defs: Seq[QueryDef] = Seq(q59, q60, q61, q66, q74)
 
   /** Top-`k` distinctive terms per document, ranked by tf/df (document
     * frequency as the rarity signal — the idf log is monotonic in 1/df,
@@ -182,6 +182,46 @@ object Curation {
       |SELECT doc_id, source, n_tok, cum_before, cum_before // 512 AS bin
       |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
     sequencePack(Tables.documents(s, d)).orderBy(col("doc_id"))
+  }
+
+  /** Sliding-window document chunking: token windows of `win` advancing
+    * by `stride` (overlap `win - stride`) — the context-window prep
+    * step between curation and packing. Chunk i covers tokens
+    * [i·stride, i·stride+win); chunks start while i·stride < n, so the
+    * tail chunk may be short but every token is covered and boundary
+    * context is preserved by the overlap. Row-local explode — no
+    * shuffle at any corpus size; chunk counts grow the row count by
+    * ~n/stride, which the downstream repartition absorbs.
+    */
+  def chunkDocs(docs: DataFrame, win: Int = 32, stride: Int = 24): DataFrame = {
+    require(win > 0 && stride > 0 && stride <= win,
+      s"need 0 < stride <= win, got win=$win stride=$stride")
+    val toks = split(col("text"), " ")
+    docs
+      .select(col("doc_id"), toks.as("toks"), size(toks).as("n_tok"))
+      .withColumn("chunk_id",
+        explode(sequence(lit(0), expr(s"(n_tok - 1) div $stride"))))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        size(slice(col("toks"), col("chunk_id") * stride + 1, lit(win)))
+          .cast("long").as("chunk_len"),
+        concat_ws(" ",
+          slice(col("toks"), col("chunk_id") * stride + 1, lit(win)))
+          .as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  val q74: QueryDef = QueryDef.checked(
+    "q74_doc_chunks",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |c AS (
+      |  SELECT doc_id, toks,
+      |    unnest(generate_series(0, (len(toks) - 1) // 24)) AS chunk_id
+      |  FROM t)
+      |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+      |  CAST(len(toks[(chunk_id*24+1):(chunk_id*24+32)]) AS BIGINT) AS chunk_len,
+      |  array_to_string(toks[(chunk_id*24+1):(chunk_id*24+32)], ' ') AS chunk_text
+      |FROM c ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
+    chunkDocs(Tables.documents(s, d))
   }
 
   val q61: QueryDef = QueryDef.checked(

@@ -32,6 +32,37 @@ class StorageLayoutSpec extends AnyFunSuite {
     assert(back.count() === expected)
   }
 
+  test("z-order layout clusters BOTH dimensions; single-column sort only one") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(23)
+    // uniform 20k points on a 4096x4096 grid
+    val pts = (0 until 20000)
+      .map(_ => (rnd.nextInt(4096).toLong, rnd.nextInt(4096).toLong))
+      .toDF("x", "y")
+    val zDir = Files.createTempDirectory("graft-zorder").toString
+    val linDir = Files.createTempDirectory("graft-linear").toString
+    graft.operators.Layout.zorderWrite(pts, "x", "y", zDir, numFiles = 32)
+    pts.repartitionByRange(32, col("x")).sortWithinPartitions(col("x"))
+      .write.mode("overwrite").parquet(linDir)
+    // distinct source files of the matching rows = files a min/max-
+    // pruning reader must open (file-count proxy for parquet stats skip)
+    def filesTouched(dir: String, pred: org.apache.spark.sql.Column): Long =
+      spark.read.parquet(dir).filter(pred)
+        .select(input_file_name()).distinct().count()
+    val yPred = col("y") < 256 // a 1/16 slab of the SECOND dimension
+    val zFiles = filesTouched(zDir, yPred)
+    val linFiles = filesTouched(linDir, yPred)
+    // x-sorted layout: y is uniform within every file -> all 32 touched.
+    // z-order: the slab fixes y's high bits -> a bounded set of z ranges
+    assert(linFiles >= 30, s"x-sorted layout should spread y everywhere ($linFiles)")
+    assert(zFiles <= 16, s"z-order should confine a y-slab to few files ($zFiles)")
+    // and the FIRST dimension stays clustered too (x-slab few files)
+    assert(filesTouched(zDir, col("x") < 256) <= 16)
+    // layout changes bytes on disk, never results
+    assert(spark.read.parquet(zDir).count() === 20000L)
+  }
+
   test("bucketed tables join without any shuffle exchange") {
     def cleanup(): Unit = Seq("b_orders", "b_lineitem").foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $t")
