@@ -20,7 +20,7 @@ import org.apache.spark.sql.expressions.Window
   */
 object Curation {
 
-  def defs: Seq[QueryDef] = Seq(q59, q60, q61, q66, q74)
+  def defs: Seq[QueryDef] = Seq(q59, q60, q61, q66, q74, q75)
 
   /** Top-`k` distinctive terms per document, ranked by tf/df (document
     * frequency as the rarity signal — the idf log is monotonic in 1/df,
@@ -208,6 +208,135 @@ object Curation {
           slice(col("toks"), col("chunk_id") * stride + 1, lit(win)))
           .as("chunk_text"))
       .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  /** The composed curation pipeline — the end-to-end path a training
+    * corpus actually takes, as ONE operator: Gopher rule gate (q70) →
+    * exact near-dup removal, keep-first (q30 semantics) → benchmark
+    * decontamination (q58 semantics) → token-budget sequence packing
+    * (q66). Returns the packed survivor frame; [[curateStages]] exposes
+    * every intermediate for auditing. Each stage reuses the already-
+    * scale-shaped operator (keyed aggs, shingle equi-joins, broadcast
+    * benchmark side, per-shard packing windows) — composing them adds
+    * no new shuffle beyond the stages' own.
+    */
+  def curate(docs: DataFrame, benchmark: DataFrame,
+      budget: Int = 512): DataFrame =
+    curateStages(docs, benchmark, budget)._4
+
+  /** (quality survivors, after near-dup removal, after decontamination,
+    * packed) — see [[curate]].
+    */
+  def curateStages(docs: DataFrame, benchmark: DataFrame,
+      budget: Int = 512): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val qual = docs.join(
+      TextAnalysis.gopherRules(docs).filter(col("keep")).select(col("doc_id")),
+      "doc_id")
+    val pairs = Dedup.exactNearDups(qual.select(col("doc_id"), col("text")))
+    val deduped = qual.join(
+      pairs.select(col("doc_b").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+    val contam = Dedup.decontaminate(
+      deduped.select(col("doc_id"), col("text")),
+      benchmark.select(col("doc_id"), col("text")))
+    val clean = deduped.join(
+      contam.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+    (qual, deduped, clean, sequencePack(clean, budget))
+  }
+
+  private val stopList =
+    graft.functions.TextFunctions.StopWords.map(w => s"'$w'").mkString(", ")
+
+  /** q75: the pipeline's count flow as a single audited summary row —
+    * training side = documents with doc_id % 10 ≠ 0, benchmark side =
+    * the rest (the q58 split). Every stage count is oracle-checked, so
+    * the whole composition (not just each stage) is pinned.
+    */
+  val q75: QueryDef = QueryDef.checked(
+    "q75_curation_pipeline",
+    s"""WITH train AS (
+       |  SELECT doc_id, source, text FROM documents WHERE doc_id % 10 <> 0),
+       |tokq AS (SELECT doc_id, unnest(string_split(text,' ')) AS t FROM train),
+       |tf AS (SELECT doc_id, t, count(*) AS c FROM tokq GROUP BY 1, 2),
+       |tsx AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n_tok2 FROM tf GROUP BY 1),
+       |baseq AS (
+       |  SELECT doc_id,
+       |    len(string_split(text,' ')) AS n_tok,
+       |    length(replace(text,' ','')) * 1.0 / len(string_split(text,' ')) AS awl,
+       |    len(list_distinct(string_split(text,' '))) * 1.0
+       |      / len(string_split(text,' ')) AS uniq_ratio,
+       |    len(list_filter(string_split(text,' '), t -> t IN ($stopList))) * 1.0
+       |      / len(string_split(text,' ')) AS stop_ratio
+       |  FROM train),
+       |qual AS (
+       |  SELECT b.doc_id FROM baseq b JOIN tsx t USING (doc_id)
+       |  WHERE b.n_tok BETWEEN 25 AND 100000 AND b.awl >= 3.5 AND b.awl <= 5.0
+       |    AND b.uniq_ratio >= 0.3 AND b.stop_ratio >= 0.02
+       |    AND t.top_c * 1.0 / t.n_tok2 <= 0.15),
+       |tok2 AS (
+       |  SELECT doc_id, unnest(string_split(text,' ')) AS t,
+       |         generate_subscripts(string_split(text,' '), 1) AS pos
+       |  FROM train),
+       |tri AS (
+       |  SELECT DISTINCT doc_id, t || ' ' || lead(t) OVER w || ' ' || lead(t, 2) OVER w AS g
+       |  FROM tok2 WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+       |  QUALIFY lead(t, 2) OVER w IS NOT NULL),
+       |triq AS (SELECT * FROM tri WHERE doc_id IN (SELECT doc_id FROM qual)),
+       |pair AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |  FROM triq a JOIN triq b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM triq GROUP BY 1),
+       |dup_b AS (
+       |  SELECT DISTINCT doc_b FROM pair
+       |  JOIN sizes sa ON doc_a = sa.doc_id
+       |  JOIN sizes sb ON doc_b = sb.doc_id
+       |  WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5),
+       |dedup AS (
+       |  SELECT doc_id FROM qual WHERE doc_id NOT IN (SELECT doc_b FROM dup_b)),
+       |btok AS (
+       |  SELECT doc_id, unnest(string_split(text,' ')) AS t,
+       |         generate_subscripts(string_split(text,' '), 1) AS pos
+       |  FROM documents WHERE doc_id % 10 = 0),
+       |btri AS (
+       |  SELECT DISTINCT doc_id AS bench_id,
+       |         t || ' ' || lead(t) OVER w || ' ' || lead(t, 2) OVER w AS g
+       |  FROM btok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+       |  QUALIFY lead(t, 2) OVER w IS NOT NULL),
+       |bsizes AS (SELECT bench_id, count(*) AS nb FROM btri GROUP BY 1),
+       |trid AS (SELECT * FROM tri WHERE doc_id IN (SELECT doc_id FROM dedup)),
+       |cinter AS (
+       |  SELECT t.doc_id, b.bench_id, count(*) AS inter
+       |  FROM trid t JOIN btri b ON t.g = b.g GROUP BY 1, 2),
+       |contam AS (
+       |  SELECT DISTINCT i.doc_id FROM cinter i JOIN bsizes s USING (bench_id)
+       |  WHERE i.inter * 1.0 / s.nb >= 0.5),
+       |clean AS (
+       |  SELECT doc_id FROM dedup WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+       |packed AS (
+       |  SELECT d.doc_id, t.source, len(string_split(t.text,' ')) AS n_tok,
+       |    COALESCE(sum(len(string_split(t.text,' '))) OVER (
+       |      PARTITION BY t.source ORDER BY d.doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |  FROM clean d JOIN train t USING (doc_id)),
+       |final AS (SELECT source, cum_before // 512 AS bin, n_tok FROM packed)
+       |SELECT
+       |  CAST((SELECT count(*) FROM train) AS BIGINT) AS n_in,
+       |  CAST((SELECT count(*) FROM qual) AS BIGINT) AS n_quality,
+       |  CAST((SELECT count(*) FROM dedup) AS BIGINT) AS n_dedup,
+       |  CAST((SELECT count(*) FROM clean) AS BIGINT) AS n_clean,
+       |  CAST((SELECT count(*) FROM (SELECT DISTINCT source, bin FROM final)) AS BIGINT) AS n_bins,
+       |  CAST((SELECT sum(n_tok) FROM final) AS BIGINT) AS n_tokens""".stripMargin) { (s, d) =>
+    val all = Tables.documents(s, d)
+    val train = all.filter(col("doc_id") % 10 =!= 0)
+    val bench = all.filter(col("doc_id") % 10 === 0)
+    val (qual, deduped, clean, packed) = curateStages(train, bench)
+    train.agg(count(lit(1)).as("n_in"))
+      .crossJoin(qual.agg(count(lit(1)).as("n_quality")))
+      .crossJoin(deduped.agg(count(lit(1)).as("n_dedup")))
+      .crossJoin(clean.agg(count(lit(1)).as("n_clean")))
+      .crossJoin(packed.agg(
+        countDistinct(col("source"), col("bin")).as("n_bins"),
+        sum(col("n_tok")).as("n_tokens")))
   }
 
   val q74: QueryDef = QueryDef.checked(

@@ -218,15 +218,22 @@ object TextAnalysis {
        |  ) AS reasons
        |FROM base b JOIN ts t USING (doc_id)
        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    gopherRules(Tables.documents(s, d)).orderBy(col("doc_id"))
+  }
+
+  /** The q70 rule gate as a reusable frame over any (doc_id, text)
+    * input — also the quality stage of [[Curation.curate]].
+    */
+  def gopherRules(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val toks = TF.tokens(col("text"))
     val nTok = size(toks)
     val awl = length(regexp_replace(col("text"), " ", "")).cast("double") / nTok
     val uniqR = size(array_distinct(toks)).cast("double") / nTok
     val stopR = TF.stopwordHits(toks).cast("double") / nTok
-    val base = Tables.documents(s, d).select(col("doc_id"),
+    val base = docs.select(col("doc_id"),
       nTok.as("n_tok"), awl.as("awl_raw"), uniqR.as("uniq_raw"),
       stopR.as("stop_raw"))
-    val ts = Tables.documents(s, d)
+    val ts = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
       .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
@@ -250,7 +257,6 @@ object TextAnalysis {
           when(!rLen, "len"), when(!rAwl, "word_len"),
           when(!rUniq, "uniq"), when(!rStop, "stopwords"),
           when(!rRep, "repetition")).as("reasons"))
-      .orderBy(col("doc_id"))
   }
 
   /** Rolling-hash fingerprints via the custom PolyHash codegen expression:
