@@ -20,7 +20,7 @@ import org.apache.spark.sql.expressions.Window
   */
 object Curation {
 
-  def defs: Seq[QueryDef] = Seq(q59, q60, q61, q66, q74, q75)
+  def defs: Seq[QueryDef] = Seq(q59, q60, q61, q66, q74, q75, q76)
 
   /** Top-`k` distinctive terms per document, ranked by tf/df (document
     * frequency as the rarity signal — the idf log is monotonic in 1/df,
@@ -337,6 +337,39 @@ object Curation {
       .crossJoin(packed.agg(
         countDistinct(col("source"), col("bin")).as("n_bins"),
         sum(col("n_tok")).as("n_tokens")))
+  }
+
+  /** q76: BPE-style merge-pair statistics — the most frequent ADJACENT
+    * token pairs across the corpus (the statistic a BPE/WordPiece
+    * trainer computes for its first merge), via the generic
+    * [[Scale.heavyHitters]] MG+recount machinery over the bigram
+    * stream: candidate generation never shuffles the corpus-sized
+    * bigram vocabulary. Bigrams come from the same per-doc ordered
+    * window q64 uses (one shuffle on doc_id, map-side combined).
+    */
+  val q76: QueryDef = QueryDef.checked(
+    "q76_merge_pairs",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text,' ')) AS t,
+      |         generate_subscripts(string_split(text,' '), 1) AS pos
+      |  FROM documents),
+      |bi AS (
+      |  SELECT t || ' ' || lead(t) OVER w AS g
+      |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+      |  QUALIFY lead(t) OVER w IS NOT NULL),
+      |tot AS (SELECT count(*) AS n FROM bi)
+      |SELECT g AS t, CAST(count(*) AS BIGINT) AS c
+      |FROM bi, tot GROUP BY g, n
+      |HAVING count(*) * 1000000 >= 1000 * n
+      |ORDER BY c DESC, t""".stripMargin) { (s, d) =>
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bigrams = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .withColumnRenamed("col", "t")
+      .withColumn("nx", lead(col("t"), 1).over(wOrd))
+      .filter(col("nx").isNotNull)
+      .select(concat_ws(" ", col("t"), col("nx")).as("g"))
+    Scale.heavyHitters(bigrams, "g", sharePpm = 1000L)
   }
 
   val q74: QueryDef = QueryDef.checked(

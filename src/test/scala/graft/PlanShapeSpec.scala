@@ -76,4 +76,34 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"),
       s"query-side broadcast expected for the probed-list join:\n$plan")
   }
+
+  test("q72 recount joins against a BROADCAST candidate set") {
+    val plan = executedPlan("q72_heavy_hitters")
+    // the whole point of MG+recount: the raw token stream is filtered by
+    // a broadcast of <= partitions*k candidates, never shuffled on token
+    assert(plan.contains("BroadcastHashJoin"),
+      s"candidate set must broadcast into the recount join:\n$plan")
+  }
+
+  test("q73 z-value computation stays inside whole-stage codegen") {
+    val df = SparkEntry.queries("q73_zorder_code")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // builtin shift/mask expressions: no UDF, no extra exchange beyond
+    // the final presentation sort
+    // AQE's final-plan rendering marks codegen stages with "*(n)"
+    assert(plan.contains("WholeStageCodegen") || "\\*\\(\\d+\\)".r.findFirstIn(plan).isDefined,
+      s"expected codegen:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"morton code must not run through a UDF:\n$plan")
+    spark.catalog.clearCache()
+  }
+
+  test("q75 composed pipeline broadcasts the benchmark side and keeps anti-join prunes") {
+    val plan = executedPlan("q75_curation_pipeline")
+    assert(plan.contains("LeftAnti"),
+      s"dedup/decon removals should be anti-joins:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark shingle side should broadcast inside the composition:\n$plan")
+  }
 }

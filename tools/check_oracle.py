@@ -1,7 +1,10 @@
 #!/usr/bin/env python3
 """Local replica of the driver's DuckDB-oracle correctness gate.
 
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [name ...]
+
+Optional trailing names restrict the compare to those queries (matches
+Verify's own name-filter args, for single-query iteration).
 
 Reads each <verifyOutDir>/<name>/ parquet (Spark output), runs the
 matching SQL from oracle_sql.json in DuckDB over the sfDir tables,
@@ -33,13 +36,15 @@ def values_equal(a, b) -> bool:
     return str(a) == str(b)
 
 
-def main(sf_dir: str, out_dir: str) -> int:
+def main(sf_dir: str, out_dir: str, only=()) -> int:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
         try:
             got = canon(con.execute(
                 f"SELECT * FROM parquet_scan('{out_dir}/{name}/*.parquet')").df())
@@ -80,4 +85,4 @@ def main(sf_dir: str, out_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2], frozenset(sys.argv[3:])))
