@@ -298,7 +298,10 @@ object Scale {
         m.keysIterator.map(t => (false, t, 0L))
     }.toDF("is_count", "t", "c")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = sketch.filter(col("is_count")).agg(sum(col("c"))).head.getLong(0)
+    // empty input → sum is NULL (the dedupClusters r2-advisor lesson):
+    // treat as 0; the candidate set is empty so the result is too
+    val nRow = sketch.filter(col("is_count")).agg(sum(col("c"))).head
+    val n = if (nRow.isNullAt(0)) 0L else nRow.getLong(0)
     val cand = sketch.filter(!col("is_count")).select(col("t")).distinct()
     toks.toDF("t").join(broadcast(cand), "t")
       .groupBy(col("t")).agg(count(lit(1)).as("c"))

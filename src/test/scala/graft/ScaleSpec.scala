@@ -190,6 +190,15 @@ class ScaleSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("heavy hitters on an empty corpus returns an empty frame, not an NPE") {
+    val s = spark
+    import s.implicits._
+    val empty = Seq.empty[String].toDF("t")
+    assert(graft.operators.Scale.heavyHitters(empty, "t", sharePpm = 60000L, k = 16)
+      .collect().isEmpty)
+    spark.catalog.clearCache()
+  }
+
   test("salted join result equals the naive join result") {
     import org.apache.spark.sql.functions._
     val salted = SparkEntry.queries("q48_skew_salted_join")(spark, sf).collect()
