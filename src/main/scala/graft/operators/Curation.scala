@@ -229,12 +229,19 @@ object Curation {
     */
   def curateStages(docs: DataFrame, benchmark: DataFrame,
       budget: Int = 512): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    // qual and deduped each feed several downstream subtrees (pair join,
+    // anti-joins, decon, packing, audits); without the persist the
+    // gopher-rule aggregation re-runs once per consumer. Doc-sized
+    // frames — cheap to cache; same clearCache contract as
+    // minhashNearDups (Verify/Bench clear between queries).
     val qual = docs.join(
       TextAnalysis.gopherRules(docs).filter(col("keep")).select(col("doc_id")),
       "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = Dedup.exactNearDups(qual.select(col("doc_id"), col("text")))
     val deduped = qual.join(
       pairs.select(col("doc_b").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val contam = Dedup.decontaminate(
       deduped.select(col("doc_id"), col("text")),
       benchmark.select(col("doc_id"), col("text")))

@@ -12,7 +12,7 @@ import org.apache.spark.sql.expressions.Window
   */
 object Sampling {
 
-  def defs: Seq[QueryDef] = Seq(q53, q54, q55, q56, q67)
+  def defs: Seq[QueryDef] = Seq(q53, q54, q55, q56, q67, q77)
 
   /** Generic stratified sample: at most `k` rows per stratum, selected
     * by `hashOrder` (e.g. md5 of a content column) — deterministic,
@@ -114,6 +114,53 @@ object Sampling {
         round(percentile(len, lit(0.95)), 6).as("p95"),
         min(len).as("lo"), max(len).as("hi"))
       .orderBy(col("lang"))
+  }
+
+  /** q77: length-balanced stratified sample — tercile cutoffs from the
+    * DISCRETE percentile (an actual data value, integer, so the
+    * stratum-boundary comparison is exact in both engines — the
+    * interpolating form would hang membership on a float ulp), then ≤10
+    * docs per stratum by md5 order via [[stratifiedSample]]. This is
+    * the balance pass that stops short docs from dominating a training
+    * mix. percentile_disc aggregates a counts-map over DISTINCT lengths
+    * (bounded, map-side combined) — scale-safe; the 1-row cutoff frame
+    * broadcasts into the bucketing join.
+    */
+  val q77: QueryDef = QueryDef.checked(
+    "q77_length_balanced_sample",
+    """WITH lens AS (
+      |  SELECT doc_id, text, len(string_split(text,' ')) AS n_tok FROM documents),
+      |cut AS (
+      |  SELECT percentile_disc(0.33) WITHIN GROUP (ORDER BY n_tok) AS c1,
+      |         percentile_disc(0.66) WITHIN GROUP (ORDER BY n_tok) AS c2
+      |  FROM lens),
+      |strat AS (
+      |  SELECT doc_id, n_tok, md5(text) AS h,
+      |    CASE WHEN n_tok <= c1 THEN 'short'
+      |         WHEN n_tok <= c2 THEN 'mid' ELSE 'long' END AS stratum
+      |  FROM lens, cut),
+      |ranked AS (
+      |  SELECT stratum, doc_id, n_tok,
+      |    row_number() OVER (PARTITION BY stratum ORDER BY h, doc_id) AS rn
+      |  FROM strat)
+      |SELECT stratum, doc_id, n_tok, rn FROM ranked
+      |WHERE rn <= 10 ORDER BY stratum, rn""".stripMargin) { (s, d) =>
+    val lens = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        size(split(col("text"), " ")).as("n_tok"))
+    val cut = lens.agg(
+      expr("percentile_disc(0.33) WITHIN GROUP (ORDER BY n_tok)").as("c1"),
+      expr("percentile_disc(0.66) WITHIN GROUP (ORDER BY n_tok)").as("c2"))
+    val strat = lens.crossJoin(broadcast(cut))
+      .select(col("doc_id"), col("n_tok"),
+        md5(col("text").cast("binary")).as("h"),
+        when(col("n_tok") <= col("c1"), "short")
+          .when(col("n_tok") <= col("c2"), "mid")
+          .otherwise("long").as("stratum"))
+    stratifiedSample(strat, Seq("stratum"), k = 10,
+        hashOrder = struct(col("h"), col("doc_id")))
+      .select(col("stratum"), col("doc_id"), col("n_tok"), col("rn"))
+      .orderBy(col("stratum"), col("rn"))
   }
 
   /** Text normalization → dedup: the pass that collapses case/whitespace
