@@ -32,6 +32,33 @@ class StorageLayoutSpec extends AnyFunSuite {
     assert(back.count() === expected)
   }
 
+  test("zvalue2/zvalue3 match a bit-by-bit interleave reference") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.ZOrder
+    def ref2(x: Long, y: Long): Long =
+      (0 until 16).map(i =>
+        (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).reduce(_ | _)
+    def ref3(x: Long, y: Long, z: Long): Long =
+      (0 until 10).map(i =>
+        (((x >> i) & 1L) << (3 * i)) | (((y >> i) & 1L) << (3 * i + 1)) |
+          (((z >> i) & 1L) << (3 * i + 2))).reduce(_ | _)
+    val rnd = new scala.util.Random(29)
+    val rows = (0 until 500).map(_ =>
+      (rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong, rnd.nextInt(1024).toLong))
+    val df = rows.toDF("x", "y", "z")
+      .select(col("x"), col("y"), col("z"),
+        ZOrder.zvalue2(col("x"), col("y")).as("z2"),
+        ZOrder.zvalue3(col("x").bitwiseAND(lit(1023L)), col("y").bitwiseAND(lit(1023L)),
+          col("z")).as("z3"))
+      .collect()
+    df.foreach { r =>
+      val (x, y, z) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(r.getLong(3) === ref2(x, y), s"zvalue2($x,$y)")
+      assert(r.getLong(4) === ref3(x & 1023L, y & 1023L, z), s"zvalue3($x,$y,$z)")
+    }
+  }
+
   test("z-order layout clusters BOTH dimensions; single-column sort only one") {
     val s = spark
     import s.implicits._
