@@ -190,6 +190,63 @@ class ScaleSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("property: heavy hitters equal the naive groupBy over random corpora/thresholds") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(31)
+    (0 until 5).foreach { trial =>
+      val nKeys = 20 + rnd.nextInt(200)
+      val skew = 1 + rnd.nextInt(4) // zipf-ish exponent
+      val rows = (0 until 3000).map { _ =>
+        val r = rnd.nextDouble()
+        s"k${(math.pow(r, skew) * nKeys).toInt}"
+      }
+      val k = 16 + rnd.nextInt(64)
+      // any ppm above the MG bound; the result must be EXACT regardless
+      val ppm = 1000000L / (k + 1) + 1 + rnd.nextInt(50000)
+      val df = rows.toDF("t").repartition(1 + rnd.nextInt(8))
+      val got = graft.operators.Scale.heavyHitters(df, "t", ppm, k)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      val want = df.groupBy("t").agg(count(lit(1)).as("c"))
+        .filter(col("c") * 1000000L >= lit(ppm) * 3000L)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got === want, s"trial $trial (k=$k ppm=$ppm)")
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("property: every token lands in a chunk and overlaps agree with stride") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(37)
+    val docs = (0 until 50).map { i =>
+      val n = 1 + rnd.nextInt(120)
+      (i.toLong, (0 until n).map(j => s"w${i}_$j").mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val win = 16; val stride = 12
+    val chunks = graft.operators.Curation.chunkDocs(df, win, stride).collect()
+    val byDoc = chunks.groupBy(_.getAs[Long]("doc_id"))
+    docs.foreach { case (id, text) =>
+      val toks = text.split(" ")
+      val cs = byDoc(id).sortBy(_.getAs[Long]("chunk_id"))
+      // chunk i starts at i*stride and matches the source slice exactly
+      cs.foreach { c =>
+        val i = c.getAs[Long]("chunk_id").toInt
+        val expectTokens = toks.slice(i * stride, math.min(i * stride + win, toks.length))
+        assert(c.getAs[String]("chunk_text") === expectTokens.mkString(" "))
+        assert(c.getAs[Long]("chunk_len") === expectTokens.length.toLong)
+      }
+      // coverage: chunk starts advance by stride while they stay < n,
+      // so every token index < n falls inside some [i*stride, i*stride+win)
+      val nChunks = cs.length
+      assert(nChunks === (toks.length - 1) / stride + 1)
+      assert((nChunks - 1) * stride < toks.length)
+    }
+  }
+
   test("heavy hitters on an empty corpus returns an empty frame, not an NPE") {
     val s = spark
     import s.implicits._
