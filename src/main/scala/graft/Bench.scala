@@ -9,14 +9,21 @@ import org.apache.spark.sql.SparkSession
   *  - results are fully materialized through the `noop` DSv2 sink —
   *    `count()` would let Catalyst prune the projections being measured;
   *  - one warmup query first (JVM/codegen/parquet-footer caches), then
-  *    TWO timed passes per query reporting the min — this host shows up
-  *    to 60× transient slowdowns on individual runs (external
-  *    contention); min-of-2 measures the code, not the neighbor.
+  *    THREE timed passes per query (SPARK_GRAFT_BENCH_PASSES to change),
+  *    reporting BOTH min and median — this host shows up to 60×
+  *    transient slowdowns from external contention, and the round-3
+  *    experience was that a min-of-2 with an adaptive third pass records
+  *    garbage confidently when BOTH samples land in a contended window.
+  *    min measures the code; median ≫ min flags the contention;
+  *  - /proc/loadavg is sampled around every pass and the max 1-minute
+  *    load is published per query plus globally, so a reader can tell a
+  *    real regression from a noisy host without rerunning.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
@@ -26,6 +33,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    /** 1-minute load average; -1 when unreadable (non-Linux). */
+    def loadAvg(): Double =
+      try {
+        val src = scala.io.Source.fromFile("/proc/loadavg")
+        try src.mkString.split("\\s+")(0).toDouble finally src.close()
+      } catch { case _: Throwable => -1.0 }
 
     def runOnce(name: String): Double = {
       // Some queries persist() intermediate frames (q28/q30/q50 shingles)
@@ -43,28 +57,36 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    val startLoad = loadAvg()
     val names = SparkEntry.allDefs.map(_.name)
     runOnce(names.head) // warmup
     val results = names.map { n =>
-      val a = runOnce(n)
-      val b = runOnce(n)
-      val best0 = if (a < 0) b else if (b < 0) a else math.min(a, b)
-      // Adaptive third pass: this host shows transient multi-x slowdowns
-      // from external contention; when the two passes disagree by >2×,
-      // both may have been hit — one more sample makes the reported min
-      // measure the code, not the neighbor.
-      val best =
-        if (a > 0 && b > 0 && math.max(a, b) > 2 * math.min(a, b)) {
-          val c = runOnce(n)
-          if (c > 0) math.min(best0, c) else best0
-        } else best0
-      n -> best
+      val loads = scala.collection.mutable.ArrayBuffer(loadAvg())
+      val samples0 = Seq.fill(passes) { val t = runOnce(n); loads += loadAvg(); t }
+        .filter(_ >= 0)
+      // One extra sample when the spread says a pass was contended: at
+      // `passes`=3 this bounds the worst case (two of three contended)
+      // without paying 4 passes on quiet queries.
+      val samples =
+        if (samples0.size >= 2 && samples0.max > 2 * samples0.min) {
+          val extra = runOnce(n); loads += loadAvg()
+          if (extra >= 0) samples0 :+ extra else samples0
+        } else samples0
+      val sorted = samples.sorted
+      val minT = if (sorted.isEmpty) -1.0 else sorted.head
+      val medT = if (sorted.isEmpty) -1.0 else sorted(sorted.size / 2)
+      (n, minT, medT, loads.max)
     }
-    val qs = results
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
+    def jmap(f: ((String, Double, Double, Double)) => Double): String =
+      results.map(r => "\"" + r._1 + "\":" + f"${f(r)}%.3f").mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val totalMed = results.map(_._3).filter(_ >= 0).sum
+    val endLoad = loadAvg()
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jmap(_._2)},""" +
+      f""""queries_median":${jmap(_._3)},"queries_load1m":${jmap(_._4)},""" +
+      f""""total_median":$totalMed%.3f,"passes":$passes,""" +
+      f""""load1m_start":$startLoad%.2f,"load1m_end":$endLoad%.2f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -212,33 +212,50 @@ object Curation {
 
   /** The composed curation pipeline — the end-to-end path a training
     * corpus actually takes, as ONE operator: Gopher rule gate (q70) →
-    * exact near-dup removal, keep-first (q30 semantics) → benchmark
+    * near-dup removal, keep-first (q30 semantics) → benchmark
     * decontamination (q58 semantics) → token-budget sequence packing
     * (q66). Returns the packed survivor frame; [[curateStages]] exposes
     * every intermediate for auditing. Each stage reuses the already-
     * scale-shaped operator (keyed aggs, shingle equi-joins, broadcast
     * benchmark side, per-shard packing windows) — composing them adds
     * no new shuffle beyond the stages' own.
+    *
+    * `pairFinder` is the near-dup pair-finding stage: any
+    * (doc_id, text) ⇒ (doc_a, doc_b, jac) operator. The default is
+    * [[Dedup.exactNearDups]] — the Σdf² ground truth, right for
+    * oracle parity and modest corpora but NEVER for 100 TB (hot
+    * shingles dominate the self-join; see Dedup.scala). At scale pass
+    * [[Dedup.dfCappedNearDups]] (same pipeline, hot shingles dropped
+    * pre-join) or [[Dedup.minhashNearDups]] (banded LSH candidates —
+    * the miss probability for j ≥ 0.7 pairs is < 1e-8, so on a
+    * threshold-0.5 corpus with well-separated dups all three agree;
+    * CurateSpec pins that equality on the test corpus).
     */
   def curate(docs: DataFrame, benchmark: DataFrame,
-      budget: Int = 512): DataFrame =
-    curateStages(docs, benchmark, budget)._4
+      budget: Int = 512,
+      pairFinder: DataFrame => DataFrame = Dedup.exactNearDups(_)): DataFrame =
+    curateStages(docs, benchmark, budget, pairFinder)._4
 
   /** (quality survivors, after near-dup removal, after decontamination,
     * packed) — see [[curate]].
     */
   def curateStages(docs: DataFrame, benchmark: DataFrame,
-      budget: Int = 512): (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    // qual and deduped each feed several downstream subtrees (pair join,
-    // anti-joins, decon, packing, audits); without the persist the
-    // gopher-rule aggregation re-runs once per consumer. Doc-sized
-    // frames — cheap to cache; same clearCache contract as
-    // minhashNearDups (Verify/Bench clear between queries).
+      budget: Int = 512,
+      pairFinder: DataFrame => DataFrame = Dedup.exactNearDups(_))
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    // qual, deduped AND clean each feed several downstream subtrees
+    // (pair join, anti-joins, decon, packing, audits); without the
+    // persist the producing subtree re-runs once per consumer — for
+    // clean that subtree is the decontamination containment join, the
+    // pipeline's most expensive stage (the round-3 bench measured the
+    // unpersisted form at 2× its quiet cost). Doc-sized frames — cheap
+    // to cache; same clearCache contract as minhashNearDups
+    // (Verify/Bench clear between queries).
     val qual = docs.join(
       TextAnalysis.gopherRules(docs).filter(col("keep")).select(col("doc_id")),
       "doc_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = Dedup.exactNearDups(qual.select(col("doc_id"), col("text")))
+    val pairs = pairFinder(qual.select(col("doc_id"), col("text")))
     val deduped = qual.join(
       pairs.select(col("doc_b").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -247,6 +264,7 @@ object Curation {
       benchmark.select(col("doc_id"), col("text")))
     val clean = deduped.join(
       contam.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     (qual, deduped, clean, sequencePack(clean, budget))
   }
 
@@ -376,7 +394,10 @@ object Curation {
       .withColumn("nx", lead(col("t"), 1).over(wOrd))
       .filter(col("nx").isNotNull)
       .select(concat_ws(" ", col("t"), col("nx")).as("g"))
-    Scale.heavyHitters(bigrams, "g", sharePpm = 1000L)
+    // persistKeys: the bigram frame is a shuffle+window pipeline that
+    // MG+recount reads twice — cache it at catalog/test scale (the
+    // 100 TB guidance in heavyHitters' scaladoc says false there)
+    Scale.heavyHitters(bigrams, "g", sharePpm = 1000L, persistKeys = true)
   }
 
   val q74: QueryDef = QueryDef.checked(

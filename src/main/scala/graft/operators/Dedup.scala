@@ -21,7 +21,7 @@ import org.apache.spark.storage.StorageLevel
   */
 object Dedup {
 
-  def defs: Seq[QueryDef] = Seq(q27, q28, q29, q30, q50, q57, q58, q62, q65)
+  def defs: Seq[QueryDef] = Seq(q27, q28, q29, q30, q50, q57, q58, q62, q65, q78)
 
   /** Shared oracle CTE: distinct token-trigram shingles per document —
     * the SQL twin of [[shingles]], used by every shingle-based oracle
@@ -753,12 +753,12 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** q65: incremental dedup demo — the newest 10% of the id range plays
-    * the new batch (scale-proportional: a fixed cut would make the "new
-    * batch" 92% of the corpus at sf0.1, inverting the increment shape).
+  /** Shared oracle for BOTH incremental forms (q65 one-shot, q78 via
+    * the persistent index): exact pairs whose doc_b falls in the newest
+    * 10% of the id range — the two implementations must produce the
+    * same answer, so they share one SQL definition by construction.
     */
-  val q65: QueryDef = QueryDef.checked(
-    "q65_incremental_dedup",
+  private val incrementalOracle: String =
     s"""WITH $shingleCte,
       |cut AS (SELECT (max(doc_id) + 1) * 9 // 10 AS c FROM documents),
       |pair AS (
@@ -771,12 +771,44 @@ object Dedup {
       |FROM pair JOIN sizes sa ON doc_a = sa.doc_id
       |          JOIN sizes sb ON doc_b = sb.doc_id
       |WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5
-      |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** q65: incremental dedup demo — the newest 10% of the id range plays
+    * the new batch (scale-proportional: a fixed cut would make the "new
+    * batch" 92% of the corpus at sf0.1, inverting the increment shape).
+    */
+  val q65: QueryDef = QueryDef.checked(
+    "q65_incremental_dedup", incrementalOracle) { (s, d) =>
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
     val cut = (docs.agg(max(col("doc_id"))).head().getLong(0) + 1L) * 9L / 10L
     incrementalNearDups(
       docs.filter(col("doc_id") < cut),
       docs.filter(col("doc_id") >= cut))
+  }
+
+  /** q78: the SAME incremental answer via the PERSISTENT signature
+    * index — the production ingest path: banded signatures of the
+    * existing corpus are built once and WRITTEN TO PARQUET (the corpus
+    * text is never re-shingled per increment), the fresh batch computes
+    * only its own signatures, candidates come from
+    * [[minhashCandidatesAgainst]] (index×fresh + fresh×fresh, never
+    * index×index), and [[jaccardVerify]] makes the result exact on the
+    * candidate set. Oracle-checked against q65's SQL verbatim: by the
+    * (r=2, b=32) miss-probability argument the index path must
+    * reproduce the one-shot exact answer or the gate fails.
+    */
+  val q78: QueryDef = QueryDef.checked(
+    "q78_index_incremental_dedup", incrementalOracle) { (s, d) =>
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val cut = (docs.agg(max(col("doc_id"))).head().getLong(0) + 1L) * 9L / 10L
+    val tmp = java.nio.file.Files
+      .createTempDirectory(Exact.fmtRoot, "mhidx_").toAbsolutePath.toString
+    minhashSignatures(docs.filter(col("doc_id") < cut))
+      .write.mode("overwrite").parquet(s"$tmp/sigs")
+    val indexSigs = s.read.parquet(s"$tmp/sigs")
+    val cand = minhashCandidatesAgainst(
+      indexSigs, minhashSignatures(docs.filter(col("doc_id") >= cut)))
+    jaccardVerify(docs, cand)
   }
 
   /** q62: bloom-prefiltered decontamination — same split and SAME oracle

@@ -270,15 +270,27 @@ object Scale {
     *
     * Cache contract: persists its small sketch frame; caller clears
     * with `spark.catalog.clearCache()` (Verify/Bench do).
+    *
+    * `persistKeys` caches the (possibly expensive) key frame between
+    * the sketch pass and the recount pass. Exact MG+recount inherently
+    * reads the keys twice; when they come from a shuffle-backed
+    * pipeline (q76's per-doc bigram window) caching halves the work at
+    * test scale. At 100 TB leave it false — re-scanning the source
+    * beats spilling a corpus-sized cache, and the two passes remain
+    * the correct trade.
     */
   def heavyHitters(keys: org.apache.spark.sql.DataFrame, keyCol: String,
-      sharePpm: Long, k: Int = 4096): org.apache.spark.sql.DataFrame = {
+      sharePpm: Long, k: Int = 4096,
+      persistKeys: Boolean = false): org.apache.spark.sql.DataFrame = {
     require(sharePpm * (k + 1L) > 1000000L,
       s"share $sharePpm ppm below MG bound 1/(k+1); raise k")
     val s = keys.sparkSession
     import s.implicits._
-    val toks = keys.select(col(keyCol).cast("string").as("t"))
+    val toks0 = keys.select(col(keyCol).cast("string").as("t"))
       .filter(col("t").isNotNull).as[String]
+    val toks = if (persistKeys)
+      toks0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else toks0
     val sketch = toks.mapPartitions { it =>
       val m = scala.collection.mutable.HashMap.empty[String, Long]
       var np = 0L
