@@ -27,11 +27,14 @@ import java.util.Base64
 final class AwsKinesisClient(
     streamName: String,
     region: String,
-    creds: SigV4.Credentials,
+    creds: CredentialsProvider,
     transport: AwsKinesisClient.Transport = AwsKinesisClient.httpTransport,
     now: () => Instant = () => Instant.now(),
     endpointOverride: Option[String] = None)
     extends KinesisClient {
+
+  def this(streamName: String, region: String, creds: SigV4.Credentials) =
+    this(streamName, region, CredentialsProvider.Static(creds))
 
   private val url = endpointOverride
     .getOrElse(s"https://kinesis.$region.amazonaws.com/") // kinesis.go:31
@@ -45,13 +48,16 @@ final class AwsKinesisClient(
 
   override def putRecords(records: Seq[KinesisRecord]): PutRecordsResult = {
     val body = requestJson(records).getBytes(UTF_8)
+    // resolve per request: renewable providers (instance metadata,
+    // AssumeRole) hand back fresh keys after their expiry
+    val at = now()
     val signed = SigV4.sign(
       method = "POST", host = host, path = "/", query = Nil,
       headers = Map(
         "content-type" -> "application/x-amz-json-1.1",
         "x-amz-target" -> "Kinesis_20131202.PutRecords"),
       body = body, region = region, service = "kinesis",
-      creds = creds, now = now())
+      creds = creds.credentials(at), now = at)
     try {
       val (status, respBody) = transport(url, signed, body)
       parseResponse(status, respBody)
@@ -137,6 +143,14 @@ object AwsKinesisClient {
   def register(
       name: String, streamName: String, region: String,
       creds: SigV4.Credentials): Unit =
+    register(name, streamName, region, CredentialsProvider.Static(creds))
+
+  /** Provider variant: renewable credentials (instance metadata /
+    * AssumeRole via [[CredentialsProvider.chain]]) behind the same seam.
+    */
+  def register(
+      name: String, streamName: String, region: String,
+      creds: CredentialsProvider): Unit =
     graft.sources.KinesisClientRegistry.register(name,
       () => new AwsKinesisClient(streamName, region, creds))
 }

@@ -109,7 +109,8 @@ class SigV4Spec extends AnyFunSuite {
       respond: (String, Map[String, String], Array[Byte]) => (Int, String)) = {
     val captured = scala.collection.mutable.ArrayBuffer[(String, Map[String, String], String)]()
     val c = new AwsKinesisClient(
-      streamName = "logs", region = "ap-southeast-2", creds = testCreds,
+      streamName = "logs", region = "ap-southeast-2",
+      creds = CredentialsProvider.Static(testCreds),
       transport = (url, headers, body) => {
         captured += ((url, headers, new String(body, UTF_8)))
         respond(url, headers, body)
@@ -177,6 +178,142 @@ class SigV4Spec extends AnyFunSuite {
     (0 until 4).foreach(i => p.add(Array(i.toByte), "k"))
     p.flush()
     assert(p.stats.sent === 4 && calls === 2)
+  }
+
+  // ---- credential providers (K9 chain) over scripted transports ----------
+
+  test("fromEnv: both spellings accepted, reference error cases preserved") {
+    def env(m: Map[String, String]): String => Option[String] = m.get
+    assert(CredentialsProvider.fromEnv(env(Map.empty)).isLeft)
+    assert(CredentialsProvider.fromEnv(
+      env(Map("AWS_ACCESS_KEY_ID" -> "a"))).isLeft) // secret missing
+    assert(CredentialsProvider.fromEnv(
+      env(Map("AWS_SECRET_ACCESS_KEY" -> "s"))).isLeft) // access missing
+    val both = CredentialsProvider.fromEnv(env(Map(
+      "AWS_ACCESS_KEY" -> "oldstyle", "AWS_ACCESS_KEY_ID" -> "newstyle",
+      "AWS_SECRET_KEY" -> "sec", "AWS_SECURITY_TOKEN" -> "tok")))
+    val c = both.toOption.get.credentials(testTime)
+    assert(c.accessKeyId === "oldstyle") // AWS_ACCESS_KEY wins, as in the reference
+    assert(c.secretAccessKey === "sec")
+    assert(c.sessionToken === Some("tok"))
+  }
+
+  private val metadataJson =
+    """{"Code":"Success","AccessKeyId":"ASIAMETA","SecretAccessKey":"metasecret",
+      |"Token":"metatoken","Expiration":"2015-08-30T18:00:00Z"}""".stripMargin
+
+  test("instance metadata: role lookup, creds fetch, renewal only after expiry") {
+    var fetches = 0
+    val get: CredentialsProvider.HttpGet = {
+      case url if url.endsWith("security-credentials") => (200, "my-role\n")
+      case url if url.endsWith("security-credentials/my-role") =>
+        fetches += 1; (200, metadataJson)
+      case url => fail(s"unexpected url $url")
+    }
+    var t = testTime
+    val p = CredentialsProvider.instanceMetadata(get, now = () => t)
+    assert(fetches === 1) // warmed up at construction
+    val c = p.credentials(t)
+    assert(c.accessKeyId === "ASIAMETA" && c.sessionToken === Some("metatoken"))
+    p.credentials(t.plusSeconds(3600))
+    assert(fetches === 1) // still before the 18:00Z expiry → cached
+    t = Instant.parse("2015-08-30T18:00:00Z")
+    p.credentials(t) // expiry is not after now → refetch
+    assert(fetches === 2)
+  }
+
+  test("instance metadata: no role attached fails at construction") {
+    val get: CredentialsProvider.HttpGet = {
+      case url if url.endsWith("security-credentials") => (404, "not found")
+      case _ => (404, "")
+    }
+    assertThrows[java.io.IOException] {
+      CredentialsProvider.instanceMetadata(get, now = () => testTime)
+    }
+  }
+
+  private def stsXml(expiry: String) =
+    s"""<AssumeRoleResponse><AssumeRoleResult><Credentials>
+       |<AccessKeyId>ASIASTS</AccessKeyId>
+       |<SecretAccessKey>stssecret</SecretAccessKey>
+       |<SessionToken>ststoken</SessionToken>
+       |<Expiration>$expiry</Expiration>
+       |</Credentials></AssumeRoleResult></AssumeRoleResponse>""".stripMargin
+
+  test("AssumeRole: signed STS call, XML creds, renewal after expiry") {
+    var calls = 0
+    val captured = scala.collection.mutable.ArrayBuffer[(String, Map[String, String])]()
+    val transport: AwsKinesisClient.Transport = (url, headers, body) => {
+      calls += 1; captured += ((url, headers))
+      assert(body.isEmpty) // empty-body POST, as the reference sends
+      (200, stsXml("2015-08-30T13:36:00Z"))
+    }
+    var t = testTime
+    val p = CredentialsProvider.assumeRole(
+      "arn:aws:iam::123456789012:role/writer", "graft-session", "us-east-1",
+      CredentialsProvider.Static(testCreds), transport, () => t)
+    assert(calls === 1)
+    val (url, headers) = captured.head
+    assert(url === "https://sts.us-east-1.amazonaws.com/?Action=AssumeRole" +
+      "&RoleArn=arn%3Aaws%3Aiam%3A%3A123456789012%3Arole%2Fwriter" +
+      "&RoleSessionName=graft-session&Version=2011-06-15")
+    assert(headers("Authorization").contains("/20150830/us-east-1/sts/aws4_request"))
+    val c = p.credentials(t)
+    assert(c === SigV4.Credentials("ASIASTS", "stssecret", Some("ststoken")))
+    t = t.plusSeconds(7200) // past the 13:36Z expiry
+    p.credentials(t)
+    assert(calls === 2)
+  }
+
+  test("AssumeRole: HTTP 200 with no credentials in body is a failure") {
+    val transport: AwsKinesisClient.Transport =
+      (_, _, _) => (200, "<AssumeRoleResponse></AssumeRoleResponse>")
+    assertThrows[java.io.IOException] {
+      CredentialsProvider.assumeRole("arn", "s", "us-east-1",
+        CredentialsProvider.Static(testCreds), transport, () => testTime)
+    }
+  }
+
+  test("chain: explicit keys => static; no keys => metadata; role wraps either") {
+    val get: CredentialsProvider.HttpGet = {
+      case url if url.endsWith("security-credentials") => (200, "r")
+      case _ => (200, metadataJson)
+    }
+    val stsTransport: AwsKinesisClient.Transport = (_, headers, _) => {
+      // the STS call must be signed by the BASE provider's key
+      assert(headers("Authorization").contains("Credential=ASIAMETA/"))
+      (200, stsXml("2015-08-30T13:36:00Z"))
+    }
+    val static = CredentialsProvider.chain(
+      Some("AKID"), Some("sec"), None, "s", "us-east-1", get, stsTransport,
+      () => testTime)
+    assert(static.credentials(testTime).accessKeyId === "AKID")
+    val meta = CredentialsProvider.chain(
+      None, None, None, "s", "us-east-1", get, stsTransport, () => testTime)
+    assert(meta.credentials(testTime).accessKeyId === "ASIAMETA")
+    val wrapped = CredentialsProvider.chain(
+      None, None, Some("arn:role"), "s", "us-east-1", get, stsTransport,
+      () => testTime)
+    assert(wrapped.credentials(testTime).accessKeyId === "ASIASTS")
+  }
+
+  test("renewed provider credentials reach the PutRecords signature") {
+    var t = testTime
+    var which = "FIRSTKEY"
+    val provider = new CredentialsProvider.Cached({ at =>
+      (SigV4.Credentials(which, "sec"), at.plusSeconds(60))
+    })
+    val captured = scala.collection.mutable.ArrayBuffer[Map[String, String]]()
+    val c = new AwsKinesisClient(
+      streamName = "logs", region = "us-east-1", creds = provider,
+      transport = (_, headers, _) => { captured += headers; (200, okResponse) },
+      now = () => t)
+    c.putRecords(Seq(KinesisRecord("a".getBytes(UTF_8), "k")))
+    assert(captured.head("Authorization").contains("Credential=FIRSTKEY/"))
+    which = "SECONDKEY"
+    t = t.plusSeconds(120) // past the cached expiry → provider refreshes
+    c.putRecords(Seq(KinesisRecord("a".getBytes(UTF_8), "k")))
+    assert(captured(1)("Authorization").contains("Credential=SECONDKEY/"))
   }
 
   test("MiniJson round-trips the response grammar") {
