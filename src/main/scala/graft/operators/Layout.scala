@@ -21,7 +21,115 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
-  def defs: Seq[QueryDef] = Seq(q73)
+  def defs: Seq[QueryDef] = Seq(q73, q79)
+
+  /** Hilbert-curve index of (cx, cy) as a new column `outCol` — the
+    * better-locality alternative to the Morton code: consecutive
+    * Hilbert indices are ALWAYS grid-adjacent (unit Manhattan steps,
+    * proven exhaustively in HilbertSpec), where the Z-curve takes long
+    * diagonal jumps at quadrant boundaries, so range-partitioned files
+    * get tighter (x, y) bounding rectangles on average.
+    *
+    * Implementation: the classic top-down quadrant walk (for each bit
+    * plane: which quadrant, then flip/transpose the frame — the public
+    * xy→d algorithm), UNROLLED as one projection per bit plane with
+    * named intermediate columns. Staged projections matter: a single
+    * nested expression would double in size per bit plane (each stage
+    * references the previous x and y several times) and blow up both
+    * the analyzer and codegen at 2^16 nodes; named stages keep the
+    * plan linear in `bits` and every stage codegen-friendly (CASE +
+    * bitwise ops only). The same staging generates the oracle SQL, so
+    * q79 is hash-checked bit-for-bit like q73.
+    */
+  def withHilbert(df: DataFrame, cx: String, cy: String, outCol: String,
+      bits: Int = 16): DataFrame = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    val m = (1L << bits) - 1 // full-side mask: the frame flip is n-1-v
+    var cur = df
+      .withColumn("_hx", col(cx).cast("long").bitwiseAND(lit(m)))
+      .withColumn("_hy", col(cy).cast("long").bitwiseAND(lit(m)))
+      .withColumn(outCol, lit(0L))
+    for (i <- (bits - 1) to 0 by -1) {
+      val s = 1L << i
+      val rx = col("_hx").bitwiseAND(lit(s)) =!= 0
+      val ry = col("_hy").bitwiseAND(lit(s)) =!= 0
+      // quadrant order 0..3 = (lo,lo), (lo,hi), (hi,hi), (hi,lo) — the
+      // CASE form keeps the Spark and DuckDB texts identical (no
+      // engine-specific xor function)
+      val quad = when(!rx && !ry, lit(0L)).when(!rx, lit(1L))
+        .when(ry, lit(2L)).otherwise(lit(3L))
+      cur = cur
+        .withColumn(outCol, col(outCol) + lit(s * s) * quad)
+        .withColumn("_hx2",
+          when(ry, col("_hx")).when(rx, lit(m) - col("_hy")).otherwise(col("_hy")))
+        .withColumn("_hy2",
+          when(ry, col("_hy")).when(rx, lit(m) - col("_hx")).otherwise(col("_hx")))
+        .withColumn("_hx", col("_hx2"))
+        .withColumn("_hy", col("_hy2"))
+    }
+    cur.drop("_hx", "_hy", "_hx2", "_hy2")
+  }
+
+  /** Write `df` clustered by the Hilbert index of (cx, cy) —
+    * [[zorderWrite]] with the better-locality curve.
+    */
+  def hilbertWrite(df: DataFrame, cx: String, cy: String, path: String,
+      numFiles: Int, bits: Int = 16): Unit =
+    withHilbert(df, cx, cy, "_h", bits)
+      .repartitionByRange(numFiles, col("_h"))
+      .sortWithinPartitions(col("_h"))
+      .drop("_h")
+      .write.mode("overwrite").parquet(path)
+
+  /** The staged oracle CTEs for [[withHilbert]] — generated from the
+    * same loop as the Spark stages so the two texts cannot
+    * desynchronize. Carries (o_orderkey, x0, y0) through every stage.
+    */
+  private def hilbertOracle(bits: Int): String = {
+    val m = (1L << bits) - 1
+    val stages = ((bits - 1) to 0 by -1).zipWithIndex.map { case (i, idx) =>
+      val s = 1L << i
+      val prev = if (idx == 0) "b" else s"h$idx"
+      s"""h${idx + 1} AS (
+         |  SELECT o_orderkey, x0, y0,
+         |    hd + CAST($s AS BIGINT) * $s * (CASE
+         |      WHEN (hx & $s) = 0 AND (hy & $s) = 0 THEN 0
+         |      WHEN (hx & $s) = 0 THEN 1
+         |      WHEN (hy & $s) <> 0 THEN 2 ELSE 3 END) AS hd,
+         |    CASE WHEN (hy & $s) <> 0 THEN hx
+         |         WHEN (hx & $s) <> 0 THEN $m - hy ELSE hy END AS hx,
+         |    CASE WHEN (hy & $s) <> 0 THEN hy
+         |         WHEN (hx & $s) <> 0 THEN $m - hx ELSE hx END AS hy
+         |  FROM $prev)""".stripMargin
+    }
+    s"""WITH b AS (
+       |  SELECT o_orderkey,
+       |    CAST(o_custkey & $m AS BIGINT) AS x0,
+       |    CAST(datediff('day', DATE '1992-01-01', o_orderdate) & $m AS BIGINT) AS y0,
+       |    CAST(o_custkey & $m AS BIGINT) AS hx,
+       |    CAST(datediff('day', DATE '1992-01-01', o_orderdate) & $m AS BIGINT) AS hy,
+       |    CAST(0 AS BIGINT) AS hd
+       |  FROM orders),
+       |${stages.mkString(",\n")}
+       |SELECT o_orderkey, x0 AS x, y0 AS y, hd AS h
+       |FROM h$bits ORDER BY o_orderkey""".stripMargin
+  }
+
+  /** q79: Hilbert indices over orders — same (x, y) as q73, so the two
+    * curves are directly comparable; hash-checked against the staged
+    * SQL twin of the same quadrant walk.
+    */
+  val q79: QueryDef = QueryDef.checked(
+    "q79_hilbert_code", hilbertOracle(16)) { (s, d) =>
+    val x = col("o_custkey").bitwiseAND(lit(65535L))
+    val y = datediff(col("o_orderdate"), to_date(lit("1992-01-01")))
+      .cast("long").bitwiseAND(lit(65535L))
+    withHilbert(
+      Tables.orders(s, d).select(col("o_orderkey"), x.as("x"), y.as("y")),
+      "x", "y", "h")
+      .select(col("o_orderkey"), col("x"), col("y"), col("h"))
+      .orderBy(col("o_orderkey"))
+  }
 
   /** Write `df` clustered by the Morton code of (cx, cy) into
     * `numFiles` range-partitioned, internally sorted parquet files.
