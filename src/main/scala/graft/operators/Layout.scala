@@ -21,7 +21,85 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
-  def defs: Seq[QueryDef] = Seq(q73, q79)
+  def defs: Seq[QueryDef] = Seq(q73, q79, q80)
+
+  /** Write `df` as a bucketed, per-bucket-sorted external table: the
+    * storage-side half of a shuffle-free join. Both sides of a join
+    * bucketed by their join key into the SAME bucket count satisfy the
+    * join's distribution requirement straight off disk, so the
+    * sort-merge join plans with ZERO exchanges — at 100 TB this converts
+    * every repeated fact⋈fact join from a full-corpus shuffle (the
+    * dominant cost) into a local merge. The `repartition` on the key
+    * uses the same Murmur3 hash as the bucket assignment, so each task
+    * holds exactly one bucket's rows → one file per bucket. `sortBy`
+    * keeps each file internally ordered; note Spark ≥3.0 still inserts a
+    * LOCAL sort before a merge join (trusting file order is behind
+    * `spark.sql.legacy.bucketedTableScan.outputOrdering`) — per-bucket,
+    * spillable, no exchange, so the scale economics are unchanged.
+    */
+  def bucketedWrite(df: DataFrame, key: String, numBuckets: Int,
+      table: String, path: String): Unit =
+    df.repartition(numBuckets, col(key))
+      .write.mode("overwrite")
+      .option("path", path)
+      .bucketBy(numBuckets, key)
+      .sortBy(key)
+      .saveAsTable(table)
+
+  /** Co-located per-order revenue roll-up over two bucketed tables: the
+    * join AND the following keyed aggregation both reuse the on-disk
+    * hash distribution, so the whole plan is exchange-free (pinned in
+    * BucketingSpec with broadcast disabled; with defaults AQE may still
+    * choose broadcast at toy scale — size-based, which is fine).
+    */
+  def colocatedOrderRevenue(s: org.apache.spark.sql.SparkSession,
+      liTable: String, ordTable: String): DataFrame = {
+    import Exact.dec2
+    s.table(liTable)
+      .join(s.table(ordTable), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec2(col("l_extendedprice"))).cast("double").as("revenue"),
+        min(col("o_custkey")).as("custkey"))
+  }
+
+  // unique per-invocation table names: bench/verify re-run query fns in
+  // one session, and overwriting a table another live DataFrame still
+  // references would be a silent correctness hazard
+  private val bucketSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** q80: the bucketed co-located join. Writes pre-filtered lineitem and
+    * orders slices bucketed by their join key (8 buckets, one file per
+    * bucket, sorted), then joins + aggregates. Result is hash-checked
+    * against the plain (shuffle) join in DuckDB — bucketing must be
+    * invisible to semantics. No presentation ORDER BY on purpose: the
+    * driver's compare is order-insensitive, and omitting it keeps the
+    * executed plan entirely exchange-free end to end.
+    */
+  val q80: QueryDef = QueryDef.checked(
+    "q80_bucketed_join",
+    """SELECT l_orderkey, COUNT(*) AS n_items,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      | MIN(o_custkey) AS custkey
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_orderkey < 5000
+      |GROUP BY l_orderkey""".stripMargin) { (s, d) =>
+    val n = bucketSeq.incrementAndGet()
+    val root = java.nio.file.Files
+      .createTempDirectory(Exact.fmtRoot, "bkt_").toAbsolutePath.toString
+    val (liT, ordT) = (s"graft_li_bk_$n", s"graft_ord_bk_$n")
+    bucketedWrite(
+      Tables.lineitem(s, d).filter(col("l_orderkey") < 5000)
+        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice")),
+      "l_orderkey", 8, liT, s"$root/li")
+    bucketedWrite(
+      Tables.orders(s, d).filter(col("o_orderkey") < 5000)
+        .select(col("o_orderkey"), col("o_custkey")),
+      "o_orderkey", 8, ordT, s"$root/ord")
+    colocatedOrderRevenue(s, liT, ordT)
+  }
 
   /** Hilbert-curve index of (cx, cy) as a new column `outCol` — the
     * better-locality alternative to the Morton code: consecutive
