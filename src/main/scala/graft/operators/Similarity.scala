@@ -17,7 +17,7 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  def defs: Seq[QueryDef] = Seq(q31, q32, q33, q69, q71)
+  def defs: Seq[QueryDef] = Seq(q31, q32, q33, q69, q71, q81)
 
   /** Cosine near-duplicate pairs of one vector frame. Exact O(n²) form —
     * correct baseline and the verifier for the bucketed variant. At
@@ -178,6 +178,65 @@ object Similarity {
   val q69: QueryDef = QueryDef.rowsOnly("q69_embedding_outliers") { (s, d) =>
     groupOutliers(Tables.embeddings(s, d)
       .select(col("label"), col("vec_id"), VF.asDouble(col("embedding")).as("v")))
+  }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023: k-means
+    * the embedding space, then look for near-duplicates ONLY inside each
+    * cluster). The all-pairs O(n²) cosine join becomes an equi-join on
+    * the cluster id, bounding candidate pairs to Σ|cluster|² — with
+    * cluster count scaled so |cluster| stays bounded, the scale path for
+    * embedding dedup the way banded LSH is for MinHash. Codebook
+    * training reuses the IVF coarse quantizer (seeded spherical k-means
+    * on a bounded driver sample); assignment is a deterministic
+    * nearest-centroid argmax, so results are reproducible across runs.
+    *
+    * Keep-first semantics: any vector with a same-cluster neighbor of
+    * cosine ≥ `threshold` and a smaller vec_id is dropped — the same
+    * survivor rule as Dedup.exactNearDups, so the two dedup families
+    * compose. Near-identical vectors land in the same cluster (their
+    * centroid ranking is identical up to the perturbation), which is
+    * why recall on true duplicates stays high — SemDedupSpec pins ≥0.9
+    * on planted pairs and soundness (every drop is a real cosine-≥τ
+    * pair) on the catalog corpus.
+    *
+    * Returns (vec_id, cid, keep). The assigned frame is persisted (it
+    * feeds both self-join sides and the output); Verify/Bench clear the
+    * cache between queries — same contract as minhashNearDups.
+    */
+  def semanticDedup(vectors: DataFrame, threshold: Double = 0.4,
+      nClusters: Int = 16, sampleCap: Int = 2048): DataFrame = {
+    val n = vectors.count()
+    val step = math.max(1L, n / sampleCap)
+    val sample = vectors.filter(col("vec_id") % step === 0)
+      .orderBy(col("vec_id")).select(col("v")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val centroids = Scale.trainCodebook(sample, nClusters).zipWithIndex
+    val sims = centroids.map { case (cv, cid) =>
+      struct(CosineSimilarity.cosineSim(col("v"), typedLit(cv.toSeq)).as("sim"),
+        lit(cid.toLong).as("cid"))
+    }
+    val assigned = vectors
+      .withColumn("cid",
+        element_at(array_sort(array(sims.toIndexedSeq: _*)), -1).getField("cid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = assigned.select(col("cid"), col("vec_id").as("id_a"), col("v").as("va"))
+    val b = assigned.select(col("cid"), col("vec_id").as("id_b"), col("v").as("vb"))
+    val dropped = a.join(b, Seq("cid"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(CosineSimilarity.cosineSim(col("va"), col("vb")) >= threshold)
+      .select(col("id_b").as("vec_id")).distinct()
+      .withColumn("dup", lit(true))
+    assigned.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"), col("dup").isNull.as("keep"))
+  }
+
+  /** q81: semantic dedup over the embeddings table — 16 clusters, the
+    * q31 threshold, so the drops are a cluster-restricted subset of the
+    * q31 exact pair set. Rows-only (cluster ids are engine-trained);
+    * SemDedupSpec carries the real checks.
+    */
+  val q81: QueryDef = QueryDef.rowsOnly("q81_semantic_dedup") { (s, d) =>
+    semanticDedup(vecs(s, d)).orderBy(col("vec_id"))
   }
 
   /** Hard-negative mining for contrastive training: for each anchor,
