@@ -21,7 +21,8 @@ import org.apache.spark.storage.StorageLevel
   */
 object Dedup {
 
-  def defs: Seq[QueryDef] = Seq(q27, q28, q29, q30, q50, q57, q58, q62, q65, q78)
+  def defs: Seq[QueryDef] =
+    Seq(q27, q28, q29, q30, q50, q57, q58, q62, q65, q78, q82, q83)
 
   /** Shared oracle CTE: distinct token-trigram shingles per document —
     * the SQL twin of [[shingles]], used by every shingle-based oracle
@@ -832,5 +833,125 @@ object Dedup {
     decontaminateBloom(
       docs.filter(col("doc_id") % 10 =!= 0),
       docs.filter(col("doc_id") % 10 === 0))
+  }
+
+  /** Cross-document duplicated-span statistics — the detection half of
+    * exact substring dedup (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better", arXiv:2107.06499, at k-token
+    * span granularity instead of a suffix array): every overlapping
+    * k-token span is hashed; a span appearing in ≥2 DISTINCT documents
+    * is duplicated; each document reports how much of it is covered by
+    * cross-doc duplicated spans. High `dup_ratio` docs are boilerplate /
+    * templates / licensing headers — the texts worth span-level surgery
+    * or dropping outright.
+    *
+    * Scale shape: one shuffle on the span hash (md5-uniform — no skew)
+    * with map-side partial counts, then an equi-join of the span frame
+    * against the (small by construction) duplicated-hash set, then a
+    * keyed roll-up on doc_id. Everything linear in corpus size; the
+    * span frame feeds both the dup-set aggregate and the join, so it is
+    * persisted (Verify/Bench clear the cache between queries).
+    */
+  def dupSpanStats(docs: DataFrame, k: Int = 8): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = docs
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).as("n_tok"),
+        posexplode(split(col("text"), " ")))
+      .withColumnRenamed("col", "t")
+      .withColumn("g", concat_ws(" ",
+        col("t") +: (1 until k).map(i => lead(col("t"), i).over(w)): _*))
+      .filter(col("pos") <= col("n_tok") - k) // complete spans only
+      .select(col("doc_id"),
+        conv(substring(md5(col("g").cast("binary")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dup = spans.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("h"), lit(true).as("dup"))
+    spans.join(dup, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        count(col("dup")).as("n_dup_spans"))
+      .withColumn("dup_ratio", round(col("n_dup_spans") / col("n_spans"), 6))
+  }
+
+  /** q82: duplicated-span stats over the corpus at k=8. Span hashes are
+    * the same 60-bit md5-prefix construction as q61's winnowing, so the
+    * DuckDB twin is hash-exact.
+    */
+  val q82: QueryDef = QueryDef.checked(
+    "q82_dup_span_stats",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |pos AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 7)) AS i
+      |  FROM t),
+      |sp AS (SELECT doc_id,
+      |    ('0x' || substring(md5(array_to_string(toks[i:i+7], ' ')), 1, 15))::BIGINT AS h
+      |  FROM pos),
+      |dup AS (SELECT h FROM sp GROUP BY h HAVING count(DISTINCT doc_id) >= 2)
+      |SELECT sp.doc_id, COUNT(*) AS n_spans, COUNT(dup.h) AS n_dup_spans,
+      |  ROUND(COUNT(dup.h) / COUNT(*), 6) AS dup_ratio
+      |FROM sp LEFT JOIN dup ON sp.h = dup.h
+      |GROUP BY sp.doc_id ORDER BY sp.doc_id""".stripMargin) { (s, d) =>
+    dupSpanStats(Tables.documents(s, d)).orderBy(col("doc_id"))
+  }
+
+  /** Block-level exact substring dedup with reassembly — the removal
+    * half of Lee et al.'s substring dedup, at fixed `blockTokens`
+    * granularity: documents are cut into non-overlapping token blocks,
+    * every block that has already appeared anywhere in the corpus (in
+    * (doc_id, block_idx) order — keep-first, same survivor rule as the
+    * whole dedup family) is removed, and each document's text is
+    * reassembled from its surviving blocks. Unlike document-level dedup
+    * this strips REPEATED REGIONS from otherwise-unique documents —
+    * boilerplate, license headers, navigation chrome.
+    *
+    * Scale shape: block formation is a keyed aggregation on
+    * (doc_id, block); first-occurrence ranking is one window over the
+    * block text (at 100 TB key it by the block hash — md5-uniform
+    * partitions, no skew); reassembly is a keyed aggregation on doc_id.
+    * Three shuffles, all linear, no joins at all.
+    */
+  def blockDedup(docs: DataFrame, blockTokens: Int = 16): DataFrame = {
+    val blocks = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .withColumnRenamed("col", "t")
+      .withColumn("bi", expr(s"(pos div $blockTokens) + 1"))
+      .groupBy(col("doc_id"), col("bi"))
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("pos"), col("t")))),
+          s => s.getField("t"))).as("btext"))
+    val wFirst = Window.partitionBy(col("btext"))
+      .orderBy(col("doc_id"), col("bi"))
+    blocks.withColumn("rn", row_number().over(wFirst))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_blocks"),
+        count(when(col("rn") === 1, 1)).as("n_kept"),
+        concat_ws(" ",
+          transform(array_sort(collect_list(
+            when(col("rn") === 1, struct(col("bi"), col("btext"))))),
+            s => s.getField("btext"))).as("text_dedup"))
+  }
+
+  /** q83: block dedup at 16 tokens — hash-checked including the full
+    * reassembled text of every document.
+    */
+  val q83: QueryDef = QueryDef.checked(
+    "q83_block_dedup",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |b AS (SELECT doc_id, toks,
+      |    unnest(generate_series(1, (len(toks)+15)//16)) AS bi FROM t),
+      |blk AS (SELECT doc_id, bi,
+      |   array_to_string(toks[(bi-1)*16+1 : least(bi*16, len(toks))], ' ') AS btext
+      | FROM b),
+      |ranked AS (SELECT doc_id, bi, btext,
+      |   row_number() OVER (PARTITION BY btext ORDER BY doc_id, bi) AS rn FROM blk)
+      |SELECT doc_id, COUNT(*) AS n_blocks,
+      |  COUNT(*) FILTER (WHERE rn = 1) AS n_kept,
+      |  COALESCE(string_agg(btext, ' ' ORDER BY bi) FILTER (WHERE rn = 1), '')
+      |    AS text_dedup
+      |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    blockDedup(Tables.documents(s, d)).orderBy(col("doc_id"))
   }
 }
