@@ -20,7 +20,7 @@ import org.apache.spark.sql.expressions.Window
   */
 object Curation {
 
-  def defs: Seq[QueryDef] = Seq(q59, q60, q61, q66, q74, q75, q76)
+  def defs: Seq[QueryDef] = Seq(q59, q60, q61, q66, q74, q75, q76, q84)
 
   /** Top-`k` distinctive terms per document, ranked by tf/df (document
     * frequency as the rarity signal — the idf log is monotonic in 1/df,
@@ -434,5 +434,78 @@ object Curation {
       |ORDER BY doc_id, fp""".stripMargin) { (s, d) =>
     winnowFingerprints(Tables.documents(s, d))
       .orderBy(col("doc_id"), col("fp"))
+  }
+
+  /** Per-slice corpus divergence — the mixing diagnostic: for every
+    * value of `groupCol`, how far that slice's token distribution sits
+    * from the whole corpus's, as χ² (Pearson goodness-of-fit) and L1
+    * (2× total variation) distances. The slice that drifts hardest from
+    * the blend is the one to re-weight or re-inspect before training.
+    *
+    * KL is the textbook choice but needs ln(), which is not bit-stable
+    * across engines (see the determinism contract above); χ² and L1 are
+    * the standard log-free alternatives, and here every per-term
+    * contribution is a fixed tree of correctly-rounded IEEE ops on
+    * exact integer counts, snapped to an integer parts-per-billion grid
+    * and summed as BIGINT — order-independent, so the oracle compare is
+    * exact.
+    *
+    * Scale shape: three keyed counts off one token pass (map-side
+    * combined), then a (slices × vocabulary) grid — vocabulary-sized
+    * frames, broadcast-joined by AQE; the corpus total rides in as a
+    * one-row cross join, never a driver collect. Terms absent from a
+    * slice contribute q ppb to χ² and q ppb to L1 (p = 0), which the
+    * grid's left join makes explicit — skipping them (inner join) would
+    * undercount exactly the drifted slices.
+    */
+  def corpusDivergence(docs: DataFrame, groupCol: String = "source"): DataFrame = {
+    val tok = docs.select(col(groupCol).as("grp"),
+      explode(split(col("text"), " ")).as("t"))
+    val gt = tok.groupBy(col("grp"), col("t")).agg(count(lit(1)).as("c_gt"))
+    val ct = tok.groupBy(col("t")).agg(count(lit(1)).as("c_t"))
+    val gs = tok.groupBy(col("grp")).agg(count(lit(1)).as("n_g"))
+    val tot = ct.agg(sum(col("c_t")).as("n_tot"))
+    val p = col("c_gt").cast("double") / col("n_g")
+    val q = col("c_t").cast("double") / col("n_tot")
+    gs.crossJoin(ct).crossJoin(tot)
+      .join(gt, Seq("grp", "t"), "left")
+      .withColumn("c_gt", coalesce(col("c_gt"), lit(0L)))
+      .withColumn("chi2_ppb",
+        round(lit(1000000000.0) * ((p - q) * (p - q)) / q).cast("long"))
+      .withColumn("l1_ppb",
+        round(lit(1000000000.0) * abs(p - q)).cast("long"))
+      .groupBy(col("grp"), col("n_g"))
+      .agg(sum(col("chi2_ppb")).as("chi2_ppb"), sum(col("l1_ppb")).as("l1_ppb"))
+      .select(col("grp").as(groupCol), col("n_g").as("n_tokens"),
+        col("chi2_ppb"), col("l1_ppb"))
+  }
+
+  /** q84: per-source divergence from the corpus blend. */
+  val q84: QueryDef = QueryDef.checked(
+    "q84_corpus_divergence",
+    """WITH tok AS (
+      |  SELECT source AS grp, unnest(string_split(text, ' ')) AS t FROM documents),
+      |gt AS (SELECT grp, t, count(*) AS c_gt FROM tok GROUP BY 1, 2),
+      |ct AS (SELECT t, count(*) AS c_t FROM tok GROUP BY 1),
+      |gs AS (SELECT grp, count(*) AS n_g FROM tok GROUP BY 1),
+      |tot AS (SELECT count(*) AS n_tot FROM tok),
+      |grid AS (
+      |  SELECT gs.grp, gs.n_g, ct.t, ct.c_t, tot.n_tot, COALESCE(gt.c_gt, 0) AS c_gt
+      |  FROM gs CROSS JOIN ct CROSS JOIN tot
+      |  LEFT JOIN gt ON gt.grp = gs.grp AND gt.t = ct.t),
+      |terms AS (
+      |  SELECT grp, n_g,
+      |    CAST(ROUND(1000000000.0 *
+      |      ((CAST(c_gt AS DOUBLE)/n_g - CAST(c_t AS DOUBLE)/n_tot)
+      |       * (CAST(c_gt AS DOUBLE)/n_g - CAST(c_t AS DOUBLE)/n_tot))
+      |      / (CAST(c_t AS DOUBLE)/n_tot)) AS BIGINT) AS chi2_ppb,
+      |    CAST(ROUND(1000000000.0 *
+      |      ABS(CAST(c_gt AS DOUBLE)/n_g - CAST(c_t AS DOUBLE)/n_tot)) AS BIGINT) AS l1_ppb
+      |  FROM grid)
+      |SELECT grp AS source, n_g AS n_tokens,
+      |  CAST(SUM(chi2_ppb) AS BIGINT) AS chi2_ppb,
+      |  CAST(SUM(l1_ppb) AS BIGINT) AS l1_ppb
+      |FROM terms GROUP BY 1, 2 ORDER BY 1""".stripMargin) { (s, d) =>
+    corpusDivergence(Tables.documents(s, d)).orderBy(col("source"))
   }
 }

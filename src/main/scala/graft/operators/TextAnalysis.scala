@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import graft.functions.{TextFunctions => TF}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -13,7 +14,7 @@ import org.apache.spark.sql.expressions.Window
   */
 object TextAnalysis {
 
-  def defs: Seq[QueryDef] = Seq(q34, q35, q36, q37, q49, q64, q70)
+  def defs: Seq[QueryDef] = Seq(q34, q35, q36, q37, q49, q64, q70, q85)
 
   private val stopList = TF.StopWords.map(w => s"'$w'").mkString(", ")
 
@@ -273,5 +274,85 @@ object TextAnalysis {
         polyhash(substring(col("text"), 1, 32)).as("head_fp"),
         pmod(polyhash(TF.normalize(col("text"))), lit(256)).as("bucket"))
       .orderBy(col("doc_id"))
+  }
+
+  /** BM25 keyword retrieval (Robertson/Spärck Jones, the Okapi weighting
+    * with the standard k1=1.2, b=0.75): top-`topK` documents for a bag
+    * of query terms. The classic sparse-retrieval scorer — the lexical
+    * complement to the embedding ANN family, and the negative-mining
+    * workhorse for retrieval training data.
+    *
+    * Oracle determinism: the one transcendental (the idf log, in its
+    * always-positive BM25+ form ln(1 + (N-df+0.5)/(df+0.5))) is snapped
+    * to an integer micro-units grid immediately — one value per query
+    * term, so a sub-ulp engine difference cannot survive the rounding;
+    * every other factor is exact integers or a fixed tree of correctly-
+    * rounded IEEE ops, and per-term scores are summed as BIGINT.
+    *
+    * Scale shape: the token pass feeds three keyed counts (map-side
+    * combined); tf is pre-filtered to the query terms BEFORE any
+    * shuffle, so the scored frame is (matching docs × terms), not the
+    * corpus; idf and the corpus stats ride in as one-row/terms-row
+    * broadcasts; the final top-k is orderBy+limit = TakeOrdered (per-
+    * partition heaps, no global sort shuffle), ranked only after the
+    * limit collapses it to `topK` rows.
+    */
+  def bm25TopK(docs: DataFrame, terms: Seq[String],
+      topK: Int = 20): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = tok.agg(
+      (count(lit(1)).cast("double") / count_distinct(col("doc_id"))).as("avgdl"),
+      count_distinct(col("doc_id")).as("n_docs"))
+    val qtok = tok.filter(col("t").isin(terms: _*))
+    val tf = qtok.groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+    val dfq = qtok.groupBy(col("t")).agg(count_distinct(col("doc_id")).as("df"))
+    val idf = dfq.crossJoin(stats)
+      .withColumn("idf_u", round(lit(1000000.0) *
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+        .cast("long"))
+      .select(col("t"), col("idf_u"))
+    val scores = tf.join(idf, "t").join(dl, "doc_id")
+      .crossJoin(stats.select(col("avgdl")))
+      .withColumn("term_score", round(col("idf_u") * ((col("tf") * lit(2.2)) /
+        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))))
+        .cast("long"))
+    val top = scores.groupBy(col("doc_id"))
+      .agg(sum(col("term_score")).as("score_u"))
+      .orderBy(col("score_u").desc, col("doc_id"))
+      .limit(topK)
+    top.withColumn("rnk",
+        row_number().over(Window.orderBy(col("score_u").desc, col("doc_id"))))
+      .select(col("doc_id"), col("score_u"), col("rnk"))
+  }
+
+  /** q85: BM25 top-20 for a three-term query over the corpus. */
+  val q85: QueryDef = QueryDef.checked(
+    "q85_bm25_topk",
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+      |stats AS (SELECT CAST(count(*) AS DOUBLE) / count(DISTINCT doc_id) AS avgdl,
+      |                 count(DISTINCT doc_id) AS n_docs FROM tok),
+      |tf AS (SELECT doc_id, t, count(*) AS tf FROM tok
+      |  WHERE t IN ('spark', 'stream', 'join') GROUP BY 1, 2),
+      |df AS (SELECT t, count(DISTINCT doc_id) AS df FROM tok
+      |  WHERE t IN ('spark', 'stream', 'join') GROUP BY 1),
+      |idf AS (SELECT t,
+      |    CAST(ROUND(1000000.0 * LN(1.0 + (s.n_docs - df + 0.5) / (df + 0.5))) AS BIGINT) AS idf_u
+      |  FROM df CROSS JOIN stats s),
+      |scores AS (
+      |  SELECT tf.doc_id,
+      |    CAST(ROUND(idf.idf_u * ((tf.tf * 2.2) /
+      |      (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)))) AS BIGINT) AS term_score
+      |  FROM tf JOIN idf ON tf.t = idf.t JOIN dl ON tf.doc_id = dl.doc_id
+      |  CROSS JOIN stats s),
+      |agg AS (SELECT doc_id, CAST(SUM(term_score) AS BIGINT) AS score_u
+      |  FROM scores GROUP BY doc_id),
+      |ranked AS (SELECT doc_id, score_u,
+      |    row_number() OVER (ORDER BY score_u DESC, doc_id) AS rnk FROM agg)
+      |SELECT doc_id, score_u, rnk FROM ranked WHERE rnk <= 20
+      |ORDER BY rnk""".stripMargin) { (s, d) =>
+    bm25TopK(Tables.documents(s, d), Seq("spark", "stream", "join"))
+      .orderBy(col("rnk"))
   }
 }

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics for the corpus-divergence and BM25 operators (q84/q85) —
+  * the oracle pins engine parity; these pin meaning on planted corpora.
+  */
+class RetrievalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def docs(rows: (Long, String, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text", "source")
+  }
+
+  test("corpusDivergence: identical slices diverge by zero, a skewed slice dominates") {
+    val even = "alpha beta gamma delta"
+    val res = graft.operators.Curation.corpusDivergence(docs(
+      (1L, even, "a"), (2L, even, "b"),
+      (3L, "alpha alpha alpha alpha", "c"))).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    spark.catalog.clearCache()
+    // a and b have the same distribution — identical divergence
+    assert(res("a") == res("b"))
+    // c (all mass on one token) must diverge more than the balanced slices
+    assert(res("c")._1 > res("a")._1 && res("c")._2 > res("a")._2,
+      s"skewed slice should dominate: $res")
+  }
+
+  test("bm25: a doc with more query-term hits outranks, term-less docs are absent") {
+    val corpus = docs(
+      (1L, "spark spark spark pad pad pad pad pad", "s"),
+      (2L, "spark pad pad pad pad pad pad pad", "s"),
+      (3L, "pad pad pad pad pad pad pad pad", "s"))
+    val res = graft.operators.TextAnalysis
+      .bm25TopK(corpus, Seq("spark"), topK = 10).collect()
+    spark.catalog.clearCache()
+    assert(res.map(_.getLong(0)).toSeq == Seq(1L, 2L), "rank by tf; doc 3 absent")
+    assert(res.head.getLong(1) > res(1).getLong(1), "higher tf → higher score")
+    assert(res.map(_.getInt(2)).toSeq == Seq(1, 2), "dense ranks from 1")
+  }
+
+  test("bm25: length normalization — same tf, shorter doc wins") {
+    val corpus = docs(
+      (1L, "spark " + (1 to 40).map(i => s"p$i").mkString(" "), "s"),
+      (2L, "spark p1 p2 p3", "s"))
+    val res = graft.operators.TextAnalysis
+      .bm25TopK(corpus, Seq("spark"), topK = 10).collect()
+    spark.catalog.clearCache()
+    assert(res.head.getLong(0) == 2L, s"shorter doc should rank first: ${res.toSeq}")
+  }
+}
