@@ -14,7 +14,7 @@ import org.apache.spark.sql.expressions.Window
   */
 object TextAnalysis {
 
-  def defs: Seq[QueryDef] = Seq(q34, q35, q36, q37, q49, q64, q70, q85)
+  def defs: Seq[QueryDef] = Seq(q34, q35, q36, q37, q49, q64, q70, q85, q86)
 
   private val stopList = TF.StopWords.map(w => s"'$w'").mkString(", ")
 
@@ -354,5 +354,69 @@ object TextAnalysis {
       |ORDER BY rnk""".stripMargin) { (s, d) =>
     bm25TopK(Tables.documents(s, d), Seq("spark", "stream", "join"))
       .orderBy(col("rnk"))
+  }
+
+  /** Perplexity-style quality scoring (the CCNet filter — Wenzek et al.
+    * 2019, arXiv:1911.00359 — with an in-corpus bigram LM instead of an
+    * external KenLM): every document's negative log-likelihood under a
+    * Laplace-smoothed bigram model trained on the corpus itself.
+    * High-NLL-per-bigram documents are the improbable outliers (garbled
+    * text, spam, wrong-domain content) that perplexity filtering
+    * removes before training.
+    *
+    * Oracle determinism: P(t|u) = (c(u,t)+1)/(c(u)+V) is a single IEEE
+    * division of exact integer counts; its ln is snapped to an integer
+    * micro-units grid per bigram occurrence (identical inputs → one
+    * value per bigram TYPE, ≤ V² of them), and per-document NLL is a
+    * BIGINT sum of those — order-independent, hash-exact.
+    *
+    * Scale shape: one token pass feeds the bigram frame (per-doc window,
+    * doc-partitioned); counts are two keyed aggs with map-side combine;
+    * scoring joins the bigram stream against the (≤V²-row) count tables
+    * — vocabulary-sized, AQE broadcasts them; V rides in as a one-row
+    * cross join. The bigram frame feeds both the count agg and the
+    * scoring join, so it is persisted (Verify/Bench clear between
+    * queries). Self-training is one corpus pass; to score against a
+    * curated reference LM instead, build `cb`/`cu` from that frame.
+    */
+  def perplexityScore(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val tok = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .withColumnRenamed("col", "t")
+    val big = tok
+      .withColumn("u", lag(col("t"), 1).over(w))
+      .filter(col("u").isNotNull)
+      .select(col("doc_id"), col("u"), col("t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cb = big.groupBy(col("u"), col("t")).agg(count(lit(1)).as("c_ut"))
+    val cu = tok.groupBy(col("t")).agg(count(lit(1)).as("c_u"))
+      .withColumnRenamed("t", "u")
+    val v = tok.agg(count_distinct(col("t")).as("v"))
+    big.join(cb, Seq("u", "t")).join(cu, Seq("u")).crossJoin(v)
+      .withColumn("lp_u",
+        round(lit(-1000000.0) *
+          log((col("c_ut") + lit(1.0)) / (col("c_u") + col("v")))).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_u")).as("nll_u"))
+  }
+
+  /** q86: self-trained bigram NLL per document. */
+  val q86: QueryDef = QueryDef.checked(
+    "q86_perplexity_score",
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t,
+      |    generate_subscripts(string_split(text, ' '), 1) AS pos FROM documents),
+      |big AS (SELECT doc_id, lag(t) OVER (PARTITION BY doc_id ORDER BY pos) AS u, t
+      |  FROM tok QUALIFY u IS NOT NULL),
+      |cb AS (SELECT u, t, count(*) AS c_ut FROM big GROUP BY 1, 2),
+      |cu AS (SELECT t AS u, count(*) AS c_u FROM tok GROUP BY 1),
+      |v AS (SELECT count(DISTINCT t) AS v FROM tok)
+      |SELECT b.doc_id, COUNT(*) AS n_bigrams,
+      |  CAST(SUM(CAST(ROUND(-1000000.0 *
+      |    LN((cb.c_ut + 1.0) / (cu.c_u + v.v))) AS BIGINT)) AS BIGINT) AS nll_u
+      |FROM big b JOIN cb ON b.u = cb.u AND b.t = cb.t
+      |JOIN cu ON b.u = cu.u CROSS JOIN v
+      |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin) { (s, d) =>
+    perplexityScore(Tables.documents(s, d)).orderBy(col("doc_id"))
   }
 }

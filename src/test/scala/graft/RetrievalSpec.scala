@@ -42,6 +42,22 @@ class RetrievalSpec extends AnyFunSuite {
     assert(res.map(_.getInt(2)).toSeq == Seq(1, 2), "dense ranks from 1")
   }
 
+  test("perplexityScore: improbable token sequences score higher NLL per bigram") {
+    // docs 1-3 share one high-frequency pattern; doc 4 is the outlier
+    // whose bigrams occur nowhere else — the filter's target
+    val common = "the quick fox " * 6 + "the quick fox"
+    val corpus = docs(
+      (1L, common.trim, "s"), (2L, common.trim, "s"), (3L, common.trim, "s"),
+      (4L, (1 to 19).map(i => s"z$i").mkString(" "), "s"))
+    val res = graft.operators.TextAnalysis.perplexityScore(corpus).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2).toDouble / r.getLong(1))).toMap
+    spark.catalog.clearCache()
+    assert(res(4L) > res(1L) * 1.5,
+      s"outlier doc must have markedly higher per-bigram NLL: $res")
+    assert(res(1L) == res(2L) && res(2L) == res(3L),
+      "identical docs score identically")
+  }
+
   test("bm25: length normalization — same tf, shorter doc wins") {
     val corpus = docs(
       (1L, "spark " + (1 to 40).map(i => s"p$i").mkString(" "), "s"),
