@@ -298,11 +298,17 @@ object Dedup {
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1))
         .as(s"b$i")
     }
+    // one row per doc; persisted because the banded frame below feeds
+    // BOTH sides of the candidate self-join — without it the 64-column
+    // bit-vote aggregation (the expensive subtree) runs twice per
+    // action. Same cache contract as minhashNearDups (harness clears
+    // between queries).
     val fps = toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"),
         (0 until 64).map(i =>
           when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
           .reduce(_ + _).as("simhash"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // band into 4 × 16-bit chunks for candidate generation
     val banded = fps.select(col("doc_id"), col("simhash"),
         posexplode(array((0 until 4).map(j =>

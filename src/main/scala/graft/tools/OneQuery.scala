@@ -12,6 +12,7 @@ object OneQuery {
       graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.1")
         .write.format("noop").mode("overwrite").save()
       println(f"[onequery] $q ${(System.nanoTime()-t0)/1e9}%.2f s")
+      spark.catalog.clearCache() // match Bench: per-query persists released
     }
     spark.stop()
   }

@@ -99,6 +99,32 @@ class PlanShapeSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("q29 simhash self-join reads the fingerprint frame from cache") {
+    val df = SparkEntry.queries("q29_dedup_simhash")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    spark.catalog.clearCache()
+    // both sides of the banded candidate join must come from the
+    // persisted fps frame — otherwise the 64-column bit-vote
+    // aggregation runs twice per action
+    assert(plan.contains("InMemoryTableScan"),
+      s"simhash fingerprints should be served from cache:\n$plan")
+  }
+
+  test("q82 span frame is cached; dup-set join is not a nested loop") {
+    val plan = executedPlan("q82_dup_span_stats")
+    assert(plan.contains("InMemoryTableScan"),
+      s"span frame feeds two consumers and must be cached:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"dup flagging must stay an equi-join on the span hash:\n$plan")
+  }
+
+  test("q85 bm25 top-k is TakeOrdered, never a global sort") {
+    val plan = executedPlan("q85_bm25_topk")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be per-partition heaps + driver merge:\n$plan")
+  }
+
   test("q75 composed pipeline broadcasts the benchmark side and keeps anti-join prunes") {
     val plan = executedPlan("q75_curation_pipeline")
     assert(plan.contains("LeftAnti"),
