@@ -22,7 +22,7 @@ import org.apache.spark.storage.StorageLevel
 object Dedup {
 
   def defs: Seq[QueryDef] =
-    Seq(q27, q28, q29, q30, q50, q57, q58, q62, q65, q78, q82, q83)
+    Seq(q27, q28, q29, q30, q50, q57, q58, q62, q65, q78, q82, q83, q87, q88)
 
   /** Shared oracle CTE: distinct token-trigram shingles per document —
     * the SQL twin of [[shingles]], used by every shingle-based oracle
@@ -839,6 +839,83 @@ object Dedup {
     decontaminateBloom(
       docs.filter(col("doc_id") % 10 =!= 0),
       docs.filter(col("doc_id") % 10 === 0))
+  }
+
+  /** Per-document n-gram novelty: the fraction of a document's distinct
+    * trigram shingles whose FIRST corpus occurrence (min doc_id — in
+    * ingest order when ids are assigned at ingest) is this document.
+    * The "data contribution" score: near-zero novelty means the doc is
+    * recombined existing text (dedup candidates that pairwise Jaccard
+    * misses because no single pair crosses the threshold); high novelty
+    * marks genuinely new content worth keeping/up-weighting.
+    *
+    * Scale shape: one shuffle of the shingle frame on g (uniform), a
+    * same-key join of that frame against its own first-occurrence
+    * aggregate (no re-shuffle — both sides hash-partitioned on g), then
+    * a doc_id roll-up. The shingle frame feeds both the aggregate and
+    * the join → persisted, harness clears between queries.
+    */
+  def ngramNovelty(docs: DataFrame): DataFrame = {
+    val sh = shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    val first = sh.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
+    sh.join(first, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("first_doc") === col("doc_id"), 1)).as("n_novel"))
+      .withColumn("novelty", round(col("n_novel") / col("n_grams"), 6))
+  }
+
+  /** q87: trigram novelty over the corpus in doc_id order. */
+  val q87: QueryDef = QueryDef.checked(
+    "q87_ngram_novelty",
+    s"""WITH $shingleCte,
+      |first AS (SELECT g, min(doc_id) AS first_doc FROM tri GROUP BY g)
+      |SELECT t.doc_id, COUNT(*) AS n_grams,
+      |  COUNT(CASE WHEN f.first_doc = t.doc_id THEN 1 END) AS n_novel,
+      |  ROUND(COUNT(CASE WHEN f.first_doc = t.doc_id THEN 1 END) / COUNT(*), 6)
+      |    AS novelty
+      |FROM tri t JOIN first f ON t.g = f.g
+      |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin) { (s, d) =>
+    ngramNovelty(Tables.documents(s, d)).orderBy(col("doc_id"))
+  }
+
+  /** Cross-source near-duplicate overlap matrix — provenance
+    * diagnostics: how many near-dup pairs connect each (source, source)
+    * cell. A hot off-diagonal cell means two ingest feeds overlap
+    * (mirrors, scrapes of the same site) and one of them should be
+    * dropped or down-weighted BEFORE pairwise dedup burns compute on
+    * it; hot diagonal cells mark internally-redundant feeds. Sources
+    * are normalized least/greatest so the matrix is upper-triangular.
+    * Composition of existing operators: the pair stream (any of the
+    * exact/dfCapped/minhash finders) joined twice against the tiny
+    * (doc_id, source) projection, then a keyed count.
+    */
+  def sourceOverlapMatrix(docs: DataFrame,
+      pairFinder: DataFrame => DataFrame = exactNearDups(_)): DataFrame = {
+    val pairs = pairFinder(docs.select(col("doc_id"), col("text")))
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa0")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb0")), "doc_b")
+      .groupBy(least(col("sa0"), col("sb0")).as("source_a"),
+        greatest(col("sa0"), col("sb0")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** q88: which sources duplicate each other, counted over the exact
+    * pair truth (q30 semantics).
+    */
+  val q88: QueryDef = QueryDef.checked(
+    "q88_source_overlap",
+    s"""WITH pairs AS ($nearDupOracle),
+      |lab AS (SELECT p.doc_a, p.doc_b, da.source AS sa0, db.source AS sb0
+      |  FROM pairs p JOIN documents da ON p.doc_a = da.doc_id
+      |               JOIN documents db ON p.doc_b = db.doc_id)
+      |SELECT least(sa0, sb0) AS source_a, greatest(sa0, sb0) AS source_b,
+      |  COUNT(*) AS n_pairs
+      |FROM lab GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    sourceOverlapMatrix(Tables.documents(s, d))
+      .orderBy(col("source_a"), col("source_b"))
   }
 
   /** Cross-document duplicated-span statistics — the detection half of

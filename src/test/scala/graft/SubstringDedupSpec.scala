@@ -56,6 +56,17 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(res.getLong(2) == 0)
   }
 
+  test("ngramNovelty: originals score 1.0, verbatim copies 0.0") {
+    val a = (1 to 20).map(i => s"a$i").mkString(" ")
+    val b = (1 to 20).map(i => s"b$i").mkString(" ")
+    val res = graft.operators.Dedup
+      .ngramNovelty(docs(1L -> a, 2L -> a, 3L -> b))
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    spark.catalog.clearCache()
+    assert(res(1L) == 1.0 && res(3L) == 1.0, s"first occurrences are novel: $res")
+    assert(res(2L) == 0.0, s"verbatim copy has zero novelty: $res")
+  }
+
   test("blockDedup preserves token order across surviving blocks") {
     // doc 2: [header][u1..u16][header] — both header copies drop (the
     // doc-1 copy is first), and the middle block must survive intact
