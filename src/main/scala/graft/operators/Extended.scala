@@ -13,7 +13,32 @@ import org.apache.spark.sql.types.DecimalType
 object Extended {
   import Exact._
 
-  def defs: Seq[QueryDef] = Seq(q42, q43, q44, q45, q46)
+  def defs: Seq[QueryDef] = Seq(q42, q43, q44, q45, q46, q90)
+
+  /** Pivot (long→wide reshaping): per-source document counts pivoted on
+    * language. The pivot values are DECLARED (the five corpus langs) —
+    * the two-pass values-discovery form is a driver round-trip you never
+    * want at 100 TB; with declared values the pivot is a single
+    * groupBy(source) with one conditional count per column (map-side
+    * combined, one shuffle). Missing cells filled 0 to match the
+    * oracle's COUNT(CASE...) semantics.
+    */
+  val q90: QueryDef = QueryDef.checked(
+    "q90_pivot_counts",
+    """SELECT source,
+      | COUNT(CASE WHEN lang = 'de' THEN 1 END) AS de,
+      | COUNT(CASE WHEN lang = 'en' THEN 1 END) AS en,
+      | COUNT(CASE WHEN lang = 'es' THEN 1 END) AS es,
+      | COUNT(CASE WHEN lang = 'fr' THEN 1 END) AS fr,
+      | COUNT(CASE WHEN lang = 'zh' THEN 1 END) AS zh
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(col("source"))
+      .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("source"))
+  }
 
   /** The rest of the window-function family: rank, dense_rank, ntile,
     * percent_rank, cume_dist, first_value, and a RANGE-framed running sum.

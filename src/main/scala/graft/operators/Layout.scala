@@ -21,7 +21,40 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
-  def defs: Seq[QueryDef] = Seq(q73, q79, q80)
+  def defs: Seq[QueryDef] = Seq(q73, q79, q80, q89)
+
+  /** Hive-style partitioned layout: one directory per `partCol` value.
+    * The third leg of the layout family (z-order/Hilbert cluster WITHIN
+    * files, bucketing co-locates JOIN keys, partitioning prunes WHOLE
+    * directories): a predicate on the partition column never opens a
+    * single pruned file — at 100 TB, partition-on-(date, lang) is the
+    * difference between scanning a day and scanning the corpus.
+    */
+  def partitionedWrite(df: DataFrame, partCol: String, path: String): Unit =
+    df.write.mode("overwrite").partitionBy(partCol).parquet(path)
+
+  /** q89: write the corpus partitioned by lang, read back with a
+    * partition predicate, roll up per source. The oracle runs the same
+    * filter+agg over the raw table — partition layout must be invisible
+    * to semantics (partition values round-trip through directory names,
+    * including the column re-append on read). StorageLayoutSpec pins
+    * the pruning itself (PartitionFilters in the scan, pruned directory
+    * count).
+    */
+  val q89: QueryDef = QueryDef.checked(
+    "q89_partition_pruning",
+    """SELECT source, COUNT(*) AS n_docs,
+      | CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents WHERE lang = 'en'
+      |GROUP BY source""".stripMargin) { (s, d) =>
+    val root = java.nio.file.Files
+      .createTempDirectory(Exact.fmtRoot, "part_").toAbsolutePath.toString
+    partitionedWrite(Tables.documents(s, d), "lang", s"$root/docs")
+    s.read.parquet(s"$root/docs")
+      .filter(col("lang") === "en")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+  }
 
   /** Write `df` as a bucketed, per-bucket-sorted external table: the
     * storage-side half of a shuffle-free join. Both sides of a join

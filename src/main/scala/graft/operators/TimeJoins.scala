@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -19,7 +20,7 @@ import org.apache.spark.sql.expressions.Window
   */
 object TimeJoins {
 
-  def defs: Seq[QueryDef] = Seq(q51, q52)
+  def defs: Seq[QueryDef] = Seq(q51, q52, q91)
 
   /** As-of join: for every 'click' event, the most recent 'view' event by
     * the same user at-or-before it (order = (ts, event_id), so ties are
@@ -99,5 +100,61 @@ object TimeJoins {
       // (interval, event) pair joins at most once
       .select(col("anchor_id"), col("event_id"))
       .orderBy(col("anchor_id"), col("event_id"))
+  }
+
+  /** Ordered-sequence conversion funnel (view → click → purchase): for
+    * each user, the first view, the first click at-or-after that view,
+    * and the first purchase at-or-after that click. The classic
+    * product-analytics funnel, built the scale-correct way: ONE shuffle
+    * on user_id, one per-user sort, and three stacked running-min
+    * window projections (each stage's "reached" marker gates the next
+    * stage's candidate timestamps) — no self-joins, no per-stage passes
+    * over the event log. Rows per user, nulls where the funnel was
+    * never completed.
+    */
+  def conversionFunnel(events: DataFrame,
+      stages: (String, String, String) = ("view", "click", "purchase")): DataFrame = {
+    val (s1, s2, s3) = stages
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(col("user_id"), col("ts"), col("event_type"), col("event_id"))
+      .withColumn("v_seen",
+        min(when(col("event_type") === s1, col("ts"))).over(w))
+      .withColumn("c_ok",
+        when(col("event_type") === s2 && col("v_seen").isNotNull, col("ts")))
+      .withColumn("c_seen", min(col("c_ok")).over(w))
+      .withColumn("p_ok",
+        when(col("event_type") === s3 && col("c_seen").isNotNull, col("ts")))
+      .groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === s1, col("ts"))).as("t_view"),
+        min(col("c_ok")).as("t_click"),
+        min(col("p_ok")).as("t_purchase"))
+  }
+
+  /** q91: the view→click→purchase funnel over the events table,
+    * hash-checked (timestamps and nulls) against the same stacked
+    * windows in DuckDB.
+    */
+  val q91: QueryDef = QueryDef.checked(
+    "q91_conversion_funnel",
+    """WITH s1 AS (SELECT user_id, ts, event_type, event_id,
+      |    min(CASE WHEN event_type = 'view' THEN ts END) OVER w AS v_seen
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |s2 AS (SELECT *, CASE WHEN event_type = 'click' AND v_seen IS NOT NULL
+      |    THEN ts END AS c_ok FROM s1),
+      |s3 AS (SELECT *, min(c_ok) OVER w AS c_seen
+      |  FROM s2 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |s4 AS (SELECT *, CASE WHEN event_type = 'purchase' AND c_seen IS NOT NULL
+      |    THEN ts END AS p_ok FROM s3)
+      |SELECT user_id,
+      |  min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+      |  min(c_ok) AS t_click,
+      |  min(p_ok) AS t_purchase
+      |FROM s4 GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+    conversionFunnel(Tables.events(s, d)).orderBy(col("user_id"))
   }
 }

@@ -32,6 +32,15 @@ class StorageLayoutSpec extends AnyFunSuite {
     assert(back.count() === expected)
   }
 
+  test("q89 partitioned-corpus scan prunes on lang at the scan") {
+    val df = SparkEntry.queries("q89_partition_pruning")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*lang".r.findFirstIn(plan).isDefined,
+      s"lang predicate must prune partition directories:\n$plan")
+    spark.catalog.clearCache()
+  }
+
   test("zvalue2/zvalue3 match a bit-by-bit interleave reference") {
     val s = spark
     import s.implicits._
