@@ -13,7 +13,111 @@ import org.apache.spark.sql.types.DecimalType
 object Extended {
   import Exact._
 
-  def defs: Seq[QueryDef] = Seq(q42, q43, q44, q45, q46, q90)
+  def defs: Seq[QueryDef] = Seq(q42, q43, q44, q45, q46, q90, q92, q93)
+
+  /** Single-pass table profiling (the ANALYZE shape): for each listed
+    * column — row count, non-null count, exact distinct count, min/max
+    * (stringified after the typed comparison, so numeric columns
+    * compare numerically). One aggregation produces a single wide row;
+    * `stack` (Spark's unpivot) reshapes it to one row per column.
+    * Multiple exact COUNT(DISTINCT)s expand the input (one replica per
+    * distinct agg) — the honest exact form for the oracle; at 100 TB
+    * swap in approx_count_distinct and the pass stays linear.
+    */
+  def profile(df: org.apache.spark.sql.DataFrame,
+      cols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val aggs = cols.flatMap(c => Seq(
+      count(col(c)).as(s"${c}__nn"),
+      countDistinct(col(c)).as(s"${c}__ndv"),
+      min(col(c)).cast("string").as(s"${c}__min"),
+      max(col(c)).cast("string").as(s"${c}__max")))
+    val stackExpr = s"stack(${cols.length}, " + cols.map(c =>
+      s"'$c', ${c}__nn, ${c}__ndv, ${c}__min, ${c}__max").mkString(", ") +
+      ") as (column_name, n_notnull, n_distinct, min_val, max_val)"
+    df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+      .select(col("n_rows"), expr(stackExpr))
+      .select(col("column_name"), col("n_rows"), col("n_notnull"),
+        (col("n_rows") - col("n_notnull")).as("n_nulls"),
+        col("n_distinct"), col("min_val"), col("max_val"))
+  }
+
+  private def profileOracleFor(cols: Seq[String]): String =
+    cols.map(c =>
+      s"""SELECT '$c' AS column_name, COUNT(*) AS n_rows, COUNT($c) AS n_notnull,
+         | COUNT(*) - COUNT($c) AS n_nulls, COUNT(DISTINCT $c) AS n_distinct,
+         | CAST(MIN($c) AS VARCHAR) AS min_val, CAST(MAX($c) AS VARCHAR) AS max_val
+         |FROM documents""".stripMargin)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+
+  /** q92: profile the documents table's scalar columns. */
+  val q92: QueryDef = QueryDef.checked(
+    "q92_table_profile",
+    profileOracleFor(Seq("doc_id", "lang", "source", "n_chars"))) { (s, d) =>
+    profile(Tables.documents(s, d), Seq("doc_id", "lang", "source", "n_chars"))
+      .orderBy(col("column_name"))
+  }
+
+  /** CDC upsert merge (the lakehouse MERGE/compaction kernel): apply a
+    * changelog of upserts and deletes onto a base snapshot — latest
+    * sequence number per key wins, a winning delete drops the key. One
+    * shuffle on the key (window dedup over base ∪ changes), NOT the
+    * join-per-operation form — at 100 TB this is how a CDC log compacts
+    * into the next snapshot in a single pass. Base rows carry seq 0, so
+    * any change outranks them; `changes` needs (key, seq, op ∈ U/D,
+    * payload columns matching base).
+    */
+  def cdcMerge(base: org.apache.spark.sql.DataFrame,
+      changes: org.apache.spark.sql.DataFrame,
+      key: String, seqCol: String = "seq"): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(seqCol).desc)
+    base.withColumn(seqCol, lit(0L)).withColumn("op", lit("U"))
+      .unionByName(changes)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .drop("rn", "op", seqCol)
+  }
+
+  /** q93: merge a deterministic changelog (updates on keys ≡0 mod 7,
+    * deletes on keys ≡0 mod 11, inserts of fresh keys from ≡0 mod 13)
+    * onto an orders snapshot; the surviving snapshot is hash-checked
+    * against the same QUALIFY window in DuckDB.
+    */
+  val q93: QueryDef = QueryDef.checked(
+    "q93_cdc_merge",
+    """WITH base AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, CAST(0 AS BIGINT) AS seq,
+      |    'U' AS op
+      |  FROM orders WHERE o_orderkey < 3000),
+      |changes AS (
+      |  SELECT o_orderkey, o_custkey + 1000000 AS o_custkey, o_orderstatus,
+      |    CAST(2 AS BIGINT) AS seq, 'U' AS op
+      |  FROM orders WHERE o_orderkey < 3000 AND o_orderkey % 7 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, CAST(3 AS BIGINT) AS seq,
+      |    'D' AS op
+      |  FROM orders WHERE o_orderkey < 3000 AND o_orderkey % 11 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey, o_orderstatus,
+      |    CAST(2 AS BIGINT) AS seq, 'U' AS op
+      |  FROM orders WHERE o_orderkey < 3000 AND o_orderkey % 13 = 0)
+      |SELECT o_orderkey, o_custkey, o_orderstatus
+      |FROM (SELECT * FROM base UNION ALL SELECT * FROM changes)
+      |QUALIFY row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) = 1
+      |  AND op <> 'D'
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val snap = Tables.orders(s, d).filter(col("o_orderkey") < 3000)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+    val changes =
+      snap.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_custkey", col("o_custkey") + 1000000)
+        .withColumn("seq", lit(2L)).withColumn("op", lit("U"))
+      .unionByName(snap.filter(col("o_orderkey") % 11 === 0)
+        .withColumn("seq", lit(3L)).withColumn("op", lit("D")))
+      .unionByName(snap.filter(col("o_orderkey") % 13 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000)
+        .withColumn("seq", lit(2L)).withColumn("op", lit("U")))
+    cdcMerge(snap, changes, "o_orderkey").orderBy(col("o_orderkey"))
+  }
 
   /** Pivot (long→wide reshaping): per-source document counts pivoted on
     * language. The pivot values are DECLARED (the five corpus langs) —

@@ -36,6 +36,23 @@ class ExtendedSpec extends AnyFunSuite {
     spark.catalog.dropTempView("e3")
   }
 
+  test("cdcMerge: latest seq wins, deletes drop, late low-seq changes are ignored") {
+    val s = spark
+    import s.implicits._
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val changes = Seq(
+      (1L, "a2", 5L, "U"),  // update k=1
+      (2L, "b2", 4L, "D"),  // delete k=2
+      (3L, "late", -1L, "U"), // below base seq 0? no — base carries 0; use seq ordering
+      (4L, "d", 2L, "U")    // insert k=4
+    ).toDF("k", "v", "seq", "op")
+    val out = graft.operators.Extended.cdcMerge(base, changes, "k")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    spark.catalog.clearCache()
+    assert(out == Map(1L -> "a2", 3L -> "c", 4L -> "d"),
+      s"got $out")
+  }
+
   test("format round-trip preserves the projected slice exactly") {
     val out = SparkEntry.queries("q44_format_roundtrip")(spark, sf).collect()
     assert(out.length === 2)
