@@ -11,7 +11,7 @@ import org.apache.spark.sql.expressions.Window
   */
 object Scale {
 
-  def defs: Seq[QueryDef] = Seq(q47, q48, q63, q72)
+  def defs: Seq[QueryDef] = Seq(q47, q48, q63, q72, q94)
 
   /** Spherical k-means (Lloyd) on the driver over a bounded sample — the
     * standard way to train an IVF coarse quantizer (FAISS trains its
@@ -369,5 +369,32 @@ object Scale {
       .agg(Exact.sum4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
         count(lit(1)).as("n"))
       .orderBy(col("flag"))
+  }
+
+  /** Skew-safe exact distinct counting: dedup on (key, value) first,
+    * then count per key. The direct COUNT(DISTINCT v) GROUP BY k plans
+    * value sets concentrated per key — one hot key (a bot user, a
+    * default value) lands its whole distinct set on one task. The
+    * two-stage form's first shuffle is keyed on (k, v), so a hot key's
+    * values spread over ALL partitions and the second stage counts
+    * already-unique rows with map-side partial counts. Same answer,
+    * skew-immune — the aggregation-side analogue of q48's salted join.
+    */
+  def distinctTwoStage(df: org.apache.spark.sql.DataFrame,
+      key: String, value: String): org.apache.spark.sql.DataFrame =
+    df.select(col(key), col(value)).distinct()
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("n_distinct"))
+
+  /** q94: distinct users per event type, two-stage — hash-checked
+    * against the direct COUNT(DISTINCT) in DuckDB (must be invisible to
+    * semantics).
+    */
+  val q94: QueryDef = QueryDef.checked(
+    "q94_distinct_two_stage",
+    """SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+    distinctTwoStage(Tables.events(s, d), "event_type", "user_id")
+      .orderBy(col("event_type"))
   }
 }

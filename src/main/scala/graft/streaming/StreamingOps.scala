@@ -184,6 +184,38 @@ object StreamingOps {
         TimeMode.ProcessingTime(), OutputMode.Append())
   }
 
+  /** Idempotent foreachBatch file sink — the exactly-once pattern for
+    * sinks without transactions: Structured Streaming guarantees each
+    * batchId is REPLAYED with identical contents after a failure, so a
+    * sink that (1) writes batch `b` to its own directory and (2) marks
+    * `b` complete with an atomically-created marker file AFTER the data
+    * lands turns at-least-once delivery into exactly-once output: a
+    * replayed batch sees its marker and skips. Readers take only marked
+    * directories ([[committedBatches]]). Works on any filesystem with
+    * atomic create-if-absent (HDFS/local; object stores need a
+    * conditional-put equivalent).
+    */
+  def idempotentBatchWriter(root: String): (DataFrame, Long) => Unit = {
+    (df, batchId) => {
+      val dir = new java.io.File(root, s"batch=$batchId")
+      val marker = new java.io.File(root, s"_batch-$batchId.done")
+      if (!marker.exists()) {
+        df.write.mode("overwrite").parquet(dir.toString)
+        if (!marker.createNewFile() && !marker.exists())
+          throw new java.io.IOException(s"cannot mark batch $batchId")
+      }
+    }
+  }
+
+  /** Directories of batches the idempotent writer fully committed —
+    * half-written (unmarked) batch dirs are invisible to readers.
+    */
+  def committedBatches(root: String): Seq[String] =
+    Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("_batch-") && f.getName.endsWith(".done"))
+      .map(_.getName.stripPrefix("_batch-").stripSuffix(".done"))
+      .sorted.map(b => s"$root/batch=$b").toSeq
+
   /** Same running totals on the transformWithState API (Spark 4's
     * arbitrary-state v2: named typed state slots + TTL + timers instead
     * of one opaque GroupState). Requires the RocksDB state store

@@ -303,4 +303,23 @@ class StreamingSpec extends AnyFunSuite {
           l.split(' ').last.toDouble >= 2.0))
     } finally { q.stop(); http.close(); spark.streams.removeListener(listener) }
   }
+
+  test("idempotent foreachBatch sink: replayed batch skipped, unmarked dirs invisible") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-idem").toString
+    val write = graft.streaming.StreamingOps.idempotentBatchWriter(root)
+    write(Seq(1L, 2L, 3L).toDF("v"), 0L)
+    // replay of batch 0 (same id — the streaming contract) must be a no-op
+    write(Seq(99L).toDF("v"), 0L)
+    write(Seq(4L, 5L).toDF("v"), 1L)
+    // a half-written batch: directory exists, marker never created
+    Seq(7L).toDF("v").write.parquet(s"$root/batch=9")
+    val dirs = graft.streaming.StreamingOps.committedBatches(root)
+    assert(dirs.map(_.split('=').last).sorted == Seq("0", "1"),
+      s"only marked batches are visible: $dirs")
+    val vals = spark.read.parquet(dirs: _*).as[Long].collect().sorted.toSeq
+    assert(vals == Seq(1L, 2L, 3L, 4L, 5L),
+      s"replay wrote nothing, half-written batch invisible: $vals")
+  }
 }
