@@ -13,7 +13,30 @@ import org.apache.spark.sql.types.DecimalType
 object Extended {
   import Exact._
 
-  def defs: Seq[QueryDef] = Seq(q42, q43, q44, q45, q46, q90, q92, q93)
+  def defs: Seq[QueryDef] = Seq(q42, q43, q44, q45, q46, q90, q92, q93, q95)
+
+  /** q95: ORC round-trip — q44's lossless write→read check for the
+    * third columnar format (ORC ships with Spark; DuckDB cannot read
+    * ORC, so the oracle compares the round-tripped aggregate against
+    * the raw table — format fidelity, not file parsing). Timestamps and
+    * decimals survive ORC's type system unchanged for this projection.
+    */
+  val q95: QueryDef = QueryDef.checked(
+    "q95_orc_roundtrip",
+    """SELECT COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+      | COUNT(DISTINCT o_orderstatus) AS n_status,
+      | CAST(MIN(o_orderdate) AS VARCHAR) AS min_date
+      |FROM orders WHERE o_orderkey < 1000""".stripMargin) { (s, d) =>
+    val slice = Tables.orders(s, d).filter(col("o_orderkey") < 1000)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderdate"))
+    val tmp = java.nio.file.Files
+      .createTempDirectory(Exact.fmtRoot, "orc_").toAbsolutePath.toString
+    slice.write.mode("overwrite").orc(s"$tmp/orc")
+    s.read.orc(s"$tmp/orc")
+      .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_key"),
+        countDistinct(col("o_orderstatus")).as("n_status"),
+        min(col("o_orderdate")).cast("string").as("min_date"))
+  }
 
   /** Single-pass table profiling (the ANALYZE shape): for each listed
     * column — row count, non-null count, exact distinct count, min/max

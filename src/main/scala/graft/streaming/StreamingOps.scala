@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQueryListener, TimeMode, TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQueryListener, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Event shape used by the streaming operators (matches the `events`
   * testdata table after Tables.events).
@@ -216,6 +216,25 @@ object StreamingOps {
       .map(_.getName.stripPrefix("_batch-").stripSuffix(".done"))
       .sorted.map(b => s"$root/batch=$b").toSeq
 
+  /** Timer-driven sessionization on the transformWithState API: gap
+    * sessions like the builtin `session_window` (q26), but with the
+    * session CLOSE emitted by an event-time TIMER when the watermark
+    * passes last-event + gap — the mechanism the builtin cannot expose
+    * for custom semantics (emit-on-close only, partial-session
+    * heartbeats, per-key side effects at close). One registered timer
+    * per live session (the previous one is deleted on every extension),
+    * so timer state is bounded by live keys — RocksDB holds both slots.
+    */
+  def sessionizeWithTimers(events: Dataset[StreamEvent],
+      gapMillis: Long = 600000L)(
+      implicit s: SparkSession): Dataset[UserSession] = {
+    import s.implicits._
+    events.withWatermark("ts", "1 second")
+      .groupByKey(_.user_id)
+      .transformWithState(new TimerSessionizer(gapMillis),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Same running totals on the transformWithState API (Spark 4's
     * arbitrary-state v2: named typed state slots + TTL + timers instead
     * of one opaque GroupState). Requires the RocksDB state store
@@ -255,6 +274,59 @@ class TtlDedupProcessor(ttlMillis: Long)
       // multiple rows for the key in ONE batch are also duplicates:
       // emit only the first
       rows.take(1)
+    }
+  }
+}
+
+/** Per-user gap-session accumulator carried between micro-batches;
+  * `timer_ms` remembers the registered close timer so extension can
+  * delete it (-1 = none).
+  */
+final case class SessionAgg(
+    user_id: Long, start_ms: Long, last_ms: Long,
+    n_events: Long, total_value: Double, timer_ms: Long)
+
+/** StatefulProcessor for [[StreamingOps.sessionizeWithTimers]]: rows
+  * extend the session and re-arm the close timer at last + gap; the
+  * timer firing (watermark passed it) emits the CLOSED session and
+  * clears state. Nothing is emitted while a session is open.
+  */
+class TimerSessionizer(gapMillis: Long)
+    extends StatefulProcessor[Long, StreamEvent, UserSession] {
+  @transient private var sess: ValueState[SessionAgg] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    sess = getHandle.getValueState[SessionAgg](
+      "sess", Encoders.product[SessionAgg], TTLConfig.NONE)
+
+  override def handleInputRows(
+      uid: Long, rows: Iterator[StreamEvent],
+      timerValues: TimerValues): Iterator[UserSession] = {
+    var cur = if (sess.exists()) sess.get()
+      else SessionAgg(uid, Long.MaxValue, Long.MinValue, 0L, 0.0, -1L)
+    rows.foreach { e =>
+      val t = e.ts.getTime
+      cur = cur.copy(
+        start_ms = math.min(cur.start_ms, t),
+        last_ms = math.max(cur.last_ms, t),
+        n_events = cur.n_events + 1,
+        total_value = cur.total_value + e.value)
+    }
+    if (cur.timer_ms >= 0) getHandle.deleteTimer(cur.timer_ms)
+    val closeAt = cur.last_ms + gapMillis
+    getHandle.registerTimer(closeAt)
+    sess.update(cur.copy(timer_ms = closeAt))
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(
+      uid: Long, timerValues: TimerValues,
+      expired: ExpiredTimerInfo): Iterator[UserSession] = {
+    if (!sess.exists()) Iterator.empty
+    else {
+      val cur = sess.get()
+      sess.clear()
+      Iterator.single(UserSession(uid, cur.n_events, cur.total_value, closed = true))
     }
   }
 }

@@ -304,6 +304,63 @@ class StreamingSpec extends AnyFunSuite {
     } finally { q.stop(); http.close(); spark.streams.removeListener(listener) }
   }
 
+  test("timer sessionizer closes sessions when the watermark passes the gap") {
+    implicit val s = spark
+    implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import s.implicits._
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[StreamEvent]
+    val q = StreamingOps.sessionizeWithTimers(in.toDS(), gapMillis = 600000L)
+      .writeStream.format("memory").queryName("timersess")
+      .outputMode("append").start()
+    try {
+      // user 1: two events in one session; user 2: one event
+      in.addData(ev(1, 0, 1, v = 1.0), ev(2, 1, 1, v = 2.0), ev(3, 0, 2, v = 5.0))
+      q.processAllAvailable()
+      // nothing closed yet — watermark is still at 10:01 - 1s
+      assert(spark.sql("SELECT * FROM timersess").count() == 0L)
+      // an event 30 min later advances the watermark past both
+      // close timers (last + 10 min); timers fire on the NEXT batch
+      in.addData(ev(4, 30, 3))
+      q.processAllAvailable()
+      in.addData(ev(5, 31, 3))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM timersess ORDER BY user_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      assert(rows.toSeq == Seq((1L, 2L, 3.0, true), (2L, 1L, 5.0, true)),
+        s"both idle sessions closed exactly once: ${rows.toSeq}")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("idempotent sink end-to-end: a foreachBatch stream lands each batch exactly once") {
+    implicit val s = spark
+    implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-idem-e2e").toString
+    val in = MemoryStream[StreamEvent]
+    val write = StreamingOps.idempotentBatchWriter(root)
+    val q = in.toDF().select(col("event_id"))
+      .writeStream.foreachBatch(write).start()
+    try {
+      in.addData(ev(1, 0, 1), ev(2, 1, 1))
+      q.processAllAvailable()
+      in.addData(ev(3, 2, 2))
+      q.processAllAvailable()
+    } finally q.stop()
+    val dirs = StreamingOps.committedBatches(root)
+    assert(dirs.nonEmpty, "stream committed at least one batch")
+    val ids = spark.read.parquet(dirs: _*).as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L), s"every event exactly once: $ids")
+  }
+
   test("idempotent foreachBatch sink: replayed batch skipped, unmarked dirs invisible") {
     val s = spark
     import s.implicits._
