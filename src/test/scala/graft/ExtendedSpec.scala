@@ -53,6 +53,42 @@ class ExtendedSpec extends AnyFunSuite {
       s"got $out")
   }
 
+  test("property: cdcMerge equals a per-key max-seq reference over random changelogs") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(67)
+    (0 until 5).foreach { trial =>
+      val baseKeys = (0 until 30 + rnd.nextInt(40)).map(_.toLong)
+      val base = baseKeys.map(k => (k, s"b$k"))
+      // unique seq per (key, change) via a counter so ordering is total
+      var seq = 0L
+      val changes = (0 until 60).map { _ =>
+        seq += 1
+        val k = rnd.nextInt(baseKeys.size + 10).toLong // some inserts
+        val op = if (rnd.nextInt(4) == 0) "D" else "U"
+        (k, s"v$seq", seq, op)
+      }
+      val expect = {
+        val byKey = changes.groupBy(_._1)
+        val allKeys = (baseKeys ++ byKey.keys).distinct
+        allKeys.flatMap { k =>
+          val cs = byKey.getOrElse(k, Seq.empty)
+          val (win, winOp): (String, String) =
+            if (cs.isEmpty) (s"b$k", if (baseKeys.contains(k)) "U" else "D")
+            else { val c = cs.maxBy(_._3); (c._2, c._4) }
+          if (cs.isEmpty && !baseKeys.contains(k)) None
+          else if (winOp == "D") None
+          else Some(k -> win)
+        }.toMap
+      }
+      val got = graft.operators.Extended.cdcMerge(
+          base.toDF("k", "v"), changes.toDF("k", "v", "seq", "op"), "k")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      spark.catalog.clearCache()
+      assert(got == expect, s"trial $trial")
+    }
+  }
+
   test("format round-trip preserves the projected slice exactly") {
     val out = SparkEntry.queries("q44_format_roundtrip")(spark, sf).collect()
     assert(out.length === 2)

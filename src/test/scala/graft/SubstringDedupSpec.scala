@@ -56,6 +56,38 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(res.getLong(2) == 0)
   }
 
+  test("property: blockDedup equals a sequential reference over random corpora") {
+    val rnd = new scala.util.Random(53)
+    val blockPool = (0 until 6).map(i => (0 until 4).map(j => s"p${i}_$j").mkString(" "))
+    (0 until 5).foreach { trial =>
+      val corpus: Seq[(Long, String)] = (0 until (5 + rnd.nextInt(15))).map { i =>
+        // mix pooled (collision-prone) and unique blocks; occasional
+        // ragged tail so short final blocks are exercised
+        val nBlocks = 1 + rnd.nextInt(5)
+        val blocks = (0 until nBlocks).map { b =>
+          if (rnd.nextBoolean()) blockPool(rnd.nextInt(blockPool.size))
+          else (0 until 4).map(j => s"u${trial}_${i}_${b}_$j").mkString(" ")
+        }
+        val tail = if (rnd.nextBoolean()) "" else s" t${trial}_$i"
+        (i.toLong, blocks.mkString(" ") + tail)
+      }
+      // sequential reference: first occurrence (doc order, block order) wins
+      val seen = scala.collection.mutable.Set[String]()
+      val expect = corpus.map { case (id, text) =>
+        val toks = text.split(" ")
+        val blocks = toks.grouped(4).map(_.mkString(" ")).toSeq
+        val kept = blocks.filter(b => seen.add(b))
+        id -> ((blocks.size.toLong, kept.size.toLong, kept.mkString(" ")))
+      }.toMap
+      val got = graft.operators.Dedup.blockDedup(docs(corpus: _*), blockTokens = 4)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+        .toMap
+      spark.catalog.clearCache()
+      assert(got == expect, s"trial $trial")
+    }
+  }
+
   test("ngramNovelty: originals score 1.0, verbatim copies 0.0") {
     val a = (1 to 20).map(i => s"a$i").mkString(" ")
     val b = (1 to 20).map(i => s"b$i").mkString(" ")
