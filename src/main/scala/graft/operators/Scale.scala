@@ -11,7 +11,7 @@ import org.apache.spark.sql.expressions.Window
   */
 object Scale {
 
-  def defs: Seq[QueryDef] = Seq(q47, q48, q63, q72, q94)
+  def defs: Seq[QueryDef] = Seq(q47, q48, q63, q72, q94, q96)
 
   /** Spherical k-means (Lloyd) on the driver over a bounded sample — the
     * standard way to train an IVF coarse quantizer (FAISS trains its
@@ -396,5 +396,35 @@ object Scale {
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
     distinctTwoStage(Tables.events(s, d), "event_type", "user_id")
       .orderBy(col("event_type"))
+  }
+
+  /** Mergeable distinct-count sketches (Apache DataSketches HLL via the
+    * Spark 4 builtins): each slice builds a BINARY sketch once; any
+    * re-grouping — union across slices, rollups over time partitions,
+    * cross-cluster merges — happens on the sketches, never by
+    * re-scanning rows. THE pattern for distinct counts at 100 TB:
+    * per-partition sketches persist beside the data and every
+    * downstream distinct query is a sketch merge. Sketch bytes are
+    * engine-specific → rows-only; ScaleSpec pins the estimates within
+    * tolerance of exact and the union == direct-global property.
+    */
+  def sliceSketchUnion(df: org.apache.spark.sql.DataFrame,
+      sliceCol: String, valueCol: String): org.apache.spark.sql.DataFrame = {
+    val perSlice = df.groupBy(col(sliceCol).as("slice"))
+      .agg(hll_sketch_agg(col(valueCol)).as("sk"))
+    perSlice
+      .select(col("slice"), hll_sketch_estimate(col("sk")).as("est"))
+      .unionByName(perSlice.agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+        .withColumn("slice", lit("__total__")))
+  }
+
+  /** q96: per-source distinct-token estimates + their sketch-union
+    * total over the documents corpus.
+    */
+  val q96: QueryDef = QueryDef.rowsOnly("q96_hll_sketch_union") { (s, d) =>
+    val tok = Tables.documents(s, d).select(col("source"),
+      explode(split(col("text"), " ")).as("t"))
+    sliceSketchUnion(tok, "source", "t").orderBy(col("slice"))
   }
 }

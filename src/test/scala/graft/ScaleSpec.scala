@@ -190,6 +190,33 @@ class ScaleSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("HLL slice sketches: estimates near exact, sketch-union == direct global") {
+    val s2 = spark
+    import org.apache.spark.sql.functions._
+    val tok = Tables.documents(s2, sf).select(col("source"),
+      explode(split(col("text"), " ")).as("t"))
+    val got = SparkEntry.queries("q96_hll_sketch_union")(s2, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactPer = tok.groupBy("source").agg(countDistinct(col("t")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactTotal = tok.select("t").distinct().count()
+    spark.catalog.clearCache()
+    exactPer.foreach { case (src, n) =>
+      assert(math.abs(got(src) - n) <= math.max(2L, (n * 0.05).toLong),
+        s"$src: est ${got(src)} vs exact $n")
+    }
+    assert(math.abs(got("__total__") - exactTotal) <=
+      math.max(2L, (exactTotal * 0.05).toLong),
+      s"union est ${got("__total__")} vs exact $exactTotal")
+    // mergeability: the union of per-slice sketches must equal the
+    // sketch built directly over the whole corpus
+    val direct = tok.agg(
+      hll_sketch_estimate(hll_sketch_agg(col("t"))).as("e"))
+      .head().getLong(0)
+    assert(got("__total__") == direct,
+      s"sketch-union ${got("__total__")} != direct-global $direct")
+  }
+
   test("property: heavy hitters equal the naive groupBy over random corpora/thresholds") {
     val s = spark
     import s.implicits._
