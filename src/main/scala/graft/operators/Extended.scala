@@ -13,7 +13,7 @@ import org.apache.spark.sql.types.DecimalType
 object Extended {
   import Exact._
 
-  def defs: Seq[QueryDef] = Seq(q42, q43, q44, q45, q46, q90, q92, q93, q95)
+  def defs: Seq[QueryDef] = Seq(q42, q43, q44, q45, q46, q90, q92, q93, q95, q97)
 
   /** q95: ORC round-trip — q44's lossless write→read check for the
     * third columnar format (ORC ships with Spark; DuckDB cannot read
@@ -100,14 +100,14 @@ object Extended {
       .drop("rn", "op", seqCol)
   }
 
-  /** q93: merge a deterministic changelog (updates on keys ≡0 mod 7,
-    * deletes on keys ≡0 mod 11, inserts of fresh keys from ≡0 mod 13)
-    * onto an orders snapshot; the surviving snapshot is hash-checked
-    * against the same QUALIFY window in DuckDB.
+  /** Shared q93/q97 fixtures: the deterministic changelog (updates on
+    * keys ≡0 mod 7, deletes on ≡0 mod 11, inserts of fresh keys from
+    * ≡0 mod 13) over the orders snapshot — one definition for the SQL
+    * CTEs and the Spark frames so the two catalog queries cannot
+    * desynchronize.
     */
-  val q93: QueryDef = QueryDef.checked(
-    "q93_cdc_merge",
-    """WITH base AS (
+  private val cdcCtes: String =
+    """base AS (
       |  SELECT o_orderkey, o_custkey, o_orderstatus, CAST(0 AS BIGINT) AS seq,
       |    'U' AS op
       |  FROM orders WHERE o_orderkey < 3000),
@@ -122,24 +122,119 @@ object Extended {
       |  UNION ALL
       |  SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey, o_orderstatus,
       |    CAST(2 AS BIGINT) AS seq, 'U' AS op
-      |  FROM orders WHERE o_orderkey < 3000 AND o_orderkey % 13 = 0)
-      |SELECT o_orderkey, o_custkey, o_orderstatus
-      |FROM (SELECT * FROM base UNION ALL SELECT * FROM changes)
-      |QUALIFY row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) = 1
-      |  AND op <> 'D'
-      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
-    val snap = Tables.orders(s, d).filter(col("o_orderkey") < 3000)
+      |  FROM orders WHERE o_orderkey < 3000 AND o_orderkey % 13 = 0),
+      |merged AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus
+      |  FROM (SELECT * FROM base UNION ALL SELECT * FROM changes)
+      |  QUALIFY row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) = 1
+      |    AND op <> 'D')""".stripMargin
+
+  private def cdcSnapshot(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.orders(s, d).filter(col("o_orderkey") < 3000)
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
-    val changes =
-      snap.filter(col("o_orderkey") % 7 === 0)
-        .withColumn("o_custkey", col("o_custkey") + 1000000)
-        .withColumn("seq", lit(2L)).withColumn("op", lit("U"))
-      .unionByName(snap.filter(col("o_orderkey") % 11 === 0)
-        .withColumn("seq", lit(3L)).withColumn("op", lit("D")))
-      .unionByName(snap.filter(col("o_orderkey") % 13 === 0)
-        .withColumn("o_orderkey", col("o_orderkey") + 10000000)
-        .withColumn("seq", lit(2L)).withColumn("op", lit("U")))
-    cdcMerge(snap, changes, "o_orderkey").orderBy(col("o_orderkey"))
+
+  private def cdcChanges(snap: org.apache.spark.sql.DataFrame) =
+    snap.filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_custkey", col("o_custkey") + 1000000)
+      .withColumn("seq", lit(2L)).withColumn("op", lit("U"))
+    .unionByName(snap.filter(col("o_orderkey") % 11 === 0)
+      .withColumn("seq", lit(3L)).withColumn("op", lit("D")))
+    .unionByName(snap.filter(col("o_orderkey") % 13 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + 10000000)
+      .withColumn("seq", lit(2L)).withColumn("op", lit("U")))
+
+  /** q93: the surviving snapshot after the changelog merge, hash-checked
+    * against the same QUALIFY window in DuckDB.
+    */
+  val q93: QueryDef = QueryDef.checked(
+    "q93_cdc_merge",
+    s"""WITH $cdcCtes
+      |SELECT o_orderkey, o_custkey, o_orderstatus FROM merged
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val snap = cdcSnapshot(s, d)
+    cdcMerge(snap, cdcChanges(snap), "o_orderkey").orderBy(col("o_orderkey"))
+  }
+
+  /** Order-independent per-bucket table fingerprint: rows hashed (md5
+    * 60-bit prefix, same construction as q61's fingerprints), bucketed
+    * by key, checksummed with an exact DECIMAL sum — commutative, so
+    * the checksum is partition-order-invariant. The anti-entropy
+    * primitive: two replicas exchange (bucket, n_rows, checksum) — a
+    * few KB — and only differing buckets are re-synced row-by-row.
+    */
+  def tableFingerprint(df: org.apache.spark.sql.DataFrame, keyCol: String,
+      cols: Seq[String], nBuckets: Int = 64): org.apache.spark.sql.DataFrame =
+    df.select(pmod(col(keyCol), lit(nBuckets)).as("bucket"),
+        conv(substring(md5(concat_ws("|", cols.map(col): _*).cast("binary")), 1, 15),
+          16, 10).cast(DecimalType(38, 0)).as("sig"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("sig")).as("checksum"))
+
+  /** Bucket-level diff of two tables via [[tableFingerprint]] — which
+    * buckets disagree and by how many rows, without shipping any rows.
+    */
+  def tableDiff(a: org.apache.spark.sql.DataFrame,
+      b: org.apache.spark.sql.DataFrame, keyCol: String,
+      cols: Seq[String], nBuckets: Int = 64): org.apache.spark.sql.DataFrame = {
+    val fa = tableFingerprint(a, keyCol, cols, nBuckets)
+      .select(col("bucket"), col("n_rows").as("n_a"), col("checksum").as("cs_a"))
+    val fb = tableFingerprint(b, keyCol, cols, nBuckets)
+      .select(col("bucket"), col("n_rows").as("n_b"), col("checksum").as("cs_b"))
+    fa.join(fb, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        (coalesce(col("n_a"), lit(0L)) === coalesce(col("n_b"), lit(0L)) &&
+          coalesce(col("cs_a"), lit(0).cast(DecimalType(38, 0))) ===
+          coalesce(col("cs_b"), lit(0).cast(DecimalType(38, 0)))).as("in_sync"))
+  }
+
+  /** q97: reconcile the orders snapshot against a replica with sparse
+    * silent corruption — a flipped o_custkey on keys ≡0 mod 500 and a
+    * dropped key 999. Exactly the ≤7 buckets holding corrupted keys
+    * report out-of-sync; the other ~57 verify by checksum alone, which
+    * is the anti-entropy point (re-sync cost ∝ damage, not table
+    * size). Hash-checked against the same fingerprint arithmetic in
+    * DuckDB.
+    */
+  val q97: QueryDef = QueryDef.checked(
+    "q97_table_diff",
+    """WITH snap AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus
+      |  FROM orders WHERE o_orderkey < 3000),
+      |replica AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 500 = 0 THEN o_custkey + 1 ELSE o_custkey END
+      |      AS o_custkey,
+      |    o_orderstatus
+      |  FROM snap WHERE o_orderkey <> 999),
+      |fa AS (
+      |  SELECT o_orderkey % 64 AS bucket, COUNT(*) AS n_a,
+      |    CAST(SUM(('0x' || substring(md5(
+      |      o_orderkey || '|' || o_custkey || '|' || o_orderstatus), 1, 15))::BIGINT)
+      |      AS DECIMAL(38,0)) AS cs_a
+      |  FROM snap GROUP BY 1),
+      |fb AS (
+      |  SELECT o_orderkey % 64 AS bucket, COUNT(*) AS n_b,
+      |    CAST(SUM(('0x' || substring(md5(
+      |      o_orderkey || '|' || o_custkey || '|' || o_orderstatus), 1, 15))::BIGINT)
+      |      AS DECIMAL(38,0)) AS cs_b
+      |  FROM replica GROUP BY 1)
+      |SELECT COALESCE(fa.bucket, fb.bucket) AS bucket,
+      |  COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b,
+      |  (COALESCE(n_a, 0) = COALESCE(n_b, 0) AND
+      |   COALESCE(cs_a, 0) = COALESCE(cs_b, 0)) AS in_sync
+      |FROM fa FULL OUTER JOIN fb ON fa.bucket = fb.bucket
+      |ORDER BY bucket""".stripMargin) { (s, d) =>
+    val snap = cdcSnapshot(s, d)
+    val replica = snap.filter(col("o_orderkey") =!= 999)
+      .withColumn("o_custkey",
+        when(col("o_orderkey") % 500 === 0, col("o_custkey") + 1)
+          .otherwise(col("o_custkey")))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+    tableDiff(snap, replica, "o_orderkey",
+      Seq("o_orderkey", "o_custkey", "o_orderstatus"))
+      .orderBy(col("bucket"))
   }
 
   /** Pivot (long→wide reshaping): per-source document counts pivoted on
