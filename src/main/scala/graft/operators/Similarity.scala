@@ -17,7 +17,72 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  def defs: Seq[QueryDef] = Seq(q31, q32, q33, q69, q71, q81)
+  def defs: Seq[QueryDef] = Seq(q31, q32, q33, q69, q71, q81, q98, q99)
+
+  /** Symmetric per-vector int8 quantization — the 4× storage cut that
+    * makes a 100 TB float32 embedding corpus a 25 TB one: each vector
+    * stores one float scale (127 / max|x|) plus int8 codes; dot
+    * products on codes are rescaled by the two scales. Row-local and
+    * codegen'd — no shuffle at all. Deterministic: one max (order-
+    * independent), one division, one multiply+round per element, so
+    * the DuckDB compare is exact including the full code arrays.
+    */
+  def quantizeInt8(vectors: DataFrame): DataFrame = {
+    val m = aggregate(col("v"), lit(0.0), (acc, x) => greatest(acc, abs(x)))
+    vectors
+      .withColumn("m", m)
+      .withColumn("scale",
+        when(col("m") > 0, lit(127.0) / col("m")).otherwise(lit(0.0)))
+      .select(col("vec_id"), col("scale"),
+        transform(col("v"), x => round(x * col("scale")).cast("int")).as("qv"))
+  }
+
+  /** q98: int8-quantize the embeddings table; hash-checked (scale +
+    * every code) against the identical arithmetic in DuckDB. Codes go
+    * out CSV-stringified — the compare harness row-sorts on every
+    * column and cannot order raw arrays; the library function keeps
+    * the typed array.
+    */
+  val q98: QueryDef = QueryDef.checked(
+    "q98_int8_quantize",
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |m AS (SELECT vec_id, v,
+      |    list_max(list_transform(v, x -> abs(x))) AS m FROM v)
+      |SELECT vec_id,
+      |  CASE WHEN m > 0 THEN 127.0 / m ELSE 0.0 END AS scale,
+      |  array_to_string(list_transform(v, x ->
+      |    CAST(ROUND(x * (CASE WHEN m > 0 THEN 127.0 / m ELSE 0.0 END))
+      |      AS INTEGER)), ',') AS qv_csv
+      |FROM m ORDER BY vec_id""".stripMargin) { (s, d) =>
+    quantizeInt8(vecs(s, d))
+      .select(col("vec_id"), col("scale"),
+        concat_ws(",", transform(col("qv"), _.cast("string"))).as("qv_csv"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Johnson–Lindenstrauss random projection: k seeded-Gaussian
+    * directions compress d-dim vectors to k dims with pairwise
+    * geometry approximately preserved (distortion ~ sqrt(ln n / k)) —
+    * the cheap first-stage filter before exact scoring, and the
+    * standard pre-pass that makes brute-force candidate scans 4× (
+    * d/k×) cheaper. The projection matrix is driver-seeded literals
+    * broadcast into codegen — no shuffle, row-local. Rows-only
+    * (Gaussian matrix is engine-defined); SimilaritySpec-style check
+    * in SemDedupSpec pins rank preservation on planted pairs.
+    */
+  def randomProject(vectors: DataFrame, dim: Int = 64, k: Int = 16,
+      seed: Long = 42L): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    val g = Array.fill(k)(Array.fill(dim)(rnd.nextGaussian()))
+    val invSqrtK = 1.0 / math.sqrt(k.toDouble)
+    val comps = g.map(row => VF.dot(col("v"), typedLit(row.toSeq)) * lit(invSqrtK))
+    vectors.select(col("vec_id"), array(comps.toIndexedSeq: _*).as("pv"))
+  }
+
+  /** q99: 64→16 JL projection of the embeddings table. */
+  val q99: QueryDef = QueryDef.rowsOnly("q99_random_projection") { (s, d) =>
+    randomProject(vecs(s, d)).orderBy(col("vec_id"))
+  }
 
   /** Cosine near-duplicate pairs of one vector frame. Exact O(n²) form —
     * correct baseline and the verifier for the bucketed variant. At

@@ -25,6 +25,50 @@ class SemDedupSpec extends AnyFunSuite {
       s"every semantic drop must be an exact near-dup id_b: ${dropped -- exactDupBs}")
   }
 
+  test("int8 quantization: reconstruction cosine ≥ 0.99, codes within int8 range") {
+    val res = graft.operators.Similarity.quantizeInt8(
+      graft.Tables.embeddings(spark, sf)
+        .selectExpr("vec_id", "cast(embedding as array<double>) as v")).collect()
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    spark.catalog.clearCache()
+    res.foreach { r =>
+      val (id, scale) = (r.getLong(0), r.getDouble(1))
+      val qv = r.getSeq[Int](2).toArray
+      assert(qv.forall(q => q >= -127 && q <= 127), s"codes in range for $id")
+      val v = vecs(id)
+      val rec = qv.map(_ / scale)
+      val cos = {
+        val d = v.zip(rec).map { case (a, b) => a * b }.sum
+        d / (math.sqrt(v.map(x => x * x).sum) * math.sqrt(rec.map(x => x * x).sum))
+      }
+      assert(cos >= 0.99, s"reconstruction cosine $cos for $id")
+    }
+  }
+
+  test("JL projection approximately preserves pairwise cosine structure") {
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val proj = SparkEntry.queries("q99_random_projection")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    spark.catalog.clearCache()
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    assert(proj.head._2.length == 16, "projected to 16 dims")
+    val rnd = new scala.util.Random(3)
+    val ids = vecs.keys.toArray.sorted
+    val errs = (0 until 200).map { _ =>
+      val a = ids(rnd.nextInt(ids.length)); val b = ids(rnd.nextInt(ids.length))
+      math.abs(cos(vecs(a), vecs(b)) - cos(proj(a), proj(b)))
+    }
+    val mean = errs.sum / errs.size
+    assert(mean <= 0.2, s"mean cosine distortion $mean too high for k=16")
+  }
+
   test("planted near-identical pairs are caught with recall ≥ 0.9") {
     val s = spark
     import s.implicits._
