@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Entity-resolution primitives: fuzzy key matching via neighborhood
+  * blocking. The reference engine has no analogue (capability-parity
+  * surface, SURVEY.md §2.5); the shapes here are the standard
+  * record-linkage blocking designs re-expressed as Spark equi-joins.
+  */
+object Entity {
+
+  def defs: Seq[QueryDef] = Seq(q103)
+
+  /** Fuzzy key self-join: all pairs of rows whose `nameCol` values are
+    * within edit distance 1, WITHOUT a cross join. Blocking: each name
+    * emits one wildcard variant per character position (position i
+    * replaced by '*'); two equal-length names at Hamming distance 1
+    * share exactly one variant, so an equi-join on (position, variant)
+    * finds every such pair exactly once. For equal-length strings
+    * levenshtein ≤ 1 ⇔ Hamming ≤ 1 (an insert+delete pair already
+    * costs 2), so on a fixed-width key column this blocking is EXACT —
+    * the levenshtein filter afterwards is a guard, not a recall fix.
+    * Variable-length keys would add the deletion neighborhood (drop
+    * position i) to catch insert/delete edits — same join shape.
+    *
+    * Scale: candidate volume is len(name) keyed rows per input row,
+    * joined hash-partitioned on the variant string — linear-ish with a
+    * ~len× expansion, vs the O(n²) cross join the naive form plans.
+    * Variant keys inherit the key column's distribution; a hot block
+    * (e.g. a default/placeholder name) would need the q48 salting
+    * treatment.
+    */
+  def fuzzyKeyPairs(df: DataFrame, keyCol: String, nameCol: String): DataFrame = {
+    val keyed = df
+      .select(col(keyCol).as("k"), col(nameCol).cast("string").as("name"))
+      .select(col("k"), col("name"), posexplode(expr(
+        """transform(sequence(1, length(name)),
+          |  i -> concat(substring(name, 1, i - 1), '*',
+          |              substring(name, i + 1, length(name))))""".stripMargin))
+        .as(Seq("pos", "variant")))
+    keyed.as("a").join(keyed.as("b"),
+        col("a.pos") === col("b.pos") &&
+          col("a.variant") === col("b.variant") &&
+          col("a.k") < col("b.k"))
+      .filter(levenshtein(col("a.name"), col("b.name")) <= 1)
+      // Hamming-1 pairs share exactly ONE variant, but IDENTICAL names
+      // share all of them — canonicalize those to the first position so
+      // every pair emits one row without a distinct shuffle.
+      .filter(col("a.name") =!= col("b.name") || col("a.pos") === 0)
+      .select(col("a.k").as("key_a"), col("b.k").as("key_b"),
+        col("a.name").as("name_a"), col("b.name").as("name_b"))
+  }
+
+  /** q103: near-identical customer names (single-digit typos of the
+    * zero-padded key suffix) among the first 500 customers, hash-checked
+    * against DuckDB's naive levenshtein cross join — same pair set, but
+    * the engine plans an equi-join on wildcard blocks instead of the
+    * quadratic nested loop.
+    */
+  val q103: QueryDef = QueryDef.checked(
+    "q103_fuzzy_key_join",
+    """SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+      |  a.c_name AS name_a, b.c_name AS name_b
+      |FROM customer a JOIN customer b
+      |  ON a.c_custkey < b.c_custkey
+      |  AND levenshtein(a.c_name, b.c_name) <= 1
+      |WHERE a.c_custkey < 500 AND b.c_custkey < 500
+      |ORDER BY key_a, key_b""".stripMargin) { (s, d) =>
+    fuzzyKeyPairs(
+      Tables.customer(s, d).filter(col("c_custkey") < 500),
+      "c_custkey", "c_name")
+      .orderBy(col("key_a"), col("key_b"))
+  }
+}

@@ -13,7 +13,7 @@ import org.apache.spark.sql.types.DecimalType
 object Extended {
   import Exact._
 
-  def defs: Seq[QueryDef] = Seq(q42, q43, q44, q45, q46, q90, q92, q93, q95, q97)
+  def defs: Seq[QueryDef] = Seq(q42, q43, q44, q45, q46, q90, q92, q93, q95, q97, q101)
 
   /** q95: ORC round-trip — q44's lossless write→read check for the
     * third columnar format (ORC ships with Spark; DuckDB cannot read
@@ -153,6 +153,52 @@ object Extended {
       |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
     val snap = cdcSnapshot(s, d)
     cdcMerge(snap, cdcChanges(snap), "o_orderkey").orderBy(col("o_orderkey"))
+  }
+
+  /** SCD Type-2 history build (the versioned-dimension complement of
+    * [[cdcMerge]]): instead of keeping only the latest row per key,
+    * keep EVERY update as a version with a validity range —
+    * `valid_from` = its sequence number, `valid_to` = the next
+    * change's sequence (null while still current), deletes close the
+    * previous version's range but emit no row themselves. Same single
+    * key-shuffle shape as cdcMerge (one window over base ∪ changes),
+    * not a join per version — at 100 TB the history table compacts in
+    * one pass exactly like the snapshot does.
+    */
+  def scd2History(base: org.apache.spark.sql.DataFrame,
+      changes: org.apache.spark.sql.DataFrame,
+      key: String, seqCol: String = "seq"): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(seqCol))
+    base.withColumn(seqCol, lit(0L)).withColumn("op", lit("U"))
+      .unionByName(changes)
+      .withColumn("valid_to", lead(col(seqCol), 1).over(w))
+      .filter(col("op") =!= "D")
+      .withColumn("is_current", col("valid_to").isNull)
+      .withColumnRenamed(seqCol, "valid_from")
+      .drop("op")
+  }
+
+  /** q101: the full version history of the q93 changelog — updated keys
+    * carry two versions (base closed at seq 2, update open), deleted
+    * keys carry one closed version and no current row, inserted keys
+    * one open version. Hash-checked against the same lead-window SQL.
+    */
+  val q101: QueryDef = QueryDef.checked(
+    "q101_scd2_history",
+    s"""WITH $cdcCtes,
+      |hist AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, seq AS valid_from,
+      |    lead(seq) OVER (PARTITION BY o_orderkey ORDER BY seq) AS valid_to, op
+      |  FROM (SELECT * FROM base UNION ALL SELECT * FROM changes))
+      |SELECT o_orderkey, o_custkey, o_orderstatus, valid_from, valid_to,
+      |  valid_to IS NULL AS is_current
+      |FROM hist WHERE op <> 'D'
+      |ORDER BY o_orderkey, valid_from""".stripMargin) { (s, d) =>
+    val snap = cdcSnapshot(s, d)
+    scd2History(snap, cdcChanges(snap), "o_orderkey")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("valid_from"), col("valid_to"), col("is_current"))
+      .orderBy(col("o_orderkey"), col("valid_from"))
   }
 
   /** Order-independent per-bucket table fingerprint: rows hashed (md5

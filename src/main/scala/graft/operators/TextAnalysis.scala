@@ -14,7 +14,7 @@ import org.apache.spark.sql.expressions.Window
   */
 object TextAnalysis {
 
-  def defs: Seq[QueryDef] = Seq(q34, q35, q36, q37, q49, q64, q70, q85, q86)
+  def defs: Seq[QueryDef] = Seq(q34, q35, q36, q37, q49, q64, q70, q85, q86, q102)
 
   private val stopList = TF.StopWords.map(w => s"'$w'").mkString(", ")
 
@@ -418,5 +418,63 @@ object TextAnalysis {
       |JOIN cu ON b.u = cu.u CROSS JOIN v
       |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin) { (s, d) =>
     perplexityScore(Tables.documents(s, d)).orderBy(col("doc_id"))
+  }
+
+  /** Inverted-index build (the retrieval-infra counterpart of q85's
+    * BM25 scorer): term → document frequency + sorted posting list,
+    * from any (doc_id, term) occurrence frame. Built the scale-correct
+    * two-pass way: the cheap df aggregate runs first (map-side combined
+    * counts, no lists), the df band filter prunes the term set, and
+    * only then are posting lists collected — restricted by a join to
+    * surviving terms, so stopword-grade terms never materialize a list
+    * at all. The join is UNHINTED: AQE broadcasts the surviving-terms
+    * frame when it fits (the q28/q50 lesson). At 100 TB the remaining
+    * lever is sharding hot postings by (term, doc_id bucket); the df
+    * cap here bounds every list by construction.
+    */
+  def invertedIndex(postings: DataFrame, minDf: Long, maxDf: Long): DataFrame = {
+    val kept = postings.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df").between(minDf, maxDf))
+    postings.join(kept, Seq("term"))
+      .groupBy(col("term"), col("df"))
+      .agg(concat_ws(",", sort_array(collect_set(col("doc_id")))).as("postings"))
+  }
+
+  /** Per-document distinct bigram occurrences, built ROW-LOCALLY (a
+    * transform over the token array — no doc_id shuffle; contrast the
+    * q86 lag-window form, which shuffles to order tokens it already has
+    * in order inside the array).
+    */
+  def bigramOccurrences(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(array_distinct(expr(
+        """transform(slice(toks, 1, greatest(size(toks) - 1, 0)),
+          |  (t, i) -> concat(t, ' ', element_at(toks, i + 2)))""".stripMargin)))
+        .as("term"))
+
+  /** q102: a bigram (phrase) inverted index over documents — 916 bigram
+    * types at sf0.01, df band [5, 40] prunes both the rare tail and the
+    * hottest phrases before any list is built. Hash-checked — including
+    * every full comma-joined posting list — against DuckDB's ordered
+    * string_agg.
+    */
+  val q102: QueryDef = QueryDef.checked(
+    "q102_inverted_index",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS t,
+      |    generate_subscripts(string_split(text, ' '), 1) AS pos FROM documents),
+      |big AS (
+      |  SELECT doc_id, lag(t) OVER (PARTITION BY doc_id ORDER BY pos) || ' ' || t AS term
+      |  FROM tok QUALIFY lag(t) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL),
+      |occ AS (SELECT DISTINCT doc_id, term FROM big),
+      |p AS (
+      |  SELECT term, COUNT(*) AS df,
+      |    string_agg(doc_id, ',' ORDER BY doc_id) AS postings
+      |  FROM occ GROUP BY term)
+      |SELECT term, df, postings FROM p
+      |WHERE df BETWEEN 5 AND 40 ORDER BY term""".stripMargin) { (s, d) =>
+    invertedIndex(bigramOccurrences(Tables.documents(s, d)), minDf = 5L, maxDf = 40L)
+      .orderBy(col("term"))
   }
 }

@@ -20,7 +20,7 @@ import org.apache.spark.sql.expressions.Window
   */
 object TimeJoins {
 
-  def defs: Seq[QueryDef] = Seq(q51, q52, q91)
+  def defs: Seq[QueryDef] = Seq(q51, q52, q91, q100)
 
   /** As-of join: for every 'click' event, the most recent 'view' event by
     * the same user at-or-before it (order = (ts, event_id), so ties are
@@ -131,6 +131,65 @@ object TimeJoins {
       .agg(min(when(col("event_type") === s1, col("ts"))).as("t_view"),
         min(col("c_ok")).as("t_click"),
         min(col("p_ok")).as("t_purchase"))
+  }
+
+  /** Batch gap sessionization: split each user's event stream into
+    * sessions wherever the gap to the previous event exceeds
+    * `gapSeconds`, then aggregate per session. The batch complement of
+    * `StreamingOps.sessionizeWithTimers` (and of builtin
+    * `session_window`) — one shuffle on user_id, one per-user sort,
+    * two window projections (lag → running sum of session-start
+    * flags), then the per-session aggregate reuses the same
+    * partitioning. Nothing quadratic, state bounded per user. Gap
+    * arithmetic runs on the raw nanosecond epochs (`ts_ns`), not
+    * second-truncated timestamps, so boundary events land identically
+    * in both engines.
+    */
+  def gapSessions(events: DataFrame, gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(col("user_id"), col("ts"), col("ts_ns"), col("event_id"),
+        col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)).as("v"))
+      .withColumn("prev_ns", lag(col("ts_ns"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ns").isNull ||
+          col("ts_ns") - col("prev_ns") > gapSeconds * 1000000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_no", sum(col("new_sess")).over(run))
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col("v")).cast("double").as("sum_value"))
+  }
+
+  /** q100: 1-hour-gap sessions over the events table — session bounds,
+    * event count, and exact-decimal value sum per session, hash-checked
+    * against the same lag/running-sum construction in DuckDB.
+    */
+  val q100: QueryDef = QueryDef.checked(
+    "q100_gap_sessions",
+    """WITH t AS (
+      |  SELECT user_id, ts, event_id, epoch_ns(ts) AS tns,
+      |    CAST(value AS DECIMAL(18,2)) AS v
+      |  FROM events),
+      |m AS (
+      |  SELECT *, CASE WHEN lag(tns) OVER w IS NULL
+      |      OR tns - lag(tns) OVER w > 3600000000000 THEN 1 ELSE 0 END AS new_sess
+      |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      |  FROM m)
+      |SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+      |  MIN(ts) AS session_start,
+      |  MAX(ts) AS session_end, COUNT(*) AS n_events,
+      |  CAST(SUM(v) AS DOUBLE) AS sum_value
+      |FROM s GROUP BY user_id, session_no
+      |ORDER BY user_id, session_no""".stripMargin) { (s, d) =>
+    gapSessions(Tables.events(s, d), gapSeconds = 3600L)
+      .orderBy(col("user_id"), col("session_no"))
   }
 
   /** q91: the view→click→purchase funnel over the events table,

@@ -89,6 +89,55 @@ class ExtendedSpec extends AnyFunSuite {
     }
   }
 
+  test("scd2History: updates version, deletes close without a current row") {
+    val s = spark
+    import s.implicits._
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val changes = Seq(
+      (1L, "a2", 2L, "U"), (1L, "a3", 5L, "U"), // two updates on k=1
+      (2L, "x", 4L, "D"),                       // delete k=2
+      (4L, "d", 3L, "U")                        // insert k=4
+    ).toDF("k", "v", "seq", "op")
+    val out = graft.operators.Extended.scd2History(base, changes, "k")
+      .select("k", "v", "valid_from", "valid_to", "is_current")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getBoolean(4)))
+      .toSet
+    spark.catalog.clearCache()
+    assert(out == Set(
+      (1L, "a", 0L, Some(2L), false),
+      (1L, "a2", 2L, Some(5L), false),
+      (1L, "a3", 5L, None, true),
+      (2L, "b", 0L, Some(4L), false), // closed by the delete, no current row
+      (3L, "c", 0L, None, true),
+      (4L, "d", 3L, None, true)), s"got $out")
+  }
+
+  test("property: scd2History current rows equal cdcMerge over random changelogs") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(68)
+    (0 until 3).foreach { trial =>
+      val baseKeys = (0 until 30 + rnd.nextInt(40)).map(_.toLong)
+      val base = baseKeys.map(k => (k, s"b$k")).toDF("k", "v")
+      var seq = 0L
+      val changes = (0 until 60).map { _ =>
+        seq += 1
+        (rnd.nextInt(baseKeys.size + 10).toLong, s"v$seq", seq,
+          if (rnd.nextInt(4) == 0) "D" else "U")
+      }.toDF("k", "v", "seq", "op")
+      val current = graft.operators.Extended.scd2History(base, changes, "k")
+        .filter(col("is_current"))
+        .select("k", "v")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val merged = graft.operators.Extended.cdcMerge(base, changes, "k")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      spark.catalog.clearCache()
+      assert(current == merged, s"trial $trial")
+    }
+  }
+
   test("format round-trip preserves the projected slice exactly") {
     val out = SparkEntry.queries("q44_format_roundtrip")(spark, sf).collect()
     assert(out.length === 2)

@@ -67,4 +67,30 @@ class RetrievalSpec extends AnyFunSuite {
     spark.catalog.clearCache()
     assert(res.head.getLong(0) == 2L, s"shorter doc should rank first: ${res.toSeq}")
   }
+
+  test("invertedIndex: df band enforced, postings sorted, occurrences round-trip") {
+    val corpus = docs(
+      (3L, "a b c a b", "s"),  // bigrams: "a b"(×2→1 distinct), "b c", "c a"
+      (1L, "a b x y", "s"),    // "a b", "b x", "x y"
+      (2L, "x y a b", "s"))    // "x y", "y a", "a b"
+    val occ = graft.operators.TextAnalysis.bigramOccurrences(corpus)
+    val idx = graft.operators.TextAnalysis.invertedIndex(occ, minDf = 2L, maxDf = 10L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toList
+    spark.catalog.clearCache()
+    val byTerm = idx.map(t => t._1 -> ((t._2, t._3))).toMap
+    // only "a b" (df 3) and "x y" (df 2) survive the band
+    assert(byTerm.keySet == Set("a b", "x y"), s"got ${byTerm.keySet}")
+    assert(byTerm("a b") == ((3L, "1,2,3")), "postings must be doc-id-sorted")
+    assert(byTerm("x y") == ((2L, "1,2")))
+  }
+
+  test("invertedIndex: duplicate bigram inside one doc counts once toward df") {
+    val corpus = docs((1L, "p q p q", "s")) // "p q" twice, "q p" once
+    val idx = graft.operators.TextAnalysis
+      .invertedIndex(graft.operators.TextAnalysis.bigramOccurrences(corpus),
+        minDf = 1L, maxDf = 10L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    spark.catalog.clearCache()
+    assert(idx == Map("p q" -> 1L, "q p" -> 1L), s"got $idx")
+  }
 }

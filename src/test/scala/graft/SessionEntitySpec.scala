@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics for batch gap sessionization (q100) and the wildcard-blocked
+  * fuzzy key join (q103) — the oracles pin engine parity; these pin
+  * boundary behavior and blocking exactness on constructed inputs.
+  */
+class SessionEntitySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def events(rows: (Long, Long, Long, Double)*) = {
+    // (user_id, ts_ns, event_id, value) → the column shape gapSessions reads
+    val s = spark
+    import s.implicits._
+    rows.toDF("user_id", "ts_ns", "event_id", "value")
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+  }
+
+  test("gapSessions: boundary gap stays, gap+1ns splits, count conserved") {
+    val ns = 1000000000L // 1 s
+    val df = events(
+      (1L, 0L, 1L, 1.0),
+      (1L, 10L * ns, 2L, 1.0),      // exactly the 10 s gap → SAME session
+      (1L, 20L * ns + 1, 3L, 1.0),  // 1 ns over → new session
+      (1L, 25L * ns, 4L, 1.0),
+      (2L, 0L, 5L, 1.0))            // second user independent
+    val out = graft.operators.TimeJoins.gapSessions(df, gapSeconds = 10L)
+      .select("user_id", "session_no", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    spark.catalog.clearCache()
+    assert(out == Set((1L, 1L, 2L), (1L, 2L, 2L), (2L, 1L, 1L)), s"got $out")
+  }
+
+  test("gapSessions: session bounds nest and sum_value is exact") {
+    val ns = 1000000000L
+    val df = events(
+      (7L, 1L * ns, 1L, 1.25),
+      (7L, 2L * ns, 2L, 2.50),
+      (7L, 100L * ns, 3L, 4.00))
+    val rows = graft.operators.TimeJoins.gapSessions(df, gapSeconds = 30L)
+      .orderBy("session_no").collect()
+    spark.catalog.clearCache()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Long]("n_events") == 2L)
+    assert(rows(0).getAs[Double]("sum_value") == 3.75)
+    assert(rows(1).getAs[Double]("sum_value") == 4.0)
+    assert(!rows(0).getAs[java.sql.Timestamp]("session_end")
+      .after(rows(1).getAs[java.sql.Timestamp]("session_start")))
+  }
+
+  test("fuzzyKeyPairs: finds Hamming-1 pairs, not distance-2, no cross join") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "alpha"), (2L, "alpha"),            // identical → distance 0 (≤1)
+      (3L, "alphb"),                           // 1 sub from alpha
+      (4L, "alpXY"),                           // 2 subs from alpha
+      (5L, "beta7")).toDF("k", "name")
+    val got = graft.operators.Entity.fuzzyKeyPairs(df, "k", "name")
+      .select("key_a", "key_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.catalog.clearCache()
+    // identical names share len variants → still ONE row per pair after
+    // the (pos, variant) join would duplicate — guard below catches that
+    assert(got.contains((1L, 3L)) && got.contains((2L, 3L)))
+    assert(!got.exists(p => p._1 == 4L || p._2 == 4L))
+    assert(!got.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("property: fuzzyKeyPairs equals the naive levenshtein cross join") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(91)
+    val alphabet = "abc" // small alphabet → many near-collisions
+    val rows = (0 until 60).map { i =>
+      (i.toLong, (0 until 6).map(_ => alphabet(rnd.nextInt(3))).mkString)
+    }
+    val df = rows.toDF("k", "name")
+    val got = graft.operators.Entity.fuzzyKeyPairs(df, "k", "name")
+      .select("key_a", "key_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.catalog.clearCache()
+    val expect = (for {
+      (ka, na) <- rows; (kb, nb) <- rows if ka < kb
+      if na.zip(nb).count { case (x, y) => x != y } <= 1
+    } yield (ka, kb)).toSet
+    assert(got == expect,
+      s"missing=${(expect -- got).take(5)} extra=${(got -- expect).take(5)}")
+  }
+
+  test("fuzzyKeyPairs: identical names yield exactly one pair row") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "same"), (2L, "same")).toDF("k", "name")
+    val n = graft.operators.Entity.fuzzyKeyPairs(df, "k", "name").count()
+    spark.catalog.clearCache()
+    assert(n == 1L, s"identical names must dedupe to one pair row, got $n")
+  }
+}
