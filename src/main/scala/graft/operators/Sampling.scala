@@ -12,7 +12,7 @@ import org.apache.spark.sql.expressions.Window
   */
 object Sampling {
 
-  def defs: Seq[QueryDef] = Seq(q53, q54, q55, q56, q67, q77)
+  def defs: Seq[QueryDef] = Seq(q53, q54, q55, q56, q67, q77, q104, q106)
 
   /** Generic stratified sample: at most `k` rows per stratum, selected
     * by `hashOrder` (e.g. md5 of a content column) — deterministic,
@@ -244,5 +244,106 @@ object Sampling {
         md5(col("clean").cast("binary")).as("clean_fp"),
         length(col("clean")).as("clean_len"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic train/val/test assignment: each row's split comes
+    * from a salted md5 fraction of its id — row-local (NO shuffle, no
+    * join, no global pass), reproducible across engines and runs, and
+    * stable under corpus growth (a doc keeps its split when new docs
+    * arrive — the property rand()-based splitting cannot give you, and
+    * the one that prevents silent train/test leakage between pipeline
+    * re-runs). `splits` = (name, fraction) in order; fractions sum to 1.
+    * The salt keeps this hash stream independent of every other md5 use
+    * on the same id column (q60's sampling fraction, q53's ordering).
+    */
+  def hashSplit(df: org.apache.spark.sql.DataFrame, idCol: String,
+      splits: Seq[(String, Double)],
+      salt: String = "split"): org.apache.spark.sql.DataFrame = {
+    val f = conv(substring(md5(concat(lit(s"$salt:"),
+        col(idCol).cast("string")).cast("binary")), 1, 8), 16, 10)
+      .cast("long") / lit(4294967296.0)
+    val uppers = splits.scanLeft(0.0)(_ + _._2).tail
+    val assign = splits.zip(uppers).init
+      .foldRight(lit(splits.last._1): org.apache.spark.sql.Column) {
+        case (((name, _), ub), acc) => when(col("f") < lit(ub), name).otherwise(acc)
+      }
+    df.withColumn("f", f).withColumn("split", assign).drop("f")
+  }
+
+  /** Oracle-side thresholds rendered from the SAME Scala cumulative
+    * doubles (0.8 + 0.1 is 0.9000000000000001 in IEEE — writing "0.9"
+    * in the SQL would disagree on any fraction landing between).
+    */
+  private val splitCums: Seq[Double] =
+    Seq(0.8, 0.1, 0.1).scanLeft(0.0)(_ + _).tail
+
+  /** q104: 80/10/10 split of the documents corpus, hash-checked per
+    * document against the same salted-md5 arithmetic in DuckDB.
+    */
+  val q104: QueryDef = QueryDef.checked(
+    "q104_hash_split",
+    s"""WITH f AS (
+      |  SELECT doc_id,
+      |    ('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |      / 4294967296.0 AS f
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CASE WHEN f < ${splitCums(0)} THEN 'train'
+      |       WHEN f < ${splitCums(1)} THEN 'val' ELSE 'test' END AS split
+      |FROM f ORDER BY doc_id""".stripMargin) { (s, d) =>
+    hashSplit(Tables.documents(s, d), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select(col("doc_id"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Equi-depth histogram: bucket boundaries from percentile_disc
+    * cutoffs (actual data values — exact in any engine), bucket
+    * assignment row-local against the broadcast 1-row cutoff frame,
+    * then one ordinary agg shuffle. This is the scale-correct form: a
+    * global ntile() would sort the corpus through one partition to
+    * number rows the cutoffs already determine. Buckets can be uneven
+    * exactly where values tie across a boundary — the honest semantics
+    * of discrete quantiles (every equal value lands in one bucket).
+    */
+  def equiDepthHistogram(df: org.apache.spark.sql.DataFrame,
+      valueCol: String, nBuckets: Int): org.apache.spark.sql.DataFrame = {
+    val cutAggs = (1 until nBuckets).map(k =>
+      expr(s"percentile_disc(${k.toDouble / nBuckets}) WITHIN GROUP (ORDER BY $valueCol)")
+        .as(s"c$k"))
+    val cuts = df.agg(cutAggs.head, cutAggs.tail: _*)
+    val bucket = (1 until nBuckets).map(k =>
+      when(col(valueCol) > col(s"c$k"), 1L).otherwise(0L))
+      .reduce(_ + _) + 1L
+    df.crossJoin(broadcast(cuts))
+      .withColumn("bucket", bucket)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"))
+  }
+
+  /** q106: 8-bucket equi-depth histogram of order prices — per-bucket
+    * count and [lo, hi] range, hash-checked against the same
+    * cutoff-counting arithmetic in DuckDB.
+    */
+  val q106: QueryDef = QueryDef.checked(
+    "q106_equidepth_histogram",
+    """WITH cut AS (
+      |  SELECT percentile_disc(0.125) WITHIN GROUP (ORDER BY o_totalprice) AS c1,
+      |         percentile_disc(0.25)  WITHIN GROUP (ORDER BY o_totalprice) AS c2,
+      |         percentile_disc(0.375) WITHIN GROUP (ORDER BY o_totalprice) AS c3,
+      |         percentile_disc(0.5)   WITHIN GROUP (ORDER BY o_totalprice) AS c4,
+      |         percentile_disc(0.625) WITHIN GROUP (ORDER BY o_totalprice) AS c5,
+      |         percentile_disc(0.75)  WITHIN GROUP (ORDER BY o_totalprice) AS c6,
+      |         percentile_disc(0.875) WITHIN GROUP (ORDER BY o_totalprice) AS c7
+      |  FROM orders)
+      |SELECT 1 + (o_totalprice > c1)::BIGINT + (o_totalprice > c2)::BIGINT
+      |         + (o_totalprice > c3)::BIGINT + (o_totalprice > c4)::BIGINT
+      |         + (o_totalprice > c5)::BIGINT + (o_totalprice > c6)::BIGINT
+      |         + (o_totalprice > c7)::BIGINT AS bucket,
+      |  COUNT(*) AS n, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+      |FROM orders, cut GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, d) =>
+    equiDepthHistogram(Tables.orders(s, d), "o_totalprice", nBuckets = 8)
+      .orderBy(col("bucket"))
   }
 }

@@ -20,7 +20,7 @@ import org.apache.spark.sql.expressions.Window
   */
 object TimeJoins {
 
-  def defs: Seq[QueryDef] = Seq(q51, q52, q91, q100)
+  def defs: Seq[QueryDef] = Seq(q51, q52, q91, q100, q105)
 
   /** As-of join: for every 'click' event, the most recent 'view' event by
     * the same user at-or-before it (order = (ts, event_id), so ties are
@@ -190,6 +190,56 @@ object TimeJoins {
       |ORDER BY user_id, session_no""".stripMargin) { (s, d) =>
     gapSessions(Tables.events(s, d), gapSeconds = 3600L)
       .orderBy(col("user_id"), col("session_no"))
+  }
+
+  /** Time-series anomaly flags via EXACT integer algebra: per
+    * (series, hour) counts, flagged when the hour deviates from its
+    * series mean by more than 3 population standard deviations. The
+    * z-score rule |c − μ| > 3σ is squared into pure BIGINT arithmetic —
+    * (D·c − S)² > 9·(D·Q − S²) with D = #hours, S = Σc, Q = Σc² — so
+    * there is no float mean/stddev to drift between engines. Shape:
+    * two keyed aggs (hour roll-up, then per-series moments) and a
+    * broadcast of the tiny per-series stats frame back onto the hourly
+    * rows. At 100 TB the hourly frame is ~series×hours rows — the
+    * heavy input never leaves the first map-side-combined agg.
+    */
+  def hourlyAnomalies(events: DataFrame,
+      seriesCol: String = "event_type"): DataFrame = {
+    val hourly = events
+      .groupBy(col(seriesCol), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val stats = hourly.groupBy(col(seriesCol))
+      .agg(count(lit(1)).as("d"), sum(col("n")).as("s"),
+        sum(col("n") * col("n")).as("q"))
+    hourly.join(broadcast(stats), seriesCol)
+      .select(col(seriesCol), col("hour"), col("n"),
+        ((col("d") * col("n") - col("s")) * (col("d") * col("n") - col("s")))
+          .as("dev2"),
+        (lit(9L) * (col("d") * col("q") - col("s") * col("s"))).as("bound"))
+      .withColumn("is_anomaly", col("dev2") > col("bound"))
+  }
+
+  /** q105: 3σ hourly anomaly flags per event type over the events
+    * table, hash-checked — including the exact squared-deviation and
+    * bound columns — against the same integer algebra in DuckDB.
+    */
+  val q105: QueryDef = QueryDef.checked(
+    "q105_hourly_anomalies",
+    """WITH hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |stats AS (
+      |  SELECT event_type, COUNT(*) AS d, CAST(SUM(n) AS BIGINT) AS s,
+      |    CAST(SUM(n * n) AS BIGINT) AS q
+      |  FROM hourly GROUP BY 1)
+      |SELECT h.event_type, h.hour, h.n,
+      |  (d * n - s) * (d * n - s) AS dev2,
+      |  9 * (d * q - s * s) AS bound,
+      |  (d * n - s) * (d * n - s) > 9 * (d * q - s * s) AS is_anomaly
+      |FROM hourly h JOIN stats USING (event_type)
+      |ORDER BY event_type, hour""".stripMargin) { (s, d) =>
+    hourlyAnomalies(Tables.events(s, d))
+      .orderBy(col("event_type"), col("hour"))
   }
 
   /** q91: the view→click→purchase funnel over the events table,

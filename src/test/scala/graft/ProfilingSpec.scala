@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics for the hash split (q104), equi-depth histogram (q106),
+  * and hourly anomaly flags (q105) — the oracles pin engine parity;
+  * these pin the properties the operators exist for.
+  */
+class ProfilingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("hashSplit: assignment is stable under corpus growth and ~matches fractions") {
+    val s = spark
+    import s.implicits._
+    val small = (0L until 400L).toDF("id")
+    val grown = (0L until 2000L).toDF("id")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val a = graft.operators.Sampling.hashSplit(small, "id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = graft.operators.Sampling.hashSplit(grown, "id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    spark.catalog.clearCache()
+    // every original doc keeps its split when the corpus grows
+    assert(a.forall { case (k, v) => b(k) == v })
+    val shares = b.values.groupBy(identity).view.mapValues(_.size / 2000.0).toMap
+    assert(math.abs(shares("train") - 0.8) < 0.05, s"train share ${shares("train")}")
+    assert(math.abs(shares("val") - 0.1) < 0.05)
+    assert(math.abs(shares("test") - 0.1) < 0.05)
+  }
+
+  test("hashSplit: different salts decorrelate assignments") {
+    val s = spark
+    import s.implicits._
+    val ids = (0L until 1000L).toDF("id")
+    val splits = Seq("a" -> 0.5, "b" -> 0.5)
+    val x = graft.operators.Sampling.hashSplit(ids, "id", splits, salt = "s1")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val y = graft.operators.Sampling.hashSplit(ids, "id", splits, salt = "s2")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    spark.catalog.clearCache()
+    val agree = x.count { case (k, v) => y(k) == v } / 1000.0
+    assert(agree > 0.4 && agree < 0.6, s"independent salts should agree ~50%, got $agree")
+  }
+
+  test("equiDepthHistogram: distinct values give near-equal buckets, ties collapse") {
+    val s = spark
+    import s.implicits._
+    val distinctVals = (1 to 800).map(_.toDouble).toDF("v")
+    val h1 = graft.operators.Sampling.equiDepthHistogram(distinctVals, "v", 8)
+      .collect().map(r => r.getLong(1)).sorted
+    spark.catalog.clearCache()
+    assert(h1.length == 8 && h1.forall(n => n == 100L), s"got ${h1.toSeq}")
+    // heavy tie on one value: all copies land in ONE bucket
+    val tied = ((1 to 100).map(_ => 5.0) ++ (1 to 20).map(_.toDouble)).toDF("v")
+    val h2 = graft.operators.Sampling.equiDepthHistogram(tied, "v", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    spark.catalog.clearCache()
+    val holding5 = h2.filter(b => b._3 <= 5.0 && b._4 >= 5.0)
+    assert(holding5.length == 1, s"value 5.0 must live in exactly one bucket: ${h2.toSeq}")
+    assert(holding5.head._2 >= 100L)
+  }
+
+  test("hourlyAnomalies: a planted spike is flagged, uniform hours are not") {
+    val s = spark
+    import s.implicits._
+    // 24 hours × 10 events, plus one hour with 300 extra
+    val base = for (h <- 0 until 24; i <- 0 until 10) yield
+      ("steady", h.toLong * 3600L * 1000000000L + i * 1000000000L)
+    val spike = (0 until 300).map(i =>
+      ("steady", 5L * 3600L * 1000000000L + 2000000000L + i * 1000000L))
+    val df = (base ++ spike).toDF("event_type", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    val out = graft.operators.TimeJoins.hourlyAnomalies(df)
+      .collect()
+      .map(r => r.getAs[java.sql.Timestamp]("hour").getTime / 3600000L ->
+        r.getAs[Boolean]("is_anomaly")).toMap
+    spark.catalog.clearCache()
+    assert(out(5L), "the spiked hour must flag")
+    assert(out.count(_._2) == 1, s"only the spike flags: $out")
+  }
+}
