@@ -1,0 +1,110 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Iterative graph analytics beyond connected components (those live in
+  * Dedup.dedupClusters / dedupClustersStars): fixed-iteration PageRank
+  * on an integer grid. The reference engine has no graph surface
+  * (capability-parity, SURVEY.md §2.5).
+  */
+object Graph {
+
+  def defs: Seq[QueryDef] = Seq(q110)
+
+  /** Fixed-iteration PageRank over a directed edge list (`src`, `dst`),
+    * damping 0.85, ranks kept in parts-per-billion BIGINTs: the initial
+    * rank is 1e9 div N, each round every node sends `r div outdeg`
+    * along its edges, and receivers apply r' = 0.15e9 div N +
+    * (85·Σcontrib) div 100. INTEGER division at every step — positive
+    * operands truncate identically in any engine, so a fixed iteration
+    * count yields bit-identical ranks with no float drift and no
+    * rounding-grid negotiation (same trick as q84/q85's snapped
+    * logs, but here nothing is ever float).
+    *
+    * Shape per round: one equi-join (edges ⋈ ranks on src) + one
+    * keyed agg on dst — both shuffles on node keys, partial aggs
+    * map-side combined. The edge frame (with outdeg attached) is
+    * persisted once and reused every round; a fixed small iteration
+    * count keeps lineage shallow (no checkpointing needed — contrast
+    * dedupClustersStars, whose round count is data-dependent). At
+    * 100 TB you would bucket BOTH edge endpoints so the per-round join
+    * reuses a co-located layout (q80's bucketing) instead of
+    * re-shuffling edges every round.
+    *
+    * Every node is assumed to have at least one out-edge (true for any
+    * symmetrized/undirected graph, like q110's); dangling nodes would
+    * leak rank mass, the standard simplification.
+    */
+  def pageRank(edges0: DataFrame, iterations: Int = 3): DataFrame = {
+    val edges = edges0.select(col("src"), col("dst")).distinct()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val withDeg = edges.join(deg, "src")
+      .persist(StorageLevel.MEMORY_AND_DISK) // reused every iteration;
+    // caller releases via spark.catalog.clearCache() (bench/verify do)
+    val nFrame = deg.agg(count(lit(1)).as("n_nodes"))
+    var rank = deg.crossJoin(broadcast(nFrame))
+      .selectExpr("src AS node", "CAST(1000000000 div n_nodes AS LONG) AS r")
+    for (_ <- 1 to iterations) {
+      rank = withDeg.join(rank, withDeg("src") === rank("node"))
+        .selectExpr("dst", "r div outdeg AS contrib")
+        .groupBy(col("dst")).agg(sum(col("contrib")).as("s"))
+        .crossJoin(broadcast(nFrame))
+        .selectExpr("dst AS node",
+          "CAST(150000000 div n_nodes + (85 * s) div 100 AS LONG) AS r")
+    }
+    rank
+  }
+
+  /** q110: 3-iteration PageRank on the symmetrized customer–supplier
+    * trade graph (edge = supplier supplied an order of the customer,
+    * both directions), hash-checked against the same unrolled integer
+    * iterations in DuckDB. High-degree suppliers accumulate rank from
+    * the ~15× larger customer side.
+    */
+  val q110: QueryDef = QueryDef.checked(
+    "q110_pagerank",
+    """WITH pairs AS (
+      |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |edges AS (
+      |  SELECT 'c:' || c AS src, 's:' || s AS dst FROM pairs
+      |  UNION ALL
+      |  SELECT 's:' || s AS src, 'c:' || c AS dst FROM pairs),
+      |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n FROM deg),
+      |r0 AS (SELECT src AS node, CAST(1000000000 // (SELECT n FROM n) AS BIGINT) AS r
+      |  FROM deg),
+      |i1 AS (SELECT e.dst AS node,
+      |    CAST(150000000 // (SELECT n FROM n)
+      |      + (85 * SUM(r.r // d.outdeg)) // 100 AS BIGINT) AS r
+      |  FROM edges e JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.src
+      |  GROUP BY e.dst),
+      |i2 AS (SELECT e.dst AS node,
+      |    CAST(150000000 // (SELECT n FROM n)
+      |      + (85 * SUM(r.r // d.outdeg)) // 100 AS BIGINT) AS r
+      |  FROM edges e JOIN i1 r ON e.src = r.node JOIN deg d ON e.src = d.src
+      |  GROUP BY e.dst),
+      |i3 AS (SELECT e.dst AS node,
+      |    CAST(150000000 // (SELECT n FROM n)
+      |      + (85 * SUM(r.r // d.outdeg)) // 100 AS BIGINT) AS r
+      |  FROM edges e JOIN i2 r ON e.src = r.node JOIN deg d ON e.src = d.src
+      |  GROUP BY e.dst)
+      |SELECT node, r FROM i3 ORDER BY node""".stripMargin) { (s, d) =>
+    val pairs = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
+      .distinct()
+    val fwd = pairs.select(
+      concat(lit("c:"), col("c").cast("string")).as("src"),
+      concat(lit("s:"), col("sk").cast("string")).as("dst"))
+    val rev = pairs.select(
+      concat(lit("s:"), col("sk").cast("string")).as("src"),
+      concat(lit("c:"), col("c").cast("string")).as("dst"))
+    pageRank(fwd.unionByName(rev), iterations = 3)
+      .orderBy(col("node"))
+  }
+}

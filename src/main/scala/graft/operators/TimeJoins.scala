@@ -20,7 +20,7 @@ import org.apache.spark.sql.expressions.Window
   */
 object TimeJoins {
 
-  def defs: Seq[QueryDef] = Seq(q51, q52, q91, q100, q105)
+  def defs: Seq[QueryDef] = Seq(q51, q52, q91, q100, q105, q107, q108, q109)
 
   /** As-of join: for every 'click' event, the most recent 'view' event by
     * the same user at-or-before it (order = (ts, event_id), so ties are
@@ -240,6 +240,154 @@ object TimeJoins {
       |ORDER BY event_type, hour""".stripMargin) { (s, d) =>
     hourlyAnomalies(Tables.events(s, d))
       .orderBy(col("event_type"), col("hour"))
+  }
+
+  /** Trailing time-window metrics: at every event, the count and
+    * exact-decimal value sum of the same user's events in the
+    * preceding `windowSeconds` (inclusive). A RANGE frame over the raw
+    * nanosecond epoch — the trailing-24h/rate-limit/velocity shape —
+    * one shuffle on user_id, one per-user sort, state bounded by the
+    * window span. Count and sum are tie-order-independent, so the
+    * result is deterministic even when events share a timestamp.
+    */
+  def trailingWindow(events: DataFrame, windowSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"))
+      .rangeBetween(-windowSeconds * 1000000000L, 0L)
+    events
+      .select(col("event_id"), col("user_id"), col("ts"), col("ts_ns"),
+        col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)).as("v"))
+      .withColumn("n_trail", count(lit(1)).over(w))
+      .withColumn("sum_trail", sum(col("v")).over(w).cast("double"))
+      .drop("v", "ts_ns")
+  }
+
+  /** q107: trailing-24h activity per user at every event, hash-checked
+    * against the same RANGE frame over nanosecond epochs in DuckDB.
+    */
+  val q107: QueryDef = QueryDef.checked(
+    "q107_trailing_window",
+    """SELECT event_id, user_id, ts,
+      |  COUNT(*) OVER w AS n_trail,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_trail
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts)
+      |  RANGE BETWEEN 86400000000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    trailingWindow(Tables.events(s, d), windowSeconds = 86400L)
+      .orderBy(col("event_id"))
+  }
+
+  /** Retention cohort matrix: users cohorted by first-active day,
+    * counted on each later day-offset they return. The canonical
+    * product-analytics retention triangle. Shape: one distinct over
+    * (user, day) — map-side combined — then a per-user window min
+    * (reuses the same user partitioning), a row-local offset, and a
+    * small final agg. No join against a separate first-seen frame, so
+    * the event log is shuffled once.
+    */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val activity = events
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id"))
+    activity
+      .withColumn("cohort", min(col("day")).over(w))
+      .withColumn("day_offset", datediff(col("day"), col("cohort")).cast("long"))
+      .groupBy(col("cohort"), col("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** q108: the retention triangle of the events table (rows = cohort
+    * first-day, columns = day offset), hash-checked against the same
+    * window-min construction in DuckDB.
+    */
+  val q108: QueryDef = QueryDef.checked(
+    "q108_retention_cohorts",
+    """WITH activity AS (
+      |  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+      |tagged AS (
+      |  SELECT user_id, day,
+      |    min(day) OVER (PARTITION BY user_id) AS cohort
+      |  FROM activity)
+      |SELECT cohort, date_diff('day', cohort, day) AS day_offset,
+      |  COUNT(*) AS n_users
+      |FROM tagged GROUP BY 1, 2 ORDER BY cohort, day_offset""".stripMargin) { (s, d) =>
+    retentionCohorts(Tables.events(s, d))
+      .orderBy(col("cohort"), col("day_offset"))
+  }
+
+  /** A/B experiment readout: users split 50/50 by the salted-md5
+    * assignment ([[Sampling.hashSplit]] — the same deterministic
+    * bucketing a real experimentation system uses), outcome = did the
+    * user ever fire `goalType`. The 2×2 contingency table and the
+    * chi-square statistic come out in EXACT integer arithmetic —
+    * χ² = N(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) with the ratio snapped to a
+    * micro grid — so the readout hash-matches across engines (the
+    * float χ² itself never crosses an engine boundary). Shape: distinct
+    * users + distinct converters (both map-side combined), one
+    * left join, one global conditional agg → a single row.
+    */
+  def abTestReadout(events: DataFrame, goalType: String,
+      goalMinValue: Double, salt: String = "exp1"): DataFrame = {
+    val users = Sampling.hashSplit(
+      events.select(col("user_id")).distinct(), "user_id",
+      Seq("A" -> 0.5, "B" -> 0.5), salt = salt)
+    val converted = events
+      .filter(col("event_type") === goalType && col("value") >= goalMinValue)
+      .select(col("user_id")).distinct()
+      .withColumn("conv", lit(1L))
+    val table = users.join(converted, Seq("user_id"), "left")
+      .select(col("split"), coalesce(col("conv"), lit(0L)).as("conv"))
+      .agg(
+        sum(when(col("split") === "A", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("split") === "A", col("conv")).otherwise(0L)).as("conv_a"),
+        sum(when(col("split") === "B", 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("split") === "B", col("conv")).otherwise(0L)).as("conv_b"))
+    val den = col("n_a") * col("n_b") *
+      (col("conv_a") + col("conv_b")) *
+      (col("n_a") + col("n_b") - col("conv_a") - col("conv_b"))
+    table.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+      // degenerate tables (all / none converted, an empty arm) have no
+      // defined χ² — null, not a divide-by-zero (ANSI) or ±inf
+      when(den === 0L, lit(null).cast("long"))
+        .otherwise(round(lit(1000000.0) *
+          ((col("n_a") + col("n_b")) *
+            pow(col("conv_a") * (col("n_b") - col("conv_b")) -
+                col("conv_b") * (col("n_a") - col("conv_a")), 2)) / den)
+          .cast("long")).as("chi2_micro"))
+  }
+
+  /** q109: purchase-conversion A/B readout over the events table,
+    * hash-checked against the same md5 assignment and integer
+    * chi-square algebra in DuckDB.
+    */
+  val q109: QueryDef = QueryDef.checked(
+    "q109_ab_chi_square",
+    """WITH users AS (
+      |  SELECT DISTINCT user_id FROM events),
+      |assigned AS (
+      |  SELECT user_id,
+      |    CASE WHEN ('0x' || substring(md5('exp1:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+      |      / 4294967296.0 < 0.5 THEN 'A' ELSE 'B' END AS split
+      |  FROM users),
+      |conv AS (
+      |  SELECT DISTINCT user_id, 1 AS conv FROM events
+      |  WHERE event_type = 'purchase' AND value >= 144.0),
+      |t AS (
+      |  SELECT CAST(SUM(CASE WHEN split = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(SUM(CASE WHEN split = 'A' THEN COALESCE(conv, 0) ELSE 0 END) AS BIGINT) AS conv_a,
+      |    CAST(SUM(CASE WHEN split = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |    CAST(SUM(CASE WHEN split = 'B' THEN COALESCE(conv, 0) ELSE 0 END) AS BIGINT) AS conv_b
+      |  FROM assigned LEFT JOIN conv USING (user_id))
+      |SELECT n_a, conv_a, n_b, conv_b,
+      |  CASE WHEN n_a * n_b * (conv_a + conv_b) * (n_a + n_b - conv_a - conv_b) = 0
+      |    THEN NULL
+      |    ELSE CAST(ROUND(1000000.0 *
+      |      ((n_a + n_b) * pow(conv_a * (n_b - conv_b) - conv_b * (n_a - conv_a), 2)) /
+      |      (n_a * n_b * (conv_a + conv_b) * (n_a + n_b - conv_a - conv_b)))
+      |      AS BIGINT) END AS chi2_micro
+      |FROM t""".stripMargin) { (s, d) =>
+    abTestReadout(Tables.events(s, d), goalType = "purchase", goalMinValue = 144.0)
   }
 
   /** q91: the view→click→purchase funnel over the events table,

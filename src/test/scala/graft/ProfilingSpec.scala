@@ -61,6 +61,46 @@ class ProfilingSpec extends AnyFunSuite {
     assert(holding5.head._2 >= 100L)
   }
 
+  test("abTestReadout: planted conversions count per arm, degenerate table nulls χ²") {
+    val s = spark
+    import s.implicits._
+    // users 0..99; goal events planted for users 0..39 only
+    val base = (0L until 100L).map(u => (u, "view", 0.0))
+    val goals = (0L until 40L).map(u => (u, "purchase", 50.0))
+    val df = (base ++ goals).toDF("user_id", "event_type", "value")
+    val r = graft.operators.TimeJoins
+      .abTestReadout(df, "purchase", goalMinValue = 10.0).collect().head
+    spark.catalog.clearCache()
+    assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_b") == 100L)
+    assert(r.getAs[Long]("conv_a") + r.getAs[Long]("conv_b") == 40L)
+    assert(!r.isNullAt(r.fieldIndex("chi2_micro")))
+    // all users convert → zero denominator → null statistic, no throw
+    val allConv = (0L until 50L).map(u => (u, "purchase", 99.0)).toDF("user_id", "event_type", "value")
+    val r2 = graft.operators.TimeJoins
+      .abTestReadout(allConv, "purchase", goalMinValue = 0.0).collect().head
+    spark.catalog.clearCache()
+    assert(r2.isNullAt(r2.fieldIndex("chi2_micro")))
+  }
+
+  test("pageRank: 2-cycle is a fixed point, star hub dominates, leaves tie") {
+    val s = spark
+    import s.implicits._
+    val cycle = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    val rc = graft.operators.Graph.pageRank(cycle, iterations = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    spark.catalog.clearCache()
+    // N=2: r0 = 5e8 each; every round returns 75e6 + 85%·5e8 = 5e8 exactly
+    assert(rc == Map("a" -> 500000000L, "b" -> 500000000L), s"got $rc")
+
+    val star = Seq(("h", "l1"), ("h", "l2"), ("h", "l3"),
+      ("l1", "h"), ("l2", "h"), ("l3", "h")).toDF("src", "dst")
+    val rs = graft.operators.Graph.pageRank(star, iterations = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    spark.catalog.clearCache()
+    assert(rs("h") > rs("l1"), s"hub must outrank leaves: $rs")
+    assert(rs("l1") == rs("l2") && rs("l2") == rs("l3"), s"leaves tie: $rs")
+  }
+
   test("hourlyAnomalies: a planted spike is flagged, uniform hours are not") {
     val s = spark
     import s.implicits._
