@@ -12,7 +12,7 @@ import org.apache.spark.sql.expressions.Window
   */
 object Sampling {
 
-  def defs: Seq[QueryDef] = Seq(q53, q54, q55, q56, q67, q77, q104, q106)
+  def defs: Seq[QueryDef] = Seq(q53, q54, q55, q56, q67, q77, q104, q106, q111)
 
   /** Generic stratified sample: at most `k` rows per stratum, selected
     * by `hashOrder` (e.g. md5 of a content column) — deterministic,
@@ -320,6 +320,54 @@ object Sampling {
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"),
         min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"))
+  }
+
+  /** Weighted priority sampling (Efraimidis–Spirakis A-Res on a
+    * deterministic grid): row priority = −ln(u)/w with u a salted md5
+    * fraction — the k SMALLEST priorities form a weighted sample
+    * without replacement, heavier rows proportionally likelier. The
+    * transcendental ln is snapped IMMEDIATELY to a micro-units integer
+    * grid (the q85/q86 float-determinism recipe) and the division by
+    * the weight is INTEGER division, so the priority key is a BIGINT
+    * both engines agree on bit-exactly; ties break on the id. Shape:
+    * row-local key computation + top-k (TakeOrdered — never a global
+    * sort). The deterministic-u variant of the classic weighted
+    * reservoir: reproducible across engines, runs, and corpus splits.
+    */
+  def weightedSample(df: org.apache.spark.sql.DataFrame, idCol: String,
+      weightCol: String, k: Int,
+      salt: String = "wsamp"): org.apache.spark.sql.DataFrame = {
+    // (h + 0.5) / 2^32 keeps u strictly inside (0,1): ln(0) never happens
+    val u = (conv(substring(md5(concat(lit(s"$salt:"),
+        col(idCol).cast("string")).cast("binary")), 1, 8), 16, 10)
+      .cast("long") + lit(0.5)) / lit(4294967296.0)
+    df.withColumn("nl_micro", round(lit(-1000000.0) * log(u)).cast("long"))
+      .withColumn("priority",
+        expr(s"(nl_micro * 1000) div greatest($weightCol, 1)"))
+      .drop("nl_micro")
+      .orderBy(col("priority"), col(idCol))
+      .limit(k)
+  }
+
+  /** q111: 50 documents weighted by length (n_chars) — the
+    * quality/length-weighted corpus subsample every mixture pipeline
+    * draws; hash-checked, including the exact priority keys, against
+    * the same snapped-ln arithmetic in DuckDB.
+    */
+  val q111: QueryDef = QueryDef.checked(
+    "q111_weighted_sample",
+    """WITH keyed AS (
+      |  SELECT doc_id, n_chars,
+      |    (CAST(ROUND(-1000000.0 * ln(
+      |       (('0x' || substring(md5('wsamp:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 0.5)
+      |       / 4294967296.0)) AS BIGINT) * 1000)
+      |      // greatest(n_chars, 1) AS priority
+      |  FROM documents)
+      |SELECT doc_id, n_chars, priority FROM keyed
+      |ORDER BY priority, doc_id LIMIT 50""".stripMargin) { (s, d) =>
+    weightedSample(Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars")),
+      "doc_id", "n_chars", k = 50)
   }
 
   /** q106: 8-bucket equi-depth histogram of order prices — per-bucket

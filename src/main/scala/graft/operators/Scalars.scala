@@ -19,7 +19,7 @@ import org.apache.spark.sql.types.DecimalType
 object Scalars {
   import Exact._
 
-  def defs: Seq[QueryDef] = Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q68)
+  def defs: Seq[QueryDef] = Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q68, q112)
 
   /** String functions: upper/lower/length/substring/concat/trim/regexp/
     * split-element/levenshtein — projected per part row (codegen'd, no
@@ -253,6 +253,35 @@ object Scalars {
         hour(col("w.start")).as("whour"),
         col("event_type"), col("n"), col("sum_value"))
       .orderBy(col("wday"), col("whour"), col("event_type"))
+  }
+
+  /** q112: HOPPING (sliding) windows in batch — 1-hour windows sliding
+    * every 30 minutes, so each event lands in exactly two windows.
+    * Spark's `window(ts, "1 hour", "30 minutes")` explodes the window
+    * list per row before the agg (row-local), then one shuffle on
+    * (window, event_type); the oracle replays the same result as the
+    * UNION of the two tumbling alignments (:00-anchored and
+    * :30-anchored), which is what a 2:1 slide factors into.
+    */
+  val q112: QueryDef = QueryDef.checked(
+    "q112_hopping_window",
+    """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS wstart,
+      | event_type, COUNT(*) AS n,
+      | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2
+      |UNION ALL
+      |SELECT date_trunc('hour', CAST(ts AS TIMESTAMP) - INTERVAL 30 MINUTE)
+      |    + INTERVAL 30 MINUTE AS wstart,
+      | event_type, COUNT(*) AS n,
+      | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2
+      |ORDER BY wstart, event_type""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum2(col("value")).as("sum_value"))
+      .select(col("w.start").as("wstart"), col("event_type"), col("n"),
+        col("sum_value"))
+      .orderBy(col("wstart"), col("event_type"))
   }
 
   /** Session windows (30-min gap) per user, in batch mode — the oracle

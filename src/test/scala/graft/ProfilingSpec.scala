@@ -101,6 +101,29 @@ class ProfilingSpec extends AnyFunSuite {
     assert(rs("l1") == rs("l2") && rs("l2") == rs("l3"), s"leaves tie: $rs")
   }
 
+  test("weightedSample: equal weights reduce to md5-order, heavy rows dominate") {
+    val s = spark
+    import s.implicits._
+    // equal weights: selection order must equal the plain u-order
+    val flat = (0L until 200L).map(i => (i, 10L)).toDF("id", "w")
+    val sel = graft.operators.Sampling.weightedSample(flat, "id", "w", k = 20)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val byU = graft.operators.Sampling.weightedSample(
+        (0L until 200L).map(i => (i, 1L)).toDF("id", "w"), "id", "w", k = 20)
+      .select("id").collect().map(_.getLong(0)).toSet
+    spark.catalog.clearCache()
+    assert(sel == byU, "constant weights must select the same ids regardless of scale")
+    // 20 heavy rows (w=10000) among 480 light (w=1): heavy rows should
+    // crowd the top-50 (each is ~10000x likelier per E-S priority)
+    val mixed = ((0L until 20L).map(i => (i, 10000L)) ++
+      (20L until 500L).map(i => (i, 1L))).toDF("id", "w")
+    val top = graft.operators.Sampling.weightedSample(mixed, "id", "w", k = 50)
+      .select("id").collect().map(_.getLong(0))
+    spark.catalog.clearCache()
+    assert(top.count(_ < 20L) >= 18,
+      s"nearly all heavy rows must be sampled, got ${top.count(_ < 20L)}/20")
+  }
+
   test("hourlyAnomalies: a planted spike is flagged, uniform hours are not") {
     val s = spark
     import s.implicits._
