@@ -14,7 +14,7 @@ import org.apache.spark.sql.expressions.Window
   */
 object TextAnalysis {
 
-  def defs: Seq[QueryDef] = Seq(q34, q35, q36, q37, q49, q64, q70, q85, q86, q102)
+  def defs: Seq[QueryDef] = Seq(q34, q35, q36, q37, q49, q64, q70, q85, q86, q102, q113)
 
   private val stopList = TF.StopWords.map(w => s"'$w'").mkString(", ")
 
@@ -439,6 +439,65 @@ object TextAnalysis {
     postings.join(kept, Seq("term"))
       .groupBy(col("term"), col("df"))
       .agg(concat_ws(",", sort_array(collect_set(col("doc_id")))).as("postings"))
+  }
+
+  /** PMI collocation extraction (the word2vec/SGNS statistics pass):
+    * adjacent token pairs scored by pointwise mutual information
+    * against the bigram-stream marginals — pmi(u,t) =
+    * ln(N·c_ut / (c_u?·c_?t)). Counts are exact integers from two keyed
+    * aggs; the probability ratio is ONE double multiply/divide tree
+    * (correctly-rounded IEEE, engine-identical) and the ln is snapped
+    * immediately to the micro grid (the q85/q86 recipe). The min-count
+    * floor is the standard PMI noise guard — and it bounds the output
+    * to real collocations. Marginal joins are UNHINTED: the vocabulary
+    * frames broadcast only when they fit (q28/q50 lesson).
+    */
+  def pmiCollocations(docs: DataFrame, minCount: Long): DataFrame = {
+    val pairs = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(explode(expr(
+        """transform(slice(toks, 1, greatest(size(toks) - 1, 0)),
+          |  (t, i) -> named_struct('u', t, 't', element_at(toks, i + 2)))""".stripMargin))
+        .as("p"))
+      .select(col("p.u").as("u"), col("p.t").as("t"))
+    val cut = pairs.groupBy(col("u"), col("t")).agg(count(lit(1)).as("c_ut"))
+    val left = cut.groupBy(col("u")).agg(sum(col("c_ut")).as("c_u"))
+    val right = cut.groupBy(col("t")).agg(sum(col("c_ut")).as("c_t"))
+    val n = cut.agg(sum(col("c_ut")).as("n_big"))
+    cut.filter(col("c_ut") >= minCount)
+      .join(left, "u").join(right, "t")
+      .crossJoin(broadcast(n))
+      .select(col("u"), col("t"), col("c_ut"),
+        round(lit(1000000.0) *
+          log((col("n_big").cast("double") * col("c_ut")) /
+              (col("c_u").cast("double") * col("c_t"))))
+          .cast("long").as("pmi_micro"))
+  }
+
+  /** q113: collocations of the documents corpus (count floor 5),
+    * hash-checked — including the snapped PMI scores — against the
+    * same marginal arithmetic in DuckDB.
+    */
+  val q113: QueryDef = QueryDef.checked(
+    "q113_pmi_collocations",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS t,
+      |    generate_subscripts(string_split(text, ' '), 1) AS pos FROM documents),
+      |big AS (
+      |  SELECT doc_id, lag(t) OVER (PARTITION BY doc_id ORDER BY pos) AS u, t
+      |  FROM tok QUALIFY u IS NOT NULL),
+      |cut AS (SELECT u, t, COUNT(*) AS c_ut FROM big GROUP BY 1, 2),
+      |lm AS (SELECT u, CAST(SUM(c_ut) AS BIGINT) AS c_u FROM cut GROUP BY 1),
+      |rm AS (SELECT t, CAST(SUM(c_ut) AS BIGINT) AS c_t FROM cut GROUP BY 1),
+      |n AS (SELECT CAST(SUM(c_ut) AS BIGINT) AS n_big FROM cut)
+      |SELECT cut.u, cut.t, c_ut,
+      |  CAST(ROUND(1000000.0 * ln((n_big * 1.0 * c_ut) / (c_u * 1.0 * c_t)))
+      |    AS BIGINT) AS pmi_micro
+      |FROM cut JOIN lm USING (u) JOIN rm USING (t) CROSS JOIN n
+      |WHERE c_ut >= 5
+      |ORDER BY pmi_micro DESC, u, t""".stripMargin) { (s, d) =>
+    pmiCollocations(Tables.documents(s, d), minCount = 5L)
+      .orderBy(col("pmi_micro").desc, col("u"), col("t"))
   }
 
   /** Per-document distinct bigram occurrences, built ROW-LOCALLY (a

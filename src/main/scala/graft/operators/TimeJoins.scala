@@ -20,7 +20,7 @@ import org.apache.spark.sql.expressions.Window
   */
 object TimeJoins {
 
-  def defs: Seq[QueryDef] = Seq(q51, q52, q91, q100, q105, q107, q108, q109)
+  def defs: Seq[QueryDef] = Seq(q51, q52, q91, q100, q105, q107, q108, q109, q114)
 
   /** As-of join: for every 'click' event, the most recent 'view' event by
     * the same user at-or-before it (order = (ts, event_id), so ties are
@@ -388,6 +388,60 @@ object TimeJoins {
       |      AS BIGINT) END AS chi2_micro
       |FROM t""".stripMargin) { (s, d) =>
     abTestReadout(Tables.events(s, d), goalType = "purchase", goalMinValue = 144.0)
+  }
+
+  /** Feature-store export: one row per user with the standard
+    * behavioral features — total events, per-type counts rendered as a
+    * canonical sorted `type:count` CSV (a deterministic, engine-neutral
+    * serialization of the map column a feature store would ingest),
+    * last-seen timestamp, active-day count, and exact-decimal value
+    * sum. Two keyed aggs (the (user, type) roll-up feeds the map; the
+    * event-level agg keeps last_ts/days exact) joined on the SAME user
+    * key — at 100 TB both sides arrive hash-partitioned on user_id, so
+    * the join is a co-partitioned zip, not a third full shuffle of the
+    * event log.
+    */
+  def userFeatures(events: DataFrame): DataFrame = {
+    val byType = events.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("n")).as("n_events"),
+        concat_ws(",", sort_array(collect_list(
+          concat(col("event_type"), lit(":"), col("n"))))).as("type_counts"))
+    val level = events.groupBy(col("user_id"))
+      .agg(max(col("ts")).as("last_ts"),
+        count_distinct(date_trunc("day", col("ts"))).as("n_days"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sum_value"))
+    byType.join(level, "user_id")
+  }
+
+  /** q114: behavioral feature rows for every user in the events table,
+    * hash-checked — including the canonical feature CSV — against
+    * DuckDB's ordered string_agg build of the same features.
+    */
+  val q114: QueryDef = QueryDef.checked(
+    "q114_user_features",
+    """WITH bt AS (
+      |  SELECT user_id, event_type, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |m AS (
+      |  SELECT user_id, CAST(SUM(n) AS BIGINT) AS n_events,
+      |    string_agg(event_type || ':' || n, ',' ORDER BY event_type || ':' || n)
+      |      AS type_counts
+      |  FROM bt GROUP BY 1),
+      |lv AS (
+      |  SELECT user_id, MAX(ts) AS last_ts,
+      |    COUNT(DISTINCT date_trunc('day', ts)) AS n_days,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |  FROM events GROUP BY 1)
+      |SELECT user_id, n_events, type_counts, last_ts, n_days, sum_value
+      |FROM m JOIN lv USING (user_id)
+      |ORDER BY user_id""".stripMargin) { (s, d) =>
+    userFeatures(Tables.events(s, d))
+      .select(col("user_id"), col("n_events"), col("type_counts"),
+        col("last_ts"), col("n_days"), col("sum_value"))
+      .orderBy(col("user_id"))
   }
 
   /** q91: the view→click→purchase funnel over the events table,

@@ -124,6 +124,26 @@ class ProfilingSpec extends AnyFunSuite {
       s"nearly all heavy rows must be sampled, got ${top.count(_ < 20L)}/20")
   }
 
+  test("userFeatures: canonical CSV, exact counts, last-seen and day count") {
+    val s = spark
+    import s.implicits._
+    val ns = 1000000000L
+    val df = Seq(
+      (1L, "click", 86400L * ns, 1.25),
+      (1L, "click", 2L * 86400L * ns, 2.50),
+      (1L, "view", 2L * 86400L * ns + ns, 4.00),
+      (2L, "error", 0L, 0.25))
+      .toDF("user_id", "event_type", "ts_ns", "value")
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    val out = graft.operators.TimeJoins.userFeatures(df)
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("n_events"), r.getAs[String]("type_counts"),
+          r.getAs[Long]("n_days"), r.getAs[Double]("sum_value")))).toMap
+    spark.catalog.clearCache()
+    assert(out(1L) == ((3L, "click:2,view:1", 2L, 7.75)), s"got ${out(1L)}")
+    assert(out(2L) == ((1L, "error:1", 1L, 0.25)), s"got ${out(2L)}")
+  }
+
   test("hourlyAnomalies: a planted spike is flagged, uniform hours are not") {
     val s = spark
     import s.implicits._

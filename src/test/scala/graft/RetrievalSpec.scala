@@ -84,6 +84,24 @@ class RetrievalSpec extends AnyFunSuite {
     assert(byTerm("x y") == ((2L, "1,2")))
   }
 
+  test("pmiCollocations: an exclusive pair scores high, a promiscuous token scores ~0") {
+    // "zig zag" only ever co-occur with each other; "the" pairs with everything
+    val corpus = docs(
+      (1L, "zig zag the a the b the c the d", "s"),
+      (2L, "zig zag the e the f the g the h", "s"),
+      (3L, "zig zag the a the c the e the g", "s"),
+      (4L, "zig zag the b the d the f the h", "s"),
+      (5L, "zig zag the a the b the e the f", "s"))
+    val out = graft.operators.TextAnalysis.pmiCollocations(corpus, minCount = 5L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    spark.catalog.clearCache()
+    assert(out.contains(("zig", "zag")), s"exclusive pair must survive the floor: $out")
+    val zigzag = out(("zig", "zag"))
+    assert(zigzag > 1000000L, s"exclusive collocation should exceed pmi 1.0: $zigzag")
+    out.filter(_._1._1 == "the").values.foreach(p =>
+      assert(p < zigzag, s"promiscuous 'the' pairs must score below zig-zag: $out"))
+  }
+
   test("invertedIndex: duplicate bigram inside one doc counts once toward df") {
     val corpus = docs((1L, "p q p q", "s")) // "p q" twice, "q p" once
     val idx = graft.operators.TextAnalysis
