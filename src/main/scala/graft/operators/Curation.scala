@@ -20,7 +20,7 @@ import org.apache.spark.sql.expressions.Window
   */
 object Curation {
 
-  def defs: Seq[QueryDef] = Seq(q59, q60, q61, q66, q74, q75, q76, q84)
+  def defs: Seq[QueryDef] = Seq(q59, q60, q61, q66, q74, q75, q76, q84, q115)
 
   /** Top-`k` distinctive terms per document, ranked by tf/df (document
     * frequency as the rarity signal — the idf log is monotonic in 1/df,
@@ -507,5 +507,53 @@ object Curation {
       |  CAST(SUM(l1_ppb) AS BIGINT) AS l1_ppb
       |FROM terms GROUP BY 1, 2 ORDER BY 1""".stripMargin) { (s, d) =>
     corpusDivergence(Tables.documents(s, d)).orderBy(col("source"))
+  }
+
+  /** Vocabulary encoding (the tokenizer-id step before training): build
+    * the id table — tokens ranked by (frequency desc, token) so ids are
+    * deterministic — then re-emit every document as its id sequence in
+    * original token order, serialized as a canonical CSV. The vocab
+    * ranking is a row_number over the VOCABULARY (≪ corpus — the only
+    * global sort here is vocab-sized, the standard trade); the encode
+    * join streams the positioned token stream against the vocab frame
+    * UNHINTED (AQE broadcasts a vocab that fits — at 100 TB a
+    * million-type vocab still broadcasts at ~tens of MB). Order
+    * restoration is sort_array(struct(pos, id)) per doc — row-local
+    * after the collect, no extra shuffle.
+    */
+  def vocabEncode(docs: DataFrame): (DataFrame, DataFrame) = {
+    val tok = docs.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "t")))
+    val vocab = tok.groupBy(col("t")).agg(count(lit(1)).as("n"))
+      .withColumn("id", row_number().over(
+        Window.orderBy(col("n").desc, col("t"))).cast("long"))
+    val encoded = tok.join(vocab.select(col("t"), col("id")), "t")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        concat_ws(",", transform(
+          sort_array(collect_list(struct(col("pos"), col("id")))),
+          x => x.getField("id").cast("string"))).as("ids_csv"))
+    (vocab, encoded)
+  }
+
+  /** q115: every document as its vocabulary-id sequence, hash-checked —
+    * including the full id CSV per document — against the same
+    * rank-and-reassemble SQL in DuckDB.
+    */
+  val q115: QueryDef = QueryDef.checked(
+    "q115_vocab_encode",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS t,
+      |    generate_subscripts(string_split(text, ' '), 1) AS pos FROM documents),
+      |vocab AS (
+      |  SELECT t, COUNT(*) AS n FROM tok GROUP BY t),
+      |ranked AS (
+      |  SELECT t, row_number() OVER (ORDER BY n DESC, t) AS id FROM vocab)
+      |SELECT doc_id, COUNT(*) AS n_tok,
+      |  string_agg(id, ',' ORDER BY pos) AS ids_csv
+      |FROM tok JOIN ranked USING (t)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val (_, encoded) = vocabEncode(Tables.documents(s, d))
+    encoded.orderBy(col("doc_id"))
   }
 }

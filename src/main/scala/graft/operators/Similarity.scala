@@ -17,7 +17,7 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  def defs: Seq[QueryDef] = Seq(q31, q32, q33, q69, q71, q81, q98, q99)
+  def defs: Seq[QueryDef] = Seq(q31, q32, q33, q69, q71, q81, q98, q99, q116)
 
   /** Symmetric per-vector int8 quantization — the 4× storage cut that
     * makes a 100 TB float32 embedding corpus a 25 TB one: each vector
@@ -347,5 +347,63 @@ object Similarity {
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("label"),
       VF.asDouble(col("embedding")).as("v"))
     hardNegatives(e, e.filter(col("vec_id") < 5))
+  }
+
+  /** Greedy maximal-marginal-relevance selection (Carbonell & Goldstein
+    * 1998): pick `k` vectors maximizing λ·sim(query, v) −
+    * (1−λ)·max sim(v, already-selected) — relevant AND mutually
+    * diverse, the eval-set / few-shot-pool construction that plain
+    * top-k (which happily returns k near-duplicates) cannot do.
+    *
+    * Inherently sequential in k: each pick conditions the next. The
+    * loop runs k DRIVER-side argmax actions (bounded: k is a small
+    * constant, each action is one distributed scan returning ONE row —
+    * same bounded-collect class as the codebook training in Scale).
+    * The relevance column is computed once and persisted; per round the
+    * executors evaluate at most k codegen'd cosines per row (selected
+    * vectors inlined as literals — broadcast-by-construction). Ties
+    * break on vec_id, so selection is fully deterministic.
+    */
+  def mmrSelect(vectors: DataFrame, queryVec: Seq[Double], k: Int,
+      lambda: Double = 0.7): DataFrame = {
+    val sp = vectors.sparkSession
+    import sp.implicits._
+    val base = vectors
+      .withColumn("rel", CosineSimilarity.cosineSim(col("v"), typedLit(queryVec)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var selected = Vector.empty[(Long, Seq[Double], Double, Int)]
+    for (rank <- 1 to k) {
+      val div: org.apache.spark.sql.Column = selected.map(_._2) match {
+        case Seq() => lit(0.0)
+        case Seq(one) => CosineSimilarity.cosineSim(col("v"), typedLit(one))
+        case many =>
+          greatest(many.map(sv =>
+            CosineSimilarity.cosineSim(col("v"), typedLit(sv))): _*)
+      }
+      val top = base
+        .filter(!col("vec_id").isInCollection(selected.map(_._1)))
+        .withColumn("score", col("rel") * lambda - (lit(1.0) - lambda) * div)
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(1)
+        .select(col("vec_id"), col("v"), col("score"))
+        .collect().head
+      selected = selected :+
+        ((top.getLong(0), top.getSeq[Double](1), top.getDouble(2), rank))
+    }
+    base.unpersist()
+    selected.map(t => (t._1, t._4, t._3)).toDF("vec_id", "rank", "score")
+  }
+
+  /** q116: 10 MMR-selected vectors from the embeddings table, query =
+    * the corpus centroid. Rows-only (float scores don't cross the
+    * oracle); SimilaritySpec in ProfilingSpec-style pins diversity vs
+    * plain top-k on planted clusters.
+    */
+  val q116: QueryDef = QueryDef.rowsOnly("q116_mmr_select") { (s, d) =>
+    val e = vecs(s, d)
+    val centroid = e.select(posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("pos")).agg(avg(col("x")).as("m"))
+      .orderBy(col("pos")).collect().map(_.getDouble(1)).toSeq
+    mmrSelect(e, centroid, k = 10).orderBy(col("rank"))
   }
 }

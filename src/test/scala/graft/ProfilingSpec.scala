@@ -144,6 +144,35 @@ class ProfilingSpec extends AnyFunSuite {
     assert(out(2L) == ((1L, "error:1", 1L, 0.25)), s"got ${out(2L)}")
   }
 
+  test("mmrSelect: diversifies across planted clusters where top-k collapses") {
+    val s = spark
+    import s.implicits._
+    // three orthogonal-ish clusters in 6d; cluster 0 is closest to the
+    // query, so pure relevance top-3 would take all of cluster 0
+    def jitter(base: Array[Double], i: Int): Seq[Double] =
+      base.zipWithIndex.map { case (x, j) => x + 0.001 * ((i + j) % 3) }.toSeq
+    val c0 = Array(1.0, 0.1, 0.0, 0.0, 0.0, 0.0)
+    val c1 = Array(0.0, 0.0, 1.0, 0.1, 0.0, 0.0)
+    val c2 = Array(0.0, 0.0, 0.0, 0.0, 1.0, 0.1)
+    val rows = (0 until 5).map(i => (i.toLong, jitter(c0, i))) ++
+      (5 until 10).map(i => (i.toLong, jitter(c1, i))) ++
+      (10 until 15).map(i => (i.toLong, jitter(c2, i)))
+    val df = rows.toDF("vec_id", "v")
+    val query = Seq(1.0, 0.1, 0.3, 0.0, 0.3, 0.0) // leans to cluster 0
+    val sel = graft.operators.Similarity.mmrSelect(df, query, k = 3, lambda = 0.5)
+      .orderBy("rank").collect().map(_.getLong(0))
+    spark.catalog.clearCache()
+    def cluster(id: Long) = id / 5
+    assert(cluster(sel.head) == 0L, s"first pick must be the most relevant: ${sel.toSeq}")
+    assert(sel.map(cluster).distinct.length == 3,
+      s"3 MMR picks at lambda=0.5 must cover all 3 clusters: ${sel.toSeq}")
+    // determinism: a second run selects the identical sequence
+    val sel2 = graft.operators.Similarity.mmrSelect(df, query, k = 3, lambda = 0.5)
+      .orderBy("rank").collect().map(_.getLong(0))
+    spark.catalog.clearCache()
+    assert(sel.sameElements(sel2))
+  }
+
   test("hourlyAnomalies: a planted spike is flagged, uniform hours are not") {
     val s = spark
     import s.implicits._
