@@ -432,7 +432,14 @@ object TextAnalysis {
     * lever is sharding hot postings by (term, doc_id bucket); the df
     * cap here bounds every list by construction.
     */
-  def invertedIndex(postings: DataFrame, minDf: Long, maxDf: Long): DataFrame = {
+  def invertedIndex(postings0: DataFrame, minDf: Long, maxDf: Long): DataFrame = {
+    // the occurrence frame feeds BOTH the df agg and the collect join —
+    // persist so the tokenize/explode subtree runs once (the q75/q29
+    // lesson; Verify/Bench clear the cache between queries). At corpus
+    // sizes where the exploded frame can't cache, drop the persist and
+    // pay the linear re-scan — never the double tokenize by accident.
+    val postings = postings0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val kept = postings.groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df").between(minDf, maxDf))

@@ -132,4 +132,43 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"),
       s"benchmark shingle side should broadcast inside the composition:\n$plan")
   }
+
+  test("q100 sessions reuse the user partitioning: exactly one exchange") {
+    val plan = executedPlan("q100_gap_sessions")
+    // the window shuffles on user_id; the (user_id, session_no) agg is
+    // satisfied by that same partitioning (user_id ⊆ grouping keys), so a
+    // second exchange would mean the plan regressed. The final ORDER BY
+    // adds its rangepartitioning exchange — allow exactly those two.
+    // (AQE's toString repeats the Initial Plan — count the final only.)
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val exchanges = finalPlan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 2,
+      s"expected ≤2 exchanges (user shuffle + output sort), got $exchanges:\n$plan")
+  }
+
+  test("q102 inverted index serves occurrences from cache, df-prunes before collect") {
+    val plan = executedPlan("q102_inverted_index")
+    assert(plan.contains("InMemoryTableScan"),
+      s"occurrence frame feeds df agg and collect join — must be cached:\n$plan")
+  }
+
+  test("q103 fuzzy join stays an equi-join: no cartesian, no nested loop") {
+    val plan = executedPlan("q103_fuzzy_key_join")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"wildcard blocking must plan a hash/sort-merge equi-join:\n$plan")
+  }
+
+  test("q110 pagerank reuses the cached edge frame and keeps joins keyed") {
+    val plan = executedPlan("q110_pagerank")
+    assert(plan.contains("InMemoryTableScan"),
+      s"edges+outdeg are persisted once for all iterations:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"only broadcast 1-row cross joins allowed (n_nodes), no cartesian:\n$plan")
+  }
+
+  test("q111 weighted sample is TakeOrdered, never a global sort") {
+    val plan = executedPlan("q111_weighted_sample")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"priority top-k must be per-partition heaps + driver merge:\n$plan")
+  }
 }
