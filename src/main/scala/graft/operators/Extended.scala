@@ -13,7 +13,7 @@ import org.apache.spark.sql.types.DecimalType
 object Extended {
   import Exact._
 
-  def defs: Seq[QueryDef] = Seq(q42, q43, q44, q45, q46, q90, q92, q93, q95, q97, q101)
+  def defs: Seq[QueryDef] = Seq(q42, q43, q44, q45, q46, q90, q92, q93, q95, q97, q101, q117)
 
   /** q95: ORC round-trip — q44's lossless write→read check for the
     * third columnar format (ORC ships with Spark; DuckDB cannot read
@@ -199,6 +199,74 @@ object Extended {
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
         col("valid_from"), col("valid_to"), col("is_current"))
       .orderBy(col("o_orderkey"), col("valid_from"))
+  }
+
+  /** Snapshot diff — the INVERSE of [[cdcMerge]]: compare two versions
+    * of a table and emit the changelog that transforms one into the
+    * other (U rows for inserts and payload changes, D rows for
+    * removals; unchanged keys emit nothing). One full-outer join on the
+    * key with the payload compared as a struct — a single key shuffle,
+    * no per-column join cascade. Output schema matches what cdcMerge
+    * consumes, so `cdcMerge(before, snapshotDiff(before, after)) ==
+    * after` — the round-trip identity ExtendedSpec pins on random
+    * frames. The changelog-from-versions primitive for stores that
+    * only keep snapshots.
+    */
+  def snapshotDiff(before: org.apache.spark.sql.DataFrame,
+      after: org.apache.spark.sql.DataFrame,
+      key: String, seq: Long = 1L): org.apache.spark.sql.DataFrame = {
+    val payload = after.columns.filterNot(_ == key).toSeq
+    val b = before.select(col(key),
+      struct(payload.map(col): _*).as("pb"))
+    val a = after.select(col(key),
+      struct(payload.map(col): _*).as("pa"))
+    val joined = b.join(a, Seq(key), "full_outer")
+      .filter(col("pa").isNull || col("pb").isNull || col("pa") =!= col("pb"))
+      .withColumn("op", when(col("pa").isNull, "D").otherwise("U"))
+      .withColumn("p", coalesce(col("pa"), col("pb")))
+    joined.select(
+      (col(key) +: payload.map(c => col(s"p.$c").as(c))) :+
+        lit(seq).as("seq") :+ col("op"): _*)
+  }
+
+  /** q117: the changelog between the orders snapshot and a drifted
+    * replica (6 modified keys, 1 dropped, 4 inserted) — exactly the
+    * 11 difference rows, hash-checked against the same full-outer
+    * classification in DuckDB.
+    */
+  val q117: QueryDef = QueryDef.checked(
+    "q117_snapshot_diff",
+    """WITH snap AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus
+      |  FROM orders WHERE o_orderkey < 3000),
+      |after AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 500 = 0 THEN o_custkey + 1 ELSE o_custkey END
+      |      AS o_custkey,
+      |    o_orderstatus
+      |  FROM snap WHERE o_orderkey <> 999
+      |  UNION ALL
+      |  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus
+      |  FROM snap WHERE o_orderkey % 977 = 0)
+      |SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+      |  CASE WHEN a.o_orderkey IS NULL THEN b.o_custkey ELSE a.o_custkey END
+      |    AS o_custkey,
+      |  CASE WHEN a.o_orderkey IS NULL THEN b.o_orderstatus ELSE a.o_orderstatus END
+      |    AS o_orderstatus,
+      |  CAST(1 AS BIGINT) AS seq,
+      |  CASE WHEN a.o_orderkey IS NULL THEN 'D' ELSE 'U' END AS op
+      |FROM snap b FULL OUTER JOIN after a ON b.o_orderkey = a.o_orderkey
+      |WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+      |   OR a.o_custkey <> b.o_custkey OR a.o_orderstatus <> b.o_orderstatus
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val snap = cdcSnapshot(s, d)
+    val after = snap.filter(col("o_orderkey") =!= 999)
+      .withColumn("o_custkey",
+        when(col("o_orderkey") % 500 === 0, col("o_custkey") + 1)
+          .otherwise(col("o_custkey")))
+      .unionByName(snap.filter(col("o_orderkey") % 977 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000))
+    snapshotDiff(snap, after, "o_orderkey").orderBy(col("o_orderkey"))
   }
 
   /** Order-independent per-bucket table fingerprint: rows hashed (md5

@@ -138,6 +138,34 @@ class ExtendedSpec extends AnyFunSuite {
     }
   }
 
+  test("property: cdcMerge(before, snapshotDiff(before, after)) == after") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(69)
+    (0 until 3).foreach { trial =>
+      val before = (0 until 60).map(k => (k.toLong, s"v${rnd.nextInt(5)}"))
+        .toDF("k", "v")
+      // after: drop some keys, mutate some, insert some fresh
+      val after = (0 until 60).flatMap { k =>
+        rnd.nextInt(4) match {
+          case 0 => None                                     // delete
+          case 1 => Some((k.toLong, s"m${rnd.nextInt(5)}"))  // mutate
+          case _ => Some((k.toLong, s"v${rnd.nextInt(5)}"))  // maybe same
+        }
+      } ++ (100 until 100 + rnd.nextInt(10)).map(k => (k.toLong, "new"))
+      val afterDf = after.toDF("k", "v")
+      val beforeRows = before.toDF("k", "v").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val changes = graft.operators.Extended.snapshotDiff(
+        (beforeRows.toSeq).toDF("k", "v"), afterDf, "k")
+      val rebuilt = graft.operators.Extended.cdcMerge(
+          (beforeRows.toSeq).toDF("k", "v"), changes, "k")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      spark.catalog.clearCache()
+      assert(rebuilt == after.toMap, s"trial $trial")
+    }
+  }
+
   test("format round-trip preserves the projected slice exactly") {
     val out = SparkEntry.queries("q44_format_roundtrip")(spark, sf).collect()
     assert(out.length === 2)
