@@ -13,7 +13,7 @@ import org.apache.spark.sql.types.DecimalType
 object Extended {
   import Exact._
 
-  def defs: Seq[QueryDef] = Seq(q42, q43, q44, q45, q46, q90, q92, q93, q95, q97, q101, q117)
+  def defs: Seq[QueryDef] = Seq(q42, q43, q44, q45, q46, q90, q92, q93, q95, q97, q101, q117, q118, q119)
 
   /** q95: ORC round-trip — q44's lossless write→read check for the
     * third columnar format (ORC ships with Spark; DuckDB cannot read
@@ -267,6 +267,133 @@ object Extended {
       .unionByName(snap.filter(col("o_orderkey") % 977 === 0)
         .withColumn("o_orderkey", col("o_orderkey") + 10000000))
     snapshotDiff(snap, after, "o_orderkey").orderBy(col("o_orderkey"))
+  }
+
+  /** Declarative data-quality gate (the Deequ-shaped validation pass a
+    * pipeline runs before promoting a snapshot): each check names a
+    * VIOLATIONS frame; the report is one row per check with the
+    * violation count and a pass flag. Checks stay independent scans
+    * (each prunes its own columns/filters; an FK check is a left_anti
+    * join) unioned at the end — at 100 TB each check is exactly as
+    * expensive as its own predicate, and the report is check-count
+    * rows.
+    */
+  def qualityReport(
+      checks: Seq[(String, org.apache.spark.sql.DataFrame)]): org.apache.spark.sql.DataFrame =
+    checks.map { case (name, violations) =>
+      violations.agg(count(lit(1)).as("violations"))
+        .select(lit(name).as("check_name"), col("violations"))
+    }.reduce(_ unionByName _)
+      .withColumn("passed", col("violations") === 0L)
+
+  /** q118: five production-shaped checks over the TPC-H tables — key
+    * uniqueness, FK coverage, value domain, non-negativity, and
+    * completeness — hash-checked against the same counts in DuckDB.
+    * The uniqueness violation counts every row beyond the first per
+    * key; the planted expectation here is all-pass (the generator is
+    * consistent), which is itself the assertion.
+    */
+  val q118: QueryDef = QueryDef.checked(
+    "q118_quality_gate",
+    """SELECT 'customer_name_complete' AS check_name,
+      |  CAST((SELECT COUNT(*) FROM customer WHERE c_name IS NULL) AS BIGINT)
+      |    AS violations,
+      |  (SELECT COUNT(*) FROM customer WHERE c_name IS NULL) = 0 AS passed
+      |UNION ALL
+      |SELECT 'lineitem_fk_orders',
+      |  CAST((SELECT COUNT(*) FROM lineitem l
+      |        WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                          WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT),
+      |  (SELECT COUNT(*) FROM lineitem l
+      |   WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                     WHERE o.o_orderkey = l.l_orderkey)) = 0
+      |UNION ALL
+      |SELECT 'orders_key_unique',
+      |  CAST((SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders) AS BIGINT),
+      |  (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders) = 0
+      |UNION ALL
+      |SELECT 'orders_price_nonneg',
+      |  CAST((SELECT COUNT(*) FROM orders WHERE o_totalprice < 0) AS BIGINT),
+      |  (SELECT COUNT(*) FROM orders WHERE o_totalprice < 0) = 0
+      |UNION ALL
+      |SELECT 'orders_status_domain',
+      |  CAST((SELECT COUNT(*) FROM orders
+      |        WHERE o_orderstatus NOT IN ('F', 'O', 'P')) AS BIGINT),
+      |  (SELECT COUNT(*) FROM orders
+      |   WHERE o_orderstatus NOT IN ('F', 'O', 'P')) = 0
+      |ORDER BY check_name""".stripMargin) { (s, d) =>
+    val orders = Tables.orders(s, d)
+    val dupKeys = orders.groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+      .select(explode(expr("sequence(1, int(n - 1))")).as("dup"))
+    qualityReport(Seq(
+      "customer_name_complete" ->
+        Tables.customer(s, d).filter(col("c_name").isNull),
+      "lineitem_fk_orders" ->
+        Tables.lineitem(s, d).join(orders,
+          col("l_orderkey") === col("o_orderkey"), "left_anti"),
+      "orders_key_unique" -> dupKeys,
+      "orders_price_nonneg" -> orders.filter(col("o_totalprice") < 0),
+      "orders_status_domain" ->
+        orders.filter(!col("o_orderstatus").isin("F", "O", "P"))))
+      .orderBy(col("check_name"))
+  }
+
+  /** Distribution drift between two snapshots of a numeric column:
+    * fixed equi-width histograms (shared [lo, hi] grid, clamped edge
+    * bins) compared bin-by-bin. The ML-monitoring primitive — a feature
+    * whose histogram moved is the first thing a training pipeline
+    * alerts on. Two map-side-combined aggs (bins ≪ rows) + one tiny
+    * full-outer join on bin; counts are exact integers, so the report
+    * is engine-exact with no distance-metric float. The L1 column sums
+    * to total disagreement; callers alert on Σl1 / n_rows.
+    */
+  def histogramDrift(before: org.apache.spark.sql.DataFrame,
+      after: org.apache.spark.sql.DataFrame, valueCol: String,
+      lo: Double, hi: Double, bins: Int): org.apache.spark.sql.DataFrame = {
+    val width = (hi - lo) / bins
+    def binned(df: org.apache.spark.sql.DataFrame, out: String) =
+      df.select(greatest(least(floor((col(valueCol) - lo) / width),
+          lit(bins - 1.0)), lit(0.0)).cast("long").as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as(out))
+    binned(before, "n_before")
+      .join(binned(after, "n_after"), Seq("bin"), "full_outer")
+      .select(col("bin"),
+        coalesce(col("n_before"), lit(0L)).as("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"))
+      .withColumn("l1", abs(col("n_before") - col("n_after")))
+  }
+
+  /** q119: price-distribution drift between the orders snapshot and a
+    * replica with every fifth key's price shifted up 500 — one bin
+    * width, so the drift shows as paired ±deltas in adjacent bins;
+    * hash-checked against the same clamped-bin arithmetic in DuckDB.
+    */
+  val q119: QueryDef = QueryDef.checked(
+    "q119_histogram_drift",
+    """WITH b AS (
+      |  SELECT CAST(greatest(least(floor(o_totalprice / 500.0), 19), 0) AS BIGINT)
+      |    AS bin, COUNT(*) AS n_before
+      |  FROM orders GROUP BY 1),
+      |a AS (
+      |  SELECT CAST(greatest(least(floor(
+      |      (CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 500
+      |            ELSE o_totalprice END) / 500.0), 19), 0) AS BIGINT) AS bin,
+      |    COUNT(*) AS n_after
+      |  FROM orders GROUP BY 1)
+      |SELECT COALESCE(b.bin, a.bin) AS bin,
+      |  COALESCE(n_before, 0) AS n_before,
+      |  COALESCE(n_after, 0) AS n_after,
+      |  abs(COALESCE(n_before, 0) - COALESCE(n_after, 0)) AS l1
+      |FROM b FULL OUTER JOIN a ON b.bin = a.bin
+      |ORDER BY bin""".stripMargin) { (s, d) =>
+    val orders = Tables.orders(s, d)
+    val drifted = orders.withColumn("o_totalprice",
+      when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 500)
+        .otherwise(col("o_totalprice")))
+    histogramDrift(orders, drifted, "o_totalprice", lo = 0.0, hi = 10000.0,
+        bins = 20)
+      .orderBy(col("bin"))
   }
 
   /** Order-independent per-bucket table fingerprint: rows hashed (md5

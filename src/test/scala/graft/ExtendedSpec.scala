@@ -166,6 +166,37 @@ class ExtendedSpec extends AnyFunSuite {
     }
   }
 
+  test("qualityReport: planted violations count, clean checks pass") {
+    val s = spark
+    import s.implicits._
+    val t = Seq((1L, "a"), (2L, null.asInstanceOf[String]), (2L, "c")).toDF("k", "v")
+    val out = graft.operators.Extended.qualityReport(Seq(
+        "v_complete" -> t.filter(col("v").isNull),
+        "k_unique" -> t.groupBy(col("k")).agg(count(lit(1)).as("n"))
+          .filter(col("n") > 1),
+        "k_positive" -> t.filter(col("k") <= 0)))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    spark.catalog.clearCache()
+    assert(out("v_complete") == ((1L, false)))
+    assert(out("k_unique") == ((1L, false)))
+    assert(out("k_positive") == ((0L, true)))
+  }
+
+  test("histogramDrift: shifted mass shows as paired deltas, clamps at edges") {
+    val s = spark
+    import s.implicits._
+    val before = Seq(5.0, 5.0, 15.0, 95.0, -3.0).toDF("x")   // bins 0,0,1,9(clamp),0(clamp)
+    val after = Seq(15.0, 15.0, 15.0, 95.0, 200.0).toDF("x") // bins 1,1,1,9,9(clamp)
+    val out = graft.operators.Extended
+      .histogramDrift(before, after, "x", lo = 0.0, hi = 100.0, bins = 10)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    spark.catalog.clearCache()
+    assert(out(0L) == ((3L, 0L, 3L)), s"got $out") // two 5s + clamped -3
+    assert(out(1L) == ((1L, 3L, 2L)))
+    assert(out(9L) == ((1L, 2L, 1L)))              // 95 stays, 200 clamps in
+  }
+
   test("format round-trip preserves the projected slice exactly") {
     val out = SparkEntry.queries("q44_format_roundtrip")(spark, sf).collect()
     assert(out.length === 2)
