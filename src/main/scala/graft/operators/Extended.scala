@@ -13,7 +13,8 @@ import org.apache.spark.sql.types.DecimalType
 object Extended {
   import Exact._
 
-  def defs: Seq[QueryDef] = Seq(q42, q43, q44, q45, q46, q90, q92, q93, q95, q97, q101, q117, q118, q119)
+  def defs: Seq[QueryDef] = Seq(q42, q43, q44, q45, q46, q90, q92, q93, q95, q97,
+    q101, q117, q118, q119, q120, q121)
 
   /** q95: ORC round-trip — q44's lossless write→read check for the
     * third columnar format (ORC ships with Spark; DuckDB cannot read
@@ -394,6 +395,143 @@ object Extended {
     histogramDrift(orders, drifted, "o_totalprice", lo = 0.0, hi = 10000.0,
         bins = 20)
       .orderBy(col("bin"))
+  }
+
+  /** Point-in-time (temporal) join: each fact row joins the dimension
+    * VERSION that was valid at the fact's sequence number — the
+    * feature-store correctness primitive (training rows must see the
+    * feature values as of label time; joining current values leaks the
+    * future). Built as an as-of join (the q51 shape), not a
+    * range-containment theta join: versions and facts union into one
+    * stream ordered by (key, seq) with versions sorting FIRST on ties
+    * (a version at seq s is visible to a fact at the same s), and a
+    * window carries the last version payload forward onto each fact.
+    * One shuffle on the key, nothing quadratic; facts before the first
+    * version emit null payload.
+    */
+  def pointInTimeJoin(facts: org.apache.spark.sql.DataFrame,
+      versions: org.apache.spark.sql.DataFrame, key: String, seqCol: String,
+      payload: Seq[String],
+      opCol: Option[String] = None): org.apache.spark.sql.DataFrame = {
+    // With opCol, 'D' versions RESET visibility: a fact after a winning
+    // delete sees null payload (the key did not exist at that time) —
+    // carrying current values across a delete is exactly the
+    // label-leakage bug this operator guards against. Every version row
+    // must carry non-null payload and op (the carries are per-column;
+    // fact rows are null in all of them, so the carried columns always
+    // come from the same — latest — version row).
+    val opExpr = opCol.map(col).getOrElse(lit("U"))
+    val v = versions.select(
+      (col(key) +: col(seqCol).as("ord") +: lit(0).as("kind") +:
+        opExpr.as("__op") +: payload.map(col)) :+
+        lit(null).cast("long").as("fact_seq"): _*)
+    val f = facts.select(
+      (col(key) +: col(seqCol).as("ord") +: lit(1).as("kind") +:
+        lit(null).cast("string").as("__op") +:
+        payload.map(c => lit(null).cast(versions.schema(c).dataType).as(c))) :+
+        col(seqCol).as("fact_seq"): _*)
+    val w = Window.partitionBy(col(key)).orderBy(col("ord"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carriedOp = last(col("__op"), ignoreNulls = true).over(w)
+    v.unionByName(f)
+      .select(
+        (col(key) +: col("fact_seq") +:
+          payload.map(c => when(carriedOp === "D", lit(null))
+            .otherwise(last(col(c), ignoreNulls = true).over(w)).as(c))): _*)
+      .filter(col("fact_seq").isNotNull)
+  }
+
+  /** q120: facts planted BETWEEN the q101 version boundaries (seq 1 and
+    * 4) joined point-in-time against the full changelog — a seq-1 fact
+    * must see the BASE payload even when a seq-2 update exists; a
+    * seq-4 fact sees the seq-2 update on updated keys, and NULL on keys
+    * whose seq-3 delete won (the key did not exist at seq 4).
+    * Hash-checked against the same union-window SQL in DuckDB.
+    */
+  val q120: QueryDef = QueryDef.checked(
+    "q120_point_in_time_join",
+    s"""WITH $cdcCtes,
+      |vers AS (
+      |  SELECT o_orderkey, seq AS ord, 0 AS kind, op, o_custkey,
+      |    CAST(NULL AS BIGINT) AS fact_seq
+      |  FROM (SELECT * FROM base UNION ALL SELECT * FROM changes)),
+      |facts AS (
+      |  SELECT o_orderkey, f.seq AS ord, 1 AS kind, CAST(NULL AS VARCHAR) AS op,
+      |    CAST(NULL AS BIGINT) AS o_custkey, f.seq AS fact_seq
+      |  FROM (SELECT o_orderkey FROM base WHERE o_orderkey % 3 = 0) b
+      |  CROSS JOIN (SELECT 1 AS seq UNION ALL SELECT 4) f),
+      |u AS (SELECT * FROM vers UNION ALL SELECT * FROM facts),
+      |carried AS (
+      |  SELECT o_orderkey, fact_seq,
+      |    CASE WHEN last_value(op IGNORE NULLS) OVER w = 'D' THEN NULL
+      |         ELSE last_value(o_custkey IGNORE NULLS) OVER w END AS o_custkey
+      |  FROM u WINDOW w AS (PARTITION BY o_orderkey ORDER BY ord, kind
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT o_orderkey, fact_seq, o_custkey FROM carried
+      |WHERE fact_seq IS NOT NULL
+      |ORDER BY o_orderkey, fact_seq""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val snap = cdcSnapshot(s, d)
+    val versions = snap.withColumn("seq", lit(0L)).withColumn("op", lit("U"))
+      .unionByName(cdcChanges(snap))
+      .select(col("o_orderkey"), col("seq"), col("o_custkey"), col("op"))
+    val facts = snap.filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey"))
+      .crossJoin(Seq(1L, 4L).toDF("seq"))
+    pointInTimeJoin(facts, versions, "o_orderkey", "seq", Seq("o_custkey"),
+        opCol = Some("op"))
+      .select(col("o_orderkey"), col("fact_seq"), col("o_custkey"))
+      .orderBy(col("o_orderkey"), col("fact_seq"))
+  }
+
+  /** Mergeable moment states (incremental aggregate maintenance): a
+    * per-slice state table of (n, Σx, Σx²) DECIMAL sums is exact,
+    * order-independent, and MERGEABLE — new batches aggregate into
+    * their own states and component-wise ADD into the stored table, so
+    * the 100 TB history is never re-scanned (same algebra that makes
+    * q45's statistics deterministic, operationalized as state).
+    * `momentState` builds states; `mergeMoments` re-aggregates states
+    * under a coarser key (or merges batches under the same key).
+    */
+  def momentState(df: org.apache.spark.sql.DataFrame, keys: Seq[String],
+      valueCol: String): org.apache.spark.sql.DataFrame =
+    df.groupBy(keys.map(col): _*).agg(
+      count(lit(1)).as("n"),
+      sum(col(valueCol).cast(DecimalType(18, 2))).as("sx"),
+      sum((col(valueCol) * col(valueCol)).cast(DecimalType(38, 4))).as("sxx"))
+
+  def mergeMoments(states: org.apache.spark.sql.DataFrame,
+      keys: Seq[String]): org.apache.spark.sql.DataFrame =
+    states.groupBy(keys.map(col): _*).agg(
+      sum(col("n")).as("n"), sum(col("sx")).as("sx"), sum(col("sxx")).as("sxx"))
+
+  /** q121: per-(status, priority-band) price states merged up to
+    * per-status, derived mean/stddev on the q45 rounding grid —
+    * hash-checked that the MERGED path equals DuckDB computing the
+    * statistics directly from rows (mergeability is the assertion).
+    */
+  val q121: QueryDef = QueryDef.checked(
+    "q121_mergeable_moments",
+    """SELECT o_orderstatus, COUNT(*) AS n,
+      |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    / COUNT(*), 6) AS mean_price,
+      |  ROUND(sqrt((CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(38,4))) AS DOUBLE)
+      |    - CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |      * CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
+      |    / (COUNT(*) - 1)), 6) AS std_price
+      |FROM orders GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+    val fine = momentState(Tables.orders(s, d),
+      Seq("o_orderstatus", "o_orderkey"), "o_totalprice")
+      // o_orderkey as the fine slice stands in for a per-day/per-batch
+      // state table; the merge below must erase the slicing exactly
+    val merged = mergeMoments(fine, Seq("o_orderstatus"))
+    merged.select(col("o_orderstatus"), col("n"),
+        round(col("sx").cast("double") / col("n"), 6).as("mean_price"),
+        round(sqrt((col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double") / col("n")) /
+          (col("n") - 1)), 6).as("std_price"))
+      .orderBy(col("o_orderstatus"))
   }
 
   /** Order-independent per-bucket table fingerprint: rows hashed (md5

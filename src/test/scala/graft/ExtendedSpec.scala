@@ -197,6 +197,34 @@ class ExtendedSpec extends AnyFunSuite {
     assert(out(9L) == ((1L, 2L, 1L)))              // 95 stays, 200 clamps in
   }
 
+  test("pointInTimeJoin: boundary sees the version AT its seq, delete and re-insert reset") {
+    val s = spark
+    import s.implicits._
+    val versions = Seq(
+      (1L, 10L, "v10", "U"), (1L, 20L, "v20", "U"),
+      (2L, 10L, "w10", "U"), (2L, 15L, "w", "D"), (2L, 30L, "w30", "U"))
+      .toDF("k", "seq", "val", "op")
+    val facts = Seq(
+      (1L, 5L),   // before any version → null
+      (1L, 10L),  // exactly at v10 → v10
+      (1L, 19L),  // between → v10
+      (1L, 20L),  // exactly at v20 → v20
+      (2L, 12L),  // live → w10
+      (2L, 16L),  // after delete → null
+      (2L, 31L))  // after re-insert → w30
+      .toDF("k", "seq")
+    val out = graft.operators.Extended
+      .pointInTimeJoin(facts, versions, "k", "seq", Seq("val"), opCol = Some("op"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> Option(r.getString(2)))
+      .toMap
+    spark.catalog.clearCache()
+    assert(out == Map(
+      (1L, 5L) -> None, (1L, 10L) -> Some("v10"), (1L, 19L) -> Some("v10"),
+      (1L, 20L) -> Some("v20"),
+      (2L, 12L) -> Some("w10"), (2L, 16L) -> None, (2L, 31L) -> Some("w30")),
+      s"got $out")
+  }
+
   test("format round-trip preserves the projected slice exactly") {
     val out = SparkEntry.queries("q44_format_roundtrip")(spark, sf).collect()
     assert(out.length === 2)
