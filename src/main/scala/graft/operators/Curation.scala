@@ -20,7 +20,7 @@ import org.apache.spark.sql.expressions.Window
   */
 object Curation {
 
-  def defs: Seq[QueryDef] = Seq(q59, q60, q61, q66, q74, q75, q76, q84, q115)
+  def defs: Seq[QueryDef] = Seq(q59, q60, q61, q66, q74, q75, q76, q84, q115, q123)
 
   /** Top-`k` distinctive terms per document, ranked by tf/df (document
     * frequency as the rarity signal — the idf log is monotonic in 1/df,
@@ -507,6 +507,64 @@ object Curation {
       |  CAST(SUM(l1_ppb) AS BIGINT) AS l1_ppb
       |FROM terms GROUP BY 1, 2 ORDER BY 1""".stripMargin) { (s, d) =>
     corpusDivergence(Tables.documents(s, d)).orderBy(col("source"))
+  }
+
+  /** Sparse TF-IDF similarity join — the sparse-vector complement of
+    * the dense embedding near-dup (q31): document pairs scored by the
+    * dot product of their tf·idf term vectors, computed ENTIRELY in
+    * integers (idf = 1e6 div df, weight = tf·idf, dot = Σ w_a·w_b as
+    * BIGINT) so pair scores hash-match across engines. The self-join
+    * fans out per term ∝ df² — the df cap excludes hot (stopword-grade)
+    * terms, which bounds the candidate volume exactly the way q50's
+    * df-capped shingle dedup does; their idf weight is negligible
+    * anyway. Weighted frame persisted (feeds both join sides); top-k
+    * via TakeOrdered.
+    */
+  def tfidfSimilarPairs(docs: DataFrame, dfCap: Long, topK: Int): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("term"))
+    val tf = tok.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfr = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap)
+    val w = tf.join(dfr, "term")
+      .select(col("term"), col("doc_id"),
+        expr("tf * (1000000 div df)").as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = w.select(col("term"), col("doc_id").as("id_a"), col("w").as("wa"))
+    val b = w.select(col("term"), col("doc_id").as("id_b"), col("w").as("wb"))
+    a.join(b, Seq("term"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(col("wa") * col("wb")).as("dot"))
+      .orderBy(col("dot").desc, col("id_a"), col("id_b"))
+      .limit(topK)
+  }
+
+  /** q123: top-50 most similar document pairs among the first 100 docs
+    * by integer tf·idf dot product, hash-checked against the same
+    * arithmetic in DuckDB.
+    */
+  val q123: QueryDef = QueryDef.checked(
+    "q123_tfidf_similarity",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents WHERE doc_id < 100),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      |dfr AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1 HAVING COUNT(*) <= 400),
+      |w AS (
+      |  SELECT tf.term, doc_id, tf * (1000000 // df) AS w
+      |  FROM tf JOIN dfr USING (term)),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    CAST(SUM(a.w * b.w) AS BIGINT) AS dot
+      |  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b, dot FROM pairs
+      |ORDER BY dot DESC, id_a, id_b LIMIT 50""".stripMargin) { (s, d) =>
+    tfidfSimilarPairs(Tables.documents(s, d).filter(col("doc_id") < 100),
+      dfCap = 400L, topK = 50)
   }
 
   /** Vocabulary encoding (the tokenizer-id step before training): build

@@ -20,7 +20,8 @@ import org.apache.spark.sql.expressions.Window
   */
 object TimeJoins {
 
-  def defs: Seq[QueryDef] = Seq(q51, q52, q91, q100, q105, q107, q108, q109, q114)
+  def defs: Seq[QueryDef] = Seq(q51, q52, q91, q100, q105, q107, q108, q109, q114,
+    q122, q124)
 
   /** As-of join: for every 'click' event, the most recent 'view' event by
     * the same user at-or-before it (order = (ts, event_id), so ties are
@@ -442,6 +443,112 @@ object TimeJoins {
       .select(col("user_id"), col("n_events"), col("type_counts"),
         col("last_ts"), col("n_days"), col("sum_value"))
       .orderBy(col("user_id"))
+  }
+
+  /** Per-series trend detection via exact least-squares algebra: the
+    * regression slope of daily counts over the day index, kept as an
+    * exact integer numerator/denominator — slope = (D·Σxy − Σx·Σy) /
+    * (D·Σx² − (Σx)²) — plus the ratio snapped to a micro grid. The
+    * monitoring complement of q105 (is this series GROWING, not just
+    * spiking). All moments are BIGINT sums over day-index × count
+    * pairs; the only float is the final snapped ratio. Two keyed aggs,
+    * map-side combined; output rows = #series.
+    */
+  def dailyTrends(events: DataFrame,
+      seriesCol: String = "event_type"): DataFrame = {
+    val daily = events
+      .groupBy(col(seriesCol), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+    val indexed = daily.withColumn("x",
+      datediff(col("day"), min(col("day")).over(
+        Window.partitionBy(col(seriesCol)))).cast("long"))
+    indexed.groupBy(col(seriesCol))
+      .agg(count(lit(1)).as("d"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col(seriesCol),
+        (col("d") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+        (col("d") * col("sxx") - col("sx") * col("sx")).as("slope_den"))
+      .withColumn("slope_micro",
+        when(col("slope_den") === 0L, lit(null).cast("long"))
+          .otherwise(round(lit(1000000.0) * col("slope_num") / col("slope_den"))
+            .cast("long")))
+  }
+
+  /** q122: events-per-day trend per event type, hash-checked —
+    * including the exact numerator/denominator — against the same
+    * algebra in DuckDB.
+    */
+  val q122: QueryDef = QueryDef.checked(
+    "q122_daily_trends",
+    """WITH daily AS (
+      |  SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS y
+      |  FROM events GROUP BY 1, 2),
+      |idx AS (
+      |  SELECT event_type, y,
+      |    date_diff('day', min(day) OVER (PARTITION BY event_type), day) AS x
+      |  FROM daily),
+      |m AS (
+      |  SELECT event_type, COUNT(*) AS d, CAST(SUM(x) AS BIGINT) AS sx,
+      |    CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * y) AS BIGINT) AS sxy,
+      |    CAST(SUM(x * x) AS BIGINT) AS sxx
+      |  FROM idx GROUP BY 1)
+      |SELECT event_type,
+      |  d * sxy - sx * sy AS slope_num,
+      |  d * sxx - sx * sx AS slope_den,
+      |  CASE WHEN d * sxx - sx * sx = 0 THEN NULL
+      |    ELSE CAST(ROUND(1000000.0 * (d * sxy - sx * sy) / (d * sxx - sx * sx))
+      |      AS BIGINT) END AS slope_micro
+      |FROM m ORDER BY event_type""".stripMargin) { (s, d) =>
+    dailyTrends(Tables.events(s, d)).orderBy(col("event_type"))
+  }
+
+  /** Event-transition matrix (first-order Markov statistics): counts of
+    * consecutive (current → next) event-type pairs per user stream,
+    * with the conditional probability snapped to a ppm grid from exact
+    * integer counts. The behavioral-modeling pass (what follows what);
+    * one user shuffle for the lag window, then a tiny keyed agg.
+    */
+  def transitionMatrix(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n_from"))
+    pairs.join(totals, "event_type")
+      .withColumn("p_ppm",
+        round(lit(1000000.0) * col("n") / col("n_from")).cast("long"))
+  }
+
+  /** q124: the 5×5 event-type transition matrix of the events table,
+    * hash-checked — counts and ppm-snapped conditional probabilities —
+    * against the same lead-window construction in DuckDB.
+    */
+  val q124: QueryDef = QueryDef.checked(
+    "q124_transition_matrix",
+    """WITH t AS (
+      |  SELECT event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS next_type
+      |  FROM events),
+      |pairs AS (
+      |  SELECT event_type, next_type, COUNT(*) AS n
+      |  FROM t WHERE next_type IS NOT NULL GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_from
+      |  FROM pairs GROUP BY 1)
+      |SELECT p.event_type, p.next_type, p.n, t.n_from,
+      |  CAST(ROUND(1000000.0 * p.n / t.n_from) AS BIGINT) AS p_ppm
+      |FROM pairs p JOIN tot t USING (event_type)
+      |ORDER BY event_type, next_type""".stripMargin) { (s, d) =>
+    transitionMatrix(Tables.events(s, d))
+      .select(col("event_type"), col("next_type"), col("n"), col("n_from"),
+        col("p_ppm"))
+      .orderBy(col("event_type"), col("next_type"))
   }
 
   /** q91: the view→click→purchase funnel over the events table,

@@ -173,6 +173,58 @@ class ProfilingSpec extends AnyFunSuite {
     assert(sel.sameElements(sel2))
   }
 
+  test("dailyTrends: growing series slopes positive, flat series slopes zero") {
+    val s = spark
+    import s.implicits._
+    val day = 86400L * 1000000000L
+    // "up": 1,3,5,7 events on days 0..3; "flat": 2 events every day
+    val rows =
+      (0 until 4).flatMap(d => (0 until (1 + 2 * d)).map(i =>
+        ("up", d * day + i * 1000000000L))) ++
+      (0 until 4).flatMap(d => (0 until 2).map(i =>
+        ("flat", d * day + i * 1000000000L)))
+    val df = rows.toDF("event_type", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    val out = graft.operators.TimeJoins.dailyTrends(df)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("slope_micro")).toMap
+    spark.catalog.clearCache()
+    assert(out("up") == 2000000L, s"1,3,5,7 has slope exactly 2: $out")
+    assert(out("flat") == 0L, s"flat series has zero slope: $out")
+  }
+
+  test("transitionMatrix: counts conserve and probabilities sum to ~1 per row") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a"), (1L, 4L, "b"),
+      (2L, 5L, "a"), (2L, 6L, "a"))
+      .toDF("user_id", "event_id", "event_type")
+      .withColumn("ts", timestamp_micros(col("event_id") * 1000000L))
+    val out = graft.operators.TimeJoins.transitionMatrix(df)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    spark.catalog.clearCache()
+    // user1: a→b, b→a, a→b; user2: a→a. 4 transitions = 6 events − 2 users
+    assert(out == Map(("a", "b") -> 2L, ("b", "a") -> 1L, ("a", "a") -> 1L),
+      s"got $out")
+  }
+
+  test("tfidfSimilarPairs: duplicated docs outscore unrelated ones") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),   // exact dup of 1
+      (3L, "alpha epsilon zeta eta"),   // one shared term with 1
+      (4L, "theta iota kappa mu")).toDF("doc_id", "text")
+    val top = graft.operators.Curation.tfidfSimilarPairs(docs, dfCap = 10L, topK = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    spark.catalog.clearCache()
+    assert(top.head._1 == 1L && top.head._2 == 2L,
+      s"the exact dup pair must rank first: ${top.toSeq}")
+    assert(!top.exists(t => t._1 == 4L || t._2 == 4L),
+      s"the disjoint doc shares no terms, no pair: ${top.toSeq}")
+  }
+
   test("hourlyAnomalies: a planted spike is flagged, uniform hours are not") {
     val s = spark
     import s.implicits._
