@@ -525,6 +525,10 @@ object Curation {
       explode(split(col("text"), " ")).as("term"))
     val tf = tok.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
+      // feeds the df agg AND the weight join — persist so the tokenize
+      // shuffle runs once (w below is persisted separately for the
+      // self-join's two sides)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfr = tf.groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap)
@@ -582,6 +586,9 @@ object Curation {
   def vocabEncode(docs: DataFrame): (DataFrame, DataFrame) = {
     val tok = docs.select(col("doc_id"),
       posexplode(split(col("text"), " ")).as(Seq("pos", "t")))
+      // feeds the vocab count AND the encode join — persist so the
+      // tokenize/explode runs once per action
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vocab = tok.groupBy(col("t")).agg(count(lit(1)).as("n"))
       .withColumn("id", row_number().over(
         Window.orderBy(col("n").desc, col("t"))).cast("long"))

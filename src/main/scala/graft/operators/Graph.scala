@@ -40,7 +40,10 @@ object Graph {
     */
   def pageRank(edges0: DataFrame, iterations: Int = 3): DataFrame = {
     val edges = edges0.select(col("src"), col("dst")).distinct()
+    // deg feeds the withDeg join, the node count, AND the rank init —
+    // persist it (node-sized) so the edge distinct+agg runs once
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val withDeg = edges.join(deg, "src")
       .persist(StorageLevel.MEMORY_AND_DISK) // reused every iteration;
     // caller releases via spark.catalog.clearCache() (bench/verify do)

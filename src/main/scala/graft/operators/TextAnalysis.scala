@@ -468,6 +468,9 @@ object TextAnalysis {
         .as("p"))
       .select(col("p.u").as("u"), col("p.t").as("t"))
     val cut = pairs.groupBy(col("u"), col("t")).agg(count(lit(1)).as("c_ut"))
+      // feeds both marginals, the total, and the scored join — persist
+      // so the pair explode + count shuffle runs once per action
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val left = cut.groupBy(col("u")).agg(sum(col("c_ut")).as("c_u"))
     val right = cut.groupBy(col("t")).agg(sum(col("c_ut")).as("c_t"))
     val n = cut.agg(sum(col("c_ut")).as("n_big"))

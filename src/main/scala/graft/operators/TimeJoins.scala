@@ -209,6 +209,9 @@ object TimeJoins {
     val hourly = events
       .groupBy(col(seriesCol), date_trunc("hour", col("ts")).as("hour"))
       .agg(count(lit(1)).as("n"))
+      // feeds the moments agg AND the final join — persist so the event
+      // scan runs once (Verify/Bench clear the cache between queries)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val stats = hourly.groupBy(col(seriesCol))
       .agg(count(lit(1)).as("d"), sum(col("n")).as("s"),
         sum(col("n") * col("n")).as("q"))
@@ -517,6 +520,9 @@ object TimeJoins {
       .filter(col("next_type").isNotNull)
       .groupBy(col("event_type"), col("next_type"))
       .agg(count(lit(1)).as("n"))
+      // feeds the totals agg AND the final join — persist so the lag
+      // window over the event log runs once
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val totals = pairs.groupBy(col("event_type"))
       .agg(sum(col("n")).as("n_from"))
     pairs.join(totals, "event_type")
