@@ -372,7 +372,8 @@ object Similarity {
       .withColumn("rel", CosineSimilarity.cosineSim(col("v"), typedLit(queryVec)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var selected = Vector.empty[(Long, Seq[Double], Double, Int)]
-    for (rank <- 1 to k) {
+    var exhausted = false
+    for (rank <- 1 to k if !exhausted) {
       val div: org.apache.spark.sql.Column = selected.map(_._2) match {
         case Seq() => lit(0.0)
         case Seq(one) => CosineSimilarity.cosineSim(col("v"), typedLit(one))
@@ -386,9 +387,11 @@ object Similarity {
         .orderBy(col("score").desc, col("vec_id"))
         .limit(1)
         .select(col("vec_id"), col("v"), col("score"))
-        .collect().head
-      selected = selected :+
-        ((top.getLong(0), top.getSeq[Double](1), top.getDouble(2), rank))
+        .collect()
+      // corpus smaller than k: return what exists instead of throwing
+      if (top.isEmpty) exhausted = true
+      else selected = selected :+ ((top.head.getLong(0),
+        top.head.getSeq[Double](1), top.head.getDouble(2), rank))
     }
     base.unpersist()
     selected.map(t => (t._1, t._4, t._3)).toDF("vec_id", "rank", "score")

@@ -225,6 +225,20 @@ class ProfilingSpec extends AnyFunSuite {
       s"the disjoint doc shares no terms, no pair: ${top.toSeq}")
   }
 
+  test("edge cases: mmrSelect exhausts gracefully, pageRank on empty graph is empty") {
+    val s = spark
+    import s.implicits._
+    val tiny = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0))).toDF("vec_id", "v")
+    val sel = graft.operators.Similarity
+      .mmrSelect(tiny, Seq(1.0, 0.0), k = 5).collect()
+    spark.catalog.clearCache()
+    assert(sel.length == 2, s"k beyond corpus returns what exists: ${sel.length}")
+    val empty = Seq.empty[(String, String)].toDF("src", "dst")
+    val pr = graft.operators.Graph.pageRank(empty, iterations = 2)
+    assert(pr.isEmpty && pr.columns.toSeq == Seq("node", "r"))
+    spark.catalog.clearCache()
+  }
+
   test("hourlyAnomalies: a planted spike is flagged, uniform hours are not") {
     val s = spark
     import s.implicits._
