@@ -40,11 +40,11 @@ object Graph {
     */
   def pageRank(edges0: DataFrame, iterations: Int = 3): DataFrame = {
     val edges = edges0.select(col("src"), col("dst")).distinct()
-    // an empty graph would divide by n_nodes = 0 in the rank init (ANSI
-    // error); short-circuit to an empty (node, r) frame — one cheap
-    // driver check, same contract as dedupClusters' empty-corpus guard
-    if (edges.isEmpty)
-      return edges.select(col("src").as("node"), lit(0L).as("r")).limit(0)
+    // empty-graph note: n_nodes = 0 can only happen when deg (and thus
+    // every downstream frame) is empty, so the `div n_nodes` expressions
+    // never evaluate on any row and no ANSI divide-by-zero can fire —
+    // pageRank(empty) returns an empty frame with NO driver-side action
+    // (ProfilingSpec pins it)
     // deg feeds the withDeg join, the node count, AND the rank init —
     // persist it (node-sized) so the edge distinct+agg runs once
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
