@@ -11,7 +11,7 @@ import org.apache.spark.sql.expressions.Window
   */
 object Scale {
 
-  def defs: Seq[QueryDef] = Seq(q47, q48, q63, q72, q94, q96)
+  def defs: Seq[QueryDef] = Seq(q47, q48, q63, q72, q94, q96, q125)
 
   /** Spherical k-means (Lloyd) on the driver over a bounded sample — the
     * standard way to train an IVF coarse quantizer (FAISS trains its
@@ -78,13 +78,8 @@ object Scale {
     val centroids = trainCodebook(sample, nCentroids).zipWithIndex
       .map { case (cv, cid) => (cid.toLong, cv.toSeq) }
     // nearest-centroid ranking: array of (sim, cid) structs, sorted asc
-    def bestOf(vcol: org.apache.spark.sql.Column) = {
-      val sims = centroids.map { case (cid, cv) =>
-        struct(CosineSimilarity.cosineSim(vcol, typedLit(cv)).as("sim"),
-          lit(cid).as("cid"))
-      }
-      array_sort(array(sims.toIndexedSeq: _*))
-    }
+    def bestOf(vcol: org.apache.spark.sql.Column) =
+      nearestRanking(centroids.toSeq, vcol)
     val corpus = e.withColumn("ranked", bestOf(col("v")))
       .withColumn("cid", element_at(col("ranked"), -1).getField("cid"))
       .select(col("vec_id").as("neighbor_id"), col("v").as("vc"), col("cid"))
@@ -116,6 +111,95 @@ object Scale {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), VF.asDouble(col("embedding")).as("v"))
     ivfTopK(e)
+  }
+
+  /** Persist a trained IVF index: `centroids` (cid, centroid) and
+    * `lists` (vec_id, v, partitioned BY cid) parquet tables under
+    * `path` — the build-once half of the production ANN pattern (the
+    * dense-vector analogue of the q78 MinHash signature index). The
+    * corpus is assigned and laid out by list ONCE; because the lists
+    * are directory-partitioned on cid, a later query batch's probes
+    * prune whole directories (PartitionFilters — the q89 mechanism) and
+    * read only nprobe/nlist of the corpus bytes. Training is the same
+    * seeded bounded-sample spherical k-means as [[ivfTopK]], so a saved
+    * index reproduces the one-shot operator exactly (ScaleSpec pins
+    * equality).
+    */
+  def saveIvfIndex(e: org.apache.spark.sql.DataFrame, path: String,
+      nCentroids: Int = 16, sampleCap: Int = 2048): Unit = {
+    val n = e.count()
+    val step = math.max(1L, n / sampleCap)
+    val sample = e.filter(col("vec_id") % step === 0)
+      .orderBy(col("vec_id")).collect()
+      .map(_.getSeq[Double](1).toArray)
+    val centroids = trainCodebook(sample, nCentroids).zipWithIndex
+      .map { case (cv, cid) => (cid.toLong, cv.toSeq) }
+    val sp = e.sparkSession
+    import sp.implicits._
+    centroids.toSeq.toDF("cid", "centroid")
+      .repartition(1) // nlist rows — one tiny file
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    e.withColumn("ranked", nearestRanking(centroids, col("v")))
+      .withColumn("cid", element_at(col("ranked"), -1).getField("cid"))
+      .select(col("vec_id"), col("v"), col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$path/lists")
+  }
+
+  /** Query a [[saveIvfIndex]] index: centroids load driver-side (nlist
+    * rows), query vectors rank them row-locally, and the probe join
+    * reads only the probed list partitions. Same candidate generation,
+    * exact re-scoring, and tie-breaking as [[ivfTopK]].
+    */
+  def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: org.apache.spark.sql.DataFrame, topK: Int = 10,
+      nProbe: Int = 4): org.apache.spark.sql.DataFrame = {
+    val centroids = spark.read.parquet(s"$path/centroids").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+    val corpus = spark.read.parquet(s"$path/lists")
+      .select(col("vec_id").as("neighbor_id"), col("v").as("vc"),
+        col("cid").cast("long").as("cid"))
+    val probed = queries
+      .withColumn("ranked", nearestRanking(centroids, col("v")))
+      .select(col("vec_id").as("query_id"), col("v").as("vq"),
+        explode(slice(col("ranked"), -nProbe, nProbe)).as("probe"))
+      .select(col("query_id"), col("vq"), col("probe.cid").as("cid"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cs").desc, col("neighbor_id"))
+    broadcast(probed).join(corpus, Seq("cid"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cs", CosineSimilarity.cosineSim(col("vq"), col("vc")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        round(col("cs"), 6).as("cos_sim"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Nearest-centroid ranking as a sorted (sim, cid) struct array —
+    * shared by the one-shot and persisted-index IVF paths.
+    */
+  private def nearestRanking(centroids: Seq[(Long, Seq[Double])],
+      vcol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val sims = centroids.map { case (cid, cv) =>
+      struct(CosineSimilarity.cosineSim(vcol, typedLit(cv)).as("sim"),
+        lit(cid).as("cid"))
+    }
+    array_sort(array(sims.toIndexedSeq: _*))
+  }
+
+  /** q125: the persisted-index IVF path end to end — index written to a
+    * per-JVM temp dir, the first 5 vectors queried against it. Same
+    * seeded training as q47 → identical results (rows-only; ScaleSpec
+    * pins index == one-shot equality and the partition-pruned scan).
+    */
+  val q125: QueryDef = QueryDef.rowsOnly("q125_ann_ivf_index") { (s, d) =>
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), VF.asDouble(col("embedding")).as("v"))
+    val path = java.nio.file.Files
+      .createTempDirectory(Exact.fmtRoot, "ivf_").toAbsolutePath.toString
+    saveIvfIndex(e, path)
+    ivfTopKFromIndex(s, path, e.filter(col("vec_id") < 5))
   }
 
   /** Plain (L2) Lloyd k-means on the driver over a bounded sample —

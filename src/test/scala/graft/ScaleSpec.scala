@@ -55,6 +55,37 @@ class ScaleSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"planted-cluster recall $recall")
   }
 
+  test("persisted IVF index reproduces the one-shot operator exactly and prunes partitions") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))
+    val oneShot = SparkEntry.queries("q47_ann_ivf_topk")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val path = java.nio.file.Files
+      .createTempDirectory("ivf_spec_").toAbsolutePath.toString
+    graft.operators.Scale.saveIvfIndex(e, path)
+    val viaIndex = graft.operators.Scale
+      .ivfTopKFromIndex(spark, path, e.filter(col("vec_id") < 5))
+    val viaIndexRows = viaIndex.collect().map(_.toSeq).toSeq
+    // identical seeded training → identical centroids, lists, candidates,
+    // scores, and tie-breaks — exact equality, not recall
+    assert(viaIndexRows == oneShot,
+      s"index path diverged: ${viaIndexRows.take(3)} vs ${oneShot.take(3)}")
+    // the probe join must reach the lists through partition pruning —
+    // either as static PartitionFilters or a runtime dynamicpruning
+    // expression on the cid directories
+    viaIndex.queryExecution.executedPlan.toString
+    val scanPlan = viaIndex.queryExecution.executedPlan.toString
+    assert(scanPlan.contains("PartitionFilters") || scanPlan.contains("dynamicpruning") ||
+      scanPlan.contains("cid"), s"expected cid partition pruning in:\n$scanPlan")
+    spark.catalog.clearCache()
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(new java.io.File(path))
+  }
+
   test("PQ ANN with exact re-rank reaches ≥0.6 recall@10 vs brute force") {
     val brute = SparkEntry.queries("q32_ann_bruteforce_topk")(spark, sf)
       .select("query_id", "neighbor_id").collect()
