@@ -53,6 +53,40 @@ object Entity {
         col("a.name").as("name_a"), col("b.name").as("name_b"))
   }
 
+  /** Variable-length fuzzy key self-join: all pairs within levenshtein
+    * distance 1 INCLUDING insert/delete edits. Blocking key = the
+    * DELETION NEIGHBORHOOD (the name itself plus every
+    * drop-one-character variant): two strings at edit distance ≤ 1
+    * always share a deletion-neighborhood string —
+    *   substitution at i: both drop position i → same string;
+    *   insertion/deletion:  the longer string drops the inserted char
+    *   → the shorter string itself.
+    * So an equi-join on the neighborhood key has FULL recall for
+    * d ≤ 1 (FastSS, Bocek et al. 2007); the exact levenshtein filter
+    * removes the false candidates (distance-2 pairs can collide on a
+    * key, e.g. swap-adjacent). One row may reach a true pair through
+    * several shared keys — the final distinct canonicalizes. len+1
+    * keyed rows per input row; same linear-ish shape as the
+    * fixed-width form above.
+    */
+  def fuzzyKeyPairsVarLen(df: DataFrame, keyCol: String,
+      nameCol: String): DataFrame = {
+    val keyed = df
+      .select(col(keyCol).as("k"), col(nameCol).cast("string").as("name"))
+      .select(col("k"), col("name"), explode(expr(
+        """array_union(array(name),
+          |  transform(sequence(1, length(name)),
+          |    i -> concat(substring(name, 1, i - 1),
+          |                substring(name, i + 1, length(name)))))""".stripMargin))
+        .as("variant"))
+    keyed.as("a").join(keyed.as("b"),
+        col("a.variant") === col("b.variant") && col("a.k") < col("b.k"))
+      .filter(levenshtein(col("a.name"), col("b.name")) <= 1)
+      .select(col("a.k").as("key_a"), col("b.k").as("key_b"),
+        col("a.name").as("name_a"), col("b.name").as("name_b"))
+      .distinct()
+  }
+
   /** q103: near-identical customer names (single-digit typos of the
     * zero-padded key suffix) among the first 500 customers, hash-checked
     * against DuckDB's naive levenshtein cross join — same pair set, but

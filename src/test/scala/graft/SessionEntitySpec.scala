@@ -90,6 +90,39 @@ class SessionEntitySpec extends AnyFunSuite {
       s"missing=${(expect -- got).take(5)} extra=${(got -- expect).take(5)}")
   }
 
+  test("property: fuzzyKeyPairsVarLen equals the naive lev<=1 join incl. insert/delete") {
+    val s = spark
+    import s.implicits._
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val rnd = new scala.util.Random(93)
+    val alphabet = "ab"
+    // variable lengths 3..6 over a tiny alphabet → many 1-edit pairs of
+    // DIFFERENT lengths (the case the fixed-width blocking misses)
+    val rows = (0 until 50).map { i =>
+      (i.toLong, (0 until 3 + rnd.nextInt(4)).map(_ => alphabet(rnd.nextInt(2))).mkString)
+    }
+    val got = graft.operators.Entity.fuzzyKeyPairsVarLen(rows.toDF("k", "name"), "k", "name")
+      .select("key_a", "key_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.catalog.clearCache()
+    val expect = (for {
+      (ka, na) <- rows; (kb, nb) <- rows if ka < kb
+      if lev(na, nb) <= 1
+    } yield (ka, kb)).toSet
+    assert(got == expect,
+      s"missing=${(expect -- got).take(5)} extra=${(got -- expect).take(5)}")
+    assert(expect.exists { case (x, y) =>
+      rows(x.toInt)._2.length != rows(y.toInt)._2.length },
+      "fixture must contain cross-length pairs or the test proves nothing")
+  }
+
   test("fuzzyKeyPairs: identical names yield exactly one pair row") {
     val s = spark
     import s.implicits._
