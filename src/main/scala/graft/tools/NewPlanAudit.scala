@@ -7,9 +7,11 @@ object NewPlanAudit {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.001"
-    Seq("q83_block_dedup", "q84_corpus_divergence", "q86_perplexity_score",
+    val targets = if (args.nonEmpty) args.toSeq else
+      Seq("q83_block_dedup", "q84_corpus_divergence", "q86_perplexity_score",
         "q87_ngram_novelty", "q88_source_overlap", "q91_conversion_funnel",
-        "q92_table_profile", "q93_cdc_merge").foreach { q =>
+        "q92_table_profile", "q93_cdc_merge")
+    targets.foreach { q =>
       val df = graft.SparkEntry.queries(q)(spark, d)
       df.write.format("noop").mode("overwrite").save()
       val plan = df.queryExecution.executedPlan.toString
