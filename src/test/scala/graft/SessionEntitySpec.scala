@@ -50,6 +50,61 @@ class SessionEntitySpec extends AnyFunSuite {
       .after(rows(1).getAs[java.sql.Timestamp]("session_start")))
   }
 
+  test("property: gapSessions equals a sequential fold over random streams") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(94)
+    (0 until 3).foreach { trial =>
+      val gap = 5L + rnd.nextInt(20) // seconds
+      val rows = (0 until 300).map { i =>
+        val u = rnd.nextInt(8).toLong
+        (u, math.abs(rnd.nextLong() % (600L * 1000000000L)), i.toLong, 1.0)
+      }
+      val df = rows.toDF("user_id", "ts_ns", "event_id", "value")
+        .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      val got = graft.operators.TimeJoins.gapSessions(df, gap)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(4)) // n_events
+        .toMap
+      spark.catalog.clearCache()
+      // sequential reference: per user, sort by (ts_ns, event_id), fold
+      val expect = rows.groupBy(_._1).flatMap { case (u, es) =>
+        val sorted = es.sortBy(e => (e._2, e._3))
+        var sess = 0L; var prev = Long.MinValue
+        val counts = scala.collection.mutable.Map.empty[Long, Long]
+        sorted.foreach { e =>
+          if (prev == Long.MinValue || e._2 - prev > gap * 1000000000L) sess += 1
+          counts(sess) = counts.getOrElse(sess, 0L) + 1
+          prev = e._2
+        }
+        counts.map { case (sn, n) => (u, sn) -> n }
+      }.toMap
+      assert(got == expect, s"trial $trial gap=$gap")
+    }
+  }
+
+  test("property: trailingWindow equals the naive quadratic reference") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(95)
+    val rows = (0 until 200).map { i =>
+      (rnd.nextInt(5).toLong, math.abs(rnd.nextLong() % (100L * 1000000000L)),
+        i.toLong, (rnd.nextInt(1000) / 100.0))
+    }
+    val winSec = 17L
+    val df = rows.toDF("user_id", "ts_ns", "event_id", "value")
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    val got = graft.operators.TimeJoins.trailingWindow(df, winSec)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_trail")).toMap
+    spark.catalog.clearCache()
+    val expect = rows.map { e =>
+      e._3 -> rows.count(o => o._1 == e._1 &&
+        o._2 <= e._2 && o._2 >= e._2 - winSec * 1000000000L).toLong
+    }.toMap
+    assert(got == expect,
+      s"diff=${got.collect { case (k, v) if expect(k) != v => (k, v, expect(k)) }.take(5)}")
+  }
+
   test("fuzzyKeyPairs: finds Hamming-1 pairs, not distance-2, no cross join") {
     val s = spark
     import s.implicits._
