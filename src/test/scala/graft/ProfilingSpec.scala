@@ -239,6 +239,76 @@ class ProfilingSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("property: retentionCohorts equals a sequential reference over random activity") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(96)
+    val day = 86400L * 1000000000L
+    val rows = (0 until 400).map { _ =>
+      (rnd.nextInt(20).toLong, rnd.nextInt(14).toLong * day + rnd.nextInt(86400) * 1000000000L)
+    }
+    val df = rows.toDF("user_id", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    val got = graft.operators.TimeJoins.retentionCohorts(df)
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getLong(1)) -> r.getLong(2))
+      .toMap
+    spark.catalog.clearCache()
+    val activity = rows.map { case (u, ns) => (u, ns / day) }.distinct
+    val cohort = activity.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val expect = activity
+      .map { case (u, d) => (cohort(u) * 86400000L, d - cohort(u)) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got == expect,
+      s"diff=${(expect.toSet diff got.toSet).take(3)} / ${(got.toSet diff expect.toSet).take(3)}")
+  }
+
+  test("property: hourlyAnomalies integer rule equals the float 3σ rule") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(97)
+    val hour = 3600L * 1000000000L
+    // random counts per (series, hour) realized as individual events
+    val rows = (for {
+      series <- Seq("s1", "s2", "s3"); h <- 0 until 20
+      n = 1 + rnd.nextInt(30) + (if (rnd.nextInt(15) == 0) 200 else 0)
+      i <- 0 until n
+    } yield (series, h.toLong * hour + i * 1000L)).toSeq
+    val df = rows.toDF("event_type", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    val out = graft.operators.TimeJoins.hourlyAnomalies(df)
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime,
+        r.getLong(2), r.getBoolean(5)))
+    spark.catalog.clearCache()
+    val counts = rows.groupBy { case (sr, ns) => (sr, ns / hour) }
+      .view.mapValues(_.size.toDouble).toMap
+    out.foreach { case (sr, _, n, flagged) =>
+      val cs = counts.collect { case ((`sr`, _), c) => c }.toSeq
+      val mean = cs.sum / cs.size
+      val variance = cs.map(c => (c - mean) * (c - mean)).sum / cs.size
+      val expected = (n - mean) * (n - mean) > 9.0 * variance
+      assert(flagged == expected, s"$sr n=$n mean=$mean var=$variance")
+    }
+  }
+
+  test("property: vocabEncode round-trips random corpora through a reference dict") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(98)
+    val words = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg")
+    val docs = (0L until 40L).map(i =>
+      (i, (0 until 3 + rnd.nextInt(12)).map(_ => words(rnd.nextInt(words.size))).mkString(" ")))
+    val (_, encoded) = graft.operators.Curation.vocabEncode(docs.toDF("doc_id", "text"))
+    val got = encoded.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    spark.catalog.clearCache()
+    val freq = docs.flatMap(_._2.split(" ")).groupBy(identity).view.mapValues(_.size).toMap
+    val ids = freq.toSeq.sortBy { case (t, n) => (-n, t) }.zipWithIndex
+      .map { case ((t, _), i) => t -> (i + 1) }.toMap
+    val expect = docs.map { case (id, text) =>
+      id -> text.split(" ").map(ids).mkString(",")
+    }.toMap
+    assert(got == expect, s"diff at ${expect.find(e => got(e._1) != e._2)}")
+  }
+
   test("hourlyAnomalies: a planted spike is flagged, uniform hours are not") {
     val s = spark
     import s.implicits._
