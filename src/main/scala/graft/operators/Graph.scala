@@ -12,7 +12,7 @@ import org.apache.spark.storage.StorageLevel
   */
 object Graph {
 
-  def defs: Seq[QueryDef] = Seq(q110)
+  def defs: Seq[QueryDef] = Seq(q110, q126)
 
   /** Fixed-iteration PageRank over a directed edge list (`src`, `dst`),
     * damping 0.85, ranks kept in parts-per-billion BIGINTs: the initial
@@ -113,6 +113,103 @@ object Graph {
       concat(lit("s:"), col("sk").cast("string")).as("src"),
       concat(lit("c:"), col("c").cast("string")).as("dst"))
     pageRank(fwd.unionByName(rev), iterations = 3)
+      .orderBy(col("node"))
+  }
+
+  /** Personalized PageRank: teleport mass flows ONLY to the seed set
+    * instead of uniformly — rank becomes proximity to the seeds (the
+    * trust-propagation / related-items variant). Same integer-grid
+    * discipline as [[pageRank]]: init = 1e9 div |seeds| on seeds and 0
+    * elsewhere, each round r' = [seed]·(0.15e9 div |seeds|) +
+    * (85·Σ r div outdeg) div 100 — all integer division, bit-identical
+    * across engines. Per round: the same edges⋈ranks + keyed agg, plus
+    * a left join against the broadcast-sized teleport frame.
+    */
+  def personalizedPageRank(edges0: DataFrame, seeds: DataFrame,
+      iterations: Int = 3): DataFrame = {
+    val edges = edges0.select(col("src"), col("dst")).distinct()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val withDeg = edges.join(deg, "src")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val seedSet = seeds.select(col("node")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nSeeds = seedSet.agg(count(lit(1)).as("n_seeds"))
+    val tele = seedSet.crossJoin(broadcast(nSeeds))
+      .selectExpr("node", "CAST(150000000 div n_seeds AS LONG) AS tele")
+    var rank = deg.selectExpr("src AS node")
+      .join(seedSet.crossJoin(broadcast(nSeeds))
+        .selectExpr("node", "CAST(1000000000 div n_seeds AS LONG) AS r0"),
+        Seq("node"), "left")
+      .selectExpr("node", "coalesce(r0, CAST(0 AS LONG)) AS r")
+    for (_ <- 1 to iterations) {
+      rank = withDeg.join(rank, withDeg("src") === rank("node"))
+        .selectExpr("dst", "r div outdeg AS contrib")
+        .groupBy(col("dst")).agg(sum(col("contrib")).as("s"))
+        .join(broadcast(tele), col("dst") === tele("node"), "left")
+        .selectExpr("dst AS node",
+          "CAST(coalesce(tele, CAST(0 AS LONG)) + (85 * s) div 100 AS LONG) AS r")
+    }
+    rank
+  }
+
+  /** q126: proximity to the first ten customers on the trade graph —
+    * their suppliers rank high, customers sharing those suppliers rank
+    * next, unrelated nodes converge toward 0. Hash-checked against the
+    * same unrolled seeded iterations in DuckDB.
+    */
+  val q126: QueryDef = QueryDef.checked(
+    "q126_personalized_pagerank",
+    """WITH pairs AS (
+      |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |edges AS (
+      |  SELECT 'c:' || c AS src, 's:' || s AS dst FROM pairs
+      |  UNION ALL
+      |  SELECT 's:' || s AS src, 'c:' || c AS dst FROM pairs),
+      |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1),
+      |seeds AS (SELECT DISTINCT 'c:' || c AS node FROM pairs WHERE c < 10),
+      |ns AS (SELECT COUNT(*) AS n FROM seeds),
+      |r0 AS (
+      |  SELECT d.src AS node,
+      |    CASE WHEN sd.node IS NULL THEN CAST(0 AS BIGINT)
+      |         ELSE CAST(1000000000 // (SELECT n FROM ns) AS BIGINT) END AS r
+      |  FROM deg d LEFT JOIN seeds sd ON d.src = sd.node),
+      |i1 AS (SELECT e.dst AS node,
+      |    CAST(CASE WHEN sd.node IS NULL THEN 0
+      |              ELSE 150000000 // (SELECT n FROM ns) END
+      |      + (85 * SUM(r.r // d.outdeg)) // 100 AS BIGINT) AS r
+      |  FROM edges e JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.src
+      |  LEFT JOIN seeds sd ON e.dst = sd.node
+      |  GROUP BY e.dst, sd.node),
+      |i2 AS (SELECT e.dst AS node,
+      |    CAST(CASE WHEN sd.node IS NULL THEN 0
+      |              ELSE 150000000 // (SELECT n FROM ns) END
+      |      + (85 * SUM(r.r // d.outdeg)) // 100 AS BIGINT) AS r
+      |  FROM edges e JOIN i1 r ON e.src = r.node JOIN deg d ON e.src = d.src
+      |  LEFT JOIN seeds sd ON e.dst = sd.node
+      |  GROUP BY e.dst, sd.node),
+      |i3 AS (SELECT e.dst AS node,
+      |    CAST(CASE WHEN sd.node IS NULL THEN 0
+      |              ELSE 150000000 // (SELECT n FROM ns) END
+      |      + (85 * SUM(r.r // d.outdeg)) // 100 AS BIGINT) AS r
+      |  FROM edges e JOIN i2 r ON e.src = r.node JOIN deg d ON e.src = d.src
+      |  LEFT JOIN seeds sd ON e.dst = sd.node
+      |  GROUP BY e.dst, sd.node)
+      |SELECT node, r FROM i3 ORDER BY node""".stripMargin) { (s, d) =>
+    val pairs = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
+      .distinct()
+    val fwd = pairs.select(
+      concat(lit("c:"), col("c").cast("string")).as("src"),
+      concat(lit("s:"), col("sk").cast("string")).as("dst"))
+    val rev = pairs.select(
+      concat(lit("s:"), col("sk").cast("string")).as("src"),
+      concat(lit("c:"), col("c").cast("string")).as("dst"))
+    val seeds = pairs.filter(col("c") < 10)
+      .select(concat(lit("c:"), col("c").cast("string")).as("node"))
+    personalizedPageRank(fwd.unionByName(rev), seeds, iterations = 3)
       .orderBy(col("node"))
   }
 }

@@ -309,6 +309,29 @@ class ProfilingSpec extends AnyFunSuite {
     assert(got == expect, s"diff at ${expect.find(e => got(e._1) != e._2)}")
   }
 
+  test("personalizedPageRank: mass stays in the seed component") {
+    val s = spark
+    import s.implicits._
+    // two disconnected 2-cycles; seed only in the first
+    val edges = Seq(("a", "b"), ("b", "a"), ("x", "y"), ("y", "x"))
+      .toDF("src", "dst")
+    val seeds = Seq(Tuple1("a")).toDF("node")
+    val r = graft.operators.Graph.personalizedPageRank(edges, seeds, iterations = 3)
+      .collect().map(row => row.getString(0) -> row.getLong(1)).toMap
+    spark.catalog.clearCache()
+    assert(r("a") > 0L && r("b") > 0L, s"seed component must hold rank: $r")
+    assert(r("x") == 0L && r("y") == 0L, s"unseeded component must be 0: $r")
+    // mass conservation up to integer-division dust: everything the
+    // seed teleport injects stays in {a, b}
+    assert(math.abs(r("a") + r("b") - 1000000000L) < 1000000L, s"mass leaked: $r")
+    // a 2-cycle oscillates with period 2 (bipartite), so seed dominance
+    // shows at EVEN iteration counts
+    val r4 = graft.operators.Graph.personalizedPageRank(edges, seeds, iterations = 4)
+      .collect().map(row => row.getString(0) -> row.getLong(1)).toMap
+    spark.catalog.clearCache()
+    assert(r4("a") > r4("b"), s"even iterations: teleport mass sits on the seed: $r4")
+  }
+
   test("hourlyAnomalies: a planted spike is flagged, uniform hours are not") {
     val s = spark
     import s.implicits._
