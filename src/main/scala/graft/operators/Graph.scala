@@ -12,7 +12,7 @@ import org.apache.spark.storage.StorageLevel
   */
 object Graph {
 
-  def defs: Seq[QueryDef] = Seq(q110, q126)
+  def defs: Seq[QueryDef] = Seq(q110, q126, q127)
 
   /** Fixed-iteration PageRank over a directed edge list (`src`, `dst`),
     * damping 0.85, ranks kept in parts-per-billion BIGINTs: the initial
@@ -210,6 +210,101 @@ object Graph {
     val seeds = pairs.filter(col("c") < 10)
       .select(concat(lit("c:"), col("c").cast("string")).as("node"))
     personalizedPageRank(fwd.unionByName(rev), seeds, iterations = 3)
+      .orderBy(col("node"))
+  }
+
+  /** Synchronous label propagation (semi-supervised label spreading):
+    * seed nodes keep their label; every other node takes, per round,
+    * the majority label among its CURRENTLY-labeled neighbors (ties →
+    * smallest label; no labeled neighbor → still unlabeled). The
+    * cheap transductive labeler for "I labeled 20% of the corpus, fill
+    * in the rest along the similarity graph". Deterministic: fixed
+    * synchronous rounds, total tie order — so the result is
+    * oracle-exact, unlike the usual async/random-order formulations.
+    * Per round: one edges⋈state join + a (node, label) vote agg + a
+    * row_number argmax — all keyed on node ids. Edges are persisted
+    * once across rounds.
+    */
+  def labelPropagation(edges0: DataFrame, seeds: DataFrame, nodes: DataFrame,
+      rounds: Int = 2): DataFrame = {
+    val edges = edges0.select(col("src"), col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val base = nodes.select(col("node"))
+      .join(seeds.select(col("node"), col("label").as("seed_label")),
+        Seq("node"), "left")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var state = base.select(col("node"), col("seed_label").as("label"))
+    for (_ <- 1 to rounds) {
+      val votes = edges
+        .join(state.select(col("node").as("src"), col("label").as("nl")), "src")
+        .filter(col("nl").isNotNull)
+        .groupBy(col("dst"), col("nl"))
+        .agg(count(lit(1)).as("n"))
+      val win = votes
+        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("dst"))
+            .orderBy(col("n").desc, col("nl"))))
+        .filter(col("rn") === 1)
+        .select(col("dst").as("node"), col("nl").as("prop"))
+      state = base.join(win, Seq("node"), "left")
+        .select(col("node"), coalesce(col("seed_label"), col("prop")).as("label"))
+    }
+    state
+  }
+
+  /** q127: spread the first-100 embedding labels over the cosine-0.3
+    * similarity graph for two rounds — hash-checked (including nodes
+    * that stay unlabeled) against the same unrolled vote rounds in
+    * DuckDB.
+    */
+  val q127: QueryDef = QueryDef.checked(
+    "q127_label_propagation",
+    """WITH e0 AS (
+      |  SELECT a.vec_id AS ia, b.vec_id AS ib
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |  WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+      |     / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+      |        * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.3),
+      |edges AS (SELECT ia AS src, ib AS dst FROM e0
+      |  UNION ALL SELECT ib, ia FROM e0),
+      |nodes AS (SELECT vec_id AS node,
+      |  CASE WHEN vec_id < 100 THEN label END AS seed_label FROM embeddings),
+      |s0 AS (SELECT node, seed_label AS label FROM nodes),
+      |w1 AS (
+      |  SELECT e.dst AS node, s.label AS prop
+      |  FROM edges e JOIN s0 s ON e.src = s.node
+      |  WHERE s.label IS NOT NULL
+      |  GROUP BY e.dst, s.label
+      |  QUALIFY row_number() OVER (PARTITION BY e.dst
+      |    ORDER BY COUNT(*) DESC, s.label) = 1),
+      |s1 AS (SELECT n.node, COALESCE(n.seed_label, w.prop) AS label
+      |  FROM nodes n LEFT JOIN w1 w ON n.node = w.node),
+      |w2 AS (
+      |  SELECT e.dst AS node, s.label AS prop
+      |  FROM edges e JOIN s1 s ON e.src = s.node
+      |  WHERE s.label IS NOT NULL
+      |  GROUP BY e.dst, s.label
+      |  QUALIFY row_number() OVER (PARTITION BY e.dst
+      |    ORDER BY COUNT(*) DESC, s.label) = 1)
+      |SELECT n.node AS node, COALESCE(n.seed_label, w.prop) AS label
+      |FROM nodes n LEFT JOIN w2 w ON n.node = w.node
+      |ORDER BY n.node""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"),
+        col("label"))
+    val pairs = e.select(col("vec_id").as("ia"), col("v").as("va")).as("a")
+      .join(e.select(col("vec_id").as("ib"), col("v").as("vb")).as("b"),
+        col("ia") < col("ib"))
+      .filter(graft.functions.CosineSimilarity
+        .cosineSim(col("va"), col("vb")) >= 0.3)
+      .select(col("ia"), col("ib"))
+    val edges = pairs.select(col("ia").as("src"), col("ib").as("dst"))
+      .unionByName(pairs.select(col("ib").as("src"), col("ia").as("dst")))
+    val nodes = e.select(col("vec_id").as("node"))
+    val seeds = e.filter(col("vec_id") < 100)
+      .select(col("vec_id").as("node"), col("label"))
+    labelPropagation(edges, seeds, nodes, rounds = 2)
       .orderBy(col("node"))
   }
 }

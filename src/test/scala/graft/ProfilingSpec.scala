@@ -332,6 +332,26 @@ class ProfilingSpec extends AnyFunSuite {
     assert(r4("a") > r4("b"), s"even iterations: teleport mass sits on the seed: $r4")
   }
 
+  test("labelPropagation: majority wins, seeds stay fixed, unreachable stays null") {
+    val s = spark
+    import s.implicits._
+    // node 4 neighbors two label-1 seeds and one label-2 seed → takes 1;
+    // node 5 reaches labels only via node 4 in round 2; node 9 isolated;
+    // seed 3 has label-1 neighbors but keeps its own label 2
+    val und = Seq((1L, 4L), (2L, 4L), (3L, 4L), (4L, 5L), (1L, 3L))
+    val edges = (und ++ und.map(e => (e._2, e._1))).toDF("src", "dst")
+    val seeds = Seq((1L, 1), (2L, 1), (3L, 2)).toDF("node", "label")
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("node")
+    val out = graft.operators.Graph.labelPropagation(edges, seeds, nodes, rounds = 2)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    spark.catalog.clearCache()
+    assert(out(4L) == Some(1), s"majority of {1,1,2} is 1: $out")
+    assert(out(5L) == Some(1), s"round 2 reaches node 5 through node 4: $out")
+    assert(out(3L) == Some(2), s"seeds never change: $out")
+    assert(out(9L) == None, s"isolated node stays unlabeled: $out")
+  }
+
   test("hourlyAnomalies: a planted spike is flagged, uniform hours are not") {
     val s = spark
     import s.implicits._
