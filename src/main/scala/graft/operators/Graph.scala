@@ -12,7 +12,7 @@ import org.apache.spark.storage.StorageLevel
   */
 object Graph {
 
-  def defs: Seq[QueryDef] = Seq(q110, q126, q127)
+  def defs: Seq[QueryDef] = Seq(q110, q126, q127, q128)
 
   /** Fixed-iteration PageRank over a directed edge list (`src`, `dst`),
     * damping 0.85, ranks kept in parts-per-billion BIGINTs: the initial
@@ -306,5 +306,80 @@ object Graph {
       .select(col("vec_id").as("node"), col("label"))
     labelPropagation(edges, seeds, nodes, rounds = 2)
       .orderBy(col("node"))
+  }
+
+  /** Triangle counting with DEGREE-ORDERED orientation: undirected
+    * edges are oriented from the lower-rank endpoint to the higher
+    * (rank = (degree, node)), so every triangle is enumerated exactly
+    * once from its lowest-ranked corner AND the wedge join's per-key
+    * fanout is bounded by the graph's degeneracy, not its max degree —
+    * the difference between a hub exploding into deg² wedge candidates
+    * and the O(m^1.5) bound (Latapy 2008; the standard distributed
+    * formulation). Two self-joins on node keys over the oriented edge
+    * frame (persisted — it feeds the wedge join twice and the closure
+    * check once). Returns per-node triangle counts (the clustering-
+    * coefficient numerator), counting each node's membership in every
+    * triangle containing it.
+    */
+  def triangleCounts(undirected: DataFrame): DataFrame = {
+    val und = undirected.select(col("src"), col("dst")).distinct()
+    val deg = und.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+    // orientation: keep the edge only in the (lower rank → higher rank)
+    // direction; rank ties broken by node id so orientation is total
+    val ranked = und
+      .join(deg.select(col("node").as("src"), col("d").as("ds")), "src")
+      .join(deg.select(col("node").as("dst"), col("d").as("dd")), "dst")
+      .filter(col("ds") < col("dd") ||
+        (col("ds") === col("dd") && col("src") < col("dst")))
+      .select(col("src").as("lo"), col("dst").as("hi"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val wedges = ranked.as("e1")
+      .join(ranked.as("e2"), col("e1.lo") === col("e2.lo") &&
+        col("e1.hi") < col("e2.hi"))
+      .select(col("e1.lo").as("a"), col("e1.hi").as("b"), col("e2.hi").as("c"))
+    val triangles = wedges.join(ranked,
+        (col("b") === col("lo") && col("c") === col("hi")) ||
+          (col("c") === col("lo") && col("b") === col("hi")))
+      .select(col("a"), col("b"), col("c"))
+    triangles
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** q128: per-node triangle counts on the co-purchase projection —
+    * customers connected when they share a supplier would be dense, so
+    * the catalog graph links SUPPLIERS that share a customer (100
+    * nodes, deterministic). Hash-checked against DuckDB's canonical
+    * a<b<c triangle join.
+    */
+  val q128: QueryDef = QueryDef.checked(
+    "q128_triangle_counts",
+    """WITH pairs AS (
+      |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE o_orderkey < 2000),
+      |und0 AS (
+      |  SELECT DISTINCT a.s AS x, b.s AS y FROM pairs a JOIN pairs b
+      |  ON a.c = b.c AND a.s < b.s),
+      |tri AS (
+      |  SELECT e1.x AS a, e1.y AS b, e2.y AS c
+      |  FROM und0 e1 JOIN und0 e2 ON e1.y = e2.x
+      |  JOIN und0 e3 ON e3.x = e1.x AND e3.y = e2.y)
+      |SELECT node, COUNT(*) AS n_triangles FROM (
+      |  SELECT unnest([a, b, c]) AS node FROM tri)
+      |GROUP BY node ORDER BY node""".stripMargin) { (s, d) =>
+    val pairs = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d).filter(col("o_orderkey") < 2000),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
+      .distinct()
+    val half = pairs.as("a")
+      .join(pairs.withColumnRenamed("sk", "sk2").as("b"),
+        col("a.c") === col("b.c") && col("a.sk") < col("sk2"))
+      .select(col("a.sk").as("src"), col("sk2").as("dst"))
+      .distinct()
+    val undirected = half.unionByName(
+      half.select(col("dst").as("src"), col("src").as("dst")))
+    triangleCounts(undirected).orderBy(col("node"))
   }
 }

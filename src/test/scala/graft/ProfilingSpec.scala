@@ -352,6 +352,34 @@ class ProfilingSpec extends AnyFunSuite {
     assert(out(9L) == None, s"isolated node stays unlabeled: $out")
   }
 
+  test("triangleCounts: K4 nodes sit in 3 triangles each; random graphs match brute force") {
+    val s = spark
+    import s.implicits._
+    def undirect(es: Seq[(Long, Long)]) =
+      (es ++ es.map(e => (e._2, e._1))).toDF("src", "dst")
+    val k4 = for (a <- 0L to 3L; b <- 0L to 3L if a < b) yield (a, b)
+    val out = graft.operators.Graph.triangleCounts(undirect(k4 :+ (3L -> 9L)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.catalog.clearCache()
+    assert((0L to 3L).forall(n => out(n) == 3L), s"K4: every node in C(3,2)=3: $out")
+    assert(!out.contains(9L), s"pendant node is in no triangle: $out")
+
+    val rnd = new scala.util.Random(99)
+    val es = (for (a <- 0L until 15L; b <- 0L until 15L
+      if a < b && rnd.nextInt(3) == 0) yield (a, b)).toSeq
+    val got = graft.operators.Graph.triangleCounts(undirect(es))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.catalog.clearCache()
+    val eset = es.toSet
+    def adj(a: Long, b: Long) = eset.contains((a min b, a max b))
+    val expect = (for {
+      a <- 0L until 15L; b <- 0L until 15L if a < b && adj(a, b)
+      c <- 0L until 15L if b < c && adj(b, c) && adj(a, c)
+    } yield Seq(a, b, c)).flatten
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got == expect, s"diff=${(expect.toSet diff got.toSet).take(5)}")
+  }
+
   test("hourlyAnomalies: a planted spike is flagged, uniform hours are not") {
     val s = spark
     import s.implicits._
