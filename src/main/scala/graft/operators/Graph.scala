@@ -12,7 +12,7 @@ import org.apache.spark.storage.StorageLevel
   */
 object Graph {
 
-  def defs: Seq[QueryDef] = Seq(q110, q126, q127, q128)
+  def defs: Seq[QueryDef] = Seq(q110, q126, q127, q128, q129)
 
   /** Fixed-iteration PageRank over a directed edge list (`src`, `dst`),
     * damping 0.85, ranks kept in parts-per-billion BIGINTs: the initial
@@ -381,5 +381,78 @@ object Graph {
     val undirected = half.unionByName(
       half.select(col("dst").as("src"), col("src").as("dst")))
     triangleCounts(undirected).orderBy(col("node"))
+  }
+
+  /** Neighborhood-overlap similarity ("related items" by graph
+    * co-occurrence): node pairs scored by the Jaccard of their
+    * neighbor SETS — |N(a)∩N(b)| exact from a wedge count (common
+    * neighbor x joins e(x,a)⋈e(x,b)), |N(a)∪N(b)| = da+db−inter, the
+    * ratio snapped to ppm. Candidates are only pairs sharing ≥minShared
+    * neighbors — the pair space never materializes beyond actual
+    * wedges. Per-wedge fanout is deg(x)² at the common neighbor; at
+    * 100 TB hub nodes get capped or sampled first (the q50 df-cap
+    * discipline applied to degrees), which biases only pairs whose
+    * overlap is mediated by hubs — exactly the pairs co-occurrence
+    * similarity already over-counts.
+    */
+  def neighborOverlap(undirected: DataFrame, minShared: Long): DataFrame = {
+    val und = undirected.select(col("src"), col("dst")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = und.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+    val inter = und.select(col("src").as("x"), col("dst").as("a"))
+      .join(und.select(col("src").as("x"), col("dst").as("b")),
+        Seq("x"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+    inter
+      .join(deg.select(col("node").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("d").as("db")), "b")
+      .select(col("a"), col("b"), col("shared"),
+        (col("da") + col("db") - col("shared")).as("unions"),
+        round(lit(1000000.0) * col("shared") /
+          (col("da") + col("db") - col("shared"))).cast("long").as("jaccard_ppm"))
+  }
+
+  /** q129: related suppliers by shared-customer overlap (≥3 common
+    * neighbors on the q128 graph), hash-checked — counts and ppm
+    * scores — against the same wedge arithmetic in DuckDB.
+    */
+  val q129: QueryDef = QueryDef.checked(
+    "q129_neighbor_overlap",
+    """WITH pairs AS (
+      |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE o_orderkey < 2000),
+      |half AS (
+      |  SELECT DISTINCT a.s AS x, b.s AS y FROM pairs a JOIN pairs b
+      |  ON a.c = b.c AND a.s < b.s),
+      |und AS (SELECT x AS src, y AS dst FROM half
+      |  UNION ALL SELECT y, x FROM half),
+      |deg AS (SELECT src AS node, COUNT(*) AS d FROM und GROUP BY 1),
+      |inter AS (
+      |  SELECT e1.dst AS a, e2.dst AS b, COUNT(*) AS shared
+      |  FROM und e1 JOIN und e2 ON e1.src = e2.src AND e1.dst < e2.dst
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+      |SELECT a, b, shared, da.d + db.d - shared AS unions,
+      |  CAST(ROUND(1000000.0 * shared / (da.d + db.d - shared)) AS BIGINT)
+      |    AS jaccard_ppm
+      |FROM inter JOIN deg da ON inter.a = da.node
+      |JOIN deg db ON inter.b = db.node
+      |ORDER BY a, b""".stripMargin) { (s, d) =>
+    val pairs = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d).filter(col("o_orderkey") < 2000),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
+      .distinct()
+    val half = pairs.as("a")
+      .join(pairs.withColumnRenamed("sk", "sk2").as("b"),
+        col("a.c") === col("b.c") && col("a.sk") < col("sk2"))
+      .select(col("a.sk").as("src"), col("sk2").as("dst"))
+      .distinct()
+    val und = half.unionByName(
+      half.select(col("dst").as("src"), col("src").as("dst")))
+    neighborOverlap(und, minShared = 3L).orderBy(col("a"), col("b"))
   }
 }

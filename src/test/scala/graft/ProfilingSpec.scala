@@ -380,6 +380,23 @@ class ProfilingSpec extends AnyFunSuite {
     assert(got == expect, s"diff=${(expect.toSet diff got.toSet).take(5)}")
   }
 
+  test("neighborOverlap: twins score 1e6 ppm, partial overlap scores the exact ratio") {
+    val s = spark
+    import s.implicits._
+    // a and b are twins over {x,y,z}; c touches only x
+    val half = Seq(("a", "x"), ("a", "y"), ("a", "z"),
+      ("b", "x"), ("b", "y"), ("b", "z"), ("c", "x"))
+    val und = (half ++ half.map(e => (e._2, e._1))).toDF("src", "dst")
+    val out = graft.operators.Graph.neighborOverlap(und, minShared = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    spark.catalog.clearCache()
+    assert(out(("a", "b")) == ((3L, 3L, 1000000L)), s"twins: $out")
+    assert(out(("a", "c")) == ((1L, 3L, 333333L)), s"partial: $out")
+    // x,y,z share neighbors {a,b} (and x also has c):
+    assert(out(("x", "y")) == ((2L, 3L, 666667L)), s"via-hub pair: $out")
+  }
+
   test("hourlyAnomalies: a planted spike is flagged, uniform hours are not") {
     val s = spark
     import s.implicits._
