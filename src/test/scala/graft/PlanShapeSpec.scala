@@ -166,6 +166,27 @@ class PlanShapeSpec extends AnyFunSuite {
       s"only broadcast 1-row cross joins allowed (n_nodes), no cartesian:\n$plan")
   }
 
+  test("q128 triangle closure is an equi-join: no nested loop over wedges") {
+    val plan = executedPlan("q128_triangle_counts")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"canonicalized closure edges must hash-join against wedges:\n$plan")
+  }
+
+  test("cosineEdgesLsh (q127 scale path) plans no nested-loop join") {
+    val df = graft.operators.Graph.cosineEdgesLsh(
+      Tables.embeddings(spark, sf).select(
+        org.apache.spark.sql.functions.col("vec_id"),
+        graft.functions.VectorFunctions.asDouble(
+          org.apache.spark.sql.functions.col("embedding")).as("v")), 0.3)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    spark.catalog.clearCache()
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"banded candidates must be a (band, chunk) equi-join:\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"expected a hash/sort-merge join on (band, chunk):\n$plan")
+  }
+
   test("q111 weighted sample is TakeOrdered, never a global sort") {
     val plan = executedPlan("q111_weighted_sample")
     assert(plan.contains("TakeOrderedAndProject"),
