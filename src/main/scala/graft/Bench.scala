@@ -77,16 +77,33 @@ object Bench {
       val medT = if (sorted.isEmpty) -1.0 else sorted(sorted.size / 2)
       (n, minT, medT, loads.max)
     }
-    def jmap(f: ((String, Double, Double, Double)) => Double): String =
-      results.map(r => "\"" + r._1 + "\":" + f"${f(r)}%.3f").mkString("{", ",", "}")
+    def jmap(key: String => String, prec: String)(
+        f: ((String, Double, Double, Double)) => Double): String =
+      results.map(r => "\"" + key(r._1) + "\":" + prec.format(f(r)))
+        .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val totalMed = results.map(_._3).filter(_ >= 0).sum
     val endLoad = loadAvg()
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jmap(_._2)},""" +
-      f""""queries_median":${jmap(_._3)},"queries_load1m":${jmap(_._4)},""" +
-      f""""total_median":$totalMed%.3f,"passes":$passes,""" +
-      f""""load1m_start":$startLoad%.2f,"load1m_end":$endLoad%.2f,"sf":"$sfDir"}""")
+    // The driver's artifact capture keeps only the LAST ~2,000 chars of
+    // stdout (BENCH_r04 lost every per-query time to a 12 KB line), so
+    // the contract line stays under that: per-query MIN keyed by the
+    // unique numeric name prefix ("q110" for q110_pagerank — `qkey`
+    // self-describes the scheme) at 2-decimal precision, plus totals.
+    // The full-name min/median/load1m maps go to stderr for auditing —
+    // min measures the code; median ≫ min flags host contention.
+    val contract =
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","qkey":"name prefix before first _",""" +
+      s""""queries":${jmap(_.split("_").head, "%.2f")(_._2)},""" +
+      f""""total_median":$totalMed%.2f,"passes":$passes,""" +
+      f""""load1m_start":$startLoad%.2f,"load1m_end":$endLoad%.2f,"sf":"$sfDir"}"""
+    if (contract.length > 1950)
+      System.err.println(s"[bench] WARNING contract line ${contract.length} chars " +
+        "exceeds the driver's 2,000-char tail capture")
+    System.err.println(
+      s"""{"queries_min":${jmap(identity, "%.3f")(_._2)},""" +
+      s""""queries_median":${jmap(identity, "%.3f")(_._3)},""" +
+      s""""queries_load1m":${jmap(identity, "%.2f")(_._4)}}""")
+    println(contract)
     spark.stop()
   }
 }

@@ -60,28 +60,62 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
-  /** Johnson–Lindenstrauss random projection: k seeded-Gaussian
-    * directions compress d-dim vectors to k dims with pairwise
-    * geometry approximately preserved (distortion ~ sqrt(ln n / k)) —
-    * the cheap first-stage filter before exact scoring, and the
-    * standard pre-pass that makes brute-force candidate scans 4× (
-    * d/k×) cheaper. The projection matrix is driver-seeded literals
-    * broadcast into codegen — no shuffle, row-local. Rows-only
-    * (Gaussian matrix is engine-defined); SimilaritySpec-style check
-    * in SemDedupSpec pins rank preservation on planted pairs.
+  /** Johnson–Lindenstrauss random projection: k random ±1 directions
+    * (Achlioptas 2003's database-friendly sparse JL — sign matrices
+    * satisfy the JL lemma with the same distortion bound as Gaussians,
+    * ~ sqrt(ln n / k)) compress d-dim vectors to k dims with pairwise
+    * geometry approximately preserved — the cheap first-stage filter
+    * before exact scoring, and the standard pre-pass that makes
+    * brute-force candidate scans d/k× cheaper. The sign matrix is
+    * derived from md5("jl:seed:row:col") top bits — driver-computed
+    * literals broadcast into codegen, no shuffle, row-local, and (the
+    * reason for md5 over a seeded PRNG) reproducible in ANY engine, so
+    * q99 is fully oracle-checked in DuckDB down to the last bit
+    * (components quantized on the 1e-6 floor grid for the compare).
+    * SemDedupSpec additionally pins pairwise-cosine rank preservation.
     */
   def randomProject(vectors: DataFrame, dim: Int = 64, k: Int = 16,
       seed: Long = 42L): DataFrame = {
-    val rnd = new scala.util.Random(seed)
-    val g = Array.fill(k)(Array.fill(dim)(rnd.nextGaussian()))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(j: Int, i: Int): Double = {
+      val h = md.digest(s"jl:$seed:$j:$i".getBytes("UTF-8"))
+      if ((h(0) & 0x80) == 0) 1.0 else -1.0
+    }
+    val g = Array.tabulate(k)(j => Array.tabulate(dim)(i => sign(j, i)))
     val invSqrtK = 1.0 / math.sqrt(k.toDouble)
     val comps = g.map(row => VF.dot(col("v"), typedLit(row.toSeq)) * lit(invSqrtK))
     vectors.select(col("vec_id"), array(comps.toIndexedSeq: _*).as("pv"))
   }
 
-  /** q99: 64→16 JL projection of the embeddings table. */
-  val q99: QueryDef = QueryDef.rowsOnly("q99_random_projection") { (s, d) =>
-    randomProject(vecs(s, d)).orderBy(col("vec_id"))
+  /** q99: 64→16 JL projection of the embeddings table, hash-checked
+    * against the identical md5-sign arithmetic in DuckDB. Components go
+    * out as a CSV of 1e-6-floor-grid BIGINTs — integers because the
+    * compare harness row-sorts every column (raw float arrays crash its
+    * pandas sort, VERDICT r4 item #3) and because floor() is the one
+    * rounding both engines implement identically (NOTES_r4 q54 lesson);
+    * the library function keeps the typed double array.
+    */
+  val q99: QueryDef = QueryDef.checked(
+    "q99_random_projection",
+    """WITH signs AS (
+      |  SELECT j, list(CASE WHEN substr(md5('jl:42:' || j || ':' || i), 1, 1) <= '7'
+      |                 THEN 1.0 ELSE -1.0 END ORDER BY i) AS s
+      |  FROM range(16) tj(j) CROSS JOIN range(64) ti(i)
+      |  GROUP BY j),
+      |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |comp AS (
+      |  SELECT v.vec_id, signs.j,
+      |    list_dot_product(v.v, signs.s) * 0.25 AS c
+      |  FROM v CROSS JOIN signs)
+      |SELECT vec_id,
+      |  string_agg(CAST(CAST(FLOOR(c * 1000000.0) AS BIGINT) AS VARCHAR),
+      |             ',' ORDER BY j) AS pv_csv
+      |FROM comp GROUP BY vec_id ORDER BY vec_id""".stripMargin) { (s, d) =>
+    randomProject(vecs(s, d))
+      .select(col("vec_id"),
+        concat_ws(",", transform(col("pv"),
+          x => floor(x * 1000000.0).cast("string"))).as("pv_csv"))
+      .orderBy(col("vec_id"))
   }
 
   /** Cosine near-duplicate pairs of one vector frame. Exact O(n²) form —
