@@ -416,28 +416,35 @@ object Extended {
     // With opCol, 'D' versions RESET visibility: a fact after a winning
     // delete sees null payload (the key did not exist at that time) —
     // carrying current values across a delete is exactly the
-    // label-leakage bug this operator guards against. Every version row
-    // must carry non-null payload and op (the carries are per-column;
-    // fact rows are null in all of them, so the carried columns always
-    // come from the same — latest — version row).
+    // label-leakage bug this operator guards against. The payload is
+    // carried as ONE struct column (a single last(ignoreNulls) over
+    // struct(payload)): fact rows contribute a null STRUCT, version
+    // rows a non-null struct even when individual fields are null — so
+    // a version's nulls are preserved atomically instead of silently
+    // resurrecting the previous version's value for that field (the
+    // per-column-carry bug this shape replaces).
     val opExpr = opCol.map(col).getOrElse(lit("U"))
+    val payloadType = org.apache.spark.sql.types.StructType(
+      payload.map(c => versions.schema(c)))
     val v = versions.select(
-      (col(key) +: col(seqCol).as("ord") +: lit(0).as("kind") +:
-        opExpr.as("__op") +: payload.map(col)) :+
-        lit(null).cast("long").as("fact_seq"): _*)
+      col(key), col(seqCol).as("ord"), lit(0).as("kind"),
+      opExpr.as("__op"),
+      struct(payload.map(col): _*).as("__payload"),
+      lit(null).cast("long").as("fact_seq"))
     val f = facts.select(
-      (col(key) +: col(seqCol).as("ord") +: lit(1).as("kind") +:
-        lit(null).cast("string").as("__op") +:
-        payload.map(c => lit(null).cast(versions.schema(c).dataType).as(c))) :+
-        col(seqCol).as("fact_seq"): _*)
+      col(key), col(seqCol).as("ord"), lit(1).as("kind"),
+      lit(null).cast("string").as("__op"),
+      lit(null).cast(payloadType).as("__payload"),
+      col(seqCol).as("fact_seq"))
     val w = Window.partitionBy(col(key)).orderBy(col("ord"), col("kind"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carriedOp = last(col("__op"), ignoreNulls = true).over(w)
+    val carried = last(col("__payload"), ignoreNulls = true).over(w)
     v.unionByName(f)
       .select(
         (col(key) +: col("fact_seq") +:
           payload.map(c => when(carriedOp === "D", lit(null))
-            .otherwise(last(col(c), ignoreNulls = true).over(w)).as(c))): _*)
+            .otherwise(carried.getField(c)).as(c))): _*)
       .filter(col("fact_seq").isNotNull)
   }
 

@@ -225,6 +225,31 @@ class ExtendedSpec extends AnyFunSuite {
       s"got $out")
   }
 
+  test("pointInTimeJoin: a version's legitimately-null field stays null (atomic struct carry)") {
+    val s = spark
+    import s.implicits._
+    // key 1: v1 at seq 10 carries (a="x", b=5); v2 at seq 20 carries
+    // (a=null, b=7) — a fact at seq 25 must see a=null (v2's actual
+    // state), NOT "x" resurrected from v1 by a per-column carry
+    val versions = Seq(
+      (1L, 10L, Option("x"), Option(5L), "U"),
+      (1L, 20L, Option.empty[String], Option(7L), "U"))
+      .toDF("k", "seq", "a", "b", "op")
+    val facts = Seq((1L, 15L), (1L, 25L)).toDF("k", "seq")
+    val out = graft.operators.Extended
+      .pointInTimeJoin(facts, versions, "k", "seq", Seq("a", "b"),
+        opCol = Some("op"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((Option(r.get(2)), Option(r.get(3)))))
+      .toMap
+    spark.catalog.clearCache()
+    assert(out == Map(
+      (1L, 15L) -> ((Some("x"), Some(5L))),
+      (1L, 25L) -> ((None, Some(7L)))),
+      s"the seq-20 version's null 'a' must be preserved atomically: $out")
+  }
+
   test("format round-trip preserves the projected slice exactly") {
     val out = SparkEntry.queries("q44_format_roundtrip")(spark, sf).collect()
     assert(out.length === 2)
