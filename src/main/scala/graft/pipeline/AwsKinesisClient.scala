@@ -31,7 +31,7 @@ final class AwsKinesisClient(
     transport: AwsKinesisClient.Transport = AwsKinesisClient.httpTransport,
     now: () => Instant = () => Instant.now(),
     endpointOverride: Option[String] = None)
-    extends KinesisClient {
+    extends KinesisClient with KinesisReadClient {
 
   def this(streamName: String, region: String, creds: SigV4.Credentials) =
     this(streamName, region, CredentialsProvider.Static(creds))
@@ -65,6 +65,107 @@ final class AwsKinesisClient(
       case e: java.io.IOException =>
         PutRecordsResult(Some(s"transport: ${e.getMessage}"), Nil)
     }
+  }
+
+  /** One signed control call: target + JSON body → parsed 2xx object.
+    * Non-2xx throws IOException with the service `__type` (read-side
+    * errors fail the Spark task; the engine's retry replays the batch —
+    * contrast putRecords, whose per-record errors feed the K4–K6
+    * retry/drop machinery instead).
+    */
+  private def callJson(target: String, bodyJson: String): Map[String, Any] = {
+    val body = bodyJson.getBytes(UTF_8)
+    val at = now()
+    val signed = SigV4.sign(
+      method = "POST", host = host, path = "/", query = Nil,
+      headers = Map(
+        "content-type" -> "application/x-amz-json-1.1",
+        "x-amz-target" -> s"Kinesis_20131202.$target"),
+      body = body, region = region, service = "kinesis",
+      creds = creds.credentials(at), now = at)
+    val (status, respBody) = transport(url, signed, body)
+    val json = try MiniJson.parse(respBody) catch { case _: Exception => null }
+    if (status / 100 != 2) {
+      val errType = json match {
+        case m: Map[_, _] => m.asInstanceOf[Map[String, Any]].get("__type")
+          .map(_.toString).getOrElse(s"HTTP $status")
+        case _ => s"HTTP $status"
+      }
+      throw new java.io.IOException(s"$target: $errType")
+    }
+    json match {
+      case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+      case _ => throw new java.io.IOException(s"$target: unparseable response")
+    }
+  }
+
+  /** All shard ids of the stream, following ListShards pagination. */
+  override def listShards(): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var token: Option[String] = None
+    var first = true
+    while (first || token.isDefined) {
+      first = false
+      // NextToken requests must NOT repeat StreamName (public API rule)
+      val body = token match {
+        case Some(t) => s"""{"NextToken":${MiniJson.quote(t)}}"""
+        case None => s"""{"StreamName":${MiniJson.quote(streamName)}}"""
+      }
+      val obj = callJson("ListShards", body)
+      obj.get("Shards") match {
+        case Some(l: List[_]) => l.foreach {
+          case s: Map[_, _] =>
+            s.asInstanceOf[Map[String, Any]].get("ShardId")
+              .foreach(id => out += id.toString)
+          case _ => ()
+        }
+        case _ => ()
+      }
+      token = obj.get("NextToken").map(_.toString)
+    }
+    out.toSeq
+  }
+
+  override def getShardIterator(
+      shardId: String, afterSequence: Option[String]): Option[String] = {
+    val body = afterSequence match {
+      case Some(seq) =>
+        s"""{"StreamName":${MiniJson.quote(streamName)},"ShardId":${MiniJson.quote(shardId)},""" +
+          s""""ShardIteratorType":"AFTER_SEQUENCE_NUMBER","StartingSequenceNumber":${MiniJson.quote(seq)}}"""
+      case None =>
+        s"""{"StreamName":${MiniJson.quote(streamName)},"ShardId":${MiniJson.quote(shardId)},""" +
+          s""""ShardIteratorType":"TRIM_HORIZON"}"""
+    }
+    callJson("GetShardIterator", body).get("ShardIterator").map(_.toString)
+  }
+
+  override def getRecords(iterator: String, limit: Int): GetRecordsPage = {
+    val body =
+      s"""{"ShardIterator":${MiniJson.quote(iterator)},"Limit":${math.max(1, limit)}}"""
+    val obj = callJson("GetRecords", body)
+    val recs = obj.get("Records") match {
+      case Some(l: List[_]) => l.collect { case r: Map[_, _] =>
+        val rm = r.asInstanceOf[Map[String, Any]]
+        ReadRecord(
+          sequenceNumber = rm.get("SequenceNumber").map(_.toString).getOrElse(""),
+          partitionKey = rm.get("PartitionKey").map(_.toString).getOrElse(""),
+          data = rm.get("Data").map(d =>
+            Base64.getDecoder.decode(d.toString)).getOrElse(Array.emptyByteArray),
+          // epoch SECONDS with fraction on the wire → ms
+          arrivalEpochMs = rm.get("ApproximateArrivalTimestamp") match {
+            case Some(d: Double) => (d * 1000.0).toLong
+            case _ => 0L
+          })
+      }
+      case _ => Nil
+    }
+    GetRecordsPage(
+      records = recs,
+      nextIterator = obj.get("NextShardIterator").map(_.toString),
+      millisBehindLatest = obj.get("MillisBehindLatest") match {
+        case Some(d: Double) => d.toLong
+        case _ => 0L
+      })
   }
 
   private def requestJson(records: Seq[KinesisRecord]): String = {

@@ -27,6 +27,101 @@ trait KinesisClient extends Serializable {
   def putRecords(records: Seq[KinesisRecord]): PutRecordsResult
 }
 
+/** One record read back from the stream — the GetRecords element shape
+  * (public Kinesis API; the reference never reads the stream it writes,
+  * so this surface is capability-completion, not parity).
+  */
+final case class ReadRecord(
+    sequenceNumber: String, partitionKey: String, data: Array[Byte],
+    arrivalEpochMs: Long)
+
+/** One GetRecords page: records + the continuation iterator (None when
+  * the shard is closed and fully consumed).
+  */
+final case class GetRecordsPage(
+    records: Seq[ReadRecord], nextIterator: Option[String],
+    millisBehindLatest: Long)
+
+/** Read-side client seam (ListShards / GetShardIterator / GetRecords) —
+  * same injection discipline as [[KinesisClient]]: production implements
+  * it over the signed HTTP transport (AwsKinesisClient), tests use
+  * [[FakeKinesisStream]]. A class may implement both traits; the DSv2
+  * source requires the read side of whatever the registry hands back.
+  */
+trait KinesisReadClient extends Serializable {
+  def listShards(): Seq[String]
+  /** `afterSequence` None → TRIM_HORIZON (oldest available); Some(seq) →
+    * AFTER_SEQUENCE_NUMBER. None result = shard closed and expired.
+    */
+  def getShardIterator(
+      shardId: String, afterSequence: Option[String]): Option[String]
+  def getRecords(iterator: String, limit: Int): GetRecordsPage
+}
+
+/** In-memory Kinesis stream implementing BOTH seams — the round-trip
+  * fixture: records written through [[KinesisClient.putRecords]] land in
+  * `nShards` shards (partition-key hash, every put acknowledged) with
+  * monotonically increasing zero-padded sequence numbers, and are served
+  * back through the [[KinesisReadClient]] API with iterators encoded as
+  * (shard, index) cursors. Thread-safe: the DSv2 sink writes from task
+  * threads while the source's driver probe reads.
+  */
+final class FakeKinesisStream(nShards: Int = 2) extends KinesisClient
+    with KinesisReadClient {
+  private val lock = new Object
+  private val shards: Vector[mutable.ArrayBuffer[ReadRecord]] =
+    Vector.fill(nShards)(mutable.ArrayBuffer[ReadRecord]())
+  private var seq = 0L
+
+  private def shardIdx(partitionKey: String): Int =
+    math.floorMod(partitionKey.hashCode, nShards)
+
+  override def putRecords(records: Seq[KinesisRecord]): PutRecordsResult =
+    lock.synchronized {
+      records.foreach { r =>
+        seq += 1
+        shards(shardIdx(r.partitionKey)) +=
+          ReadRecord(f"$seq%020d", r.partitionKey, r.data, arrivalEpochMs = seq)
+      }
+      PutRecordsResult(None, Seq.fill(records.size)(RecordResult()))
+    }
+
+  override def listShards(): Seq[String] =
+    (0 until nShards).map(i => f"shardId-$i%012d")
+
+  override def getShardIterator(
+      shardId: String, afterSequence: Option[String]): Option[String] =
+    lock.synchronized {
+      val idx = shardOf(shardId)
+      val from = afterSequence match {
+        case None => 0
+        case Some(s) =>
+          val i = shards(idx).indexWhere(_.sequenceNumber == s)
+          require(i >= 0, s"unknown sequence number $s in $shardId")
+          i + 1
+      }
+      Some(s"$shardId:$from")
+    }
+
+  override def getRecords(iterator: String, limit: Int): GetRecordsPage =
+    lock.synchronized {
+      val sep = iterator.lastIndexOf(':')
+      val idx = shardOf(iterator.substring(0, sep))
+      val from = iterator.substring(sep + 1).toInt
+      val buf = shards(idx)
+      val page = buf.slice(from, from + math.max(1, limit)).toSeq
+      GetRecordsPage(page,
+        nextIterator = Some(s"${iterator.substring(0, sep)}:${from + page.size}"),
+        millisBehindLatest = (buf.size - from - page.size).toLong.max(0))
+    }
+
+  private def shardOf(shardId: String): Int =
+    shardId.substring(shardId.lastIndexOf('-') + 1).toInt
+
+  /** Test helper: total records currently stored, per shard. */
+  def shardSizes: Seq[Int] = lock.synchronized(shards.map(_.size))
+}
+
 /** In-memory fake with a scripted response sequence (FIXTURES.md §A.3).
   * Responses are consumed one per call; when the script is exhausted every
   * call succeeds. Thread-confined (one per partition task / test).

@@ -1,0 +1,309 @@
+package graft.sources
+
+import java.util
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{BinaryType, StringType, StructField, StructType, TimestampType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.pipeline.KinesisReadClient
+
+/** Kinesis READ path as a DSv2 micro-batch source — completes the
+  * "Kinesis source/sink" pair (the write sink is
+  * [[KinesisTableProvider]]; the reference only ever calls PutRecords,
+  * kinesis.go:450-460, so this is capability-completion, not parity).
+  * Built from the same parts as the sink: the injectable
+  * [[graft.pipeline.KinesisReadClient]] seam over the SigV4-signed
+  * transport (production = AwsKinesisClient, tests = FakeKinesisStream),
+  * looked up by name in [[KinesisClientRegistry]].
+  *
+  * Offsets are a JSON map shardId → last-consumed sequence number
+  * (TailSource's per-file byte-offset map, with opaque ordered strings
+  * in place of byte counts): restart-safe, exactly-once per micro-batch,
+  * because a (shard, afterSeq, untilSeq] range is immutable in Kinesis
+  * and can be replayed deterministically.
+  *
+  * Per trigger the DRIVER probes each shard (GetShardIterator +
+  * GetRecords up to the admission caps) to learn the batch-end sequence
+  * numbers — Kinesis has no "what is the latest offset" API, so
+  * admission has to read. Executors then re-read their (shard, range)
+  * through the same client. The double read is the price of the DSv2
+  * offset contract (offsets must be known BEFORE tasks run); it is
+  * bounded by the per-trigger caps, and at production scale the knobs
+  * that matter are shard count × `maxRecordsPerShardPerTrigger` —
+  * per-shard ranges fan out one task per shard, the Kinesis parallelism
+  * unit, so a 1000-shard stream reads on 1000 executor slots.
+  *
+  * Resharding is deferred (documented): shards are re-listed every
+  * trigger, so NEW shards are picked up (from TRIM_HORIZON) and closed
+  * shards drain to their end, but parent-before-child ordering is not
+  * enforced — a split/merge can interleave parent and child records
+  * across one batch boundary.
+  *
+  * Usage:
+  * {{{
+  *   spark.readStream.format("graft-kinesis-source")
+  *     .option("client", "myStream")       // KinesisClientRegistry name
+  *     .option("maxRecordsPerShardPerTrigger", "1000")
+  *     .load()
+  *   // → shard_id, sequence_number, partition_key, data, arrival_ts
+  * }}}
+  */
+class KinesisSourceProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-kinesis-source"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    KinesisReadSource.Schema
+  override def getTable(
+      schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new KinesisSourceTable(new CaseInsensitiveStringMap(properties))
+}
+
+object KinesisReadSource {
+  val Schema: StructType = StructType(Seq(
+    StructField("shard_id", StringType, nullable = false),
+    StructField("sequence_number", StringType, nullable = false),
+    StructField("partition_key", StringType, nullable = false),
+    StructField("data", BinaryType, nullable = false),
+    StructField("arrival_ts", TimestampType, nullable = false)))
+
+  /** Resolve the registry entry and require its read side. */
+  def readClient(name: String): KinesisReadClient =
+    KinesisClientRegistry.factory(name)() match {
+      case r: KinesisReadClient => r
+      case other => throw new IllegalArgumentException(
+        s"client '$name' (${other.getClass.getName}) does not implement " +
+          "KinesisReadClient — register an AwsKinesisClient or FakeKinesisStream")
+    }
+}
+
+private[sources] class KinesisSourceTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  override def name(): String =
+    s"graft-kinesis-source(${options.getOrDefault("client", "")})"
+  override def schema(): StructType = KinesisReadSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    () => new KinesisSourceScan(options)
+}
+
+private[sources] class KinesisSourceScan(options: CaseInsensitiveStringMap)
+    extends Scan {
+  override def readSchema(): StructType = KinesisReadSource.Schema
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new KinesisSourceMicroBatchStream(
+      clientName = Option(options.get("client")).getOrElse(
+        throw new IllegalArgumentException(
+          "graft-kinesis-source requires option 'client'")),
+      maxRecordsPerShardPerTrigger = options.getOrDefault(
+        "maxRecordsPerShardPerTrigger", "10000").toInt,
+      pageLimit = options.getOrDefault("pageLimit", "1000").toInt)
+}
+
+/** Offset = map(shardId → last-consumed sequence number). Same
+  * hand-rolled flat-JSON shape as TailOffset, with STRING values
+  * (sequence numbers are opaque ordered strings, not counts).
+  */
+case class KinesisSourceOffset(seqs: Map[String, String]) extends Offset {
+  override def json(): String =
+    seqs.toSeq.sortBy(_._1).map { case (k, v) =>
+      "\"" + TailOffset.escape(k) + "\":\"" + TailOffset.escape(v) + "\""
+    }.mkString("{", ",", "}")
+}
+
+object KinesisSourceOffset {
+  /** Parse the flat {"shard":"seq",...} shape written by json(). */
+  def fromJson(json: String): KinesisSourceOffset = {
+    val m = mutable.Map[String, String]()
+    var i = 0
+    def expect(c: Char): Unit = {
+      assert(json(i) == c, s"bad offset json at $i"); i += 1
+    }
+    def skipWs(): Unit =
+      while (i < json.length && json(i).isWhitespace) i += 1
+    def str(): String = {
+      expect('"')
+      val sb = new StringBuilder
+      while (json(i) != '"') {
+        if (json(i) == '\\') {
+          i += 1
+          json(i) match {
+            case 'u' =>
+              sb += Integer.parseInt(json.substring(i + 1, i + 5), 16).toChar
+              i += 4
+            case c => sb += c
+          }
+        } else sb += json(i)
+        i += 1
+      }
+      i += 1
+      sb.toString
+    }
+    skipWs(); expect('{'); skipWs()
+    if (i < json.length && json(i) == '}') return KinesisSourceOffset(m.toMap)
+    var more = true
+    while (more) {
+      skipWs(); val k = str(); skipWs(); expect(':'); skipWs()
+      m += (k -> str()); skipWs()
+      if (i < json.length && json(i) == ',') i += 1 else more = false
+    }
+    expect('}')
+    KinesisSourceOffset(m.toMap)
+  }
+}
+
+private[sources] class KinesisSourceMicroBatchStream(
+    clientName: String, maxRecordsPerShardPerTrigger: Int, pageLimit: Int)
+    extends MicroBatchStream with SupportsAdmissionControl {
+
+  private lazy val client = KinesisReadSource.readClient(clientName)
+
+  override def initialOffset(): Offset = KinesisSourceOffset(Map.empty)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called (SupportsAdmissionControl)")
+
+  /** Admission probe: walk each shard from its committed sequence number
+    * up to the caps; the sequence number of the last record seen becomes
+    * the shard's batch-end offset. An empty page ends the shard's probe
+    * for this trigger (Kinesis can return empty pages mid-stream while
+    * the iterator ages through gaps — the next trigger continues).
+    * Committed entries for shards that vanished from the listing (closed
+    * and expired) are carried forward unchanged, so a replayed listing
+    * hiccup never resets progress.
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val committed = start.asInstanceOf[KinesisSourceOffset].seqs
+    var rowBudget = Long.MaxValue
+    def absorb(l: ReadLimit): Unit = l match {
+      case r: ReadMaxRows => rowBudget = math.min(rowBudget, r.maxRows())
+      case c: CompositeReadLimit => c.getReadLimits.foreach(absorb)
+      case _ => ()
+    }
+    absorb(limit)
+    val out = mutable.Map[String, String]() ++ committed
+    client.listShards().foreach { shard =>
+      var last: String = null
+      var taken = 0
+      var it = client.getShardIterator(shard, committed.get(shard))
+      var open = it.isDefined
+      while (open && taken < maxRecordsPerShardPerTrigger && rowBudget > 0) {
+        val want = math.min(pageLimit.toLong,
+          math.min((maxRecordsPerShardPerTrigger - taken).toLong, rowBudget)).toInt
+        val page = client.getRecords(it.get, want)
+        if (page.records.isEmpty) open = false
+        else {
+          last = page.records.last.sequenceNumber
+          taken += page.records.size
+          rowBudget -= page.records.size
+          page.nextIterator match {
+            case Some(n) => it = Some(n)
+            case None => open = false // shard closed and drained
+          }
+        }
+      }
+      if (last != null) out(shard) = last
+    }
+    KinesisSourceOffset(out.toMap)
+  }
+
+  override def deserializeOffset(json: String): Offset =
+    KinesisSourceOffset.fromJson(json)
+
+  override def planInputPartitions(
+      start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[KinesisSourceOffset].seqs
+    val e = end.asInstanceOf[KinesisSourceOffset].seqs
+    e.flatMap { case (shard, untilSeq) =>
+      val after = s.get(shard)
+      if (after.contains(untilSeq)) None // no progress on this shard
+      else Some(KinesisInputPartition(clientName, shard, after, untilSeq))
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    (partition: InputPartition) => {
+      val p = partition.asInstanceOf[KinesisInputPartition]
+      new KinesisPartitionReader(p.clientName, p.shardId, p.afterSeq, p.untilSeq)
+    }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+private[sources] case class KinesisInputPartition(
+    clientName: String, shardId: String, afterSeq: Option[String],
+    untilSeq: String) extends InputPartition
+
+/** Replays one shard's (afterSeq, untilSeq] range — deterministic
+  * because a committed Kinesis range is immutable. Emits records in
+  * shard order INCLUSIVE of untilSeq, then stops; failing to reach
+  * untilSeq (expired range) throws, failing the task so the engine's
+  * retry surfaces the data loss instead of silently committing short.
+  */
+private[sources] class KinesisPartitionReader(
+    clientName: String, shardId: String, afterSeq: Option[String],
+    untilSeq: String)
+    extends PartitionReader[InternalRow] {
+
+  private lazy val client = KinesisReadSource.readClient(clientName)
+  private val shardUtf8 = UTF8String.fromString(shardId)
+  private var it: Option[String] = null
+  private var page: Iterator[graft.pipeline.ReadRecord] = Iterator.empty
+  private var current: graft.pipeline.ReadRecord = _
+  private var done = false
+
+  override def next(): Boolean = {
+    if (done) return false
+    if (it == null) it = client.getShardIterator(shardId, afterSeq)
+    while (!page.hasNext) {
+      it match {
+        case Some(cursor) =>
+          val p = client.getRecords(cursor, 1000)
+          if (p.records.isEmpty && p.nextIterator.isEmpty)
+            throw new java.io.IOException(
+              s"$shardId: range ended before sequence $untilSeq (expired?)")
+          if (p.records.isEmpty && p.nextIterator == it)
+            // an idle open shard cannot make progress toward untilSeq —
+            // only possible if untilSeq expired out of range
+            throw new java.io.IOException(
+              s"$shardId: no progress toward sequence $untilSeq")
+          page = p.records.iterator
+          it = p.nextIterator
+        case None =>
+          throw new java.io.IOException(
+            s"$shardId: shard iterator expired before sequence $untilSeq")
+      }
+    }
+    current = page.next()
+    if (current.sequenceNumber == untilSeq) done = true
+    else if (BigInt(current.sequenceNumber) > BigInt(untilSeq))
+      // sequence numbers are numeric strings; sailing past untilSeq means
+      // the committed end expired out of the retention window — surface
+      // the loss, never commit short
+      throw new java.io.IOException(
+        s"$shardId: passed sequence $untilSeq without seeing it (expired?)")
+    true
+  }
+
+  override def get(): InternalRow =
+    InternalRow(
+      shardUtf8,
+      UTF8String.fromString(current.sequenceNumber),
+      UTF8String.fromString(current.partitionKey),
+      current.data,
+      current.arrivalEpochMs * 1000L) // TimestampType = micros
+
+  override def close(): Unit = ()
+}

@@ -1,0 +1,168 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.time.Instant
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.{AwsKinesisClient, CredentialsProvider, FakeKinesisStream, SigV4}
+import graft.sources.{KinesisClientRegistry, KinesisSourceOffset}
+
+/** The Kinesis READ path (VERDICT r4 item #4): offset codec, the signed
+  * wire shapes of the three read calls through a scripted transport, and
+  * the full DSv2 round trip — records written through the graft-kinesis
+  * SINK come back through the graft-kinesis-source SOURCE exactly once,
+  * in per-shard order, across multiple capped micro-batches.
+  */
+class KinesisSourceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  // ---------------------------------------------------------------- offsets
+
+  test("offset json round-trips, including escapes and empty maps") {
+    val o = KinesisSourceOffset(Map(
+      "shardId-000000000000" -> "49590338271490256608559692538361571095921575989136588898",
+      "we\"ird\\shard" -> "123"))
+    assert(KinesisSourceOffset.fromJson(o.json()) == o)
+    val empty = KinesisSourceOffset(Map.empty)
+    assert(empty.json() == "{}")
+    assert(KinesisSourceOffset.fromJson("{}") == empty)
+  }
+
+  // ------------------------------------------------------------ wire shapes
+
+  private def scripted(
+      responses: Seq[(Int, String)]): (AwsKinesisClient,
+      scala.collection.mutable.ArrayBuffer[(String, Map[String, String], String)]) = {
+    val calls =
+      scala.collection.mutable.ArrayBuffer[(String, Map[String, String], String)]()
+    val it = Iterator(responses: _*)
+    val client = new AwsKinesisClient(
+      streamName = "logs", region = "us-east-1",
+      creds = CredentialsProvider.Static(
+        SigV4.Credentials("AKIDEXAMPLE", "secret", None)),
+      transport = (url, headers, body) => {
+        calls += ((url, headers, new String(body, UTF_8)))
+        it.next()
+      },
+      now = () => Instant.parse("2026-01-01T00:00:00Z"))
+    (client, calls)
+  }
+
+  test("listShards follows NextToken pagination and signs each call") {
+    val (client, calls) = scripted(Seq(
+      (200, """{"Shards":[{"ShardId":"shardId-000000000000"}],"NextToken":"t1"}"""),
+      (200, """{"Shards":[{"ShardId":"shardId-000000000001"}]}""")))
+    assert(client.listShards() ==
+      Seq("shardId-000000000000", "shardId-000000000001"))
+    assert(calls.size == 2)
+    assert(calls(0)._2("x-amz-target") == "Kinesis_20131202.ListShards")
+    assert(calls(0)._3 == """{"StreamName":"logs"}""")
+    // NextToken requests must not repeat StreamName (public API rule)
+    assert(calls(1)._3 == """{"NextToken":"t1"}""")
+    assert(calls.forall(_._2.contains("Authorization")),
+      "every control call must be SigV4-signed")
+  }
+
+  test("getShardIterator sends TRIM_HORIZON or AFTER_SEQUENCE_NUMBER") {
+    val (client, calls) = scripted(Seq(
+      (200, """{"ShardIterator":"it-0"}"""),
+      (200, """{"ShardIterator":"it-1"}""")))
+    assert(client.getShardIterator("shardId-000000000000", None) == Some("it-0"))
+    assert(calls(0)._3.contains(""""ShardIteratorType":"TRIM_HORIZON""""))
+    assert(!calls(0)._3.contains("StartingSequenceNumber"))
+    assert(client.getShardIterator("shardId-000000000000", Some("42")) == Some("it-1"))
+    assert(calls(1)._3.contains(""""ShardIteratorType":"AFTER_SEQUENCE_NUMBER""""))
+    assert(calls(1)._3.contains(""""StartingSequenceNumber":"42""""))
+    assert(calls(1)._2("x-amz-target") == "Kinesis_20131202.GetShardIterator")
+  }
+
+  test("getRecords decodes data, arrival time, and the continuation iterator") {
+    val b64 = java.util.Base64.getEncoder.encodeToString("payload".getBytes(UTF_8))
+    val (client, calls) = scripted(Seq((200,
+      s"""{"Records":[{"SequenceNumber":"7","PartitionKey":"pk",""" +
+        s""""Data":"$b64","ApproximateArrivalTimestamp":1.7E9}],""" +
+        s""""NextShardIterator":"it-next","MillisBehindLatest":250}""")))
+    val page = client.getRecords("it-0", 500)
+    assert(calls(0)._2("x-amz-target") == "Kinesis_20131202.GetRecords")
+    assert(calls(0)._3 == """{"ShardIterator":"it-0","Limit":500}""")
+    assert(page.records.size == 1)
+    val r = page.records.head
+    assert(r.sequenceNumber == "7" && r.partitionKey == "pk")
+    assert(new String(r.data, UTF_8) == "payload")
+    assert(r.arrivalEpochMs == 1700000000000L)
+    assert(page.nextIterator == Some("it-next"))
+    assert(page.millisBehindLatest == 250L)
+  }
+
+  test("a service error surfaces as IOException with the error __type") {
+    val (client, _) = scripted(Seq(
+      (400, """{"__type":"ExpiredIteratorException","message":"too old"}""")))
+    val e = intercept[java.io.IOException](client.getRecords("stale", 10))
+    assert(e.getMessage.contains("ExpiredIteratorException"))
+  }
+
+  // -------------------------------------------------------------- round trip
+
+  test("round trip: sink-written records come back exactly once, in shard order") {
+    implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val s = spark
+    import s.implicits._
+
+    val stream = new FakeKinesisStream(nShards = 2)
+    KinesisClientRegistry.register("rt-stream", () => stream)
+
+    // phase 1: write through the graft-kinesis SINK
+    val in = MemoryStream[(Array[Byte], String)]
+    val wCkpt = java.nio.file.Files.createTempDirectory("graft-krt-w").toString
+    val wq = in.toDF().toDF("data", "partition_key")
+      .writeStream.format("graft-kinesis")
+      .option("client", "rt-stream")
+      .option("checkpointLocation", wCkpt)
+      .start()
+    val sentKeys = (1 to 25).map(i => (s"payload-$i".getBytes(UTF_8), s"key-$i"))
+    try {
+      in.addData(sentKeys.take(10): _*)
+      wq.processAllAvailable()
+      in.addData(sentKeys.drop(10): _*)
+      wq.processAllAvailable()
+    } finally wq.stop()
+    assert(stream.shardSizes.sum == 25, s"sink must deliver all: ${stream.shardSizes}")
+
+    // phase 2: read back through the SOURCE, capped to force >1 batch/shard
+    val rCkpt = java.nio.file.Files.createTempDirectory("graft-krt-r").toString
+    val rq = spark.readStream.format("graft-kinesis-source")
+      .option("client", "rt-stream")
+      .option("maxRecordsPerShardPerTrigger", "4")
+      .load()
+      .selectExpr("shard_id", "sequence_number", "partition_key",
+        "CAST(data AS STRING) AS payload")
+      .writeStream.format("memory").queryName("krt_out")
+      .option("checkpointLocation", rCkpt)
+      .start()
+    try {
+      rq.processAllAvailable()
+      // new data arriving AFTER the reader started is picked up too
+      stream.putRecords(Seq(
+        graft.pipeline.KinesisRecord("late".getBytes(UTF_8), "key-late")))
+      rq.processAllAvailable()
+    } finally rq.stop()
+
+    val got = spark.table("krt_out").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(got.length == 26, s"exactly-once: got ${got.length}")
+    assert(got.map(_._4).toSet ==
+      (1 to 25).map(i => s"payload-$i").toSet + "late")
+    // per-shard order: sequence numbers strictly increase in arrival order
+    got.groupBy(_._1).foreach { case (shard, rows) =>
+      val seqs = rows.map(_._2).toSeq
+      assert(seqs == seqs.sorted,
+        s"$shard emitted out of order: $seqs")
+      assert(seqs.distinct.size == seqs.size, s"$shard duplicated a sequence")
+    }
+    // the 4-per-shard-per-trigger cap forced multiple micro-batches
+    assert(rq.recentProgress.count(_.numInputRows > 0) >= 2,
+      "capped admission must spread the backlog over several batches")
+  }
+}
