@@ -20,7 +20,8 @@ object SparkEntry {
       operators.PipelineOps.defs ++ operators.Extended.defs ++
       operators.Scale.defs ++ operators.TimeJoins.defs ++
       operators.Sampling.defs ++ operators.Curation.defs ++
-      operators.Layout.defs ++ operators.Entity.defs ++ operators.Graph.defs
+      operators.Layout.defs ++ operators.Entity.defs ++ operators.Graph.defs ++
+      operators.StreamingCatalog.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Uses the 6-way join + grouped aggregation (q08) — exercises scan,

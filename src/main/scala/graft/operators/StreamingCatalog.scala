@@ -1,0 +1,138 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming paths under the DRIVER oracle (VERDICT r4 item #5): the
+  * streaming surface (StreamingOps) was spec-only by design — the
+  * correctness gate runs batch-shaped `queries` entries. These catalog
+  * queries close that gap by running a REAL Structured Streaming
+  * pipeline (MemoryStream source → stateful operator → memory sink)
+  * to completion inside the query function and returning the sink
+  * table, so the driver's DuckDB hash compare certifies a streaming
+  * execution end to end.
+  *
+  * Determinism rules that make a streaming result oracle-comparable:
+  *  - the input is a BOUNDED, deterministic slice of the events table
+  *    (event_id < 2000), replayed in (ts, event_id) order in fixed-size
+  *    micro-batches — arrival order is part of streaming semantics, so
+  *    it must be pinned;
+  *  - event-time logic only (watermark + event-time windows): the
+  *    result is a pure function of (data, arrival order), never of
+  *    wall-clock trigger timing;
+  *  - append-mode windows are CLOSED by a far-future sentinel event
+  *    that advances the watermark past every real window, then filtered
+  *    from the output — so the emitted set is total, not
+  *    timing-dependent;
+  *  - q131 projects the deduplicated stream to its KEY COLUMNS: which
+  *    physical row survives streaming dedup within one micro-batch is
+  *    shuffle-order-dependent, but the surviving key set is exact.
+  *
+  * The driver-side collect of the slice is the MemoryStream feeding
+  * contract (a test-scale replay harness, not a production path — the
+  * production sources are graft-tail / graft-kinesis-source, which
+  * stream partition-local with no driver materialization).
+  */
+object StreamingCatalog {
+
+  def defs: Seq[QueryDef] = Seq(q130, q131)
+
+  private val SliceMax = 2000L
+  private val Sentinel = "zz_sentinel"
+  private val BatchRows = 500
+
+  /** The deterministic replay slice: (ts_us, user_id, event_type) in
+    * (ts, event_id) arrival order.
+    */
+  private def slice(s: SparkSession, d: String): Seq[(Long, Long, String)] =
+    Tables.events(s, d)
+      .filter(col("event_id") < SliceMax)
+      .orderBy(col("ts_ns"), col("event_id"))
+      .select((col("ts_ns") / 1000).cast("long"), col("user_id"),
+        col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSeq
+
+  /** Run `build(stream)` to completion over the slice in BatchRows-sized
+    * micro-batches (+ sentinel), return the memory-sink table.
+    */
+  private def runToCompletion(
+      s: SparkSession, d: String, sinkName: String, outputMode: String)(
+      build: DataFrame => DataFrame): DataFrame = {
+    implicit val sqlc: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    // Spark 4.1's checkpoint file-checksum writer deadlocks stateful
+    // commits under local-mode churn (see TestSpark); checksums add
+    // nothing on the tmp checkpoint this replay uses. Idempotent guard —
+    // same value always written (the Tables.events pattern).
+    if (!s.conf.getOption("spark.sql.streaming.checkpoint.fileChecksum.enabled")
+        .contains("false"))
+      s.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+    val rows = slice(s, d)
+    val maxTs = rows.iterator.map(_._1).max
+    // sentinel: 1 h watermark delay + 20 min past the last real event —
+    // watermark lands > every real 10-min window end, closing them all
+    val sentinelTs = maxTs + (60L + 20L) * 60L * 1000000L
+    val in = MemoryStream[(Long, Long, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sc").toString
+    val events = build(
+      in.toDF().toDF("ts_us", "user_id", "event_type")
+        .withColumn("ts", timestamp_micros(col("ts_us"))))
+    val q = events.writeStream.format("memory").queryName(sinkName)
+      .outputMode(outputMode)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      rows.grouped(BatchRows).foreach { chunk =>
+        in.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+      in.addData((sentinelTs, -1L, Sentinel))
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(sinkName)
+  }
+
+  /** q130: watermarked tumbling-window counts, APPEND mode — the
+    * watermark/state-store path q25 only exercises in batch. Windows on
+    * the 1e-6 epoch grid (unix_micros of the window start) so the
+    * DuckDB compare needs no timestamp-format negotiation.
+    */
+  val q130: QueryDef = QueryDef.checked(
+    "q130_streaming_window_counts",
+    """SELECT (epoch_ns(ts) // 1000 // 600000000) * 600000000 AS w_start_us,
+      |  event_type, COUNT(*) AS n
+      |FROM events WHERE event_id < 2000
+      |GROUP BY 1, 2 ORDER BY w_start_us, event_type""".stripMargin) { (s, d) =>
+    runToCompletion(s, d, "graft_q130_sink", outputMode = "append") { ev =>
+      ev.withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_micros(col("w.start")).as("w_start_us"),
+          col("event_type"), col("n"))
+    }
+      .filter(col("event_type") =!= Sentinel)
+      .orderBy(col("w_start_us"), col("event_type"))
+  }
+
+  /** q131: streaming deduplication state across micro-batches —
+    * dropDuplicates over (user_id, event_type) with the surviving rows
+    * projected to their keys (see determinism rules above). The oracle
+    * is the exact distinct key set.
+    */
+  val q131: QueryDef = QueryDef.checked(
+    "q131_streaming_dedup_keys",
+    """SELECT DISTINCT user_id, event_type
+      |FROM events WHERE event_id < 2000
+      |ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+    runToCompletion(s, d, "graft_q131_sink", outputMode = "append") { ev =>
+      ev.dropDuplicates("user_id", "event_type")
+        .select(col("user_id"), col("event_type"))
+    }
+      .filter(col("event_type") =!= Sentinel)
+      .orderBy(col("user_id"), col("event_type"))
+  }
+}
