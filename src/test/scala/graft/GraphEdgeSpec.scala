@@ -80,6 +80,55 @@ class GraphEdgeSpec extends AnyFunSuite {
       "neighborOverlap(release = true) must unpersist the edge frame")
   }
 
+  test("kCore: equals a sequential peeling reference on random graphs") {
+    val s = spark
+    import s.implicits._
+    /** Textbook sequential peeling: recompute degrees, drop < k, repeat. */
+    def reference(edges: Set[(Long, Long)], k: Long): Map[Long, Long] = {
+      var cur = edges
+      var changed = true
+      while (changed) {
+        val deg = cur.groupBy(_._1).map { case (n, es) => n -> es.size.toLong }
+        val keep = deg.filter(_._2 >= k).keySet
+        val next = cur.filter(e => keep(e._1) && keep(e._2))
+        changed = next != cur
+        cur = next
+      }
+      cur.groupBy(_._1).map { case (n, es) => n -> es.size.toLong }
+    }
+    val rnd = new scala.util.Random(17)
+    for (trial <- 0 until 3) {
+      val half = (0 until 300)
+        .map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter(p => p._1 != p._2).distinct
+      val sym = (half ++ half.map(p => (p._2, p._1))).toSet
+      val df = sym.toSeq.toDF("src", "dst")
+      val k = 2L + trial
+      val got = graft.operators.Graph.kCore(df, k)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == reference(sym, k), s"trial $trial k=$k")
+    }
+  }
+
+  test("kCore: recovers a planted clique core under a tree fringe") {
+    val s = spark
+    import s.implicits._
+    // 5-clique (each node degree 4) + a 3-level chain hanging off node 0:
+    // chain nodes peel layer by layer at k=2; the clique survives at k<=4
+    val clique = for {
+      a <- 0L until 5L; b <- 0L until 5L if a != b
+    } yield (a, b)
+    val chain = Seq((0L, 10L), (10L, 0L), (10L, 11L), (11L, 10L),
+      (11L, 12L), (12L, 11L))
+    val df = (clique ++ chain).toDF("src", "dst")
+    val core3 = graft.operators.Graph.kCore(df, 3L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core3 == (0L until 5L).map(_ -> 4L).toMap,
+      s"k=3 must peel the whole chain and keep the exact clique: $core3")
+    val core5 = graft.operators.Graph.kCore(df, 5L).collect()
+    assert(core5.isEmpty, "no 5-core exists in a 5-clique")
+  }
+
   test("release=true results match release=false results") {
     val s = spark
     import s.implicits._
