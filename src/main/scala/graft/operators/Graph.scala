@@ -25,7 +25,7 @@ import org.apache.spark.storage.StorageLevel
   */
 object Graph {
 
-  def defs: Seq[QueryDef] = Seq(q110, q126, q127, q128, q129, q132)
+  def defs: Seq[QueryDef] = Seq(q110, q126, q127, q128, q129, q132, q133)
 
   /** Materialize-and-release helper for the cache contract above. */
   private def finish(out: DataFrame, release: Boolean,
@@ -136,6 +136,78 @@ object Graph {
       concat(lit("s:"), col("sk").cast("string")).as("src"),
       concat(lit("c:"), col("c").cast("string")).as("dst"))
     pageRank(fwd.unionByName(rev), iterations = 3)
+      .orderBy(col("node"))
+  }
+
+  /** [[pageRank]] over a BUCKETED loop-invariant edge frame — the
+    * `Graph.scala` 100 TB claim ("bucket BOTH edge endpoints so the
+    * per-round join reuses a co-located layout") made real and
+    * checkable: the (src, dst, outdeg) frame is written ONCE bucketed
+    * on `src` (q80's layout lever), and every iteration's edges⋈ranks
+    * join + the rank-init scan then satisfy their `src` distribution
+    * straight off disk — the ONLY hash exchanges left per round are the
+    * rank side and the dst roll-up (BucketingSpec pins the exchange
+    * count and that the scans report `Bucketed: true`). Contrast the
+    * in-memory variant, which persists the shuffled frame: at 100 TB
+    * the bucketed layout holds the invariant on DISK across rounds
+    * (and across jobs — reruns skip the build), instead of in
+    * executor memory.
+    *
+    * Identical integer-grid arithmetic to [[pageRank]] → bit-identical
+    * ranks (q133 shares q110's oracle).
+    */
+  def pageRankBucketed(edges0: DataFrame, numBuckets: Int, table: String,
+      path: String, iterations: Int = 3): DataFrame = {
+    val s = edges0.sparkSession
+    val edges = edges0.select(col("src"), col("dst")).distinct()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    Layout.bucketedWrite(edges.join(deg, "src"), "src", numBuckets,
+      table, path)
+    val withDeg = s.table(table) // (src, dst, outdeg), bucketed on src
+    val nFrame = withDeg.select(col("src")).distinct()
+      .agg(count(lit(1)).as("n_nodes"))
+    var rank = withDeg.select(col("src")).distinct()
+      .crossJoin(broadcast(nFrame))
+      .selectExpr("src AS node", "CAST(1000000000 div n_nodes AS LONG) AS r")
+    for (_ <- 1 to iterations) {
+      rank = withDeg.join(rank, withDeg("src") === rank("node"))
+        .selectExpr("dst", "r div outdeg AS contrib")
+        .groupBy(col("dst")).agg(sum(col("contrib")).as("s"))
+        .crossJoin(broadcast(nFrame))
+        .selectExpr("dst AS node",
+          "CAST(150000000 div n_nodes + (85 * s) div 100 AS LONG) AS r")
+    }
+    rank
+  }
+
+  // unique per-invocation table names (the q80 discipline: bench/verify
+  // re-run query fns in one session)
+  private val prBucketSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** q133: q110's PageRank over the bucketed edge layout — same graph,
+    * same oracle SQL, bit-identical ranks; what changes is the PLAN
+    * (per-round edges side served from the bucketed scan with no
+    * exchange). The bucketed-table write is part of the measured query,
+    * the honest cost of the layout (same accounting as q78's index
+    * build).
+    */
+  val q133: QueryDef = QueryDef.checked("q133_pagerank_bucketed",
+    q110.oracle.get) { (s, d) =>
+    val pairs = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
+      .distinct()
+    val fwd = pairs.select(
+      concat(lit("c:"), col("c").cast("string")).as("src"),
+      concat(lit("s:"), col("sk").cast("string")).as("dst"))
+    val rev = pairs.select(
+      concat(lit("s:"), col("sk").cast("string")).as("src"),
+      concat(lit("c:"), col("c").cast("string")).as("dst"))
+    val n = prBucketSeq.incrementAndGet()
+    val root = java.nio.file.Files
+      .createTempDirectory(Exact.fmtRoot, "prbkt_").toAbsolutePath.toString
+    pageRankBucketed(fwd.unionByName(rev), numBuckets = 8,
+      table = s"graft_pr_bk_$n", path = s"$root/edges", iterations = 3)
       .orderBy(col("node"))
   }
 

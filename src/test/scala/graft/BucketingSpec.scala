@@ -51,6 +51,37 @@ class BucketingSpec extends AnyFunSuite {
       "bucketed and plain join results must be identical multisets")
   }
 
+  test("bucketed pagerank: per-round edge side is exchange-free off the layout") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("q133_pagerank_bucketed")(spark, sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"),
+        s"every iteration's edge scan must come off the bucketed layout:\n$plan")
+      // 3 iterations: each may shuffle the RANK side into the join and the
+      // dst roll-up — but NEVER the edges side. With the init scan's
+      // distinct also served by the layout, hash exchanges are bounded by
+      // 2 per iteration (the single-partition count exchange for n_nodes
+      // and the 1-row broadcasts are not hash shuffles).
+      // the AQE string prints Final AND Initial plans — count the final only
+      val finalPlan = plan.split("== Initial Plan ==").head
+      val hashExchanges =
+        "Exchange hashpartitioning".r.findAllIn(finalPlan).size
+      assert(hashExchanges <= 6,
+        s"expected ≤ 2 hash exchanges per iteration (rank side + dst agg), " +
+          s"got $hashExchanges:\n$plan")
+      // and the layout result is bit-identical to the in-memory variant
+      val classic = SparkEntry.queries("q110_pagerank")(spark, sf)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      spark.catalog.clearCache()
+      val bucketed = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(bucketed == classic,
+        "bucketed and persisted pagerank must produce identical ranks")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("bucketed writer lays out exactly one file per bucket") {
     val n = Tables.orders(spark, sf).filter(col("o_orderkey") < 5000)
       .select(col("o_orderkey"), col("o_custkey"))
