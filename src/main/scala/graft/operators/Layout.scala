@@ -21,7 +21,63 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
-  def defs: Seq[QueryDef] = Seq(q73, q79, q80, q89)
+  def defs: Seq[QueryDef] = Seq(q73, q79, q80, q89, q134)
+
+  /** Small-file compaction PLANNER — layout maintenance for the
+    * partitioned/bucketed layouts this file writes: given per-file
+    * metadata (dir, path, bytes), assign files to merge groups of
+    * ~`targetBytes` each so a compactor can rewrite each group as one
+    * file. Grouping is the q66 running-sum discipline applied to
+    * layout: within each partition DIRECTORY (compaction never merges
+    * across partitions), files in path order get
+    * group = prefix-bytes div target — contiguous, deterministic, and
+    * every group's size is bounded by target + its largest file (the
+    * first-fit bound). One keyed window per directory — file METADATA
+    * is millions of rows at 100 TB, and the shuffle key is the
+    * directory, so no global single-partition sort ever appears (the
+    * q111 discipline).
+    *
+    * Planner only: executing the plan is a per-group
+    * `read.parquet(paths).coalesce(1).write` loop, deliberately left to
+    * the caller (table-format transactionality is out of scope).
+    */
+  def compactionPlan(files: DataFrame, targetBytes: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("dir")).orderBy(col("path"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    files
+      .withColumn("cum_before",
+        coalesce(sum(col("bytes")).over(w), lit(0L)))
+      .withColumn("grp", expr(s"cum_before div ${targetBytes}L"))
+      .select(col("dir"), col("path"), col("bytes"), col("grp"))
+  }
+
+  /** q134: compaction plan over a deterministic synthetic file
+    * inventory derived from the orders table (dir = order priority,
+    * 40 "files" per dir, bytes = 100·rowcount) — DuckDB replays the
+    * same inventory and window arithmetic, so the plan is
+    * hash-checked. In production the input frame comes from a real
+    * filesystem/table listing; the planner is the same.
+    */
+  val q134: QueryDef = QueryDef.checked(
+    "q134_compaction_plan",
+    """WITH files AS (
+      |  SELECT o_orderpriority AS dir,
+      |    'f' || CAST(o_orderkey % 40 AS VARCHAR) AS path,
+      |    COUNT(*) * 100 AS bytes
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT dir, path, CAST(bytes AS BIGINT) AS bytes,
+      |  CAST(COALESCE(SUM(bytes) OVER (PARTITION BY dir ORDER BY path
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 25000
+      |    AS BIGINT) AS grp
+      |FROM files ORDER BY dir, path""".stripMargin) { (s, d) =>
+    val files = Tables.orders(s, d)
+      .groupBy(col("o_orderpriority").as("dir"),
+        concat(lit("f"), (col("o_orderkey") % 40).cast("string")).as("path"))
+      .agg((count(lit(1)) * 100).as("bytes"))
+    compactionPlan(files, targetBytes = 25000L)
+      .orderBy(col("dir"), col("path"))
+  }
 
   /** Hive-style partitioned layout: one directory per `partCol` value.
     * The third leg of the layout family (z-order/Hilbert cluster WITHIN

@@ -154,4 +154,31 @@ class StorageLayoutSpec extends AnyFunSuite {
     }
     cleanup()
   }
+
+  test("compactionPlan: contiguous groups, first-fit size bound, dirs never mix") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(23)
+    val files = (0 until 200).map { i =>
+      (s"dir${i % 4}", f"part-$i%05d", 1000L + rnd.nextInt(20000))
+    }.toDF("dir", "path", "bytes")
+    val target = 30000L
+    val plan = operators.Layout.compactionPlan(files, target)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // every file present exactly once
+    assert(plan.length == 200)
+    plan.groupBy(p => (p._1, p._4)).foreach { case ((dir, _), group) =>
+      // first-fit bound: group bytes < target + its largest member
+      val bytes = group.map(_._3).sum
+      assert(bytes < target + group.map(_._3).max,
+        s"$dir group overflows the first-fit bound: $bytes")
+      assert(group.forall(_._1 == dir), "groups never span directories")
+    }
+    // groups are contiguous in path order within each dir
+    plan.groupBy(_._1).foreach { case (_, fs) =>
+      val grps = fs.sortBy(_._2).map(_._4)
+      assert(grps.sameElements(grps.sorted), "group ids must be monotone in path order")
+    }
+  }
 }
