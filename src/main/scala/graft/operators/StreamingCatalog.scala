@@ -37,7 +37,7 @@ import org.apache.spark.sql.functions._
   */
 object StreamingCatalog {
 
-  def defs: Seq[QueryDef] = Seq(q130, q131)
+  def defs: Seq[QueryDef] = Seq(q130, q131, q135)
 
   private val SliceMax = 2000L
   private val Sentinel = "zz_sentinel"
@@ -50,8 +50,9 @@ object StreamingCatalog {
     Tables.events(s, d)
       .filter(col("event_id") < SliceMax)
       .orderBy(col("ts_ns"), col("event_id"))
-      .select((col("ts_ns") / 1000).cast("long"), col("user_id"),
-        col("event_type"))
+      // `div`, not `/`: double division rounds at 2^60 magnitudes
+      // (the Tables.events lesson) — ±1 µs here fails the hash compare
+      .select(expr("ts_ns div 1000"), col("user_id"), col("event_type"))
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
       .toSeq
@@ -60,7 +61,8 @@ object StreamingCatalog {
     * micro-batches (+ sentinel), return the memory-sink table.
     */
   private def runToCompletion(
-      s: SparkSession, d: String, sinkName: String, outputMode: String)(
+      s: SparkSession, d: String, sinkName: String, outputMode: String,
+      sentinelLeadMinutes: Long = 80L)(
       build: DataFrame => DataFrame): DataFrame = {
     implicit val sqlc: org.apache.spark.sql.SQLContext = s.sqlContext
     import s.implicits._
@@ -73,9 +75,10 @@ object StreamingCatalog {
       s.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
     val rows = slice(s, d)
     val maxTs = rows.iterator.map(_._1).max
-    // sentinel: 1 h watermark delay + 20 min past the last real event —
-    // watermark lands > every real 10-min window end, closing them all
-    val sentinelTs = maxTs + (60L + 20L) * 60L * 1000000L
+    // sentinel: watermark delay (1 h) + lead past the last real event —
+    // the watermark must land beyond every real window/session END, so
+    // the lead covers the window size (or session gap) with margin
+    val sentinelTs = maxTs + sentinelLeadMinutes * 60L * 1000000L
     val in = MemoryStream[(Long, Long, String)]
     val ckpt = java.nio.file.Files.createTempDirectory("graft-sc").toString
     val events = build(
@@ -123,6 +126,45 @@ object StreamingCatalog {
     * projected to their keys (see determinism rules above). The oracle
     * is the exact distinct key set.
     */
+  /** q135: streaming SESSION windows (30-min gap per user) in append
+    * mode — cross-batch session MERGING state, the q26 semantics under
+    * a real streaming run. The sentinel lead covers watermark delay +
+    * session gap + margin (a session stays open until the watermark
+    * passes its last event + gap, unlike a fixed window's end). Oracle
+    * = q26's gaps-and-islands SQL over the slice.
+    */
+  val q135: QueryDef = QueryDef.checked(
+    "q135_streaming_sessions",
+    """WITH ev AS (
+      |  SELECT user_id, epoch_ns(ts) // 1000 AS ts_us
+      |  FROM events WHERE event_id < 2000),
+      |flagged AS (
+      |  SELECT user_id, ts_us,
+      |    CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+      |              >= 1800000000 THEN 1
+      |         WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) IS NULL THEN 1
+      |         ELSE 0 END AS new_sess
+      |  FROM ev),
+      |sess AS (
+      |  SELECT user_id, ts_us,
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM flagged)
+      |SELECT user_id, MIN(ts_us) AS sess_start_us, COUNT(*) AS n
+      |FROM sess GROUP BY user_id, sid
+      |ORDER BY user_id, sess_start_us""".stripMargin) { (s, d) =>
+    runToCompletion(s, d, "graft_q135_sink", outputMode = "append",
+      sentinelLeadMinutes = 110L) { ev =>
+      ev.withWatermark("ts", "1 hour")
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"), unix_micros(col("w.start")).as("sess_start_us"),
+          col("n"))
+    }
+      .filter(col("user_id") =!= -1L)
+      .orderBy(col("user_id"), col("sess_start_us"))
+  }
+
   val q131: QueryDef = QueryDef.checked(
     "q131_streaming_dedup_keys",
     """SELECT DISTINCT user_id, event_type
