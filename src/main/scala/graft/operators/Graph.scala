@@ -385,6 +385,13 @@ object Graph {
     * makes this shape viable at 10⁹ vectors where the exact join is a
     * wall. Candidate dedup happens BEFORE the cosine filter so each
     * surviving pair pays the fused-codegen cosine exactly once.
+    *
+    * The band explode carries ONLY (vec_id, band, chunk) — never the
+    * vector: at 32 bands per vector, exploding the embedding alongside
+    * would multiply the shuffled bytes by the band count. Vectors
+    * re-join the deduped candidate PAIR list by id (two keyed joins
+    * against the persisted input frame), so each vector crosses the
+    * wire once per pair side, not once per band.
     */
   def cosineEdgesLsh(vectors: DataFrame, threshold: Double, dim: Int = 64,
       bitsPerBand: Int = 2, seeds: Seq[Long] = Seq(42L, 43L),
@@ -392,31 +399,38 @@ object Graph {
     val nBits = 32
     val bandsPerSeed = nBits / bitsPerBand
     val mask = (1L << bitsPerBand) - 1
-    val withSigs = seeds.zipWithIndex.foldLeft(
-        vectors.select(col("vec_id"), col("v"))) { case (acc, (seed, i)) =>
+    val vecs = vectors.select(col("vec_id"), col("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // feeds banding + both
+    // vector re-joins (released per the cache contract / `release`)
+    val withSigs = seeds.zipWithIndex.foldLeft(vecs) { case (acc, (seed, i)) =>
       acc.withColumn(s"sig$i",
         VF.lshSignature(col("v"), dim = dim, nBits = nBits, seed = seed))
     }
     val bandCols = seeds.indices.flatMap(i =>
       (0 until bandsPerSeed).map(j =>
         shiftright(col(s"sig$i"), j * bitsPerBand).bitwiseAND(lit(mask))))
-    // the banded frame feeds both sides of the candidate self-join —
-    // persisted so signatures are computed once (released before return)
-    val banded = withSigs.select(col("vec_id"), col("v"),
+    // persisted: feeds both self-join sides, so the 64 hyperplane
+    // projections per vector run once — and it is SMALL (three scalars
+    // per band-row, no vector column)
+    val banded = withSigs.select(col("vec_id"),
         posexplode(array(bandCols: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val pairs = banded
-      .select(col("band"), col("chunk"), col("vec_id").as("ia"), col("v").as("va"))
-      .join(banded.select(col("band"), col("chunk"),
-        col("vec_id").as("ib"), col("v").as("vb")), Seq("band", "chunk"))
+    val cand = banded
+      .select(col("band"), col("chunk"), col("vec_id").as("ia"))
+      .join(banded.select(col("band"), col("chunk"), col("vec_id").as("ib")),
+        Seq("band", "chunk"))
       .filter(col("ia") < col("ib"))
+      .select(col("ia"), col("ib"))
       .dropDuplicates("ia", "ib")
+    val pairs = cand
+      .join(vecs.select(col("vec_id").as("ia"), col("v").as("va")), "ia")
+      .join(vecs.select(col("vec_id").as("ib"), col("v").as("vb")), "ib")
       .filter(CosineSimilarity.cosineSim(col("va"), col("vb")) >= threshold)
       .select(col("ia"), col("ib"))
     val out = pairs.select(col("ia").as("src"), col("ib").as("dst"))
       .unionByName(pairs.select(col("ib").as("src"), col("ia").as("dst")))
-    finish(out, release, banded)
+    finish(out, release, vecs, banded)
   }
 
   /** Label spreading over a similarity graph built from an embedding
