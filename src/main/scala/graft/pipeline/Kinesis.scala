@@ -69,12 +69,17 @@ trait KinesisReadClient extends Serializable {
 final class FakeKinesisStream(nShards: Int = 2) extends KinesisClient
     with KinesisReadClient {
   private val lock = new Object
-  private val shards: Vector[mutable.ArrayBuffer[ReadRecord]] =
-    Vector.fill(nShards)(mutable.ArrayBuffer[ReadRecord]())
+  private val shards =
+    mutable.ArrayBuffer.fill(nShards)(mutable.ArrayBuffer[ReadRecord]())
+  private val closed = mutable.Set[Int]()
   private var seq = 0L
 
-  private def shardIdx(partitionKey: String): Int =
-    math.floorMod(partitionKey.hashCode, nShards)
+  private def shardIdx(partitionKey: String): Int = lock.synchronized {
+    // writes route only to OPEN shards (Kinesis reassigns hash ranges
+    // on reshard; this fake redistributes by key hash over open shards)
+    val open = shards.indices.filterNot(closed)
+    open(math.floorMod(partitionKey.hashCode, open.size))
+  }
 
   override def putRecords(records: Seq[KinesisRecord]): PutRecordsResult =
     lock.synchronized {
@@ -87,7 +92,7 @@ final class FakeKinesisStream(nShards: Int = 2) extends KinesisClient
     }
 
   override def listShards(): Seq[String] =
-    (0 until nShards).map(i => f"shardId-$i%012d")
+    lock.synchronized(shards.indices.map(i => f"shardId-$i%012d"))
 
   override def getShardIterator(
       shardId: String, afterSequence: Option[String]): Option[String] =
@@ -110,16 +115,45 @@ final class FakeKinesisStream(nShards: Int = 2) extends KinesisClient
       val from = iterator.substring(sep + 1).toInt
       val buf = shards(idx)
       val page = buf.slice(from, from + math.max(1, limit)).toSeq
-      GetRecordsPage(page,
-        nextIterator = Some(s"${iterator.substring(0, sep)}:${from + page.size}"),
-        millisBehindLatest = (buf.size - from - page.size).toLong.max(0))
+      val after = from + page.size
+      // a CLOSED shard whose records are fully consumed ends: no
+      // continuation iterator (the real API's NextShardIterator = null)
+      val next =
+        if (closed(idx) && after >= buf.size) None
+        else Some(s"${iterator.substring(0, sep)}:$after")
+      GetRecordsPage(page, next,
+        millisBehindLatest = (buf.size - after).toLong.max(0))
     }
 
   private def shardOf(shardId: String): Int =
     shardId.substring(shardId.lastIndexOf('-') + 1).toInt
 
   /** Test helper: total records currently stored, per shard. */
-  def shardSizes: Seq[Int] = lock.synchronized(shards.map(_.size))
+  def shardSizes: Seq[Int] = lock.synchronized(shards.map(_.size).toSeq)
+
+  /** Test helper: add a new (empty) shard mid-stream — the reshard
+    * split case the source picks up on its next trigger re-list.
+    */
+  def addShard(): String = lock.synchronized {
+    shards += mutable.ArrayBuffer[ReadRecord]()
+    f"shardId-${shards.size - 1}%012d"
+  }
+
+  /** Test helper: close a shard — no more writes route to it, and its
+    * iterator ends (None) once drained.
+    */
+  def closeShard(shardId: String): Unit =
+    lock.synchronized { closed += shardOf(shardId); () }
+
+  /** Test helper: append a record DIRECTLY to a shard (bypasses the
+    * partition-key hash — for planting data in a specific shard).
+    */
+  def inject(shardId: String, partitionKey: String,
+      data: Array[Byte]): Unit = lock.synchronized {
+    seq += 1
+    shards(shardOf(shardId)) +=
+      ReadRecord(f"$seq%020d", partitionKey, data, arrivalEpochMs = seq)
+  }
 }
 
 /** In-memory fake with a scripted response sequence (FIXTURES.md §A.3).

@@ -103,6 +103,43 @@ class KinesisSourceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("ExpiredIteratorException"))
   }
 
+  test("a shard added mid-stream is picked up; a closed shard drains cleanly") {
+    implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = new FakeKinesisStream(nShards = 1)
+    KinesisClientRegistry.register("reshard-stream", () => stream)
+    stream.inject("shardId-000000000000", "k0", "before".getBytes(UTF_8))
+
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-krs").toString
+    val q = spark.readStream.format("graft-kinesis-source")
+      .option("client", "reshard-stream")
+      .load()
+      .selectExpr("shard_id", "CAST(data AS STRING) AS payload")
+      .writeStream.format("memory").queryName("krs_out")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      q.processAllAvailable()
+      // reshard: a new shard appears and receives records; the old shard
+      // closes after one final record and must drain to its end
+      val newShard = stream.addShard()
+      stream.inject(newShard, "k1", "child-1".getBytes(UTF_8))
+      stream.inject("shardId-000000000000", "k0", "parent-last".getBytes(UTF_8))
+      stream.closeShard("shardId-000000000000")
+      q.processAllAvailable()
+      stream.inject(newShard, "k1", "child-2".getBytes(UTF_8))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("krs_out").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(
+      ("shardId-000000000000", "before"),
+      ("shardId-000000000000", "parent-last"),
+      ("shardId-000000000001", "child-1"),
+      ("shardId-000000000001", "child-2")),
+      s"new shard picked up, closed shard drained exactly once: $got")
+  }
+
   // -------------------------------------------------------------- round trip
 
   test("round trip: sink-written records come back exactly once, in shard order") {
