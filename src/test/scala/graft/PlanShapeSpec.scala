@@ -187,6 +187,12 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected a hash/sort-merge join on (band, chunk):\n$plan")
   }
 
+  test("q134 compaction plan windows per directory, never a single partition") {
+    val plan = executedPlan("q134_compaction_plan")
+    assert(!plan.split("== Initial Plan ==").head.contains("Exchange SinglePartition"),
+      s"the per-dir running sum must shuffle on dir, not collapse to one partition:\n$plan")
+  }
+
   test("q111 weighted sample is TakeOrdered, never a global sort") {
     val plan = executedPlan("q111_weighted_sample")
     assert(plan.contains("TakeOrderedAndProject"),
