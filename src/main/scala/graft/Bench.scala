@@ -91,9 +91,18 @@ object Bench {
     // self-describes the scheme) at 2-decimal precision, plus totals.
     // The full-name min/median/load1m maps go to stderr for auditing —
     // min measures the code; median ≫ min flags host contention.
+    // collision guard: duplicate short keys would silently drop a
+    // query's time in any JSON parser (last entry wins) — colliding
+    // names fall back to their full name instead
+    val prefixCounts = results.groupBy(_._1.split("_").head)
+      .map { case (p, rs) => p -> rs.size }
+    def qkey(name: String): String = {
+      val p = name.split("_").head
+      if (prefixCounts(p) == 1) p else name
+    }
     val contract =
       f"""{"metric":"total","value":$total%.2f,"unit":"sec","qkey":"name prefix before first _",""" +
-      s""""queries":${jmap(_.split("_").head, "%.2f")(_._2)},""" +
+      s""""queries":${jmap(qkey, "%.2f")(_._2)},""" +
       f""""total_median":$totalMed%.2f,"passes":$passes,""" +
       f""""load1m_start":$startLoad%.2f,"load1m_end":$endLoad%.2f,"sf":"$sfDir"}"""
     if (contract.length > 1950)

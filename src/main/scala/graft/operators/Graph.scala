@@ -443,6 +443,11 @@ object Graph {
     * exact join infeasible. GraphEdgeSpec pins lsh == exact → identical
     * propagation on the catalog corpus; PlanShapeSpec pins that the
     * lsh path plans no nested-loop join.
+    *
+    * `release` governs the PROPAGATION frames only; an edge source that
+    * persists its own intermediates (cosineEdgesLsh) takes its own
+    * release flag — close over it: `edgeSource = cosineEdgesLsh(_, _,
+    * release = true)` — for the fully self-contained contract.
     */
   def labelSpreadBySimilarity(vectors: DataFrame, seeds: DataFrame,
       rounds: Int = 2, threshold: Double = 0.3,
@@ -643,14 +648,19 @@ object Graph {
     var n = edges.count()
     while (n != prev) {
       prev = n
+      // persisted: keep feeds BOTH join sides — unpersisted, the degree
+      // aggregation would plan (and execute) twice per round. Released
+      // as soon as the round's checkpoint has materialized through it.
       val keep = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
         .filter(col("d") >= k).select(col("src").as("node"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       edges = edges
         .join(keep.withColumnRenamed("node", "src"), Seq("src"))
         .join(keep.withColumnRenamed("node", "dst"), Seq("dst"))
         .select(col("src"), col("dst"))
         .localCheckpoint(true)
       n = edges.count()
+      keep.unpersist()
     }
     edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
   }

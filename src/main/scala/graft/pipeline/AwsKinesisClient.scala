@@ -121,7 +121,9 @@ final class AwsKinesisClient(
         }
         case _ => ()
       }
-      token = obj.get("NextToken").map(_.toString)
+      // flatMap(Option(_)): the service may serialize an explicit JSON
+      // null ("NextToken":null) — Some(null).map(_.toString) would NPE
+      token = obj.get("NextToken").flatMap(Option(_)).map(_.toString)
     }
     out.toSeq
   }
@@ -136,7 +138,8 @@ final class AwsKinesisClient(
         s"""{"StreamName":${MiniJson.quote(streamName)},"ShardId":${MiniJson.quote(shardId)},""" +
           s""""ShardIteratorType":"TRIM_HORIZON"}"""
     }
-    callJson("GetShardIterator", body).get("ShardIterator").map(_.toString)
+    callJson("GetShardIterator", body).get("ShardIterator")
+      .flatMap(Option(_)).map(_.toString)
   }
 
   override def getRecords(iterator: String, limit: Int): GetRecordsPage = {
@@ -161,7 +164,10 @@ final class AwsKinesisClient(
     }
     GetRecordsPage(
       records = recs,
-      nextIterator = obj.get("NextShardIterator").map(_.toString),
+      // a closed, fully-drained shard returns "NextShardIterator":null
+      // on the wire (documented API) — must map to None, not NPE
+      nextIterator = obj.get("NextShardIterator").flatMap(Option(_))
+        .map(_.toString),
       millisBehindLatest = obj.get("MillisBehindLatest") match {
         case Some(d: Double) => d.toLong
         case _ => 0L

@@ -78,6 +78,9 @@ final class FakeKinesisStream(nShards: Int = 2) extends KinesisClient
     // writes route only to OPEN shards (Kinesis reassigns hash ranges
     // on reshard; this fake redistributes by key hash over open shards)
     val open = shards.indices.filterNot(closed)
+    require(open.nonEmpty,
+      "no open shards — real Kinesis always keeps the hash range covered; " +
+        "addShard() before closing the last one")
     open(math.floorMod(partitionKey.hashCode, open.size))
   }
 

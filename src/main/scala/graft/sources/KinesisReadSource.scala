@@ -105,7 +105,9 @@ private[sources] class KinesisSourceScan(options: CaseInsensitiveStringMap)
           "graft-kinesis-source requires option 'client'")),
       maxRecordsPerShardPerTrigger = options.getOrDefault(
         "maxRecordsPerShardPerTrigger", "10000").toInt,
-      pageLimit = options.getOrDefault("pageLimit", "1000").toInt)
+      pageLimit = options.getOrDefault("pageLimit", "1000").toInt,
+      maxFetchCallsPerShard = options.getOrDefault(
+        "maxFetchCallsPerShard", "100").toInt)
 }
 
 /** Offset = map(shardId → last-consumed sequence number). Same
@@ -120,48 +122,20 @@ case class KinesisSourceOffset(seqs: Map[String, String]) extends Offset {
 }
 
 object KinesisSourceOffset {
-  /** Parse the flat {"shard":"seq",...} shape written by json(). */
-  def fromJson(json: String): KinesisSourceOffset = {
-    val m = mutable.Map[String, String]()
-    var i = 0
-    def expect(c: Char): Unit = {
-      assert(json(i) == c, s"bad offset json at $i"); i += 1
-    }
-    def skipWs(): Unit =
-      while (i < json.length && json(i).isWhitespace) i += 1
-    def str(): String = {
-      expect('"')
-      val sb = new StringBuilder
-      while (json(i) != '"') {
-        if (json(i) == '\\') {
-          i += 1
-          json(i) match {
-            case 'u' =>
-              sb += Integer.parseInt(json.substring(i + 1, i + 5), 16).toChar
-              i += 4
-            case c => sb += c
-          }
-        } else sb += json(i)
-        i += 1
-      }
-      i += 1
-      sb.toString
-    }
-    skipWs(); expect('{'); skipWs()
-    if (i < json.length && json(i) == '}') return KinesisSourceOffset(m.toMap)
-    var more = true
-    while (more) {
-      skipWs(); val k = str(); skipWs(); expect(':'); skipWs()
-      m += (k -> str()); skipWs()
-      if (i < json.length && json(i) == ',') i += 1 else more = false
-    }
-    expect('}')
-    KinesisSourceOffset(m.toMap)
-  }
+  /** Parse the flat {"shard":"seq",...} shape written by json() —
+    * through MiniJson (which throws on malformed input; a hand parser
+    * here would be the third string-escape implementation in the repo,
+    * and assert()-based structure checks vanish under -da).
+    */
+  def fromJson(json: String): KinesisSourceOffset =
+    KinesisSourceOffset(
+      graft.pipeline.MiniJson.parse(json).asInstanceOf[Map[String, Any]]
+        .map { case (k, v) => k -> v.toString })
 }
 
 private[sources] class KinesisSourceMicroBatchStream(
-    clientName: String, maxRecordsPerShardPerTrigger: Int, pageLimit: Int)
+    clientName: String, maxRecordsPerShardPerTrigger: Int, pageLimit: Int,
+    maxFetchCallsPerShard: Int = 100)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   private lazy val client = KinesisReadSource.readClient(clientName)
@@ -176,12 +150,19 @@ private[sources] class KinesisSourceMicroBatchStream(
 
   /** Admission probe: walk each shard from its committed sequence number
     * up to the caps; the sequence number of the last record seen becomes
-    * the shard's batch-end offset. An empty page ends the shard's probe
-    * for this trigger (Kinesis can return empty pages mid-stream while
-    * the iterator ages through gaps — the next trigger continues).
-    * Committed entries for shards that vanished from the listing (closed
-    * and expired) are carried forward unchanged, so a replayed listing
-    * hiccup never resets progress.
+    * the shard's batch-end offset. Kinesis can return EMPTY pages with a
+    * live continuation iterator while the iterator ages through gaps
+    * (trim-horizon starts, sparse retention windows) — the probe keeps
+    * walking those as long as the service reports data ahead
+    * (millisBehindLatest > 0), bounded by `maxFetchCallsPerShard` per
+    * trigger; an empty page at the TIP (millisBehind 0) ends the probe.
+    * Raise the call cap for streams with very deep leading gaps — probe
+    * progress through a gap cannot be checkpointed (offsets are sequence
+    * numbers; Kinesis has no positionless cursor), so a gap must be
+    * crossed within one trigger's call budget. Committed entries for
+    * shards that vanished from the listing (closed and expired) are
+    * carried forward unchanged, so a replayed listing hiccup never
+    * resets progress.
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val committed = start.asInstanceOf[KinesisSourceOffset].seqs
@@ -196,21 +177,24 @@ private[sources] class KinesisSourceMicroBatchStream(
     client.listShards().foreach { shard =>
       var last: String = null
       var taken = 0
+      var calls = 0
       var it = client.getShardIterator(shard, committed.get(shard))
       var open = it.isDefined
-      while (open && taken < maxRecordsPerShardPerTrigger && rowBudget > 0) {
+      while (open && taken < maxRecordsPerShardPerTrigger && rowBudget > 0 &&
+          calls < maxFetchCallsPerShard) {
         val want = math.min(pageLimit.toLong,
           math.min((maxRecordsPerShardPerTrigger - taken).toLong, rowBudget)).toInt
         val page = client.getRecords(it.get, want)
-        if (page.records.isEmpty) open = false
-        else {
+        calls += 1
+        if (page.records.nonEmpty) {
           last = page.records.last.sequenceNumber
           taken += page.records.size
           rowBudget -= page.records.size
-          page.nextIterator match {
-            case Some(n) => it = Some(n)
-            case None => open = false // shard closed and drained
-          }
+        }
+        page.nextIterator match {
+          case Some(n) if page.records.nonEmpty || page.millisBehindLatest > 0 =>
+            it = Some(n) // keep walking: data ahead (possibly past a gap)
+          case _ => open = false // tip reached, or shard closed and drained
         }
       }
       if (last != null) out(shard) = last
@@ -267,18 +251,26 @@ private[sources] class KinesisPartitionReader(
   override def next(): Boolean = {
     if (done) return false
     if (it == null) it = client.getShardIterator(shardId, afterSeq)
+    var emptyCalls = 0
     while (!page.hasNext) {
       it match {
         case Some(cursor) =>
           val p = client.getRecords(cursor, 1000)
-          if (p.records.isEmpty && p.nextIterator.isEmpty)
-            throw new java.io.IOException(
-              s"$shardId: range ended before sequence $untilSeq (expired?)")
-          if (p.records.isEmpty && p.nextIterator == it)
-            // an idle open shard cannot make progress toward untilSeq —
-            // only possible if untilSeq expired out of range
-            throw new java.io.IOException(
-              s"$shardId: no progress toward sequence $untilSeq")
+          if (p.records.isEmpty) {
+            // empty pages mid-range are normal (iterator aging through a
+            // gap) — but the TIP without having seen untilSeq means the
+            // committed end expired out of retention: surface the loss.
+            // The call cap guards against a service that reports data
+            // behind but never yields it.
+            emptyCalls += 1
+            if (p.millisBehindLatest <= 0 || p.nextIterator.isEmpty)
+              throw new java.io.IOException(
+                s"$shardId: range ended before sequence $untilSeq (expired?)")
+            if (emptyCalls > 10000)
+              throw new java.io.IOException(
+                s"$shardId: no progress toward sequence $untilSeq " +
+                  s"after $emptyCalls empty pages")
+          }
           page = p.records.iterator
           it = p.nextIterator
         case None =>

@@ -103,6 +103,71 @@ class KinesisSourceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("ExpiredIteratorException"))
   }
 
+  test("explicit JSON null NextShardIterator / ShardIterator map to None, not NPE") {
+    val b64 = java.util.Base64.getEncoder.encodeToString("x".getBytes(UTF_8))
+    val (client, _) = scripted(Seq(
+      (200, s"""{"Records":[{"SequenceNumber":"9","PartitionKey":"p","Data":"$b64"}],""" +
+        s""""NextShardIterator":null,"MillisBehindLatest":0}"""),
+      (200, """{"ShardIterator":null}""")))
+    val page = client.getRecords("it-last", 10)
+    assert(page.records.size == 1 && page.nextIterator.isEmpty,
+      "a drained closed shard returns records with no continuation")
+    assert(client.getShardIterator("shardId-000000000000", None).isEmpty,
+      "an expired shard's null iterator maps to None")
+  }
+
+  /** A shard whose retained data sits past several EMPTY pages (aged
+    * trim-horizon start): real GetRecords returns empty pages with a
+    * live continuation and millisBehindLatest > 0 until the iterator
+    * reaches the data. The probe must walk through the gap — stopping
+    * at the first empty page stalls the source forever.
+    */
+  private class GapShardClient extends graft.pipeline.KinesisClient
+      with graft.pipeline.KinesisReadClient {
+    import graft.pipeline.{GetRecordsPage, ReadRecord}
+    val shard = "shardId-000000000000"
+    override def putRecords(records: Seq[graft.pipeline.KinesisRecord])
+        : graft.pipeline.PutRecordsResult =
+      fail("read-only fixture")
+    private def rec(seq: String, p: String) =
+      ReadRecord(seq, "k", p.getBytes(UTF_8), seq.toLong)
+    override def listShards(): Seq[String] = Seq(shard)
+    override def getShardIterator(
+        shardId: String, after: Option[String]): Option[String] = after match {
+      case None => Some("it-0")
+      case Some("1") => Some("it-4")
+      case Some("2") => Some("it-5")
+      case Some(other) => fail(s"unexpected resume point $other")
+    }
+    override def getRecords(it: String, limit: Int): GetRecordsPage = it match {
+      case "it-0" | "it-1" | "it-2" => // the gap: empty but data ahead
+        GetRecordsPage(Nil, Some("it-" + (it.drop(3).toInt + 1)), 100L)
+      case "it-3" =>
+        GetRecordsPage(Seq(rec("1", "a"), rec("2", "b")), Some("it-5"), 0L)
+      case "it-4" =>
+        GetRecordsPage(Seq(rec("2", "b")), Some("it-5"), 0L)
+      case "it-5" => GetRecordsPage(Nil, Some("it-5"), 0L) // the tip
+      case other => fail(s"unexpected iterator $other")
+    }
+  }
+
+  test("probe and reader cross an empty-page gap instead of stalling") {
+    KinesisClientRegistry.register("gap-stream", () => new GapShardClient)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-kgap").toString
+    val q = spark.readStream.format("graft-kinesis-source")
+      .option("client", "gap-stream")
+      .load()
+      .selectExpr("sequence_number", "CAST(data AS STRING) AS payload")
+      .writeStream.format("memory").queryName("kgap_out")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("kgap_out").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("1", "a"), ("2", "b")),
+      s"records beyond the gap must be read exactly once: $got")
+  }
+
   test("a shard added mid-stream is picked up; a closed shard drains cleanly") {
     implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
     val stream = new FakeKinesisStream(nShards = 1)
