@@ -99,9 +99,11 @@ final class AwsKinesisClient(
     }
   }
 
-  /** All shard ids of the stream, following ListShards pagination. */
-  override def listShards(): Seq[String] = {
-    val out = scala.collection.mutable.ArrayBuffer[String]()
+  /** All shards of the stream with reshard lineage (ParentShardId +
+    * AdjacentParentShardId), following ListShards pagination.
+    */
+  override def listShards(): Seq[ShardInfo] = {
+    val out = scala.collection.mutable.ArrayBuffer[ShardInfo]()
     var token: Option[String] = None
     var first = true
     while (first || token.isDefined) {
@@ -115,8 +117,12 @@ final class AwsKinesisClient(
       obj.get("Shards") match {
         case Some(l: List[_]) => l.foreach {
           case s: Map[_, _] =>
-            s.asInstanceOf[Map[String, Any]].get("ShardId")
-              .foreach(id => out += id.toString)
+            val sm = s.asInstanceOf[Map[String, Any]]
+            sm.get("ShardId").flatMap(Option(_)).foreach { id =>
+              val ps = Seq("ParentShardId", "AdjacentParentShardId")
+                .flatMap(k => sm.get(k).flatMap(Option(_)).map(_.toString))
+              out += ShardInfo(id.toString, ps)
+            }
           case _ => ()
         }
         case _ => ()

@@ -42,6 +42,14 @@ final case class GetRecordsPage(
     records: Seq[ReadRecord], nextIterator: Option[String],
     millisBehindLatest: Long)
 
+/** One shard with its reshard lineage: a split's children carry the
+  * parent's id; a merge's child carries both parents (ParentShardId +
+  * AdjacentParentShardId on the wire). The source holds a child back
+  * until its listed parents are drained, preserving per-key order
+  * across a reshard.
+  */
+final case class ShardInfo(shardId: String, parentIds: Seq[String] = Nil)
+
 /** Read-side client seam (ListShards / GetShardIterator / GetRecords) —
   * same injection discipline as [[KinesisClient]]: production implements
   * it over the signed HTTP transport (AwsKinesisClient), tests use
@@ -49,7 +57,7 @@ final case class GetRecordsPage(
   * source requires the read side of whatever the registry hands back.
   */
 trait KinesisReadClient extends Serializable {
-  def listShards(): Seq[String]
+  def listShards(): Seq[ShardInfo]
   /** `afterSequence` None → TRIM_HORIZON (oldest available); Some(seq) →
     * AFTER_SEQUENCE_NUMBER. None result = shard closed and expired.
     */
@@ -72,6 +80,7 @@ final class FakeKinesisStream(nShards: Int = 2) extends KinesisClient
   private val shards =
     mutable.ArrayBuffer.fill(nShards)(mutable.ArrayBuffer[ReadRecord]())
   private val closed = mutable.Set[Int]()
+  private val parents = mutable.Map[Int, Seq[String]]()
   private var seq = 0L
 
   private def shardIdx(partitionKey: String): Int = lock.synchronized {
@@ -94,8 +103,9 @@ final class FakeKinesisStream(nShards: Int = 2) extends KinesisClient
       PutRecordsResult(None, Seq.fill(records.size)(RecordResult()))
     }
 
-  override def listShards(): Seq[String] =
-    lock.synchronized(shards.indices.map(i => f"shardId-$i%012d"))
+  override def listShards(): Seq[ShardInfo] =
+    lock.synchronized(shards.indices.map(i =>
+      ShardInfo(f"shardId-$i%012d", parents.getOrElse(i, Nil))))
 
   override def getShardIterator(
       shardId: String, afterSequence: Option[String]): Option[String] =
@@ -135,11 +145,14 @@ final class FakeKinesisStream(nShards: Int = 2) extends KinesisClient
   def shardSizes: Seq[Int] = lock.synchronized(shards.map(_.size).toSeq)
 
   /** Test helper: add a new (empty) shard mid-stream — the reshard
-    * split case the source picks up on its next trigger re-list.
+    * split/merge case. `parentIds` records the reshard lineage the
+    * source uses to hold the child back until its parents drain.
     */
-  def addShard(): String = lock.synchronized {
+  def addShard(parentIds: String*): String = lock.synchronized {
     shards += mutable.ArrayBuffer[ReadRecord]()
-    f"shardId-${shards.size - 1}%012d"
+    val id = f"shardId-${shards.size - 1}%012d"
+    if (parentIds.nonEmpty) parents(shards.size - 1) = parentIds.toSeq
+    id
   }
 
   /** Test helper: close a shard — no more writes route to it, and its

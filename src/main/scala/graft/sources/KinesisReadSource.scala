@@ -41,11 +41,17 @@ import graft.pipeline.KinesisReadClient
   * per-shard ranges fan out one task per shard, the Kinesis parallelism
   * unit, so a 1000-shard stream reads on 1000 executor slots.
   *
-  * Resharding is deferred (documented): shards are re-listed every
-  * trigger, so NEW shards are picked up (from TRIM_HORIZON) and closed
-  * shards drain to their end, but parent-before-child ordering is not
-  * enforced — a split/merge can interleave parent and child records
-  * across one batch boundary.
+  * Resharding: shards are re-listed every trigger, so new shards are
+  * picked up (from TRIM_HORIZON) and closed shards drain to their end.
+  * Parent-before-child ordering IS enforced: a child shard (its
+  * lineage comes from ListShards' ParentShardId/AdjacentParentShardId)
+  * is held back until every listed parent is fully drained — drain
+  * state rides in the offset as a `!closed` suffix on the parent's
+  * final sequence number, and gating reads the COMMITTED offset, so a
+  * child's first records always land in a LATER batch than its
+  * parent's last (per-key order across a split/merge is preserved). A
+  * parent that has expired out of the listing entirely counts as
+  * drained.
   *
   * Usage:
   * {{{
@@ -73,6 +79,17 @@ object KinesisReadSource {
     StructField("partition_key", StringType, nullable = false),
     StructField("data", BinaryType, nullable = false),
     StructField("arrival_ts", TimestampType, nullable = false)))
+
+  /** Offset-value suffix marking a shard observed closed AND fully
+    * consumed (drain state must live in the offset: child-shard gating
+    * reads committed state only). '!' cannot appear in a sequence
+    * number, so stripping is unambiguous.
+    */
+  val ClosedSuffix = "!closed"
+
+  def stripClosed(v: String): String = v.stripSuffix(ClosedSuffix)
+
+  def isClosed(v: String): Boolean = v.endsWith(ClosedSuffix)
 
   /** Resolve the registry entry and require its read side. */
   def readClient(name: String): KinesisReadClient =
@@ -174,30 +191,50 @@ private[sources] class KinesisSourceMicroBatchStream(
     }
     absorb(limit)
     val out = mutable.Map[String, String]() ++ committed
-    client.listShards().foreach { shard =>
-      var last: String = null
-      var taken = 0
-      var calls = 0
-      var it = client.getShardIterator(shard, committed.get(shard))
-      var open = it.isDefined
-      while (open && taken < maxRecordsPerShardPerTrigger && rowBudget > 0 &&
-          calls < maxFetchCallsPerShard) {
-        val want = math.min(pageLimit.toLong,
-          math.min((maxRecordsPerShardPerTrigger - taken).toLong, rowBudget)).toInt
-        val page = client.getRecords(it.get, want)
-        calls += 1
-        if (page.records.nonEmpty) {
-          last = page.records.last.sequenceNumber
-          taken += page.records.size
-          rowBudget -= page.records.size
+    val infos = client.listShards()
+    val listed = infos.map(_.shardId).toSet
+    // parent gating against COMMITTED state only: a child unlocks in
+    // the trigger AFTER its parent's drain commits, so parent and
+    // child records can never share a micro-batch
+    def parentDrained(p: String): Boolean =
+      !listed.contains(p) || committed.get(p).exists(KinesisReadSource.isClosed)
+    infos.foreach { info =>
+      val shard = info.shardId
+      val committedVal = committed.get(shard)
+      if (!committedVal.exists(KinesisReadSource.isClosed) &&
+          info.parentIds.forall(parentDrained)) {
+        var last: String = null
+        var sawEnd = false
+        var taken = 0
+        var calls = 0
+        var it = client.getShardIterator(shard,
+          committedVal.map(KinesisReadSource.stripClosed).filter(_.nonEmpty))
+        if (it.isEmpty) sawEnd = true // iterator expired: closed + aged out
+        var open = it.isDefined
+        while (open && taken < maxRecordsPerShardPerTrigger && rowBudget > 0 &&
+            calls < maxFetchCallsPerShard) {
+          val want = math.min(pageLimit.toLong,
+            math.min((maxRecordsPerShardPerTrigger - taken).toLong, rowBudget)).toInt
+          val page = client.getRecords(it.get, want)
+          calls += 1
+          if (page.records.nonEmpty) {
+            last = page.records.last.sequenceNumber
+            taken += page.records.size
+            rowBudget -= page.records.size
+          }
+          page.nextIterator match {
+            case Some(n) if page.records.nonEmpty || page.millisBehindLatest > 0 =>
+              it = Some(n) // keep walking: data ahead (possibly past a gap)
+            case Some(_) => open = false // tip reached
+            case None => open = false; sawEnd = true // closed and drained
+          }
         }
-        page.nextIterator match {
-          case Some(n) if page.records.nonEmpty || page.millisBehindLatest > 0 =>
-            it = Some(n) // keep walking: data ahead (possibly past a gap)
-          case _ => open = false // tip reached, or shard closed and drained
-        }
+        val base = if (last != null) last
+          else committedVal.map(KinesisReadSource.stripClosed).getOrElse("")
+        if (sawEnd)
+          out(shard) = base + KinesisReadSource.ClosedSuffix
+        else if (last != null) out(shard) = last
       }
-      if (last != null) out(shard) = last
     }
     KinesisSourceOffset(out.toMap)
   }
@@ -209,9 +246,14 @@ private[sources] class KinesisSourceMicroBatchStream(
       start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[KinesisSourceOffset].seqs
     val e = end.asInstanceOf[KinesisSourceOffset].seqs
-    e.flatMap { case (shard, untilSeq) =>
+    e.flatMap { case (shard, endVal) =>
+      val untilSeq = KinesisReadSource.stripClosed(endVal)
       val after = s.get(shard)
-      if (after.contains(untilSeq)) None // no progress on this shard
+        .map(KinesisReadSource.stripClosed).filter(_.nonEmpty)
+      // no partition when the shard made no sequence progress — incl. a
+      // drain-mark-only commit (marker added, same final seq) and a
+      // never-read shard that went straight to closed ("" + marker)
+      if (untilSeq.isEmpty || after.contains(untilSeq)) None
       else Some(KinesisInputPartition(clientName, shard, after, untilSeq))
     }.toArray
   }

@@ -52,10 +52,13 @@ class KinesisSourceSpec extends AnyFunSuite {
 
   test("listShards follows NextToken pagination and signs each call") {
     val (client, calls) = scripted(Seq(
-      (200, """{"Shards":[{"ShardId":"shardId-000000000000"}],"NextToken":"t1"}"""),
-      (200, """{"Shards":[{"ShardId":"shardId-000000000001"}]}""")))
-    assert(client.listShards() ==
-      Seq("shardId-000000000000", "shardId-000000000001"))
+      (200, """{"Shards":[{"ShardId":"shardId-000000000000","ParentShardId":null}],"NextToken":"t1"}"""),
+      (200, """{"Shards":[{"ShardId":"shardId-000000000002",""" +
+        """"ParentShardId":"shardId-000000000000","AdjacentParentShardId":"shardId-000000000001"}]}""")))
+    assert(client.listShards() == Seq(
+      graft.pipeline.ShardInfo("shardId-000000000000", Nil),
+      graft.pipeline.ShardInfo("shardId-000000000002",
+        Seq("shardId-000000000000", "shardId-000000000001"))))
     assert(calls.size == 2)
     assert(calls(0)._2("x-amz-target") == "Kinesis_20131202.ListShards")
     assert(calls(0)._3 == """{"StreamName":"logs"}""")
@@ -131,7 +134,8 @@ class KinesisSourceSpec extends AnyFunSuite {
       fail("read-only fixture")
     private def rec(seq: String, p: String) =
       ReadRecord(seq, "k", p.getBytes(UTF_8), seq.toLong)
-    override def listShards(): Seq[String] = Seq(shard)
+    override def listShards(): Seq[graft.pipeline.ShardInfo] =
+      Seq(graft.pipeline.ShardInfo(shard))
     override def getShardIterator(
         shardId: String, after: Option[String]): Option[String] = after match {
       case None => Some("it-0")
@@ -203,6 +207,42 @@ class KinesisSourceSpec extends AnyFunSuite {
       ("shardId-000000000001", "child-1"),
       ("shardId-000000000001", "child-2")),
       s"new shard picked up, closed shard drained exactly once: $got")
+  }
+
+  test("a child shard is held back until its parent drains (split ordering)") {
+    implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = new FakeKinesisStream(nShards = 1)
+    KinesisClientRegistry.register("split-stream", () => stream)
+    val parent = "shardId-000000000000"
+    stream.inject(parent, "k", "p1".getBytes(UTF_8))
+
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ksplit").toString
+    val q = spark.readStream.format("graft-kinesis-source")
+      .option("client", "split-stream")
+      .load()
+      .selectExpr("shard_id", "CAST(data AS STRING) AS payload")
+      .writeStream.format("memory").queryName("ksplit_out")
+      .option("checkpointLocation", ckpt)
+      .start()
+    def rows(): Set[(String, String)] = spark.table("ksplit_out").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    try {
+      q.processAllAvailable()
+      // split: child appears WITH data while the parent still has an
+      // unread record and is not yet closed
+      val child = stream.addShard(parent)
+      stream.inject(child, "k", "c1".getBytes(UTF_8))
+      stream.inject(parent, "k", "p2".getBytes(UTF_8))
+      q.processAllAvailable()
+      assert(rows() == Set((parent, "p1"), (parent, "p2")),
+        s"child must stay gated while the parent is open: ${rows()}")
+      // parent closes; the trigger that observes the drain commits the
+      // marker, and the child unlocks on the NEXT trigger
+      stream.closeShard(parent)
+      q.processAllAvailable()
+      assert(rows() == Set((parent, "p1"), (parent, "p2"), (child, "c1")),
+        s"child must flow once the parent's drain committed: ${rows()}")
+    } finally q.stop()
   }
 
   // -------------------------------------------------------------- round trip
