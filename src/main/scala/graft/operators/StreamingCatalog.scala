@@ -37,7 +37,7 @@ import org.apache.spark.sql.functions._
   */
 object StreamingCatalog {
 
-  def defs: Seq[QueryDef] = Seq(q130, q131, q135)
+  def defs: Seq[QueryDef] = Seq(q130, q131, q135, q136)
 
   private val SliceMax = 2000L
   private val Sentinel = "zz_sentinel"
@@ -163,6 +163,45 @@ object StreamingCatalog {
     }
       .filter(col("user_id") =!= -1L)
       .orderBy(col("user_id"), col("sess_start_us"))
+  }
+
+  /** q136: STREAM-STREAM interval join — each click joined to the same
+    * user's views in the preceding 24 hours, both sides watermarked
+    * branches of the same streaming source (a streaming self-join).
+    * Inner-join matches emit as soon as both sides arrive; the
+    * watermark + time-range condition bound the buffered state (views
+    * older than watermark − range are evicted — safe here because
+    * arrival is in event-time order). The fourth streaming family
+    * (after windows / dedup state / session merging) under the DuckDB
+    * oracle: the result is the exact time-bounded join row multiset.
+    */
+  val q136: QueryDef = QueryDef.checked(
+    "q136_streaming_interval_join",
+    """WITH ev AS (
+      |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS ts_us
+      |  FROM events WHERE event_id < 2000)
+      |SELECT c.user_id, c.ts_us AS click_us, v.ts_us AS view_us
+      |FROM ev c JOIN ev v
+      |  ON c.event_type = 'click' AND v.event_type = 'view'
+      | AND c.user_id = v.user_id
+      | AND v.ts_us BETWEEN c.ts_us - 86400000000 AND c.ts_us
+      |ORDER BY 1, 2, 3""".stripMargin) { (s, d) =>
+    runToCompletion(s, d, "graft_q136_sink", outputMode = "append") { ev =>
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"),
+          col("ts_us").as("click_us"))
+        .withWatermark("click_ts", "1 hour")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("view_ts"),
+          col("ts_us").as("view_us"))
+        .withWatermark("view_ts", "1 hour")
+      clicks.join(views,
+        col("user_id") === col("v_user") &&
+          col("view_ts") >= col("click_ts") - expr("INTERVAL 24 HOURS") &&
+          col("view_ts") <= col("click_ts"))
+        .select(col("user_id"), col("click_us"), col("view_us"))
+    }
+      .orderBy(col("user_id"), col("click_us"), col("view_us"))
   }
 
   val q131: QueryDef = QueryDef.checked(
