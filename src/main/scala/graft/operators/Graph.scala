@@ -25,7 +25,8 @@ import org.apache.spark.storage.StorageLevel
   */
 object Graph {
 
-  def defs: Seq[QueryDef] = Seq(q110, q126, q127, q128, q129, q132, q133)
+  def defs: Seq[QueryDef] =
+    Seq(q110, q126, q127, q128, q129, q132, q133, q137)
 
   /** Materialize-and-release helper for the cache contract above. */
   private def finish(out: DataFrame, release: Boolean,
@@ -663,6 +664,71 @@ object Graph {
       keep.unpersist()
     }
     edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+  }
+
+  /** Full k-core DECOMPOSITION: every node's core number — the largest
+    * k for which it survives k-core peeling. The graph-density ranking
+    * used for curriculum ordering / influence tiers where one k-core
+    * membership bit is too coarse.
+    *
+    * Computed by distributed h-index iteration, not level-by-level
+    * peeling: start every node at its degree and repeatedly replace
+    * each node's value with the H-index of its neighbors' values (the
+    * largest h such that ≥ h neighbors hold a value ≥ h). Values are
+    * monotone non-increasing and the fixpoint is exactly the core
+    * number (Lü et al. 2016, "The H-index of a network node"; the
+    * locality principle behind Montresor et al. 2011's distributed
+    * k-core decomposition). Iterating peeling instead would cost
+    * (degeneracy × inner-fixpoint) global rounds; here each round is
+    * ONE keyed equi-join (edges against current values on `dst`) plus
+    * ONE shuffle on `src` (the window ranking the neighbor values and
+    * the same-keyed max aggregate — H = max_i min(i, c_(i)) over the
+    * values sorted descending), and the measured round count on the
+    * catalog similarity graphs is single-digit. The edge frame is
+    * loop-invariant and checkpointed once (at 100 TB, write it through
+    * the q133 bucketed layout and the per-round join side is
+    * exchange-free); per-round state is one (node, core) frame,
+    * localCheckpoint'd so lineage depth stays constant. Nodes appear
+    * in the symmetrized edge list by construction, so every node with
+    * an edge gets coreness ≥ 1; isolated nodes carry no edges and no
+    * row, matching [[kCore]]'s convention.
+    */
+  def coreness(undirected: DataFrame): DataFrame = {
+    val edges = undirected.select(col("src"), col("dst")).distinct()
+      .localCheckpoint(true)
+    var core = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("core"))
+      .localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      val byNode = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("src")).orderBy(col("nc").desc)
+      val next = edges
+        .join(core.select(col("node").as("dst"), col("core").as("nc")),
+          Seq("dst"))
+        .select(col("src"), col("nc"))
+        .withColumn("rn", row_number().over(byNode))
+        .groupBy(col("src").as("node"))
+        .agg(max(least(col("nc"), col("rn"))).as("core"))
+        .localCheckpoint(true)
+      changed = next
+        .join(core.withColumnRenamed("core", "prev"), Seq("node"))
+        .filter(col("core") =!= col("prev")).count()
+      core = next
+    }
+    core
+  }
+
+  /** q137: core numbers of the q127 similarity graph — rows-only (the
+    * round count is data-dependent, so no fixed SQL unroll is safe
+    * across scales); GraphEdgeSpec pins exact equality with a
+    * sequential Matula–Beck peeling reference on random graphs and
+    * consistency with q132's k-core membership.
+    */
+  val q137: QueryDef = QueryDef.rowsOnly("q137_coreness") { (s, d) =>
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), VF.asDouble(col("embedding")).as("v"))
+    coreness(cosineEdgesExact(e, 0.3)).orderBy(col("node"))
   }
 
   /** q132: the 3-core of the q127 cosine-similarity graph — the

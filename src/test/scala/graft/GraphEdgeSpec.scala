@@ -110,6 +110,50 @@ class GraphEdgeSpec extends AnyFunSuite {
     }
   }
 
+  test("coreness: equals a sequential reference; consistent with kCore") {
+    val s = spark
+    import s.implicits._
+    def reference(edges: Set[(Long, Long)]): Map[Long, Long] = {
+      // sequential: repeatedly remove a minimum-degree node; its core
+      // number is the running max of min-degrees seen (textbook
+      // Matula–Beck peeling)
+      val adj = scala.collection.mutable.Map[Long, scala.collection.mutable.Set[Long]]()
+      edges.foreach { case (a, b) =>
+        adj.getOrElseUpdate(a, scala.collection.mutable.Set()) += b
+      }
+      val core = scala.collection.mutable.Map[Long, Long]()
+      var maxSeen = 0L
+      while (adj.nonEmpty) {
+        val (v, ns) = adj.minBy { case (n, s) => (s.size, n) }
+        maxSeen = math.max(maxSeen, ns.size.toLong)
+        core(v) = maxSeen
+        adj.remove(v)
+        ns.foreach(u => adj.get(u).foreach(_ -= v))
+        // nodes whose neighbourhood emptied still need a core number
+        val emptied = adj.collect { case (n, s) if s.isEmpty => n }.toSeq
+        emptied.foreach { n => core(n) = maxSeen; adj.remove(n) }
+      }
+      core.toMap
+    }
+    val rnd = new scala.util.Random(31)
+    for (trial <- 0 until 3) {
+      val half = (0 until 250)
+        .map(_ => (rnd.nextInt(35).toLong, rnd.nextInt(35).toLong))
+        .filter(p => p._1 != p._2).distinct
+      val sym = (half ++ half.map(p => (p._2, p._1))).toSet
+      val got = graft.operators.Graph.coreness(sym.toSeq.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == reference(sym), s"trial $trial")
+      if (trial == 0) {
+        // consistency: nodes with coreness >= k are exactly kCore(k)'s
+        val k = 3L
+        val kc = graft.operators.Graph.kCore(sym.toSeq.toDF("src", "dst"), k)
+          .collect().map(_.getLong(0)).toSet
+        assert(got.filter(_._2 >= k).keySet == kc, "kCore consistency")
+      }
+    }
+  }
+
   test("kCore: recovers a planted clique core under a tree fringe") {
     val s = spark
     import s.implicits._
