@@ -11,7 +11,7 @@ import org.apache.spark.sql.expressions.Window
   */
 object Scale {
 
-  def defs: Seq[QueryDef] = Seq(q47, q48, q63, q72, q94, q96, q125)
+  def defs: Seq[QueryDef] = Seq(q47, q48, q63, q72, q94, q96, q125, q139)
 
   /** Spherical k-means (Lloyd) on the driver over a bounded sample — the
     * standard way to train an IVF coarse quantizer (FAISS trains its
@@ -510,5 +510,90 @@ object Scale {
     val tok = Tables.documents(s, d).select(col("source"),
       explode(split(col("text"), " ")).as("t"))
     sliceSketchUnion(tok, "source", "t").orderBy(col("slice"))
+  }
+
+  /** The count-min row-hash: bucket_j(t) = first-8-hex of
+    * md5("salt:j:t") mod width — the q104 engine-reproducible hash
+    * idiom, so DuckDB rebuilds the identical grid cell for cell.
+    */
+  private def cmsBucket(j: org.apache.spark.sql.Column,
+      t: org.apache.spark.sql.Column, width: Int,
+      salt: String): org.apache.spark.sql.Column =
+    conv(substring(md5(concat(lit(s"$salt:"), j.cast("string"), lit(":"), t)
+      .cast("binary")), 1, 8), 16, 10).cast("long") % width
+
+  /** Count-min sketch build: a depth×width grid of counters, cell
+    * (j, b) = how many keys hash to bucket b under row-hash j. The
+    * frequency sketch that complements [[heavyHitters]] (exact top
+    * keys) and HLL (distinct counts): point-queryable approximate
+    * counts for EVERY key in O(depth×width) space, overestimates only.
+    *
+    * Scale shape: one pass — each key expands to `depth` (j, bucket)
+    * cells (a column-local explode) and ONE aggregation shuffles at
+    * most depth×width distinct cells per map partition (map-side
+    * combine collapses to the grid first, the same bound as a plain
+    * groupBy on a low-cardinality key). The grid (depth×width rows) is
+    * broadcast-sized by construction, so lookups never shuffle the
+    * sketch side; grids from disjoint slices merge by cell-wise sum
+    * (counters are linear — ScaleSpec pins union == merged parts).
+    */
+  def countMinSketch(keys: org.apache.spark.sql.DataFrame, keyCol: String,
+      depth: Int, width: Int,
+      salt: String = "cms"): org.apache.spark.sql.DataFrame =
+    keys.select(col(keyCol).cast("string").as("t"))
+      .filter(col("t").isNotNull)
+      .select(col("t"),
+        explode(array((0 until depth).map(lit(_)): _*)).as("j"))
+      .select(col("j"), cmsBucket(col("j"), col("t"), width, salt).as("bucket"))
+      .groupBy(col("j"), col("bucket")).agg(count(lit(1)).as("cnt"))
+
+  /** Point-query the sketch: est(t) = min over rows j of the cell the
+    * key hashes to — ≥ the true count always (collisions only add).
+    * The grid side is broadcast; keys the sketch never saw read empty
+    * cells and estimate 0 via the left join.
+    */
+  def cmsEstimate(sketch: org.apache.spark.sql.DataFrame,
+      keys: org.apache.spark.sql.DataFrame, keyCol: String,
+      depth: Int, width: Int,
+      salt: String = "cms"): org.apache.spark.sql.DataFrame =
+    keys.select(col(keyCol).cast("string").as("t"))
+      .filter(col("t").isNotNull).distinct()
+      .select(col("t"),
+        explode(array((0 until depth).map(lit(_)): _*)).as("j"))
+      .select(col("t"), col("j"),
+        cmsBucket(col("j"), col("t"), width, salt).as("bucket"))
+      .join(broadcast(sketch), Seq("j", "bucket"), "left")
+      .groupBy(col("t"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+
+  /** q139: count-min estimates for every user over the events table —
+    * width 64 < 150 distinct users, so collisions are REAL here and the
+    * oracle certifies the exact overestimating arithmetic, not a lucky
+    * collision-free case. ScaleSpec pins the ≥-true guarantee, cell-wise
+    * mergeability, and exactness at a collision-free width.
+    */
+  val q139: QueryDef = QueryDef.checked(
+    "q139_count_min_sketch",
+    """WITH ks AS (SELECT CAST(user_id AS VARCHAR) AS t FROM events),
+      |js AS (SELECT * FROM (VALUES (0),(1),(2),(3)) v(j)),
+      |cells AS (
+      |  SELECT j,
+      |    ('0x' || substring(md5('cms:' || CAST(j AS VARCHAR) || ':' || t), 1, 8))::BIGINT
+      |      % 64 AS bucket,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM ks CROSS JOIN js GROUP BY 1, 2),
+      |qh AS (
+      |  SELECT t, j,
+      |    ('0x' || substring(md5('cms:' || CAST(j AS VARCHAR) || ':' || t), 1, 8))::BIGINT
+      |      % 64 AS bucket
+      |  FROM (SELECT DISTINCT t FROM ks) CROSS JOIN js)
+      |SELECT CAST(t AS BIGINT) AS user_id, MIN(cnt) AS est
+      |FROM qh JOIN cells USING (j, bucket)
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d).select(col("user_id"))
+    val sk = countMinSketch(ev, "user_id", depth = 4, width = 64)
+    cmsEstimate(sk, ev, "user_id", depth = 4, width = 64)
+      .select(col("t").cast("bigint").as("user_id"), col("est"))
+      .orderBy(col("user_id"))
   }
 }

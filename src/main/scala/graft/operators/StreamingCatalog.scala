@@ -37,7 +37,7 @@ import org.apache.spark.sql.functions._
   */
 object StreamingCatalog {
 
-  def defs: Seq[QueryDef] = Seq(q130, q131, q135, q136)
+  def defs: Seq[QueryDef] = Seq(q130, q131, q135, q136, q138)
 
   private val SliceMax = 2000L
   private val Sentinel = "zz_sentinel"
@@ -202,6 +202,36 @@ object StreamingCatalog {
         .select(col("user_id"), col("click_us"), col("view_us"))
     }
       .orderBy(col("user_id"), col("click_us"), col("view_us"))
+  }
+
+  /** q138: STREAM-STATIC enrichment join — each streamed event joined
+    * to its user's customer-dimension row (segment, nation), the
+    * canonical streaming dim-join. Stateless: the static side is a
+    * broadcast-sized batch frame re-resolvable every micro-batch, so
+    * no watermark or state store is involved and every inner match
+    * emits in the batch its event arrives — the result is the exact
+    * batch join row multiset regardless of batch boundaries. The
+    * sentinel (user_id −1) falls out of the inner join; no filter
+    * needed. At 100 TB the stream side is per-partition and the dim
+    * side broadcasts once per trigger — a non-broadcastable dim would
+    * shuffle every micro-batch and belongs in a keyed-state design
+    * instead.
+    */
+  val q138: QueryDef = QueryDef.checked(
+    "q138_stream_static_join",
+    """SELECT epoch_ns(e.ts) // 1000 AS ts_us, e.user_id, e.event_type,
+      |  c.c_mktsegment AS segment, c.c_nationkey AS nationkey
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |WHERE e.event_id < 2000
+      |ORDER BY ts_us, user_id, event_type""".stripMargin) { (s, d) =>
+    val dim = Tables.customer(s, d).select(col("c_custkey").as("user_id"),
+      col("c_mktsegment").as("segment"), col("c_nationkey").as("nationkey"))
+    runToCompletion(s, d, "graft_q138_sink", outputMode = "append") { ev =>
+      ev.join(broadcast(dim), Seq("user_id"))
+        .select(col("ts_us"), col("user_id"), col("event_type"),
+          col("segment"), col("nationkey"))
+    }
+      .orderBy(col("ts_us"), col("user_id"), col("event_type"))
   }
 
   val q131: QueryDef = QueryDef.checked(

@@ -305,6 +305,48 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("count-min sketch: ≥-true guarantee, cell-wise merge, exact when wide") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(17)
+    // zipfish key mix so several keys share buckets at width 16
+    val keys = (0 until 3000).map(_ => s"k${(math.pow(rnd.nextDouble(), 2) * 40).toInt}")
+    val df = keys.toDF("k")
+    val truth = keys.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val sk = graft.operators.Scale.countMinSketch(df, "k", depth = 4, width = 16)
+    val est = graft.operators.Scale
+      .cmsEstimate(sk, df, "k", depth = 4, width = 16)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == truth.keySet)
+    truth.foreach { case (k, c) =>
+      assert(est(k) >= c, s"CMS underestimated $k: ${est(k)} < $c")
+    }
+    // mergeability: sketch(all) == cell-wise sum of the two half sketches
+    val (h1, h2) = keys.splitAt(1500)
+    val merged = graft.operators.Scale.countMinSketch(h1.toDF("k"), "k", 4, 16)
+      .unionByName(graft.operators.Scale.countMinSketch(h2.toDF("k"), "k", 4, 16))
+      .groupBy(col("j"), col("bucket")).agg(sum(col("cnt")).as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val whole = sk.collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged == whole, "cell-wise merged half-sketches != whole sketch")
+    // collision-free width ⇒ exact (deterministic: md5 buckets are fixed)
+    val wide = graft.operators.Scale.cmsEstimate(
+        graft.operators.Scale.countMinSketch(df, "k", 4, 8192),
+        df, "k", 4, 8192)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(wide == truth, "wide CMS should be exact on 40 keys")
+    // unseen keys read empty cells through the left join and estimate 0
+    // (at a collision-free width; a narrow grid would honestly
+    // overestimate them onto occupied cells)
+    val unseen = graft.operators.Scale.cmsEstimate(
+        graft.operators.Scale.countMinSketch(df, "k", 4, 8192),
+        Seq("nope1", "nope2").toDF("k"), "k", 4, 8192)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(unseen.values.forall(_ == 0L), s"unseen keys: $unseen")
+  }
+
   test("heavy hitters on an empty corpus returns an empty frame, not an NPE") {
     val s = spark
     import s.implicits._
