@@ -26,7 +26,7 @@ import org.apache.spark.storage.StorageLevel
 object Graph {
 
   def defs: Seq[QueryDef] =
-    Seq(q110, q126, q127, q128, q129, q132, q133, q137)
+    Seq(q110, q126, q127, q128, q129, q132, q133, q137, q141)
 
   /** Materialize-and-release helper for the cache contract above. */
   private def finish(out: DataFrame, release: Boolean,
@@ -719,6 +719,107 @@ object Graph {
     core
   }
 
+  /** k-truss: the maximal subgraph in which every EDGE participates in
+    * ≥ k−2 triangles — the edge-level analogue of [[kCore]] and a
+    * stricter cohesion filter (a k-core keeps hub-and-spoke stars; a
+    * k-truss demands actual triangle density, the community-core /
+    * spam-ring shape). Returns the truss's canonical node-ordered
+    * edges (lo < hi).
+    *
+    * Peeling loop with the kCore convergence treatment (per-round
+    * localCheckpoint + one count), but support is never recomputed from
+    * scratch: triangles are enumerated once up front and the alive list
+    * is maintained as edges peel (see the inline design note). Per
+    * round: one explode+groupBy for support, one keyed join to score
+    * edges, and three anti-joins to kill dead triangles — all keyed
+    * joins and aggs, no nested loops. Rounds are data-dependent (each
+    * must remove ≥ 1 edge to continue, so ≤ |E|; low tens on real
+    * graphs — support of surviving edges only falls, so peeling is
+    * monotone).
+    */
+  def kTruss(undirected: DataFrame, k: Long): DataFrame = {
+    require(k >= 3L, s"k-truss needs k >= 3, got $k")
+    val e0 = undirected
+      .select(least(col("src"), col("dst")).as("lo"),
+        greatest(col("src"), col("dst")).as("hi"))
+      .filter(col("lo") < col("hi")).distinct()
+      .localCheckpoint(true)
+    // Triangles are enumerated ONCE, with the q128 degree-ordered wedge
+    // machinery (fanout bounded by degeneracy), then MAINTAINED: a
+    // triangle dies exactly when one of its edges peels, and the peeled
+    // set is small after the first round — so each round prunes the
+    // alive-triangle list with three anti-joins against the broadcast
+    // removed-edge frame instead of re-running the wedge join. This is
+    // the classic time/space trade of truss decomposition: the triangle
+    // list (≤ degeneracy × |E|) is materialized; when that is too big
+    // to hold, fall back to per-round support recompute.
+    val und = e0.select(col("lo").as("src"), col("hi").as("dst"))
+      .unionByName(e0.select(col("hi").as("src"), col("lo").as("dst")))
+    val deg = und.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+    val ranked = und
+      .join(deg.select(col("node").as("src"), col("d").as("ds")), "src")
+      .join(deg.select(col("node").as("dst"), col("d").as("dd")), "dst")
+      .filter(col("ds") < col("dd") ||
+        (col("ds") === col("dd") && col("src") < col("dst")))
+      .select(col("src").as("wlo"), col("dst").as("whi"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // wedge hi-endpoints compare by node id → (b, c) is node-ordered
+    val wedges = ranked.as("e1")
+      .join(ranked.as("e2"), col("e1.wlo") === col("e2.wlo") &&
+        col("e1.whi") < col("e2.whi"))
+      .select(col("e1.wlo").as("a"), col("e1.whi").as("b"),
+        col("e2.whi").as("c"))
+    // each alive triangle carried as its three canonical edges
+    var tri = wedges
+      .join(e0.select(col("lo").as("b"), col("hi").as("c")), Seq("b", "c"))
+      .select(least(col("a"), col("b")).as("l1"),
+        greatest(col("a"), col("b")).as("h1"),
+        least(col("a"), col("c")).as("l2"),
+        greatest(col("a"), col("c")).as("h2"),
+        col("b").as("l3"), col("c").as("h3"))
+      .localCheckpoint(true)
+    ranked.unpersist()
+    var edges = e0
+    var removedN = 1L
+    var round = 0
+    while (removedN > 0) {
+      round += 1
+      val sup = tri.select(explode(array(
+          struct(col("l1").as("lo"), col("h1").as("hi")),
+          struct(col("l2").as("lo"), col("h2").as("hi")),
+          struct(col("l3").as("lo"), col("h3").as("hi")))).as("e"))
+        .select(col("e.lo").as("lo"), col("e.hi").as("hi"))
+        .groupBy(col("lo"), col("hi")).agg(count(lit(1)).as("sup"))
+      val scored = edges.join(sup, Seq("lo", "hi"), "left")
+        .select(col("lo"), col("hi"),
+          (coalesce(col("sup"), lit(0L)) >= k - 2).as("keep"))
+        .localCheckpoint(true)
+      val removed = scored.filter(!col("keep")).select(col("lo"), col("hi"))
+      removedN = removed.count()
+      edges = scored.filter(col("keep")).select(col("lo"), col("hi"))
+      if (removedN > 0) {
+        // removedN is an exact count: broadcast the pruning side when it
+        // fits, fall back to shuffled anti-joins on a massive first peel
+        val r = if (removedN <= 2000000L) broadcast(removed) else removed
+        tri = tri
+          .join(r.select(col("lo").as("l1"), col("hi").as("h1")),
+            Seq("l1", "h1"), "left_anti")
+          .join(r.select(col("lo").as("l2"), col("hi").as("h2")),
+            Seq("l2", "h2"), "left_anti")
+          .join(r.select(col("lo").as("l3"), col("hi").as("h3")),
+            Seq("l3", "h3"), "left_anti")
+        // broadcast anti-joins are map-side, so tri can stay LAZY —
+        // each round's support scan replays the accumulated prunes as
+        // hash probes over the last checkpoint. Checkpoint every few
+        // rounds to bound plan depth (and drop spent broadcasts), not
+        // every round: the eager per-round materialization was the
+        // dominant cost of the whole loop at catalog scale.
+        if (round % 4 == 0) tri = tri.localCheckpoint(true)
+      }
+    }
+    edges
+  }
+
   /** q137: core numbers of the q127 similarity graph — rows-only (the
     * round count is data-dependent, so no fixed SQL unroll is safe
     * across scales); GraphEdgeSpec pins exact equality with a
@@ -765,6 +866,54 @@ object Graph {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), VF.asDouble(col("embedding")).as("v"))
     kCore(cosineEdgesExact(e, 0.3), k = 3L).orderBy(col("node"))
+  }
+
+  /** q141: the 5-truss of the threshold-0.2 similarity graph — tighter
+    * than q132's core (every surviving EDGE sits in ≥ 3 triangles, so
+    * hub-and-spoke stars that survive a k-core are peeled). The 0.2
+    * threshold is deliberate: the 0.3 graph's 4-truss is EMPTY at every
+    * oracle scale (measured), so this query would certify nothing
+    * there; at 0.2 the peel cascades 13–14 rounds before the fixpoint.
+    * The vec_id < 1000 slice bounds the sf0.1 bench cost the q136
+    * event-slice way. Oracle unrolls 17 MATERIALIZED
+    * triangle-support/filter rounds — past the measured fixpoint at
+    * both oracle scales (13 at sf0.001, 14 at sf0.01; peeling is
+    * monotone, so the extra rounds are no-ops and compare equal).
+    */
+  val q141: QueryDef = QueryDef.checked(
+    "q141_ktruss",
+    {
+      // same MATERIALIZED discipline as q132: each round reads the
+      // previous edge set four times (three triangle sides + the
+      // filter), so inlined CTEs would be 4^17 scans
+      val rounds = (1 to 17).map { i =>
+        s"""t$i AS MATERIALIZED (
+           |  SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+           |  FROM g${i - 1} e1 JOIN g${i - 1} e2
+           |    ON e1.lo = e2.lo AND e1.hi < e2.hi
+           |  JOIN g${i - 1} e3 ON e3.lo = e1.hi AND e3.hi = e2.hi),
+           |s$i AS MATERIALIZED (
+           |  SELECT lo, hi, COUNT(*) AS sup FROM (
+           |    SELECT a AS lo, b AS hi FROM t$i
+           |    UNION ALL SELECT a, c FROM t$i
+           |    UNION ALL SELECT b, c FROM t$i) GROUP BY 1, 2),
+           |g$i AS MATERIALIZED (
+           |  SELECT g.lo, g.hi FROM g${i - 1} g LEFT JOIN s$i s USING (lo, hi)
+           |  WHERE COALESCE(s.sup, 0) >= 3)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH g0 AS MATERIALIZED (
+        |  SELECT a.vec_id AS lo, b.vec_id AS hi
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE a.vec_id < 1000 AND b.vec_id < 1000
+        |    AND list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+        |     / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+        |        * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.2),
+        |$rounds
+        |SELECT lo, hi FROM g17 ORDER BY 1, 2""".stripMargin
+    }) { (s, d) =>
+    val e = Tables.embeddings(s, d).filter(col("vec_id") < 1000)
+      .select(col("vec_id"), VF.asDouble(col("embedding")).as("v"))
+    kTruss(cosineEdgesExact(e, 0.2), k = 5L).orderBy(col("lo"), col("hi"))
   }
 
   /** q129: related suppliers by shared-customer overlap (≥3 common

@@ -37,7 +37,7 @@ import org.apache.spark.sql.functions._
   */
 object StreamingCatalog {
 
-  def defs: Seq[QueryDef] = Seq(q130, q131, q135, q136, q138)
+  def defs: Seq[QueryDef] = Seq(q130, q131, q135, q136, q138, q140)
 
   private val SliceMax = 2000L
   private val Sentinel = "zz_sentinel"
@@ -201,6 +201,53 @@ object StreamingCatalog {
           col("view_ts") <= col("click_ts"))
         .select(col("user_id"), col("click_us"), col("view_us"))
     }
+      .orderBy(col("user_id"), col("click_us"), col("view_us"))
+  }
+
+  /** q140: LEFT-OUTER stream-stream interval join — q136's click×view
+    * join, but clicks with NO view in their trailing 24 h emit a
+    * null-extended row. The semantics under test is state-EVICTION-
+    * driven emission: an unmatched click can only emit once the
+    * watermark proves no qualifying view can still arrive, so the
+    * null rows surface in the batch after the watermark passes the
+    * click's eviction bound — which is why the sentinel must flow
+    * through BOTH watermarked branches here (filtered to its own
+    * never-matching user −1): a branch that never sees the sentinel
+    * holds the global watermark back and the unmatched rows never
+    * emit. (q136's inner join only needed the watermark for cleanup,
+    * so it could drop the sentinel before the join.) Oracle = the
+    * batch LEFT JOIN under the same time bound.
+    */
+  val q140: QueryDef = QueryDef.checked(
+    "q140_streaming_outer_interval_join",
+    """WITH ev AS (
+      |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS ts_us
+      |  FROM events WHERE event_id < 2000)
+      |SELECT c.user_id, c.ts_us AS click_us, v.ts_us AS view_us
+      |FROM (SELECT user_id, ts_us FROM ev WHERE event_type = 'click') c
+      |LEFT JOIN (SELECT user_id, ts_us FROM ev WHERE event_type = 'view') v
+      |  ON c.user_id = v.user_id
+      | AND v.ts_us BETWEEN c.ts_us - 86400000000 AND c.ts_us
+      |ORDER BY 1, 2, 3""".stripMargin) { (s, d) =>
+    runToCompletion(s, d, "graft_q140_sink", outputMode = "append") { ev =>
+      val clicks = ev
+        .filter(col("event_type") === "click" || col("event_type") === Sentinel)
+        .select(col("user_id"), col("ts").as("click_ts"),
+          col("ts_us").as("click_us"))
+        .withWatermark("click_ts", "1 hour")
+      val views = ev
+        .filter(col("event_type") === "view" || col("event_type") === Sentinel)
+        .select(col("user_id").as("v_user"), col("ts").as("view_ts"),
+          col("ts_us").as("view_us"))
+        .withWatermark("view_ts", "1 hour")
+      clicks.join(views,
+        col("user_id") === col("v_user") &&
+          col("view_ts") >= col("click_ts") - expr("INTERVAL 24 HOURS") &&
+          col("view_ts") <= col("click_ts"),
+        "left_outer")
+        .select(col("user_id"), col("click_us"), col("view_us"))
+    }
+      .filter(col("user_id") =!= -1L)
       .orderBy(col("user_id"), col("click_us"), col("view_us"))
   }
 

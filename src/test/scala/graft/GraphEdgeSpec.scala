@@ -154,6 +154,48 @@ class GraphEdgeSpec extends AnyFunSuite {
     }
   }
 
+  test("kTruss: equals a sequential peeling reference; planted clique") {
+    val s = spark
+    import s.implicits._
+    def reference(edges: Set[(Long, Long)], k: Long): Set[(Long, Long)] = {
+      // sequential fixpoint: drop every edge with < k-2 common
+      // neighbors until stable (support = |N(u) ∩ N(v)|)
+      var e = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .filter(p => p._1 < p._2)
+      var changed = true
+      while (changed) {
+        val nb = e.foldLeft(
+            Map[Long, Set[Long]]().withDefaultValue(Set[Long]())) {
+          case (m, (u, v)) => m.updated(u, m(u) + v).updated(v, m(v) + u)
+        }
+        val keep = e.filter { case (u, v) => (nb(u) & nb(v)).size >= k - 2 }
+        changed = keep != e
+        e = keep
+      }
+      e
+    }
+    val rnd = new scala.util.Random(47)
+    for (trial <- 0 until 2) {
+      val half = (0 until 220)
+        .map(_ => (rnd.nextInt(28).toLong, rnd.nextInt(28).toLong))
+        .filter(p => p._1 != p._2).distinct
+      val sym = (half ++ half.map(p => (p._2, p._1))).toSet
+      val k = 3L + trial
+      val got = graft.operators.Graph.kTruss(sym.toSeq.toDF("src", "dst"), k)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == reference(sym, k), s"trial $trial k=$k")
+    }
+    // planted: a 6-clique under pendant fringe — the 5-truss is exactly
+    // the clique's 15 edges (pendants have support 0 and peel round 1)
+    val clique = for (a <- 0L until 6L; b <- 0L until 6L if a != b) yield (a, b)
+    val fringe = (0L until 20L).map(i => (i % 6, 100L + i))
+    val g = clique ++ fringe ++ fringe.map(p => (p._2, p._1))
+    val truss = graft.operators.Graph.kTruss(g.toDF("src", "dst"), 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for (a <- 0L until 6L; b <- a + 1 until 6L) yield (a, b)).toSet
+    assert(truss == want)
+  }
+
   test("kCore: recovers a planted clique core under a tree fringe") {
     val s = spark
     import s.implicits._
