@@ -20,7 +20,8 @@ import org.apache.spark.sql.expressions.Window
   */
 object Curation {
 
-  def defs: Seq[QueryDef] = Seq(q59, q60, q61, q66, q74, q75, q76, q84, q115, q123)
+  def defs: Seq[QueryDef] =
+    Seq(q59, q60, q61, q66, q74, q75, q76, q84, q115, q123, q143)
 
   /** Top-`k` distinctive terms per document, ranked by tf/df (document
     * frequency as the rarity signal — the idf log is monotonic in 1/df,
@@ -87,6 +88,61 @@ object Curation {
       conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 8), 16, 10)
         .cast("long") / lit(4294967296.0))
     frac.join(broadcast(rates), group).filter(col("f") < col("r"))
+  }
+
+  /** Greedy prefix fill of an explicit per-group TOKEN budget — the
+    * operational form of corpus mixing: a mixture spec gives every
+    * source/language a token allowance (weight × total budget), and the
+    * fill must be reproducible run-to-run so ablations and incremental
+    * rebuilds see the same corpus. Documents are ordered within their
+    * group by (md5(id), id) — the q53/q77 hash-order idiom, stable in
+    * any engine — and kept while the running token total stays within
+    * the budget (a pure prefix: the first overflowing document and
+    * everything after it are dropped, so the selection is a window
+    * filter, not a sequential first-fit scan).
+    *
+    * Scale shape: one window per group (a single key-partitioned sort;
+    * groups are sources/languages, so per-partition work is the group's
+    * documents — for a pathological single giant group, pre-shard the
+    * group and give each shard its budget share, the q77 stratum
+    * treatment). The hash and token count are row-local; nothing else
+    * shuffles.
+    */
+  def tokenBudgetFill(df: DataFrame, group: String, idCol: String,
+      tokens: Column, budget: Long): DataFrame = {
+    val w = Window.partitionBy(col(group))
+      .orderBy(col("h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("h", md5(col(idCol).cast("string").cast("binary")))
+      .withColumn("n_tok", tokens)
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .filter(col("cum_tok") <= budget)
+      .drop("h")
+  }
+
+  /** q143: fill a 2,000-token budget per language from `documents`,
+    * hash-ordered — budget binds at every SF (the smallest language
+    * carries ≥ 3,500 tokens at sf0.001). Oracle = the same windowed
+    * prefix sum in DuckDB.
+    */
+  val q143: QueryDef = QueryDef.checked(
+    "q143_token_budget_fill",
+    """WITH toks AS (
+      |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok,
+      |         md5(CAST(doc_id AS VARCHAR)) AS h
+      |  FROM documents),
+      |cum AS (
+      |  SELECT doc_id, lang, n_tok,
+      |    CAST(SUM(n_tok) OVER (PARTITION BY lang ORDER BY h, doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+      |  FROM toks)
+      |SELECT doc_id, lang, n_tok, cum_tok FROM cum
+      |WHERE cum_tok <= 2000 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    tokenBudgetFill(docs, "lang", "doc_id",
+        size(split(col("text"), " ")).cast("long"), budget = 2000L)
+      .select(col("doc_id"), col("lang"), col("n_tok"), col("cum_tok"))
+      .orderBy(col("doc_id"))
   }
 
   val q60: QueryDef = QueryDef.checked(

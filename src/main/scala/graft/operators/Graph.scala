@@ -26,7 +26,7 @@ import org.apache.spark.storage.StorageLevel
 object Graph {
 
   def defs: Seq[QueryDef] =
-    Seq(q110, q126, q127, q128, q129, q132, q133, q137, q141)
+    Seq(q110, q126, q127, q128, q129, q132, q133, q137, q141, q142)
 
   /** Materialize-and-release helper for the cache contract above. */
   private def finish(out: DataFrame, release: Boolean,
@@ -818,6 +818,118 @@ object Graph {
       }
     }
     edges
+  }
+
+  /** Deterministic fixed-length random walks from every node — the
+    * DeepWalk/node2vec corpus generator: each walk's node sequence
+    * becomes a "sentence" for embedding training. The step rule is
+    * derived, not drawn: at step t from node u on the walk started at
+    * s, the next hop is neighbor index md5("walk:seed:s:t:u") mod
+    * deg(u) in dst-sorted order — the q104/q111 salted-hash idiom, so
+    * any engine (and the DuckDB oracle) reproduces the walks exactly,
+    * while the index distribution is uniform per step like a real
+    * random walk.
+    *
+    * Shape per step: TWO keyed equi-joins — frontier ⋈ degrees on the
+    * current node (to compute the index), then ⋈ the rank-numbered
+    * neighbor table on (node, rank) — no fanout: the rank join hits
+    * exactly one neighbor row per walk. The degree and neighbor-rank
+    * frames are loop-invariant, built once and persisted; walkLen is a
+    * fixed small constant, so lineage stays shallow with no
+    * checkpointing (the q110 pattern, not the q132 one). The
+    * row_number ranking partitions by node — per-partition work is
+    * bounded by max degree; at 100 TB you would bucket the neighbor
+    * table on node (q80 layout) so every step's joins are
+    * exchange-free on the big side.
+    *
+    * Returns (start, step, node): step 0 is the start itself, walks
+    * from every node with ≥ 1 edge.
+    */
+  def randomWalks(undirected: DataFrame, walkLen: Int, seed: Long,
+      release: Boolean = false): DataFrame = {
+    require(walkLen >= 1, s"walkLen must be >= 1, got $walkLen")
+    val edges = undirected.select(col("src"), col("dst")).distinct()
+    val deg = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val byNode = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("dst"))
+    val nbr = edges.withColumn("rn", row_number().over(byNode))
+      .select(col("src").as("ncur"), col("dst"), col("rn"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var walk = deg.select(col("node").as("start"), col("node").as("cur"))
+    var out = walk.select(col("start"), lit(0L).as("step"),
+      col("cur").as("node"))
+    for (t <- 1 to walkLen) {
+      val pick = pmod(
+        conv(substring(md5(concat(lit(s"walk:$seed:"),
+          col("start").cast("string"), lit(s":$t:"),
+          col("cur").cast("string"))), 1, 8), 16, 10).cast("long"),
+        col("deg")) + 1
+      walk = walk
+        .join(deg.select(col("node").as("cur"), col("deg")), "cur")
+        .withColumn("pick", pick)
+        .join(nbr, col("cur") === col("ncur") && col("pick") === col("rn"))
+        .select(col("start"), col("dst").as("cur"))
+      out = out.unionByName(walk.select(col("start"),
+        lit(t.toLong).as("step"), col("cur").as("node")))
+    }
+    finish(out, release, deg, nbr)
+  }
+
+  /** q142: length-5 walk corpus over the q129 shared-customer supplier
+    * graph, seed 42 — every position of every walk, hash-checked: the
+    * DuckDB oracle replays the identical md5 step arithmetic over the
+    * same ROW_NUMBER-ranked neighbor lists.
+    */
+  val q142: QueryDef = QueryDef.checked(
+    "q142_random_walks",
+    {
+      // NB the outer template runs stripMargin over the composed text,
+      // so no continuation line here may begin with the `||` operator
+      val steps = (1 to 5).map { t =>
+        s"""w$t AS MATERIALIZED (
+           |  SELECT w.start, n.dst AS cur FROM w${t - 1} w
+           |  JOIN deg d ON d.src = w.cur
+           |  JOIN nbr n ON n.src = w.cur AND n.rn = 1 +
+           |    (('0x' || substring(md5('walk:42:' || CAST(w.start AS VARCHAR) ||
+           |      ':$t:' || CAST(w.cur AS VARCHAR)), 1, 8))::BIGINT % d.deg))"""
+          .stripMargin
+      }.mkString(",\n")
+      val levels = (0 to 5).map(t =>
+        s"SELECT start, CAST($t AS BIGINT) AS step, cur AS node FROM w$t")
+        .mkString("\nUNION ALL ")
+      s"""WITH pairs AS MATERIALIZED (
+        |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderkey < 2000),
+        |half AS MATERIALIZED (
+        |  SELECT DISTINCT a.s AS x, b.s AS y FROM pairs a JOIN pairs b
+        |  ON a.c = b.c AND a.s < b.s),
+        |und AS MATERIALIZED (SELECT x AS src, y AS dst FROM half
+        |  UNION ALL SELECT y, x FROM half),
+        |deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM und GROUP BY 1),
+        |nbr AS MATERIALIZED (SELECT src, dst,
+        |  ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) AS rn FROM und),
+        |w0 AS (SELECT src AS start, src AS cur FROM deg),
+        |$steps
+        |${levels}
+        |ORDER BY start, step""".stripMargin
+    }) { (s, d) =>
+    val pairs = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d).filter(col("o_orderkey") < 2000),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
+      .distinct()
+    val half = pairs.as("a")
+      .join(pairs.withColumnRenamed("sk", "sk2").as("b"),
+        col("a.c") === col("b.c") && col("a.sk") < col("sk2"))
+      .select(col("a.sk").as("src"), col("sk2").as("dst"))
+      .distinct()
+    val und = half.unionByName(
+      half.select(col("dst").as("src"), col("src").as("dst")))
+    randomWalks(und, walkLen = 5, seed = 42L)
+      .orderBy(col("start"), col("step"))
   }
 
   /** q137: core numbers of the q127 similarity graph — rows-only (the

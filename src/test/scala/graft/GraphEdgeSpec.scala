@@ -196,6 +196,53 @@ class GraphEdgeSpec extends AnyFunSuite {
     assert(truss == want)
   }
 
+  test("randomWalks: valid edges, full coverage, deterministic, step rule") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val half = (0 until 160)
+      .map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(p => p._1 != p._2).distinct
+    val sym = (half ++ half.map(p => (p._2, p._1))).toSet
+    val und = sym.toSeq.toDF("src", "dst")
+    val len = 4
+    val walks = Graph.randomWalks(und, walkLen = len, seed = 7L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nodes = sym.map(_._1)
+    // one walk per node, every position present exactly once
+    assert(walks.length == nodes.size * (len + 1))
+    assert(walks.count(_._2 == 0L) == nodes.size)
+    walks.filter(_._2 == 0L).foreach { case (st, _, n) => assert(st == n) }
+    // every hop traverses a real edge
+    val byWalk = walks.groupBy(_._1).view.mapValues(
+      _.sortBy(_._2).map(_._3).toSeq).toMap
+    byWalk.values.foreach { seq =>
+      seq.sliding(2).foreach { w =>
+        assert(sym.contains((w(0), w(1))), s"hop (${w(0)},${w(1)}) is not an edge")
+      }
+    }
+    // deterministic: a second run is identical
+    val again = Graph.randomWalks(und, walkLen = len, seed = 7L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(walks.sorted.sameElements(again.sorted))
+    // the step rule is the documented md5 arithmetic (sequential replay)
+    val nb = sym.groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted).toMap
+    def md5idx(seed: Long, start: Long, t: Int, cur: Long): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"walk:$seed:$start:$t:$cur".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex, 16) % nb(cur).size).toInt
+    }
+    byWalk.foreach { case (start, seq) =>
+      var cur = start
+      seq.tail.zipWithIndex.foreach { case (got, i) =>
+        val want = nb(cur)(md5idx(7L, start, i + 1, cur))
+        assert(got == want, s"walk $start step ${i + 1}")
+        cur = got
+      }
+    }
+  }
+
   test("kCore: recovers a planted clique core under a tree fringe") {
     val s = spark
     import s.implicits._
