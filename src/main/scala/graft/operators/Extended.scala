@@ -14,7 +14,7 @@ object Extended {
   import Exact._
 
   def defs: Seq[QueryDef] = Seq(q42, q43, q44, q45, q46, q90, q92, q93, q95, q97,
-    q101, q117, q118, q119, q120, q121)
+    q101, q117, q118, q119, q120, q121, q146)
 
   /** q95: ORC round-trip — q44's lossless write→read check for the
     * third columnar format (ORC ships with Spark; DuckDB cannot read
@@ -720,6 +720,42 @@ object Extended {
     * original table. Exercises spark.read/write csv+json alongside the
     * parquet everything else uses.
     */
+  /** q146: schema-evolution read — the decade-of-parquet reality at
+    * 100 TB: older files lack columns added later. Two generations are
+    * written under one root (gen 1: doc_id+lang; gen 2 adds n_chars)
+    * and read back with `mergeSchema`: Spark reconciles the footers
+    * into the union schema, gen-1 rows surface the added column as
+    * NULL, and the directory names become a discovered `gen` partition
+    * column. The oracle reconstructs the same union from the raw table
+    * (evens = gen 1, odds = gen 2). COUNT(col) vs COUNT(*) pins the
+    * null-fill; the coalesced sum pins that gen-2 values arrive intact.
+    */
+  val q146: QueryDef = QueryDef.checked(
+    "q146_schema_evolution",
+    """SELECT lang, COUNT(*) AS n, COUNT(n_chars) AS n_with_chars,
+      | CAST(SUM(COALESCE(n_chars, 0)) AS BIGINT) AS sum_chars
+      |FROM (
+      |  SELECT lang, NULL AS n_chars FROM documents WHERE doc_id % 2 = 0
+      |  UNION ALL
+      |  SELECT lang, n_chars FROM documents WHERE doc_id % 2 = 1)
+      |GROUP BY 1 ORDER BY lang""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val tmp = java.nio.file.Files
+      .createTempDirectory(Exact.fmtRoot, "evo_").toAbsolutePath.toString
+    docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("lang"))
+      .write.mode("overwrite").parquet(s"$tmp/data/gen=1")
+    docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$tmp/data/gen=2")
+    s.read.option("mergeSchema", "true").parquet(s"$tmp/data")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        count(col("n_chars")).as("n_with_chars"),
+        sum(coalesce(col("n_chars"), lit(0L))).as("sum_chars"))
+      .orderBy(col("lang"))
+  }
+
   val q44: QueryDef = QueryDef.checked(
     "q44_format_roundtrip",
     """SELECT fmt, COUNT(*) AS n,

@@ -26,7 +26,7 @@ import org.apache.spark.storage.StorageLevel
 object Graph {
 
   def defs: Seq[QueryDef] =
-    Seq(q110, q126, q127, q128, q129, q132, q133, q137, q141, q142)
+    Seq(q110, q126, q127, q128, q129, q132, q133, q137, q141, q142, q144)
 
   /** Materialize-and-release helper for the cache contract above. */
   private def finish(out: DataFrame, release: Boolean,
@@ -930,6 +930,88 @@ object Graph {
       half.select(col("dst").as("src"), col("src").as("dst")))
     randomWalks(und, walkLen = 5, seed = 42L)
       .orderBy(col("start"), col("step"))
+  }
+
+  /** Multi-source BFS: exact hop distances from each landmark to every
+    * node reachable within `maxDepth` hops — the landmark-distance
+    * features used for graph embeddings and reachability scoring.
+    * `maxDepth` is part of the SEMANTICS (a truncated BFS), not a
+    * convergence knob, so the loop is a fixed unroll like [[pageRank]],
+    * no data-dependent rounds.
+    *
+    * Frontier-style expansion: each round joins only the nodes FIRST
+    * discovered last round against the edge list (one keyed equi-join),
+    * then an anti-join drops already-seen (landmark, node) pairs —
+    * distances are final on first discovery, the BFS invariant, so no
+    * min-agg over the whole distance table is ever needed. The distance
+    * table is persisted per round (it feeds the anti-join and the next
+    * frontier); the edge list is persisted once. At 100 TB: both joins
+    * key on node ids; bucket the edge list (q80) to make the per-round
+    * expansion exchange-free on the big side.
+    *
+    * Returns (lm, node, dist), dist ∈ [0, maxDepth].
+    */
+  def bfsDistances(undirected: DataFrame, landmarks: DataFrame,
+      maxDepth: Int, release: Boolean = false): DataFrame = {
+    require(maxDepth >= 1, s"maxDepth must be >= 1, got $maxDepth")
+    val edges = undirected.select(col("src"), col("dst")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var dist = landmarks.select(col("lm"), col("lm").as("node"),
+        lit(0L).as("dist"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var frontier = dist.select(col("lm"), col("node"))
+    val rounds = scala.collection.mutable.ArrayBuffer(dist)
+    for (t <- 1 to maxDepth) {
+      val expanded = frontier
+        .join(edges, col("node") === col("src"))
+        .select(col("lm"), col("dst").as("node")).distinct()
+      val novel = expanded.join(dist, Seq("lm", "node"), "left_anti")
+        .select(col("lm"), col("node"), lit(t.toLong).as("dist"))
+      dist = dist.unionByName(novel).persist(StorageLevel.MEMORY_AND_DISK)
+      rounds += dist
+      frontier = novel.select(col("lm"), col("node"))
+    }
+    finish(dist, release, (rounds :+ edges).toSeq: _*)
+  }
+
+  /** q144: hop distances from the three lowest-id vectors over the
+    * q127 similarity graph, capped at 6 hops — hash-checked against a
+    * 6-round unrolled min-distance recurrence (Bellman-Ford style: the
+    * oracle's min over all ≤t-hop paths equals BFS first-discovery
+    * depth, so the two formulations agree exactly).
+    */
+  val q144: QueryDef = QueryDef.checked(
+    "q144_bfs_landmarks",
+    {
+      val rounds = (1 to 6).map { t =>
+        s"""d$t AS MATERIALIZED (
+           |  SELECT lm, node, MIN(dist) AS dist FROM (
+           |    SELECT lm, node, dist FROM d${t - 1}
+           |    UNION ALL
+           |    SELECT d.lm, e.dst AS node, d.dist + 1 AS dist
+           |    FROM d${t - 1} d JOIN und e ON e.src = d.node
+           |    WHERE d.dist = ${t - 1}) GROUP BY 1, 2)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS MATERIALIZED (
+        |  SELECT a.vec_id AS ia, b.vec_id AS ib
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+        |     / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+        |        * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.3),
+        |und AS MATERIALIZED (SELECT ia AS src, ib AS dst FROM e0
+        |  UNION ALL SELECT ib, ia FROM e0),
+        |lms AS (SELECT DISTINCT src AS lm FROM und ORDER BY 1 LIMIT 3),
+        |d0 AS (SELECT lm, lm AS node, CAST(0 AS BIGINT) AS dist FROM lms),
+        |$rounds
+        |SELECT lm, node, dist FROM d6 ORDER BY lm, node""".stripMargin
+    }) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), VF.asDouble(col("embedding")).as("v"))
+    val und = cosineEdgesExact(e, 0.3)
+    val lms = und.select(col("src").as("lm")).distinct()
+      .orderBy(col("lm")).limit(3)
+    bfsDistances(und, lms, maxDepth = 6)
+      .orderBy(col("lm"), col("node"))
   }
 
   /** q137: core numbers of the q127 similarity graph — rows-only (the

@@ -37,7 +37,7 @@ import org.apache.spark.sql.functions._
   */
 object StreamingCatalog {
 
-  def defs: Seq[QueryDef] = Seq(q130, q131, q135, q136, q138, q140)
+  def defs: Seq[QueryDef] = Seq(q130, q131, q135, q136, q138, q140, q145)
 
   private val SliceMax = 2000L
   private val Sentinel = "zz_sentinel"
@@ -249,6 +249,30 @@ object StreamingCatalog {
     }
       .filter(col("user_id") =!= -1L)
       .orderBy(col("user_id"), col("click_us"), col("view_us"))
+  }
+
+  /** q145: COMPLETE-mode aggregation — per-(user, event_type) totals
+    * re-emitted in full every micro-batch, no watermark: the state
+    * lives for the query's lifetime and the memory sink's table is
+    * REPLACED per batch, so the final table equals the batch GROUP BY
+    * over everything that arrived. This certifies the third output
+    * mode (q130 covers append, q131's dedup state updates in place):
+    * unbounded keyed state retention and full-result re-emission.
+    * The sentinel needs no special handling beyond its -1 user filter —
+    * complete mode emits without watermark progress.
+    */
+  val q145: QueryDef = QueryDef.checked(
+    "q145_streaming_complete_agg",
+    """SELECT user_id, event_type, COUNT(*) AS n,
+      |  MAX(epoch_ns(ts) // 1000) AS last_us
+      |FROM events WHERE event_id < 2000
+      |GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+    runToCompletion(s, d, "graft_q145_sink", outputMode = "complete") { ev =>
+      ev.groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"), max(col("ts_us")).as("last_us"))
+    }
+      .filter(col("user_id") =!= -1L)
+      .orderBy(col("user_id"), col("event_type"))
   }
 
   /** q138: STREAM-STATIC enrichment join — each streamed event joined

@@ -243,6 +243,37 @@ class GraphEdgeSpec extends AnyFunSuite {
     }
   }
 
+  test("bfsDistances: equals sequential BFS; depth cap truncates") {
+    val s = spark
+    import s.implicits._
+    def bfs(edges: Set[(Long, Long)], src: Long, cap: Int): Map[Long, Long] = {
+      val nb = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+        .withDefaultValue(Set[(Long, Long)]().map(_._2))
+      var dist = Map(src -> 0L)
+      var frontier = Set(src)
+      for (t <- 1 to cap) {
+        frontier = frontier.flatMap(u => nb(u)).diff(dist.keySet)
+        dist = dist ++ frontier.map(_ -> t.toLong)
+      }
+      dist
+    }
+    val rnd = new scala.util.Random(23)
+    // sparse: 60 nodes, ~90 undirected edges → real depth spread
+    val half = (0 until 90)
+      .map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter(p => p._1 != p._2).distinct
+    val sym = (half ++ half.map(p => (p._2, p._1))).toSet
+    val lms = Seq(0L, 7L, 13L).filter(l => sym.exists(_._1 == l))
+    for (cap <- Seq(2, 6)) {
+      val got = graft.operators.Graph.bfsDistances(
+          sym.toSeq.toDF("src", "dst"), lms.toDF("lm"), maxDepth = cap)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+      val want = lms.flatMap(l =>
+        bfs(sym, l, cap).map { case (n, d) => ((l, n), d) }).toMap
+      assert(got == want, s"cap=$cap")
+    }
+  }
+
   test("kCore: recovers a planted clique core under a tree fringe") {
     val s = spark
     import s.implicits._
