@@ -21,7 +21,7 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
-  def defs: Seq[QueryDef] = Seq(q73, q79, q80, q89, q134)
+  def defs: Seq[QueryDef] = Seq(q73, q79, q80, q89, q134, q148)
 
   /** Small-file compaction PLANNER — layout maintenance for the
     * partitioned/bucketed layouts this file writes: given per-file
@@ -88,6 +88,41 @@ object Layout {
     */
   def partitionedWrite(df: DataFrame, partCol: String, path: String): Unit =
     df.write.mode("overwrite").partitionBy(partCol).parquet(path)
+
+  /** q148: DYNAMIC partition pruning — q89 prunes on a literal
+    * predicate; here the partition filter only exists at RUNTIME: the
+    * fact table (documents partitioned by lang) is joined to a small
+    * filtered dimension whose lang set is unknowable at plan time, and
+    * Catalyst inserts a dynamic-pruning subquery on the fact scan so
+    * only the dimension's partitions are read. This is the
+    * star-schema-join capability that makes partitioned 100 TB fact
+    * tables usable: without DPP every partition is scanned on every
+    * dim-filtered join. StorageLayoutSpec pins
+    * `dynamicpruningexpression` in the fact scan's PartitionFilters;
+    * the oracle runs the equivalent join over the raw table (pruning
+    * must be invisible to semantics).
+    */
+  val q148: QueryDef = QueryDef.checked(
+    "q148_dynamic_partition_pruning",
+    """WITH dim AS (SELECT DISTINCT lang FROM documents WHERE doc_id < 4)
+      |SELECT d.lang, COUNT(*) AS n_docs,
+      | CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars
+      |FROM documents d JOIN dim ON d.lang = dim.lang
+      |GROUP BY 1 ORDER BY d.lang""".stripMargin) { (s, d) =>
+    val root = java.nio.file.Files
+      .createTempDirectory(Exact.fmtRoot, "dpp_").toAbsolutePath.toString
+    partitionedWrite(Tables.documents(s, d), "lang", s"$root/docs")
+    val fact = s.read.parquet(s"$root/docs")
+    // doc_id < 4 spans a strict SUBSET of languages at every SF, so the
+    // runtime filter genuinely skips partitions (pinned in the spec)
+    val dim = Tables.documents(s, d).filter(col("doc_id") < 4)
+      .select(col("lang")).distinct()
+    fact.join(dim, "lang")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"))
+  }
 
   /** q89: write the corpus partitioned by lang, read back with a
     * partition predicate, roll up per source. The oracle runs the same

@@ -37,7 +37,8 @@ import org.apache.spark.sql.functions._
   */
 object StreamingCatalog {
 
-  def defs: Seq[QueryDef] = Seq(q130, q131, q135, q136, q138, q140, q145)
+  def defs: Seq[QueryDef] =
+    Seq(q130, q131, q135, q136, q138, q140, q145, q147, q149)
 
   private val SliceMax = 2000L
   private val Sentinel = "zz_sentinel"
@@ -273,6 +274,93 @@ object StreamingCatalog {
     }
       .filter(col("user_id") =!= -1L)
       .orderBy(col("user_id"), col("event_type"))
+  }
+
+  /** q147: UPDATE-mode aggregation — per-user totals where each
+    * micro-batch emits only the keys it CHANGED, and the memory sink
+    * APPENDS every emission. Because the replay's batch boundaries are
+    * fixed (BatchRows-sized chunks of the deterministic slice), both
+    * facets are oracle-derivable: emissions per user = the number of
+    * distinct batches containing that user (emit-on-change), and the
+    * final total = max over emissions (counts are monotone) = the batch
+    * GROUP BY. The oracle reconstructs batch indices with a
+    * ROW_NUMBER over the same (ts, event_id) arrival order div
+    * BatchRows. Completes the output-mode family: append (q130),
+    * complete (q145), update (here).
+    */
+  val q147: QueryDef = QueryDef.checked(
+    "q147_streaming_update_agg",
+    s"""WITH ev AS (
+      |  SELECT user_id,
+      |    (ROW_NUMBER() OVER (ORDER BY ts, event_id) - 1) // $BatchRows AS b
+      |  FROM events WHERE event_id < 2000)
+      |SELECT user_id, COUNT(DISTINCT b) AS n_emissions, COUNT(*) AS final_n
+      |FROM ev GROUP BY 1 ORDER BY user_id""".stripMargin) { (s, d) =>
+    runToCompletion(s, d, "graft_q147_sink", outputMode = "update") { ev =>
+      ev.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    }
+      .filter(col("user_id") =!= -1L)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_emissions"), max(col("n")).as("final_n"))
+      .orderBy(col("user_id"))
+  }
+
+  /** q149: the Kinesis DSv2 path under the driver oracle — a document
+    * slice streamed OUT through the `graft-kinesis` sink into a
+    * scripted in-memory stream service (4 shards, partition-key hash
+    * routing), then streamed BACK IN through `graft-kinesis-source`
+    * with a per-shard admission cap that forces multiple micro-batches.
+    * Exactly-once in both directions means the decoded record multiset
+    * equals the slice, which is precisely what the oracle checks.
+    * shard_id / sequence_number / arrival_ts are deliberately NOT
+    * projected: shard routing and sink-task interleaving are
+    * scheduling-dependent; the record SET is not. (KinesisSourceSpec
+    * pins the order/reshard/drain semantics those columns carry.)
+    */
+  val q149: QueryDef = QueryDef.checked(
+    "q149_kinesis_roundtrip",
+    "SELECT doc_id, lang FROM documents WHERE doc_id < 200 ORDER BY doc_id") {
+    (s, d) =>
+    implicit val sqlc: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    if (!s.conf.getOption("spark.sql.streaming.checkpoint.fileChecksum.enabled")
+        .contains("false"))
+      s.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+    val stream = new graft.pipeline.FakeKinesisStream(nShards = 4)
+    val client = s"q149-${java.util.UUID.randomUUID()}"
+    graft.sources.KinesisClientRegistry.register(client, () => stream)
+    val slice = Tables.documents(s, d).filter(col("doc_id") < 200)
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => (s"${r.getLong(0)}:${r.getString(1)}".getBytes("UTF-8"),
+        r.getLong(0).toString))
+    val in = MemoryStream[(Array[Byte], String)]
+    val wCkpt = java.nio.file.Files.createTempDirectory("graft-q149-w").toString
+    val wq = in.toDF().toDF("data", "partition_key")
+      .writeStream.format("graft-kinesis")
+      .option("client", client)
+      .option("checkpointLocation", wCkpt)
+      .start()
+    try {
+      slice.grouped(64).foreach { chunk =>
+        in.addData(chunk.toSeq: _*)
+        wq.processAllAvailable()
+      }
+    } finally wq.stop()
+    val rCkpt = java.nio.file.Files.createTempDirectory("graft-q149-r").toString
+    val rq = s.readStream.format("graft-kinesis-source")
+      .option("client", client)
+      .option("maxRecordsPerShardPerTrigger", "32")
+      .load()
+      .selectExpr("CAST(data AS STRING) AS payload")
+      .writeStream.format("memory").queryName("graft_q149_sink")
+      .option("checkpointLocation", rCkpt)
+      .start()
+    try rq.processAllAvailable() finally rq.stop()
+    s.table("graft_q149_sink")
+      .select(
+        split(col("payload"), ":").getItem(0).cast("long").as("doc_id"),
+        split(col("payload"), ":").getItem(1).as("lang"))
+      .orderBy(col("doc_id"))
   }
 
   /** q138: STREAM-STATIC enrichment join — each streamed event joined

@@ -41,6 +41,25 @@ class StorageLayoutSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("q148 fact scan carries a dynamic-pruning partition filter") {
+    val df = SparkEntry.queries("q148_dynamic_partition_pruning")(spark, sf)
+    val out = df.collect()
+    assert(out.nonEmpty)
+    val plan = df.queryExecution.executedPlan.toString
+    // the FACT scan's PartitionFilters must contain a runtime subquery
+    // (dynamicpruningexpression), not a literal lang predicate — the
+    // whole point vs q89's static pruning
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"fact scan must be pruned by the dim join at runtime:\n$plan")
+    // and the pruned join's langs are a strict subset of all langs
+    // (doc_id < 4 never covers every language at this SF)
+    val allLangs = Tables.documents(spark, sf)
+      .select(col("lang")).distinct().count()
+    assert(out.length < allLangs,
+      s"dim slice must exclude at least one language: got ${out.length}")
+    spark.catalog.clearCache()
+  }
+
   test("zvalue2/zvalue3 match a bit-by-bit interleave reference") {
     val s = spark
     import s.implicits._
