@@ -87,29 +87,32 @@ object Bench {
     // The driver's artifact capture keeps only the LAST ~2,000 chars of
     // stdout (BENCH_r04 lost every per-query time to a 12 KB line), so
     // the contract line stays under that: per-query MIN keyed by the
-    // unique numeric name prefix ("q110" for q110_pagerank — `qkey`
+    // unique numeric id ("110" for q110_pagerank — `qkey`
     // self-describes the scheme) at 2-decimal precision, plus totals.
-    // The full-name min/median/load1m maps go to stderr for auditing —
-    // min measures the code; median ≫ min flags host contention.
-    // collision guard: duplicate short keys would silently drop a
-    // query's time in any JSON parser (last entry wins) — colliding
-    // names fall back to their full name instead
+    // Passes/load diagnostics and the full-name min/median/load1m maps
+    // go to stderr for auditing — min measures the code; median ≫ min
+    // flags host contention. At 149 queries the q-prefixed map measured
+    // 1,887 chars — one round of growth from truncation — so keys carry
+    // the bare number. collision guard: duplicate short keys would
+    // silently drop a query's time in any JSON parser (last entry
+    // wins) — colliding names fall back to their full name instead
     val prefixCounts = results.groupBy(_._1.split("_").head)
       .map { case (p, rs) => p -> rs.size }
     def qkey(name: String): String = {
       val p = name.split("_").head
-      if (prefixCounts(p) == 1) p else name
+      if (prefixCounts(p) == 1) p.stripPrefix("q") else name
     }
     val contract =
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","qkey":"name prefix before first _",""" +
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","qkey":"numeric id from the name prefix",""" +
       s""""queries":${jmap(qkey, "%.2f")(_._2)},""" +
-      f""""total_median":$totalMed%.2f,"passes":$passes,""" +
-      f""""load1m_start":$startLoad%.2f,"load1m_end":$endLoad%.2f,"sf":"$sfDir"}"""
+      f""""total_median":$totalMed%.2f,"sf":"$sfDir"}"""
     if (contract.length > 1950)
       System.err.println(s"[bench] WARNING contract line ${contract.length} chars " +
         "exceeds the driver's 2,000-char tail capture")
     System.err.println(
-      s"""{"queries_min":${jmap(identity, "%.3f")(_._2)},""" +
+      s"""{"passes":$passes,""" +
+      f""""load1m_start":$startLoad%.2f,"load1m_end":$endLoad%.2f,""" +
+      s""""queries_min":${jmap(identity, "%.3f")(_._2)},""" +
       s""""queries_median":${jmap(identity, "%.3f")(_._3)},""" +
       s""""queries_load1m":${jmap(identity, "%.2f")(_._4)}}""")
     println(contract)

@@ -14,7 +14,7 @@ object Extended {
   import Exact._
 
   def defs: Seq[QueryDef] = Seq(q42, q43, q44, q45, q46, q90, q92, q93, q95, q97,
-    q101, q117, q118, q119, q120, q121, q146)
+    q101, q117, q118, q119, q120, q121, q146, q150)
 
   /** q95: ORC round-trip — q44's lossless write→read check for the
     * third columnar format (ORC ships with Spark; DuckDB cannot read
@@ -720,6 +720,42 @@ object Extended {
     * original table. Exercises spark.read/write csv+json alongside the
     * parquet everything else uses.
     */
+  /** q150: single-pass inline audit metrics via `observe` — at 100 TB
+    * the difference between `observe` and a separate metrics query is a
+    * full second scan of the input: named aggregates accumulate on the
+    * SAME pass that produces the primary output (here a noop-sink
+    * materialization of the corpus projection), and the `Observation`
+    * handle surfaces them after the action with no extra job. The
+    * returned frame is the observed metric row itself; the oracle
+    * recomputes the aggregates directly, so the compare certifies that
+    * piggybacked metrics equal a dedicated scan's answer.
+    */
+  val q150: QueryDef = QueryDef.checked(
+    "q150_observed_metrics",
+    """SELECT COUNT(*) AS n_rows, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      | COUNT(CASE WHEN lang = 'en' THEN 1 END) AS n_en,
+      | CAST(MAX(n_chars) AS BIGINT) AS max_chars
+      |FROM documents""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val obs = org.apache.spark.sql.Observation(
+      s"q150-${java.util.UUID.randomUUID()}")
+    // CollectMetrics forbids DISTINCT aggregates (they cannot
+    // accumulate in a single pass) — the metric set here is the
+    // accumulator-shaped kind observe exists for
+    val primary = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(col("n_chars")).as("sum_chars"),
+        count(when(col("lang") === "en", lit(1))).as("n_en"),
+        max(col("n_chars")).as("max_chars"))
+    primary.write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    Seq((m("n_rows").asInstanceOf[Long], m("sum_chars").asInstanceOf[Long],
+      m("n_en").asInstanceOf[Long], m("max_chars").asInstanceOf[Long]))
+      .toDF("n_rows", "sum_chars", "n_en", "max_chars")
+  }
+
   /** q146: schema-evolution read — the decade-of-parquet reality at
     * 100 TB: older files lack columns added later. Two generations are
     * written under one root (gen 1: doc_id+lang; gen 2 adds n_chars)

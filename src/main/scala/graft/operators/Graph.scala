@@ -943,11 +943,17 @@ object Graph {
     * discovered last round against the edge list (one keyed equi-join),
     * then an anti-join drops already-seen (landmark, node) pairs —
     * distances are final on first discovery, the BFS invariant, so no
-    * min-agg over the whole distance table is ever needed. The distance
-    * table is persisted per round (it feeds the anti-join and the next
-    * frontier); the edge list is persisted once. At 100 TB: both joins
-    * key on node ids; bucket the edge list (q80) to make the per-round
-    * expansion exchange-free on the big side.
+    * min-agg over the whole distance table is ever needed. Each round's
+    * frontier is eagerly localCheckpoint'd: the frontier feeds BOTH the
+    * next expansion and the distance union, so left lazy the logical
+    * plan nests every earlier round twice and grows EXPONENTIALLY in
+    * depth (measured at 6 rounds: 9 s of driver-side analysis before
+    * any task ran, execution divergent) — the q132 lesson applied to a
+    * fixed unroll. The distance table is then just a union of
+    * checkpointed leaves (plan linear in depth); the edge list is
+    * persisted once. At 100 TB: both joins key on node ids; bucket the
+    * edge list (q80) to make the per-round expansion exchange-free on
+    * the big side.
     *
     * Returns (lm, node, dist), dist ∈ [0, maxDepth].
     */
@@ -958,20 +964,19 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var dist = landmarks.select(col("lm"), col("lm").as("node"),
         lit(0L).as("dist"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var frontier = dist.select(col("lm"), col("node"))
-    val rounds = scala.collection.mutable.ArrayBuffer(dist)
     for (t <- 1 to maxDepth) {
       val expanded = frontier
         .join(edges, col("node") === col("src"))
         .select(col("lm"), col("dst").as("node")).distinct()
       val novel = expanded.join(dist, Seq("lm", "node"), "left_anti")
         .select(col("lm"), col("node"), lit(t.toLong).as("dist"))
-      dist = dist.unionByName(novel).persist(StorageLevel.MEMORY_AND_DISK)
-      rounds += dist
+        .localCheckpoint(true)
+      dist = dist.unionByName(novel)
       frontier = novel.select(col("lm"), col("node"))
     }
-    finish(dist, release, (rounds :+ edges).toSeq: _*)
+    finish(dist, release, edges)
   }
 
   /** q144: hop distances from the three lowest-id vectors over the
@@ -1007,7 +1012,9 @@ object Graph {
     }) { (s, d) =>
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), VF.asDouble(col("embedding")).as("v"))
-    val und = cosineEdgesExact(e, 0.3)
+    // persisted: the O(n²) edge build feeds BOTH the landmark pick and
+    // the BFS edge frame — unpersisted it would run twice
+    val und = cosineEdgesExact(e, 0.3).persist(StorageLevel.MEMORY_AND_DISK)
     val lms = und.select(col("src").as("lm")).distinct()
       .orderBy(col("lm")).limit(3)
     bfsDistances(und, lms, maxDepth = 6)
