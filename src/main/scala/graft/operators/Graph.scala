@@ -860,21 +860,27 @@ object Graph {
     var walk = deg.select(col("node").as("start"), col("node").as("cur"))
     var out = walk.select(col("start"), lit(0L).as("step"),
       col("cur").as("node"))
+    val steps = scala.collection.mutable.ArrayBuffer[DataFrame]()
     for (t <- 1 to walkLen) {
       val pick = pmod(
         conv(substring(md5(concat(lit(s"walk:$seed:"),
           col("start").cast("string"), lit(s":$t:"),
           col("cur").cast("string"))), 1, 8), 16, 10).cast("long"),
         col("deg")) + 1
+      // persisted: each step feeds both the next hop and the output
+      // union — uncached, step t would re-execute for every later
+      // union branch (walkLen² joins instead of walkLen)
       walk = walk
         .join(deg.select(col("node").as("cur"), col("deg")), "cur")
         .withColumn("pick", pick)
         .join(nbr, col("cur") === col("ncur") && col("pick") === col("rn"))
         .select(col("start"), col("dst").as("cur"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      steps += walk
       out = out.unionByName(walk.select(col("start"),
         lit(t.toLong).as("step"), col("cur").as("node")))
     }
-    finish(out, release, deg, nbr)
+    finish(out, release, (steps :+ deg :+ nbr).toSeq: _*)
   }
 
   /** q142: length-5 walk corpus over the q129 shared-customer supplier

@@ -19,7 +19,40 @@ import org.apache.spark.sql.types.DecimalType
 object Scalars {
   import Exact._
 
-  def defs: Seq[QueryDef] = Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q68, q112)
+  def defs: Seq[QueryDef] =
+    Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q68, q112, q152)
+
+  /** q152: the custom codegen expressions reached through PURE SQL —
+    * [[graft.functions.GraftFunctions.register]] puts `cosine_sim`
+    * (fused cosine Expression) into the session's function registry
+    * (the same descriptors `graft.functions.GraftExtensions` injects
+    * cluster-wide via spark.sql.extensions), and the query text uses it
+    * like any builtin. The oracle recomputes the cosine with DuckDB
+    * list arithmetic on the q129 ppm grid — so the compare certifies
+    * the SQL surface AND the fused kernel's arithmetic in one shot.
+    * ExtensionsSpec pins SQL == DataFrame API for both registered
+    * functions and the argument-arity errors.
+    */
+  val q152: QueryDef = QueryDef.checked(
+    "q152_sql_custom_functions",
+    """SELECT a.vec_id AS ia, b.vec_id AS ib,
+      |  CAST(ROUND(1000000.0 * list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+      |   / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+      |      * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))) AS BIGINT)
+      |    AS cos_ppm
+      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |WHERE a.vec_id < 60 AND b.vec_id < 60
+      |ORDER BY ia, ib""".stripMargin) { (s, d) =>
+    graft.functions.GraftFunctions.register(s)
+    Tables.embeddings(s, d).filter(col("vec_id") < 60)
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))
+      .createOrReplaceTempView("q152_vecs")
+    s.sql("""SELECT a.vec_id AS ia, b.vec_id AS ib,
+      CAST(ROUND(1000000.0 * cosine_sim(a.v, b.v)) AS BIGINT) AS cos_ppm
+      FROM q152_vecs a JOIN q152_vecs b ON a.vec_id < b.vec_id
+      ORDER BY ia, ib""")
+  }
 
   /** String functions: upper/lower/length/substring/concat/trim/regexp/
     * split-element/levenshtein — projected per part row (codegen'd, no

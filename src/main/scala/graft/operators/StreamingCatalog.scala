@@ -38,7 +38,7 @@ import org.apache.spark.sql.functions._
 object StreamingCatalog {
 
   def defs: Seq[QueryDef] =
-    Seq(q130, q131, q135, q136, q138, q140, q145, q147, q149)
+    Seq(q130, q131, q135, q136, q138, q140, q145, q147, q149, q151)
 
   private val SliceMax = 2000L
   private val Sentinel = "zz_sentinel"
@@ -361,6 +361,51 @@ object StreamingCatalog {
         split(col("payload"), ":").getItem(0).cast("long").as("doc_id"),
         split(col("payload"), ":").getItem(1).as("lang"))
       .orderBy(col("doc_id"))
+  }
+
+  /** q151: ARBITRARY stateful processing under the oracle — the same
+    * two facets q147 certifies for the built-in agg (emit-on-change per
+    * batch; monotone totals), but through `mapGroupsWithState` with a
+    * user-defined state tuple (count, max-ts): the hand-rolled state
+    * must agree with SQL exactly. Deterministic because both state
+    * folds are order-independent (sum, max) — the TtlDedupProcessor
+    * analysis (NOTES_r5) showed order-DEPENDENT processors cannot go
+    * under the oracle; this is the order-free representative of the
+    * q131/flatMapGroupsWithState family. No timeout, no watermark:
+    * state lives for the query lifetime like q145.
+    */
+  val q151: QueryDef = QueryDef.checked(
+    "q151_stateful_running_counts",
+    s"""WITH ev AS (
+      |  SELECT user_id, epoch_ns(ts) // 1000 AS ts_us,
+      |    (ROW_NUMBER() OVER (ORDER BY ts, event_id) - 1) // $BatchRows AS b
+      |  FROM events WHERE event_id < 2000)
+      |SELECT user_id, COUNT(DISTINCT b) AS n_emissions, COUNT(*) AS final_n,
+      |  MAX(ts_us) AS last_us
+      |FROM ev GROUP BY 1 ORDER BY user_id""".stripMargin) { (s, d) =>
+    runToCompletion(s, d, "graft_q151_sink", outputMode = "update") { ev =>
+      val sess = ev.sparkSession
+      import sess.implicits._
+      ev.select(col("user_id"), col("ts_us")).as[(Long, Long)]
+        .groupByKey(_._1)
+        .mapGroupsWithState[(Long, Long), (Long, Long, Long)](
+          org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+          (user, rows, state) =>
+            var c = 0L
+            var m = Long.MinValue
+            rows.foreach { r => c += 1; m = math.max(m, r._2) }
+            val (pc, pm) = state.getOption.getOrElse((0L, Long.MinValue))
+            val next = (pc + c, math.max(pm, m))
+            state.update(next)
+            (user, next._1, next._2)
+        }
+        .toDF("user_id", "n", "last_us")
+    }
+      .filter(col("user_id") =!= -1L)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_emissions"), max(col("n")).as("final_n"),
+        max(col("last_us")).as("last_us"))
+      .orderBy(col("user_id"))
   }
 
   /** q138: STREAM-STATIC enrichment join — each streamed event joined
