@@ -38,7 +38,7 @@ import org.apache.spark.sql.functions._
 object StreamingCatalog {
 
   def defs: Seq[QueryDef] =
-    Seq(q130, q131, q135, q136, q138, q140, q145, q147, q149, q151)
+    Seq(q130, q131, q135, q136, q138, q140, q145, q147, q149, q151, q153)
 
   private val SliceMax = 2000L
   private val Sentinel = "zz_sentinel"
@@ -406,6 +406,56 @@ object StreamingCatalog {
       .agg(count(lit(1)).as("n_emissions"), max(col("n")).as("final_n"),
         max(col("last_us")).as("last_us"))
       .orderBy(col("user_id"))
+  }
+
+  /** q153: the reference's OWN source shape under the driver oracle —
+    * the `graft-tail` DSv2 file-tail source (S1, the reference's core:
+    * tail log files, frame lines) reading a document slice written as
+    * `doc_id:lang` lines across three `.log` files, with the second
+    * half APPENDED after the first pass so the growth/tail-follow path
+    * (per-file byte offsets advancing across micro-batches) is what
+    * produces the rows, not a one-shot read. Every line is
+    * newline-terminated (the source holds back EOF-partial lines by
+    * design — TailSourceSpec owns that semantics). Exactly-once over
+    * the offsets means the parsed multiset equals the slice; the
+    * file-assignment (doc_id % 3) and arrival order are deliberately
+    * invisible to the projection.
+    */
+  val q153: QueryDef = QueryDef.checked(
+    "q153_tail_source_roundtrip",
+    "SELECT doc_id, lang FROM documents WHERE doc_id < 200 ORDER BY doc_id") {
+    (s, d) =>
+    if (!s.conf.getOption("spark.sql.streaming.checkpoint.fileChecksum.enabled")
+        .contains("false"))
+      s.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+    val rows = Tables.documents(s, d).filter(col("doc_id") < 200)
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val root = java.nio.file.Files.createTempDirectory("graft-q153")
+    def append(slice: Array[(Long, String)]): Unit =
+      slice.groupBy(_._1 % 3).foreach { case (f, part) =>
+        java.nio.file.Files.writeString(root.resolve(s"docs-$f.log"),
+          part.map { case (id, lang) => s"$id:$lang\n" }.mkString,
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
+      }
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-q153-ckpt")
+    append(rows.take(100))
+    val q = s.readStream.format("graft-tail")
+      .option("path", root.toString).option("glob", "*.log")
+      .load()
+      .writeStream.format("memory").queryName("graft_q153_sink")
+      .option("checkpointLocation", ckpt.toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      append(rows.drop(100)) // the tail-follow half: files GROW mid-query
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table("graft_q153_sink")
+      .select(split(col("value"), ":").getItem(0).cast("long").as("doc_id"),
+        split(col("value"), ":").getItem(1).as("lang"))
+      .orderBy(col("doc_id"))
   }
 
   /** q138: STREAM-STATIC enrichment join — each streamed event joined
