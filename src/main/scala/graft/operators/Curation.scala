@@ -21,7 +21,7 @@ import org.apache.spark.sql.expressions.Window
 object Curation {
 
   def defs: Seq[QueryDef] =
-    Seq(q59, q60, q61, q66, q74, q75, q76, q84, q115, q123, q143)
+    Seq(q59, q60, q61, q66, q74, q75, q76, q84, q115, q123, q143, q154)
 
   /** Top-`k` distinctive terms per document, ranked by tf/df (document
     * frequency as the rarity signal — the idf log is monotonic in 1/df,
@@ -143,6 +143,103 @@ object Curation {
         size(split(col("text"), " ")).cast("long"), budget = 2000L)
       .select(col("doc_id"), col("lang"), col("n_tok"), col("cum_tok"))
       .orderBy(col("doc_id"))
+  }
+
+  /** T5-style span corruption — the denoising-pretraining data
+    * transform: mask short token spans, replace each with a sentinel in
+    * the input, and emit the masked tokens after their sentinels as the
+    * target sequence. Spans are DERIVED, not drawn (the q142 stance):
+    * tokens partition into fixed blocks of `blockTokens`, and each
+    * block of ≥ `spanLen` tokens masks the span starting at
+    * md5("span:seed:doc:block") mod (blockSize − spanLen + 1) — block
+    * partitioning makes spans non-overlapping by construction (real
+    * T5 resolves overlap with a sequential scan; a fixed-block rate of
+    * spanLen/blockTokens ≈ 15 % is the order-free equivalent), and the
+    * md5 idiom makes every mask reproducible in any engine. Sentinels
+    * carry the block index (deterministic; T5's sequential renumbering
+    * would need one more window — documented delta).
+    *
+    * Shapes: one explode (no shuffle), one (doc, block)-keyed window
+    * for block sizes, one doc-keyed reassembly agg — everything else
+    * row-local. 100 TB: both shuffle keys are fine-grained and
+    * md5-uniform in volume; no joins at all.
+    */
+  def spanCorrupt(docs: DataFrame, blockTokens: Int = 20, spanLen: Int = 3,
+      seed: Long = 42L): DataFrame = {
+    val bw = Window.partitionBy(col("doc_id"), col("bi"))
+    val tok = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .withColumnRenamed("col", "t")
+      .withColumn("bi", expr(s"pos div $blockTokens"))
+      .withColumn("bsize", count(lit(1)).over(bw))
+      .withColumn("s",
+        when(col("bsize") >= spanLen,
+          pmod(conv(substring(md5(concat(lit(s"span:$seed:"),
+              col("doc_id").cast("string"), lit(":"),
+              col("bi").cast("string"))), 1, 8), 16, 10).cast("long"),
+            col("bsize") - (spanLen - 1)))
+          .otherwise(lit(-1L)))
+      .withColumn("off", col("pos") - col("bi") * blockTokens)
+      .withColumn("masked",
+        col("s") >= 0 && col("off") >= col("s") &&
+          col("off") < col("s") + spanLen)
+    val sentinel = concat(lit("<extra_id_"), col("bi").cast("string"), lit(">"))
+    val inputPiece = when(!col("masked"), col("t"))
+      .when(col("off") === col("s"), sentinel)
+    val targetPiece = when(col("masked"),
+      when(col("off") === col("s"), concat(sentinel, lit(" "), col("t")))
+        .otherwise(col("t")))
+    def joinPieces(piece: Column): Column = concat_ws(" ",
+      transform(
+        filter(array_sort(collect_list(when(piece.isNotNull,
+          struct(col("pos"), piece.as("p"))))), s => s.isNotNull),
+        s => s.getField("p")))
+    tok.groupBy(col("doc_id"))
+      .agg(count(when(col("masked"), 1)).as("n_masked"),
+        joinPieces(inputPiece).as("corrupted"),
+        joinPieces(targetPiece).as("targets"))
+  }
+
+  /** q154: span corruption over `documents` (blocks of 20, spans of 3,
+    * seed 42) — n_masked, the sentinel-holed input, and the target
+    * sequence all hash-checked against DuckDB replaying the identical
+    * md5/block arithmetic and string reassembly.
+    */
+  val q154: QueryDef = QueryDef.checked(
+    "q154_span_corruption",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |tok AS (
+      |  SELECT doc_id, i - 1 AS pos, toks[i] AS t, (i - 1) // 20 AS bi
+      |  FROM t, unnest(generate_series(1, len(toks))) AS u(i)),
+      |sized AS (
+      |  SELECT *, COUNT(*) OVER (PARTITION BY doc_id, bi) AS bsize,
+      |    pos - bi * 20 AS off
+      |  FROM tok),
+      |marked AS (
+      |  SELECT *,
+      |    CASE WHEN bsize >= 3 THEN
+      |      ('0x' || substring(md5('span:42:' || CAST(doc_id AS VARCHAR)
+      |        || ':' || CAST(bi AS VARCHAR)), 1, 8))::BIGINT % (bsize - 2)
+      |    ELSE -1 END AS s
+      |  FROM sized),
+      |pieces AS (
+      |  SELECT doc_id, pos, bi, t, s, off,
+      |    (s >= 0 AND off >= s AND off < s + 3) AS masked
+      |  FROM marked)
+      |SELECT doc_id,
+      |  COUNT(*) FILTER (WHERE masked) AS n_masked,
+      |  COALESCE(string_agg(
+      |    CASE WHEN NOT masked THEN t
+      |         WHEN off = s THEN '<extra_id_' || CAST(bi AS VARCHAR) || '>'
+      |    END, ' ' ORDER BY pos), '') AS corrupted,
+      |  COALESCE(string_agg(
+      |    CASE WHEN masked THEN
+      |      CASE WHEN off = s
+      |        THEN '<extra_id_' || CAST(bi AS VARCHAR) || '> ' || t
+      |        ELSE t END
+      |    END, ' ' ORDER BY pos), '') AS targets
+      |FROM pieces GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    spanCorrupt(Tables.documents(s, d)).orderBy(col("doc_id"))
   }
 
   val q60: QueryDef = QueryDef.checked(

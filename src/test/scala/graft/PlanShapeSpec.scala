@@ -187,6 +187,31 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected a hash/sort-merge join on (band, chunk):\n$plan")
   }
 
+  test("randomWalks keeps every step an equi-join: no nested loop, no fanout") {
+    // randomWalks' final frame carries the FULL lineage (persists do
+    // not truncate plans), so one assertion covers all steps: the
+    // md5-picked hop must be the (node, rank) two-key equi-join the
+    // scaladoc claims, never a nested loop with a rank filter.
+    // (kTruss/bfsDistances checkpoint per round, so their final plans
+    // are truncated — their join shapes are pinned structurally: every
+    // per-round join uses Seq(...) key equality, and the wedge
+    // enumeration is the q128 machinery pinned above.)
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(31)
+    val half = (0 until 300)
+      .map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter(p => p._1 != p._2).distinct
+    val und = (half ++ half.map(p => (p._2, p._1))).toDF("src", "dst")
+    val walks = graft.operators.Graph.randomWalks(und, walkLen = 3, seed = 5L)
+    walks.collect()
+    val plan = walks.queryExecution.executedPlan.toString
+    spark.catalog.clearCache()
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"every walk step must stay keyed:\n$plan")
+  }
+
   test("q134 compaction plan windows per directory, never a single partition") {
     val plan = executedPlan("q134_compaction_plan")
     assert(!plan.split("== Initial Plan ==").head.contains("Exchange SinglePartition"),
