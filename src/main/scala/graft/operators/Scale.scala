@@ -11,7 +11,76 @@ import org.apache.spark.sql.expressions.Window
   */
 object Scale {
 
-  def defs: Seq[QueryDef] = Seq(q47, q48, q63, q72, q94, q96, q125, q139)
+  def defs: Seq[QueryDef] = Seq(q47, q48, q63, q72, q94, q96, q125, q139, q155)
+
+  /** Mergeable rank/quantile sketch as a fixed-grid histogram — the
+    * fourth corner of the sketch family (q96 HLL = distinct, q139 CMS =
+    * frequency, q121 moments = variance; this = rank queries). State =
+    * (group, bucket) → count with bucket = value div `width`: built by
+    * ONE map-side-combined agg, mergeable cell-wise exactly like q139's
+    * grid, bounded by (#groups × domain/width) cells however many rows
+    * stream through. A rank query walks the cumulative counts and
+    * returns the first bucket covering the target rank; the answer is
+    * that bucket's UPPER bound, so the error is one-sided and bounded
+    * by `width` in VALUE space (never in rank space) — with width 1 on
+    * integer data the answer IS percentile_disc (ScaleSpec pins that,
+    * plus two-half merge == one-shot build).
+    */
+  def histogramSketch(df: org.apache.spark.sql.DataFrame, group: String,
+      value: org.apache.spark.sql.Column, width: Long): org.apache.spark.sql.DataFrame =
+    df.select(col(group), (value.cast("long") / width).cast("long").as("b"))
+      .groupBy(col(group), col("b")).agg(count(lit(1)).as("c"))
+
+  /** Rank queries over a [[histogramSketch]]: for each group and each
+    * requested quantile q (in ppm to stay on an integer grid), the
+    * upper bound of the bucket containing the ceil(q·n)-th smallest
+    * value. One window over the (small) sketch, never over the data.
+    */
+  def sketchQuantiles(sketch: org.apache.spark.sql.DataFrame, group: String,
+      width: Long, quantilesPpm: Seq[Long]): org.apache.spark.sql.DataFrame = {
+    val tot = sketch.groupBy(col(group)).agg(sum(col("c")).as("n"))
+    val cum = sketch.withColumn("cum",
+      sum(col("c")).over(Window.partitionBy(col(group)).orderBy(col("b"))))
+      .join(tot, group)
+    quantilesPpm.map { q =>
+      // integer cum ≥ ceil(q·n / 1e6)  ⟺  cum · 1e6 ≥ q · n
+      cum.filter(col("cum") * 1000000L >= col("n") * q)
+        .groupBy(col(group))
+        .agg(min(col("b")).as("qb"))
+        .select(col(group), (col("qb") * width + (width - 1)).as(s"p${q}_ub"))
+    }.reduce(_.join(_, group)).join(tot, group)
+  }
+
+  /** q155: quantile-sketch readout on lineitem quantities per return
+    * flag (integer domain 1..50, width 5 → 10-cell state per group) —
+    * n, median and p95 upper bounds, hash-checked against the same
+    * grid walk in DuckDB. Width 5 < the domain, so the oracle
+    * certifies real bucketing arithmetic, not a degenerate exact path.
+    */
+  val q155: QueryDef = QueryDef.checked(
+    "q155_quantile_sketch",
+    """WITH s AS (
+      |  SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) // 5 AS b,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM lineitem GROUP BY 1, 2),
+      |tot AS (SELECT flag, CAST(SUM(c) AS BIGINT) AS n FROM s GROUP BY 1),
+      |cum AS (
+      |  SELECT flag, b, SUM(c) OVER (PARTITION BY flag ORDER BY b) AS cum
+      |  FROM s)
+      |SELECT t.flag, t.n,
+      |  (SELECT MIN(b) FROM cum WHERE cum.flag = t.flag
+      |     AND cum.cum * 1000000 >= t.n * 500000) * 5 + 4 AS p500000_ub,
+      |  (SELECT MIN(b) FROM cum WHERE cum.flag = t.flag
+      |     AND cum.cum * 1000000 >= t.n * 950000) * 5 + 4 AS p950000_ub
+      |FROM tot t ORDER BY t.flag""".stripMargin) { (s, d) =>
+    val sk = histogramSketch(Tables.lineitem(s, d), "l_returnflag",
+      col("l_quantity"), width = 5L)
+    sketchQuantiles(sk, "l_returnflag", width = 5L,
+        quantilesPpm = Seq(500000L, 950000L))
+      .select(col("l_returnflag").as("flag"), col("n"),
+        col("p500000_ub"), col("p950000_ub"))
+      .orderBy(col("flag"))
+  }
 
   /** Spherical k-means (Lloyd) on the driver over a bounded sample — the
     * standard way to train an IVF coarse quantizer (FAISS trains its

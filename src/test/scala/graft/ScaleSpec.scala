@@ -347,6 +347,55 @@ class ScaleSpec extends AnyFunSuite {
     assert(unseen.values.forall(_ == 0L), s"unseen keys: $unseen")
   }
 
+  test("quantile sketch: merge == one-shot; width 1 == exact rank pick") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(19)
+    val rows = (0 until 4000).map(i =>
+      (s"g${i % 3}", (math.pow(rnd.nextDouble(), 2) * 200).toLong))
+    val df = rows.toDF("g", "v")
+    // cell-wise merged half-sketches == one-shot sketch
+    val whole = graft.operators.Scale.histogramSketch(df, "g", col("v"), 10L)
+    val (h1, h2) = rows.splitAt(2000)
+    val merged = graft.operators.Scale
+      .histogramSketch(h1.toDF("g", "v"), "g", col("v"), 10L)
+      .unionByName(graft.operators.Scale
+        .histogramSketch(h2.toDF("g", "v"), "g", col("v"), 10L))
+      .groupBy(col("g"), col("b")).agg(sum(col("c")).as("c"))
+    def cells(x: org.apache.spark.sql.DataFrame) =
+      x.collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(cells(merged) == cells(whole))
+    // quantiles off the merged state equal quantiles off the one-shot
+    def q(x: org.apache.spark.sql.DataFrame) =
+      graft.operators.Scale.sketchQuantiles(x, "g", 10L, Seq(500000L, 950000L))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(q(merged) == q(whole))
+    // width 1 on integer data: the upper bound IS the exact
+    // ceil(q·n)-th smallest value (percentile_disc semantics)
+    val w1 = graft.operators.Scale.sketchQuantiles(
+        graft.operators.Scale.histogramSketch(df, "g", col("v"), 1L),
+        "g", 1L, Seq(500000L, 950000L))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toList
+    val byG = rows.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    w1.foreach { case (g, p50, p95) =>
+      val vs = byG(g)
+      def pick(ppm: Long): Long =
+        vs((((ppm * vs.size + 999999L) / 1000000L).toInt - 1).max(0))
+      assert(p50 == pick(500000L), s"$g p50")
+      assert(p95 == pick(950000L), s"$g p95")
+    }
+    // one-sided error at width 10: ub ≥ exact, ub − exact < 10
+    val w10 = q(whole)
+    w10.foreach { case (g, (p50, p95)) =>
+      val vs = byG(g)
+      def pick(ppm: Long): Long =
+        vs((((ppm * vs.size + 999999L) / 1000000L).toInt - 1).max(0))
+      assert(p50 >= pick(500000L) && p50 - pick(500000L) < 10, s"$g p50 bound")
+      assert(p95 >= pick(950000L) && p95 - pick(950000L) < 10, s"$g p95 bound")
+    }
+  }
+
   test("heavy hitters on an empty corpus returns an empty frame, not an NPE") {
     val s = spark
     import s.implicits._
