@@ -78,6 +78,15 @@ class GraphEdgeSpec extends AnyFunSuite {
     assert(no.count() == 3)
     assert(spark.sharedState.cacheManager.isEmpty,
       "neighborOverlap(release = true) must unpersist the edge frame")
+    val rw = Graph.randomWalks(edges, walkLen = 2, seed = 3L, release = true)
+    assert(rw.count() == 9)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "randomWalks(release = true) must unpersist steps, degrees, ranks")
+    val bfs = Graph.bfsDistances(edges, Seq(1L).toDF("lm"), maxDepth = 2,
+      release = true)
+    assert(bfs.count() == 3)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "bfsDistances(release = true) must unpersist the edge frame")
   }
 
   test("kCore: equals a sequential peeling reference on random graphs") {
