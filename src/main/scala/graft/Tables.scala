@@ -24,11 +24,13 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read it as raw nanos (legacy conf) and derive the
-    * microsecond TimestampType column — lossless for this data (no
-    * sub-microsecond content) and exactly what DuckDB yields, keeping the
-    * oracle compare bit-identical. The raw nanos stay available as `ts_ns`.
+  /** `events.ts` has shipped in two parquet encodings across testdata
+    * generations: TIMESTAMP(NANOS) (rounds ≤5), which Spark's vectorized
+    * reader rejects unless read as raw nanos via the legacy conf, and
+    * TIMESTAMP(MICROS) (round 6 regeneration), which loads natively as a
+    * timestamp column. Either way the surface is identical: `ts` as a
+    * microsecond TimestampType (exactly what DuckDB yields, keeping the
+    * oracle compare bit-identical) plus the raw nanos as BIGINT `ts_ns`.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     // Idempotent guard (same value always written) — avoids re-mutating
@@ -37,13 +39,26 @@ object Tables {
     if (!s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(s, d, "events")
-    // `div` = integer division: exact for ANY nanos input. A double `/`
-    // rounds at ~2^60 magnitudes (±128 ns), which can truncate to the
-    // wrong microsecond for whole-µs-granularity timestamps.
-    raw.withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts_ns div 1000")))
-      .select("event_id", "ts", "ts_ns", "user_id", "event_type", "value", "props")
+    val cols = Seq("event_id", "ts", "ts_ns", "user_id", "event_type", "value", "props")
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // TIMESTAMP(NANOS) file read as raw nanos. `div` = integer
+        // division: exact for ANY nanos input. A double `/` rounds at
+        // ~2^60 magnitudes (±128 ns), which can truncate to the wrong
+        // microsecond for whole-µs-granularity timestamps.
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+          .select(cols.head, cols.tail: _*)
+      case _ =>
+        // TIMESTAMP(MICROS) file: loads as TIMESTAMP_NTZ; cast to the
+        // session-zone TimestampType (UTC session → same instant) so
+        // downstream window/event-time semantics match the nanos path,
+        // and synthesize the nanos column losslessly from micros.
+        raw.withColumn("ts", expr("CAST(ts AS TIMESTAMP)"))
+          .withColumn("ts_ns", expr("unix_micros(ts) * 1000L"))
+          .select(cols.head, cols.tail: _*)
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
