@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver's bench/verify capture keeps the LAST ~2,000 chars of stdout
+// and json-parses the final line. Two sbt behaviors defeated that in
+// rounds 1-5 (BENCH_r0*.json all have parsed:null): LoggedOutput prefixes
+// every forked-process line with "[info] ", and "[success] Total time..."
+// trails the contract line. StdoutOutput pipes the forked JVM's stdio raw
+// (stdout unprefixed, stderr on real stderr), and showSuccess drops the
+// trailing summary — the contract line becomes stdout's last line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -86,25 +86,35 @@ object Bench {
     val endLoad = loadAvg()
     // The driver's artifact capture keeps only the LAST ~2,000 chars of
     // stdout (BENCH_r04 lost every per-query time to a 12 KB line), so
-    // the contract line stays under that: per-query MIN keyed by the
-    // unique numeric id ("110" for q110_pagerank — `qkey`
-    // self-describes the scheme) at 2-decimal precision, plus totals.
-    // Passes/load diagnostics and the full-name min/median/load1m maps
-    // go to stderr for auditing — min measures the code; median ≫ min
-    // flags host contention. At 149 queries the q-prefixed map measured
-    // 1,887 chars — one round of growth from truncation — so keys carry
-    // the bare number. collision guard: duplicate short keys would
-    // silently drop a query's time in any JSON parser (last entry
-    // wins) — colliding names fall back to their full name instead
+    // the contract line stays under that. Per-query MIN goes out as a
+    // pair ARRAY [[id, sec], ...] sorted by id — the id is the numeric
+    // prefix of the query name (110 for q110_pagerank), unquoted, and
+    // seconds carry 2 decimals with trailing zeros trimmed. At 155
+    // queries this measures ~1.45 KB vs 1.76 KB for the round-5 map
+    // form — ≥30 queries of extra headroom. `qfmt` self-describes the
+    // scheme for the reader. Passes/load diagnostics and the full-name
+    // min/median/load1m maps go to stderr for auditing — min measures
+    // the code; median ≫ min flags host contention. Collision guard:
+    // a duplicated numeric prefix would make two ids ambiguous, so a
+    // colliding query keeps its full (quoted) name as the id.
     val prefixCounts = results.groupBy(_._1.split("_").head)
       .map { case (p, rs) => p -> rs.size }
-    def qkey(name: String): String = {
+    def qid(name: String): String = {
       val p = name.split("_").head
-      if (prefixCounts(p) == 1) p.stripPrefix("q") else name
+      if (prefixCounts(p) == 1) p.stripPrefix("q") else "\"" + name + "\""
     }
+    def trimSec(v: Double): String = {
+      val s = f"$v%.2f"
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse else s
+    }
+    val pairs = results
+      .sortBy(r => qid(r._1).toLongOption.getOrElse(Long.MaxValue))
+      .map(r => s"[${qid(r._1)},${trimSec(r._2)}]")
+      .mkString("[", ",", "]")
     val contract =
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","qkey":"numeric id from the name prefix",""" +
-      s""""queries":${jmap(qkey, "%.2f")(_._2)},""" +
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec",""" +
+      s""""qfmt":"[id,sec] pairs; id = numeric prefix of query name",""" +
+      s""""queries":$pairs,""" +
       f""""total_median":$totalMed%.2f,"sf":"$sfDir"}"""
     if (contract.length > 1950)
       System.err.println(s"[bench] WARNING contract line ${contract.length} chars " +
