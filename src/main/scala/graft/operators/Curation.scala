@@ -156,12 +156,14 @@ object Curation {
     * T5 resolves overlap with a sequential scan; a fixed-block rate of
     * spanLen/blockTokens ≈ 15 % is the order-free equivalent), and the
     * md5 idiom makes every mask reproducible in any engine. Sentinels
-    * carry the block index (deterministic; T5's sequential renumbering
-    * would need one more window — documented delta).
+    * are renumbered SEQUENTIALLY within each document in span order —
+    * exact T5 surface (<extra_id_0>, <extra_id_1>, …) — via one
+    * doc-keyed running count of span starts.
     *
     * Shapes: one explode (no shuffle), one (doc, block)-keyed window
-    * for block sizes, one doc-keyed reassembly agg — everything else
-    * row-local. 100 TB: both shuffle keys are fine-grained and
+    * for block sizes, one doc-keyed running-count window for sentinel
+    * renumbering, one doc-keyed reassembly agg — everything else
+    * row-local. 100 TB: all shuffle keys are fine-grained and
     * md5-uniform in volume; no joins at all.
     */
   def spanCorrupt(docs: DataFrame, blockTokens: Int = 20, spanLen: Int = 3,
@@ -183,7 +185,14 @@ object Curation {
       .withColumn("masked",
         col("s") >= 0 && col("off") >= col("s") &&
           col("off") < col("s") + spanLen)
-    val sentinel = concat(lit("<extra_id_"), col("bi").cast("string"), lit(">"))
+      // Sequential T5 sentinel index: running count of span STARTS up
+      // to this token, minus one — evaluated at the start row it yields
+      // 0, 1, 2, … in document order.
+      .withColumn("sidx",
+        sum(when(col("masked") && col("off") === col("s"), 1).otherwise(0))
+          .over(Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1)
+    val sentinel = concat(lit("<extra_id_"), col("sidx").cast("string"), lit(">"))
     val inputPiece = when(!col("masked"), col("t"))
       .when(col("off") === col("s"), sentinel)
     val targetPiece = when(col("masked"),
@@ -225,20 +234,26 @@ object Curation {
       |pieces AS (
       |  SELECT doc_id, pos, bi, t, s, off,
       |    (s >= 0 AND off >= s AND off < s + 3) AS masked
-      |  FROM marked)
+      |  FROM marked),
+      |seq AS (
+      |  SELECT *,
+      |    COUNT(*) FILTER (WHERE masked AND off = s) OVER (
+      |      PARTITION BY doc_id ORDER BY pos
+      |      ROWS UNBOUNDED PRECEDING) - 1 AS sidx
+      |  FROM pieces)
       |SELECT doc_id,
       |  COUNT(*) FILTER (WHERE masked) AS n_masked,
       |  COALESCE(string_agg(
       |    CASE WHEN NOT masked THEN t
-      |         WHEN off = s THEN '<extra_id_' || CAST(bi AS VARCHAR) || '>'
+      |         WHEN off = s THEN '<extra_id_' || CAST(sidx AS VARCHAR) || '>'
       |    END, ' ' ORDER BY pos), '') AS corrupted,
       |  COALESCE(string_agg(
       |    CASE WHEN masked THEN
       |      CASE WHEN off = s
-      |        THEN '<extra_id_' || CAST(bi AS VARCHAR) || '> ' || t
+      |        THEN '<extra_id_' || CAST(sidx AS VARCHAR) || '> ' || t
       |        ELSE t END
       |    END, ' ' ORDER BY pos), '') AS targets
-      |FROM pieces GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      |FROM seq GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
     spanCorrupt(Tables.documents(s, d)).orderBy(col("doc_id"))
   }
 

@@ -30,8 +30,7 @@ object Extended {
       |FROM orders WHERE o_orderkey < 1000""".stripMargin) { (s, d) =>
     val slice = Tables.orders(s, d).filter(col("o_orderkey") < 1000)
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderdate"))
-    val tmp = java.nio.file.Files
-      .createTempDirectory(Exact.fmtRoot, "orc_").toAbsolutePath.toString
+    val tmp = Exact.scratchDir("q95", "orc_").toAbsolutePath.toString
     slice.write.mode("overwrite").orc(s"$tmp/orc")
     s.read.orc(s"$tmp/orc")
       .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_key"),
@@ -776,8 +775,7 @@ object Extended {
       |  SELECT lang, n_chars FROM documents WHERE doc_id % 2 = 1)
       |GROUP BY 1 ORDER BY lang""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
-    val tmp = java.nio.file.Files
-      .createTempDirectory(Exact.fmtRoot, "evo_").toAbsolutePath.toString
+    val tmp = Exact.scratchDir("q146", "evo_").toAbsolutePath.toString
     docs.filter(col("doc_id") % 2 === 0)
       .select(col("doc_id"), col("lang"))
       .write.mode("overwrite").parquet(s"$tmp/data/gen=1")
@@ -808,8 +806,7 @@ object Extended {
     // repeated passes) must not collide on a shared path. All
     // invocations live under one per-JVM root that a shutdown hook
     // removes — repeated bench passes must not leak /tmp copies.
-    val tmp = java.nio.file.Files
-      .createTempDirectory(Exact.fmtRoot, "run_").toAbsolutePath.toString
+    val tmp = Exact.scratchDir("q44", "run_").toAbsolutePath.toString
     slice.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
     slice.write.mode("overwrite").json(s"$tmp/json")
     val fromCsv = s.read.option("header", "true")

@@ -181,9 +181,6 @@ object Graph {
     rank
   }
 
-  // unique per-invocation table names (the q80 discipline: bench/verify
-  // re-run query fns in one session)
-  private val prBucketSeq = new java.util.concurrent.atomic.AtomicLong()
 
   /** q133: q110's PageRank over the bucketed edge layout — same graph,
     * same oracle SQL, bit-identical ranks; what changes is the PLAN
@@ -204,11 +201,10 @@ object Graph {
     val rev = pairs.select(
       concat(lit("s:"), col("sk").cast("string")).as("src"),
       concat(lit("c:"), col("c").cast("string")).as("dst"))
-    val n = prBucketSeq.incrementAndGet()
-    val root = java.nio.file.Files
-      .createTempDirectory(Exact.fmtRoot, "prbkt_").toAbsolutePath.toString
+    val root = Exact.scratchDir("q133", "prbkt_").toAbsolutePath.toString
+    val Seq(table) = Exact.scratchTables("q133", s, "graft_pr_bk")
     pageRankBucketed(fwd.unionByName(rev), numBuckets = 8,
-      table = s"graft_pr_bk_$n", path = s"$root/edges", iterations = 3)
+      table = table, path = s"$root/edges", iterations = 3)
       .orderBy(col("node"))
   }
 

@@ -109,8 +109,7 @@ object Layout {
       | CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars
       |FROM documents d JOIN dim ON d.lang = dim.lang
       |GROUP BY 1 ORDER BY d.lang""".stripMargin) { (s, d) =>
-    val root = java.nio.file.Files
-      .createTempDirectory(Exact.fmtRoot, "dpp_").toAbsolutePath.toString
+    val root = Exact.scratchDir("q148", "dpp_").toAbsolutePath.toString
     partitionedWrite(Tables.documents(s, d), "lang", s"$root/docs")
     val fact = s.read.parquet(s"$root/docs")
     // doc_id < 4 spans a strict SUBSET of languages at every SF, so the
@@ -138,8 +137,7 @@ object Layout {
       | CAST(SUM(n_chars) AS BIGINT) AS sum_chars
       |FROM documents WHERE lang = 'en'
       |GROUP BY source""".stripMargin) { (s, d) =>
-    val root = java.nio.file.Files
-      .createTempDirectory(Exact.fmtRoot, "part_").toAbsolutePath.toString
+    val root = Exact.scratchDir("q89", "part_").toAbsolutePath.toString
     partitionedWrite(Tables.documents(s, d), "lang", s"$root/docs")
     s.read.parquet(s"$root/docs")
       .filter(col("lang") === "en")
@@ -188,10 +186,6 @@ object Layout {
         min(col("o_custkey")).as("custkey"))
   }
 
-  // unique per-invocation table names: bench/verify re-run query fns in
-  // one session, and overwriting a table another live DataFrame still
-  // references would be a silent correctness hazard
-  private val bucketSeq = new java.util.concurrent.atomic.AtomicLong()
 
   /** q80: the bucketed co-located join. Writes pre-filtered lineitem and
     * orders slices bucketed by their join key (8 buckets, one file per
@@ -210,10 +204,8 @@ object Layout {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |WHERE l_orderkey < 5000
       |GROUP BY l_orderkey""".stripMargin) { (s, d) =>
-    val n = bucketSeq.incrementAndGet()
-    val root = java.nio.file.Files
-      .createTempDirectory(Exact.fmtRoot, "bkt_").toAbsolutePath.toString
-    val (liT, ordT) = (s"graft_li_bk_$n", s"graft_ord_bk_$n")
+    val root = Exact.scratchDir("q80", "bkt_").toAbsolutePath.toString
+    val Seq(liT, ordT) = Exact.scratchTables("q80", s, "graft_li_bk", "graft_ord_bk")
     bucketedWrite(
       Tables.lineitem(s, d).filter(col("l_orderkey") < 5000)
         .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice")),

@@ -50,6 +50,44 @@ object Exact {
     }))
     p
   }
+
+  // Owner-keyed scratch artifacts: a query that materializes a temp dir
+  // or a catalog table per invocation cannot clean up inside its own
+  // body (the returned frame still reads the artifact lazily), so the
+  // PREVIOUS invocation's artifacts are retired when the same owner
+  // runs again — by then its frame has been fully consumed by the
+  // harness. Bounds a long-lived session (bench = 4+ passes per query)
+  // to ONE live generation per owner instead of unbounded growth in
+  // the session catalog and under fmtRoot.
+  private val scratchDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+  private val scratchTableMap =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+  private val scratchSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** New scratch dir under [[fmtRoot]]; deletes the dir the same owner
+    * got last time. */
+  def scratchDir(owner: String, prefix: String): java.nio.file.Path = {
+    val fresh = java.nio.file.Files.createTempDirectory(fmtRoot, prefix)
+    Option(scratchDirs.put(owner, fresh)).foreach { old =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(old.toFile)
+    }
+    fresh
+  }
+
+  /** Fresh unique table names for this owner; drops the tables the same
+    * owner registered last time. */
+  def scratchTables(owner: String, spark: org.apache.spark.sql.SparkSession,
+      baseNames: String*): Seq[String] = {
+    val n = scratchSeq.incrementAndGet()
+    val fresh = baseNames.map(b => s"${b}_$n")
+    Option(scratchTableMap.put(owner, fresh)).foreach(_.foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")))
+    fresh
+  }
 }
 
 /** Relational operator surface: scans+pushdown, joins (inner/outer/semi/

@@ -28,7 +28,14 @@ object Scale {
     */
   def histogramSketch(df: org.apache.spark.sql.DataFrame, group: String,
       value: org.apache.spark.sql.Column, width: Long): org.apache.spark.sql.DataFrame =
-    df.select(col(group), (value.cast("long") / width).cast("long").as("b"))
+    // Integer `div`, not double `/`: double division loses exactness
+    // past 2^53, so a wide-domain long would land in the wrong bucket
+    // (StreamingCatalog's "`div`, not `/`" rule applies here too).
+    // Both Spark `div` and DuckDB `//` truncate toward zero on longs
+    // (measured: -7 // 2 = -3 in DuckDB), so the grids agree across the
+    // full long domain, negatives included.
+    df.select(col(group), value.cast("long").as("__hs_v"))
+      .select(col(group), expr(s"__hs_v div ${width}L").as("b"))
       .groupBy(col(group), col("b")).agg(count(lit(1)).as("c"))
 
   /** Rank queries over a [[histogramSketch]]: for each group and each

@@ -67,13 +67,7 @@ object StreamingCatalog {
       build: DataFrame => DataFrame): DataFrame = {
     implicit val sqlc: org.apache.spark.sql.SQLContext = s.sqlContext
     import s.implicits._
-    // Spark 4.1's checkpoint file-checksum writer deadlocks stateful
-    // commits under local-mode churn (see TestSpark); checksums add
-    // nothing on the tmp checkpoint this replay uses. Idempotent guard —
-    // same value always written (the Tables.events pattern).
-    if (!s.conf.getOption("spark.sql.streaming.checkpoint.fileChecksum.enabled")
-        .contains("false"))
-      s.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+    withChecksumOff(s) {
     val rows = slice(s, d)
     val maxTs = rows.iterator.map(_._1).max
     // sentinel: watermark delay (1 h) + lead past the last real event —
@@ -81,13 +75,18 @@ object StreamingCatalog {
     // the lead covers the window size (or session gap) with margin
     val sentinelTs = maxTs + sentinelLeadMinutes * 60L * 1000000L
     val in = MemoryStream[(Long, Long, String)]
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-sc").toString
+    // Checkpoint is only needed while the stream runs (the result lives
+    // in the memory sink after stop()), so it is deleted on exit rather
+    // than accumulating one dir per run. The sink TEMP VIEW persists by
+    // design — the returned frame resolves it lazily — and is replaced,
+    // not duplicated, on the next run of the same query.
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sc")
     val events = build(
       in.toDF().toDF("ts_us", "user_id", "event_type")
         .withColumn("ts", timestamp_micros(col("ts_us"))))
     val q = events.writeStream.format("memory").queryName(sinkName)
       .outputMode(outputMode)
-      .option("checkpointLocation", ckpt)
+      .option("checkpointLocation", ckpt.toString)
       .start()
     try {
       rows.grouped(BatchRows).foreach { chunk =>
@@ -96,8 +95,41 @@ object StreamingCatalog {
       }
       in.addData((sentinelTs, -1L, Sentinel))
       q.processAllAvailable()
-    } finally q.stop()
+    } finally {
+      q.stop()
+      rmTree(ckpt)
+    }
     s.table(sinkName)
+    }
+  }
+
+  /** Spark 4.1's checkpoint file-checksum writer deadlocks stateful
+    * commits under local-mode churn (see TestSpark); checksums add
+    * nothing on the tmp checkpoints these replays use. The prior value
+    * is RESTORED on exit — the conf only matters while the stream
+    * executes, and leaving it flipped would surprise any other caller
+    * sharing the session.
+    */
+  private def withChecksumOff[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
+    val prior = s.conf.getOption(key)
+    s.conf.set(key, "false")
+    try body
+    finally prior match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
+  /** Delete a finished stream's scratch dir (checkpoints, tailed files)
+    * — needed only while the stream runs; the result lives in the
+    * memory sink after stop(), so per-run dirs must not accumulate.
+    */
+  private def rmTree(p: java.nio.file.Path): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(p.toFile)
   }
 
   /** q130: watermarked tumbling-window counts, APPEND mode — the
@@ -323,9 +355,7 @@ object StreamingCatalog {
     (s, d) =>
     implicit val sqlc: org.apache.spark.sql.SQLContext = s.sqlContext
     import s.implicits._
-    if (!s.conf.getOption("spark.sql.streaming.checkpoint.fileChecksum.enabled")
-        .contains("false"))
-      s.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+    withChecksumOff(s) {
     val stream = new graft.pipeline.FakeKinesisStream(nShards = 4)
     val client = s"q149-${java.util.UUID.randomUUID()}"
     graft.sources.KinesisClientRegistry.register(client, () => stream)
@@ -334,33 +364,34 @@ object StreamingCatalog {
       .map(r => (s"${r.getLong(0)}:${r.getString(1)}".getBytes("UTF-8"),
         r.getLong(0).toString))
     val in = MemoryStream[(Array[Byte], String)]
-    val wCkpt = java.nio.file.Files.createTempDirectory("graft-q149-w").toString
+    val wCkpt = java.nio.file.Files.createTempDirectory("graft-q149-w")
     val wq = in.toDF().toDF("data", "partition_key")
       .writeStream.format("graft-kinesis")
       .option("client", client)
-      .option("checkpointLocation", wCkpt)
+      .option("checkpointLocation", wCkpt.toString)
       .start()
     try {
       slice.grouped(64).foreach { chunk =>
         in.addData(chunk.toSeq: _*)
         wq.processAllAvailable()
       }
-    } finally wq.stop()
-    val rCkpt = java.nio.file.Files.createTempDirectory("graft-q149-r").toString
+    } finally { wq.stop(); rmTree(wCkpt) }
+    val rCkpt = java.nio.file.Files.createTempDirectory("graft-q149-r")
     val rq = s.readStream.format("graft-kinesis-source")
       .option("client", client)
       .option("maxRecordsPerShardPerTrigger", "32")
       .load()
       .selectExpr("CAST(data AS STRING) AS payload")
       .writeStream.format("memory").queryName("graft_q149_sink")
-      .option("checkpointLocation", rCkpt)
+      .option("checkpointLocation", rCkpt.toString)
       .start()
-    try rq.processAllAvailable() finally rq.stop()
+    try rq.processAllAvailable() finally { rq.stop(); rmTree(rCkpt) }
     s.table("graft_q149_sink")
       .select(
         split(col("payload"), ":").getItem(0).cast("long").as("doc_id"),
         split(col("payload"), ":").getItem(1).as("lang"))
       .orderBy(col("doc_id"))
+    }
   }
 
   /** q151: ARBITRARY stateful processing under the oracle — the same
@@ -425,9 +456,7 @@ object StreamingCatalog {
     "q153_tail_source_roundtrip",
     "SELECT doc_id, lang FROM documents WHERE doc_id < 200 ORDER BY doc_id") {
     (s, d) =>
-    if (!s.conf.getOption("spark.sql.streaming.checkpoint.fileChecksum.enabled")
-        .contains("false"))
-      s.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+    withChecksumOff(s) {
     val rows = Tables.documents(s, d).filter(col("doc_id") < 200)
       .select(col("doc_id"), col("lang")).collect()
       .map(r => (r.getLong(0), r.getString(1)))
@@ -451,11 +480,12 @@ object StreamingCatalog {
       q.processAllAvailable()
       append(rows.drop(100)) // the tail-follow half: files GROW mid-query
       q.processAllAvailable()
-    } finally q.stop()
+    } finally { q.stop(); rmTree(ckpt); rmTree(root) }
     s.table("graft_q153_sink")
       .select(split(col("value"), ":").getItem(0).cast("long").as("doc_id"),
         split(col("value"), ":").getItem(1).as("lang"))
       .orderBy(col("doc_id"))
+    }
   }
 
   /** q138: STREAM-STATIC enrichment join — each streamed event joined

@@ -198,29 +198,46 @@ private[sources] class KinesisSourceMicroBatchStream(
     // child records can never share a micro-batch
     def parentDrained(p: String): Boolean =
       !listed.contains(p) || committed.get(p).exists(KinesisReadSource.isClosed)
-    infos.foreach { info =>
+    val eligible = infos.filter { info =>
+      !committed.get(info.shardId).exists(KinesisReadSource.isClosed) &&
+        info.parentIds.forall(parentDrained)
+    }
+    // Fair-share the global row budget across eligible shards instead of
+    // draining it in listing order: each shard's allowance is the ceiling
+    // of remaining-budget / remaining-shards, so under a sustained
+    // ReadMaxRows smaller than shardCount × per-shard volume every shard
+    // makes progress each trigger (no tail-latency starvation of shards
+    // late in the listing); a quiet shard's unused allowance rolls
+    // forward to the shards after it.
+    var shardsLeft = eligible.size.toLong
+    eligible.foreach { info =>
       val shard = info.shardId
       val committedVal = committed.get(shard)
-      if (!committedVal.exists(KinesisReadSource.isClosed) &&
-          info.parentIds.forall(parentDrained)) {
+      val allowance =
+        if (rowBudget == Long.MaxValue || shardsLeft <= 1) rowBudget
+        else rowBudget / shardsLeft + (if (rowBudget % shardsLeft > 0) 1L else 0L)
+      shardsLeft -= 1
+      locally {
         var last: String = null
         var sawEnd = false
         var taken = 0
         var calls = 0
+        var shardBudget = allowance
         var it = client.getShardIterator(shard,
           committedVal.map(KinesisReadSource.stripClosed).filter(_.nonEmpty))
         if (it.isEmpty) sawEnd = true // iterator expired: closed + aged out
         var open = it.isDefined
-        while (open && taken < maxRecordsPerShardPerTrigger && rowBudget > 0 &&
+        while (open && taken < maxRecordsPerShardPerTrigger && shardBudget > 0 &&
             calls < maxFetchCallsPerShard) {
           val want = math.min(pageLimit.toLong,
-            math.min((maxRecordsPerShardPerTrigger - taken).toLong, rowBudget)).toInt
+            math.min((maxRecordsPerShardPerTrigger - taken).toLong, shardBudget)).toInt
           val page = client.getRecords(it.get, want)
           calls += 1
           if (page.records.nonEmpty) {
             last = page.records.last.sequenceNumber
             taken += page.records.size
-            rowBudget -= page.records.size
+            shardBudget -= page.records.size
+            if (rowBudget != Long.MaxValue) rowBudget -= page.records.size
           }
           page.nextIterator match {
             case Some(n) if page.records.nonEmpty || page.millisBehindLatest > 0 =>
@@ -254,14 +271,15 @@ private[sources] class KinesisSourceMicroBatchStream(
       // drain-mark-only commit (marker added, same final seq) and a
       // never-read shard that went straight to closed ("" + marker)
       if (untilSeq.isEmpty || after.contains(untilSeq)) None
-      else Some(KinesisInputPartition(clientName, shard, after, untilSeq))
+      else Some(KinesisInputPartition(clientName, shard, after, untilSeq, pageLimit))
     }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     (partition: InputPartition) => {
       val p = partition.asInstanceOf[KinesisInputPartition]
-      new KinesisPartitionReader(p.clientName, p.shardId, p.afterSeq, p.untilSeq)
+      new KinesisPartitionReader(
+        p.clientName, p.shardId, p.afterSeq, p.untilSeq, p.pageLimit)
     }
 
   override def commit(end: Offset): Unit = ()
@@ -270,7 +288,7 @@ private[sources] class KinesisSourceMicroBatchStream(
 
 private[sources] case class KinesisInputPartition(
     clientName: String, shardId: String, afterSeq: Option[String],
-    untilSeq: String) extends InputPartition
+    untilSeq: String, pageLimit: Int) extends InputPartition
 
 /** Replays one shard's (afterSeq, untilSeq] range — deterministic
   * because a committed Kinesis range is immutable. Emits records in
@@ -280,7 +298,7 @@ private[sources] case class KinesisInputPartition(
   */
 private[sources] class KinesisPartitionReader(
     clientName: String, shardId: String, afterSeq: Option[String],
-    untilSeq: String)
+    untilSeq: String, pageLimit: Int = 1000)
     extends PartitionReader[InternalRow] {
 
   private lazy val client = KinesisReadSource.readClient(clientName)
@@ -297,7 +315,7 @@ private[sources] class KinesisPartitionReader(
     while (!page.hasNext) {
       it match {
         case Some(cursor) =>
-          val p = client.getRecords(cursor, 1000)
+          val p = client.getRecords(cursor, pageLimit)
           if (p.records.isEmpty) {
             // empty pages mid-range are normal (iterator aging through a
             // gap) — but the TIP without having seen untilSeq means the
