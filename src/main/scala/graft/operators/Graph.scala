@@ -26,7 +26,8 @@ import org.apache.spark.storage.StorageLevel
 object Graph {
 
   def defs: Seq[QueryDef] =
-    Seq(q110, q126, q127, q128, q129, q132, q133, q137, q141, q142, q144)
+    Seq(q110, q126, q127, q128, q129, q132, q133, q137, q141, q142, q144,
+      q156, q157)
 
   /** Materialize-and-release helper for the cache contract above. */
   private def finish(out: DataFrame, release: Boolean,
@@ -1158,5 +1159,251 @@ object Graph {
     val und = half.unionByName(
       half.select(col("dst").as("src"), col("src").as("dst")))
     neighborOverlap(und, minShared = 3L).orderBy(col("a"), col("b"))
+  }
+
+  /** The DIRECTED edge base for the SCC/reachability family: the
+    * activity-handoff digraph over `events`. Within every
+    * (event_type, hour) group, users ordered by (first event time,
+    * user_id) link in handoff order — each user's first appearance
+    * points at the next user to act. Direction is real (time flows
+    * forward inside a group; cycles only arise when users trade places
+    * across groups), which is what makes SCC non-degenerate here,
+    * unlike the symmetrized trade graph (q110) where SCC = WCC by
+    * construction.
+    *
+    * `maxEventId` bounds the slice (the q136 event-slice discipline) and
+    * `hrMod` keeps every `hrMod`-th hour — the sparsifier is part of the
+    * declared semantics, chosen so the SCC structure is NON-TRIVIAL at
+    * the oracle scales (sf0.01: a 71-node giant component, a 4-cycle,
+    * and ~48 singletons; dense handoff graphs collapse to one giant SCC
+    * and would certify nothing — the q141 threshold lesson).
+    *
+    * Shape: one (type, hr, user) agg + one (type, hr)-keyed window +
+    * distinct — all shuffles on fine-grained keys; no joins. At 100 TB
+    * the group key (type, hr) is the natural partition and no group
+    * outlives its hour.
+    */
+  def handoffEdges(events: DataFrame, maxEventId: Long = 2000L,
+      hrMod: Long = 7L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"), col("hr"))
+      .orderBy(col("fts"), col("user_id"))
+    events.filter(col("event_id") < maxEventId)
+      .select(col("event_type"),
+        expr("ts_ns div 1000 div 3600000000").as("hr"),
+        col("user_id"), expr("ts_ns div 1000").as("ts_us"))
+      .filter(expr(s"hr % $hrMod = 0"))
+      .groupBy(col("event_type"), col("hr"), col("user_id"))
+      .agg(min(col("ts_us")).as("fts"))
+      .withColumn("dst", lead(col("user_id"), 1).over(w))
+      .filter(col("dst").isNotNull && col("dst") =!= col("user_id"))
+      .select(col("user_id").as("src"), col("dst"))
+      .distinct()
+  }
+
+  /** q156: the handoff digraph itself under the oracle — the declared
+    * (src, dst) frame q157's SCC (and any future reachability /
+    * topological query) builds on, hash-checked edge for edge.
+    */
+  val q156: QueryDef = QueryDef.checked(
+    "q156_handoff_edges",
+    """WITH firsts AS (
+      |  SELECT event_type, epoch_ns(ts)//1000//3600000000 AS hr, user_id,
+      |    MIN(epoch_ns(ts)//1000) AS fts
+      |  FROM events WHERE event_id < 2000 GROUP BY 1, 2, 3),
+      |edges AS (
+      |  SELECT DISTINCT user_id AS src,
+      |    LEAD(user_id) OVER (PARTITION BY event_type, hr
+      |      ORDER BY fts, user_id) AS dst
+      |  FROM firsts WHERE hr % 7 = 0
+      |  QUALIFY dst IS NOT NULL AND dst != user_id)
+      |SELECT src, dst FROM edges ORDER BY src, dst""".stripMargin) { (s, d) =>
+    handoffEdges(Tables.events(s, d)).orderBy(col("src"), col("dst"))
+  }
+
+  /** Strongly connected components of a directed edge list — the
+    * coloring / forward-backward algorithm (Orzan's coloring; the
+    * FW-BW root certification), expressed as per-node-VALUE fixpoints
+    * (the q137 lesson: never per-level peeling loops):
+    *
+    *  1. forward color fixpoint: color(v) := max(v, colors of
+    *     in-neighbors) until stable ⇒ color(v) = the max node id that
+    *     can reach v. Every member of one SCC ends with the SAME color
+    *     (mutual reachability ⇒ identical reacher sets).
+    *  2. roots: nodes with color(v) = v. Backward fixpoint from all
+    *     roots AT ONCE, restricted to each root's color class: u joins
+    *     when an out-edge leads to a claimed node of u's color. Claimed
+    *     u reaches its root r (induction along the backward step) and r
+    *     reaches u (color(u) = r), so the claimed set is EXACTLY the
+    *     root's SCC — never a superset, the property that makes this
+    *     exact rather than the (fwd,bwd)-label-pair heuristic, which
+    *     mislabels sibling nodes pinched between the same two hubs.
+    *  3. claimed SCCs leave the graph; nodes whose every edge vanished
+    *     are singleton SCCs by construction (a ≥2-node SCC keeps its
+    *     internal edges until claimed together). Repeat on the residue;
+    *     every round claims at least the global max id's SCC, so the
+    *     loop terminates.
+    *
+    * scc_id = min member id (engine-independent canonical label).
+    *
+    * Scale shape: every step is an equi-join on node keys + a keyed agg
+    * — no all-pairs, no driver-side graph state; per-round frames are
+    * localCheckpoint'd so lineage stays constant (the q132/q144
+    * discipline), and the loop-invariant edge frame re-checkpoints only
+    * when the residue shrinks. This is the 100 TB shape (state linear
+    * in nodes; bucket the edge list, q80/q133, and the per-round join
+    * side is exchange-free) — but rounds are bounded by diameter ×
+    * root-peeling depth, which on long singleton CHAINS (the handoff
+    * graph's DAG residue) runs to dozens of rounds; the catalog query
+    * therefore uses [[sccByClosure]], the log-round exact path, and
+    * SccSpec pins the two equal.
+    *
+    * Returns (node, scc_id) for every node with at least one edge (the
+    * [[kCore]] convention; isolated nodes carry no rows).
+    */
+  def stronglyConnectedComponents(edges0: DataFrame): DataFrame = {
+    var edges = edges0.select(col("src"), col("dst")).distinct()
+      .localCheckpoint(true)
+    var result: DataFrame = null
+    var remaining = edges.count()
+    while (remaining > 0) {
+      val nodes = edges.select(col("src").as("node"))
+        .union(edges.select(col("dst").as("node"))).distinct()
+        .localCheckpoint(true)
+      // 1. forward max-color fixpoint
+      var color = nodes.withColumn("color", col("node")).localCheckpoint(true)
+      var changed = 1L
+      while (changed > 0) {
+        val pushed = edges
+          .join(color.select(col("node").as("src"), col("color").as("c")),
+            Seq("src"))
+          .groupBy(col("dst").as("node")).agg(max(col("c")).as("in_max"))
+        val next = color.withColumnRenamed("color", "prev")
+          .join(pushed, Seq("node"), "left")
+          .select(col("node"), col("prev"),
+            greatest(col("prev"), coalesce(col("in_max"), col("prev")))
+              .as("color"))
+          .localCheckpoint(true)
+        changed = next.filter(col("color") =!= col("prev")).count()
+        color = next.select(col("node"), col("color"))
+      }
+      // 2. backward claim from all roots at once, within color classes
+      var claimed = color.filter(col("color") === col("node"))
+        .select(col("node"), col("color")).localCheckpoint(true)
+      changed = 1L
+      while (changed > 0) {
+        val before = claimed.count()
+        val step = edges
+          .join(claimed.select(col("node").as("dst"), col("color").as("cc")),
+            Seq("dst"))
+          .select(col("src").as("node"), col("cc")).distinct()
+        val cand = step.join(color, Seq("node"))
+          .filter(col("color") === col("cc"))
+          .select(col("node"), col("color"))
+        claimed = claimed.union(cand).distinct().localCheckpoint(true)
+        changed = claimed.count() - before
+      }
+      // scc_id = min member id within each claimed color class
+      val ids = claimed.groupBy(col("color")).agg(min(col("node")).as("scc_id"))
+      val assigned = claimed.join(ids, Seq("color"))
+        .select(col("node"), col("scc_id")).localCheckpoint(true)
+      result = if (result == null) assigned else result.union(assigned)
+      // 3. drop claimed nodes; edge-stripped leftovers are singletons
+      val done = assigned.select(col("node"))
+      edges = edges
+        .join(done.withColumnRenamed("node", "src"), Seq("src"), "left_anti")
+        .join(done.withColumnRenamed("node", "dst"), Seq("dst"), "left_anti")
+        .localCheckpoint(true)
+      remaining = edges.count()
+      val still = edges.select(col("src").as("node"))
+        .union(edges.select(col("dst").as("node"))).distinct()
+      val orphans = nodes.join(done, Seq("node"), "left_anti")
+        .join(still, Seq("node"), "left_anti")
+        .select(col("node"), col("node").as("scc_id")).localCheckpoint(true)
+      result = result.union(orphans)
+    }
+    result
+  }
+
+  /** SCC by closure DOUBLING — the fast exact path for graphs whose
+    * reachability closure is bounded (event/session digraphs like
+    * q156's, whose closure is ~|giant SCC|² + fringe): iterate
+    * R := R ∪ (R ∘ R) from the edge list, reaching the full transitive
+    * closure in ⌈log₂ diameter⌉ rounds instead of the coloring loop's
+    * diameter rounds — the difference is decisive on high-diameter
+    * chain residues (the handoff graph's singleton chains run ~50 deep
+    * at sf0.1: 5 squaring rounds vs ~50 propagation rounds). SCC then
+    * falls out row-locally: mutual = R ∩ reverse(R), scc_id = min
+    * mutual partner (∪ self).
+    *
+    * The trade is explicit: state is REACHABILITY PAIRS, quadratic in
+    * component size in the worst case — on an adversarial
+    * dense-reachability graph at 100 TB use
+    * [[stronglyConnectedComponents]] (node-keyed state, linear) and pay
+    * diameter rounds; SccSpec pins the two equal on random digraphs,
+    * planted shapes, and the catalog graph.
+    */
+  def sccByClosure(edges0: DataFrame): DataFrame = {
+    val edges = edges0.select(col("src"), col("dst")).distinct()
+      .localCheckpoint(true)
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    var reach = edges.select(col("src").as("a"), col("dst").as("b"))
+      .localCheckpoint(true)
+    var size = reach.count()
+    var changed = 1L
+    while (changed > 0) {
+      val step = reach.as("r1")
+        .join(reach.as("r2"), col("r1.b") === col("r2.a"))
+        .select(col("r1.a").as("a"), col("r2.b").as("b"))
+      reach = reach.union(step).distinct().localCheckpoint(true)
+      val after = reach.count()
+      changed = after - size
+      size = after
+    }
+    val mutual = reach.intersect(
+      reach.select(col("b").as("a"), col("a").as("b")))
+    nodes
+      .join(mutual.groupBy(col("a").as("node")).agg(min(col("b")).as("m")),
+        Seq("node"), "left")
+      .select(col("node"),
+        least(col("node"), coalesce(col("m"), col("node"))).as("scc_id"))
+  }
+
+  /** q157: SCC assignment of the q156 handoff digraph, FULLY
+    * oracle-checked: DuckDB computes the exact transitive closure with
+    * a recursive CTE (fixpoint semantics, so no unroll-depth guess) and
+    * labels each node with the min id over its mutual-reachability set
+    * — node for node, hash-compared against [[sccByClosure]]'s doubling
+    * loop (the same closure, reached in log rounds). SccSpec
+    * additionally pins both Spark paths equal to a sequential Tarjan
+    * reference on random digraphs and planted cycle/DAG shapes.
+    */
+  val q157: QueryDef = QueryDef.checked(
+    "q157_scc",
+    """WITH RECURSIVE firsts AS MATERIALIZED (
+      |  SELECT event_type, epoch_ns(ts)//1000//3600000000 AS hr, user_id,
+      |    MIN(epoch_ns(ts)//1000) AS fts
+      |  FROM events WHERE event_id < 2000 GROUP BY 1, 2, 3),
+      |edges AS MATERIALIZED (
+      |  SELECT DISTINCT user_id AS src,
+      |    LEAD(user_id) OVER (PARTITION BY event_type, hr
+      |      ORDER BY fts, user_id) AS dst
+      |  FROM firsts WHERE hr % 7 = 0
+      |  QUALIFY dst IS NOT NULL AND dst != user_id),
+      |nodes AS MATERIALIZED (
+      |  SELECT src AS v FROM edges UNION SELECT dst FROM edges),
+      |reach(a, b) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+      |mutual AS (
+      |  SELECT r1.a AS v, r1.b AS w
+      |  FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a)
+      |SELECT n.v AS node, LEAST(n.v, COALESCE(MIN(m.w), n.v)) AS scc_id
+      |FROM nodes n LEFT JOIN mutual m ON m.v = n.v
+      |GROUP BY n.v ORDER BY node""".stripMargin) { (s, d) =>
+    sccByClosure(handoffEdges(Tables.events(s, d)))
+      .orderBy(col("node"))
   }
 }
