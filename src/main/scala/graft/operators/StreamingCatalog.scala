@@ -34,11 +34,30 @@ import org.apache.spark.sql.functions._
   * contract (a test-scale replay harness, not a production path — the
   * production sources are graft-tail / graft-kinesis-source, which
   * stream partition-local with no driver materialization).
+  *
+  * CLOSED: streaming TTL dedup (StreamingOps.ttlDedup) cannot go under
+  * this oracle, and the infeasibility is structural, not an encoding
+  * gap. Two independent blockers: (1) the processor runs on
+  * TimeMode.ProcessingTime — whether a duplicate key is re-ADMITTED
+  * depends on wall-clock elapsed between triggers crossing the TTL, so
+  * the emitted set is not a function of (data, arrival order) and no
+  * deterministic SQL can replay it; choosing TTL ≫ run duration removes
+  * the race but collapses the semantics to q131's dropDuplicates (the
+  * TTL path would never execute — a certification of nothing), and
+  * TTL ≈ 0 re-admits everything, same problem mirrored. (2) A
+  * ProcessingTime query performs TTL maintenance every trigger and
+  * never goes idle, so processAllAvailable()/AvailableNow do not
+  * terminate (measured — see StreamingSpec's polling harness): the
+  * run-to-completion replay this catalog is built on cannot even END.
+  * The TTL semantics are certified by StreamingSpec's real-time polling
+  * spec (drop within TTL, re-admit after expiry) — the right tool for a
+  * wall-clock-coupled operator.
   */
 object StreamingCatalog {
 
   def defs: Seq[QueryDef] =
-    Seq(q130, q131, q135, q136, q138, q140, q145, q147, q149, q151, q153)
+    Seq(q130, q131, q135, q136, q138, q140, q145, q147, q149, q151, q153,
+      q158)
 
   private val SliceMax = 2000L
   private val Sentinel = "zz_sentinel"
@@ -144,6 +163,40 @@ object StreamingCatalog {
       |FROM events WHERE event_id < 2000
       |GROUP BY 1, 2 ORDER BY w_start_us, event_type""".stripMargin) { (s, d) =>
     runToCompletion(s, d, "graft_q130_sink", outputMode = "append") { ev =>
+      ev.withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_micros(col("w.start")).as("w_start_us"),
+          col("event_type"), col("n"))
+    }
+      .filter(col("event_type") =!= Sentinel)
+      .orderBy(col("w_start_us"), col("event_type"))
+  }
+
+  /** q158: q130's watermarked window counts executed against the
+    * ROCKSDB state-store provider — the disk-backed state path that
+    * holds streaming state beyond executor heap at production scale
+    * (heap HDFS-backed state evicts to executor memory; RocksDB spills
+    * to local disk with changelog checkpointing). The provider is a
+    * SESSION conf, so setting it on the shared session would leak into
+    * every later stateful query in the same Verify/Bench run (the
+    * NOTES_r5 blocker); the query instead builds an ISOLATED session —
+    * `newSession()` shares the SparkContext (executors, cache manager)
+    * but owns its SQLConf and temp-view catalog — sets the provider
+    * there, and runs the whole replay inside it. Same oracle as q130:
+    * the state backend must be semantically invisible; what this
+    * certifies is the RocksDB provider executing a real watermarked
+    * multi-batch run under the driver's hash gate.
+    */
+  val q158: QueryDef = QueryDef.checked("q158_rocksdb_window_counts",
+    """SELECT (epoch_ns(ts) // 1000 // 600000000) * 600000000 AS w_start_us,
+      |  event_type, COUNT(*) AS n
+      |FROM events WHERE event_id < 2000
+      |GROUP BY 1, 2 ORDER BY w_start_us, event_type""".stripMargin) { (s, d) =>
+    val iso = s.newSession()
+    iso.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    runToCompletion(iso, d, "graft_q158_sink", outputMode = "append") { ev =>
       ev.withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n"))

@@ -379,4 +379,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(vals == Seq(1L, 2L, 3L, 4L, 5L),
       s"replay wrote nothing, half-written batch invisible: $vals")
   }
+
+  test("isolated newSession() carries the RocksDB provider to its query (q158 mechanism)") {
+    import scala.jdk.CollectionConverters._
+    val parentBefore =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val iso = spark.newSession()
+    iso.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sqlc: org.apache.spark.sql.SQLContext = iso.sqlContext
+    import iso.implicits._
+    val in = MemoryStream[Long]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-isorocks")
+    val q = in.toDF().toDF("v").groupBy(col("v")).count()
+      .writeStream.format("memory").queryName("graft_iso_rocks")
+      .outputMode("update")
+      .option("checkpointLocation", ckpt.toString)
+      .start()
+    try {
+      in.addData(1L, 2L, 2L)
+      q.processAllAvailable()
+      // RocksDB-provider custom metrics in the progress are the proof
+      // the stateful operator actually ran on RocksDB — the HDFS-backed
+      // default emits none of these keys, so a silent fallback fails here
+      val metricKeys = q.lastProgress.stateOperators.toSeq
+        .flatMap(_.customMetrics.keySet.asScala)
+      assert(metricKeys.exists(_.toLowerCase.contains("rocksdb")),
+        s"expected rocksdb custom metrics, got: $metricKeys")
+      // and the provider conf must NOT have leaked into the parent session
+      assert(spark.conf.getOption(
+        "spark.sql.streaming.stateStore.providerClass") == parentBefore,
+        "isolated-session conf leaked into the parent session")
+    } finally {
+      q.stop()
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(ckpt.toFile)
+    }
+  }
 }
