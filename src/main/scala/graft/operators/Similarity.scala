@@ -17,7 +17,8 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  def defs: Seq[QueryDef] = Seq(q31, q32, q33, q69, q71, q81, q98, q99, q116)
+  def defs: Seq[QueryDef] =
+    Seq(q31, q32, q33, q69, q71, q81, q98, q99, q116, q160)
 
   /** Symmetric per-vector int8 quantization — the 4× storage cut that
     * makes a 100 TB float32 embedding corpus a 25 TB one: each vector
@@ -202,6 +203,88 @@ object Similarity {
   private def vecs(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .select(col("vec_id"), VF.asDouble(col("embedding")).as("v"))
+
+  /** Integer-grid k-means — the corpus clustering primitive (SemDeDup's
+    * cluster stage, IVF's coarse quantizer, topic bucketing) made
+    * ORACLE-CHECKABLE: components snap to the 1e-6 grid (q99's proven
+    * round idiom), every distance is an exact long
+    * (|x−c|² ≤ (2·10⁶)²·64 ≪ 2⁶³), and centroid updates use integer
+    * `div` — so a fixed iteration count yields bit-identical
+    * assignments in any engine, no float-summation-order negotiation
+    * (the pageRank discipline applied to clustering). Deterministic
+    * seeding: centroids start at the k lowest vec_ids; ties in the
+    * argmin break to the lowest centroid id (min over (dist, cid)
+    * structs — lexicographic).
+    *
+    * Fully relational shape: vectors exploded ONCE to (vec_id, dim,
+    * x) and checkpointed; per round one broadcast join against the
+    * k×dim centroid frame + two keyed aggs — no all-pairs, no
+    * driver-side math, state O(k·dim). At 100 TB: the explode frame is
+    * n·dim rows hash-partitioned on vec_id, each round one map-side
+    * broadcast join + map-side-combined aggs; k and dim are constants.
+    */
+  def kmeansAssign(vectors: DataFrame, k: Int = 8,
+      iterations: Int = 2): DataFrame = {
+    val ve = vectors
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("i", "x0")))
+      .select(col("vec_id"), col("i"),
+        expr("CAST(ROUND(x0 * 1000000) AS LONG)").as("x"))
+      .localCheckpoint(true)
+    var ce = ve.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("i"), col("x").as("c"))
+    def assign(cents: DataFrame): DataFrame =
+      ve.join(broadcast(cents), Seq("i"))
+        .groupBy(col("vec_id"), col("cid"))
+        .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("d"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("m.cid").as("cluster"))
+    for (_ <- 1 to iterations) {
+      val a = assign(ce)
+      ce = ve.join(a, Seq("vec_id"))
+        .groupBy(col("cluster").as("cid"), col("i"))
+        .agg(expr("CAST(sum(x) div count(1) AS LONG)").as("c"))
+        .localCheckpoint(true)
+    }
+    assign(ce)
+  }
+
+  /** q160: two integer-grid k-means rounds over the embeddings table
+    * (k = 8, seeds = vec_ids 0–7), final assignment hash-checked
+    * against DuckDB unrolling the identical assign/update arithmetic —
+    * every distance, tie-break, and floor-divided centroid component
+    * must agree exactly.
+    */
+  val q160: QueryDef = QueryDef.checked(
+    "q160_kmeans_intgrid",
+    {
+      def distCte(n: Int, cents: String) =
+        s"""d$n AS MATERIALIZED (
+           |  SELECT v.vec_id, c.cid, SUM((v.x - c.c) * (v.x - c.c)) AS d
+           |  FROM ve v JOIN $cents c USING (i) GROUP BY 1, 2),
+           |a$n AS MATERIALIZED (
+           |  SELECT vec_id, cid AS cluster FROM (
+           |    SELECT vec_id, cid,
+           |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+           |    FROM d$n) WHERE rn = 1)""".stripMargin
+      def updateCte(n: Int) =
+        s"""c$n AS MATERIALIZED (
+           |  SELECT a.cluster AS cid, v.i, CAST(SUM(v.x) // COUNT(*) AS BIGINT) AS c
+           |  FROM ve v JOIN a$n a USING (vec_id) GROUP BY 1, 2)""".stripMargin
+      s"""WITH ve AS MATERIALIZED (
+        |  SELECT vec_id, i, CAST(ROUND(v[i] * 1000000) AS BIGINT) AS x
+        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |    unnest(generate_series(1, len(v))) AS u(i)),
+        |c0 AS (SELECT vec_id AS cid, i, x AS c FROM ve WHERE vec_id < 8),
+        |${distCte(1, "c0")},
+        |${updateCte(1)},
+        |${distCte(2, "c1")},
+        |${updateCte(2)},
+        |${distCte(3, "c2")}
+        |SELECT vec_id, cluster FROM a3 ORDER BY vec_id""".stripMargin
+    }) { (s, d) =>
+    kmeansAssign(vecs(s, d), k = 8, iterations = 2).orderBy(col("vec_id"))
+  }
 
   val q31: QueryDef = QueryDef.checked(
     "q31_embedding_neardup",

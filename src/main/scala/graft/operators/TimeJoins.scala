@@ -21,7 +21,7 @@ import org.apache.spark.sql.expressions.Window
 object TimeJoins {
 
   def defs: Seq[QueryDef] = Seq(q51, q52, q91, q100, q105, q107, q108, q109, q114,
-    q122, q124)
+    q122, q124, q162)
 
   /** As-of join: for every 'click' event, the most recent 'view' event by
     * the same user at-or-before it (order = (ts, event_id), so ties are
@@ -580,5 +580,52 @@ object TimeJoins {
       |  min(p_ok) AS t_purchase
       |FROM s4 GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
     conversionFunnel(Tables.events(s, d)).orderBy(col("user_id"))
+  }
+
+  /** Sequential path mining over event journeys: each (user, day) is a
+    * JOURNEY — the ordered event-type sequence of that user's day —
+    * and journeys are counted by full path string. The sequence-level
+    * complement to q124's first-order transition matrix: a transition
+    * matrix cannot distinguish view>click>view from view>click +
+    * click>view split across days; path counting can (behavior-flow /
+    * funnel-discovery analytics, and the corpus statistic behind
+    * next-event-prediction training mixes). Deterministic: in-day
+    * order is (ts_ns, event_id); day = ts_ns div 86400e9 (integer
+    * grid, no timezone negotiation).
+    *
+    * Shape: one (user, day)-keyed agg assembling each path via the
+    * q83/q154 sort-struct reassembly idiom, then one path-keyed count
+    * — both map-side combined; path cardinality is bounded by journey
+    * count, fanout by events/user/day. No windows, no joins.
+    */
+  def dailyJourneys(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"), expr("ts_ns div 86400000000000").as("day"),
+        col("ts_ns"), col("event_id"), col("event_type"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(concat_ws(">", transform(
+        array_sort(collect_list(struct(col("ts_ns"), col("event_id"),
+          col("event_type")))),
+        s => s.getField("event_type"))).as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_journeys"))
+
+  /** q162: journey-path counts over the events table, hash-checked —
+    * every distinct path string and its count — against DuckDB's
+    * ordered string_agg replay.
+    */
+  val q162: QueryDef = QueryDef.checked(
+    "q162_daily_journeys",
+    """WITH t AS (
+      |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day,
+      |    epoch_ns(ts) AS tns, event_id, event_type
+      |  FROM events),
+      |p AS (
+      |  SELECT user_id, day,
+      |    string_agg(event_type, '>' ORDER BY tns, event_id) AS path
+      |  FROM t GROUP BY 1, 2)
+      |SELECT path, COUNT(*) AS n_journeys
+      |FROM p GROUP BY 1 ORDER BY path""".stripMargin) { (s, d) =>
+    dailyJourneys(Tables.events(s, d)).orderBy(col("path"))
   }
 }
