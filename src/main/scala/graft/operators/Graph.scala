@@ -1466,17 +1466,21 @@ object Graph {
       case Some(k) => closureFramesMemo(edges0, k)
       case None => closureFrames(edges0)
     }
+    // scc is node-sized (≪ reach, the closure): broadcast both lookups
+    // so lifting the closure to component pairs never shuffles reach
     val lifted = reach
-      .join(scc.select(col("node").as("a"), col("scc_id").as("sa")), Seq("a"))
-      .join(scc.select(col("node").as("b"), col("scc_id").as("sb")), Seq("b"))
+      .join(broadcast(scc.select(col("node").as("a"), col("scc_id").as("sa"))),
+        Seq("a"))
+      .join(broadcast(scc.select(col("node").as("b"), col("scc_id").as("sb"))),
+        Seq("b"))
       .filter(col("sa") =!= col("sb"))
       .select(col("sa"), col("sb")).distinct()
       .localCheckpoint(true)
     scc.groupBy(col("scc_id")).agg(count(lit(1)).as("n_nodes"))
-      .join(lifted.groupBy(col("sb").as("scc_id"))
-        .agg(count(lit(1)).as("n_ancestors")), Seq("scc_id"), "left")
-      .join(lifted.groupBy(col("sa").as("scc_id"))
-        .agg(count(lit(1)).as("n_descendants")), Seq("scc_id"), "left")
+      .join(broadcast(lifted.groupBy(col("sb").as("scc_id"))
+        .agg(count(lit(1)).as("n_ancestors"))), Seq("scc_id"), "left")
+      .join(broadcast(lifted.groupBy(col("sa").as("scc_id"))
+        .agg(count(lit(1)).as("n_descendants"))), Seq("scc_id"), "left")
       .select(col("scc_id"), col("n_nodes"),
         coalesce(col("n_ancestors"), lit(0L)).as("n_ancestors"),
         coalesce(col("n_descendants"), lit(0L)).as("n_descendants"))

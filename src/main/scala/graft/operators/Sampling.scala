@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -12,7 +13,8 @@ import org.apache.spark.sql.expressions.Window
   */
 object Sampling {
 
-  def defs: Seq[QueryDef] = Seq(q53, q54, q55, q56, q67, q77, q104, q106, q111)
+  def defs: Seq[QueryDef] =
+    Seq(q53, q54, q55, q56, q67, q77, q104, q106, q111, q164)
 
   /** Generic stratified sample: at most `k` rows per stratum, selected
     * by `hashOrder` (e.g. md5 of a content column) — deterministic,
@@ -393,5 +395,57 @@ object Sampling {
       |FROM orders, cut GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, d) =>
     equiDepthHistogram(Tables.orders(s, d), "o_totalprice", nBuckets = 8)
       .orderBy(col("bucket"))
+  }
+
+  /** Rank-trimmed robust group statistics — the outlier-resistant
+    * profile a corpus report needs when a handful of degenerate rows
+    * (empty scrapes, concatenation blowups) would drag a plain mean:
+    * within each group, rows ranked by (value, id) drop the bottom and
+    * top ceil(α·n) ranks (keep cut < rn ≤ n − cut with
+    * cut = (n·num + den − 1) div den, the integer ceiling) and the
+    * kept slice reports exact integer count/sum/bounds. Everything is
+    * RANK arithmetic on integers, so unlike percentile functions —
+    * whose interpolation conventions differ engine to engine — the
+    * trimmed set is identical everywhere by construction.
+    */
+  def trimmedGroupStats(df: DataFrame, group: String, value: String,
+      id: String, trimNum: Long = 5L, trimDen: Long = 100L): DataFrame = {
+    val w = Window.partitionBy(col(group))
+      .orderBy(col(value), col(id))
+    df.select(col(group), col(value), col(id))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1))
+        .over(Window.partitionBy(col(group))))
+      .withColumn("cut",
+        expr(s"CAST((n * $trimNum + $trimDen - 1) div $trimDen AS LONG)"))
+      .filter(col("rn") > col("cut") && col("rn") <= col("n") - col("cut"))
+      .groupBy(col(group))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col(value)).as("sum_kept"),
+        min(col(value)).as("lo_kept"),
+        max(col(value)).as("hi_kept"))
+  }
+
+  /** q164: 5 %-rank-trimmed per-language n_chars profile of the
+    * documents table — kept-count, exact kept-sum and kept-bounds
+    * hash-checked against the identical rank arithmetic in DuckDB.
+    */
+  val q164: QueryDef = QueryDef.checked(
+    "q164_trimmed_stats",
+    """WITH r AS (
+      |  SELECT lang, n_chars, doc_id,
+      |    ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY n_chars, doc_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY lang) AS n
+      |  FROM documents),
+      |kept AS (
+      |  SELECT * FROM r
+      |  WHERE rn > (n * 5 + 99) // 100 AND rn <= n - (n * 5 + 99) // 100)
+      |SELECT lang, COUNT(*) AS n_kept,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_kept,
+      |  MIN(n_chars) AS lo_kept, MAX(n_chars) AS hi_kept
+      |FROM kept GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+    trimmedGroupStats(Tables.documents(s, d), "lang", "n_chars", "doc_id")
+      .orderBy(col("lang"))
   }
 }

@@ -18,7 +18,7 @@ import org.apache.spark.sql.expressions.Window
 object Similarity {
 
   def defs: Seq[QueryDef] =
-    Seq(q31, q32, q33, q69, q71, q81, q98, q99, q116, q160)
+    Seq(q31, q32, q33, q69, q71, q81, q98, q99, q116, q160, q161)
 
   /** Symmetric per-vector int8 quantization — the 4× storage cut that
     * makes a 100 TB float32 embedding corpus a 25 TB one: each vector
@@ -117,6 +117,112 @@ object Similarity {
         concat_ws(",", transform(col("pv"),
           x => floor(x * 1000000.0).cast("string"))).as("pv_csv"))
       .orderBy(col("vec_id"))
+  }
+
+  /** Reciprocal-rank fusion of retriever rank lists — the standard
+    * ensemble step of hybrid retrieval (BM25 + dense, exact + compressed):
+    * each list contributes 1/(K + rank) to its candidates and the fused
+    * order is by total contribution. On the integer grid:
+    * contribution = 1000000 div (K + rank) ppm, so fused scores are
+    * exact longs and the oracle needs no float negotiation. Input
+    * frames are (vec_id, rank) with UNIQUE dense ranks (row_number with
+    * an id tie-break); candidates missing from a list contribute 0.
+    *
+    * Shape: union + one keyed agg; the rank lists themselves are
+    * top-k-bounded (TakeOrdered), so every frame here is k-sized.
+    */
+  def rrfFuse(rankings: Seq[(String, DataFrame)], kConst: Long = 60L,
+      topK: Int = 20): DataFrame = {
+    val tagged = rankings.map { case (tag, r) =>
+      r.select(col("vec_id"), col("rank").as(s"r_$tag"))
+    }
+    val joined = tagged.reduce(_.join(_, Seq("vec_id"), "full_outer"))
+    val contribs = rankings.map { case (tag, _) =>
+      coalesce(expr(s"CAST(1000000 div (${kConst}L + r_$tag) AS LONG)"), lit(0L))
+    }
+    val nLists = rankings.map { case (tag, _) =>
+      when(col(s"r_$tag").isNotNull, 1L).otherwise(0L)
+    }
+    joined
+      .withColumn("rrf_ppm", contribs.reduce(_ + _))
+      .withColumn("n_lists", nLists.reduce(_ + _))
+      .orderBy(col("rrf_ppm").desc, col("vec_id"))
+      .limit(topK)
+  }
+
+  /** q161: hybrid-retrieval fusion under the oracle — the query vector
+    * (vec_id 0) retrieves from the corpus (vec_id > 0) through TWO
+    * rankers: exact cosine on the ppm grid, and dot product in the
+    * 16-dim JL-projected space (q99's projection — the cheap first-pass
+    * retriever fused with the exact one, the classic rerank-ensemble
+    * shape). Top-100 per list via TakeOrdered with (score, vec_id)
+    * total order; ranks are row_numbers over the bounded 100-row frame
+    * (k-bounded global window, the MMR convention). DuckDB replays both
+    * rankers bit-for-bit (cosine fold and JL comps are bit-compatible,
+    * then snapped to the ppm grid before ranking) and the identical
+    * integer RRF arithmetic.
+    */
+  val q161: QueryDef = QueryDef.checked(
+    "q161_rrf_fusion",
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |qv AS (SELECT v FROM v WHERE vec_id = 0),
+      |cosr AS (
+      |  SELECT c.vec_id,
+      |    ROW_NUMBER() OVER (ORDER BY ROUND(list_dot_product(c.v, q.v)
+      |      / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.v, q.v)))
+      |      * 1000000.0) DESC, c.vec_id) AS rank
+      |  FROM v c, qv q WHERE c.vec_id > 0
+      |  QUALIFY rank <= 100),
+      |signs AS (
+      |  SELECT j, list(CASE WHEN substr(md5('jl:42:' || j || ':' || i), 1, 1) <= '7'
+      |                 THEN 1.0 ELSE -1.0 END ORDER BY i) AS s
+      |  FROM range(16) tj(j) CROSS JOIN range(64) ti(i)
+      |  GROUP BY j),
+      |proj AS (
+      |  SELECT v.vec_id,
+      |    list(list_dot_product(v.v, signs.s) * 0.25 ORDER BY signs.j) AS pv
+      |  FROM v CROSS JOIN signs GROUP BY v.vec_id),
+      |jlr AS (
+      |  SELECT c.vec_id,
+      |    ROW_NUMBER() OVER (ORDER BY CAST(FLOOR(list_dot_product(c.pv, q.pv)
+      |      * 1000000.0) AS BIGINT) DESC, c.vec_id) AS rank
+      |  FROM proj c, (SELECT pv FROM proj WHERE vec_id = 0) q
+      |  WHERE c.vec_id > 0
+      |  QUALIFY rank <= 100),
+      |fused AS (
+      |  SELECT COALESCE(a.vec_id, b.vec_id) AS vec_id,
+      |    COALESCE(1000000 // (60 + a.rank), 0)
+      |      + COALESCE(1000000 // (60 + b.rank), 0) AS rrf_ppm,
+      |    (CASE WHEN a.rank IS NOT NULL THEN 1 ELSE 0 END
+      |      + CASE WHEN b.rank IS NOT NULL THEN 1 ELSE 0 END) AS n_lists,
+      |    a.rank AS r_cos, b.rank AS r_jl
+      |  FROM cosr a FULL OUTER JOIN jlr b USING (vec_id))
+      |SELECT vec_id, CAST(rrf_ppm AS BIGINT) AS rrf_ppm,
+      |  CAST(n_lists AS BIGINT) AS n_lists, r_cos, r_jl
+      |FROM fused ORDER BY rrf_ppm DESC, vec_id LIMIT 20""".stripMargin) { (s, d) =>
+    val all = vecs(s, d)
+    val corpus = all.filter(col("vec_id") > 0)
+    val qv = broadcast(all.filter(col("vec_id") === 0).select(col("v").as("qv")))
+    def rankTop(scored: DataFrame): DataFrame = {
+      val top = scored.orderBy(col("s").desc, col("vec_id")).limit(100)
+      top.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("s").desc, col("vec_id"))).cast("long"))
+        .select(col("vec_id"), col("rank"))
+    }
+    val cosR = rankTop(corpus.crossJoin(qv)
+      .select(col("vec_id"),
+        round(CosineSimilarity.cosineSim(col("v"), col("qv")) * 1000000.0)
+          .cast("long").as("s")))
+    val proj = randomProject(all).select(col("vec_id"), col("pv"))
+    val pq = broadcast(proj.filter(col("vec_id") === 0)
+      .select(col("pv").as("pq")))
+    val jlR = rankTop(proj.filter(col("vec_id") > 0).crossJoin(pq)
+      .select(col("vec_id"),
+        floor(VF.dot(col("pv"), col("pq")) * 1000000.0).cast("long").as("s")))
+    rrfFuse(Seq("cos" -> cosR, "jl" -> jlR))
+      .select(col("vec_id"), col("rrf_ppm"), col("n_lists"),
+        col("r_cos"), col("r_jl"))
   }
 
   /** Cosine near-duplicate pairs of one vector frame. Exact O(n²) form —

@@ -21,7 +21,7 @@ import org.apache.spark.sql.expressions.Window
 object TimeJoins {
 
   def defs: Seq[QueryDef] = Seq(q51, q52, q91, q100, q105, q107, q108, q109, q114,
-    q122, q124, q162)
+    q122, q124, q162, q163)
 
   /** As-of join: for every 'click' event, the most recent 'view' event by
     * the same user at-or-before it (order = (ts, event_id), so ties are
@@ -609,6 +609,78 @@ object TimeJoins {
         s => s.getField("event_type"))).as("path"))
       .groupBy(col("path"))
       .agg(count(lit(1)).as("n_journeys"))
+
+  /** Position-based multi-touch attribution — the marketing-analytics
+    * classic (and the credit-assignment shape behind reward attribution
+    * in interaction logs): each conversion distributes credit over the
+    * touchpoints that preceded it within a lookback window — 40 % to
+    * the first touch, 40 % to the last, 20 % split over the middles
+    * (U-shaped attribution). Credit is integer BASIS POINTS with floor
+    * division (n = 1 → 10000; n = 2 → 5000/5000; n ≥ 3 → 4000 / 4000 /
+    * 2000 div (n−2) each — the sub-bp remainder of the middle split is
+    * deliberately unassigned, keeping every value exact in any engine).
+    *
+    * Shape: one user-keyed equi-join with a time-range predicate
+    * (touches × conversions co-partitioned by user — never a nested
+    * loop), then one (conversion)-keyed window for position ranks.
+    */
+  def positionAttribution(events: DataFrame, touchType: String = "click",
+      convType: String = "purchase", lookbackDays: Long = 7L): DataFrame = {
+    val touches = events.filter(col("event_type") === touchType)
+      .select(col("user_id"), col("event_id").as("touch_id"),
+        col("ts_ns").as("touch_ns"))
+    val convs = events.filter(col("event_type") === convType)
+      .select(col("user_id"), col("event_id").as("conv_id"),
+        col("ts_ns").as("conv_ns"))
+    val win = lookbackDays * 86400000000000L
+    val w = Window.partitionBy(col("conv_id"))
+    val wo = w.orderBy(col("touch_ns"), col("touch_id"))
+    convs.join(touches, Seq("user_id"))
+      .filter(col("touch_ns") <= col("conv_ns") &&
+        col("touch_ns") > col("conv_ns") - win)
+      .withColumn("pos", row_number().over(wo).cast("long"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("credit_bp",
+        when(col("n") === 1, lit(10000L))
+          .when(col("n") === 2, lit(5000L))
+          .when(col("pos") === 1 || col("pos") === col("n"), lit(4000L))
+          .otherwise(expr("CAST(2000 div (n - 2) AS LONG)")))
+      .select(col("conv_id"), col("touch_id"), col("pos"), col("n"),
+        col("credit_bp"))
+  }
+
+  /** q163: U-shaped attribution of purchases to same-user clicks in a
+    * 7-day lookback — every (conversion, touch) credit row hash-checked
+    * against the identical integer arithmetic in DuckDB.
+    */
+  val q163: QueryDef = QueryDef.checked(
+    "q163_attribution",
+    """WITH t AS (
+      |  SELECT user_id, event_id, epoch_ns(ts) AS tns, event_type
+      |  FROM events),
+      |pairs AS (
+      |  SELECT c.event_id AS conv_id, k.event_id AS touch_id,
+      |    k.tns AS touch_ns
+      |  FROM t c JOIN t k ON c.user_id = k.user_id
+      |  WHERE c.event_type = 'purchase' AND k.event_type = 'click'
+      |    AND k.tns <= c.tns AND k.tns > c.tns - 604800000000000),
+      |ranked AS (
+      |  SELECT conv_id, touch_id,
+      |    ROW_NUMBER() OVER (PARTITION BY conv_id
+      |      ORDER BY touch_ns, touch_id) AS pos,
+      |    COUNT(*) OVER (PARTITION BY conv_id) AS n
+      |  FROM pairs)
+      |SELECT conv_id, touch_id, pos, n,
+      |  CASE WHEN n = 1 THEN 10000
+      |       WHEN n = 2 THEN 5000
+      |       WHEN pos = 1 OR pos = n THEN 4000
+      |       ELSE 2000 // (n - 2) END AS credit_bp
+      |FROM ranked ORDER BY conv_id, touch_id""".stripMargin) { (s, d) =>
+    positionAttribution(Tables.events(s, d))
+      .select(col("conv_id"), col("touch_id"), col("pos"), col("n"),
+        col("credit_bp"))
+      .orderBy(col("conv_id"), col("touch_id"))
+  }
 
   /** q162: journey-path counts over the events table, hash-checked —
     * every distinct path string and its count — against DuckDB's
