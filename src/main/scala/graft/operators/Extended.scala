@@ -14,7 +14,7 @@ object Extended {
   import Exact._
 
   def defs: Seq[QueryDef] = Seq(q42, q43, q44, q45, q46, q90, q92, q93, q95, q97,
-    q101, q117, q118, q119, q120, q121, q146, q150)
+    q101, q117, q118, q119, q120, q121, q146, q150, q166)
 
   /** q95: ORC round-trip — q44's lossless write→read check for the
     * third columnar format (ORC ships with Spark; DuckDB cannot read
@@ -895,5 +895,48 @@ object Extended {
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median"),
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"))
+  }
+
+  /** q166: PERMISSIVE CSV ingest with corrupt-row quarantine — the
+    * malformed-line half of resilient log ingest (q68 certifies the
+    * JSON side): a clean CSV slice of orders plus a second file of
+    * deliberately broken lines (non-numeric key, missing fields —
+    * note extra trailing tokens are NOT malformed to Spark's parser,
+    * which is why the broken lines here under-run the schema) read
+    * through a typed schema with `columnNameOfCorruptRecord`. Good rows
+    * parse to typed columns; broken rows surface VERBATIM in the
+    * corrupt column with null fields — never dropped, never failing the
+    * read (the reference's domain is exactly this: log streams with
+    * garbage interleaved, main.go tolerates unparseable lines). Output:
+    * parsed/corrupt counts, the exact key sum of the parsed rows, and
+    * the sorted corrupt payloads — all reconstructable by the oracle
+    * from the base table plus the known constants.
+    */
+  val q166: QueryDef = QueryDef.checked(
+    "q166_csv_badrows",
+    """SELECT
+      | (SELECT COUNT(*) FROM orders WHERE o_orderkey < 100) AS n_parsed,
+      | CAST(2 AS BIGINT) AS n_corrupt,
+      | (SELECT CAST(SUM(o_orderkey) AS BIGINT) FROM orders
+      |   WHERE o_orderkey < 100) AS sum_key,
+      | 'bad_token_only|not_a_number,7' AS corrupt_lines""".stripMargin) { (s, d) =>
+    val tmp = Exact.scratchDir("q166", "csvbad_").toAbsolutePath.toString
+    Tables.orders(s, d).filter(col("o_orderkey") < 100)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .write.mode("overwrite").csv(s"$tmp/data")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$tmp/data/part-corrupt.csv"),
+      "bad_token_only\nnot_a_number,7\n")
+    val read = s.read
+      .schema("o_orderkey LONG, o_custkey LONG, _bad STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_bad")
+      .csv(s"$tmp/data")
+    read.agg(
+      count(when(col("_bad").isNull, 1)).as("n_parsed"),
+      count(col("_bad")).as("n_corrupt"),
+      sum(when(col("_bad").isNull, col("o_orderkey"))).as("sum_key"),
+      concat_ws("|", array_sort(collect_list(col("_bad"))))
+        .as("corrupt_lines"))
   }
 }

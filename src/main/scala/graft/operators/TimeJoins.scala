@@ -21,7 +21,7 @@ import org.apache.spark.sql.expressions.Window
 object TimeJoins {
 
   def defs: Seq[QueryDef] = Seq(q51, q52, q91, q100, q105, q107, q108, q109, q114,
-    q122, q124, q162, q163)
+    q122, q124, q162, q163, q165)
 
   /** As-of join: for every 'click' event, the most recent 'view' event by
     * the same user at-or-before it (order = (ts, event_id), so ties are
@@ -680,6 +680,51 @@ object TimeJoins {
       .select(col("conv_id"), col("touch_id"), col("pos"), col("n"),
         col("credit_bp"))
       .orderBy(col("conv_id"), col("touch_id"))
+  }
+
+  /** Trailing distinct actives — the DAU/WAU/MAU family computed
+    * EXACTLY: for every calendar day, the count of distinct users seen
+    * in the trailing `windowDays` days. Sliding DISTINCT does not
+    * decompose into window aggregates (distinct is not subtractable),
+    * so the standard exact shape is: dedup to (day, user) once, then a
+    * bounded day-range self-expansion — each (day, user) row fans out
+    * to the ≤ `windowDays` report days it contributes to (a generate/
+    * explode, not a join), then one distinct-count per report day.
+    * Fanout is the window length, a constant; at 100 TB the frame that
+    * fans out is the (day, user) dedup — #actives·days rows, already
+    * orders of magnitude below the event log. (The approximate
+    * alternative is q96's mergeable HLL sketches; this is the exact
+    * baseline that certifies them.)
+    */
+  def trailingActives(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    val du = events
+      .select(expr("ts_ns div 86400000000000").as("day"), col("user_id"))
+      .distinct()
+    val allDays = events
+      .select(expr("ts_ns div 86400000000000").as("rday")).distinct()
+    du.select(col("day"), col("user_id"),
+        explode(sequence(col("day"),
+          col("day") + (windowDays - 1))).as("rday"))
+      .join(allDays, Seq("rday")) // only days that exist in the data
+      .groupBy(col("rday").as("day"))
+      .agg(countDistinct(col("user_id")).as("actives"))
+  }
+
+  /** q165: exact trailing-7-day distinct actives per day, hash-checked
+    * against DuckDB counting distinct users over the same day range.
+    */
+  val q165: QueryDef = QueryDef.checked(
+    "q165_trailing_actives",
+    """WITH du AS (
+      |  SELECT DISTINCT epoch_ns(ts) // 86400000000000 AS day, user_id
+      |  FROM events),
+      |days AS (SELECT DISTINCT day AS rday FROM du)
+      |SELECT d.rday AS day, COUNT(DISTINCT u.user_id) AS actives
+      |FROM days d JOIN du u
+      |  ON u.day BETWEEN d.rday - 6 AND d.rday
+      |GROUP BY 1 ORDER BY day""".stripMargin) { (s, d) =>
+    trailingActives(Tables.events(s, d), windowDays = 7)
+      .orderBy(col("day"))
   }
 
   /** q162: journey-path counts over the events table, hash-checked —
