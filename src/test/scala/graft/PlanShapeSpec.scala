@@ -223,4 +223,40 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"),
       s"priority top-k must be per-partition heaps + driver merge:\n$plan")
   }
+
+  test("q161 retriever top-100s are TakeOrdered; nested loops only for 1-row query frames") {
+    val plan = executedPlan("q161_rrf_fusion")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"per-retriever top-k must be TakeOrdered, not a global sort:\n$plan")
+    // the only nested-loop joins allowed are the crossJoins that append
+    // THE single query vector to every corpus row (a 1-row broadcast
+    // side — the q32 query-side-broadcast convention); a nested loop
+    // between two corpus-sized sides would be the O(n²) regression
+    val bnljs = "BroadcastNestedLoopJoin".r.findAllIn(
+      plan.split("== Initial Plan ==").head).length
+    assert(bnljs <= 2, s"only the two 1-row query-vector appends may be " +
+      s"nested loops, found $bnljs:\n$plan")
+  }
+
+  test("q163 attribution pairs via user-keyed equi-join, never a nested loop") {
+    val plan = executedPlan("q163_attribution")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"touch×conversion pairing must stay keyed on user_id:\n$plan")
+  }
+
+  test("q165 trailing actives expands days row-locally (no join fanout)") {
+    val plan = executedPlan("q165_trailing_actives")
+    assert(plan.contains("Generate"),
+      s"the day-range expansion must be an explode, not a range join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"no nested loop in the day expansion:\n$plan")
+  }
+
+  test("q159 condensation lifts and profiles via broadcast joins only") {
+    val plan = executedPlan("q159_condensation")
+    assert(!plan.split("== Initial Plan ==").head.contains("SortMergeJoin"),
+      s"scc/count frames are node-sized and must broadcast:\n$plan")
+  }
 }
