@@ -97,12 +97,17 @@ object Bench {
     // the code; median ≫ min flags host contention. Collision guard:
     // a duplicated numeric prefix would make two ids ambiguous, so a
     // colliding query keeps its full (quoted) name as the id.
-    val prefixCounts = results.groupBy(_._1.split("_").head)
-      .map { case (p, rs) => p -> rs.size }
-    def qid(name: String): String = {
-      val p = name.split("_").head
-      if (prefixCounts(p) == 1) p.stripPrefix("q") else "\"" + name + "\""
-    }
+    // JSON numbers must not carry leading zeros ("q01" → 1, not 01),
+    // so ids normalize through toLong; any name whose prefix is not
+    // numeric, or whose NORMALIZED id collides with another query's,
+    // keeps its full (quoted) name instead.
+    def numId(name: String): Option[Long] =
+      name.split("_").head.stripPrefix("q").toLongOption
+    val idCounts = results.flatMap(r => numId(r._1))
+      .groupBy(identity).map { case (i, xs) => i -> xs.size }
+    def qid(name: String): String =
+      numId(name).filter(i => idCounts(i) == 1).map(_.toString)
+        .getOrElse("\"" + name + "\"")
     def trimSec(v: Double): String = {
       val s = f"$v%.2f"
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse else s
