@@ -57,7 +57,7 @@ object StreamingCatalog {
 
   def defs: Seq[QueryDef] =
     Seq(q130, q131, q135, q136, q138, q140, q145, q147, q149, q151, q153,
-      q158)
+      q158, q167)
 
   private val SliceMax = 2000L
   private val Sentinel = "zz_sentinel"
@@ -205,6 +205,50 @@ object StreamingCatalog {
     }
       .filter(col("event_type") =!= Sentinel)
       .orderBy(col("w_start_us"), col("event_type"))
+  }
+
+  /** q167: the FILE-sink leg of the sink family under the oracle
+    * (q149 = Kinesis round trip, q153 = tail-source round trip; this =
+    * exactly-once parquet output through `foreachBatch` +
+    * [[graft.streaming.StreamingOps.idempotentBatchWriter]]): a
+    * 200-doc slice streams through fixed-size micro-batches into
+    * per-batch parquet dirs with commit markers, and the query returns
+    * what a READER of the committed batches sees. Exactly-once =
+    * committed-batch union equals the slice, which is precisely what
+    * the oracle checks; batch boundaries are scheduling-invisible to
+    * the union. StreamingSpec separately certifies the replay/
+    * half-write semantics of the marker protocol.
+    */
+  val q167: QueryDef = QueryDef.checked(
+    "q167_foreachbatch_sink",
+    "SELECT doc_id, lang FROM documents WHERE doc_id < 200 ORDER BY doc_id") {
+    (s, d) =>
+    implicit val sqlc: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    withChecksumOff(s) {
+    val rows = Tables.documents(s, d).filter(col("doc_id") < 200)
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val root = Exact.scratchDir("q167", "fbsink_").toAbsolutePath.toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-q167-ckpt")
+    val in = MemoryStream[(Long, String)]
+    val write = graft.streaming.StreamingOps.idempotentBatchWriter(root)
+    val q = in.toDF().toDF("doc_id", "lang")
+      .writeStream
+      .foreachBatch((df: DataFrame, id: Long) => write(df, id))
+      .option("checkpointLocation", ckpt.toString)
+      .start()
+    try {
+      rows.grouped(64).foreach { chunk =>
+        in.addData(chunk.toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally { q.stop(); rmTree(ckpt) }
+    val dirs = graft.streaming.StreamingOps.committedBatches(root)
+    s.read.parquet(dirs: _*)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+    }
   }
 
   /** q131: streaming deduplication state across micro-batches —
