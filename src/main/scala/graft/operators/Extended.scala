@@ -14,7 +14,7 @@ object Extended {
   import Exact._
 
   def defs: Seq[QueryDef] = Seq(q42, q43, q44, q45, q46, q90, q92, q93, q95, q97,
-    q101, q117, q118, q119, q120, q121, q146, q150, q166)
+    q101, q117, q118, q119, q120, q121, q146, q150, q166, q168)
 
   /** q95: ORC round-trip — q44's lossless write→read check for the
     * third columnar format (ORC ships with Spark; DuckDB cannot read
@@ -895,6 +895,52 @@ object Extended {
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median"),
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"))
+  }
+
+  /** Per-JVM memo of the q168 persisted aggregate state (q78/q125/q141
+    * accounting: a maintained state table is built once, then only
+    * MERGED against increments).
+    */
+  private val aggStateMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q168: INCREMENTAL aggregate maintenance — the materialized-view
+    * delta pattern that makes 100 TB ETL affordable: the historical 90 %
+    * of the corpus is aggregated ONCE into a persisted per-group state
+    * table of mergeable components (count / sum / min / max — each
+    * combinable without the raw rows, the q121 moment-state discipline),
+    * and each new increment aggregates only ITS rows and merges
+    * state ∪ increment with one tiny keyed agg. The oracle recomputes
+    * the aggregate over the FULL table — the merge must erase the
+    * history/increment split exactly, which is the correctness
+    * contract of any incremental pipeline.
+    */
+  val q168: QueryDef = QueryDef.checked(
+    "q168_incremental_agg",
+    """SELECT lang, COUNT(*) AS n,
+      | CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      | MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val cut = (docs.agg(max(col("doc_id"))).head().getLong(0) + 1L) * 9L / 10L
+    def aggOf(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("lang")).agg(
+        count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"),
+        min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"))
+    val statePath = aggStateMemo.computeIfAbsent(s"$d#$cut", _ => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(Exact.fmtRoot, "aggst_").toAbsolutePath.toString
+      aggOf(docs.filter(col("doc_id") < cut))
+        .write.mode("overwrite").parquet(s"$tmp/state")
+      s"$tmp/state"
+    })
+    s.read.parquet(statePath)
+      .unionByName(aggOf(docs.filter(col("doc_id") >= cut)))
+      .groupBy(col("lang"))
+      .agg(sum(col("n")).as("n"), sum(col("sum_chars")).as("sum_chars"),
+        min(col("min_chars")).as("min_chars"),
+        max(col("max_chars")).as("max_chars"))
+      .orderBy(col("lang"))
   }
 
   /** q166: PERMISSIVE CSV ingest with corrupt-row quarantine — the
