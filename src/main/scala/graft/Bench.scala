@@ -118,7 +118,7 @@ object Bench {
       .mkString("[", ",", "]")
     val contract =
       f"""{"metric":"total","value":$total%.2f,"unit":"sec",""" +
-      s""""qfmt":"[id,sec] pairs; id = numeric prefix of query name",""" +
+      s""""qfmt":"[id,sec]",""" +
       s""""queries":$pairs,""" +
       f""""total_median":$totalMed%.2f,"sf":"$sfDir"}"""
     if (contract.length > 1950)

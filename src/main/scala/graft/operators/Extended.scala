@@ -14,7 +14,7 @@ object Extended {
   import Exact._
 
   def defs: Seq[QueryDef] = Seq(q42, q43, q44, q45, q46, q90, q92, q93, q95, q97,
-    q101, q117, q118, q119, q120, q121, q146, q150, q166, q168)
+    q101, q117, q118, q119, q120, q121, q146, q150, q166, q168, q169)
 
   /** q95: ORC round-trip — q44's lossless write→read check for the
     * third columnar format (ORC ships with Spark; DuckDB cannot read
@@ -941,6 +941,58 @@ object Extended {
         min(col("min_chars")).as("min_chars"),
         max(col("max_chars")).as("max_chars"))
       .orderBy(col("lang"))
+  }
+
+  /** q169: compliance delete cascade (the right-to-be-forgotten shape):
+    * a deletion set of subject keys (customers in the BUILDING segment
+    * with c_custkey % 10 = 3 — a deterministic stand-in for an erasure
+    * request list) cascades through the fact hierarchy — their orders,
+    * and those orders' lineitems — via broadcast anti-joins, and the
+    * query reports the surviving row counts plus exact checksums. The
+    * anti-join DIRECTION is load-bearing at 100 TB: the deletion list
+    * broadcasts (erasure requests are human-scale), facts stream
+    * map-side; the cascade never shuffles a fact table. Oracle replays
+    * the cascade relationally.
+    */
+  val q169: QueryDef = QueryDef.checked(
+    "q169_delete_cascade",
+    """WITH del AS (
+      |  SELECT c_custkey FROM customer
+      |  WHERE c_mktsegment = 'BUILDING' AND c_custkey % 10 = 3),
+      |keep_ord AS (
+      |  SELECT o_orderkey, o_custkey FROM orders
+      |  WHERE o_custkey NOT IN (SELECT c_custkey FROM del)),
+      |keep_li AS (
+      |  SELECT l_orderkey, l_quantity FROM lineitem
+      |  WHERE l_orderkey IN (SELECT o_orderkey FROM keep_ord)
+      |     OR l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+      |SELECT
+      |  (SELECT COUNT(*) FROM del) AS n_deleted_subjects,
+      |  (SELECT COUNT(*) FROM keep_ord) AS n_orders_kept,
+      |  (SELECT CAST(SUM(o_orderkey) AS BIGINT) FROM keep_ord) AS sum_orderkey,
+      |  (SELECT COUNT(*) FROM keep_li) AS n_lineitems_kept,
+      |  (SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      |     FROM keep_li) AS sum_qty""".stripMargin) { (s, d) =>
+    val del = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING" && col("c_custkey") % 10 === 3)
+      .select(col("c_custkey"))
+    val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+    val keepOrd = orders.join(broadcast(del),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // lineitems survive when their order survives — which includes
+    // orphan lineitems whose order is outside the snapshot entirely
+    val deletedOrd = orders.join(broadcast(del),
+      col("o_custkey") === col("c_custkey"), "left_semi")
+    val keepLi = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_quantity"))
+      .join(broadcast(deletedOrd.select(col("o_orderkey"))),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+    val a = del.agg(count(lit(1)).as("n_deleted_subjects"))
+    val b = keepOrd.agg(count(lit(1)).as("n_orders_kept"),
+      sum(col("o_orderkey")).as("sum_orderkey"))
+    val c = keepLi.agg(count(lit(1)).as("n_lineitems_kept"),
+      Exact.sum2(col("l_quantity")).as("sum_qty"))
+    a.crossJoin(b).crossJoin(c)
   }
 
   /** q166: PERMISSIVE CSV ingest with corrupt-row quarantine — the

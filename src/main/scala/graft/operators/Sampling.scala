@@ -14,7 +14,7 @@ import org.apache.spark.sql.expressions.Window
 object Sampling {
 
   def defs: Seq[QueryDef] =
-    Seq(q53, q54, q55, q56, q67, q77, q104, q106, q111, q164)
+    Seq(q53, q54, q55, q56, q67, q77, q104, q106, q111, q164, q170)
 
   /** Generic stratified sample: at most `k` rows per stratum, selected
     * by `hashOrder` (e.g. md5 of a content column) — deterministic,
@@ -424,6 +424,44 @@ object Sampling {
         sum(col(value)).as("sum_kept"),
         min(col(value)).as("lo_kept"),
         max(col(value)).as("hi_kept"))
+  }
+
+  /** Per-group rank normalization — the feature-preprocessing transform
+    * (rank-gauss / quantile-normalization family) that maps a skewed
+    * column to a uniform grid robust to outliers: within each group,
+    * value → rank·10⁶ div (n+1) ppm (the (0, 1) open-interval rank
+    * transform, on integers so every engine lands on the same grid).
+    * Ties break by id, making the map a bijection — the property
+    * downstream inverse-CDF transforms need. One keyed window, no
+    * joins.
+    */
+  def rankNormalize(df: DataFrame, group: String, value: String,
+      id: String): DataFrame = {
+    val w = Window.partitionBy(col(group)).orderBy(col(value), col(id))
+    df.select(col(group), col(value), col(id))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col(group))))
+      .select(col(group), col(id), col(value),
+        expr("CAST(rn * 1000000 div (n + 1) AS LONG)").as("rank_ppm"))
+  }
+
+  /** q170: rank-normalized n_chars per language over documents,
+    * hash-checked — every (doc, ppm) pair — against the identical
+    * integer rank arithmetic in DuckDB.
+    */
+  val q170: QueryDef = QueryDef.checked(
+    "q170_rank_normalize",
+    """WITH r AS (
+      |  SELECT lang, doc_id, n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY n_chars, doc_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY lang) AS n
+      |  FROM documents)
+      |SELECT lang, doc_id, n_chars,
+      |  rn * 1000000 // (n + 1) AS rank_ppm
+      |FROM r ORDER BY lang, doc_id""".stripMargin) { (s, d) =>
+    rankNormalize(Tables.documents(s, d), "lang", "n_chars", "doc_id")
+      .orderBy(col("lang"), col("doc_id"))
   }
 
   /** q164: 5 %-rank-trimmed per-language n_chars profile of the
