@@ -14,7 +14,8 @@ object Extended {
   import Exact._
 
   def defs: Seq[QueryDef] = Seq(q42, q43, q44, q45, q46, q90, q92, q93, q95, q97,
-    q101, q117, q118, q119, q120, q121, q146, q150, q166, q168, q169)
+    q101, q117, q118, q119, q120, q121, q146, q150, q166, q168, q169,
+    q172)
 
   /** q95: ORC round-trip — q44's lossless write→read check for the
     * third columnar format (ORC ships with Spark; DuckDB cannot read
@@ -993,6 +994,35 @@ object Extended {
     val c = keepLi.agg(count(lit(1)).as("n_lineitems_kept"),
       Exact.sum2(col("l_quantity")).as("sum_qty"))
     a.crossJoin(b).crossJoin(c)
+  }
+
+  /** q172: exact per-group MODE with a deterministic tie-break (highest
+    * count, then lowest value — `max_by` alone is tie-unstable across
+    * engines, the reason this goes through an explicit ranked window):
+    * the categorical companion of q92's numeric profile. Two keyed
+    * aggs + one window over the (group, value) count frame — the heavy
+    * input collapses in the first map-side-combined count.
+    */
+  val q172: QueryDef = QueryDef.checked(
+    "q172_group_mode",
+    """WITH c AS (
+      |  SELECT source, lang, COUNT(*) AS cnt
+      |  FROM documents GROUP BY 1, 2),
+      |r AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+      |    ORDER BY cnt DESC, lang) AS rn
+      |  FROM c)
+      |SELECT source, lang AS mode_lang, cnt AS mode_n
+      |FROM r WHERE rn = 1 ORDER BY source""".stripMargin) { (s, d) =>
+    val counts = Tables.documents(s, d)
+      .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("cnt"))
+    counts
+      .withColumn("rn", row_number().over(Window.partitionBy(col("source"))
+        .orderBy(col("cnt").desc, col("lang"))))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("lang").as("mode_lang"),
+        col("cnt").as("mode_n"))
+      .orderBy(col("source"))
   }
 
   /** q166: PERMISSIVE CSV ingest with corrupt-row quarantine — the

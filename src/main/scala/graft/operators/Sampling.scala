@@ -14,7 +14,7 @@ import org.apache.spark.sql.expressions.Window
 object Sampling {
 
   def defs: Seq[QueryDef] =
-    Seq(q53, q54, q55, q56, q67, q77, q104, q106, q111, q164, q170)
+    Seq(q53, q54, q55, q56, q67, q77, q104, q106, q111, q164, q170, q171)
 
   /** Generic stratified sample: at most `k` rows per stratum, selected
     * by `hashOrder` (e.g. md5 of a content column) — deterministic,
@@ -461,6 +461,64 @@ object Sampling {
       |  rn * 1000000 // (n + 1) AS rank_ppm
       |FROM r ORDER BY lang, doc_id""".stripMargin) { (s, d) =>
     rankNormalize(Tables.documents(s, d), "lang", "n_chars", "doc_id")
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
+  /** Median-absolute-deviation outlier flags — the robust z-score
+    * (median/MAD in place of mean/stddev, immune to the outliers it
+    * hunts), entirely on integer RANK arithmetic: median = the value at
+    * rank (n+1) div 2 (the lower median — deterministic, no averaging
+    * convention), MAD = lower median of |x − med|, flag when
+    * |x − med| > k·MAD. Two windowed rank picks and a broadcast-sized
+    * per-group stats join; never a float.
+    */
+  def madOutliers(df: DataFrame, group: String, value: String, id: String,
+      k: Long = 3L): DataFrame = {
+    def lowerMedian(in: DataFrame, v: String, out: String): DataFrame = {
+      val w = Window.partitionBy(col(group)).orderBy(col(v), col(id))
+      in.withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col(group))))
+        .filter(expr("rn = (n + 1) div 2"))
+        .select(col(group), col(v).as(out))
+    }
+    val base = df.select(col(group), col(value), col(id))
+    val med = lowerMedian(base, value, "med")
+    val dev = base.join(broadcast(med), group)
+      .withColumn("adev", abs(col(value) - col("med")))
+    val mad = lowerMedian(dev, "adev", "mad")
+    dev.join(broadcast(mad), group)
+      .select(col(group), col(id), col(value), col("med"), col("mad"),
+        (col("adev") > lit(k) * col("mad")).as("is_outlier"))
+  }
+
+  /** q171: MAD outlier flags on n_chars per language — median, MAD and
+    * every flag hash-checked against the identical rank picks in
+    * DuckDB.
+    */
+  val q171: QueryDef = QueryDef.checked(
+    "q171_mad_outliers",
+    """WITH r AS (
+      |  SELECT lang, doc_id, n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY n_chars, doc_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY lang) AS n
+      |  FROM documents),
+      |med AS (SELECT lang, n_chars AS med FROM r WHERE rn = (n + 1) // 2),
+      |dev AS (
+      |  SELECT d.lang, d.doc_id, d.n_chars, m.med,
+      |    ABS(d.n_chars - m.med) AS adev
+      |  FROM documents d JOIN med m USING (lang)),
+      |dr AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY adev, doc_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY lang) AS n
+      |  FROM dev),
+      |mad AS (SELECT lang, adev AS mad FROM dr WHERE rn = (n + 1) // 2)
+      |SELECT d.lang, d.doc_id, d.n_chars, d.med, m.mad,
+      |  d.adev > 3 * m.mad AS is_outlier
+      |FROM dev d JOIN mad m USING (lang)
+      |ORDER BY lang, doc_id""".stripMargin) { (s, d) =>
+    madOutliers(Tables.documents(s, d), "lang", "n_chars", "doc_id")
       .orderBy(col("lang"), col("doc_id"))
   }
 
