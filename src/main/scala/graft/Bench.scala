@@ -60,7 +60,7 @@ object Bench {
     val startLoad = loadAvg()
     val names = SparkEntry.allDefs.map(_.name)
     runOnce(names.head) // warmup
-    val results = names.map { n =>
+    val results0 = names.map { n =>
       val loads = scala.collection.mutable.ArrayBuffer(loadAvg())
       val samples0 = Seq.fill(passes) { val t = runOnce(n); loads += loadAvg(); t }
         .filter(_ >= 0)
@@ -76,6 +76,25 @@ object Bench {
       val minT = if (sorted.isEmpty) -1.0 else sorted.head
       val medT = if (sorted.isEmpty) -1.0 else sorted(sorted.size / 2)
       (n, minT, medT, loads.max)
+    }
+    // Outlier RE-PROBE: the in-place spread check cannot catch a
+    // contention wave that covers ALL of a query's consecutive passes
+    // (this host's waves run minutes — one recorded a 1.5 s query at a
+    // confident 17.8 s min ≈ median). The slowest mins get one more
+    // sample at the END of the run, far from their original window;
+    // min is still min-over-samples, so a genuinely slow query just
+    // re-measures while a wave victim snaps back to its real time.
+    val slowest = results0.filter(_._2 > 2.0).sortBy(-_._2).take(8).map(_._1).toSet
+    val results = results0.map { case r @ (n, minT, medT, load) =>
+      if (!slowest(n)) r
+      else {
+        val extra = runOnce(n)
+        val newLoad = math.max(load, loadAvg())
+        if (extra >= 0 && extra < minT) {
+          System.err.println(f"[bench] reprobe $n%s: $minT%.2f -> $extra%.2f s")
+          (n, extra, medT, newLoad)
+        } else (n, minT, medT, newLoad)
+      }
     }
     def jmap(key: String => String, prec: String)(
         f: ((String, Double, Double, Double)) => Double): String =
