@@ -11,7 +11,8 @@ import org.apache.spark.sql.expressions.Window
   */
 object Scale {
 
-  def defs: Seq[QueryDef] = Seq(q47, q48, q63, q72, q94, q96, q125, q139, q155)
+  def defs: Seq[QueryDef] =
+    Seq(q47, q48, q63, q72, q94, q96, q125, q139, q155, q175)
 
   /** Mergeable rank/quantile sketch as a fixed-grid histogram — the
     * fourth corner of the sketch family (q96 HLL = distinct, q139 CMS =
@@ -219,6 +220,58 @@ object Scale {
       .withColumn("cid", element_at(col("ranked"), -1).getField("cid"))
       .select(col("vec_id"), col("v"), col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(s"$path/lists")
+  }
+
+  /** INCREMENTAL ingest into a [[saveIvfIndex]] index — the q78
+    * index×fresh pattern for dense vectors: new vectors are assigned to
+    * the EXISTING centroid table (no retraining — the codebook is the
+    * index's contract; retraining would silently re-shuffle every old
+    * list) and appended to the cid-partitioned lists, so each increment
+    * touches only its own new files and queries keep pruning by
+    * directory. The drift trade is the documented one from the ANN
+    * literature: assignment quality degrades as the corpus distribution
+    * moves away from the training sample — rebuild cadence is an
+    * operational knob, not an engine concern. ScaleSpec pins that an
+    * incremental index is ROW-IDENTICAL to a monolithic assignment of
+    * the union under the same centroids.
+    */
+  def appendToIvfIndex(eNew: org.apache.spark.sql.DataFrame,
+      path: String): Unit = {
+    val spark = eNew.sparkSession
+    val centroids = spark.read.parquet(s"$path/centroids").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+    eNew.withColumn("ranked", nearestRanking(centroids, col("v")))
+      .withColumn("cid", element_at(col("ranked"), -1).getField("cid"))
+      .select(col("vec_id"), col("v"), col("cid"))
+      .write.mode("append").partitionBy("cid").parquet(s"$path/lists")
+  }
+
+  /** Per-JVM memo of the q175 incremental index (build 90 % + ingest
+    * 10 % happen once; bench passes measure the query/read path — the
+    * q125 accounting).
+    */
+  private val ivfIncMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q175: the incremental-ingest IVF path end to end — index trained
+    * and built on the first 90 % of vec_ids, the remaining 10 %
+    * ingested via [[appendToIvfIndex]] (no retraining), the first 5
+    * vectors queried against the combined index. Rows-only (trained
+    * codebook); ScaleSpec pins incremental == monolithic under the
+    * same centroids, which transfers q125's other guarantees.
+    */
+  val q175: QueryDef = QueryDef.rowsOnly("q175_ann_ivf_incremental") { (s, d) =>
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), VF.asDouble(col("embedding")).as("v"))
+    val cut = (e.agg(max(col("vec_id"))).head().getLong(0) + 1L) * 9L / 10L
+    val path = ivfIncMemo.computeIfAbsent(s"$d#$cut", _ => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(Exact.fmtRoot, "ivfinc_").toAbsolutePath.toString
+      saveIvfIndex(e.filter(col("vec_id") < cut), tmp)
+      appendToIvfIndex(e.filter(col("vec_id") >= cut), tmp)
+      tmp
+    })
+    ivfTopKFromIndex(s, path, e.filter(col("vec_id") < 5))
   }
 
   /** Query a [[saveIvfIndex]] index: centroids load driver-side (nlist

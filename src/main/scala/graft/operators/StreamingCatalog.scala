@@ -57,7 +57,7 @@ object StreamingCatalog {
 
   def defs: Seq[QueryDef] =
     Seq(q130, q131, q135, q136, q138, q140, q145, q147, q149, q151, q153,
-      q158, q167)
+      q158, q167, q173, q174)
 
   private val SliceMax = 2000L
   private val Sentinel = "zz_sentinel"
@@ -248,6 +248,107 @@ object StreamingCatalog {
     s.read.parquet(dirs: _*)
       .select(col("doc_id"), col("lang"))
       .orderBy(col("doc_id"))
+    }
+  }
+
+  /** q173: CHECKPOINT RESTART RECOVERY under the oracle — the
+    * fault-tolerance half of exactly-once that q167 cannot show in one
+    * life: the same foreachBatch parquet pipeline is STOPPED mid-slice
+    * and a NEW query resumes from the same checkpoint (same source,
+    * same sink root), feeds the rest, and the committed-batch union
+    * must STILL equal the slice — offsets replay from the WAL, the
+    * marker protocol absorbs the re-executed boundary batch, and
+    * nothing is lost or doubled across the query generations. This is
+    * the restart path every production stream lives on (the memory
+    * sink cannot certify it — it is rebuilt empty on restart, which is
+    * why this query rides the file sink).
+    */
+  val q173: QueryDef = QueryDef.checked(
+    "q173_restart_recovery",
+    "SELECT doc_id, lang FROM documents WHERE doc_id < 200 ORDER BY doc_id") {
+    (s, d) =>
+    implicit val sqlc: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    withChecksumOff(s) {
+    val rows = Tables.documents(s, d).filter(col("doc_id") < 200)
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val root = Exact.scratchDir("q173", "restart_").toAbsolutePath.toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-q173-ckpt")
+    val in = MemoryStream[(Long, String)]
+    val write = graft.streaming.StreamingOps.idempotentBatchWriter(root)
+    def startQuery() = in.toDF().toDF("doc_id", "lang")
+      .writeStream
+      .foreachBatch((df: DataFrame, id: Long) => write(df, id))
+      .option("checkpointLocation", ckpt.toString)
+      .start()
+    val (firstHalf, secondHalf) = rows.splitAt(100)
+    val q1 = startQuery()
+    try {
+      firstHalf.grouped(64).foreach { chunk =>
+        in.addData(chunk.toSeq: _*)
+        q1.processAllAvailable()
+      }
+    } finally q1.stop() // simulated failure/redeploy point
+    val q2 = startQuery() // SAME checkpoint: offsets resume from the WAL
+    try {
+      secondHalf.grouped(64).foreach { chunk =>
+        in.addData(chunk.toSeq: _*)
+        q2.processAllAvailable()
+      }
+      q2.processAllAvailable()
+    } finally { q2.stop(); rmTree(ckpt) }
+    val dirs = graft.streaming.StreamingOps.committedBatches(root)
+    s.read.parquet(dirs: _*)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+    }
+  }
+
+  /** q174: MULTI-SOURCE stream union + shared dedup state — two
+    * independent streams (the slice split by event_id parity, standing
+    * in for two shards/regions/topics feeding one pipeline) unioned
+    * into ONE dropDuplicates whose state spans both: a key seen on
+    * stream A suppresses its later arrival on stream B. Batch
+    * interleave across two sources is scheduler-influenced, so the
+    * output projects to the surviving KEY SET (the q131 determinism
+    * idiom) — exactly the distinct keys of the union, which is what
+    * the oracle checks.
+    */
+  val q174: QueryDef = QueryDef.checked(
+    "q174_union_dedup",
+    """SELECT DISTINCT user_id, event_type
+      |FROM events WHERE event_id < 2000
+      |ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+    implicit val sqlc: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    withChecksumOff(s) {
+    val rows = Tables.events(s, d).filter(col("event_id") < SliceMax)
+      .orderBy(col("ts_ns"), col("event_id"))
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val inA = MemoryStream[(Long, String)]
+    val inB = MemoryStream[(Long, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-q174-ckpt")
+    def half(src: MemoryStream[(Long, String)]) =
+      src.toDF().toDF("user_id", "event_type")
+    val q = half(inA).unionByName(half(inB))
+      .dropDuplicates("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+      .writeStream.format("memory").queryName("graft_q174_sink")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt.toString)
+      .start()
+    try {
+      rows.grouped(BatchRows).foreach { chunk =>
+        inA.addData(chunk.filter(_._1 % 2 == 0).map(r => (r._2, r._3)): _*)
+        inB.addData(chunk.filter(_._1 % 2 == 1).map(r => (r._2, r._3)): _*)
+        q.processAllAvailable()
+      }
+    } finally { q.stop(); rmTree(ckpt) }
+    s.table("graft_q174_sink")
+      .select(col("user_id"), col("event_type"))
+      .orderBy(col("user_id"), col("event_type"))
     }
   }
 
