@@ -48,6 +48,13 @@ object GraftFunctions {
       (children: Seq[Expression]) => {
         require(children.size == 1, "poly_hash takes exactly 1 argument")
         PolyHash(children.head)
+      }),
+    (FunctionIdentifier("nfc_normalize"),
+      info("nfc_normalize",
+        "nfc_normalize(s) - Unicode NFC normalization of a string"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "nfc_normalize takes exactly 1 argument")
+        NfcNormalize(children.head)
       }))
 
   /** Imperative registration on a live session (idempotent — replaces

@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   */
 object Entity {
 
-  def defs: Seq[QueryDef] = Seq(q103)
+  def defs: Seq[QueryDef] = Seq(q103, q179)
 
   /** Fuzzy key self-join: all pairs of rows whose `nameCol` values are
     * within edit distance 1, WITHOUT a cross join. Blocking: each name
@@ -105,6 +105,33 @@ object Entity {
     fuzzyKeyPairs(
       Tables.customer(s, d).filter(col("c_custkey") < 500),
       "c_custkey", "c_name")
+      .orderBy(col("key_a"), col("key_b"))
+  }
+
+  /** q179: the VARIABLE-LENGTH fuzzy join under the oracle — the FastSS
+    * deletion-neighborhood blocking ([[fuzzyKeyPairsVarLen]]) on an
+    * unpadded key corpus (`'Customer#' || c_custkey`), where single-digit
+    * append/drop edits really occur (≈20% of the true pairs differ in
+    * LENGTH at sf0.01), so the insert/delete half of the recall argument
+    * is exercised by data, not just by the proof. Hash-checked pair for
+    * pair (plus the exact distance) against DuckDB's levenshtein cross
+    * join — the engine plans |name|+1 keyed rows per input and one
+    * equi-join on the neighborhood string instead of the O(n²) loop.
+    */
+  val q179: QueryDef = QueryDef.checked(
+    "q179_fuzzy_join_varlen",
+    """WITH n AS (SELECT c_custkey AS k, 'Customer#' || c_custkey AS name
+      |  FROM customer)
+      |SELECT a.k AS key_a, b.k AS key_b, a.name AS name_a, b.name AS name_b,
+      |  levenshtein(a.name, b.name) AS dist
+      |FROM n a JOIN n b
+      |  ON a.k < b.k AND levenshtein(a.name, b.name) <= 1
+      |ORDER BY key_a, key_b""".stripMargin) { (s, d) =>
+    val named = Tables.customer(s, d)
+      .select(col("c_custkey"),
+        concat(lit("Customer#"), col("c_custkey").cast("string")).as("name"))
+    fuzzyKeyPairsVarLen(named, "c_custkey", "name")
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
       .orderBy(col("key_a"), col("key_b"))
   }
 }

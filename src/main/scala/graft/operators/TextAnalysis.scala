@@ -14,7 +14,8 @@ import org.apache.spark.sql.expressions.Window
   */
 object TextAnalysis {
 
-  def defs: Seq[QueryDef] = Seq(q34, q35, q36, q37, q49, q64, q70, q85, q86, q102, q113)
+  def defs: Seq[QueryDef] =
+    Seq(q34, q35, q36, q37, q49, q64, q70, q85, q86, q102, q113, q180)
 
   private val stopList = TF.StopWords.map(w => s"'$w'").mkString(", ")
 
@@ -545,5 +546,35 @@ object TextAnalysis {
       |WHERE df BETWEEN 5 AND 40 ORDER BY term""".stripMargin) { (s, d) =>
     invertedIndex(bigramOccurrences(Tables.documents(s, d)), minDf = 5L, maxDf = 40L)
       .orderBy(col("term"))
+  }
+
+  /** q180: Unicode NFC normalization ([[graft.functions.NfcNormalize]],
+    * the codegen expression Spark lacks a builtin for) under the oracle.
+    * The corpus text is ASCII, where NFC is the identity — so the query
+    * first DECOMPOSES it deterministically (every 'e' gains a combining
+    * acute U+0301, the canonical decomposed form of 'é') and then
+    * normalizes; NFC must recompose each pair to precomposed U+00E9.
+    * DuckDB's `nfc_normalize` over the identically-decomposed string
+    * must produce byte-identical output — both engines are pinned to
+    * the same Unicode canonical-composition tables. `n_composed` (the
+    * codepoint count the recomposition removed) is cross-checked too:
+    * Spark `length` and DuckDB `length` both count codepoints.
+    */
+  val q180: QueryDef = QueryDef.checked(
+    "q180_nfc_normalize",
+    """WITH dec AS (
+      |  SELECT doc_id, replace(text, 'e', 'e' || chr(769)) AS decomposed
+      |  FROM documents)
+      |SELECT doc_id, nfc_normalize(decomposed) AS norm,
+      |  length(decomposed) - length(nfc_normalize(decomposed)) AS n_composed
+      |FROM dec ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import graft.functions.NfcNormalize.nfc
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        regexp_replace(col("text"), "e", "e\u0301").as("decomposed"))
+      .select(col("doc_id"), nfc(col("decomposed")).as("norm"),
+        (length(col("decomposed")) - length(nfc(col("decomposed"))))
+          .as("n_composed"))
+      .orderBy(col("doc_id"))
   }
 }

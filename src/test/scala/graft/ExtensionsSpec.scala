@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.{CosineSimilarity, GraftFunctions, PolyHash,
-  VectorFunctions => VF}
+import graft.functions.{CosineSimilarity, GraftFunctions, NfcNormalize,
+  PolyHash, VectorFunctions => VF}
 
 /** The SQL function surface (GraftFunctions / GraftExtensions): the
   * registered `cosine_sim` and `poly_hash` SQL functions must be the
@@ -81,7 +81,39 @@ class ExtensionsSpec extends AnyFunSuite {
         collected += fd
     }
     new graft.functions.GraftExtensions().apply(ext)
-    assert(collected.map(_._1.funcName).toSet == Set("cosine_sim", "poly_hash"))
+    assert(collected.map(_._1.funcName).toSet ==
+      Set("cosine_sim", "poly_hash", "nfc_normalize"))
     assert(collected.toSeq == GraftFunctions.descriptors)
+  }
+
+  test("nfc_normalize: ASCII identity fast path, recomposition, SQL==API") {
+    val s = spark
+    GraftFunctions.register(s)
+    import org.apache.spark.unsafe.types.UTF8String
+    // ASCII fast path returns the SAME object — no allocation
+    val ascii = UTF8String.fromString("plain ascii text")
+    assert(NfcNormalize.norm(ascii) eq ascii)
+    // decomposed e + U+0301 recomposes to precomposed U+00E9
+    val dec = UTF8String.fromString("cafe\u0301")
+    assert(NfcNormalize.norm(dec).toString == "caf\u00e9")
+    // already-NFC non-ASCII input comes back unchanged (and unallocated)
+    val pre = UTF8String.fromString("caf\u00e9")
+    assert(NfcNormalize.norm(pre) eq pre)
+    // null propagates; SQL surface runs the same expression as the API
+    Tables.documents(s, sf).filter(col("doc_id") < 50)
+      .select(col("doc_id"),
+        regexp_replace(col("text"), "e", "e\u0301").as("t"))
+      .createOrReplaceTempView("ext_nfc")
+    val sqlN = s.sql(
+      "SELECT doc_id, nfc_normalize(t) AS n FROM ext_nfc ORDER BY doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val apiN = s.table("ext_nfc")
+      .select(col("doc_id"), NfcNormalize.nfc(col("t")).as("n"))
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(sqlN.sameElements(apiN) && sqlN.nonEmpty)
+    assert(sqlN.forall(!_._2.contains("\u0301")), "all pairs recomposed")
+    assert(s.sql("SELECT nfc_normalize(CAST(NULL AS STRING)) AS n")
+      .collect().head.isNullAt(0))
   }
 }
