@@ -27,7 +27,7 @@ object Graph {
 
   def defs: Seq[QueryDef] =
     Seq(q110, q126, q127, q128, q129, q132, q133, q137, q141, q142, q144,
-      q156, q157, q159)
+      q156, q157, q159, q176, q177, q178)
 
   /** Materialize-and-release helper for the cache contract above. */
   private def finish(out: DataFrame, release: Boolean,
@@ -572,6 +572,16 @@ object Graph {
       |SELECT node, COUNT(*) AS n_triangles FROM (
       |  SELECT unnest([a, b, c]) AS node FROM tri)
       |GROUP BY node ORDER BY node""".stripMargin) { (s, d) =>
+    triangleCounts(coPurchaseEdges(s, d)).orderBy(col("node"))
+  }
+
+  /** The supplier co-purchase projection (suppliers linked when they
+    * share a customer, orders < 2000) — the dense small-diameter
+    * undirected catalog graph shared by q128 (triangles) and q177
+    * (betweenness), symmetrized.
+    */
+  private def coPurchaseEdges(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
     val pairs = Tables.lineitem(s, d)
       .join(Tables.orders(s, d).filter(col("o_orderkey") < 2000),
         col("l_orderkey") === col("o_orderkey"))
@@ -582,9 +592,8 @@ object Graph {
         col("a.c") === col("b.c") && col("a.sk") < col("sk2"))
       .select(col("a.sk").as("src"), col("sk2").as("dst"))
       .distinct()
-    val undirected = half.unionByName(
+    half.unionByName(
       half.select(col("dst").as("src"), col("src").as("dst")))
-    triangleCounts(undirected).orderBy(col("node"))
   }
 
   /** Neighborhood-overlap similarity ("related items" by graph
@@ -1568,5 +1577,345 @@ object Graph {
     condensationProfile(handoffEdges(Tables.events(s, d)),
         memoKey = Some(s"$d#handoff"))
       .orderBy(col("scc_id"))
+  }
+
+  /** Condensation DAG longest-path layers (critical-path depth): per
+    * SCC, `layer` = the longest directed path (in condensation hops)
+    * reaching it from anywhere — 0 reads "source component", and the
+    * max layer is the pipeline's critical-path depth. Complements q159's
+    * ancestor/descendant COUNTS with the partial order's DEPTH (counts
+    * can't tell a wide shallow fan-in from a deep chain).
+    *
+    * Computed by MAX-PLUS DOUBLING on the lifted DIRECT edges:
+    * L := maxd(L ∪ L∘L) reaches all-pairs longest path in ⌈log₂ depth⌉
+    * rounds — the same log-vs-diameter trade as [[sccByClosure]] (a
+    * per-layer relaxation loop would pay the ~50-round chain depth the
+    * closure path exists to avoid), legitimate because max-plus over a
+    * DAG is a closed semiring with finite closure. State is lifted
+    * pairs, quadratic in component count worst-case — bounded-closure
+    * graphs only; at 100 TB with a deep condensation, per-node
+    * relaxation (linear state, depth rounds) is the fallback shape.
+    */
+  def condensationLayers(edges0: DataFrame,
+      memoKey: Option[String] = None): DataFrame = {
+    val (_, _, scc) = memoKey match {
+      case Some(k) => closureFramesMemo(edges0, k)
+      case None => closureFrames(edges0)
+    }
+    val direct = edges0.select(col("src"), col("dst")).distinct()
+    val lifted = direct
+      .join(broadcast(scc.select(col("node").as("src"), col("scc_id").as("sa"))),
+        Seq("src"))
+      .join(broadcast(scc.select(col("node").as("dst"), col("scc_id").as("sb"))),
+        Seq("dst"))
+      .filter(col("sa") =!= col("sb"))
+      .select(col("sa"), col("sb")).distinct()
+      .localCheckpoint(true)
+    var lp = lifted.withColumn("dd", lit(1L)).localCheckpoint(true)
+    // sum of per-pair max path length: strictly increases until the
+    // max-plus fixpoint (max-agg per pair only grows; a new pair adds a
+    // positive term), so equality certifies convergence
+    def weight(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("dd")), lit(0L))).head.getLong(0)
+    var w = weight(lp)
+    var changed = true
+    while (changed) {
+      val step = lp.as("r1")
+        .join(lp.as("r2"), col("r1.sb") === col("r2.sa"))
+        .select(col("r1.sa").as("sa"), col("r2.sb").as("sb"),
+          (col("r1.dd") + col("r2.dd")).as("dd"))
+      val next = lp.union(step)
+        .groupBy(col("sa"), col("sb")).agg(max(col("dd")).as("dd"))
+        .localCheckpoint(true)
+      val w2 = weight(next)
+      changed = w2 != w
+      w = w2
+      lp = next
+    }
+    scc.groupBy(col("scc_id")).agg(count(lit(1)).as("n_nodes"))
+      .join(broadcast(lp.groupBy(col("sb").as("scc_id"))
+        .agg(max(col("dd")).as("in_depth"))), Seq("scc_id"), "left")
+      .select(col("scc_id"), col("n_nodes"),
+        coalesce(col("in_depth"), lit(0L)).as("layer"))
+  }
+
+  /** q178: critical-path layers of the handoff condensation DAG, FULLY
+    * oracle-checked: DuckDB walks the lifted direct edges with a
+    * recursive CTE whose UNION-deduped (component, depth) state is
+    * bounded by components × depth (no path enumeration blowup), and
+    * MAX(depth) per component is exactly the longest-path layer the
+    * max-plus doubling computes.
+    */
+  val q178: QueryDef = QueryDef.checked(
+    "q178_dag_layers",
+    """WITH RECURSIVE firsts AS MATERIALIZED (
+      |  SELECT event_type, epoch_ns(ts)//1000//3600000000 AS hr, user_id,
+      |    MIN(epoch_ns(ts)//1000) AS fts
+      |  FROM events WHERE event_id < 2000 GROUP BY 1, 2, 3),
+      |edges AS MATERIALIZED (
+      |  SELECT DISTINCT user_id AS src,
+      |    LEAD(user_id) OVER (PARTITION BY event_type, hr
+      |      ORDER BY fts, user_id) AS dst
+      |  FROM firsts WHERE hr % 7 = 0
+      |  QUALIFY dst IS NOT NULL AND dst != user_id),
+      |nodes AS MATERIALIZED (
+      |  SELECT src AS v FROM edges UNION SELECT dst FROM edges),
+      |reach(a, b) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+      |mutual AS (
+      |  SELECT r1.a AS v, r1.b AS w
+      |  FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a),
+      |scc AS MATERIALIZED (
+      |  SELECT n.v AS node, LEAST(n.v, COALESCE(MIN(m.w), n.v)) AS scc_id
+      |  FROM nodes n LEFT JOIN mutual m ON m.v = n.v GROUP BY n.v),
+      |lifted AS MATERIALIZED (
+      |  SELECT DISTINCT s1.scc_id AS sa, s2.scc_id AS sb
+      |  FROM edges e JOIN scc s1 ON e.src = s1.node
+      |  JOIN scc s2 ON e.dst = s2.node
+      |  WHERE s1.scc_id != s2.scc_id),
+      |paths(b, dd) AS (
+      |  SELECT sb, 1 FROM lifted
+      |  UNION
+      |  SELECT l.sb, p.dd + 1 FROM paths p JOIN lifted l ON l.sa = p.b),
+      |layer AS (SELECT b AS scc_id, MAX(dd) AS layer FROM paths GROUP BY 1),
+      |sizes AS (SELECT scc_id, COUNT(*) AS n_nodes FROM scc GROUP BY 1)
+      |SELECT s.scc_id, s.n_nodes, COALESCE(l.layer, 0) AS layer
+      |FROM sizes s LEFT JOIN layer l USING (scc_id)
+      |ORDER BY scc_id""".stripMargin) { (s, d) =>
+    condensationLayers(handoffEdges(Tables.events(s, d)),
+        memoKey = Some(s"$d#handoff"))
+      .orderBy(col("scc_id"))
+  }
+
+  /** Articulation profile of an undirected graph: for every node x with
+    * ≥2 distinct neighbors, the number of connected components its
+    * removal splits its neighborhood into (`n_split`), and the derived
+    * cut-vertex flag (`n_split ≥ 2`) — the single-point-of-failure /
+    * community-bridge detector (x is an articulation point iff two of
+    * its neighbors are not connected in G∖{x}; degree-≤1 nodes never
+    * are).
+    *
+    * All |cand| removal subproblems run JOINTLY in one dataflow: the
+    * state is reachability triples (x, a, b) over G∖{x}, seeded by one
+    * broadcast expansion of the edge list per candidate and closed by
+    * doubling (R := R ∪ R∘R keyed on (x, b=a)) in ⌈log₂ diameter⌉
+    * rounds; neighbor labels then canonicalize per (x, component) as
+    * min member — every step an equi-join + keyed agg, no per-vertex
+    * driver loop. The trade is declared, as in [[sccByClosure]]: state
+    * is Σ_x |component(x)|², the bounded-closure-graph path. At 100 TB
+    * the node-keyed shape is a spanning forest + Tarjan low-point
+    * labeling (linear state) — or restrict `cand` to the suspects that
+    * matter (hubs, known bridges) and this exact profile runs as-is on
+    * the induced candidate set.
+    */
+  def articulationProfile(undirected0: DataFrame): DataFrame = {
+    val und = undirected0.select(col("src"), col("dst")).distinct()
+      .localCheckpoint(true)
+    val cand = und.groupBy(col("src").as("x")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= 2).select(col("x"))
+      .localCheckpoint(true)
+    val nb = und.join(cand, und("src") === cand("x"))
+      .select(col("x"), col("dst").as("n"))
+    // seed: every edge not touching x, replicated per candidate x — a
+    // deliberate broadcast product (|cand|·|E| rows), the declared
+    // quadratic-state trade documented above
+    var rex = und.crossJoin(broadcast(cand))
+      .filter(col("src") =!= col("x") && col("dst") =!= col("x"))
+      .select(col("x"), col("src").as("a"), col("dst").as("b"))
+      .localCheckpoint(true)
+    var size = rex.count()
+    var changed = true
+    while (changed) {
+      val step = rex.as("r1")
+        .join(rex.as("r2"),
+          col("r1.x") === col("r2.x") && col("r1.b") === col("r2.a"))
+        .select(col("r1.x").as("x"), col("r1.a").as("a"), col("r2.b").as("b"))
+        .filter(col("b") =!= col("a"))
+      val next = rex.union(step).distinct().localCheckpoint(true)
+      val n2 = next.count()
+      changed = n2 != size
+      size = n2
+      rex = next
+    }
+    // label each neighbor p of x with the min neighbor in its component
+    // of G∖{x}; n_split = distinct labels
+    val conn = rex
+      .join(nb.select(col("x"), col("n").as("a")), Seq("x", "a"))
+      .join(nb.select(col("x"), col("n").as("b")), Seq("x", "b"))
+      .select(col("x"), col("a").as("p"), col("b").as("q"))
+    val labels = nb.select(col("x"), col("n").as("p"))
+      .join(conn, Seq("x", "p"), "left")
+      .groupBy(col("x"), col("p")).agg(min(col("q")).as("mq"))
+      .select(col("x"), col("p"),
+        least(col("p"), coalesce(col("mq"), col("p"))).as("lbl"))
+    labels.groupBy(col("x").as("node"))
+      .agg(countDistinct(col("lbl")).as("n_split"))
+      .withColumn("is_articulation", col("n_split") >= 2)
+  }
+
+  /** q176: articulation profile of the symmetrized handoff graph, FULLY
+    * oracle-checked — DuckDB runs the same jointly-keyed exclusion
+    * closure as a recursive CTE (x-tagged reachability, neighbors
+    * labeled by min component member) and must agree node for node on
+    * both the split count and the cut-vertex flag. ArticulationSpec
+    * additionally pins the operator to a brute-force remove-and-BFS
+    * reference on random graphs and planted shapes.
+    */
+  val q176: QueryDef = QueryDef.checked(
+    "q176_articulation",
+    """WITH RECURSIVE firsts AS MATERIALIZED (
+      |  SELECT event_type, epoch_ns(ts)//1000//3600000000 AS hr, user_id,
+      |    MIN(epoch_ns(ts)//1000) AS fts
+      |  FROM events WHERE event_id < 2000 GROUP BY 1, 2, 3),
+      |dedges AS MATERIALIZED (
+      |  SELECT DISTINCT user_id AS src,
+      |    LEAD(user_id) OVER (PARTITION BY event_type, hr
+      |      ORDER BY fts, user_id) AS dst
+      |  FROM firsts WHERE hr % 7 = 0
+      |  QUALIFY dst IS NOT NULL AND dst != user_id),
+      |und AS MATERIALIZED (
+      |  SELECT src, dst FROM dedges UNION
+      |  SELECT dst AS src, src AS dst FROM dedges),
+      |cand AS MATERIALIZED (
+      |  SELECT src AS x FROM und GROUP BY src HAVING count(*) >= 2),
+      |rex(x, a, b) AS (
+      |  SELECT c.x, e.src, e.dst FROM und e, cand c
+      |  WHERE e.src != c.x AND e.dst != c.x
+      |  UNION
+      |  SELECT r.x, r.a, e.dst FROM rex r JOIN und e ON r.b = e.src
+      |  WHERE e.dst != r.x AND e.dst != r.a),
+      |nb AS MATERIALIZED (
+      |  SELECT c.x, u.dst AS n FROM cand c JOIN und u ON u.src = c.x),
+      |conn AS (
+      |  SELECT n1.x, n1.n AS p, n2.n AS q
+      |  FROM nb n1 JOIN nb n2 ON n1.x = n2.x
+      |  JOIN rex r ON r.x = n1.x AND r.a = n1.n AND r.b = n2.n),
+      |labels AS (
+      |  SELECT nb.x, nb.n AS p, LEAST(nb.n, COALESCE(MIN(c.q), nb.n)) AS lbl
+      |  FROM nb LEFT JOIN conn c ON c.x = nb.x AND c.p = nb.n
+      |  GROUP BY nb.x, nb.n)
+      |SELECT x AS node, COUNT(DISTINCT lbl) AS n_split,
+      |       COUNT(DISTINCT lbl) >= 2 AS is_articulation
+      |FROM labels GROUP BY x ORDER BY node""".stripMargin) { (s, d) =>
+    val e = handoffEdges(Tables.events(s, d))
+    val und = e.unionByName(
+      e.select(col("dst").as("src"), col("src").as("dst")))
+    articulationProfile(und).orderBy(col("node"))
+  }
+
+  /** Exact betweenness centrality (Brandes) over an undirected edge
+    * list, all sources processed JOINTLY as one dataflow — no
+    * per-source driver loop:
+    *
+    *  - forward: a multi-source BFS keyed by (root, node) builds the
+    *    shortest-path DAG layer by layer, accumulating σ (the exact
+    *    shortest-path COUNT, an integer sum over predecessor σ);
+    *  - backward: layers are swept deepest-first, each round one
+    *    equi-join pushing w's (1+δ_w)·σ_v/σ_w to its DAG predecessors
+    *    v and one keyed sum;
+    *  - betweenness(v) = Σ_roots δ(root, v) / 2 (each unordered pair
+    *    counted from both endpoints), snapped to ppm for a
+    *    deterministic surface.
+    *
+    * Rounds = 2·diameter; state = (root, node) pairs — the exact
+    * all-sources baseline, quadratic by definition (this is q32's
+    * ground-truth role, not the scale path). At scale the SAME dataflow
+    * runs with `rootFilter` sampling the source set (the standard
+    * Brandes-subset estimator: E[n/k · Σ_sampled δ] is unbiased), state
+    * k·n; BetweennessSpec pins the sampled run to exactly the
+    * root-restricted sums of the sequential reference.
+    */
+  def betweennessExact(undirected0: DataFrame,
+      rootFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    val und = undirected0.select(col("src"), col("dst")).distinct()
+      .localCheckpoint(true)
+    val nodes = und.select(col("src").as("node")).distinct()
+    val roots = rootFilter.fold(nodes)(f => nodes.filter(f))
+    // forward BFS: bfs = (root, node, d, sigma); layer frames kept for
+    // the backward sweep, each checkpointed (constant lineage per round)
+    var layer = roots.select(col("node").as("root"), col("node"),
+        lit(0).as("d"), lit(1L).as("sigma"))
+      .localCheckpoint(true)
+    var bfs = layer
+    val layers = scala.collection.mutable.ArrayBuffer(layer)
+    var depth = 0
+    while (!layer.isEmpty) {
+      depth += 1
+      val push = layer.join(und, layer("node") === und("src"))
+        .select(col("root"), col("dst").as("node"), col("sigma"))
+      val next = push
+        .join(bfs.select(col("root"), col("node")), Seq("root", "node"),
+          "left_anti")
+        .groupBy(col("root"), col("node"))
+        .agg(sum(col("sigma")).as("sigma"))
+        .withColumn("d", lit(depth))
+        .select(col("root"), col("node"), col("d"), col("sigma"))
+        .localCheckpoint(true)
+      if (!next.isEmpty) {
+        bfs = bfs.union(next).localCheckpoint(true)
+        layers += next
+      }
+      layer = next
+    }
+    // backward sweep, deepest layer first; delta(deepest) = 0
+    var delta = layers.last.select(col("root"), col("node"),
+        lit(0.0).as("delta"))
+      .localCheckpoint(true)
+    val perLayerDeltas = scala.collection.mutable.ArrayBuffer(delta)
+    for (l <- (layers.size - 2) to 0 by -1) {
+      val w = layers(l + 1).join(delta, Seq("root", "node"))
+      val contrib = w.join(und, w("node") === und("src"))
+        .select(col("root"), col("dst").as("node"),
+          col("sigma").as("sigma_w"), col("delta").as("delta_w"))
+        .join(layers(l).select(col("root"), col("node"),
+          col("sigma").as("sigma_v")), Seq("root", "node"))
+        .groupBy(col("root"), col("node"))
+        .agg(sum(col("sigma_v").cast("double") / col("sigma_w")
+          * (lit(1.0) + col("delta_w"))).as("delta"))
+      // layer-l nodes with no DAG successors keep delta 0
+      delta = layers(l).select(col("root"), col("node"))
+        .join(contrib, Seq("root", "node"), "left")
+        .select(col("root"), col("node"),
+          coalesce(col("delta"), lit(0.0)).as("delta"))
+        .localCheckpoint(true)
+      perLayerDeltas += delta
+    }
+    val all = perLayerDeltas.reduce(_ union _)
+    nodes.join(
+        all.filter(col("node") =!= col("root"))
+          .groupBy(col("node"))
+          .agg((sum(col("delta")) / 2.0).as("bc")),
+        Seq("node"), "left")
+      .select(col("node"),
+        round(coalesce(col("bc"), lit(0.0)) * 1e6).cast("long").as("bc_ppm"))
+  }
+
+  /** q177: exact all-sources betweenness on the user↔event-type
+    * interaction graph (bipartite: users `user_id`, types mapped to
+    * 1000000+rank; events < 3000) — the textbook broker-detection
+    * shape: same-side pairs are never adjacent, so every user-user
+    * shortest path routes through a type hub, and the hubs' centrality
+    * ranks how much interaction each event type brokers. Small
+    * diameter (≈4), so the layered sweep runs a handful of rounds.
+    * Rows-only by nature (δ is a float accumulation; ppm snapping makes
+    * the surface deterministic, but an exact SQL oracle would need
+    * shortest-path COUNTING, which a recursive CTE can only do by
+    * enumerating walks — exponential). BetweennessSpec pins the
+    * dataflow to a sequential Brandes reference on random graphs,
+    * planted closed-form shapes, and the sampled-roots estimator.
+    */
+  val q177: QueryDef = QueryDef.rowsOnly("q177_betweenness") { (s, d) =>
+    val ev = Tables.events(s, d).filter(col("event_id") < 3000)
+      .select(col("user_id"), col("event_type")).distinct()
+    val types = ev.select(col("event_type")).distinct()
+      .withColumn("tid", lit(1000000L) + dense_rank()
+        .over(org.apache.spark.sql.expressions.Window.orderBy(col("event_type"))))
+    val half = ev.join(broadcast(types), Seq("event_type"))
+      .select(col("user_id").as("src"), col("tid").as("dst"))
+    val und = half.unionByName(
+      half.select(col("dst").as("src"), col("src").as("dst")))
+    betweennessExact(und).orderBy(col("node"))
   }
 }

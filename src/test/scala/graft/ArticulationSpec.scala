@@ -1,0 +1,103 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Graph
+
+/** Pins [[Graph.articulationProfile]] (the jointly-keyed exclusion
+  * closure) to a brute-force remove-and-BFS reference — exact equality
+  * on both the cut-vertex flag AND the split count — on planted shapes
+  * with known answers and random graphs across densities.
+  */
+class ArticulationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** Reference: for each x with ≥2 distinct neighbors, BFS G∖{x} from
+    * each neighbor and count the distinct components the neighborhood
+    * falls into.
+    */
+  private def brute(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val sym = (edges ++ edges.map(_.swap)).distinct
+    val adj = sym.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    adj.filter(_._2.size >= 2).map { case (x, nbrs) =>
+      val seen = scala.collection.mutable.Set[Long]()
+      var comps = 0L
+      for (start <- nbrs.toSeq.sorted if !seen(start)) {
+        comps += 1
+        val queue = scala.collection.mutable.Queue(start)
+        seen += start
+        while (queue.nonEmpty) {
+          val v = queue.dequeue()
+          for (w <- adj.getOrElse(v, Set.empty) if w != x && !seen(w)) {
+            seen += w
+            queue += w
+          }
+        }
+      }
+      // only components CONTAINING a neighbor count — BFS above seeds
+      // from neighbors only, so `comps` is exactly that
+      x -> comps
+    }
+  }
+
+  private def run(edges: Seq[(Long, Long)]): Map[Long, (Long, Boolean)] = {
+    val s = spark
+    import s.implicits._
+    val sym = (edges ++ edges.map(_.swap)).distinct
+    val df = sym.toDF("src", "dst")
+    Graph.articulationProfile(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+  }
+
+  private def check(edges: Seq[(Long, Long)], tag: String): Unit = {
+    val expected = brute(edges)
+    val got = run(edges)
+    assert(got.keySet == expected.keySet, s"$tag: candidate sets differ")
+    for ((x, nSplit) <- expected) {
+      assert(got(x)._1 == nSplit, s"$tag: n_split($x)")
+      assert(got(x)._2 == (nSplit >= 2), s"$tag: flag($x)")
+    }
+  }
+
+  test("path graph: every internal node is a cut vertex with n_split 2") {
+    val path = (1L to 6L).sliding(2).map(p => (p(0), p(1))).toSeq
+    val got = run(path)
+    assert((2L to 5L).forall(got(_) == ((2L, true))))
+    check(path, "path")
+  }
+
+  test("cycle: no articulation points") {
+    val cycle = (1L to 6L).sliding(2).map(p => (p(0), p(1))).toSeq :+ (6L, 1L)
+    val got = run(cycle)
+    assert(got.values.forall(_ == ((1L, false))))
+    check(cycle, "cycle")
+  }
+
+  test("star: the hub splits into one component per leaf") {
+    val star = (2L to 7L).map(l => (1L, l))
+    val got = run(star)
+    assert(got(1L) == ((6L, true)))
+    assert(got.size == 1, "leaves have degree 1 — not candidates")
+    check(star, "star")
+  }
+
+  test("two triangles sharing one vertex: only the shared vertex cuts") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L), (5L, 3L))
+    val got = run(edges)
+    assert(got(3L) == ((2L, true)))
+    assert(Seq(1L, 2L, 4L, 5L).forall(got(_)._2 == false))
+    check(edges, "two-triangles")
+  }
+
+  test("random graphs across densities match the reference exactly") {
+    for ((p, seed) <- Seq((0.08, 11L), (0.15, 12L), (0.3, 13L))) {
+      val rnd = new scala.util.Random(seed)
+      val n = 22
+      val edges = for {
+        a <- 1 to n; b <- (a + 1) to n
+        if rnd.nextDouble() < p
+      } yield (a.toLong, b.toLong)
+      check(edges, s"random p=$p")
+    }
+  }
+}
