@@ -131,14 +131,32 @@ object Bench {
       val s = f"$v%.2f"
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse else s
     }
-    val pairs = results
-      .sortBy(r => qid(r._1).toLongOption.getOrElse(Long.MaxValue))
-      .map(r => s"[${qid(r._1)},${trimSec(r._2)}]")
-      .mkString("[", ",", "]")
+    // POSITIONAL form when the catalog's numeric ids are exactly 1..N
+    // (one query each): `"qfmt":"pos1"` + a plain seconds array whose
+    // 1-BASED index is the query id — ~6 chars/query, headroom to ~300
+    // queries under the tail cap. Any gap, duplicate, or non-numeric
+    // name falls back to the self-describing pair array.
+    val idsOpt = {
+      val ids = results.map(r => numId(r._1))
+      if (ids.forall(_.isDefined) &&
+          ids.flatten.sorted == (1L to results.size.toLong))
+        Some(results.map(r => numId(r._1).get -> r._2).toMap)
+      else None
+    }
+    val (qfmt, qpayload) = idsOpt match {
+      case Some(byId) =>
+        ("pos1", (1L to results.size.toLong)
+          .map(i => trimSec(byId(i))).mkString("[", ",", "]"))
+      case None =>
+        ("[id,sec]", results
+          .sortBy(r => qid(r._1).toLongOption.getOrElse(Long.MaxValue))
+          .map(r => s"[${qid(r._1)},${trimSec(r._2)}]")
+          .mkString("[", ",", "]"))
+    }
     val contract =
       f"""{"metric":"total","value":$total%.2f,"unit":"sec",""" +
-      s""""qfmt":"[id,sec]",""" +
-      s""""queries":$pairs,""" +
+      s""""qfmt":"$qfmt",""" +
+      s""""queries":$qpayload,""" +
       f""""total_median":$totalMed%.2f,"sf":"$sfDir"}"""
     if (contract.length > 1950)
       System.err.println(s"[bench] WARNING contract line ${contract.length} chars " +

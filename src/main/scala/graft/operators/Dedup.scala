@@ -22,7 +22,8 @@ import org.apache.spark.storage.StorageLevel
 object Dedup {
 
   def defs: Seq[QueryDef] =
-    Seq(q27, q28, q29, q30, q50, q57, q58, q62, q65, q78, q82, q83, q87, q88)
+    Seq(q27, q28, q29, q30, q50, q57, q58, q62, q65, q78, q82, q83, q87, q88,
+      q182)
 
   /** Shared oracle CTE: distinct token-trigram shingles per document —
     * the SQL twin of [[shingles]], used by every shingle-based oracle
@@ -1057,5 +1058,59 @@ object Dedup {
       |    AS text_dedup
       |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
     blockDedup(Tables.documents(s, d)).orderBy(col("doc_id"))
+  }
+
+  /** ASYMMETRIC containment pairs (Broder's containment coefficient):
+    * c(A→B) = |S(A)∩S(B)| / |S(A)| over distinct token-trigram shingle
+    * sets — the near-dup relation Jaccard structurally MISSES when one
+    * document is an excerpt/quote of a much larger one (a 50-gram doc
+    * fully inside a 5000-gram doc has Jaccard ≈ 0.01 but containment
+    * 1.0). Ordered pairs, both directions scored independently; the
+    * ≥ minPpm filter keeps only "doc_a mostly inside doc_b" edges —
+    * the subsumption candidates a curation pass folds into their
+    * superset document. Integer `div` on ppm keeps the surface
+    * oracle-exact.
+    *
+    * Scale shape: identical to [[exactNearDups]] — one shuffle of the
+    * shingle frame on g, a same-key self-join, keyed pair counts; hot
+    * grams get the q50 df-cap discipline at corpus scale (capping
+    * biases only pairs mediated by boilerplate grams, which
+    * containment over-counts anyway).
+    */
+  def containmentPairs(docs: DataFrame, minPpm: Long = 500000L): DataFrame = {
+    val sh = shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    sh.select(col("doc_id").as("doc_a"), col("g"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("g")), Seq("g"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("size_a")),
+        Seq("doc_a"))
+      .withColumn("containment_ppm", expr("inter * 1000000 div size_a"))
+      .filter(col("containment_ppm") >= minPpm)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("size_a"),
+        col("containment_ppm"))
+  }
+
+  /** q182: containment ≥ 0.5 pairs over the corpus, hash-checked cell
+    * for cell (intersection size, |S(A)|, and the ppm score) against
+    * DuckDB's gram join on the shared shingle CTE.
+    */
+  val q182: QueryDef = QueryDef.checked(
+    "q182_containment_pairs",
+    s"""WITH $shingleCte,
+      |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tri GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      |  FROM tri a JOIN tri b ON a.g = b.g AND a.doc_id != b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT i.doc_a, i.doc_b, i.inter, s.sz AS size_a,
+      |  i.inter * 1000000 // s.sz AS containment_ppm
+      |FROM inter i JOIN sizes s ON s.doc_id = i.doc_a
+      |WHERE i.inter * 1000000 // s.sz >= 500000
+      |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    containmentPairs(Tables.documents(s, d))
+      .orderBy(col("doc_a"), col("doc_b"))
   }
 }

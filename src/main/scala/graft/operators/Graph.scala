@@ -27,7 +27,7 @@ object Graph {
 
   def defs: Seq[QueryDef] =
     Seq(q110, q126, q127, q128, q129, q132, q133, q137, q141, q142, q144,
-      q156, q157, q159, q176, q177, q178)
+      q156, q157, q159, q176, q177, q178, q181, q183)
 
   /** Materialize-and-release helper for the cache contract above. */
   private def finish(out: DataFrame, release: Boolean,
@@ -1710,7 +1710,35 @@ object Graph {
     * matter (hubs, known bridges) and this exact profile runs as-is on
     * the induced candidate set.
     */
-  def articulationProfile(undirected0: DataFrame): DataFrame = {
+  def articulationProfile(undirected0: DataFrame,
+      memoKey: Option[String] = None): DataFrame =
+    exclusionLabels(undirected0, memoKey)
+      .groupBy(col("x").as("node"))
+      .agg(countDistinct(col("lbl")).as("n_split"))
+      .withColumn("is_articulation", col("n_split") >= 2)
+
+  /** Per-(key, session) memo of the exclusion-labels frame — shared by
+    * q176 (articulation) and q181 (bridges), both read-outs of the same
+    * index (the closureMemo discipline).
+    */
+  private val exclusionMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def exclusionLabels(undirected0: DataFrame,
+      memoKey: Option[String]): DataFrame = memoKey match {
+    case Some(k) => exclusionMemo.computeIfAbsent(
+      s"$k#${System.identityHashCode(undirected0.sparkSession)}",
+      _ => exclusionLabelsBuild(undirected0))
+    case None => exclusionLabelsBuild(undirected0)
+  }
+
+  /** The shared kernel: for every candidate x (≥2 distinct neighbors)
+    * and every neighbor p of x, the canonical label (min member) of
+    * p's connected component within N(x) under G∖{x} — the frame both
+    * the articulation profile (distinct labels per x) and bridge
+    * detection (singleton label classes) read out.
+    */
+  private def exclusionLabelsBuild(undirected0: DataFrame): DataFrame = {
     val und = undirected0.select(col("src"), col("dst")).distinct()
       .localCheckpoint(true)
     val cand = und.groupBy(col("src").as("x")).agg(count(lit(1)).as("deg"))
@@ -1740,19 +1768,46 @@ object Graph {
       rex = next
     }
     // label each neighbor p of x with the min neighbor in its component
-    // of G∖{x}; n_split = distinct labels
+    // of G∖{x}
     val conn = rex
       .join(nb.select(col("x"), col("n").as("a")), Seq("x", "a"))
       .join(nb.select(col("x"), col("n").as("b")), Seq("x", "b"))
       .select(col("x"), col("a").as("p"), col("b").as("q"))
-    val labels = nb.select(col("x"), col("n").as("p"))
+    nb.select(col("x"), col("n").as("p"))
       .join(conn, Seq("x", "p"), "left")
       .groupBy(col("x"), col("p")).agg(min(col("q")).as("mq"))
       .select(col("x"), col("p"),
         least(col("p"), coalesce(col("mq"), col("p"))).as("lbl"))
-    labels.groupBy(col("x").as("node"))
-      .agg(countDistinct(col("lbl")).as("n_split"))
-      .withColumn("is_articulation", col("n_split") >= 2)
+      .localCheckpoint(true)
+  }
+
+  /** Bridge edges (cut edges) of an undirected graph, canonical
+    * (u < v): edge {x, p} is a bridge iff removing it disconnects x
+    * from p — equivalently, iff p's component among N(x) in G∖{x} is
+    * the SINGLETON {p} (any other neighbor in p's component would give
+    * an alternative x→…→p path around the edge). That is one
+    * class-size readout of [[exclusionLabels]]; edges whose BOTH
+    * endpoints have degree 1 (isolated edges, no candidate side) are
+    * bridges by definition and union in via the degree rule.
+    */
+  def bridgeEdges(undirected0: DataFrame,
+      memoKey: Option[String] = None): DataFrame = {
+    val und = undirected0.select(col("src"), col("dst")).distinct()
+    val labels = exclusionLabels(undirected0, memoKey)
+    val classSizes = labels.groupBy(col("x"), col("lbl"))
+      .agg(count(lit(1)).as("csize"))
+    val fromCand = labels.join(classSizes, Seq("x", "lbl"))
+      .filter(col("csize") === 1)
+      .select(least(col("x"), col("p")).as("u"),
+        greatest(col("x"), col("p")).as("v"))
+    val deg = und.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val isolated = und
+      .join(deg.select(col("node").as("src"), col("deg").as("ds")), Seq("src"))
+      .join(deg.select(col("node").as("dst"), col("deg").as("dd")), Seq("dst"))
+      .filter(col("ds") === 1 && col("dd") === 1)
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+    fromCand.union(isolated).distinct()
   }
 
   /** q176: articulation profile of the symmetrized handoff graph, FULLY
@@ -1802,7 +1857,167 @@ object Graph {
     val e = handoffEdges(Tables.events(s, d))
     val und = e.unionByName(
       e.select(col("dst").as("src"), col("src").as("dst")))
-    articulationProfile(und).orderBy(col("node"))
+    articulationProfile(und, memoKey = Some(s"$d#handoff-und"))
+      .orderBy(col("node"))
+  }
+
+  /** q181: bridge (cut) edges of the symmetrized handoff graph — the
+    * edge-level counterpart of q176, read out of the SAME memoized
+    * exclusion-labels index (singleton component classes ∪ isolated
+    * edges), FULLY oracle-checked against the identical formulation in
+    * DuckDB. ArticulationSpec pins the operator to a brute-force
+    * remove-edge-and-BFS reference on random graphs and planted shapes.
+    */
+  val q181: QueryDef = QueryDef.checked(
+    "q181_bridges",
+    """WITH RECURSIVE firsts AS MATERIALIZED (
+      |  SELECT event_type, epoch_ns(ts)//1000//3600000000 AS hr, user_id,
+      |    MIN(epoch_ns(ts)//1000) AS fts
+      |  FROM events WHERE event_id < 2000 GROUP BY 1, 2, 3),
+      |dedges AS MATERIALIZED (
+      |  SELECT DISTINCT user_id AS src,
+      |    LEAD(user_id) OVER (PARTITION BY event_type, hr
+      |      ORDER BY fts, user_id) AS dst
+      |  FROM firsts WHERE hr % 7 = 0
+      |  QUALIFY dst IS NOT NULL AND dst != user_id),
+      |und AS MATERIALIZED (
+      |  SELECT src, dst FROM dedges UNION
+      |  SELECT dst AS src, src AS dst FROM dedges),
+      |cand AS MATERIALIZED (
+      |  SELECT src AS x FROM und GROUP BY src HAVING count(*) >= 2),
+      |rex(x, a, b) AS (
+      |  SELECT c.x, e.src, e.dst FROM und e, cand c
+      |  WHERE e.src != c.x AND e.dst != c.x
+      |  UNION
+      |  SELECT r.x, r.a, e.dst FROM rex r JOIN und e ON r.b = e.src
+      |  WHERE e.dst != r.x AND e.dst != r.a),
+      |nb AS MATERIALIZED (
+      |  SELECT c.x, u.dst AS n FROM cand c JOIN und u ON u.src = c.x),
+      |conn AS (
+      |  SELECT n1.x, n1.n AS p, n2.n AS q
+      |  FROM nb n1 JOIN nb n2 ON n1.x = n2.x
+      |  JOIN rex r ON r.x = n1.x AND r.a = n1.n AND r.b = n2.n),
+      |labels AS (
+      |  SELECT nb.x, nb.n AS p, LEAST(nb.n, COALESCE(MIN(c.q), nb.n)) AS lbl
+      |  FROM nb LEFT JOIN conn c ON c.x = nb.x AND c.p = nb.n
+      |  GROUP BY nb.x, nb.n),
+      |classes AS (SELECT x, lbl, COUNT(*) AS csize FROM labels GROUP BY 1, 2),
+      |cbr AS (
+      |  SELECT LEAST(l.x, l.p) AS u, GREATEST(l.x, l.p) AS v
+      |  FROM labels l JOIN classes c ON c.x = l.x AND c.lbl = l.lbl
+      |  WHERE c.csize = 1),
+      |degs AS (SELECT src AS node, COUNT(*) AS deg FROM und GROUP BY 1),
+      |iso AS (
+      |  SELECT LEAST(e.src, e.dst) AS u, GREATEST(e.src, e.dst) AS v
+      |  FROM und e JOIN degs d1 ON d1.node = e.src
+      |  JOIN degs d2 ON d2.node = e.dst
+      |  WHERE d1.deg = 1 AND d2.deg = 1)
+      |SELECT DISTINCT u, v FROM (
+      |  SELECT u, v FROM cbr UNION ALL SELECT u, v FROM iso)
+      |ORDER BY u, v""".stripMargin) { (s, d) =>
+    val e = handoffEdges(Tables.events(s, d))
+    val und = e.unionByName(
+      e.select(col("dst").as("src"), col("src").as("dst")))
+    bridgeEdges(und, memoKey = Some(s"$d#handoff-und"))
+      .orderBy(col("u"), col("v"))
+  }
+
+  /** 2-edge-connected components: delete every bridge ([[bridgeEdges]]),
+    * take connected components of the residue — nodes in the same
+    * component survive any single edge failure together (the
+    * resilience grouping: ring/mesh cores separate from their
+    * tree-like fringes). Pure composition: the bridge set (read from
+    * the memoized exclusion index) anti-joins the edge list, the
+    * residue runs through the O(log n)-round large-star/small-star
+    * contraction (Dedup.dedupClustersStars — node-keyed state, the
+    * 100 TB shape), and bridge-only nodes come back as singletons.
+    * comp_id = min member (engine-independent canonical label).
+    */
+  def twoEdgeComponents(undirected0: DataFrame,
+      memoKey: Option[String] = None): DataFrame = {
+    val und = undirected0.select(col("src"), col("dst")).distinct()
+    val nodes = und.select(col("src").as("node")).distinct()
+    val br = bridgeEdges(undirected0, memoKey)
+    val residual = und.filter(col("src") < col("dst"))
+      .join(br, col("src") === col("u") && col("dst") === col("v"),
+        "left_anti")
+    val comps = Dedup.dedupClustersStars(
+        residual.select(col("src").as("doc_a"), col("dst").as("doc_b")))
+      .select(col("doc_id").as("node"), col("cluster_id").as("comp_id"))
+    nodes.join(comps, Seq("node"), "left")
+      .select(col("node"), coalesce(col("comp_id"), col("node")).as("comp_id"))
+  }
+
+  /** q183: 2-edge-connected components of the symmetrized handoff
+    * graph, FULLY oracle-checked — DuckDB recomputes the bridge set
+    * (q181's CTE) and closes the residual edge list with one more
+    * recursive reachability CTE, labeling each node min-member.
+    */
+  val q183: QueryDef = QueryDef.checked(
+    "q183_two_edge_components",
+    """WITH RECURSIVE firsts AS MATERIALIZED (
+      |  SELECT event_type, epoch_ns(ts)//1000//3600000000 AS hr, user_id,
+      |    MIN(epoch_ns(ts)//1000) AS fts
+      |  FROM events WHERE event_id < 2000 GROUP BY 1, 2, 3),
+      |dedges AS MATERIALIZED (
+      |  SELECT DISTINCT user_id AS src,
+      |    LEAD(user_id) OVER (PARTITION BY event_type, hr
+      |      ORDER BY fts, user_id) AS dst
+      |  FROM firsts WHERE hr % 7 = 0
+      |  QUALIFY dst IS NOT NULL AND dst != user_id),
+      |und AS MATERIALIZED (
+      |  SELECT src, dst FROM dedges UNION
+      |  SELECT dst AS src, src AS dst FROM dedges),
+      |cand AS MATERIALIZED (
+      |  SELECT src AS x FROM und GROUP BY src HAVING count(*) >= 2),
+      |rex(x, a, b) AS (
+      |  SELECT c.x, e.src, e.dst FROM und e, cand c
+      |  WHERE e.src != c.x AND e.dst != c.x
+      |  UNION
+      |  SELECT r.x, r.a, e.dst FROM rex r JOIN und e ON r.b = e.src
+      |  WHERE e.dst != r.x AND e.dst != r.a),
+      |nb AS MATERIALIZED (
+      |  SELECT c.x, u.dst AS n FROM cand c JOIN und u ON u.src = c.x),
+      |conn AS (
+      |  SELECT n1.x, n1.n AS p, n2.n AS q
+      |  FROM nb n1 JOIN nb n2 ON n1.x = n2.x
+      |  JOIN rex r ON r.x = n1.x AND r.a = n1.n AND r.b = n2.n),
+      |labels AS (
+      |  SELECT nb.x, nb.n AS p, LEAST(nb.n, COALESCE(MIN(c.q), nb.n)) AS lbl
+      |  FROM nb LEFT JOIN conn c ON c.x = nb.x AND c.p = nb.n
+      |  GROUP BY nb.x, nb.n),
+      |classes AS (SELECT x, lbl, COUNT(*) AS csize FROM labels GROUP BY 1, 2),
+      |bridges AS MATERIALIZED (
+      |  SELECT DISTINCT u, v FROM (
+      |    SELECT LEAST(l.x, l.p) AS u, GREATEST(l.x, l.p) AS v
+      |    FROM labels l JOIN classes c ON c.x = l.x AND c.lbl = l.lbl
+      |    WHERE c.csize = 1
+      |    UNION ALL
+      |    SELECT LEAST(e.src, e.dst) AS u, GREATEST(e.src, e.dst) AS v
+      |    FROM und e
+      |    JOIN (SELECT src AS node, COUNT(*) AS deg FROM und GROUP BY 1) d1
+      |      ON d1.node = e.src
+      |    JOIN (SELECT src AS node, COUNT(*) AS deg FROM und GROUP BY 1) d2
+      |      ON d2.node = e.dst
+      |    WHERE d1.deg = 1 AND d2.deg = 1)),
+      |res AS MATERIALIZED (
+      |  SELECT e.src, e.dst FROM und e
+      |  LEFT JOIN bridges b
+      |    ON LEAST(e.src, e.dst) = b.u AND GREATEST(e.src, e.dst) = b.v
+      |  WHERE b.u IS NULL),
+      |reach2(a, b) AS (
+      |  SELECT src, dst FROM res
+      |  UNION
+      |  SELECT r.a, e.dst FROM reach2 r JOIN res e ON r.b = e.src),
+      |allnodes AS (SELECT DISTINCT src AS v FROM und)
+      |SELECT n.v AS node, LEAST(n.v, COALESCE(MIN(r.b), n.v)) AS comp_id
+      |FROM allnodes n LEFT JOIN reach2 r ON r.a = n.v
+      |GROUP BY n.v ORDER BY node""".stripMargin) { (s, d) =>
+    val e = handoffEdges(Tables.events(s, d))
+    val und = e.unionByName(
+      e.select(col("dst").as("src"), col("src").as("dst")))
+    twoEdgeComponents(und, memoKey = Some(s"$d#handoff-und"))
+      .orderBy(col("node"))
   }
 
   /** Exact betweenness centrality (Brandes) over an undirected edge

@@ -100,4 +100,59 @@ class ArticulationSpec extends AnyFunSuite {
       check(edges, s"random p=$p")
     }
   }
+
+  /** Bridge reference: remove the edge, BFS from one endpoint, check
+    * the other endpoint became unreachable.
+    */
+  private def bruteBridges(edges: Seq[(Long, Long)]): Set[(Long, Long)] = {
+    val canon = edges.map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+      .distinct
+    val sym = canon ++ canon.map(_.swap)
+    val adj = sym.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    canon.filter { case (u, v) =>
+      val seen = scala.collection.mutable.Set(u)
+      val queue = scala.collection.mutable.Queue(u)
+      while (queue.nonEmpty) {
+        val x = queue.dequeue()
+        for (w <- adj(x) if !seen(w) && !(x == u && w == v) && !(x == v && w == u)) {
+          seen += w
+          queue += w
+        }
+      }
+      !seen(v)
+    }.toSet
+  }
+
+  private def runBridges(edges: Seq[(Long, Long)]): Set[(Long, Long)] = {
+    val s = spark
+    import s.implicits._
+    val sym = (edges ++ edges.map(_.swap)).distinct
+    Graph.bridgeEdges(sym.toDF("src", "dst")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("bridges: planted shapes (path all-bridge, cycle none, barbell)") {
+    val path = (1L to 5L).sliding(2).map(p => (p(0), p(1))).toSeq
+    assert(runBridges(path) == path.toSet)
+    val cycle = (1L to 5L).sliding(2).map(p => (p(0), p(1))).toSeq :+ (5L, 1L)
+    assert(runBridges(cycle).isEmpty)
+    // two triangles joined by a single edge — only the joiner cuts
+    val barbell = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (4L, 5L), (5L, 6L), (6L, 4L), (3L, 4L))
+    assert(runBridges(barbell) == Set((3L, 4L)))
+    // isolated edge (both endpoints degree 1) is a bridge by definition
+    assert(runBridges(Seq((7L, 8L))) == Set((7L, 8L)))
+  }
+
+  test("bridges: random graphs match the remove-and-BFS reference") {
+    for ((p, seed) <- Seq((0.08, 41L), (0.12, 42L), (0.25, 43L))) {
+      val rnd = new scala.util.Random(seed)
+      val n = 20
+      val edges = for {
+        a <- 1 to n; b <- (a + 1) to n
+        if rnd.nextDouble() < p
+      } yield (a.toLong, b.toLong)
+      assert(runBridges(edges) == bruteBridges(edges), s"random p=$p")
+    }
+  }
 }
