@@ -23,7 +23,7 @@ object Dedup {
 
   def defs: Seq[QueryDef] =
     Seq(q27, q28, q29, q30, q50, q57, q58, q62, q65, q78, q82, q83, q87, q88,
-      q182)
+      q182, q187)
 
   /** Shared oracle CTE: distinct token-trigram shingles per document —
     * the SQL twin of [[shingles]], used by every shingle-based oracle
@@ -1097,6 +1097,68 @@ object Dedup {
     * for cell (intersection size, |S(A)|, and the ppm score) against
     * DuckDB's gram join on the shared shingle CTE.
     */
+  /** Prefix-filtered exact set-similarity join — the AllPairs/PPJoin
+    * candidate-generation family (Bayardo et al. WWW'07; Chaudhuri et
+    * al. ICDE'06), the third scale path to the same near-dup truth:
+    * LSH (q28) is probabilistic, the df-cap (q50) is conservatively
+    * lossy on hot-shingle corpora, and THIS one is provably exact while
+    * still never joining on hot keys.
+    *
+    * Mechanism: order every doc's shingles by a single global rarity
+    * order (document frequency asc, gram asc — a total order). For
+    * Jaccard ≥ τ, a matching pair must share ≥ ceil(τ·|x|) shingles, so
+    * by pigeonhole it must share one inside each doc's first
+    * |x| − ceil(τ·|x|) + 1 shingles (at τ = 0.5: |x| div 2 + 1). Joining
+    * ONLY those prefixes yields a candidate superset; an exact Jaccard
+    * verify on candidates finishes. The prefixes consist of each doc's
+    * RAREST grams, so the equi-join fanout per gram is bounded by its
+    * (low) df — the all-pairs hot-key explosion cannot occur, without
+    * giving up exactness. A symmetric length filter (min size · 2 ≥ max
+    * size, necessary for J ≥ 0.5) prunes cross-size candidates first.
+    *
+    * Scale: df ranking is one groupBy + broadcast-joinable gram→df
+    * frame; the prefix join touches O(Σ_prefix df(g)) rows; verify runs
+    * only on candidate pairs. No driver state, no O(n²) stage.
+    */
+  def prefixFilterNearDups(docs: DataFrame,
+      persistShingles: Boolean = true): DataFrame = {
+    val sh0 = shingles(docs)
+    val sh = if (persistShingles) sh0.persist(StorageLevel.MEMORY_AND_DISK) else sh0
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val df = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    // Global rarity position within each doc: row_number over (df, g).
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))
+    val prefix = sh.join(df, Seq("g"))
+      .withColumn("pos", row_number().over(wDoc))
+      .join(sizes, Seq("doc_id"))
+      .filter(col("pos") <= expr("n div 2 + 1"))
+      .select(col("doc_id"), col("g"), col("n"))
+    val cand = prefix.as("x").join(prefix.as("y"),
+        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id") &&
+          least(col("x.n"), col("y.n")) * 2 >= greatest(col("x.n"), col("y.n")))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    // Exact verify on candidates only: re-join the full shingle lists.
+    cand.join(sh.select(col("doc_id").as("doc_a"), col("g")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("g")), Seq("doc_b", "g"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jac"))
+      .filter(col("jac") >= 0.5)
+  }
+
+  /** q187: prefix-filtered near-dup pairs ≥ 0.5 — hash-checked against
+    * the SAME exact oracle as q30/q50/q28 (one truth, four paths).
+    */
+  val q187: QueryDef = QueryDef.checked("q187_neardup_prefix_filter",
+    nearDupOracle) { (s, d) =>
+    prefixFilterNearDups(Tables.documents(s, d))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   val q182: QueryDef = QueryDef.checked(
     "q182_containment_pairs",
     s"""WITH $shingleCte,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
@@ -15,7 +16,7 @@ object Extended {
 
   def defs: Seq[QueryDef] = Seq(q42, q43, q44, q45, q46, q90, q92, q93, q95, q97,
     q101, q117, q118, q119, q120, q121, q146, q150, q166, q168, q169,
-    q172)
+    q172, q188, q189, q196)
 
   /** q95: ORC round-trip — q44's lossless write→read check for the
     * third columnar format (ORC ships with Spark; DuckDB cannot read
@@ -1066,5 +1067,164 @@ object Extended {
       sum(when(col("_bad").isNull, col("o_orderkey"))).as("sum_key"),
       concat_ws("|", array_sort(collect_list(col("_bad"))))
         .as("corrupt_lines"))
+  }
+
+  /** q188: k-anonymity suppression release (k = 10) over the
+    * quasi-identifier pair (c_nationkey, c_mktsegment) — the standard
+    * privacy-preserving publication gate that pairs with q169's erasure
+    * cascade: equivalence classes with ≥ k members are released as-is;
+    * smaller classes are suppressed into a single generalized ('*','*')
+    * row carrying only their total count, so no released row isolates
+    * fewer than k individuals. One hash aggregation over the
+    * quasi-identifiers (map-side combined; #classes = |nations|×|segments|,
+    * bounded) plus a broadcast-scale union — nothing here grows with the
+    * fact data beyond the first combine.
+    */
+  val q188: QueryDef = QueryDef.checked(
+    "q188_k_anonymity",
+    """WITH g AS (
+      |  SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+      |  FROM customer GROUP BY 1, 2),
+      |released AS (
+      |  SELECT CAST(c_nationkey AS VARCHAR) AS nation, c_mktsegment AS segment,
+      |    n AS n_rows
+      |  FROM g WHERE n >= 10),
+      |suppressed AS (
+      |  SELECT '*' AS nation, '*' AS segment, CAST(SUM(n) AS BIGINT) AS n_rows
+      |  FROM g WHERE n < 10 HAVING COUNT(*) > 0)
+      |SELECT * FROM released UNION ALL SELECT * FROM suppressed
+      |ORDER BY nation, segment""".stripMargin) { (s, d) =>
+    val g = Tables.customer(s, d)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+    val released = g.filter(col("n") >= 10)
+      .select(col("c_nationkey").cast("string").as("nation"),
+        col("c_mktsegment").as("segment"), col("n").as("n_rows"))
+    val suppressed = g.filter(col("n") < 10)
+      .agg(count(lit(1)).as("k"), sum(col("n")).as("tot"))
+      .filter(col("k") > 0)
+      .select(lit("*").as("nation"), lit("*").as("segment"),
+        col("tot").as("n_rows"))
+    released.unionAll(suppressed).orderBy(col("nation"), col("segment"))
+  }
+
+  /** q196: exact grouped covariance / Pearson-r² at FACT scale — the
+    * overflow-safe discipline: on integer cent grids the textbook
+    * numerators (n·Σxy − Σx·Σy etc.) exceed BIGINT at ~10²¹ for 100k+
+    * rows of 10⁷-cent values, so every sum accumulates as
+    * DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — EXACT integers end to
+    * end — and only the final numerators cast to DOUBLE (both engines
+    * round the same exact integer to the same nearest double). r² is
+    * then an integer ppm via the identical ROUND text in both engines.
+    * One map-side-combined aggregation over the fact table; 3 output
+    * rows. The single-pass mergeable-state cousin of q121's moments and
+    * q122's per-series slope.
+    */
+  val q196: QueryDef = QueryDef.checked(
+    "q196_grouped_correlation",
+    """WITH c AS (
+      |  SELECT l_returnflag AS flag,
+      |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+      |  FROM lineitem),
+      |m AS (
+      |  SELECT flag, COUNT(*) AS n,
+      |    SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
+      |    SUM(x*x) AS sxx, SUM(y*y) AS syy
+      |  FROM c GROUP BY flag),
+      |k AS (
+      |  SELECT flag, n,
+      |    CAST(n*sxy - sx*sy AS DOUBLE) AS covd,
+      |    CAST(n*sxx - sx*sx AS DOUBLE) AS vxd,
+      |    CAST(n*syy - sy*sy AS DOUBLE) AS vyd
+      |  FROM m)
+      |SELECT flag, n, covd AS cov_num,
+      |  CASE WHEN vxd * vyd = 0 THEN NULL
+      |    ELSE CAST(ROUND(1000000.0 * covd * covd / (vxd * vyd)) AS BIGINT)
+      |  END AS r2_ppm
+      |FROM k ORDER BY flag""".stripMargin) { (s, d) =>
+    val dec38 = DecimalType(38, 0)
+    val c = Tables.lineitem(s, d).select(
+      col("l_returnflag").as("flag"),
+      expr("CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)").as("x"),
+      expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("y"))
+    val m = c.groupBy(col("flag")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast(dec38)).as("sx"),
+      sum(col("y").cast(dec38)).as("sy"),
+      sum((col("x") * col("y")).cast(dec38)).as("sxy"),
+      sum((col("x") * col("x")).cast(dec38)).as("sxx"),
+      sum((col("y") * col("y")).cast(dec38)).as("syy"))
+    m.select(col("flag"), col("n"),
+        expr("CAST(n*sxy - sx*sy AS DOUBLE)").as("covd"),
+        expr("CAST(n*sxx - sx*sx AS DOUBLE)").as("vxd"),
+        expr("CAST(n*syy - sy*sy AS DOUBLE)").as("vyd"))
+      .select(col("flag"), col("n"), col("covd").as("cov_num"),
+        expr("""CASE WHEN vxd * vyd = 0 THEN NULL
+                ELSE CAST(ROUND(1000000.0 * covd * covd / (vxd * vyd)) AS BIGINT)
+                END""").as("r2_ppm"))
+      .orderBy(col("flag"))
+  }
+
+  /** q189: referential-integrity audit across the star schema — the
+    * constraint checker a lakehouse runs after every load (parquet has
+    * no enforced FKs): for each declared FK edge, the orphan count
+    * (children whose parent key is absent) and the child total. Shape:
+    * one LEFT ANTI join per edge, each a plain equi-join on the FK —
+    * at 100 TB each audit is a shuffle join keyed on the FK (or a
+    * broadcast when the parent is dimension-sized, which Catalyst picks
+    * automatically), then a count; the five audits are independent plan
+    * subtrees that run concurrently. Constants-only output rows make
+    * the result trivially mergeable into a quality dashboard (q118).
+    */
+  val q189: QueryDef = QueryDef.checked(
+    "q189_ri_audit",
+    """WITH a AS (
+      |  SELECT 'customer.nationkey' AS fk,
+      |    (SELECT COUNT(*) FROM customer c LEFT JOIN nation n
+      |       ON c.c_nationkey = n.n_nationkey WHERE n.n_nationkey IS NULL) AS n_orphans,
+      |    (SELECT COUNT(*) FROM customer) AS n_children),
+      |b AS (
+      |  SELECT 'lineitem.orderkey' AS fk,
+      |    (SELECT COUNT(*) FROM lineitem l LEFT JOIN orders o
+      |       ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL) AS n_orphans,
+      |    (SELECT COUNT(*) FROM lineitem) AS n_children),
+      |c AS (
+      |  SELECT 'lineitem.partkey' AS fk,
+      |    (SELECT COUNT(*) FROM lineitem l LEFT JOIN part p
+      |       ON l.l_partkey = p.p_partkey WHERE p.p_partkey IS NULL) AS n_orphans,
+      |    (SELECT COUNT(*) FROM lineitem) AS n_children),
+      |e AS (
+      |  SELECT 'lineitem.suppkey' AS fk,
+      |    (SELECT COUNT(*) FROM lineitem l LEFT JOIN supplier s
+      |       ON l.l_suppkey = s.s_suppkey WHERE s.s_suppkey IS NULL) AS n_orphans,
+      |    (SELECT COUNT(*) FROM lineitem) AS n_children),
+      |f AS (
+      |  SELECT 'orders.custkey' AS fk,
+      |    (SELECT COUNT(*) FROM orders o LEFT JOIN customer c
+      |       ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL) AS n_orphans,
+      |    (SELECT COUNT(*) FROM orders) AS n_children)
+      |SELECT * FROM a UNION ALL SELECT * FROM b UNION ALL SELECT * FROM c
+      |UNION ALL SELECT * FROM e UNION ALL SELECT * FROM f
+      |ORDER BY fk""".stripMargin) { (s, d) =>
+    def audit(name: String, child: DataFrame, fkCol: String,
+        parent: DataFrame, pkCol: String): DataFrame = {
+      val orphans = child.select(col(fkCol))
+        .join(parent.select(col(pkCol)), col(fkCol) === col(pkCol), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      val total = child.agg(count(lit(1)).as("n_children"))
+      orphans.crossJoin(total).select(lit(name).as("fk"),
+        col("n_orphans"), col("n_children"))
+    }
+    val cust = Tables.customer(s, d); val nat = Tables.nation(s, d)
+    val li = Tables.lineitem(s, d); val ord = Tables.orders(s, d)
+    Seq(
+      audit("customer.nationkey", cust, "c_nationkey", nat, "n_nationkey"),
+      audit("lineitem.orderkey", li, "l_orderkey", ord, "o_orderkey"),
+      audit("lineitem.partkey", li, "l_partkey", Tables.part(s, d), "p_partkey"),
+      audit("lineitem.suppkey", li, "l_suppkey", Tables.supplier(s, d), "s_suppkey"),
+      audit("orders.custkey", ord, "o_custkey", cust, "c_custkey"))
+      .reduce(_ unionAll _)
+      .orderBy(col("fk"))
   }
 }

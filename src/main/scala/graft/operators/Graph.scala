@@ -27,7 +27,7 @@ object Graph {
 
   def defs: Seq[QueryDef] =
     Seq(q110, q126, q127, q128, q129, q132, q133, q137, q141, q142, q144,
-      q156, q157, q159, q176, q177, q178, q181, q183)
+      q156, q157, q159, q176, q177, q178, q181, q183, q194, q199)
 
   /** Materialize-and-release helper for the cache contract above. */
   private def finish(out: DataFrame, release: Boolean,
@@ -1689,6 +1689,81 @@ object Graph {
       .orderBy(col("scc_id"))
   }
 
+  /** Bounded-horizon cheapest-path distances (min-plus doubling): for
+    * every ordered pair reachable within ≤ 2^rounds edges, the minimum
+    * total edge weight over such paths. The min-plus twin of the
+    * closure doubling (q157) and the max-plus layers (q178):
+    * D_{2k} = min(D_k, D_k ∘ D_k) with ∘ summing costs and min
+    * deduplicating — each round ONE equi-join on the midpoint plus one
+    * keyed min-agg, so an 8-edge horizon costs 3 rounds, not 8
+    * Bellman-Ford sweeps (the chain-diameter lesson). Cycles are
+    * harmless: positive weights mean revisits only lose, and min keeps
+    * the cheapest. The bounded horizon is what keeps this exact AND
+    * polynomial for the oracle (DuckDB replays the SAME three unrolled
+    * doubling stages — no recursive path enumeration); state is the
+    * within-horizon reachable pair set, near-linear on sparse graphs.
+    * For the unbounded fixpoint, run the [[closureFrames]] discipline
+    * with a cost-stability termination check instead of a fixed round
+    * count.
+    */
+  def boundedMinPlusDistances(wedges: DataFrame, rounds: Int = 3): DataFrame = {
+    var d = wedges.select(col("src").as("a"), col("dst").as("b"), col("w").as("d"))
+      .groupBy(col("a"), col("b")).agg(min(col("d")).as("d"))
+      .localCheckpoint(true)
+    (1 to rounds).foreach { _ =>
+      val step = d.as("x").join(d.as("y"), col("x.b") === col("y.a"))
+        .select(col("x.a").as("a"), col("y.b").as("b"),
+          (col("x.d") + col("y.d")).as("d"))
+      d = d.unionAll(step).groupBy(col("a"), col("b")).agg(min(col("d")).as("d"))
+        .localCheckpoint(true)
+    }
+    d
+  }
+
+  /** q194: ≤8-hop cheapest handoff distances over the q156 digraph with
+    * the deterministic integer weight w = 1 + (src+dst) % 5, pair for
+    * pair (and cost for cost) hash-checked against DuckDB running the
+    * identical three doubling stages unrolled as CTEs.
+    */
+  val q194: QueryDef = QueryDef.checked(
+    "q194_minplus_distances",
+    """WITH firsts AS MATERIALIZED (
+      |  SELECT event_type, epoch_ns(ts)//1000//3600000000 AS hr, user_id,
+      |    MIN(epoch_ns(ts)//1000) AS fts
+      |  FROM events WHERE event_id < 2000 GROUP BY 1, 2, 3),
+      |edges AS MATERIALIZED (
+      |  SELECT DISTINCT user_id AS src,
+      |    LEAD(user_id) OVER (PARTITION BY event_type, hr
+      |      ORDER BY fts, user_id) AS dst
+      |  FROM firsts WHERE hr % 7 = 0
+      |  QUALIFY dst IS NOT NULL AND dst != user_id),
+      |d1 AS (
+      |  SELECT src AS a, dst AS b, MIN(1 + (src + dst) % 5) AS d
+      |  FROM edges GROUP BY 1, 2),
+      |d2 AS (
+      |  SELECT a, b, MIN(d) AS d FROM (
+      |    SELECT a, b, d FROM d1
+      |    UNION ALL
+      |    SELECT x.a, y.b, x.d + y.d FROM d1 x JOIN d1 y ON x.b = y.a)
+      |  GROUP BY 1, 2),
+      |d4 AS (
+      |  SELECT a, b, MIN(d) AS d FROM (
+      |    SELECT a, b, d FROM d2
+      |    UNION ALL
+      |    SELECT x.a, y.b, x.d + y.d FROM d2 x JOIN d2 y ON x.b = y.a)
+      |  GROUP BY 1, 2),
+      |d8 AS (
+      |  SELECT a, b, MIN(d) AS d FROM (
+      |    SELECT a, b, d FROM d4
+      |    UNION ALL
+      |    SELECT x.a, y.b, x.d + y.d FROM d4 x JOIN d4 y ON x.b = y.a)
+      |  GROUP BY 1, 2)
+      |SELECT a, b, d FROM d8 ORDER BY a, b""".stripMargin) { (s, d) =>
+    val wedges = handoffEdges(Tables.events(s, d))
+      .select(col("src"), col("dst"), expr("1 + (src + dst) % 5").as("w"))
+    boundedMinPlusDistances(wedges, rounds = 3).orderBy(col("a"), col("b"))
+  }
+
   /** Articulation profile of an undirected graph: for every node x with
     * ≥2 distinct neighbors, the number of connected components its
     * removal splits its neighborhood into (`n_split`), and the derived
@@ -2018,6 +2093,130 @@ object Graph {
       e.select(col("dst").as("src"), col("src").as("dst")))
     twoEdgeComponents(und, memoKey = Some(s"$d#handoff-und"))
       .orderBy(col("node"))
+  }
+
+  /** Partition modularity scoring — the quality metric behind Louvain/
+    * Leiden, computed EXACTLY for a given community assignment: per
+    * community c, its contribution 4m·e_c − (Σdeg_c)² to the scaled
+    * modularity 4m²·Q = Σ_c [4m·e_c − deg_c²] (all integers — no float
+    * in sight, so the oracle hash is exact; divide by 4m² for the
+    * textbook Q ∈ [−½, 1]). Pure aggregation shape: one canonical-edge
+    * frame, two broadcast label lookups, three keyed aggs — evaluating
+    * a candidate partition at 100 TB costs one pass, which is why
+    * modularity DELTAS drive community search loops.
+    */
+  def modularityProfile(undirected0: DataFrame, assign: DataFrame): DataFrame = {
+    val und = undirected0.select(col("src"), col("dst")).distinct()
+    val ce = und.select(least(col("src"), col("dst")).as("a"),
+      greatest(col("src"), col("dst")).as("b")).distinct()
+    val mFrame = ce.agg(count(lit(1)).as("m"))
+    val ein = ce
+      .join(broadcast(assign.select(col("node").as("a"), col("comp_id").as("ca"))), Seq("a"))
+      .join(broadcast(assign.select(col("node").as("b"), col("comp_id").as("cb"))), Seq("b"))
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("comp_id")).agg(count(lit(1)).as("e_in"))
+    val degs = und.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val dsum = assign.join(degs, Seq("node"))
+      .groupBy(col("comp_id"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("deg_sum"))
+    dsum.join(ein, Seq("comp_id"), "left")
+      .crossJoin(broadcast(mFrame))
+      .select(col("comp_id"), col("n_nodes"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"), col("deg_sum"),
+        (lit(4L) * col("m") * coalesce(col("e_in"), lit(0L)) -
+          col("deg_sum") * col("deg_sum")).as("q_contrib"))
+  }
+
+  /** q199: modularity profile of the 2-edge-component partition (q183's
+    * assignment — bridges are exactly the edges that cross, so e_in < m
+    * and the score is non-degenerate), hash-checked per community
+    * against DuckDB extending the q183 closure CTE with the same three
+    * aggregations.
+    */
+  val q199: QueryDef = QueryDef.checked(
+    "q199_modularity",
+    """WITH RECURSIVE firsts AS MATERIALIZED (
+      |  SELECT event_type, epoch_ns(ts)//1000//3600000000 AS hr, user_id,
+      |    MIN(epoch_ns(ts)//1000) AS fts
+      |  FROM events WHERE event_id < 2000 GROUP BY 1, 2, 3),
+      |dedges AS MATERIALIZED (
+      |  SELECT DISTINCT user_id AS src,
+      |    LEAD(user_id) OVER (PARTITION BY event_type, hr
+      |      ORDER BY fts, user_id) AS dst
+      |  FROM firsts WHERE hr % 7 = 0
+      |  QUALIFY dst IS NOT NULL AND dst != user_id),
+      |und AS MATERIALIZED (
+      |  SELECT src, dst FROM dedges UNION
+      |  SELECT dst AS src, src AS dst FROM dedges),
+      |cand AS MATERIALIZED (
+      |  SELECT src AS x FROM und GROUP BY src HAVING count(*) >= 2),
+      |rex(x, a, b) AS (
+      |  SELECT c.x, e.src, e.dst FROM und e, cand c
+      |  WHERE e.src != c.x AND e.dst != c.x
+      |  UNION
+      |  SELECT r.x, r.a, e.dst FROM rex r JOIN und e ON r.b = e.src
+      |  WHERE e.dst != r.x AND e.dst != r.a),
+      |nb AS MATERIALIZED (
+      |  SELECT c.x, u.dst AS n FROM cand c JOIN und u ON u.src = c.x),
+      |conn AS (
+      |  SELECT n1.x, n1.n AS p, n2.n AS q
+      |  FROM nb n1 JOIN nb n2 ON n1.x = n2.x
+      |  JOIN rex r ON r.x = n1.x AND r.a = n1.n AND r.b = n2.n),
+      |labels AS (
+      |  SELECT nb.x, nb.n AS p, LEAST(nb.n, COALESCE(MIN(c.q), nb.n)) AS lbl
+      |  FROM nb LEFT JOIN conn c ON c.x = nb.x AND c.p = nb.n
+      |  GROUP BY nb.x, nb.n),
+      |classes AS (SELECT x, lbl, COUNT(*) AS csize FROM labels GROUP BY 1, 2),
+      |bridges AS MATERIALIZED (
+      |  SELECT DISTINCT u, v FROM (
+      |    SELECT LEAST(l.x, l.p) AS u, GREATEST(l.x, l.p) AS v
+      |    FROM labels l JOIN classes c ON c.x = l.x AND c.lbl = l.lbl
+      |    WHERE c.csize = 1
+      |    UNION ALL
+      |    SELECT LEAST(e.src, e.dst) AS u, GREATEST(e.src, e.dst) AS v
+      |    FROM und e
+      |    JOIN (SELECT src AS node, COUNT(*) AS deg FROM und GROUP BY 1) d1
+      |      ON d1.node = e.src
+      |    JOIN (SELECT src AS node, COUNT(*) AS deg FROM und GROUP BY 1) d2
+      |      ON d2.node = e.dst
+      |    WHERE d1.deg = 1 AND d2.deg = 1)),
+      |res AS MATERIALIZED (
+      |  SELECT e.src, e.dst FROM und e
+      |  LEFT JOIN bridges b
+      |    ON LEAST(e.src, e.dst) = b.u AND GREATEST(e.src, e.dst) = b.v
+      |  WHERE b.u IS NULL),
+      |reach2(a, b) AS (
+      |  SELECT src, dst FROM res
+      |  UNION
+      |  SELECT r.a, e.dst FROM reach2 r JOIN res e ON r.b = e.src),
+      |allnodes AS (SELECT DISTINCT src AS v FROM und),
+      |comp AS MATERIALIZED (
+      |  SELECT n.v AS node, LEAST(n.v, COALESCE(MIN(r.b), n.v)) AS comp_id
+      |  FROM allnodes n LEFT JOIN reach2 r ON r.a = n.v GROUP BY n.v),
+      |ce AS MATERIALIZED (
+      |  SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      |  FROM und GROUP BY 1, 2),
+      |mm AS (SELECT COUNT(*) AS m FROM ce),
+      |ein AS (
+      |  SELECT c1.comp_id, COUNT(*) AS e_in
+      |  FROM ce JOIN comp c1 ON ce.a = c1.node
+      |  JOIN comp c2 ON ce.b = c2.node
+      |  WHERE c1.comp_id = c2.comp_id GROUP BY 1),
+      |degs AS (SELECT src AS node, COUNT(*) AS deg FROM und GROUP BY 1),
+      |dsum AS (
+      |  SELECT c.comp_id, COUNT(*) AS n_nodes,
+      |    CAST(SUM(d.deg) AS BIGINT) AS deg_sum
+      |  FROM comp c JOIN degs d ON d.node = c.node GROUP BY 1)
+      |SELECT d.comp_id, d.n_nodes, COALESCE(e.e_in, 0) AS e_in, d.deg_sum,
+      |  4 * (SELECT m FROM mm) * COALESCE(e.e_in, 0)
+      |    - d.deg_sum * d.deg_sum AS q_contrib
+      |FROM dsum d LEFT JOIN ein e USING (comp_id)
+      |ORDER BY comp_id""".stripMargin) { (s, d) =>
+    val e = handoffEdges(Tables.events(s, d))
+    val und = e.unionByName(
+      e.select(col("dst").as("src"), col("src").as("dst")))
+    val assign = twoEdgeComponents(und, memoKey = Some(s"$d#handoff-und"))
+    modularityProfile(und, assign).orderBy(col("comp_id"))
   }
 
   /** Exact betweenness centrality (Brandes) over an undirected edge

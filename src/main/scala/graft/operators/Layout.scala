@@ -21,7 +21,7 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
-  def defs: Seq[QueryDef] = Seq(q73, q79, q80, q89, q134, q148)
+  def defs: Seq[QueryDef] = Seq(q73, q79, q80, q89, q134, q148, q198)
 
   /** Small-file compaction PLANNER — layout maintenance for the
     * partitioned/bucketed layouts this file writes: given per-file
@@ -367,5 +367,89 @@ object Layout {
       .select(col("o_orderkey"), x.as("x"), y.as("y"),
         ZOrder.zvalue2(x, y).as("z"))
       .orderBy(col("o_orderkey"))
+  }
+
+  // -------------------------------------------------------------------
+  // File-level zone-map (min/max manifest) skipping
+  // -------------------------------------------------------------------
+
+  /** Range-clustered write: each of the `nFiles` output files covers a
+    * contiguous `sortCol` range (sampled range boundaries balance file
+    * sizes even under skew), so per-file min/max zone maps are TIGHT —
+    * the precondition for any skipping index to prune.
+    */
+  def zoneMapWrite(df: DataFrame, path: String, sortCol: String,
+      nFiles: Int = 8): Unit =
+    df.repartitionByRange(nFiles, col(sortCol))
+      .sortWithinPartitions(col(sortCol))
+      .write.mode("overwrite").parquet(path)
+
+  /** The zone-map manifest: per data file, min/max of `sortCol`
+    * (rendered as sortable strings so the pruning comparison is
+    * type-agnostic). Built here by one aggregation over
+    * `_metadata.file_path`; a production build would lift the same
+    * min/max straight from parquet footer stats without touching row
+    * data — the manifest CONTRACT (file → value interval) is
+    * identical, which is what the skipping reader consumes.
+    */
+  def zoneMapManifest(spark: org.apache.spark.sql.SparkSession,
+      path: String, sortCol: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(col("_metadata.file_path").as("file"))
+      .agg(
+        min(date_format(col(sortCol), "yyyy-MM-dd HH:mm:ss")).as("zmin"),
+        max(date_format(col(sortCol), "yyyy-MM-dd HH:mm:ss")).as("zmax"))
+
+  /** Skipping read: consult the manifest (file-count-bounded — the one
+    * legitimate driver-side frame here, exactly a table format's
+    * manifest scan), open ONLY the files whose [zmin, zmax] interval
+    * intersects [lo, hi], then re-apply the exact predicate to the
+    * surviving rows. Returns (pruned frame, files read, files total)
+    * so callers/specs can assert the skip actually happened.
+    */
+  def zoneMapRead(spark: org.apache.spark.sql.SparkSession, path: String,
+      sortCol: String, lo: String, hi: String): (DataFrame, Int, Int) = {
+    val mf = zoneMapManifest(spark, path, sortCol).collect()
+    val keep = mf.filter(r =>
+        r.getString(2) >= lo && r.getString(1) < hi)
+      .map(_.getString(0))
+    val total = mf.length
+    val df =
+      if (keep.isEmpty)
+        spark.read.parquet(path).filter(lit(false))
+      else
+        spark.read.parquet(keep.toIndexedSeq: _*)
+          .filter(date_format(col(sortCol), "yyyy-MM-dd HH:mm:ss") >= lo &&
+            date_format(col(sortCol), "yyyy-MM-dd HH:mm:ss") < hi)
+    (df, keep.length, total)
+  }
+
+  /** q198: zone-map-skipped scan — lineitem laid out as 8 shipdate-
+    * clustered files, a half-year predicate answered by opening only
+    * the intersecting files (the manifest mechanism of Delta/Iceberg
+    * data skipping, at FILE granularity where q89/q148 prune at
+    * DIRECTORY granularity). The oracle runs the same filter over the
+    * raw table — the layout must be semantically invisible;
+    * StorageLayoutSpec pins that files were actually skipped and the
+    * pruned read equals the full scan.
+    */
+  val q198: QueryDef = QueryDef.checked(
+    "q198_zonemap_skipping",
+    """SELECT l_returnflag, COUNT(*) AS n_rows,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00'
+      |GROUP BY 1 ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    val root = Exact.scratchDir("q198", "zmap_").toAbsolutePath.toString
+    zoneMapWrite(Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_extendedprice"), col("l_shipdate")),
+      s"$root/li", "l_shipdate")
+    val (pruned, _, _) = zoneMapRead(s, s"$root/li", "l_shipdate",
+      "1996-01-01 00:00:00", "1996-07-01 00:00:00")
+    pruned.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        Exact.sum2(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("l_returnflag"))
   }
 }

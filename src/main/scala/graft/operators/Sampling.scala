@@ -14,7 +14,8 @@ import org.apache.spark.sql.expressions.Window
 object Sampling {
 
   def defs: Seq[QueryDef] =
-    Seq(q53, q54, q55, q56, q67, q77, q104, q106, q111, q164, q170, q171)
+    Seq(q53, q54, q55, q56, q67, q77, q104, q106, q111, q164, q170, q171,
+      q192)
 
   /** Generic stratified sample: at most `k` rows per stratum, selected
     * by `hashOrder` (e.g. md5 of a content column) — deterministic,
@@ -543,5 +544,58 @@ object Sampling {
       |FROM kept GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
     trimmedGroupStats(Tables.documents(s, d), "lang", "n_chars", "doc_id")
       .orderBy(col("lang"))
+  }
+
+  /** q192: per-group winsorization — the robust-scaling companion to
+    * q164's trimming: instead of DROPPING tail rows, values are CLAMPED
+    * to the group's discrete [p05, p95] (actual data values via
+    * percentile_disc — integer cents, so clamp membership is exact in
+    * both engines; the interpolating percentile would hang it on a float
+    * ulp). Output per l_returnflag: the two cut values, how many rows
+    * clamped on each side, and the exact winsorized sum.
+    *
+    * Scale: percentile_disc is one map-side-combined aggregation (a
+    * counts-map over distinct cent values, bounded by value cardinality);
+    * the 3-row cuts frame broadcasts into the clamp projection; the
+    * final rollup is a hash agg on the 3-value flag key. The fact table
+    * is scanned twice (cuts, clamp) — at 100 TB you'd persist the cents
+    * projection or fuse with an existing profile pass (q92).
+    */
+  val q192: QueryDef = QueryDef.checked(
+    "q192_winsorize",
+    """WITH c AS (
+      |  SELECT l_returnflag AS flag,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM lineitem),
+      |cut AS (
+      |  SELECT flag,
+      |    percentile_disc(0.05) WITHIN GROUP (ORDER BY cents) AS p05,
+      |    percentile_disc(0.95) WITHIN GROUP (ORDER BY cents) AS p95
+      |  FROM c GROUP BY flag)
+      |SELECT c.flag, cut.p05, cut.p95,
+      |  CAST(SUM(CASE WHEN cents < p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+      |  CAST(SUM(CASE WHEN cents > p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+      |  CAST(SUM(LEAST(GREATEST(cents, p05), p95)) AS BIGINT) AS sum_winsorized
+      |FROM c JOIN cut ON c.flag = cut.flag
+      |GROUP BY c.flag, cut.p05, cut.p95 ORDER BY c.flag""".stripMargin) { (s, d) =>
+    val cents = Tables.lineitem(s, d).select(col("l_returnflag").as("flag"),
+      expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        .as("cents"))
+    // Spark's percentile_disc surfaces DOUBLE even over integer input;
+    // the picked value is an actual data point, so the BIGINT cast is
+    // lossless and restores type parity with DuckDB's quantile
+    val cut = cents.groupBy(col("flag")).agg(
+      expr("CAST(percentile_disc(0.05) WITHIN GROUP (ORDER BY cents) AS BIGINT)")
+        .as("p05"),
+      expr("CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY cents) AS BIGINT)")
+        .as("p95"))
+    cents.join(broadcast(cut), Seq("flag"))
+      .groupBy(col("flag"), col("p05"), col("p95"))
+      .agg(
+        sum(when(col("cents") < col("p05"), 1L).otherwise(0L)).as("n_low"),
+        sum(when(col("cents") > col("p95"), 1L).otherwise(0L)).as("n_high"),
+        sum(least(greatest(col("cents"), col("p05")), col("p95")))
+          .as("sum_winsorized"))
+      .orderBy(col("flag"))
   }
 }

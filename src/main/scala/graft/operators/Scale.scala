@@ -12,7 +12,7 @@ import org.apache.spark.sql.expressions.Window
 object Scale {
 
   def defs: Seq[QueryDef] =
-    Seq(q47, q48, q63, q72, q94, q96, q125, q139, q155, q175)
+    Seq(q47, q48, q63, q72, q94, q96, q125, q139, q155, q175, q197)
 
   /** Mergeable rank/quantile sketch as a fixed-grid histogram — the
     * fourth corner of the sketch family (q96 HLL = distinct, q139 CMS =
@@ -463,6 +463,137 @@ object Scale {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), VF.asDouble(col("embedding")).as("v"))
     pqTopK(e)
+  }
+
+  /** IVF-PQ: the composed production ANN (FAISS IndexIVFPQ) — the coarse
+    * quantizer buckets the corpus into inverted lists AND the per-vector
+    * payload is a PQ code of the RESIDUAL (v − its list centroid), so a
+    * query (a) prunes to nprobe lists and (b) scores candidates from
+    * m-byte codes via q·v ≈ q·c_list + Σⱼ q_subj · pqbookⱼ[codeⱼ]
+    * (the residual ADC identity — q·v = q·c + q·r decomposed by
+    * subspace), then (c) exactly re-ranks the survivors. Residual
+    * encoding is what makes the composition better than either part:
+    * residuals are centered near zero, so the same 16-entry subspace
+    * codebooks quantize them far more finely than raw vectors.
+    *
+    * At 100 TB: list pruning cuts the candidate stream by
+    * nprobe/nlist, PQ cuts its WIDTH to m bytes, and the full vectors
+    * are touched only for `rerank` rows per query — the standard
+    * billion-scale serving memory/IO budget. Training stays
+    * driver-side on the seeded bounded sample (O(nlist·d + m·256·d/m)
+    * state), exactly the FAISS split.
+    */
+  def ivfPqTopK(
+      e: org.apache.spark.sql.DataFrame, nQueries: Int = 5, topK: Int = 10,
+      nCentroids: Int = 16, nProbe: Int = 6, m: Int = 8,
+      codebookSize: Int = 16, rerank: Int = 128,
+      sampleCap: Int = 2048): org.apache.spark.sql.DataFrame = {
+    def l2normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) v else v.map(_ / n)
+    }
+    val n = e.count()
+    val step = math.max(1L, n / sampleCap)
+    val sample = e.filter(col("vec_id") % step === 0)
+      .orderBy(col("vec_id")).collect()
+      .map(r => l2normalize(r.getSeq[Double](1).toArray))
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    // coarse codebook (spherical, as in ivfTopK) + sample residuals
+    val coarse = trainCodebook(sample, nCentroids)
+    def nearestCid(p: Array[Double]): Int = {
+      var best = 0; var bestDot = Double.NegativeInfinity; var c = 0
+      while (c < nCentroids) {
+        var dot = 0.0; var i = 0
+        while (i < dim) { dot += p(i) * coarse(c)(i); i += 1 }
+        if (dot > bestDot) { bestDot = dot; best = c }
+        c += 1
+      }
+      best
+    }
+    val residuals = sample.map { p =>
+      val cv = coarse(nearestCid(p))
+      Array.tabulate(dim)(i => p(i) - cv(i))
+    }
+    val books: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
+      trainPqCodebook(residuals.map(_.slice(j * sub, (j + 1) * sub)),
+        codebookSize)
+    }
+    val coarseLit = typedLit(coarse.map(_.toSeq).toSeq)
+    val centroidsSeq = coarse.zipWithIndex
+      .map { case (cv, cid) => (cid.toLong, cv.toSeq) }.toSeq
+
+    def withNorm(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("nrm", VF.norm(col("v")))
+      .withColumn("vn", transform(col("v"), x => x / col("nrm")))
+
+    // corpus: coarse-assign, residual-encode (argmin_c ||r − c||² ==
+    // argmax_c (r·c − ||c||²/2), the q63 identity, over the residual)
+    def codeCol(j: Int): org.apache.spark.sql.Column = {
+      val subr = slice(col("res"), j * sub + 1, sub)
+      val scored = (0 until codebookSize).map { c =>
+        val cv = books(j)(c)
+        val half = cv.map(x => x * x).sum / 2.0
+        struct((VF.dot(subr, typedLit(cv.toSeq)) - lit(half)).as("s"),
+          lit(c).as("cid"))
+      }
+      element_at(array_sort(array(scored: _*)), -1).getField("cid")
+    }
+    val codes = withNorm(e)
+      .withColumn("ranked", nearestRanking(centroidsSeq, col("vn")))
+      .withColumn("cid", element_at(col("ranked"), -1).getField("cid"))
+      .withColumn("res",
+        zip_with(col("vn"), element_at(coarseLit, col("cid").cast("int") + 1),
+          (a, b) => a - b))
+      .select(col("vec_id").as("neighbor_id") +: col("cid") +:
+        (0 until m).map(j => codeCol(j).as(s"c$j")): _*)
+
+    // queries: probe the nProbe nearest lists
+    val queries = withNorm(e.filter(col("vec_id") < nQueries))
+      .withColumn("ranked", nearestRanking(centroidsSeq, col("vn")))
+      .select(col("vec_id").as("query_id"), col("vn").as("vq"),
+        explode(slice(col("ranked"), -nProbe, nProbe)).as("probe"))
+      .select(col("query_id"), col("vq"), col("probe.cid").as("cid"))
+
+    // residual ADC: q·c_list + Σ_j q_subj · pqbook_j[code_j]
+    val adcExpr = VF.dot(col("vq"),
+        element_at(coarseLit, col("cid").cast("int") + 1)) +
+      (0 until m).map { j =>
+        VF.dot(slice(col("vq"), j * sub + 1, sub),
+          element_at(typedLit(books(j).map(_.toSeq).toSeq), col(s"c$j") + 1))
+      }.reduce(_ + _)
+    val wApprox = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("neighbor_id"))
+    val cand = broadcast(queries).join(codes, Seq("cid"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("adc", adcExpr)
+      .withColumn("crnk", row_number().over(wApprox))
+      .filter(col("crnk") <= rerank)
+      .select(col("query_id"), col("vq"), col("neighbor_id"))
+
+    val wExact = Window.partitionBy(col("query_id"))
+      .orderBy(col("cs").desc, col("neighbor_id"))
+    cand.join(withNorm(e).select(col("vec_id").as("neighbor_id"),
+        col("vn").as("vc")), "neighbor_id")
+      .withColumn("cs", VF.dot(col("vq"), col("vc")))
+      .withColumn("rnk", row_number().over(wExact))
+      .filter(col("rnk") <= topK)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        round(col("cs"), 6).as("cos_sim"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** q197: IVF-PQ ANN over the embeddings table — 16 lists × nprobe 4,
+    * 8×16 residual PQ (nprobe 6, 128-candidate exact re-rank — the double prune pays for wider probes). Rows-only (trained
+    * codebooks are engine-defined); ScaleSpec pins recall@10 vs brute
+    * force alongside the IVF (q47) and PQ (q63) parts.
+    */
+  val q197: QueryDef = QueryDef.rowsOnly("q197_ann_ivfpq_topk") { (s, d) =>
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), VF.asDouble(col("embedding")).as("v"))
+    ivfPqTopK(e)
   }
 
   /** Distributed EXACT heavy hitters without a full-vocabulary shuffle:

@@ -57,7 +57,7 @@ object StreamingCatalog {
 
   def defs: Seq[QueryDef] =
     Seq(q130, q131, q135, q136, q138, q140, q145, q147, q149, q151, q153,
-      q158, q167, q173, q174)
+      q158, q167, q173, q174, q193, q195)
 
   private val SliceMax = 2000L
   private val Sentinel = "zz_sentinel"
@@ -480,6 +480,77 @@ object StreamingCatalog {
     }
       .filter(col("user_id") =!= -1L)
       .orderBy(col("user_id"), col("click_us"), col("view_us"))
+  }
+
+  /** q193: LEFT-SEMI stream-stream interval join — "clicks that HAD a
+    * view in their trailing 24 h", emitted once per click, view columns
+    * never surfaced. Completes the stream-stream join-type family
+    * (inner q136, left-outer q140, semi here): semi is the
+    * state-cheapest of the three — a click emits on its FIRST match and
+    * its buffered row is done (no match multiplication, no
+    * null-extension bookkeeping), which is why at 100 TB an existence
+    * check should always be written as a semi join rather than
+    * inner+distinct. The sentinel flows through both branches (as in
+    * q140) so state finalizes; an unmatched click (and the sentinel
+    * itself) simply never emits. Oracle = the distinct matched click
+    * set via EXISTS.
+    */
+  val q193: QueryDef = QueryDef.checked(
+    "q193_streaming_semi_interval_join",
+    """WITH ev AS (
+      |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS ts_us
+      |  FROM events WHERE event_id < 2000)
+      |SELECT c.user_id, c.ts_us AS click_us
+      |FROM ev c
+      |WHERE c.event_type = 'click' AND EXISTS (
+      |  SELECT 1 FROM ev v
+      |  WHERE v.event_type = 'view' AND v.user_id = c.user_id
+      |    AND v.ts_us BETWEEN c.ts_us - 86400000000 AND c.ts_us)
+      |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    runToCompletion(s, d, "graft_q193_sink", outputMode = "append") { ev =>
+      val clicks = ev
+        .filter(col("event_type") === "click" || col("event_type") === Sentinel)
+        .select(col("user_id"), col("ts").as("click_ts"),
+          col("ts_us").as("click_us"))
+        .withWatermark("click_ts", "1 hour")
+      val views = ev
+        .filter(col("event_type") === "view" || col("event_type") === Sentinel)
+        .select(col("user_id").as("v_user"), col("ts").as("view_ts"))
+        .withWatermark("view_ts", "1 hour")
+      clicks.join(views,
+        col("user_id") === col("v_user") &&
+          col("view_ts") >= col("click_ts") - expr("INTERVAL 24 HOURS") &&
+          col("view_ts") <= col("click_ts"),
+        "left_semi")
+        .select(col("user_id"), col("click_us"))
+    }
+      .filter(col("user_id") =!= -1L)
+      .orderBy(col("user_id"), col("click_us"))
+  }
+
+  /** q195: complete-mode streaming TOP-K — a live leaderboard (top-10
+    * users by event count, ties broken by user id) re-emitted in full
+    * every micro-batch. Complete mode is the ONLY streaming mode that
+    * admits a global sort + limit (append/update cannot retract a
+    * row that drops out of the top k; complete replaces the whole
+    * result), so this certifies the sorted-output surface of the
+    * output-mode family on top of q145's unsorted complete agg. State
+    * is the per-user count map (bounded by user cardinality) — the
+    * sort runs over the AGGREGATED frame, k rows survive.
+    */
+  val q195: QueryDef = QueryDef.checked(
+    "q195_streaming_topk",
+    """SELECT user_id, COUNT(*) AS n
+      |FROM events WHERE event_id < 2000
+      |GROUP BY 1 ORDER BY n DESC, user_id LIMIT 10""".stripMargin) { (s, d) =>
+    runToCompletion(s, d, "graft_q195_sink", outputMode = "complete") { ev =>
+      ev.filter(col("user_id") =!= -1L)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("user_id"))
+        .limit(10)
+    }
+      .orderBy(col("n").desc, col("user_id"))
   }
 
   /** q145: COMPLETE-mode aggregation — per-(user, event_type) totals

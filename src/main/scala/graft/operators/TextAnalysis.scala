@@ -15,7 +15,7 @@ import org.apache.spark.sql.expressions.Window
 object TextAnalysis {
 
   def defs: Seq[QueryDef] =
-    Seq(q34, q35, q36, q37, q49, q64, q70, q85, q86, q102, q113, q180)
+    Seq(q34, q35, q36, q37, q49, q64, q70, q85, q86, q102, q113, q180, q191)
 
   private val stopList = TF.StopWords.map(w => s"'$w'").mkString(", ")
 
@@ -576,5 +576,40 @@ object TextAnalysis {
         (length(col("decomposed")) - length(nfc(col("decomposed"))))
           .as("n_composed"))
       .orderBy(col("doc_id"))
+  }
+
+  /** q191: the corpus frequency-of-frequencies spectrum — for each token
+    * frequency r, the number of distinct token TYPES occurring exactly r
+    * times, plus each bucket's share of total token mass (ppm, integer).
+    * The r=1 row is the hapax count (the vocabulary's long-tail mass and
+    * the input to Good–Turing smoothing); the spectrum's decay is the
+    * empirical Zipf check run before committing a tokenizer vocab size
+    * (pairs with q115's vocabulary encoding and q76's merge stats).
+    *
+    * Scale: two chained hash aggregations — token counts (map-side
+    * combined over the exploded stream, keyed on the token) then a
+    * count keyed on the frequency. The second input is one row per
+    * vocabulary TYPE, already orders of magnitude below the corpus;
+    * output rows = distinct frequencies (≤ vocabulary size, heavily
+    * concentrated at small r).
+    */
+  val q191: QueryDef = QueryDef.checked(
+    "q191_freq_spectrum",
+    """WITH tok AS (
+      |  SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+      |tc AS (SELECT t, COUNT(*) AS freq FROM tok GROUP BY t),
+      |tot AS (SELECT COUNT(*) AS n FROM tok)
+      |SELECT freq, COUNT(*) AS n_types,
+      |  freq * COUNT(*) * 1000000 // (SELECT n FROM tot) AS mass_ppm
+      |FROM tc GROUP BY freq ORDER BY freq""".stripMargin) { (s, d) =>
+    val tok = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("t"))
+    val tot = tok.agg(count(lit(1)).as("n"))
+    tok.groupBy(col("t")).agg(count(lit(1)).as("freq"))
+      .groupBy(col("freq")).agg(count(lit(1)).as("n_types"))
+      .crossJoin(broadcast(tot))
+      .select(col("freq"), col("n_types"),
+        expr("freq * n_types * 1000000 div n").as("mass_ppm"))
+      .orderBy(col("freq"))
   }
 }

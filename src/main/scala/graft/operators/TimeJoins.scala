@@ -21,7 +21,7 @@ import org.apache.spark.sql.expressions.Window
 object TimeJoins {
 
   def defs: Seq[QueryDef] = Seq(q51, q52, q91, q100, q105, q107, q108, q109, q114,
-    q122, q124, q162, q163, q165)
+    q122, q124, q162, q163, q165, q184, q185, q186, q190, q200)
 
   /** As-of join: for every 'click' event, the most recent 'view' event by
     * the same user at-or-before it (order = (ts, event_id), so ties are
@@ -744,5 +744,276 @@ object TimeJoins {
       |SELECT path, COUNT(*) AS n_journeys
       |FROM p GROUP BY 1 ORDER BY path""".stripMargin) { (s, d) =>
     dailyJourneys(Tables.events(s, d)).orderBy(col("path"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Per-series smoothing / drift detection (integer-grid, exact)
+  // ---------------------------------------------------------------------
+
+  /** The events `value` column as exact integer cents: the DECIMAL(18,2)
+    * cast (the repo-wide idiom for this double column — see q100/q107)
+    * scaled to BIGINT. Exact and engine-agnostic: both Spark and DuckDB
+    * round the double to 2 decimal digits the same way on this data, and
+    * `* 100` of a 2-digit decimal is integral by construction.
+    */
+  private def centsSeries(events: DataFrame): DataFrame =
+    events.select(
+      col("user_id"), col("event_id"), col("ts_ns").as("tns"),
+      expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("v"))
+
+  /** EWMA with dyadic weights over a bounded history — the streaming-
+    * feature shape ("smoothed metric per entity") kept EXACT: weight
+    * 2^(7-i) for lag i, i = 0..7, missing history contributing 0. A true
+    * infinite-history EWMA is a recurrence (not expressible as a window
+    * aggregate, and float besides); the 8-term dyadic truncation is the
+    * standard bounded-state approximation — error < 2^-8 of the weight
+    * mass — and every term is an integer, so the oracle hash is stable.
+    *
+    * Spark shape: ONE shuffle on user_id, one per-partition sort, then 8
+    * constant lag reads per row inside a single window — no join, no
+    * state beyond the 8-row frame. At 100 TB this is the minimal plan
+    * for any per-entity trailing feature.
+    */
+  def ewmaDyadic(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tns"), col("event_id"))
+    val terms = (0 to 7).map { i =>
+      coalesce(lag(col("v"), i).over(w), lit(0L)) * lit(1L << (7 - i))
+    }.reduce(_ + _)
+    centsSeries(events).withColumn("ewma_scaled", terms)
+      .select(col("user_id"), col("event_id"), col("ewma_scaled"))
+  }
+
+  /** q184: dyadic-weight EWMA of event value per user, every row
+    * hash-checked against the identical 8-term lag sum in DuckDB.
+    */
+  val q184: QueryDef = QueryDef.checked(
+    "q184_ewma",
+    """WITH t AS (
+      |  SELECT user_id, event_id, epoch_ns(ts) AS tns,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      |  FROM events)
+      |SELECT user_id, event_id,
+      |  COALESCE(lag(v, 0) OVER w, 0) * 128 + COALESCE(lag(v, 1) OVER w, 0) * 64
+      |  + COALESCE(lag(v, 2) OVER w, 0) * 32 + COALESCE(lag(v, 3) OVER w, 0) * 16
+      |  + COALESCE(lag(v, 4) OVER w, 0) * 8 + COALESCE(lag(v, 5) OVER w, 0) * 4
+      |  + COALESCE(lag(v, 6) OVER w, 0) * 2 + COALESCE(lag(v, 7) OVER w, 0)
+      |  AS ewma_scaled
+      |FROM t
+      |WINDOW w AS (PARTITION BY user_id ORDER BY tns, event_id)
+      |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+    ewmaDyadic(Tables.events(s, d)).orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Lag-k sign-autocorrelation per series: do consecutive deltas k steps
+    * apart move the same way? The exact-integer stand-in for the float
+    * autocorrelation coefficient: per user, count the (sign(Δ_t),
+    * sign(Δ_{t-k})) pairs where both are non-zero, and how many agree.
+    * n_agree/n_pairs ≈ (1+ρ)/2 for an AR-ish series; keeping the two
+    * counts separate (instead of dividing) keeps the output integer.
+    *
+    * Same minimal plan as q184: shuffle on user_id, one sorted window
+    * pass (two lags), one hash aggregation.
+    */
+  def signAutocorrelation(events: DataFrame, k: Int = 2): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tns"), col("event_id"))
+    val d = centsSeries(events)
+      .withColumn("dlt", col("v") - lag(col("v"), 1).over(w))
+      .withColumn("sgn",
+        when(col("dlt") > 0, 1L).when(col("dlt") < 0, -1L).otherwise(
+          when(col("dlt").isNull, lit(null).cast("long")).otherwise(0L)))
+      .withColumn("psgn", lag(col("sgn"), k).over(w))
+    d.filter(col("sgn").isNotNull && col("psgn").isNotNull &&
+        col("sgn") =!= 0 && col("psgn") =!= 0)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("sgn") === col("psgn"), 1L).otherwise(0L)).as("n_agree"))
+  }
+
+  /** q185: lag-2 sign-autocorrelation counts per user, hash-checked
+    * against the identical window/filter/aggregate in DuckDB.
+    */
+  val q185: QueryDef = QueryDef.checked(
+    "q185_sign_autocorrelation",
+    """WITH t AS (
+      |  SELECT user_id, event_id, epoch_ns(ts) AS tns,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      |  FROM events),
+      |dl AS (
+      |  SELECT user_id, event_id, tns,
+      |    v - lag(v, 1) OVER w AS dlt
+      |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY tns, event_id)),
+      |sg AS (
+      |  SELECT user_id, event_id, tns,
+      |    CASE WHEN dlt > 0 THEN 1 WHEN dlt < 0 THEN -1
+      |         WHEN dlt IS NULL THEN NULL ELSE 0 END AS sgn
+      |  FROM dl),
+      |pr AS (
+      |  SELECT user_id, sgn, lag(sgn, 2) OVER w AS psgn
+      |  FROM sg WINDOW w AS (PARTITION BY user_id ORDER BY tns, event_id))
+      |SELECT user_id, COUNT(*) AS n_pairs,
+      |  CAST(SUM(CASE WHEN sgn = psgn THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+      |FROM pr
+      |WHERE sgn IS NOT NULL AND psgn IS NOT NULL AND sgn <> 0 AND psgn <> 0
+      |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+    signAutocorrelation(Tables.events(s, d), k = 2).orderBy(col("user_id"))
+  }
+
+  /** One-sided CUSUM drift flags per series — change-point detection as
+    * a pure window dataflow. The textbook recurrence
+    * S_t = max(0, S_{t-1} + (v_t - ref - slack)) is not a window
+    * aggregate, but it has the classic prefix identity
+    *   S_t = C_t - min(0, min_{i<=t} C_i),  C_t = Σ_{i<=t}(v_i - ref - slack)
+    * ... which IS: a running sum plus a running min. ref is the per-user
+    * integer mean (sum div count — exact), slack and the alarm threshold
+    * are integer cents, so every intermediate is a BIGINT and the oracle
+    * hash is exact. Rows whose statistic exceeds the threshold are the
+    * drift alarms.
+    *
+    * Scale: shuffle on user_id once; two window passes over the same
+    * sort order (Catalyst collapses them into one Window node chain on a
+    * single Exchange); no join, no driver state.
+    */
+  def cusumFlags(events: DataFrame, slackCents: Long = 50L,
+      thresholdCents: Long = 500L): DataFrame = {
+    val wAll = Window.partitionBy(col("user_id"))
+    val wRun = Window.partitionBy(col("user_id"))
+      .orderBy(col("tns"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    centsSeries(events)
+      .withColumn("ref", expr("sum(v) OVER (PARTITION BY user_id) div count(v) OVER (PARTITION BY user_id)"))
+      .withColumn("dev", col("v") - col("ref") - lit(slackCents))
+      .withColumn("cum", sum(col("dev")).over(wRun))
+      .withColumn("cmin", least(lit(0L), min(col("cum")).over(wRun)))
+      .withColumn("cusum", col("cum") - col("cmin"))
+      .filter(col("cusum") > thresholdCents)
+      .select(col("user_id"), col("event_id"), col("cusum"))
+  }
+
+  /** q186: CUSUM drift alarms per user (slack 50¢, threshold 500¢),
+    * hash-checked against the identical prefix-identity SQL in DuckDB.
+    */
+  val q186: QueryDef = QueryDef.checked(
+    "q186_cusum_drift",
+    """WITH t AS (
+      |  SELECT user_id, event_id, epoch_ns(ts) AS tns,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      |  FROM events),
+      |r AS (
+      |  SELECT user_id, event_id, tns, v,
+      |    SUM(v) OVER (PARTITION BY user_id) // COUNT(v) OVER (PARTITION BY user_id) AS ref
+      |  FROM t),
+      |c AS (
+      |  SELECT user_id, event_id, tns,
+      |    SUM(v - ref - 50) OVER (PARTITION BY user_id ORDER BY tns, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM r),
+      |m AS (
+      |  SELECT user_id, event_id,
+      |    cum,
+      |    LEAST(0, MIN(cum) OVER (PARTITION BY user_id ORDER BY tns, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS cmin
+      |  FROM c)
+      |SELECT user_id, event_id, CAST(cum - cmin AS BIGINT) AS cusum
+      |FROM m WHERE cum - cmin > 500
+      |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+    cusumFlags(Tables.events(s, d)).orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Peak interval concurrency via the classic sweep-line, as a pure
+    * window dataflow: every event opens a 1-hour activity interval
+    * [ts, ts+1h); each interval contributes a +1 at its start and a −1
+    * at its end; the running sum of deltas in time order IS the live
+    * concurrency. Half-open semantics = ends sort before starts at the
+    * same instant (delta ascending). Peaks are then a max per
+    * (event_type, day).
+    *
+    * Scale: the sweep is PARTITIONED by series (event_type) — each
+    * series sorts independently after one shuffle, so no global
+    * single-partition sort exists in the plan. Running-max ties are
+    * order-invariant (reordering equal (t, delta) rows permutes
+    * identical partial-sum multisets), so the per-day max is
+    * deterministic without a full tiebreak.
+    */
+  def peakConcurrency(events: DataFrame,
+      durationNs: Long = 3600L * 1000000000L): DataFrame = {
+    val starts = events.select(col("event_type"), col("ts_ns").as("t"),
+      lit(1L).as("delta"))
+    val ends = events.select(col("event_type"),
+      (col("ts_ns") + durationNs).as("t"), lit(-1L).as("delta"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("t"), col("delta"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    starts.unionAll(ends)
+      .withColumn("live", sum(col("delta")).over(w))
+      .withColumn("day", expr("t div 86400000000000"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(max(col("live")).as("peak_concurrent"))
+  }
+
+  /** q200: supervised training-example construction from an event
+    * stream — the feature/label window export that feeds a forecasting
+    * model: per user, each emitted example carries the 3 trailing
+    * values (lag features, oldest-first), the current value, and the
+    * NEXT value as the label; rows without full history or a future
+    * label are dropped (no padding — a padded example teaches the
+    * model the pad). Integer cents end to end. Same minimal plan as
+    * q184: one shuffle on the entity key, one sorted window pass doing
+    * all 4 reads — at 100 TB this is the canonical "windowed dataset
+    * export" job, and it composes with q104's hash split for
+    * train/val assignment.
+    */
+  def lagFeatureExamples(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tns"), col("event_id"))
+    centsSeries(events)
+      .withColumn("f3", lag(col("v"), 3).over(w))
+      .withColumn("f2", lag(col("v"), 2).over(w))
+      .withColumn("f1", lag(col("v"), 1).over(w))
+      .withColumn("label", lead(col("v"), 1).over(w))
+      .filter(col("f3").isNotNull && col("label").isNotNull)
+      .select(col("user_id"), col("event_id"),
+        col("f3"), col("f2"), col("f1"), col("v").as("f0"), col("label"))
+  }
+
+  /** q200: lag-feature/label examples per user, every row hash-checked
+    * against the identical window construction in DuckDB.
+    */
+  val q200: QueryDef = QueryDef.checked(
+    "q200_lag_feature_examples",
+    """WITH t AS (
+      |  SELECT user_id, event_id, epoch_ns(ts) AS tns,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      |  FROM events),
+      |x AS (
+      |  SELECT user_id, event_id,
+      |    lag(v, 3) OVER w AS f3, lag(v, 2) OVER w AS f2,
+      |    lag(v, 1) OVER w AS f1, v AS f0, lead(v, 1) OVER w AS label
+      |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY tns, event_id))
+      |SELECT user_id, event_id, f3, f2, f1, f0, label
+      |FROM x WHERE f3 IS NOT NULL AND label IS NOT NULL
+      |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+    lagFeatureExamples(Tables.events(s, d))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** q190: peak concurrent 1-hour activity intervals per (event_type,
+    * day), hash-checked against the identical sweep in DuckDB.
+    */
+  val q190: QueryDef = QueryDef.checked(
+    "q190_peak_concurrency",
+    """WITH iv AS (
+      |  SELECT event_type, epoch_ns(ts) AS t, 1 AS delta FROM events
+      |  UNION ALL
+      |  SELECT event_type, epoch_ns(ts) + 3600000000000 AS t, -1 AS delta
+      |  FROM events),
+      |sw AS (
+      |  SELECT event_type, t, delta,
+      |    SUM(delta) OVER (PARTITION BY event_type ORDER BY t, delta
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS live
+      |  FROM iv)
+      |SELECT event_type, t // 86400000000000 AS day,
+      |  CAST(MAX(live) AS BIGINT) AS peak_concurrent
+      |FROM sw GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin) { (s, d) =>
+    peakConcurrency(Tables.events(s, d))
+      .orderBy(col("event_type"), col("day"))
   }
 }

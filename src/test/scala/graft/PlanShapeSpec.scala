@@ -259,4 +259,42 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.split("== Initial Plan ==").head.contains("SortMergeJoin"),
       s"scc/count frames are node-sized and must broadcast:\n$plan")
   }
+
+  test("q187 prefix-filter join never degrades to a nested loop") {
+    val plan = executedPlan("q187_neardup_prefix_filter")
+    // candidate generation and verify are both gram-keyed equi-joins;
+    // a BNLJ/cartesian anywhere would be the all-pairs regression the
+    // prefix filter exists to prevent
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"prefix-filter candidate/verify joins must stay gram-keyed:\n$plan")
+  }
+
+  test("q184 EWMA is one window pass — join-free, single data shuffle") {
+    val plan = executedPlan("q184_ewma")
+    assert(!plan.contains("Join"), s"EWMA must be join-free:\n$plan")
+    assert(plan.contains("Window"), s"expected the 8-lag window:\n$plan")
+    // exactly one HASH shuffle (on user_id); the trailing
+    // rangepartitioning exchange is the catalog's presentation orderBy,
+    // not part of the operator
+    val hashExchanges = "hashpartitioning".r.findAllIn(
+      plan.split("== Initial Plan ==").head).length
+    assert(hashExchanges <= 1,
+      s"per-entity trailing features need exactly one keyed shuffle, " +
+        s"found $hashExchanges:\n$plan")
+  }
+
+  test("q190 sweep-line is partitioned by series — no global data sort") {
+    val plan = executedPlan("q190_peak_concurrency")
+    assert(!plan.contains("Join"), s"the sweep must be join-free:\n$plan")
+    // the running sum must sort WITHIN event_type hash partitions; the
+    // only rangepartitioning allowed is the final presentation orderBy
+    assert(plan.contains("hashpartitioning(event_type"),
+      s"the sweep window must shuffle by event_type:\n$plan")
+    val rangeExchanges = "rangepartitioning".r.findAllIn(
+      plan.split("== Initial Plan ==").head).length
+    assert(rangeExchanges <= 1,
+      s"only the presentation orderBy may range-partition, " +
+        s"found $rangeExchanges:\n$plan")
+  }
 }

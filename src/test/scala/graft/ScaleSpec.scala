@@ -189,6 +189,53 @@ class ScaleSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"pq planted-cluster recall $recall")
   }
 
+  test("IVF-PQ with exact re-rank reaches ≥0.6 recall@10 vs brute force") {
+    val brute = SparkEntry.queries("q32_ann_bruteforce_topk")(spark, sf)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfpq = SparkEntry.queries("q197_ann_ivfpq_topk")(spark, sf)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.count(ivfpq.contains).toDouble / brute.size
+    assert(recall >= 0.6, s"ivfpq recall $recall")
+  }
+
+  /** Planted clusters again: with lists ≈ clusters, residual PQ must
+    * recover nearly all true neighbors through BOTH prunes (list probe
+    * AND m-byte codes) plus the exact re-rank.
+    */
+  test("IVF-PQ reaches ≥0.8 recall@10 on planted clusters") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val dim = 16; val nClusters = 8; val perCluster = 64
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val centers = Array.fill(nClusters)(normalize(Array.fill(dim)(rnd.nextGaussian())))
+    val points: Seq[(Long, Seq[Double])] = (0 until nClusters * perCluster).map { i =>
+      val c = centers(i % nClusters)
+      val p = normalize(c.zip(Array.fill(dim)(rnd.nextGaussian() * 0.25))
+        .map { case (a, b) => a + b })
+      (i.toLong, p.toSeq)
+    }
+    val e = points.toDF("vec_id", "v")
+    val ivfpq = graft.operators.Scale
+      .ivfPqTopK(e, nQueries = 5, topK = 10, nCentroids = 8, nProbe = 3,
+        m = 4, codebookSize = 16, rerank = 32)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = (0 until 5).flatMap { q =>
+      val vq = points(q)._2.toArray
+      points.filter(_._1 != q)
+        .map { case (id, v) => (id, vq.zip(v).map { case (a, b) => a * b }.sum) }
+        .sortBy { case (id, sim) => (-sim, id) }.take(10)
+        .map { case (id, _) => (q.toLong, id) }
+    }.toSet
+    val recall = brute.count(ivfpq.contains).toDouble / brute.size
+    assert(recall >= 0.8, s"ivfpq planted-cluster recall $recall")
+  }
+
   test("group outliers flag exactly the planted off-centroid vectors") {
     val s = spark
     import s.implicits._

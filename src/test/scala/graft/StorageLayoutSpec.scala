@@ -200,4 +200,29 @@ class StorageLayoutSpec extends AnyFunSuite {
       assert(grps.sameElements(grps.sorted), "group ids must be monotone in path order")
     }
   }
+
+  test("zone-map read skips files AND equals the full-scan filter") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-zmap-spec").toAbsolutePath.toString
+    val li = graft.Tables.lineitem(s, TestSpark.Sf0001)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_shipdate"))
+    operators.Layout.zoneMapWrite(li, s"$root/li", "l_shipdate", nFiles = 8)
+    val (lo, hi) = ("1996-01-01 00:00:00", "1996-07-01 00:00:00")
+    val (pruned, nRead, nTotal) =
+      operators.Layout.zoneMapRead(s, s"$root/li", "l_shipdate", lo, hi)
+    // the half-year window spans a strict subset of the 8 range files
+    assert(nTotal == 8, s"expected 8 range files, got $nTotal")
+    assert(nRead < nTotal && nRead > 0,
+      s"zone maps must skip some files: read $nRead of $nTotal")
+    val full = li.filter(
+      date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss") >= lo &&
+        date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss") < hi)
+    val a = pruned.select("l_orderkey", "l_extendedprice").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    val b = full.select("l_orderkey", "l_extendedprice").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    assert(a == b, "pruned read must equal the full-scan filter")
+  }
 }
