@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
@@ -16,7 +16,7 @@ object Extended {
 
   def defs: Seq[QueryDef] = Seq(q42, q43, q44, q45, q46, q90, q92, q93, q95, q97,
     q101, q117, q118, q119, q120, q121, q146, q150, q166, q168, q169,
-    q172, q188, q189, q196)
+    q172, q188, q189, q196, q201, q202)
 
   /** q95: ORC round-trip — q44's lossless write→read check for the
     * third columnar format (ORC ships with Spark; DuckDB cannot read
@@ -1106,6 +1106,120 @@ object Extended {
       .select(lit("*").as("nation"), lit("*").as("segment"),
         col("tot").as("n_rows"))
     released.unionAll(suppressed).orderBy(col("nation"), col("segment"))
+  }
+
+  /** Skyline (Pareto frontier) under 2-D minimization — "no other row
+    * is ≤ in both dimensions and < in one". The classic O(n²)
+    * NOT-EXISTS shape collapses to a sorted WINDOW test in 2-D: order
+    * by x, then p is dominated iff some row with strictly smaller x
+    * has y ≤ p.y (a range-frame running min), or some row with equal x
+    * has y < p.y (a per-x running min). Distribution uses the standard
+    * two-phase skyline: LOCAL skylines per hash bucket first (the same
+    * window partitioned by bucket — embarrassingly parallel, prunes
+    * all but the frontier candidates), then the GLOBAL window over the
+    * tiny surviving set. Exact because dominance is transitive: any
+    * dominator of a surviving point is itself dominated only by
+    * bucket-local survivors.
+    */
+  def skyline2(points: DataFrame, xCol: String, yCol: String,
+      idCol: String, buckets: Int = 32): DataFrame = {
+    def frontier(df: DataFrame, part: Seq[Column]): DataFrame = {
+      val wRange = Window.partitionBy(part: _*).orderBy(col(xCol))
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val wSame = Window.partitionBy(part :+ col(xCol): _*)
+        .orderBy(col(yCol), col(idCol))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      df.withColumn("__minySmaller", min(col(yCol)).over(wRange))
+        .withColumn("__minySame", min(col(yCol)).over(wSame))
+        .filter((col("__minySmaller").isNull ||
+            col("__minySmaller") > col(yCol)) &&
+          (col("__minySame").isNull || col("__minySame") >= col(yCol)))
+        .drop("__minySmaller", "__minySame")
+    }
+    val local = frontier(
+      points.withColumn("__bkt", pmod(col(idCol), lit(buckets))),
+      Seq(col("__bkt"))).drop("__bkt")
+    frontier(local, Seq.empty)
+  }
+
+  /** q201: Pareto-optimal parts minimizing (retail price, size) — the
+    * multi-objective "best tradeoffs" query (cheapest for its
+    * compactness). Duplicate (x, y) points are co-kept (neither
+    * strictly dominates). Oracle = the quadratic NOT-EXISTS dominance
+    * test, so the window formulation and the two-phase distribution
+    * must reproduce textbook semantics exactly.
+    */
+  val q201: QueryDef = QueryDef.checked(
+    "q201_skyline",
+    """WITH p AS (
+      |  SELECT p_partkey,
+      |    CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c,
+      |    CAST(p_size AS BIGINT) AS size
+      |  FROM part)
+      |SELECT p_partkey, price_c, size FROM p
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM p q
+      |  WHERE q.price_c <= p.price_c AND q.size <= p.size
+      |    AND (q.price_c < p.price_c OR q.size < p.size))
+      |ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    val pts = Tables.part(s, d).select(col("p_partkey"),
+      expr("CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        .as("price_c"),
+      col("p_size").cast("long").as("size"))
+    skyline2(pts, "price_c", "size", "p_partkey")
+      .select(col("p_partkey"), col("price_c"), col("size"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** q202: Benford's-law leading-digit audit — the forensic
+    * data-quality screen (fabricated or unit-mangled numeric columns
+    * drift from the log distribution natural amounts follow): observed
+    * first-digit counts of order totals vs the Benford expectation,
+    * with expectations as ppm INTEGER CONSTANTS (round(10⁶·log10(1+1/d)))
+    * so the whole audit — shares and deviations included — is exact
+    * integer arithmetic in both engines. One map-side-combined count
+    * over the fact table + a 9-row broadcast of the expectation table;
+    * pairs with q118's gate and q119's drift as the third
+    * distribution-shaped check.
+    */
+  val q202: QueryDef = QueryDef.checked(
+    "q202_benford_audit",
+    """WITH c AS (
+      |  SELECT SUBSTRING(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+      |      AS BIGINT) AS VARCHAR), 1, 1) AS digit
+      |  FROM orders),
+      |obs AS (SELECT digit, COUNT(*) AS n_obs FROM c GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM obs),
+      |exp AS (
+      |  SELECT * FROM (VALUES ('1', 301030), ('2', 176091), ('3', 124939),
+      |    ('4', 96910), ('5', 79181), ('6', 66947), ('7', 57992),
+      |    ('8', 51153), ('9', 45757)) e(digit, expected_ppm))
+      |SELECT e.digit, COALESCE(o.n_obs, 0) AS n_obs,
+      |  COALESCE(o.n_obs, 0) * 1000000 // (SELECT n FROM tot) AS obs_ppm,
+      |  e.expected_ppm,
+      |  ABS(COALESCE(o.n_obs, 0) * 1000000 // (SELECT n FROM tot)
+      |    - e.expected_ppm) AS dev_ppm
+      |FROM exp e LEFT JOIN obs o USING (digit)
+      |ORDER BY e.digit""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val obs = Tables.orders(s, d)
+      .select(substring(
+        expr("CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS STRING)"),
+        1, 1).as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val expected = Seq("1" -> 301030L, "2" -> 176091L, "3" -> 124939L,
+      "4" -> 96910L, "5" -> 79181L, "6" -> 66947L, "7" -> 57992L,
+      "8" -> 51153L, "9" -> 45757L).toDF("digit", "expected_ppm")
+    val tot = obs.agg(sum(col("n_obs")).as("n"))
+    expected.join(obs, Seq("digit"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("digit"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        expr("coalesce(n_obs, 0) * 1000000 div n").as("obs_ppm"),
+        col("expected_ppm"),
+        abs(expr("coalesce(n_obs, 0) * 1000000 div n") - col("expected_ppm"))
+          .as("dev_ppm"))
+      .orderBy(col("digit"))
   }
 
   /** q196: exact grouped covariance / Pearson-r² at FACT scale — the

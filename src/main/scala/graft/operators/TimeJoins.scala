@@ -21,7 +21,7 @@ import org.apache.spark.sql.expressions.Window
 object TimeJoins {
 
   def defs: Seq[QueryDef] = Seq(q51, q52, q91, q100, q105, q107, q108, q109, q114,
-    q122, q124, q162, q163, q165, q184, q185, q186, q190, q200)
+    q122, q124, q162, q163, q165, q184, q185, q186, q190, q200, q203)
 
   /** As-of join: for every 'click' event, the most recent 'view' event by
     * the same user at-or-before it (order = (ts, event_id), so ties are
@@ -948,6 +948,78 @@ object TimeJoins {
       .withColumn("day", expr("t div 86400000000000"))
       .groupBy(col("event_type"), col("day"))
       .agg(max(col("live")).as("peak_concurrent"))
+  }
+
+  /** q203: as-of join DIRECTIONS — q51 is the backward ("most recent
+    * prior") as-of; this completes the pandas merge_asof surface with
+    * forward ("next at-or-after") and nearest (closer of the two,
+    * backward winning ties — deterministic). Same scalable shape as
+    * q51: tag both streams, ONE user-keyed shuffle, one sorted window
+    * pass with two frames (trailing carry + leading carry) — never a
+    * join, never quadratic. The nearest pick is a row-local CASE over
+    * the two carried (ts, id) pairs.
+    */
+  def asofDirections(events: DataFrame): DataFrame = {
+    val t = events.filter(col("event_type").isin("click", "view"))
+      .select(col("event_id"), col("user_id"),
+        expr("ts_ns div 1000").as("ts_us"), col("event_type"))
+    val wBack = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFwd = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val isView = col("event_type") === "view"
+    t.withColumn("prev_view_id",
+        last(when(isView, col("event_id")), ignoreNulls = true).over(wBack))
+      .withColumn("prev_view_us",
+        last(when(isView, col("ts_us")), ignoreNulls = true).over(wBack))
+      .withColumn("next_view_id",
+        first(when(isView, col("event_id")), ignoreNulls = true).over(wFwd))
+      .withColumn("next_view_us",
+        first(when(isView, col("ts_us")), ignoreNulls = true).over(wFwd))
+      .filter(col("event_type") === "click")
+      .withColumn("nearest_view_id",
+        when(col("prev_view_id").isNull, col("next_view_id"))
+          .when(col("next_view_id").isNull, col("prev_view_id"))
+          .when(col("ts_us") - col("prev_view_us") <=
+            col("next_view_us") - col("ts_us"), col("prev_view_id"))
+          .otherwise(col("next_view_id")))
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("prev_view_id"), col("next_view_id"), col("nearest_view_id"))
+  }
+
+  /** q203: backward/forward/nearest as-of picks for every click, every
+    * row hash-checked against the identical two-frame window SQL.
+    */
+  val q203: QueryDef = QueryDef.checked(
+    "q203_asof_directions",
+    """WITH t AS (
+      |  SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us, event_type
+      |  FROM events WHERE event_type IN ('click', 'view')),
+      |w AS (
+      |  SELECT event_id, user_id, ts_us, event_type,
+      |    last_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+      |      OVER wb AS prev_view_id,
+      |    last_value(CASE WHEN event_type = 'view' THEN ts_us END IGNORE NULLS)
+      |      OVER wb AS prev_view_us,
+      |    first_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+      |      OVER wf AS next_view_id,
+      |    first_value(CASE WHEN event_type = 'view' THEN ts_us END IGNORE NULLS)
+      |      OVER wf AS next_view_us
+      |  FROM t
+      |  WINDOW wb AS (PARTITION BY user_id ORDER BY ts_us, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |  wf AS (PARTITION BY user_id ORDER BY ts_us, event_id
+      |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |SELECT event_id AS click_id, user_id, prev_view_id, next_view_id,
+      |  CASE WHEN prev_view_id IS NULL THEN next_view_id
+      |       WHEN next_view_id IS NULL THEN prev_view_id
+      |       WHEN ts_us - prev_view_us <= next_view_us - ts_us
+      |         THEN prev_view_id
+      |       ELSE next_view_id END AS nearest_view_id
+      |FROM w WHERE event_type = 'click' ORDER BY click_id""".stripMargin) { (s, d) =>
+    asofDirections(Tables.events(s, d)).orderBy(col("click_id"))
   }
 
   /** q200: supervised training-example construction from an event
