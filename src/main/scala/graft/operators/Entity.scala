@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   */
 object Entity {
 
-  def defs: Seq[QueryDef] = Seq(q103, q179)
+  def defs: Seq[QueryDef] = Seq(q103, q179, q204)
 
   /** Fuzzy key self-join: all pairs of rows whose `nameCol` values are
     * within edit distance 1, WITHOUT a cross join. Blocking: each name
@@ -85,6 +85,69 @@ object Entity {
       .select(col("a.k").as("key_a"), col("b.k").as("key_b"),
         col("a.name").as("name_a"), col("b.name").as("name_b"))
       .distinct()
+  }
+
+  /** Edit-distance ≤ 2 fuzzy self-join: FastSS deletion neighborhoods
+    * at depth 2 — every string emits itself, all drop-one variants, and
+    * all drop-two variants (i < j). Two strings within levenshtein
+    * d ≤ 2 always share a depth-2 neighborhood member (Bocek et al.
+    * 2007: delete the edited positions on each side), so the equi-join
+    * on the variant string has FULL recall; the exact levenshtein ≤ 2
+    * filter drops false candidates and `distinct` canonicalizes pairs
+    * reached through several shared variants.
+    *
+    * Scale: ~len²/2 keyed rows per input (66 at len 12) — quadratic in
+    * KEY LENGTH, linear in rows, vs the O(n²)-in-ROWS cross join. The
+    * depth-k generalization trades neighborhood size len^k/k! for
+    * distance k; beyond d≈2 on long strings, switch to q-gram count
+    * filtering instead.
+    */
+  def fuzzyKeyPairsD2(df: DataFrame, keyCol: String,
+      nameCol: String): DataFrame = {
+    val keyed = df
+      .select(col(keyCol).as("k"), col(nameCol).cast("string").as("name"))
+      .select(col("k"), col("name"), explode(expr(
+        """array_union(
+          |  array_union(array(name),
+          |    transform(sequence(1, length(name)),
+          |      i -> concat(substring(name, 1, i - 1),
+          |                  substring(name, i + 1, length(name))))),
+          |  flatten(transform(sequence(1, length(name) - 1),
+          |    i -> transform(sequence(i + 1, length(name)),
+          |      j -> concat(substring(name, 1, i - 1),
+          |                  substring(name, i + 1, j - i - 1),
+          |                  substring(name, j + 1, length(name)))))))""".stripMargin))
+        .as("variant"))
+    keyed.as("a").join(keyed.as("b"),
+        col("a.variant") === col("b.variant") && col("a.k") < col("b.k"))
+      .filter(levenshtein(col("a.name"), col("b.name")) <= 2)
+      .select(col("a.k").as("key_a"), col("b.k").as("key_b"),
+        col("a.name").as("name_a"), col("b.name").as("name_b"))
+      .distinct()
+  }
+
+  /** q204: distance-≤2 customer-name pairs (the typo radius real
+    * entity-resolution runs at), hash-checked — pairs plus the exact
+    * distance — against DuckDB's quadratic levenshtein join on the
+    * same slice.
+    */
+  val q204: QueryDef = QueryDef.checked(
+    "q204_fuzzy_join_d2",
+    """WITH c AS (
+      |  SELECT c_custkey, 'Customer#' || CAST(c_custkey AS VARCHAR) AS nm
+      |  FROM customer WHERE c_custkey < 500)
+      |SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+      |  levenshtein(a.nm, b.nm) AS dist
+      |FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+      |WHERE levenshtein(a.nm, b.nm) <= 2
+      |ORDER BY key_a, key_b""".stripMargin) { (s, d) =>
+    val c = Tables.customer(s, d).filter(col("c_custkey") < 500)
+      .select(col("c_custkey"),
+        concat(lit("Customer#"), col("c_custkey").cast("string")).as("nm"))
+    fuzzyKeyPairsD2(c, "c_custkey", "nm")
+      .select(col("key_a"), col("key_b"),
+        levenshtein(col("name_a"), col("name_b")).as("dist"))
+      .orderBy(col("key_a"), col("key_b"))
   }
 
   /** q103: near-identical customer names (single-digit typos of the

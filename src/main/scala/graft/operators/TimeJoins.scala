@@ -21,7 +21,7 @@ import org.apache.spark.sql.expressions.Window
 object TimeJoins {
 
   def defs: Seq[QueryDef] = Seq(q51, q52, q91, q100, q105, q107, q108, q109, q114,
-    q122, q124, q162, q163, q165, q184, q185, q186, q190, q200, q203)
+    q122, q124, q162, q163, q165, q184, q185, q186, q190, q200, q203, q205)
 
   /** As-of join: for every 'click' event, the most recent 'view' event by
     * the same user at-or-before it (order = (ts, event_id), so ties are
@@ -948,6 +948,56 @@ object TimeJoins {
       .withColumn("day", expr("t div 86400000000000"))
       .groupBy(col("event_type"), col("day"))
       .agg(max(col("live")).as("peak_concurrent"))
+  }
+
+  /** q205: time-spine densification — the gap-fill every BI/forecast
+    * layer needs before window math is trustworthy (a missing day must
+    * be a ZERO row, not an absent one, or trailing averages and lag
+    * features silently skip it): the full (series × calendar-day)
+    * spine from the observed global span, left-joined to the real
+    * per-day counts, absent cells back-filled with 0. The spine is a
+    * 2-row min/max aggregate exploded by `sequence` (constant driver
+    * state) cross-joined to the distinct series set — both broadcast-
+    * sized; the fact table shuffles once for its daily counts and
+    * never again.
+    */
+  def densifyDaily(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(col("event_type"), expr("ts_ns div 86400000000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+    val span = events.agg(
+      expr("min(ts_ns div 86400000000000)").as("d0"),
+      expr("max(ts_ns div 86400000000000)").as("d1"))
+    val spine = span.select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      .crossJoin(events.select(col("event_type")).distinct())
+    spine.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
+
+  /** q205: zero-filled daily series per event type over the observed
+    * span, hash-checked against DuckDB's generate_series spine.
+    */
+  val q205: QueryDef = QueryDef.checked(
+    "q205_time_spine",
+    """WITH d AS (
+      |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+      |    COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |span AS (
+      |  SELECT MIN(epoch_ns(ts) // 86400000000000) AS d0,
+      |    MAX(epoch_ns(ts) // 86400000000000) AS d1
+      |  FROM events),
+      |spine AS (
+      |  SELECT t.event_type, g.day
+      |  FROM (SELECT DISTINCT event_type FROM events) t,
+      |    (SELECT unnest(generate_series(d0, d1)) AS day FROM span) g)
+      |SELECT s.event_type, s.day, COALESCE(d.n, 0) AS n
+      |FROM spine s LEFT JOIN d USING (event_type, day)
+      |ORDER BY event_type, day""".stripMargin) { (s, d) =>
+    densifyDaily(Tables.events(s, d))
+      .orderBy(col("event_type"), col("day"))
   }
 
   /** q203: as-of join DIRECTIONS — q51 is the backward ("most recent
