@@ -27,7 +27,7 @@ object Graph {
 
   def defs: Seq[QueryDef] =
     Seq(q110, q126, q127, q128, q129, q132, q133, q137, q141, q142, q144,
-      q156, q157, q159, q176, q177, q178, q181, q183, q194, q199)
+      q156, q157, q159, q176, q177, q178, q181, q183, q194, q199, q208)
 
   /** Materialize-and-release helper for the cache contract above. */
   private def finish(out: DataFrame, release: Boolean,
@@ -573,6 +573,59 @@ object Graph {
       |  SELECT unnest([a, b, c]) AS node FROM tri)
       |GROUP BY node ORDER BY node""".stripMargin) { (s, d) =>
     triangleCounts(coPurchaseEdges(s, d)).orderBy(col("node"))
+  }
+
+  /** Local clustering coefficient: how interconnected each node's
+    * neighborhood is — cc(v) = 2·T(v) / (deg(v)·(deg(v)−1)), the
+    * community-cohesion / hub-vs-broker signal that complements raw
+    * triangle counts (a hub with many triangles can still have cc ≈ 0).
+    * On the integer ppm grid (2·T·10⁶ div (d·(d−1))) so the oracle
+    * hash is exact; deg < 2 nodes are excluded (coefficient undefined).
+    * Pure composition: [[triangleCounts]] (degree-ordered wedges) +
+    * one degree agg + a node-keyed join — no new shuffle shapes.
+    */
+  def clusteringCoefficients(undirected: DataFrame): DataFrame = {
+    val und = undirected.select(col("src"), col("dst")).distinct()
+    val deg = und.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val tri = triangleCounts(und)
+    deg.filter(col("deg") >= 2)
+      .join(tri, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        expr("coalesce(n_triangles, 0) * 2 * 1000000 div (deg * (deg - 1))")
+          .as("cc_ppm"))
+  }
+
+  /** q208: per-supplier clustering coefficients on the co-purchase
+    * graph, hash-checked against q128's triangle CTE extended with the
+    * same degree/ppm arithmetic.
+    */
+  val q208: QueryDef = QueryDef.checked(
+    "q208_clustering_coefficient",
+    """WITH pairs AS (
+      |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE o_orderkey < 2000),
+      |und0 AS (
+      |  SELECT DISTINCT a.s AS x, b.s AS y FROM pairs a JOIN pairs b
+      |  ON a.c = b.c AND a.s < b.s),
+      |und AS (
+      |  SELECT x, y FROM und0 UNION SELECT y AS x, x AS y FROM und0),
+      |deg AS (SELECT x AS node, COUNT(*) AS deg FROM und GROUP BY 1),
+      |tri AS (
+      |  SELECT e1.x AS a, e1.y AS b, e2.y AS c
+      |  FROM und0 e1 JOIN und0 e2 ON e1.y = e2.x
+      |  JOIN und0 e3 ON e3.x = e1.x AND e3.y = e2.y),
+      |tc AS (
+      |  SELECT node, COUNT(*) AS n_triangles FROM (
+      |    SELECT unnest([a, b, c]) AS node FROM tri)
+      |  GROUP BY node)
+      |SELECT d.node, d.deg, COALESCE(t.n_triangles, 0) AS n_triangles,
+      |  COALESCE(t.n_triangles, 0) * 2 * 1000000
+      |    // (d.deg * (d.deg - 1)) AS cc_ppm
+      |FROM deg d LEFT JOIN tc t USING (node)
+      |WHERE d.deg >= 2 ORDER BY d.node""".stripMargin) { (s, d) =>
+    clusteringCoefficients(coPurchaseEdges(s, d)).orderBy(col("node"))
   }
 
   /** The supplier co-purchase projection (suppliers linked when they

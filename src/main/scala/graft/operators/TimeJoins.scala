@@ -21,7 +21,8 @@ import org.apache.spark.sql.expressions.Window
 object TimeJoins {
 
   def defs: Seq[QueryDef] = Seq(q51, q52, q91, q100, q105, q107, q108, q109, q114,
-    q122, q124, q162, q163, q165, q184, q185, q186, q190, q200, q203, q205)
+    q122, q124, q162, q163, q165, q184, q185, q186, q190, q200, q203, q205,
+    q206, q207)
 
   /** As-of join: for every 'click' event, the most recent 'view' event by
     * the same user at-or-before it (order = (ts, event_id), so ties are
@@ -948,6 +949,90 @@ object TimeJoins {
       .withColumn("day", expr("t div 86400000000000"))
       .groupBy(col("event_type"), col("day"))
       .agg(max(col("live")).as("peak_concurrent"))
+  }
+
+  /** q206: market-basket co-occurrence with LIFT — the association-
+    * rule screen (recommendations, bundle design): for every part pair
+    * bought together in ≥ minCount orders, the observed co-purchase
+    * count and lift vs independence, on the integer ppm grid
+    * (lift_ppm = co·N·10⁶ div (n_a·n_b)). Pair generation is a
+    * self-join WITHIN the order key (a < b) — fanout is items-per-
+    * basket squared, bounded by basket size, never corpus-quadratic;
+    * the three count frames are map-side-combined aggs. At 100 TB the
+    * only watch item is a mega-basket (one order with 10⁵ items) —
+    * cap basket size upstream, the standard practice.
+    */
+  def basketLift(lineitem: DataFrame, minCount: Long = 2L): DataFrame = {
+    val items = lineitem.select(col("l_orderkey").as("ok"),
+      col("l_partkey").as("pk")).distinct()
+    val nOrders = items.select(col("ok")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val pcnt = items.groupBy(col("pk")).agg(count(lit(1)).as("cnt"))
+    val pairs = items.as("a").join(items.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
+      .agg(count(lit(1)).as("co_cnt"))
+      .filter(col("co_cnt") >= minCount)
+    pairs
+      .join(pcnt.select(col("pk").as("part_a"), col("cnt").as("cnt_a")), "part_a")
+      .join(pcnt.select(col("pk").as("part_b"), col("cnt").as("cnt_b")), "part_b")
+      .crossJoin(broadcast(nOrders))
+      .select(col("part_a"), col("part_b"), col("co_cnt"),
+        expr("co_cnt * n_orders * 1000000 div (cnt_a * cnt_b)").as("lift_ppm"))
+  }
+
+  /** q206: co-purchased part pairs (≥2 shared orders) with integer
+    * lift, hash-checked against the identical SQL in DuckDB.
+    */
+  val q206: QueryDef = QueryDef.checked(
+    "q206_basket_lift",
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |n AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM items),
+      |pc AS (SELECT pk, COUNT(*) AS cnt FROM items GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.pk AS part_a, b.pk AS part_b, COUNT(*) AS co_cnt
+      |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+      |SELECT p.part_a, p.part_b, p.co_cnt,
+      |  p.co_cnt * (SELECT n_orders FROM n) * 1000000
+      |    // (ca.cnt * cb.cnt) AS lift_ppm
+      |FROM pairs p JOIN pc ca ON ca.pk = p.part_a
+      |JOIN pc cb ON cb.pk = p.part_b
+      |ORDER BY part_a, part_b""".stripMargin) { (s, d) =>
+    basketLift(Tables.lineitem(s, d)).orderBy(col("part_a"), col("part_b"))
+  }
+
+  /** q207: sequential 3-gram mining — the top recurring micro-patterns
+    * in user event streams (the n-gram complement to q124's first-order
+    * transitions and q162's whole-day paths): consecutive event-type
+    * triples per user in (ts, event_id) order, counted corpus-wide,
+    * top 20 by (count desc, gram). One keyed window (two leads — no
+    * join, no explosion), one map-side-combined count, TakeOrdered for
+    * the top-k. The 100 TB shape of every "common flows" dashboard.
+    */
+  val q207: QueryDef = QueryDef.checked(
+    "q207_sequence_3grams",
+    """WITH t AS (
+      |  SELECT user_id, event_type, epoch_ns(ts) AS tns, event_id
+      |  FROM events),
+      |g AS (
+      |  SELECT event_type || '>' || lead(event_type, 1) OVER w
+      |    || '>' || lead(event_type, 2) OVER w AS gram
+      |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY tns, event_id))
+      |SELECT gram, COUNT(*) AS n FROM g WHERE gram IS NOT NULL
+      |GROUP BY 1 ORDER BY n DESC, gram LIMIT 20""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tns"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts_ns").as("tns"),
+        col("event_id"))
+      .withColumn("gram", concat_ws(">", col("event_type"),
+        lead(col("event_type"), 1).over(w), lead(col("event_type"), 2).over(w)))
+      // concat_ws skips nulls instead of nulling out — filter to FULL
+      // trigrams by shape so the semantics match the SQL || (null ⇒ null)
+      .filter(size(split(col("gram"), ">")) === 3)
+      .groupBy(col("gram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram")).limit(20)
   }
 
   /** q205: time-spine densification — the gap-fill every BI/forecast
