@@ -1826,17 +1826,18 @@ object Graph {
     * are).
     *
     * All |cand| removal subproblems run JOINTLY in one dataflow: the
-    * state is reachability triples (x, a, b) over G∖{x}, seeded by one
-    * broadcast expansion of the edge list per candidate and closed by
-    * doubling (R := R ∪ R∘R keyed on (x, b=a)) in ⌈log₂ diameter⌉
-    * rounds; neighbor labels then canonicalize per (x, component) as
-    * min member — every step an equi-join + keyed agg, no per-vertex
-    * driver loop. The trade is declared, as in [[sccByClosure]]: state
-    * is Σ_x |component(x)|², the bounded-closure-graph path. At 100 TB
-    * the node-keyed shape is a spanning forest + Tarjan low-point
-    * labeling (linear state) — or restrict `cand` to the suspects that
-    * matter (hubs, known bridges) and this exact profile runs as-is on
-    * the induced candidate set.
+    * seed is the edge list replicated per avoiding candidate
+    * (|cand|·|E| rows) and components close via [[keyedStars]] — the
+    * large-star/small-star contraction keyed by the excluded node, so
+    * state never exceeds the seed and rounds are O(log n). (The first
+    * cut used closure DOUBLING here; on the sf0.1 chain graph that is
+    * Σ|comp|³-shaped — billions of intermediate rows — because "same
+    * component?" does not need reachability PAIRS materialized.
+    * Contract, don't close.) Neighbor labels then canonicalize per
+    * (x, component) as min member — every step an equi-join + keyed
+    * agg, no per-vertex driver loop. At 100 TB restrict `cand` to the
+    * suspects that matter (hubs, known bridges) and the same dataflow
+    * runs on the induced candidate set.
     */
   def articulationProfile(undirected0: DataFrame,
       memoKey: Option[String] = None): DataFrame =
@@ -1860,11 +1861,83 @@ object Graph {
     case None => exclusionLabelsBuild(undirected0)
   }
 
+  /** Keyed large-star/small-star contraction: connected components of
+    * MANY edge sets at once — `pairs` carries (x, a, b) rows meaning
+    * "edge {a, b} belongs to subproblem x", and every star round is the
+    * q57 algorithm (Dedup.dedupClustersStars) with the subproblem key
+    * joined into each groupBy/join. Returns (x, node, m): the canonical
+    * (min-member) component label of every node that carries an edge in
+    * subproblem x. State stays O(|pairs|) through every round — stars
+    * CONTRACT edges, they never materialize reachability pairs — and
+    * rounds are O(log n); this is what replaced the closure-doubling
+    * kernel here after it went Σ|comp|³ on the sf0.1 chain graph (2.4B
+    * intermediate rows per round; the round-6 lesson: doubling is for
+    * DISTANCE-like state you must enumerate (q157 reach, q194 costs) —
+    * for "same component?" questions always contract, never close).
+    */
+  private def keyedStars(pairs: DataFrame, maxIters: Int = 30): DataFrame = {
+    var edges = pairs
+      .select(col("x"), greatest(col("a"), col("b")).as("a"),
+        least(col("a"), col("b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint(true)
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val both = e.select(col("x"), col("a").as("u"), col("b").as("v"))
+        .unionAll(e.select(col("x"), col("b").as("u"), col("a").as("v")))
+      val mins = both.groupBy(col("x"), col("u"))
+        .agg(min(col("v")).as("mn"))
+        .select(col("x"), col("u"), least(col("mn"), col("u")).as("m"))
+      both.join(mins, Seq("x", "u")).filter(col("v") > col("u"))
+        .select(col("x"), col("v").as("a"), col("m").as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy(col("x"), col("a")).agg(min(col("b")).as("m"))
+      val linkNeighbors = e.join(mins, Seq("x", "a"))
+        .select(col("x"), col("b").as("n"), col("m"))
+      val linkSelf = mins.select(col("x"), col("a").as("n"), col("m"))
+      linkNeighbors.unionAll(linkSelf)
+        .filter(col("n") =!= col("m"))
+        .select(col("x"), greatest(col("n"), col("m")).as("a"),
+          least(col("n"), col("m")).as("b"))
+        .distinct()
+    }
+
+    var converged = false
+    var iter = 0
+    var sig = Option.empty[(Long, String)]
+    while (!converged && iter < maxIters) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val row = next.agg(count(lit(1)),
+        sum(hash(col("x"), col("a"), col("b")).cast("decimal(38,0)"))).head()
+      val newSig = (row.getLong(0),
+        Option(row.get(1)).map(_.toString).getOrElse("0"))
+      edges = next
+      converged = sig.contains(newSig)
+      sig = Some(newSig)
+      iter += 1
+    }
+    require(converged,
+      s"keyed star contraction did not converge in $maxIters rounds")
+    val children = edges.select(col("x"), col("a").as("node"), col("b").as("m"))
+    val roots = edges.select(col("x"), col("b").as("node")).distinct()
+      .join(children.select(col("x"), col("node")), Seq("x", "node"), "left_anti")
+      .select(col("x"), col("node"), col("node").as("m"))
+    children.unionByName(roots)
+  }
+
   /** The shared kernel: for every candidate x (≥2 distinct neighbors)
     * and every neighbor p of x, the canonical label (min member) of
     * p's connected component within N(x) under G∖{x} — the frame both
     * the articulation profile (distinct labels per x) and bridge
-    * detection (singleton label classes) read out.
+    * detection (singleton label classes) read out. All |cand| removal
+    * subproblems run jointly: the seed is the |cand|·|E| broadcast
+    * product of edges avoiding each x, closed by [[keyedStars]] in
+    * O(log n) rounds with state never exceeding the seed size; labels
+    * then canonicalize per (x, component) as the min NEIGHBOR of x in
+    * that component (neighbors isolated in G∖{x} label themselves).
     */
   private def exclusionLabelsBuild(undirected0: DataFrame): DataFrame = {
     val und = undirected0.select(col("src"), col("dst")).distinct()
@@ -1874,38 +1947,18 @@ object Graph {
       .localCheckpoint(true)
     val nb = und.join(cand, und("src") === cand("x"))
       .select(col("x"), col("dst").as("n"))
-    // seed: every edge not touching x, replicated per candidate x — a
-    // deliberate broadcast product (|cand|·|E| rows), the declared
-    // quadratic-state trade documented above
-    var rex = und.crossJoin(broadcast(cand))
+    val pairs = und.crossJoin(broadcast(cand))
       .filter(col("src") =!= col("x") && col("dst") =!= col("x"))
       .select(col("x"), col("src").as("a"), col("dst").as("b"))
-      .localCheckpoint(true)
-    var size = rex.count()
-    var changed = true
-    while (changed) {
-      val step = rex.as("r1")
-        .join(rex.as("r2"),
-          col("r1.x") === col("r2.x") && col("r1.b") === col("r2.a"))
-        .select(col("r1.x").as("x"), col("r1.a").as("a"), col("r2.b").as("b"))
-        .filter(col("b") =!= col("a"))
-      val next = rex.union(step).distinct().localCheckpoint(true)
-      val n2 = next.count()
-      changed = n2 != size
-      size = n2
-      rex = next
-    }
-    // label each neighbor p of x with the min neighbor in its component
-    // of G∖{x}
-    val conn = rex
-      .join(nb.select(col("x"), col("n").as("a")), Seq("x", "a"))
-      .join(nb.select(col("x"), col("n").as("b")), Seq("x", "b"))
-      .select(col("x"), col("a").as("p"), col("b").as("q"))
-    nb.select(col("x"), col("n").as("p"))
-      .join(conn, Seq("x", "p"), "left")
-      .groupBy(col("x"), col("p")).agg(min(col("q")).as("mq"))
-      .select(col("x"), col("p"),
-        least(col("p"), coalesce(col("mq"), col("p"))).as("lbl"))
+    val comps = keyedStars(pairs)
+    val withComp = nb.select(col("x"), col("n").as("p"))
+      .join(comps.select(col("x"), col("node").as("p"), col("m")),
+        Seq("x", "p"), "left")
+      .select(col("x"), col("p"), coalesce(col("m"), col("p")).as("cp"))
+    val minNb = withComp.groupBy(col("x"), col("cp"))
+      .agg(min(col("p")).as("lbl"))
+    withComp.join(minNb, Seq("x", "cp"))
+      .select(col("x"), col("p"), col("lbl"))
       .localCheckpoint(true)
   }
 
