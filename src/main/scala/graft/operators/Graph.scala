@@ -2114,19 +2114,33 @@ object Graph {
     * 100 TB shape), and bridge-only nodes come back as singletons.
     * comp_id = min member (engine-independent canonical label).
     */
+  private val twoEcMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
   def twoEdgeComponents(undirected0: DataFrame,
       memoKey: Option[String] = None): DataFrame = {
-    val und = undirected0.select(col("src"), col("dst")).distinct()
-    val nodes = und.select(col("src").as("node")).distinct()
-    val br = bridgeEdges(undirected0, memoKey)
-    val residual = und.filter(col("src") < col("dst"))
-      .join(br, col("src") === col("u") && col("dst") === col("v"),
-        "left_anti")
-    val comps = Dedup.dedupClustersStars(
-        residual.select(col("src").as("doc_a"), col("dst").as("doc_b")))
-      .select(col("doc_id").as("node"), col("cluster_id").as("comp_id"))
-    nodes.join(comps, Seq("node"), "left")
-      .select(col("node"), coalesce(col("comp_id"), col("node")).as("comp_id"))
+    def build(): DataFrame = {
+      val und = undirected0.select(col("src"), col("dst")).distinct()
+      val nodes = und.select(col("src").as("node")).distinct()
+      val br = bridgeEdges(undirected0, memoKey)
+      val residual = und.filter(col("src") < col("dst"))
+        .join(br, col("src") === col("u") && col("dst") === col("v"),
+          "left_anti")
+      val comps = Dedup.dedupClustersStars(
+          residual.select(col("src").as("doc_a"), col("dst").as("doc_b")))
+        .select(col("doc_id").as("node"), col("cluster_id").as("comp_id"))
+      nodes.join(comps, Seq("node"), "left")
+        .select(col("node"), coalesce(col("comp_id"), col("node")).as("comp_id"))
+    }
+    // node-sized assignment, rebuilt identically by q183 and q199 every
+    // pass — memoized self-contained (localCheckpoint) per (key, session)
+    // like the closure/exclusion indexes
+    memoKey match {
+      case Some(k) => twoEcMemo.computeIfAbsent(
+        s"$k#2ec#${System.identityHashCode(undirected0.sparkSession)}",
+        _ => build().localCheckpoint(true))
+      case None => build()
+    }
   }
 
   /** q183: 2-edge-connected components of the symmetrized handoff
