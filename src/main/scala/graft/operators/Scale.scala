@@ -12,7 +12,7 @@ import org.apache.spark.sql.expressions.Window
 object Scale {
 
   def defs: Seq[QueryDef] =
-    Seq(q47, q48, q63, q72, q94, q96, q125, q139, q155, q175, q197)
+    Seq(q47, q48, q63, q72, q94, q96, q125, q139, q155, q175, q197, q211)
 
   /** Mergeable rank/quantile sketch as a fixed-grid histogram — the
     * fourth corner of the sketch family (q96 HLL = distinct, q139 CMS =
@@ -825,6 +825,50 @@ object Scale {
       .join(broadcast(sketch), Seq("j", "bucket"), "left")
       .groupBy(col("t"))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+
+  /** q211: sketch-based SELF-JOIN size (F2 moment) estimation — the
+    * query-optimizer statistic: |R ⋈_k R| = Σ_g cnt(g)², estimated
+    * from the count-min grid WITHOUT touching per-key counts as
+    * est = min over rows j of Σ_b cell(j,b)² (the AMS-flavored inner
+    * product; collisions only ADD cross terms, so est ≥ true always —
+    * one-sided like every CMS read). The catalog query reports the
+    * estimate, the exact truth, and the overshoot in ppm — all exact
+    * integers, the estimator arithmetic hash-checked cell for cell
+    * (q139's md5 grid idiom). At 100 TB: the grid is depth×width
+    * mergeable state built map-side in one pass; the true-F2 branch
+    * here exists only because the oracle needs it.
+    */
+  val q211: QueryDef = QueryDef.checked(
+    "q211_cms_selfjoin_size",
+    """WITH ks AS (SELECT CAST(l_partkey AS VARCHAR) AS t FROM lineitem),
+      |js AS (SELECT * FROM (VALUES (0),(1),(2),(3)) v(j)),
+      |cells AS (
+      |  SELECT j,
+      |    ('0x' || substring(md5('f2:' || CAST(j AS VARCHAR) || ':' || t), 1, 8))::BIGINT
+      |      % 256 AS bucket,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM ks CROSS JOIN js GROUP BY 1, 2),
+      |est AS (
+      |  SELECT CAST(MIN(s) AS BIGINT) AS est_f2 FROM (
+      |    SELECT j, SUM(cnt * cnt) AS s FROM cells GROUP BY j)),
+      |truth AS (
+      |  SELECT CAST(SUM(c * c) AS BIGINT) AS true_f2 FROM (
+      |    SELECT COUNT(*) AS c FROM lineitem GROUP BY l_partkey))
+      |SELECT e.est_f2, t.true_f2,
+      |  (e.est_f2 - t.true_f2) * 1000000 // t.true_f2 AS over_ppm
+      |FROM est e, truth t""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d).select(col("l_partkey"))
+    val sk = countMinSketch(li, "l_partkey", depth = 4, width = 256,
+      salt = "f2")
+    val est = sk.groupBy(col("j"))
+      .agg(sum(col("cnt") * col("cnt")).as("srow"))
+      .agg(min(col("srow")).cast("long").as("est_f2"))
+    val truth = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") * col("c")).cast("long").as("true_f2"))
+    est.crossJoin(truth)
+      .select(col("est_f2"), col("true_f2"),
+        expr("(est_f2 - true_f2) * 1000000 div true_f2").as("over_ppm"))
+  }
 
   /** q139: count-min estimates for every user over the events table —
     * width 64 < 150 distinct users, so collisions are REAL here and the

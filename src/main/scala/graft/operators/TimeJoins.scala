@@ -22,7 +22,7 @@ object TimeJoins {
 
   def defs: Seq[QueryDef] = Seq(q51, q52, q91, q100, q105, q107, q108, q109, q114,
     q122, q124, q162, q163, q165, q184, q185, q186, q190, q200, q203, q205,
-    q206, q207)
+    q206, q207, q209, q210)
 
   /** As-of join: for every 'click' event, the most recent 'view' event by
     * the same user at-or-before it (order = (ts, event_id), so ties are
@@ -949,6 +949,113 @@ object TimeJoins {
       .withColumn("day", expr("t div 86400000000000"))
       .groupBy(col("event_type"), col("day"))
       .agg(max(col("live")).as("peak_concurrent"))
+  }
+
+  /** q209: RFM segmentation — the classic customer scoring (Recency =
+    * days since last order, Frequency = order count, Monetary = spend
+    * cents), each dimension quartiled and composed into a 3-digit
+    * segment (111 = most recent / most frequent / biggest spenders).
+    * Quartiles come from broadcast percentile_disc cutoffs + a
+    * row-local bucket compare — NOT a global ntile window: ntile needs
+    * a single-partition global sort, the cutoff form is one bounded
+    * aggregate + a map-side projection, the q106 equi-depth discipline.
+    * Cutoff values are actual data integers, so bucket membership is
+    * exact in both engines.
+    */
+  val q209: QueryDef = QueryDef.checked(
+    "q209_rfm_segments",
+    """WITH o AS (
+      |  SELECT o_custkey AS ck, epoch_ns(o_orderdate) // 86400000000000 AS d,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders),
+      |mx AS (SELECT MAX(d) AS dmax FROM o),
+      |rfm AS (
+      |  SELECT ck, (SELECT dmax FROM mx) - MAX(d) AS r_days,
+      |    COUNT(*) AS f_cnt, CAST(SUM(cents) AS BIGINT) AS m_cents
+      |  FROM o GROUP BY ck),
+      |cut AS (
+      |  SELECT
+      |    percentile_disc(0.25) WITHIN GROUP (ORDER BY r_days) AS r1,
+      |    percentile_disc(0.50) WITHIN GROUP (ORDER BY r_days) AS r2,
+      |    percentile_disc(0.75) WITHIN GROUP (ORDER BY r_days) AS r3,
+      |    percentile_disc(0.25) WITHIN GROUP (ORDER BY f_cnt) AS f1,
+      |    percentile_disc(0.50) WITHIN GROUP (ORDER BY f_cnt) AS f2,
+      |    percentile_disc(0.75) WITHIN GROUP (ORDER BY f_cnt) AS f3,
+      |    percentile_disc(0.25) WITHIN GROUP (ORDER BY m_cents) AS m1,
+      |    percentile_disc(0.50) WITHIN GROUP (ORDER BY m_cents) AS m2,
+      |    percentile_disc(0.75) WITHIN GROUP (ORDER BY m_cents) AS m3
+      |  FROM rfm)
+      |SELECT ck AS custkey, r_days, f_cnt, m_cents,
+      |  CAST(1 + CAST(r_days > r1 AS INT) + CAST(r_days > r2 AS INT)
+      |    + CAST(r_days > r3 AS INT) AS BIGINT) AS r_q,
+      |  CAST(1 + CAST(f_cnt > f1 AS INT) + CAST(f_cnt > f2 AS INT)
+      |    + CAST(f_cnt > f3 AS INT) AS BIGINT) AS f_q,
+      |  CAST(1 + CAST(m_cents > m1 AS INT) + CAST(m_cents > m2 AS INT)
+      |    + CAST(m_cents > m3 AS INT) AS BIGINT) AS m_q
+      |FROM rfm, cut ORDER BY custkey""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d).select(col("o_custkey").as("ck"),
+      expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000").as("d"),
+      expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+    val mx = o.agg(max(col("d")).as("dmax"))
+    val rfm = o.crossJoin(broadcast(mx)).groupBy(col("ck"))
+      .agg((first(col("dmax")) - max(col("d"))).as("r_days"),
+        count(lit(1)).as("f_cnt"), sum(col("cents")).as("m_cents"))
+    val cut = rfm.agg(
+      expr("CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY r_days) AS BIGINT)").as("r1"),
+      expr("CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY r_days) AS BIGINT)").as("r2"),
+      expr("CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY r_days) AS BIGINT)").as("r3"),
+      expr("CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY f_cnt) AS BIGINT)").as("f1"),
+      expr("CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY f_cnt) AS BIGINT)").as("f2"),
+      expr("CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY f_cnt) AS BIGINT)").as("f3"),
+      expr("CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY m_cents) AS BIGINT)").as("m1"),
+      expr("CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY m_cents) AS BIGINT)").as("m2"),
+      expr("CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY m_cents) AS BIGINT)").as("m3"))
+    rfm.crossJoin(broadcast(cut))
+      .select(col("ck").as("custkey"), col("r_days"), col("f_cnt"),
+        col("m_cents"),
+        expr("CAST(1 + CAST(r_days > r1 AS INT) + CAST(r_days > r2 AS INT) + CAST(r_days > r3 AS INT) AS BIGINT)").as("r_q"),
+        expr("CAST(1 + CAST(f_cnt > f1 AS INT) + CAST(f_cnt > f2 AS INT) + CAST(f_cnt > f3 AS INT) AS BIGINT)").as("f_q"),
+        expr("CAST(1 + CAST(m_cents > m1 AS INT) + CAST(m_cents > m2 AS INT) + CAST(m_cents > m3 AS INT) AS BIGINT)").as("m_q"))
+      .orderBy(col("custkey"))
+  }
+
+  /** q210: time-to-convert histogram — for every purchase with a prior
+    * view by the same user, the view→purchase delay bucketed into
+    * 30-minute bins: the latency-distribution readout behind funnel
+    * SLAs and attribution-window choices. The delay comes from the q51
+    * as-of carry (one keyed window, no join); the histogram is one
+    * map-side-combined count over div-bucketed integers.
+    */
+  val q210: QueryDef = QueryDef.checked(
+    "q210_time_to_convert",
+    """WITH t AS (
+      |  SELECT user_id, event_id, epoch_ns(ts) AS tns, event_type
+      |  FROM events WHERE event_type IN ('view', 'purchase')),
+      |w AS (
+      |  SELECT event_id, event_type, tns,
+      |    last_value(CASE WHEN event_type = 'view' THEN tns END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY tns, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS view_tns
+      |  FROM t)
+      |SELECT (tns - view_tns) // 60000000000 // 30 AS bucket_30m,
+      |  COUNT(*) AS n
+      |FROM w
+      |WHERE event_type = 'purchase' AND view_tns IS NOT NULL
+      |GROUP BY 1 ORDER BY bucket_30m""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tns"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("event_id"), col("ts_ns").as("tns"),
+        col("event_type"))
+      .withColumn("view_tns",
+        last(when(col("event_type") === "view", col("tns")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase" && col("view_tns").isNotNull)
+      .select(expr("(tns - view_tns) div 60000000000 div 30").as("bucket_30m"))
+      .groupBy(col("bucket_30m")).agg(count(lit(1)).as("n"))
+      .orderBy(col("bucket_30m"))
   }
 
   /** q206: market-basket co-occurrence with LIFT — the association-
