@@ -37,7 +37,7 @@ final case class MediaFeatures(
   */
 object Multimodal {
 
-  def defs: Seq[QueryDef] = Seq(q38, q39)
+  def defs: Seq[QueryDef] = Seq(q38, q39, q212)
 
   /** documents → typed multimodal dataset (payload = UTF-8 bytes of text;
     * media_type cycles image/audio/video by doc_id).
@@ -97,6 +97,41 @@ object Multimodal {
         substring(hex(col("payload")), 1, 8).as("header_hex"),
         col("media_type"))
       .orderBy(col("doc_id"))
+  }
+
+  /** q212: deterministic frame-sampling PLAN for the video rows — the
+    * scheduling half of a frame-extraction pipeline, fully relational
+    * (the decode of each planned frame is q39's stubbed batch step):
+    * per video, synthetic metadata (fps 24, duration = n_chars ms)
+    * yields a frame count, and the plan samples one frame per second
+    * capped at 32 samples per video — explode(sequence(0, ub, fps)),
+    * a row-local generate with zero shuffle. Every planned (frame_idx,
+    * ts_ms) is integer arithmetic, so the plan itself is oracle-
+    * checked; at 100 TB this is the manifest you hand to the decode
+    * fleet, and column pruning means it never reads payload bytes.
+    */
+  val q212: QueryDef = QueryDef.checked(
+    "q212_frame_sampling",
+    """WITH v AS (
+      |  SELECT doc_id, n_chars * 24 // 1000 AS n_frames
+      |  FROM documents WHERE CAST(doc_id % 3 AS INT) = 2),
+      |plan AS (
+      |  SELECT doc_id,
+      |    unnest(generate_series(0, LEAST(n_frames - 1, 31 * 24), 24))
+      |      AS frame_idx
+      |  FROM v WHERE n_frames > 0)
+      |SELECT doc_id, frame_idx, frame_idx * 1000 // 24 AS ts_ms
+      |FROM plan ORDER BY doc_id, frame_idx""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .filter(expr("CAST(doc_id % 3 AS INT) = 2"))
+      .select(col("doc_id"), expr("n_chars * 24 div 1000").as("n_frames"))
+      .filter(col("n_frames") > 0)
+      .select(col("doc_id"),
+        explode(sequence(lit(0L),
+          least(col("n_frames") - 1, lit(31L * 24L)), lit(24L))).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        expr("frame_idx * 1000 div 24").as("ts_ms"))
+      .orderBy(col("doc_id"), col("frame_idx"))
   }
 
   /** Partition-batched decode → features. `mapPartitions` with an
