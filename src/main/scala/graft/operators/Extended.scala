@@ -16,7 +16,7 @@ object Extended {
 
   def defs: Seq[QueryDef] = Seq(q42, q43, q44, q45, q46, q90, q92, q93, q95, q97,
     q101, q117, q118, q119, q120, q121, q146, q150, q166, q168, q169,
-    q172, q188, q189, q196, q201, q202)
+    q172, q188, q189, q196, q201, q202, q213)
 
   /** q95: ORC round-trip — q44's lossless write→read check for the
     * third columnar format (ORC ships with Spark; DuckDB cannot read
@@ -1340,5 +1340,45 @@ object Extended {
       audit("orders.custkey", ord, "o_custkey", cust, "c_custkey"))
       .reduce(_ unionAll _)
       .orderBy(col("fk"))
+  }
+
+  /** q213: unpivot (melt) — the wide→long inverse of q90's pivot,
+    * completing the reshape pair. Four lineitem measures are rescaled to
+    * exact integers (quantity, price cents, discount/tax basis points),
+    * melted via `Dataset.unpivot` (one Catalyst `Expand` — row-local,
+    * zero shuffle for the reshape itself), then profiled per
+    * (returnflag, measure) with one map-side-combined agg. At 100 TB the
+    * Expand multiplies rows 4× BEFORE the shuffle but carries only the
+    * 3 projected columns, and partial aggregation collapses them back to
+    * #groups×#measures cells per partition — the reshape never
+    * materializes.
+    */
+  val q213: QueryDef = QueryDef.checked(
+    "q213_unpivot_profile",
+    """WITH m AS (
+      |  SELECT l_returnflag AS rf, 'qty' AS measure,
+      |    CAST(l_quantity AS BIGINT) AS v FROM lineitem
+      |  UNION ALL SELECT l_returnflag, 'price_c',
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) FROM lineitem
+      |  UNION ALL SELECT l_returnflag, 'disc_bp',
+      |    CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT) FROM lineitem
+      |  UNION ALL SELECT l_returnflag, 'tax_bp',
+      |    CAST(CAST(l_tax AS DECIMAL(18,4)) * 10000 AS BIGINT) FROM lineitem)
+      |SELECT rf, measure, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS sum_v,
+      |  MIN(v) AS min_v, MAX(v) AS max_v
+      |FROM m GROUP BY rf, measure ORDER BY rf, measure""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("rf"),
+        col("l_quantity").cast("long").as("qty"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("price_c"),
+        expr("CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT)").as("disc_bp"),
+        expr("CAST(CAST(l_tax AS DECIMAL(18,4)) * 10000 AS BIGINT)").as("tax_bp"))
+      .unpivot(Array(col("rf")),
+        Array(col("disc_bp"), col("price_c"), col("qty"), col("tax_bp")),
+        "measure", "v")
+      .groupBy(col("rf"), col("measure"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"),
+        min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+      .orderBy(col("rf"), col("measure"))
   }
 }

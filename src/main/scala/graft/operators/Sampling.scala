@@ -15,7 +15,7 @@ object Sampling {
 
   def defs: Seq[QueryDef] =
     Seq(q53, q54, q55, q56, q67, q77, q104, q106, q111, q164, q170, q171,
-      q192)
+      q192, q215)
 
   /** Generic stratified sample: at most `k` rows per stratum, selected
     * by `hashOrder` (e.g. md5 of a content column) — deterministic,
@@ -597,5 +597,47 @@ object Sampling {
         sum(least(greatest(col("cents"), col("p05")), col("p95")))
           .as("sum_winsorized"))
       .orderBy(col("flag"))
+  }
+
+  /** q215: proportional stratified allocation — draw a fixed-size sample
+    * (target 100 docs) whose stratum mix mirrors the corpus: each source
+    * gets floor(target·n_h/N) slots, filled by the smallest Knuth-hash
+    * ranks within the stratum (h = doc_id·2654435761 mod 2³², a
+    * deterministic uniform-ish order both engines compute exactly in
+    * 64-bit integers — q53's md5 discipline without the string detour).
+    * Unlike q53's cap-per-stratum, the allocation here is GLOBAL: slots
+    * scale with stratum mass, the estimator stays self-weighting. Plan:
+    * one bounded count agg (broadcast back) + one (source) window top-k
+    * — no global sort, no driver loop; at 100 TB the rank window is the
+    * only shuffle and it keys on the stratum.
+    */
+  val q215: QueryDef = QueryDef.checked(
+    "q215_stratified_alloc",
+    """WITH c AS (SELECT source, COUNT(*) AS ch FROM documents GROUP BY source),
+      |tot AS (SELECT CAST(SUM(ch) AS BIGINT) AS n FROM c),
+      |alloc AS (
+      |  SELECT source, ch, (100 * ch) // (SELECT n FROM tot) AS nh FROM c),
+      |r AS (
+      |  SELECT doc_id, source, (doc_id * 2654435761) % 4294967296 AS h,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rk
+      |  FROM documents)
+      |SELECT r.doc_id, r.source, r.h, r.rk, a.nh
+      |FROM r JOIN alloc a USING (source)
+      |WHERE r.rk <= a.nh ORDER BY r.source, r.rk""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val cnt = docs.groupBy(col("source")).agg(count(lit(1)).as("ch"))
+    val tot = cnt.agg(sum(col("ch")).as("n"))
+    val alloc = cnt.crossJoin(broadcast(tot))
+      .select(col("source"), col("ch"),
+        expr("(100 * ch) div n").as("nh"))
+    val h = expr("(doc_id * 2654435761L) % 4294967296L")
+    val rk = row_number().over(Window.partitionBy(col("source"))
+      .orderBy(h, col("doc_id")))
+    docs.select(col("doc_id"), col("source"), h.as("h"), rk.as("rk"))
+      .join(broadcast(alloc.select(col("source"), col("nh"))), Seq("source"))
+      .filter(col("rk") <= col("nh"))
+      .select(col("doc_id"), col("source"), col("h"), col("rk"), col("nh"))
+      .orderBy(col("source"), col("rk"))
   }
 }

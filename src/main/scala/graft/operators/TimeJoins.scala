@@ -22,7 +22,7 @@ object TimeJoins {
 
   def defs: Seq[QueryDef] = Seq(q51, q52, q91, q100, q105, q107, q108, q109, q114,
     q122, q124, q162, q163, q165, q184, q185, q186, q190, q200, q203, q205,
-    q206, q207, q209, q210)
+    q206, q207, q209, q210, q214)
 
   /** As-of join: for every 'click' event, the most recent 'view' event by
     * the same user at-or-before it (order = (ts, event_id), so ties are
@@ -1329,5 +1329,67 @@ object TimeJoins {
       |FROM sw GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin) { (s, d) =>
     peakConcurrency(Tables.events(s, d))
       .orderBy(col("event_type"), col("day"))
+  }
+
+  /** q214: interval merge (gaps-and-islands) — every event opens a
+    * 30-minute activity interval; overlapping/touching intervals per
+    * user coalesce into maximal islands, the canonical "effective
+    * sessions with fixed reach" shape behind on-call coverage, ad
+    * exposure windows, and machine-uptime stitching. The merge is the
+    * classic two-window form: flag rows whose start exceeds the running
+    * MAX of all PRIOR ends (frame ends at 1 PRECEDING — the current row
+    * must not see itself), then a running SUM of flags numbers the
+    * islands. Both windows share one (user_id) shuffle + one
+    * per-partition sort; per-user output is a bounded summary row.
+    * Everything stays in integer nanoseconds — exact in both engines.
+    */
+  val q214: QueryDef = QueryDef.checked(
+    "q214_interval_islands",
+    """WITH t AS (
+      |  SELECT user_id, event_id, epoch_ns(ts) AS st,
+      |    epoch_ns(ts) + 1800000000000 AS en
+      |  FROM events),
+      |w AS (
+      |  SELECT user_id, event_id, st, en,
+      |    COALESCE(CAST(st > MAX(en) OVER (
+      |      PARTITION BY user_id ORDER BY st, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS INT), 1)
+      |      AS new_island
+      |  FROM t),
+      |n AS (
+      |  SELECT user_id, st, en,
+      |    SUM(new_island) OVER (
+      |      PARTITION BY user_id ORDER BY st, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |  FROM w),
+      |g AS (
+      |  SELECT user_id, island, MIN(st) AS ist, MAX(en) AS ien,
+      |    COUNT(*) AS n_ev
+      |  FROM n GROUP BY user_id, island)
+      |SELECT user_id, COUNT(*) AS n_islands,
+      |  CAST(SUM(n_ev) AS BIGINT) AS n_events,
+      |  CAST(SUM(ien - ist) AS BIGINT) // 60000000000 AS covered_min,
+      |  CAST(MAX(ien - ist) AS BIGINT) // 60000000000 AS longest_min
+      |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+    val byStart = Window.partitionBy(col("user_id"))
+      .orderBy(col("st"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val run = Window.partitionBy(col("user_id"))
+      .orderBy(col("st"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts_ns").as("st"),
+        (col("ts_ns") + lit(1800000000000L)).as("en"))
+      .withColumn("new_island",
+        coalesce((col("st") > max(col("en")).over(byStart)).cast("int"), lit(1)))
+      .withColumn("island", sum(col("new_island")).over(run))
+      .groupBy(col("user_id"), col("island"))
+      .agg(min(col("st")).as("ist"), max(col("en")).as("ien"),
+        count(lit(1)).as("n_ev"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_islands"), sum(col("n_ev")).as("n_events"),
+        expr("CAST(SUM(ien - ist) AS BIGINT) div 60000000000").as("covered_min"),
+        expr("CAST(MAX(ien - ist) AS BIGINT) div 60000000000").as("longest_min"))
+      .orderBy(col("user_id"))
   }
 }
