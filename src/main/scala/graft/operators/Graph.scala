@@ -27,7 +27,8 @@ object Graph {
 
   def defs: Seq[QueryDef] =
     Seq(q110, q126, q127, q128, q129, q132, q133, q137, q141, q142, q144,
-      q156, q157, q159, q176, q177, q178, q181, q183, q194, q199, q208)
+      q156, q157, q159, q176, q177, q178, q181, q183, q194, q199, q208,
+      q218)
 
   /** Materialize-and-release helper for the cache contract above. */
   private def finish(out: DataFrame, release: Boolean,
@@ -2451,5 +2452,59 @@ object Graph {
     val und = half.unionByName(
       half.select(col("dst").as("src"), col("src").as("dst")))
     betweennessExact(und).orderBy(col("node"))
+  }
+
+  /** q218: degree assortativity of the handoff digraph — is the graph
+    * hub-to-hub (assortative) or hub-to-leaf (disassortative)? The
+    * Newman coefficient is the Pearson correlation of (out-degree of
+    * source, in-degree of target) over edges; everything here is
+    * emitted as the EXACT integer moment sums (m, Σxy, Σx, Σy, Σx²,
+    * Σy²) plus the cross-multiplied numerators, so the float r is one
+    * driver-side division away and the oracle hash-checks every term
+    * (the q196 overflow lesson: the products stay far under 2⁶³ at any
+    * SF because degrees are bounded by the q156 slice). Plan: two
+    * bounded degree aggs joined back edge-keyed, one global moment agg
+    * — no windows, no all-pairs; degree tables broadcast at this
+    * slice and hash-join keyed at 100 TB.
+    */
+  val q218: QueryDef = QueryDef.checked(
+    "q218_assortativity",
+    """WITH firsts AS (
+      |  SELECT event_type, epoch_ns(ts)//1000//3600000000 AS hr, user_id,
+      |    MIN(epoch_ns(ts)//1000) AS fts
+      |  FROM events WHERE event_id < 2000 GROUP BY 1, 2, 3),
+      |edges AS (
+      |  SELECT DISTINCT user_id AS src,
+      |    LEAD(user_id) OVER (PARTITION BY event_type, hr
+      |      ORDER BY fts, user_id) AS dst
+      |  FROM firsts WHERE hr % 7 = 0
+      |  QUALIFY dst IS NOT NULL AND dst != user_id),
+      |od AS (SELECT src, COUNT(*) AS x FROM edges GROUP BY src),
+      |idg AS (SELECT dst, COUNT(*) AS y FROM edges GROUP BY dst),
+      |j AS (
+      |  SELECT od.x, idg.y
+      |  FROM edges e JOIN od ON e.src = od.src JOIN idg ON e.dst = idg.dst)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS m,
+      |  CAST(SUM(x * y) AS BIGINT) AS sxy,
+      |  CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |  CAST(SUM(x * x) AS BIGINT) AS sxx,
+      |  CAST(SUM(y * y) AS BIGINT) AS syy,
+      |  CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS BIGINT) AS cov_num,
+      |  CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS BIGINT) AS varx_num,
+      |  CAST(COUNT(*) * SUM(y * y) - SUM(y) * SUM(y) AS BIGINT) AS vary_num
+      |FROM j""".stripMargin) { (s, d) =>
+    val edges = handoffEdges(Tables.events(s, d))
+    val od = edges.groupBy(col("src")).agg(count(lit(1)).as("x"))
+    val idg = edges.groupBy(col("dst")).agg(count(lit(1)).as("y"))
+    edges.join(broadcast(od), Seq("src")).join(broadcast(idg), Seq("dst"))
+      .agg(count(lit(1)).as("m"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("m"), col("sxy"), col("sx"), col("sy"), col("sxx"),
+        col("syy"),
+        (col("m") * col("sxy") - col("sx") * col("sy")).as("cov_num"),
+        (col("m") * col("sxx") - col("sx") * col("sx")).as("varx_num"),
+        (col("m") * col("syy") - col("sy") * col("sy")).as("vary_num"))
   }
 }

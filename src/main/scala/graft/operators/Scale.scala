@@ -12,7 +12,8 @@ import org.apache.spark.sql.expressions.Window
 object Scale {
 
   def defs: Seq[QueryDef] =
-    Seq(q47, q48, q63, q72, q94, q96, q125, q139, q155, q175, q197, q211)
+    Seq(q47, q48, q63, q72, q94, q96, q125, q139, q155, q175, q197, q211,
+      q216)
 
   /** Mergeable rank/quantile sketch as a fixed-grid histogram — the
     * fourth corner of the sketch family (q96 HLL = distinct, q139 CMS =
@@ -899,5 +900,81 @@ object Scale {
     cmsEstimate(sk, ev, "user_id", depth = 4, width = 64)
       .select(col("t").cast("bigint").as("user_id"), col("est"))
       .orderBy(col("user_id"))
+  }
+
+  /** q216: KMV (k-minimum-values) distinct sketch — the fifth sketch
+    * corner (q96 HLL is the engine-internal distinct estimator; KMV is
+    * the TRANSPARENT one: its whole state is the k=256 smallest Knuth
+    * hashes of the key set, so DuckDB replays it exactly and the driver
+    * hash-checks estimator state AND estimate, which no HLL register
+    * dump allows). est = (k−1)·2³²/h_k by the uniform-order-statistic
+    * argument; groups with fewer than k distinct hashes report their
+    * exact count. Mergeability is certified structurally: the `__union`
+    * row re-sketches the UNION of the per-group kept sets — exactly the
+    * distributed merge (ship k values per node, never the keys).
+    * Scale shape: the distinct + per-group top-k is one (grp,h) agg +
+    * one grp-keyed rank window; at 100 TB you'd pre-filter h against a
+    * per-group threshold broadcast from a sample before the shuffle —
+    * the window never sees more than the surviving hashes either way.
+    */
+  val q216: QueryDef = QueryDef.checked(
+    "q216_kmv_sketch",
+    """WITH b AS (
+      |  SELECT l_returnflag AS grp, l_orderkey AS k,
+      |    (l_orderkey * 2654435761) % 4294967296 AS h
+      |  FROM lineitem),
+      |ex AS (SELECT grp, COUNT(DISTINCT k) AS n_exact FROM b GROUP BY grp),
+      |hd AS (SELECT DISTINCT grp, h FROM b),
+      |rk AS (SELECT grp, h,
+      |  ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS r FROM hd),
+      |keep AS (SELECT grp, h FROM rk WHERE r <= 256),
+      |pg AS (
+      |  SELECT g.grp, g.n_kept, g.hk,
+      |    CASE WHEN g.n_kept >= 256
+      |      THEN (255 * 4294967296) // g.hk ELSE g.n_kept END AS est,
+      |    ex.n_exact
+      |  FROM (SELECT grp, COUNT(*) AS n_kept, MAX(h) AS hk
+      |        FROM keep GROUP BY grp) g
+      |  JOIN ex USING (grp)),
+      |uh AS (SELECT DISTINCT h FROM keep),
+      |urk AS (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS r FROM uh),
+      |ug AS (SELECT COUNT(*) AS n_kept, MAX(h) AS hk
+      |       FROM urk WHERE r <= 256),
+      |uex AS (SELECT COUNT(DISTINCT k) AS n_exact FROM b)
+      |SELECT grp, CAST(n_kept AS BIGINT) AS n_kept, hk,
+      |  CAST(est AS BIGINT) AS est, CAST(n_exact AS BIGINT) AS n_exact
+      |FROM pg
+      |UNION ALL
+      |SELECT '__union', CAST(ug.n_kept AS BIGINT), ug.hk,
+      |  CAST(CASE WHEN ug.n_kept >= 256
+      |    THEN (255 * 4294967296) // ug.hk ELSE ug.n_kept END AS BIGINT),
+      |  CAST((SELECT n_exact FROM uex) AS BIGINT)
+      |FROM ug
+      |ORDER BY grp""".stripMargin) { (s, d) =>
+    val b = Tables.lineitem(s, d).select(
+      col("l_returnflag").as("grp"), col("l_orderkey").as("k"),
+      expr("(l_orderkey * 2654435761L) % 4294967296L").as("h"))
+    val ex = b.groupBy(col("grp"))
+      .agg(countDistinct(col("k")).as("n_exact"))
+    val keep = b.select(col("grp"), col("h")).distinct()
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("grp")).orderBy(col("h"))))
+      .filter(col("r") <= 256)
+    def sketchOut(g: org.apache.spark.sql.RelationalGroupedDataset) = g
+      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("hk"))
+      .withColumn("est",
+        expr("CAST(CASE WHEN n_kept >= 256 THEN (255 * 4294967296L) div hk " +
+          "ELSE n_kept END AS BIGINT)"))
+    val perGroup = sketchOut(keep.groupBy(col("grp")))
+      .join(ex, Seq("grp"))
+      .select(col("grp"), col("n_kept"), col("hk"), col("est"), col("n_exact"))
+    val union = sketchOut(
+        keep.select(col("h")).distinct()
+          .withColumn("r", row_number().over(Window.orderBy(col("h"))))
+          .filter(col("r") <= 256).groupBy())
+      .crossJoin(broadcast(b.agg(countDistinct(col("k")).as("n_exact"))))
+      .select(lit("__union").as("grp"), col("n_kept"), col("hk"),
+        col("est"), col("n_exact"))
+    perGroup.unionAll(union).orderBy(col("grp"))
   }
 }

@@ -22,7 +22,7 @@ object TimeJoins {
 
   def defs: Seq[QueryDef] = Seq(q51, q52, q91, q100, q105, q107, q108, q109, q114,
     q122, q124, q162, q163, q165, q184, q185, q186, q190, q200, q203, q205,
-    q206, q207, q209, q210, q214)
+    q206, q207, q209, q210, q214, q217)
 
   /** As-of join: for every 'click' event, the most recent 'view' event by
     * the same user at-or-before it (order = (ts, event_id), so ties are
@@ -1391,5 +1391,55 @@ object TimeJoins {
         expr("CAST(SUM(ien - ist) AS BIGINT) div 60000000000").as("covered_min"),
         expr("CAST(MAX(ien - ist) AS BIGINT) div 60000000000").as("longest_min"))
       .orderBy(col("user_id"))
+  }
+
+  /** q217: seasonal-naive forecast backtest — the forecasting
+    * baseline every anomaly/capacity system must beat: predict each
+    * day's per-type event count with the count 7 calendar days earlier
+    * and score WAPE over the whole span. Built on q205's dense spine
+    * (a calendar LAG over a gappy series silently reaches 7 ROWS back,
+    * not 7 DAYS — densify first, then lag is exact), so the whole
+    * query is the spine + one series-keyed window + one agg; error
+    * sums stay in integers and WAPE is reported in exact ppm.
+    */
+  val q217: QueryDef = QueryDef.checked(
+    "q217_seasonal_backtest",
+    """WITH d AS (
+      |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+      |    COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |span AS (
+      |  SELECT MIN(epoch_ns(ts) // 86400000000000) AS d0,
+      |    MAX(epoch_ns(ts) // 86400000000000) AS d1
+      |  FROM events),
+      |spine AS (
+      |  SELECT t.event_type, g.day
+      |  FROM (SELECT DISTINCT event_type FROM events) t,
+      |    (SELECT unnest(generate_series(d0, d1)) AS day FROM span) g),
+      |dense AS (
+      |  SELECT s.event_type, s.day, COALESCE(d.n, 0) AS n
+      |  FROM spine s LEFT JOIN d USING (event_type, day)),
+      |f AS (
+      |  SELECT event_type, n,
+      |    LAG(n, 7) OVER (PARTITION BY event_type ORDER BY day) AS fc
+      |  FROM dense)
+      |SELECT event_type, COUNT(*) AS n_days,
+      |  CAST(SUM(ABS(n - fc)) AS BIGINT) AS sum_abs_err,
+      |  CAST(SUM(n) AS BIGINT) AS sum_actual,
+      |  (1000000 * CAST(SUM(ABS(n - fc)) AS BIGINT))
+      |    // GREATEST(CAST(SUM(n) AS BIGINT), 1) AS wape_ppm
+      |FROM f WHERE fc IS NOT NULL
+      |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    densifyDaily(Tables.events(s, d))
+      .withColumn("fc", lag(col("n"), 7).over(w))
+      .filter(col("fc").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(abs(col("n") - col("fc"))).as("sum_abs_err"),
+        sum(col("n")).as("sum_actual"))
+      .withColumn("wape_ppm",
+        expr("(1000000L * sum_abs_err) div greatest(sum_actual, 1L)"))
+      .orderBy(col("event_type"))
   }
 }
