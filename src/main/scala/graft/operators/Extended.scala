@@ -16,7 +16,7 @@ object Extended {
 
   def defs: Seq[QueryDef] = Seq(q42, q43, q44, q45, q46, q90, q92, q93, q95, q97,
     q101, q117, q118, q119, q120, q121, q146, q150, q166, q168, q169,
-    q172, q188, q189, q196, q201, q202, q213)
+    q172, q188, q189, q196, q201, q202, q213, q221)
 
   /** q95: ORC round-trip — q44's lossless write→read check for the
     * third columnar format (ORC ships with Spark; DuckDB cannot read
@@ -1380,5 +1380,56 @@ object Extended {
       .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"),
         min(col("v")).as("min_v"), max(col("v")).as("max_v"))
       .orderBy(col("rf"), col("measure"))
+  }
+
+  /** q221: join-key skew diagnostic — the pre-flight report that decides
+    * between a plain shuffle join, q219's salting, and AQE skew-split:
+    * the key-frequency distribution of a prospective join key (count
+    * quantiles, max, and the exact traffic share of the top 1% hottest
+    * keys in ppm). One map-side-combined count agg; the stats agg and
+    * the top-1% cut both run over #DISTINCT KEYS rows, not data rows —
+    * the global rank window is bounded by key cardinality (and at
+    * 100 TB you'd threshold-prefilter candidates above p99 before
+    * ranking). All readouts are exact integers.
+    */
+  val q221: QueryDef = QueryDef.checked(
+    "q221_skew_diagnostic",
+    """WITH c AS (
+      |  SELECT l_partkey AS k, COUNT(*) AS cnt FROM lineitem GROUP BY 1),
+      |st AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+      |    CAST(SUM(cnt) AS BIGINT) AS n_rows,
+      |    CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+      |    CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY cnt) AS BIGINT)
+      |      AS p50_cnt,
+      |    CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY cnt) AS BIGINT)
+      |      AS p99_cnt
+      |  FROM c),
+      |r AS (SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, k) AS rnk FROM c),
+      |top AS (
+      |  SELECT CAST(SUM(r.cnt) AS BIGINT) AS top_cnt,
+      |    CAST(COUNT(*) AS BIGINT) AS top_keys
+      |  FROM r, st WHERE r.rnk <= (st.n_keys + 99) // 100)
+      |SELECT st.n_rows, st.n_keys, st.max_cnt, st.p50_cnt, st.p99_cnt,
+      |  top.top_keys, (1000000 * top.top_cnt) // st.n_rows AS top1pct_share_ppm
+      |FROM st, top""".stripMargin) { (s, d) =>
+    val c = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey").as("k")).agg(count(lit(1)).as("cnt"))
+    val st = c.agg(
+      count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"),
+      max(col("cnt")).as("max_cnt"),
+      expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY cnt) AS BIGINT)")
+        .as("p50_cnt"),
+      expr("CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY cnt) AS BIGINT)")
+        .as("p99_cnt"))
+    val r = c.withColumn("rnk",
+      row_number().over(Window.orderBy(col("cnt").desc, col("k"))))
+    val top = r.crossJoin(broadcast(st.select(col("n_keys"))))
+      .filter(col("rnk") <= expr("(n_keys + 99) div 100"))
+      .agg(sum(col("cnt")).as("top_cnt"), count(lit(1)).as("top_keys"))
+    broadcast(st).crossJoin(broadcast(top))
+      .select(col("n_rows"), col("n_keys"), col("max_cnt"), col("p50_cnt"),
+        col("p99_cnt"), col("top_keys"),
+        expr("(1000000L * top_cnt) div n_rows").as("top1pct_share_ppm"))
   }
 }

@@ -13,7 +13,7 @@ object Scale {
 
   def defs: Seq[QueryDef] =
     Seq(q47, q48, q63, q72, q94, q96, q125, q139, q155, q175, q197, q211,
-      q216)
+      q216, q219)
 
   /** Mergeable rank/quantile sketch as a fixed-grid histogram — the
     * fourth corner of the sketch family (q96 HLL = distinct, q139 CMS =
@@ -976,5 +976,39 @@ object Scale {
       .select(lit("__union").as("grp"), col("n_kept"), col("hk"),
         col("est"), col("n_exact"))
     perGroup.unionAll(union).orderBy(col("grp"))
+  }
+
+  /** q219: salted skew join — the manual hot-key remedy for when AQE
+    * can't help (stateful plans, pre-3.0 clusters) and the dim side is
+    * too big to broadcast: the fact side appends salt = fact_key mod 8,
+    * the dim side replicates each row across all 8 salts (`explode` of
+    * a literal range — 8× the SMALL side only), and the join keys on
+    * (key, salt) so one hot key's rows spread over 8 shuffle
+    * partitions instead of one straggler. The `merge` hint forces the
+    * shuffled path (a broadcast would privately defeat the
+    * demonstration at this SF); the oracle is the PLAIN join — salting
+    * must be answer-invariant, which is the whole correctness
+    * contract. PlanShapeSpec pins the salted key into the join.
+    */
+  val q219: QueryDef = QueryDef.checked(
+    "q219_salted_join",
+    """SELECT s_nationkey, COUNT(*) AS n,
+      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |    AS BIGINT) AS rev_cents
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin) { (s, d) =>
+    val fact = Tables.lineitem(s, d).select(
+      col("l_suppkey").as("k"),
+      expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        .as("cents"),
+      expr("l_orderkey % 8").as("salt"))
+    val dim = Tables.supplier(s, d)
+      .select(col("s_suppkey").as("k"), col("s_nationkey"))
+      .withColumn("salt", explode(sequence(lit(0L), lit(7L))))
+    fact.hint("merge")
+      .join(dim, Seq("k", "salt"))
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("rev_cents"))
+      .orderBy(col("s_nationkey"))
   }
 }

@@ -18,7 +18,7 @@ import org.apache.spark.sql.expressions.Window
 object Similarity {
 
   def defs: Seq[QueryDef] =
-    Seq(q31, q32, q33, q69, q71, q81, q98, q99, q116, q160, q161)
+    Seq(q31, q32, q33, q69, q71, q81, q98, q99, q116, q160, q161, q220)
 
   /** Symmetric per-vector int8 quantization — the 4× storage cut that
     * makes a 100 TB float32 embedding corpus a 25 TB one: each vector
@@ -631,5 +631,58 @@ object Similarity {
       .groupBy(col("pos")).agg(avg(col("x")).as("m"))
       .orderBy(col("pos")).collect().map(_.getDouble(1)).toSeq
     mmrSelect(e, centroid, k = 10).orderBy(col("rank"))
+  }
+
+  /** q220: item-item collaborative filtering — the classic "customers
+    * who bought X also bought Y" neighbor lists from order baskets:
+    * co-occurrence counts within an order, scored by squared cosine
+    * over binary basket vectors (c²ᵢⱼ/(nᵢ·nⱼ), held in exact ppm
+    * integers — same determinism discipline as q206's lift), top-3
+    * partners per item by (score, partner id). The pair generation is
+    * the basket self-join — fanout bounded by ORDER SIZE squared (a
+    * handful of lines), never by catalog size, the q206/q128
+    * wedge discipline; the neighbor cut is a per-item window top-k,
+    * no global sort. At 100 TB the only unbounded dimension is
+    * #distinct pairs, which the min-count filter (c ≥ 2) prunes
+    * before the window shuffle.
+    */
+  val q220: QueryDef = QueryDef.checked(
+    "q220_item_item_cf",
+    """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem),
+      |ni AS (SELECT i, COUNT(*) AS n FROM b GROUP BY i),
+      |pairs AS (
+      |  SELECT a.i AS i, c.i AS j, COUNT(*) AS c
+      |  FROM b a JOIN b c ON a.o = c.o AND a.i <> c.i
+      |  GROUP BY a.i, c.i),
+      |scored AS (
+      |  SELECT p.i, p.j, p.c,
+      |    (1000000 * p.c * p.c) // (x.n * y.n) AS score_ppm
+      |  FROM pairs p JOIN ni x ON p.i = x.i JOIN ni y ON p.j = y.i
+      |  WHERE p.c >= 2),
+      |rk AS (
+      |  SELECT i, j, c, score_ppm, ROW_NUMBER() OVER (
+      |    PARTITION BY i ORDER BY score_ppm DESC, j) AS rnk
+      |  FROM scored)
+      |SELECT i, j, CAST(c AS BIGINT) AS c, score_ppm, CAST(rnk AS BIGINT) AS rnk
+      |FROM rk WHERE rnk <= 3 ORDER BY i, rnk""".stripMargin) { (s, d) =>
+    val b = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("i")).distinct()
+    val ni = b.groupBy(col("i")).agg(count(lit(1)).as("n"))
+    val pairs = b.join(b.select(col("o"), col("i").as("j")), Seq("o"))
+      .filter(col("i") =!= col("j"))
+      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+    val scored = pairs
+      .join(ni.select(col("i"), col("n").as("n_i")), Seq("i"))
+      .join(ni.select(col("i").as("j"), col("n").as("n_j")), Seq("j"))
+      .withColumn("score_ppm",
+        expr("(1000000L * c * c) div (n_i * n_j)"))
+    scored.withColumn("rnk", row_number().over(
+        Window.partitionBy(col("i"))
+          .orderBy(col("score_ppm").desc, col("j"))))
+      .filter(col("rnk") <= 3)
+      .select(col("i"), col("j"), col("c"), col("score_ppm"),
+        col("rnk").cast("long").as("rnk"))
+      .orderBy(col("i"), col("rnk"))
   }
 }

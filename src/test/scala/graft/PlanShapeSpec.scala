@@ -297,4 +297,17 @@ class PlanShapeSpec extends AnyFunSuite {
       s"only the presentation orderBy may range-partition, " +
         s"found $rangeExchanges:\n$plan")
   }
+
+  test("q219 salted join keys on (k, salt) through the shuffled path") {
+    val plan = executedPlan("q219_salted_join")
+    val finalPlan = plan.split("== Initial Plan ==").head
+    // the whole point of salting is to spread a hot key across salt
+    // partitions — a broadcast join would bypass the salted shuffle
+    assert(finalPlan.contains("SortMergeJoin"),
+      s"salted join must stay on the shuffled merge path:\n$finalPlan")
+    assert(finalPlan.contains("salt"),
+      s"join keys must include the salt column:\n$finalPlan")
+    assert(!finalPlan.contains("BroadcastHashJoin"),
+      s"broadcast would defeat the salting demonstration:\n$finalPlan")
+  }
 }
