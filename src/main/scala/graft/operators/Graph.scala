@@ -28,7 +28,7 @@ object Graph {
   def defs: Seq[QueryDef] =
     Seq(q110, q126, q127, q128, q129, q132, q133, q137, q141, q142, q144,
       q156, q157, q159, q176, q177, q178, q181, q183, q194, q199, q208,
-      q218)
+      q218, q222, q223, q224)
 
   /** Materialize-and-release helper for the cache contract above. */
   private def finish(out: DataFrame, release: Boolean,
@@ -2506,5 +2506,204 @@ object Graph {
         (col("m") * col("sxy") - col("sx") * col("sy")).as("cov_num"),
         (col("m") * col("sxx") - col("sx") * col("sx")).as("varx_num"),
         (col("m") * col("syy") - col("sy") * col("sy")).as("vary_num"))
+  }
+
+  /** q222: SAMPLED-pivot betweenness — the estimator that makes
+    * centrality affordable when all-sources Brandes (q177) is not: run
+    * the layered sweep from a deterministic Knuth-hash quarter of the
+    * nodes (pivots = Bader/Brandes-Pich sampling, but hash-picked so
+    * every engine/run selects the same set) and scale the partial sums
+    * by n/|pivots|. Cost drops linearly in the pivot fraction — the
+    * frontier frames carry |pivots|×nodes state instead of nodes². The
+    * per-root machinery is IDENTICAL to q177's (one code path);
+    * BetweennessSpec pins sampled runs to root-restricted sequential
+    * Brandes sums. Rows-only for q177's reason (float δ); the
+    * extrapolation stays in exact integer ppm arithmetic.
+    */
+  val q222: QueryDef = QueryDef.rowsOnly("q222_betweenness_sampled") { (s, d) =>
+    val ev = Tables.events(s, d).filter(col("event_id") < 3000)
+      .select(col("user_id"), col("event_type")).distinct()
+    val types = ev.select(col("event_type")).distinct()
+      .withColumn("tid", lit(1000000L) + dense_rank()
+        .over(org.apache.spark.sql.expressions.Window.orderBy(col("event_type"))))
+    val half = ev.join(broadcast(types), Seq("event_type"))
+      .select(col("user_id").as("src"), col("tid").as("dst"))
+    val und = half.unionByName(
+      half.select(col("dst").as("src"), col("src").as("dst")))
+    val pivot = expr("pmod(node * 2654435761, 4) = 0")
+    val sampled = betweennessExact(und, Some(pivot))
+    val counts = und.select(col("src").as("node")).distinct()
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(when(expr("pmod(node * 2654435761, 4) = 0"), 1L).otherwise(0L))
+          .as("n_roots"))
+    sampled.crossJoin(broadcast(counts))
+      .select(col("node"), col("bc_ppm"),
+        expr("(bc_ppm * n_nodes) div greatest(n_roots, 1L)").as("est_ppm"))
+      .orderBy(col("node"))
+  }
+
+  /** Weighted critical path over the condensation DAG: P(u,v) = max
+    * total component size over u→v paths counting every node except u,
+    * computed by max-plus DOUBLING (P ∪ P∘P, `+` adds path weights so
+    * shared nodes are never double-counted, max-agg dedups) — q178's
+    * layer recursion with edge weight sz(dst) instead of 1. The
+    * fixpoint certificate is the same monotone sum argument: sizes are
+    * positive, so Σ per-pair maxima strictly increases until converged.
+    */
+  def criticalPathWeights(edges0: DataFrame,
+      memoKey: Option[String] = None): DataFrame = {
+    val (_, _, scc) = memoKey match {
+      case Some(k) => closureFramesMemo(edges0, k)
+      case None => closureFrames(edges0)
+    }
+    val sizes = scc.groupBy(col("scc_id")).agg(count(lit(1)).as("sz"))
+    val direct = edges0.select(col("src"), col("dst")).distinct()
+    val lifted = direct
+      .join(broadcast(scc.select(col("node").as("src"), col("scc_id").as("sa"))),
+        Seq("src"))
+      .join(broadcast(scc.select(col("node").as("dst"), col("scc_id").as("sb"))),
+        Seq("dst"))
+      .filter(col("sa") =!= col("sb"))
+      .select(col("sa"), col("sb")).distinct()
+      .join(broadcast(sizes.select(col("scc_id").as("sb"), col("sz"))),
+        Seq("sb"))
+      .select(col("sa"), col("sb"), col("sz").as("w"))
+      .localCheckpoint(true)
+    var lp = lifted
+    def total(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("w")), lit(0L))).head.getLong(0)
+    var t = total(lp)
+    var changed = true
+    while (changed) {
+      val step = lp.as("r1")
+        .join(lp.as("r2"), col("r1.sb") === col("r2.sa"))
+        .select(col("r1.sa").as("sa"), col("r2.sb").as("sb"),
+          (col("r1.w") + col("r2.w")).as("w"))
+      val next = lp.union(step)
+        .groupBy(col("sa"), col("sb")).agg(max(col("w")).as("w"))
+        .localCheckpoint(true)
+      val t2 = total(next)
+      changed = t2 != t
+      t = t2
+      lp = next
+    }
+    sizes
+      .join(broadcast(lp.groupBy(col("sb").as("scc_id"))
+        .agg(max(col("w")).as("in_w"))), Seq("scc_id"), "left")
+      .select(col("scc_id"), col("sz").as("n_nodes"),
+        (col("sz") + coalesce(col("in_w"), lit(0L))).as("crit_w"))
+  }
+
+  /** q223: weighted critical path per condensation component — the
+    * scheduling readout q178's unit-depth layers can't give: with node
+    * weight = component size, crit_w(v) is the heaviest chain of users
+    * ending at v, the longest-pole analysis of any DAG of task groups.
+    * FULLY oracle-checked: DuckDB accumulates (component, path-weight)
+    * states with a recursive CTE (UNION-deduped — bounded by
+    * components × distinct partial sums, no path enumeration), and
+    * MAX(weight) per component matches the doubling exactly.
+    */
+  val q223: QueryDef = QueryDef.checked(
+    "q223_critical_path",
+    """WITH RECURSIVE firsts AS MATERIALIZED (
+      |  SELECT event_type, epoch_ns(ts)//1000//3600000000 AS hr, user_id,
+      |    MIN(epoch_ns(ts)//1000) AS fts
+      |  FROM events WHERE event_id < 2000 GROUP BY 1, 2, 3),
+      |edges AS MATERIALIZED (
+      |  SELECT DISTINCT user_id AS src,
+      |    LEAD(user_id) OVER (PARTITION BY event_type, hr
+      |      ORDER BY fts, user_id) AS dst
+      |  FROM firsts WHERE hr % 7 = 0
+      |  QUALIFY dst IS NOT NULL AND dst != user_id),
+      |nodes AS MATERIALIZED (
+      |  SELECT src AS v FROM edges UNION SELECT dst FROM edges),
+      |reach(a, b) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+      |mutual AS (
+      |  SELECT r1.a AS v, r1.b AS w
+      |  FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a),
+      |scc AS MATERIALIZED (
+      |  SELECT n.v AS node, LEAST(n.v, COALESCE(MIN(m.w), n.v)) AS scc_id
+      |  FROM nodes n LEFT JOIN mutual m ON m.v = n.v GROUP BY n.v),
+      |sizes AS MATERIALIZED (
+      |  SELECT scc_id, COUNT(*) AS sz FROM scc GROUP BY 1),
+      |lifted AS MATERIALIZED (
+      |  SELECT DISTINCT s1.scc_id AS sa, s2.scc_id AS sb
+      |  FROM edges e JOIN scc s1 ON e.src = s1.node
+      |  JOIN scc s2 ON e.dst = s2.node
+      |  WHERE s1.scc_id != s2.scc_id),
+      |paths(b, w) AS (
+      |  SELECT l.sb, z.sz FROM lifted l JOIN sizes z ON z.scc_id = l.sb
+      |  UNION
+      |  SELECT l.sb, p.w + z.sz
+      |  FROM paths p JOIN lifted l ON l.sa = p.b
+      |  JOIN sizes z ON z.scc_id = l.sb),
+      |crit AS (SELECT b AS scc_id, MAX(w) AS in_w FROM paths GROUP BY 1)
+      |SELECT s.scc_id, s.sz AS n_nodes,
+      |  s.sz + COALESCE(c.in_w, 0) AS crit_w
+      |FROM sizes s LEFT JOIN crit c USING (scc_id)
+      |ORDER BY scc_id""".stripMargin) { (s, d) =>
+    criticalPathWeights(handoffEdges(Tables.events(s, d)),
+        memoKey = Some(s"$d#handoff"))
+      .orderBy(col("scc_id"))
+  }
+
+  /** q224: HITS hubs & authorities on the handoff digraph — the
+    * link-analysis complement to PageRank (q110 ranks by incoming mass;
+    * HITS separates REFERRERS from REFERENCED). Two mutual-
+    * reinforcement rounds from the all-ones start, kept UNNORMALIZED in
+    * exact integers (normalization only rescales the ranking; dropping
+    * it makes every value a path count — a₂(v) = #(2-step in-walks),
+    * h₂(u) = #(u→·→· out-walks through one reversal), which DuckDB
+    * replays join-for-join and the driver hash-checks exactly). Each
+    * round is one edge-keyed agg per side — the canonical power-
+    * iteration shuffle shape, identical at any scale.
+    */
+  val q224: QueryDef = QueryDef.checked(
+    "q224_hits",
+    """WITH firsts AS (
+      |  SELECT event_type, epoch_ns(ts)//1000//3600000000 AS hr, user_id,
+      |    MIN(epoch_ns(ts)//1000) AS fts
+      |  FROM events WHERE event_id < 2000 GROUP BY 1, 2, 3),
+      |edges AS (
+      |  SELECT DISTINCT user_id AS src,
+      |    LEAD(user_id) OVER (PARTITION BY event_type, hr
+      |      ORDER BY fts, user_id) AS dst
+      |  FROM firsts WHERE hr % 7 = 0
+      |  QUALIFY dst IS NOT NULL AND dst != user_id),
+      |nodes AS (SELECT src AS v FROM edges UNION SELECT dst FROM edges),
+      |a1 AS (SELECT dst AS v, CAST(COUNT(*) AS BIGINT) AS a
+      |       FROM edges GROUP BY dst),
+      |h1 AS (SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS h
+      |       FROM edges GROUP BY src),
+      |a2 AS (
+      |  SELECT e.dst AS v, CAST(SUM(h1.h) AS BIGINT) AS a
+      |  FROM edges e JOIN h1 ON e.src = h1.v GROUP BY e.dst),
+      |h2 AS (
+      |  SELECT e.src AS v, CAST(SUM(a1.a) AS BIGINT) AS h
+      |  FROM edges e JOIN a1 ON e.dst = a1.v GROUP BY e.src)
+      |SELECT n.v AS node, COALESCE(h2.h, 0) AS hub,
+      |  COALESCE(a2.a, 0) AS authority
+      |FROM nodes n LEFT JOIN h2 ON n.v = h2.v LEFT JOIN a2 ON n.v = a2.v
+      |ORDER BY node""".stripMargin) { (s, d) =>
+    val edges = handoffEdges(Tables.events(s, d)).localCheckpoint(true)
+    val nodes = edges.select(col("src").as("v"))
+      .unionByName(edges.select(col("dst").as("v"))).distinct()
+    val a1 = edges.groupBy(col("dst").as("v")).agg(count(lit(1)).as("a"))
+    val h1 = edges.groupBy(col("src").as("v")).agg(count(lit(1)).as("h"))
+    val a2 = edges.join(broadcast(h1.select(col("v").as("src"), col("h"))),
+        Seq("src"))
+      .groupBy(col("dst").as("v")).agg(sum(col("h")).as("a"))
+    val h2 = edges.join(broadcast(a1.select(col("v").as("dst"), col("a"))),
+        Seq("dst"))
+      .groupBy(col("src").as("v")).agg(sum(col("a")).as("h"))
+    nodes.join(h2.select(col("v"), col("h").as("hub")), Seq("v"), "left")
+      .join(a2.select(col("v"), col("a").as("authority")), Seq("v"), "left")
+      .select(col("v").as("node"),
+        coalesce(col("hub"), lit(0L)).as("hub"),
+        coalesce(col("authority"), lit(0L)).as("authority"))
+      .orderBy(col("node"))
   }
 }
