@@ -16,7 +16,7 @@ object Extended {
 
   def defs: Seq[QueryDef] = Seq(q42, q43, q44, q45, q46, q90, q92, q93, q95, q97,
     q101, q117, q118, q119, q120, q121, q146, q150, q166, q168, q169,
-    q172, q188, q189, q196, q201, q202, q213, q221)
+    q172, q188, q189, q196, q201, q202, q213, q221, q227)
 
   /** q95: ORC round-trip — q44's lossless write→read check for the
     * third columnar format (ORC ships with Spark; DuckDB cannot read
@@ -1431,5 +1431,50 @@ object Extended {
       .select(col("n_rows"), col("n_keys"), col("max_cnt"), col("p50_cnt"),
         col("p99_cnt"), col("top_keys"),
         expr("(1000000L * top_cnt) div n_rows").as("top1pct_share_ppm"))
+  }
+
+  /** q227: hierarchical rollup — subtree aggregation over a forest, the
+    * org-chart / category-tree / account-hierarchy staple: every user
+    * rolls up through its decimal-prefix ancestor chain (parent =
+    * id div 10 — a deterministic radix forest over the id space), and
+    * each ancestor node reports its subtree's user count and event
+    * total. The Spark shape is the scale lesson: NO recursion at all —
+    * each row explodes its ≤19 ancestors ROW-LOCALLY (transform over a
+    * constant shift array) and one keyed agg does the rollup, versus
+    * the oracle's recursive CTE which walks parent links level by
+    * level. Path-to-root explode beats iteration whenever depth is
+    * bounded, which id-structured hierarchies guarantee.
+    */
+  val q227: QueryDef = QueryDef.checked(
+    "q227_hierarchy_rollup",
+    """WITH RECURSIVE c AS (
+      |  SELECT user_id AS u, COUNT(*) AS cnt FROM events GROUP BY 1),
+      |anc(u, a) AS (
+      |  SELECT u, u FROM c
+      |  UNION ALL
+      |  SELECT u, a // 10 FROM anc WHERE a >= 10),
+      |r AS (
+      |  SELECT anc.a, COUNT(*) AS n_desc,
+      |    CAST(SUM(c.cnt) AS BIGINT) AS sum_events
+      |  FROM anc JOIN c USING (u)
+      |  WHERE anc.a >= 1 GROUP BY anc.a)
+      |SELECT r.a AS node, r.n_desc, r.sum_events,
+      |  CASE WHEN c2.u IS NULL THEN 0 ELSE 1 END AS is_user
+      |FROM r LEFT JOIN c c2 ON c2.u = r.a
+      |ORDER BY node""".stripMargin) { (s, d) =>
+    val c = Tables.events(s, d)
+      .groupBy(col("user_id").as("u")).agg(count(lit(1)).as("cnt"))
+    val anc = c.select(col("u"), col("cnt"),
+        explode(expr(
+          "transform(sequence(0, 18), k -> u div CAST(power(10, k) AS BIGINT))"))
+          .as("a"))
+      .filter(col("a") >= 1)
+    anc.groupBy(col("a"))
+      .agg(count(lit(1)).as("n_desc"), sum(col("cnt")).as("sum_events"))
+      .join(broadcast(c.select(col("u").as("a"), lit(1).as("is_user"))),
+        Seq("a"), "left")
+      .select(col("a").as("node"), col("n_desc"), col("sum_events"),
+        coalesce(col("is_user"), lit(0)).as("is_user"))
+      .orderBy(col("node"))
   }
 }

@@ -15,7 +15,7 @@ object Sampling {
 
   def defs: Seq[QueryDef] =
     Seq(q53, q54, q55, q56, q67, q77, q104, q106, q111, q164, q170, q171,
-      q192, q215)
+      q192, q215, q225, q226)
 
   /** Generic stratified sample: at most `k` rows per stratum, selected
     * by `hashOrder` (e.g. md5 of a content column) — deterministic,
@@ -639,5 +639,95 @@ object Sampling {
       .filter(col("rk") <= col("nh"))
       .select(col("doc_id"), col("source"), col("h"), col("rk"), col("nh"))
       .orderBy(col("source"), col("rk"))
+  }
+
+  /** q225: quantile normalization — map every stratum's value
+    * distribution onto the GLOBAL one (the cross-source length
+    * harmonization trick from expression-array statistics): a doc at
+    * within-source rank rk of n_s maps to the global value at index
+    * ⌊(rk−1)·(N−1)/(n_s−1)⌋ — pure integer arithmetic, so the mapped
+    * value is an actual data point and both engines agree bit-for-bit.
+    * Shape: one source-keyed rank window + one global numbering + an
+    * equi-join on the computed index. The global numbering is the
+    * honest cost (#docs rows through one sort) — at 100 TB you'd swap
+    * it for q106-style percentile_disc cutoffs at the grid points and
+    * keep the row-local compare; this form is the exact reference.
+    */
+  val q225: QueryDef = QueryDef.checked(
+    "q225_quantile_norm",
+    """WITH g AS (
+      |  SELECT doc_id, source, n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id)
+      |      AS rk,
+      |    COUNT(*) OVER (PARTITION BY source) AS n_s
+      |  FROM documents),
+      |gl AS (
+      |  SELECT n_chars AS gv,
+      |    ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rn,
+      |    COUNT(*) OVER () AS n
+      |  FROM documents)
+      |SELECT g.doc_id, g.source, g.n_chars, gl.gv AS norm_chars
+      |FROM g JOIN gl
+      |  ON gl.rn = ((g.rk - 1) * (gl.n - 1))
+      |    // GREATEST(g.n_s - 1, 1) + 1
+      |ORDER BY g.doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val g = docs.select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))))
+      .withColumn("n_s", count(lit(1)).over(Window.partitionBy(col("source"))))
+    val glob = docs.select(col("n_chars").as("gv"),
+        row_number().over(Window.orderBy(col("n_chars"), col("doc_id")))
+          .cast("long").as("rn"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+    g.join(glob,
+        col("rn") === expr("((rk - 1) * (n - 1)) div greatest(n_s - 1, 1) + 1"))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("gv").as("norm_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q226: weighted median — the robust-stats cut q164/q171/q192 leave
+    * open: the quantity-weighted median price per return flag (each
+    * lineitem counts `l_quantity` times — "median unit price", not
+    * median line price). Lower weighted median by definition: the first
+    * value (in (cents, orderkey, linenumber) total order — unique, so
+    * the running sum is engine-independent) whose cumulative weight
+    * reaches half the total. One keyed window + one agg; all integers.
+    */
+  val q226: QueryDef = QueryDef.checked(
+    "q226_weighted_median",
+    """WITH t AS (
+      |  SELECT l_returnflag AS rf,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents,
+      |    CAST(l_quantity AS BIGINT) AS w, l_orderkey AS ok,
+      |    l_linenumber AS ln
+      |  FROM lineitem),
+      |c AS (
+      |  SELECT rf, cents, w,
+      |    SUM(w) OVER (PARTITION BY rf ORDER BY cents, ok, ln
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+      |    SUM(w) OVER (PARTITION BY rf) AS wt
+      |  FROM t)
+      |SELECT rf, CAST(MAX(wt) AS BIGINT) AS w_total,
+      |  MIN(CASE WHEN 2 * cw >= wt THEN cents END) AS median_cents
+      |FROM c GROUP BY rf ORDER BY rf""".stripMargin) { (s, d) =>
+    val t = Tables.lineitem(s, d).select(
+      col("l_returnflag").as("rf"),
+      expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        .as("cents"),
+      col("l_quantity").cast("long").as("w"),
+      col("l_orderkey").as("ok"), col("l_linenumber").as("ln"))
+    val run = Window.partitionBy(col("rf"))
+      .orderBy(col("cents"), col("ok"), col("ln"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.withColumn("cw", sum(col("w")).over(run))
+      .withColumn("wt", sum(col("w")).over(Window.partitionBy(col("rf"))))
+      .groupBy(col("rf"))
+      .agg(max(col("wt")).as("w_total"),
+        min(when(lit(2) * col("cw") >= col("wt"), col("cents")))
+          .as("median_cents"))
+      .orderBy(col("rf"))
   }
 }

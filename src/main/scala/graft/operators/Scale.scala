@@ -13,7 +13,7 @@ object Scale {
 
   def defs: Seq[QueryDef] =
     Seq(q47, q48, q63, q72, q94, q96, q125, q139, q155, q175, q197, q211,
-      q216, q219)
+      q216, q219, q228)
 
   /** Mergeable rank/quantile sketch as a fixed-grid histogram — the
     * fourth corner of the sketch family (q96 HLL = distinct, q139 CMS =
@@ -1007,6 +1007,46 @@ object Scale {
       .withColumn("salt", explode(sequence(lit(0L), lit(7L))))
     fact.hint("merge")
       .join(dim, Seq("k", "salt"))
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("rev_cents"))
+      .orderBy(col("s_nationkey"))
+  }
+
+  /** q228: runtime bloom-filter join — Catalyst's InjectRuntimeFilter
+    * (the Spark-native cousin of q62's hand-built bloom prune): when a
+    * shuffled join's build side carries a selective predicate, the
+    * optimizer plants a BloomFilterAggregate over the build keys and
+    * rewrites the probe scan to `might_contain(key)`, discarding
+    * non-joining fact rows BEFORE the shuffle — at 100 TB this is the
+    * difference between shuffling the whole fact table and shuffling
+    * the ~joining fraction. The thresholds are sized for real clusters
+    * (probe ≥ 10 GB), so the query runs in an ISOLATED session (q158's
+    * newSession scoping) with the size gates opened and broadcast
+    * disabled — the conf shapes the PLAN only; the oracle is the plain
+    * join, and PlanShapeSpec pins `might_contain` into the probe scan.
+    */
+  val q228: QueryDef = QueryDef.checked(
+    "q228_bloom_runtime_join",
+    """SELECT s_nationkey, COUNT(*) AS n,
+      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |    AS BIGINT) AS rev_cents
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE s_nationkey < 5
+      |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin) { (s, d) =>
+    val iso = s.newSession()
+    iso.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    iso.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    iso.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "0")
+    val fact = Tables.lineitem(iso, d).select(
+      col("l_suppkey").as("k"),
+      expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        .as("cents"))
+    val dim = Tables.supplier(iso, d)
+      .filter(col("s_nationkey") < 5)
+      .select(col("s_suppkey").as("k"), col("s_nationkey"))
+    fact.join(dim, Seq("k"))
       .groupBy(col("s_nationkey"))
       .agg(count(lit(1)).as("n"), sum(col("cents")).as("rev_cents"))
       .orderBy(col("s_nationkey"))

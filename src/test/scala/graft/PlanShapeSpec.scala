@@ -310,4 +310,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!finalPlan.contains("BroadcastHashJoin"),
       s"broadcast would defeat the salting demonstration:\n$finalPlan")
   }
+
+  test("q228 injects a runtime bloom filter into the probe side") {
+    val plan = executedPlan("q228_bloom_runtime_join")
+    val finalPlan = plan.split("== Initial Plan ==").head
+    // InjectRuntimeFilter must rewrite the fact scan to
+    // might_contain(bloom(build keys)) — pruning before the shuffle is
+    // the whole 100 TB point of the query
+    assert(finalPlan.contains("might_contain"),
+      s"expected a runtime bloom filter on the probe side:\n$finalPlan")
+    assert(finalPlan.contains("SortMergeJoin") ||
+      finalPlan.contains("ShuffledHashJoin"),
+      s"the join must stay shuffled (broadcast disabled in the iso " +
+        s"session):\n$finalPlan")
+  }
 }
