@@ -28,7 +28,7 @@ object Graph {
   def defs: Seq[QueryDef] =
     Seq(q110, q126, q127, q128, q129, q132, q133, q137, q141, q142, q144,
       q156, q157, q159, q176, q177, q178, q181, q183, q194, q199, q208,
-      q218, q222, q223, q224)
+      q218, q222, q223, q224, q233)
 
   /** Materialize-and-release helper for the cache contract above. */
   private def finish(out: DataFrame, release: Boolean,
@@ -2705,5 +2705,52 @@ object Graph {
         coalesce(col("hub"), lit(0L)).as("hub"),
         coalesce(col("authority"), lit(0L)).as("authority"))
       .orderBy(col("node"))
+  }
+
+  /** q233: log₂-binned degree distribution — the power-law readout
+    * (Barabási's first plot) every graph pipeline runs before choosing
+    * skew remedies: exponential-width bins keep heavy tails visible
+    * where a linear histogram would smear them into one bucket. The
+    * integer-exactness trick: bucket = length(bin(deg)) — the binary
+    * string length IS ⌊log₂ deg⌋+1, identical in both engines with no
+    * float log anywhere; bin bounds come back via 1 << (bucket−1).
+    * Out- and in-degree side by side (same edges, keyed on src vs dst)
+    * over the q156 handoff digraph. Shape: two degree aggs + two tiny
+    * bucket aggs — everything past the edge build is #nodes-sized, and
+    * the bucket agg is map-side combined into ≤64 rows per side.
+    */
+  val q233: QueryDef = QueryDef.checked(
+    "q233_degree_histogram",
+    """WITH firsts AS (
+      |  SELECT event_type, epoch_ns(ts)//1000//3600000000 AS hr, user_id,
+      |    MIN(epoch_ns(ts)//1000) AS fts
+      |  FROM events WHERE event_id < 2000 GROUP BY 1, 2, 3),
+      |edges AS (
+      |  SELECT DISTINCT user_id AS src,
+      |    LEAD(user_id) OVER (PARTITION BY event_type, hr
+      |      ORDER BY fts, user_id) AS dst
+      |  FROM firsts WHERE hr % 7 = 0
+      |  QUALIFY dst IS NOT NULL AND dst != user_id),
+      |degs AS (
+      |  SELECT 'out' AS side, src AS v, COUNT(*) AS deg FROM edges GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'in' AS side, dst AS v, COUNT(*) AS deg FROM edges GROUP BY 2)
+      |SELECT side, CAST(LENGTH(BIN(deg)) AS INT) AS bucket,
+      |  CAST(1::BIGINT << (LENGTH(BIN(deg)) - 1) AS BIGINT) AS deg_lo,
+      |  COUNT(*) AS n_nodes, CAST(SUM(deg) AS BIGINT) AS sum_deg
+      |FROM degs GROUP BY 1, 2, 3 ORDER BY side, bucket""".stripMargin) {
+    (s, d) =>
+    val edges = handoffEdges(Tables.events(s, d))
+    def side(name: String, key: String) =
+      edges.groupBy(col(key).as("v")).agg(count(lit(1)).as("deg"))
+        .withColumn("side", lit(name))
+    side("out", "src").unionByName(side("in", "dst"))
+      .withColumn("bucket", length(bin(col("deg"))).cast("int"))
+      .groupBy(col("side"), col("bucket"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("sum_deg"))
+      .select(col("side"), col("bucket"),
+        expr("CAST(shiftleft(1L, bucket - 1) AS BIGINT)").as("deg_lo"),
+        col("n_nodes"), col("sum_deg"))
+      .orderBy(col("side"), col("bucket"))
   }
 }

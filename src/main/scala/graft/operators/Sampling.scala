@@ -15,7 +15,7 @@ object Sampling {
 
   def defs: Seq[QueryDef] =
     Seq(q53, q54, q55, q56, q67, q77, q104, q106, q111, q164, q170, q171,
-      q192, q215, q225, q226)
+      q192, q215, q225, q226, q231)
 
   /** Generic stratified sample: at most `k` rows per stratum, selected
     * by `hashOrder` (e.g. md5 of a content column) — deterministic,
@@ -729,5 +729,73 @@ object Sampling {
         min(when(lit(2) * col("cw") >= col("wt"), col("cents")))
           .as("median_cents"))
       .orderBy(col("rf"))
+  }
+
+  /** q231: Gini / Lorenz revenue concentration per market segment — the
+    * inequality readout behind "do 10 % of customers carry the
+    * segment?": per-customer spend (exact cents) ranked ascending
+    * within segment, Gini from the rank identity
+    * G = 2·Σ rk·x / (n·S) − (n+1)/n emitted as exact-integer ppm
+    * (num = 2e6·Σrk·x − 1e6·(n+1)·S, den = n·S, integer `div` — both
+    * engines truncate identically on positives), plus the top-decile
+    * Lorenz point (spend share of the highest-ranked ⌈n/10⌉ customers,
+    * ppm). Overflow discipline is q196's: Σrk·x exceeds BIGINT at fact
+    * scale (rk up to n, cents up to 10⁹ → 10²² territory), so it
+    * accumulates as DECIMAL(38,0) (Spark) / HUGEINT (DuckDB SUM
+    * default) and only the final ppm — ≤ 10⁶ — lands in BIGINT.
+    * Shape: one orders agg (custkey), one segment-keyed rank window,
+    * one segment agg; ties broken by custkey so the rank sum is
+    * engine-independent even though Gini itself is tie-invariant.
+    */
+  val q231: QueryDef = QueryDef.checked(
+    "q231_gini_concentration",
+    """WITH spend AS (
+      |  SELECT c.c_mktsegment AS segment, o.o_custkey AS ck,
+      |    CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+      |      AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  GROUP BY 1, 2),
+      |rk AS (
+      |  SELECT segment, cents,
+      |    ROW_NUMBER() OVER (PARTITION BY segment ORDER BY cents, ck) AS r,
+      |    COUNT(*) OVER (PARTITION BY segment) AS n
+      |  FROM spend)
+      |SELECT segment, CAST(MAX(n) AS BIGINT) AS n_cust,
+      |  CAST(SUM(cents) AS BIGINT) AS total_cents,
+      |  CAST((2000000 * SUM(r * cents) - 1000000 * (MAX(n) + 1) * SUM(cents))
+      |    // (MAX(n) * SUM(cents)) AS BIGINT) AS gini_ppm,
+      |  CAST(1000000 * SUM(CASE WHEN r > n - (n + 9) // 10
+      |      THEN cents ELSE 0 END) // SUM(cents) AS BIGINT)
+      |    AS top_decile_ppm
+      |FROM rk GROUP BY segment ORDER BY segment""".stripMargin) { (s, d) =>
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val spend = Tables.orders(s, d)
+      .join(Tables.customer(s, d),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"), col("o_custkey").as("ck"))
+      .agg(sum(expr(
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+        .cast("long").as("cents"))
+    val w = Window.partitionBy(col("segment"))
+    val rk = spend
+      .withColumn("r", row_number().over(w.orderBy(col("cents"), col("ck"))))
+      .withColumn("n", count(lit(1)).over(w))
+    // MAX(n)/window-count agree by construction; the CASE needs n per
+    // row, so the top-decile cut is computed in the window pass.
+    rk.withColumn("top_cut", expr("n - (n + 9) div 10"))
+      .groupBy(col("segment"))
+      .agg(max(col("n")).as("n_cust_raw"),
+        sum(col("cents").cast(dec38)).as("s"),
+        sum((col("r") * col("cents")).cast(dec38)).as("srx"),
+        sum(when(col("r") > col("top_cut"), col("cents")).otherwise(0L)
+          .cast(dec38)).as("top_cents"))
+      .select(col("segment"),
+        col("n_cust_raw").cast("long").as("n_cust"),
+        col("s").cast("long").as("total_cents"),
+        expr("""CAST((2000000 * srx - 1000000 * (n_cust_raw + 1) * s)
+                div (n_cust_raw * s) AS BIGINT)""").as("gini_ppm"),
+        expr("CAST(1000000 * top_cents div s AS BIGINT)")
+          .as("top_decile_ppm"))
+      .orderBy(col("segment"))
   }
 }

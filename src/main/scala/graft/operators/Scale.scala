@@ -13,7 +13,7 @@ object Scale {
 
   def defs: Seq[QueryDef] =
     Seq(q47, q48, q63, q72, q94, q96, q125, q139, q155, q175, q197, q211,
-      q216, q219, q228)
+      q216, q219, q228, q234)
 
   /** Mergeable rank/quantile sketch as a fixed-grid histogram — the
     * fourth corner of the sketch family (q96 HLL = distinct, q139 CMS =
@@ -1050,5 +1050,65 @@ object Scale {
       .groupBy(col("s_nationkey"))
       .agg(count(lit(1)).as("n"), sum(col("cents")).as("rev_cents"))
       .orderBy(col("s_nationkey"))
+  }
+
+  /** q234: AQE skew-join split certified under the gate — the RUNTIME
+    * half of the skew story (q219 is the manual remedy, q221 the
+    * diagnostic): OptimizeSkewedJoin inspects the actual map-output
+    * sizes after the shuffle stage materializes, and a reduce partition
+    * larger than max(factor·median, threshold) is split into
+    * advisory-sized sub-reads whose counterpart side is duplicated per
+    * split — the no-code-change fix for the hot key that would
+    * otherwise pin one reducer for hours at 100 TB. The thresholds are
+    * sized for real clusters, so (q228's discipline) the query runs in
+    * an ISOLATED session with the knobs opened wide enough that this
+    * SF's shuffle qualifies; the conf shapes SCHEDULING only. Broadcast
+    * is disabled to keep the join on the shuffled merge path AQE splits
+    * (a broadcast would dissolve the skew, which is the OTHER remedy —
+    * q221 decides between them). Oracle = the plain join; PlanShapeSpec
+    * pins `skew=true` in the executed join node.
+    */
+  val q234: QueryDef = QueryDef.checked(
+    "q234_aqe_skew_join",
+    """SELECT e.event_type, COUNT(*) AS n,
+      |  CAST(SUM(c.c_nationkey) AS BIGINT) AS sum_nk
+      |FROM (SELECT event_type, LEAST(user_id % 1000, 10) AS hk
+      |      FROM events) e
+      |JOIN (SELECT c_custkey AS hk, c_nationkey FROM customer
+      |      WHERE c_custkey <= 10) c USING (hk)
+      |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin) { (s, d) =>
+    val iso = s.newSession()
+    iso.conf.set("spark.sql.adaptive.enabled", "true")
+    iso.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    iso.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    // detection: size > max(factor·median, threshold), split target =
+    // max(advisory, median) — UNIFORM partitions can never split (no
+    // chunk boundary beats the median), so the fact side plants a hot
+    // key: least(user_id % 1000, 10) funnels ~99 % of rows into hk=10,
+    // the stand-in for the production hot entity (the null-key / bot /
+    // default-value classic). Knobs scaled to this SF's bytes
+    // (production: 256 MB advisory / factor 5); the conf shapes
+    // SCHEDULING only — the oracle is the plain join.
+    iso.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+    iso.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1KB")
+    iso.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+    iso.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    // Skew splits are MAP-RANGE subsets of a reduce partition — with a
+    // single-file local scan there is ONE mapper and nothing to split
+    // on, so the fact side recreates the production mapper count
+    // explicitly (a 100 TB scan has thousands of map tasks; this
+    // round-robin exchange stands in for them).
+    val ev = Tables.events(iso, d)
+      .select(expr("least(user_id % 1000, 10L)").as("hk"), col("event_type"))
+      .repartition(8)
+    val dim = Tables.customer(iso, d)
+      .filter(col("c_custkey") <= 10)
+      .select(col("c_custkey").as("hk"), col("c_nationkey"))
+    ev.join(dim, Seq("hk"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("c_nationkey").cast("long")).as("sum_nk"))
+      .orderBy(col("event_type"))
   }
 }

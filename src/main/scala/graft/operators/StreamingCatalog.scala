@@ -57,7 +57,7 @@ object StreamingCatalog {
 
   def defs: Seq[QueryDef] =
     Seq(q130, q131, q135, q136, q138, q140, q145, q147, q149, q151, q153,
-      q158, q167, q173, q174, q193, q195)
+      q158, q167, q173, q174, q193, q195, q229, q230)
 
   private val SliceMax = 2000L
   private val Sentinel = "zz_sentinel"
@@ -798,5 +798,128 @@ object StreamingCatalog {
     }
       .filter(col("event_type") =!= Sentinel)
       .orderBy(col("user_id"), col("event_type"))
+  }
+
+  /** q229: STATEFUL restart recovery on the RocksDB provider with
+    * CHANGELOG checkpointing — the composition none of q158/q173 shows
+    * alone. q173's restart certifies offset/WAL replay through a
+    * STATELESS pipeline; q158 certifies RocksDB state in ONE query
+    * life. Here a watermarked window aggregation is stopped MID-SLICE
+    * (windows still open, partial counts live only in RocksDB state)
+    * and a new query resumes from the same checkpoint: with changelog
+    * checkpointing the provider reloads the last snapshot + replays
+    * the changelog to the committed batch, so the restored counts must
+    * continue exactly — any lost/doubled state row shows up in the
+    * final window totals and fails the hash. The sink is the q167
+    * idempotent foreachBatch parquet writer (the memory sink is
+    * rebuilt empty on restart and cannot certify this), append mode,
+    * so each closed window is committed exactly once across the two
+    * query generations. Runs in an ISOLATED newSession (q158's
+    * scoping) so neither the provider nor changelog conf leaks.
+    * Oracle = q130's plain window-count SQL: the backend, the restart,
+    * and the checkpoint mechanics must all be semantically invisible.
+    */
+  val q229: QueryDef = QueryDef.checked(
+    "q229_rocksdb_changelog_restart",
+    """SELECT (epoch_ns(ts) // 1000 // 600000000) * 600000000 AS w_start_us,
+      |  event_type, COUNT(*) AS n
+      |FROM events WHERE event_id < 2000
+      |GROUP BY 1, 2 ORDER BY w_start_us, event_type""".stripMargin) { (s, d) =>
+    val iso = s.newSession()
+    iso.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    iso.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      "true")
+    implicit val sqlc: org.apache.spark.sql.SQLContext = iso.sqlContext
+    import iso.implicits._
+    withChecksumOff(iso) {
+    val rows = slice(iso, d)
+    val maxTs = rows.iterator.map(_._1).max
+    val sentinelTs = maxTs + 80L * 60L * 1000000L
+    val root = Exact.scratchDir("q229", "rocksrestart_").toAbsolutePath.toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-q229-ckpt")
+    val in = MemoryStream[(Long, Long, String)]
+    val write = graft.streaming.StreamingOps.idempotentBatchWriter(root)
+    def startQuery() =
+      in.toDF().toDF("ts_us", "user_id", "event_type")
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_micros(col("w.start")).as("w_start_us"),
+          col("event_type"), col("n"))
+        .writeStream
+        .foreachBatch((df: DataFrame, id: Long) => write(df, id))
+        .outputMode("append")
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+    val (firstHalf, secondHalf) = rows.splitAt(rows.size / 2)
+    val q1 = startQuery()
+    try {
+      firstHalf.grouped(BatchRows).foreach { chunk =>
+        in.addData(chunk: _*)
+        q1.processAllAvailable()
+      }
+    } finally q1.stop() // failure point: open windows live ONLY in RocksDB
+    val q2 = startQuery() // same checkpoint: snapshot + changelog replay
+    try {
+      secondHalf.grouped(BatchRows).foreach { chunk =>
+        in.addData(chunk: _*)
+        q2.processAllAvailable()
+      }
+      in.addData((sentinelTs, -1L, Sentinel))
+      q2.processAllAvailable()
+    } finally { q2.stop(); rmTree(ckpt) }
+    val dirs = graft.streaming.StreamingOps.committedBatches(root)
+    iso.read.parquet(dirs: _*)
+      .filter(col("event_type") =!= Sentinel)
+      .select(col("w_start_us"), col("event_type"), col("n"))
+      .orderBy(col("w_start_us"), col("event_type"))
+    }
+  }
+
+  /** q230: CHAINED stateful operators — two event-time window
+    * aggregations in ONE streaming query (10-minute counts per type,
+    * re-aggregated into hourly totals/max/active-bucket counts), the
+    * multi-stateful-operator support Spark added in 3.4 (unsupported
+    * before: a second stateful op after an agg was rejected at
+    * analysis). The first agg's output carries its window struct as
+    * the event-time column; the second windows OVER that struct
+    * (window-of-window), and the watermark propagates through both
+    * state stores — a 10-min bucket only feeds its hour once it is
+    * itself finalized, and the hour only emits once the watermark
+    * clears its end. This is the streaming form of the map-side
+    * partial + reduce-side final rollup every 100 TB metrics pipeline
+    * wants: the wide keyed state (per 10-min bucket) collapses before
+    * the coarse rollup, instead of the hourly agg buffering raw rows.
+    * Oracle = the nested batch GROUP BY over the slice.
+    */
+  val q230: QueryDef = QueryDef.checked(
+    "q230_streaming_chained_aggs",
+    """WITH b AS (
+      |  SELECT (epoch_ns(ts) // 1000 // 600000000) * 600000000 AS b_us,
+      |    event_type, COUNT(*) AS n
+      |  FROM events WHERE event_id < 2000
+      |  GROUP BY 1, 2)
+      |SELECT (b_us // 3600000000) * 3600000000 AS h_start_us, event_type,
+      |  CAST(SUM(n) AS BIGINT) AS n_events, MAX(n) AS max_bucket_n,
+      |  COUNT(*) AS n_buckets
+      |FROM b GROUP BY 1, 2
+      |ORDER BY h_start_us, event_type""".stripMargin) { (s, d) =>
+    runToCompletion(s, d, "graft_q230_sink", outputMode = "append",
+      sentinelLeadMinutes = 140L) { ev =>
+      ev.withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(window(col("w"), "1 hour").as("h"), col("event_type"))
+        .agg(sum(col("n")).as("n_events"), max(col("n")).as("max_bucket_n"),
+          count(lit(1)).as("n_buckets"))
+        .select(unix_micros(col("h.start")).as("h_start_us"),
+          col("event_type"), col("n_events"), col("max_bucket_n"),
+          col("n_buckets"))
+    }
+      .filter(col("event_type") =!= Sentinel)
+      .orderBy(col("h_start_us"), col("event_type"))
   }
 }

@@ -22,7 +22,7 @@ object TimeJoins {
 
   def defs: Seq[QueryDef] = Seq(q51, q52, q91, q100, q105, q107, q108, q109, q114,
     q122, q124, q162, q163, q165, q184, q185, q186, q190, q200, q203, q205,
-    q206, q207, q209, q210, q214, q217)
+    q206, q207, q209, q210, q214, q217, q232)
 
   /** As-of join: for every 'click' event, the most recent 'view' event by
     * the same user at-or-before it (order = (ts, event_id), so ties are
@@ -1441,5 +1441,42 @@ object TimeJoins {
       .withColumn("wape_ppm",
         expr("(1000000L * sum_abs_err) div greatest(sum_actual, 1L)"))
       .orderBy(col("event_type"))
+  }
+
+  /** q232: new-vs-returning daily actives — the growth-accounting split
+    * q165's trailing actives doesn't give: per day, how many active
+    * users are seen for the FIRST time ever vs returning. First-seen
+    * day is a per-user min over the user's distinct active days,
+    * computed as a window over the deduplicated (user, day) frame — no
+    * self-join with a firsts table. Three keyed shuffles, each on a
+    * smaller frame than the last: the data-sized (user, day) distinct,
+    * the user-keyed window over ≤365 rows/user/year, and the tiny
+    * per-day agg. CAST SUM AS BIGINT on both sides (the DuckDB
+    * HUGEINT→float64 render trap).
+    */
+  val q232: QueryDef = QueryDef.checked(
+    "q232_new_vs_returning",
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, epoch_ns(ts) // 1000 // 86400000000 AS day
+      |  FROM events),
+      |f AS (
+      |  SELECT user_id, day,
+      |    MIN(day) OVER (PARTITION BY user_id) AS fday
+      |  FROM ud)
+      |SELECT day, COUNT(*) AS n_active,
+      |  CAST(SUM(CASE WHEN day = fday THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+      |  CAST(COUNT(*) - SUM(CASE WHEN day = fday THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_returning
+      |FROM f GROUP BY day ORDER BY day""".stripMargin) { (s, d) =>
+    val ud = Tables.events(s, d)
+      .select(col("user_id"), expr("ts_ns div 1000 div 86400000000").as("day"))
+      .distinct()
+    val f = ud.withColumn("fday",
+      min(col("day")).over(Window.partitionBy(col("user_id"))))
+    f.groupBy(col("day"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("day") === col("fday"), 1L).otherwise(0L)).as("n_new"))
+      .withColumn("n_returning", col("n_active") - col("n_new"))
+      .orderBy(col("day"))
   }
 }

@@ -324,4 +324,15 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the join must stay shuffled (broadcast disabled in the iso " +
         s"session):\n$finalPlan")
   }
+
+  test("q234 AQE marks the executed join as a skew-split join") {
+    val plan = executedPlan("q234_aqe_skew_join")
+    val finalPlan = plan.split("== Initial Plan ==").head
+    // OptimizeSkewedJoin tags the join node once it has split a reduce
+    // partition — this is the runtime mechanism the query certifies
+    assert(finalPlan.contains("skew=true"),
+      s"expected the skew-split marker on the executed join:\n$finalPlan")
+    assert(!finalPlan.contains("BroadcastHashJoin"),
+      s"broadcast would dissolve the skew instead of splitting it:\n$finalPlan")
+  }
 }
