@@ -16,7 +16,7 @@ object Extended {
 
   def defs: Seq[QueryDef] = Seq(q42, q43, q44, q45, q46, q90, q92, q93, q95, q97,
     q101, q117, q118, q119, q120, q121, q146, q150, q166, q168, q169,
-    q172, q188, q189, q196, q201, q202, q213, q221, q227)
+    q172, q188, q189, q196, q201, q202, q213, q221, q227, q235)
 
   /** q95: ORC round-trip — q44's lossless write→read check for the
     * third columnar format (ORC ships with Spark; DuckDB cannot read
@@ -1476,5 +1476,70 @@ object Extended {
       .select(col("a").as("node"), col("n_desc"), col("sum_events"),
         coalesce(col("is_user"), lit(0)).as("is_user"))
       .orderBy(col("node"))
+  }
+
+  /** q235: functional-dependency audit — the data-profiling staple
+    * behind schema inference and key discovery (Metanome/HyFD territory,
+    * but the engine's half: candidate VERIFICATION, not lattice
+    * search): for each declared candidate FD X→Y, count the X keys
+    * that map to ≥2 distinct Y — zero violators means the dependency
+    * holds and Y can be normalized out / used as a derived key. One
+    * map-side-combined (X, Y) distinct + one X-keyed count per
+    * candidate; the five audits are independent plan subtrees running
+    * concurrently, each shuffling #distinct-pairs rows, never data
+    * rows. o_orderkey→o_orderstatus holds by PK construction — the
+    * audit must prove a positive, not only find violations.
+    */
+  val q235: QueryDef = QueryDef.checked(
+    "q235_fd_audit",
+    """WITH cands AS (
+      |  SELECT 'orders.okey->status' AS fd, CAST(o_orderkey AS VARCHAR) AS x,
+      |    o_orderstatus AS y FROM orders
+      |  UNION ALL
+      |  SELECT 'orders.cust->priority', CAST(o_custkey AS VARCHAR),
+      |    o_orderpriority FROM orders
+      |  UNION ALL
+      |  SELECT 'lineitem.part->supp', CAST(l_partkey AS VARCHAR),
+      |    CAST(l_suppkey AS VARCHAR) FROM lineitem
+      |  UNION ALL
+      |  SELECT 'customer.nation->segment', CAST(c_nationkey AS VARCHAR),
+      |    c_mktsegment FROM customer
+      |  UNION ALL
+      |  SELECT 'events.user->type', CAST(user_id AS VARCHAR),
+      |    event_type FROM events),
+      |pairs AS (
+      |  SELECT DISTINCT fd, x, y FROM cands),
+      |keys AS (
+      |  SELECT fd, x, COUNT(*) AS ny FROM pairs GROUP BY 1, 2)
+      |SELECT fd, COUNT(*) AS n_keys,
+      |  CAST(SUM(CASE WHEN ny > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_violating_keys,
+      |  CAST(SUM(ny) AS BIGINT) AS n_pairs,
+      |  CASE WHEN SUM(CASE WHEN ny > 1 THEN 1 ELSE 0 END) = 0
+      |    THEN 1 ELSE 0 END AS holds
+      |FROM keys GROUP BY fd ORDER BY fd""".stripMargin) { (s, d) =>
+    def audit(fd: String, df: DataFrame, x: org.apache.spark.sql.Column,
+        y: org.apache.spark.sql.Column): DataFrame =
+      df.select(x.cast("string").as("x"), y.cast("string").as("y"))
+        .distinct()
+        .groupBy(col("x")).agg(count(lit(1)).as("ny"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(when(col("ny") > 1, 1L).otherwise(0L)).as("n_violating_keys"),
+          sum(col("ny")).as("n_pairs"))
+        .select(lit(fd).as("fd"), col("n_keys"), col("n_violating_keys"),
+          col("n_pairs"),
+          when(col("n_violating_keys") === 0L, 1).otherwise(0).as("holds"))
+    val o = Tables.orders(s, d); val l = Tables.lineitem(s, d)
+    val c = Tables.customer(s, d); val e = Tables.events(s, d)
+    audit("orders.okey->status", o, col("o_orderkey"), col("o_orderstatus"))
+      .unionByName(audit("orders.cust->priority", o,
+        col("o_custkey"), col("o_orderpriority")))
+      .unionByName(audit("lineitem.part->supp", l,
+        col("l_partkey"), col("l_suppkey")))
+      .unionByName(audit("customer.nation->segment", c,
+        col("c_nationkey"), col("c_mktsegment")))
+      .unionByName(audit("events.user->type", e,
+        col("user_id"), col("event_type")))
+      .orderBy(col("fd"))
   }
 }

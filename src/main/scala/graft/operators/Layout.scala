@@ -21,7 +21,7 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
-  def defs: Seq[QueryDef] = Seq(q73, q79, q80, q89, q134, q148, q198)
+  def defs: Seq[QueryDef] = Seq(q73, q79, q80, q89, q134, q148, q198, q237)
 
   /** Small-file compaction PLANNER — layout maintenance for the
     * partitioned/bucketed layouts this file writes: given per-file
@@ -451,5 +451,53 @@ object Layout {
       .agg(count(lit(1)).as("n_rows"),
         Exact.sum2(col("l_extendedprice")).as("sum_price"))
       .orderBy(col("l_returnflag"))
+  }
+
+  /** q237: DYNAMIC partition overwrite — the backfill semantics every
+    * partitioned lakehouse table depends on: a recompute of a date
+    * range must replace ONLY the partitions it produces rows for,
+    * while static overwrite mode (the default) would truncate the
+    * whole table first. Generation 1 writes the full day-partitioned
+    * table; generation 2 recomputes the first five days with 'view'
+    * events scrubbed and overwrites with
+    * `partitionOverwriteMode=dynamic` (a per-write option — no session
+    * conf). What the oracle certifies is exactly the dynamic contract:
+    * days ≥ cutoff survive untouched (static mode would delete them),
+    * recomputed days carry only the recomputed rows, and — the subtle
+    * clause — an early day whose recompute produced NO rows keeps its
+    * OLD content (dynamic only replaces partitions present in the new
+    * frame), which the oracle's EXISTS term reproduces.
+    */
+  val q237: QueryDef = QueryDef.checked(
+    "q237_dynamic_partition_overwrite",
+    """WITH ev AS (
+      |  SELECT epoch_ns(ts) // 1000 // 86400000000 AS day, event_type,
+      |    event_id
+      |  FROM events),
+      |cut AS (SELECT MIN(day) + 5 AS cutoff FROM ev)
+      |SELECT day, event_type, COUNT(*) AS n,
+      |  CAST(MIN(event_id) AS BIGINT) AS min_eid
+      |FROM ev, cut
+      |WHERE NOT (day < cutoff AND event_type = 'view' AND EXISTS (
+      |  SELECT 1 FROM ev e2 WHERE e2.day = ev.day
+      |    AND e2.event_type != 'view'))
+      |GROUP BY day, event_type ORDER BY day, event_type""".stripMargin) {
+    (s, d) =>
+    val root = Exact.scratchDir("q237", "dynpo_").toAbsolutePath.toString
+    val ev = Tables.events(s, d).select(
+      expr("ts_ns div 1000 div 86400000000").as("day"),
+      col("event_type"), col("event_id"))
+    ev.write.mode("overwrite").partitionBy("day").parquet(root)
+    val cutoff = ev.agg(min(col("day"))).head().getLong(0) + 5L
+    ev.filter(col("day") < cutoff && col("event_type") =!= "view")
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("day").parquet(root)
+    s.read.parquet(root)
+      .groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), min(col("event_id")).as("min_eid"))
+      .select(col("day").cast("long").as("day"), col("event_type"),
+        col("n"), col("min_eid"))
+      .orderBy(col("day"), col("event_type"))
   }
 }

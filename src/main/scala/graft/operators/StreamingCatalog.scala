@@ -57,7 +57,7 @@ object StreamingCatalog {
 
   def defs: Seq[QueryDef] =
     Seq(q130, q131, q135, q136, q138, q140, q145, q147, q149, q151, q153,
-      q158, q167, q173, q174, q193, q195, q229, q230)
+      q158, q167, q173, q174, q193, q195, q229, q230, q236)
 
   private val SliceMax = 2000L
   private val Sentinel = "zz_sentinel"
@@ -921,5 +921,70 @@ object StreamingCatalog {
     }
       .filter(col("event_type") =!= Sentinel)
       .orderBy(col("h_start_us"), col("event_type"))
+  }
+
+  /** q236: streaming DEAD-LETTER routing — one stream, two sinks: every
+    * micro-batch splits into parsed-ok rows and malformed lines, each
+    * written to its own idempotent parquet root (q68's JSON quarantine
+    * is the batch form; this is the streaming form every production
+    * ingest runs — malformed input must land in a DLQ for replay, never
+    * poison the main sink, never be dropped). Per batch the foreachBatch
+    * body persists the frame once, filters it both ways, and commits
+    * each sink with its own marker: the two sinks advance independently
+    * but a replayed batch (crash between the writes) dedupes on both
+    * marker sets, so conservation — every input line lands in exactly
+    * one sink exactly once — survives restarts; and conservation is
+    * precisely what the oracle hashes (malformation rule: doc_id % 17
+    * picks the planted bad lines, `|` instead of `:`).
+    */
+  val q236: QueryDef = QueryDef.checked(
+    "q236_streaming_deadletter",
+    """SELECT CAST(doc_id AS VARCHAR) || ':' || lang AS line, 'ok' AS status
+      |FROM documents WHERE doc_id < 200 AND doc_id % 17 != 0
+      |UNION ALL
+      |SELECT CAST(doc_id AS VARCHAR) || '|' || lang, 'dlq'
+      |FROM documents WHERE doc_id < 200 AND doc_id % 17 = 0
+      |ORDER BY 2, 1""".stripMargin) { (s, d) =>
+    implicit val sqlc: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    withChecksumOff(s) {
+    val lines = Tables.documents(s, d).filter(col("doc_id") < 200)
+      .select(col("doc_id"), col("lang")).collect()
+      .map { r =>
+        val (id, lang) = (r.getLong(0), r.getString(1))
+        if (id % 17 == 0) s"$id|$lang" else s"$id:$lang"
+      }
+    val okRoot = Exact.scratchDir("q236ok", "dlqok_").toAbsolutePath.toString
+    val dlqRoot = Exact.scratchDir("q236dlq", "dlqbad_").toAbsolutePath.toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-q236-ckpt")
+    val in = MemoryStream[String]
+    val writeOk = graft.streaming.StreamingOps.idempotentBatchWriter(okRoot)
+    val writeDlq = graft.streaming.StreamingOps.idempotentBatchWriter(dlqRoot)
+    val q = in.toDF().toDF("line")
+      .writeStream
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        val batch = df.persist()
+        try {
+          writeOk(batch.filter(col("line").contains(":")), id)
+          writeDlq(batch.filter(!col("line").contains(":")), id)
+        } finally { batch.unpersist(); () }
+      }
+      .option("checkpointLocation", ckpt.toString)
+      .start()
+    try {
+      lines.grouped(64).foreach { chunk =>
+        in.addData(chunk.toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally { q.stop(); rmTree(ckpt) }
+    def readSide(root: String, status: String) = {
+      val dirs = graft.streaming.StreamingOps.committedBatches(root)
+      if (dirs.isEmpty) s.emptyDataFrame.select(lit("").as("line"))
+        .limit(0).withColumn("status", lit(status))
+      else s.read.parquet(dirs: _*).select(col("line"), lit(status).as("status"))
+    }
+    readSide(okRoot, "ok").unionByName(readSide(dlqRoot, "dlq"))
+      .orderBy(col("status"), col("line"))
+    }
   }
 }

@@ -22,7 +22,7 @@ object TimeJoins {
 
   def defs: Seq[QueryDef] = Seq(q51, q52, q91, q100, q105, q107, q108, q109, q114,
     q122, q124, q162, q163, q165, q184, q185, q186, q190, q200, q203, q205,
-    q206, q207, q209, q210, q214, q217, q232)
+    q206, q207, q209, q210, q214, q217, q232, q238)
 
   /** As-of join: for every 'click' event, the most recent 'view' event by
     * the same user at-or-before it (order = (ts, event_id), so ties are
@@ -1477,6 +1477,50 @@ object TimeJoins {
       .agg(count(lit(1)).as("n_active"),
         sum(when(col("day") === col("fday"), 1L).otherwise(0L)).as("n_new"))
       .withColumn("n_returning", col("n_active") - col("n_new"))
+      .orderBy(col("day"))
+  }
+
+  /** q238: growth-accounting identity — q232's returning users split by
+    * the DAU accounting every product-metrics stack reports
+    * (new + retained + resurrected = active): per active (user, day),
+    * the user's PREVIOUS active day classifies the row — none → new,
+    * gap ≤ 7 days → retained, gap ≥ 8 → resurrected (came back after a
+    * churn-length absence). One lag over the same user-keyed window
+    * q232 already sorts, so the accounting costs one more column, not
+    * another shuffle. The identity n_active = new+retained+resurrected
+    * is structural (the CASE is total) — the oracle hashing all four
+    * columns certifies it per day.
+    */
+  val q238: QueryDef = QueryDef.checked(
+    "q238_growth_accounting",
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, epoch_ns(ts) // 1000 // 86400000000 AS day
+      |  FROM events),
+      |g AS (
+      |  SELECT user_id, day,
+      |    LAG(day) OVER (PARTITION BY user_id ORDER BY day) AS prev_day
+      |  FROM ud)
+      |SELECT day, COUNT(*) AS n_active,
+      |  CAST(SUM(CASE WHEN prev_day IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_new,
+      |  CAST(SUM(CASE WHEN day - prev_day BETWEEN 1 AND 7 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_retained,
+      |  CAST(SUM(CASE WHEN day - prev_day >= 8 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_resurrected
+      |FROM g GROUP BY day ORDER BY day""".stripMargin) { (s, d) =>
+    val ud = Tables.events(s, d)
+      .select(col("user_id"), expr("ts_ns div 1000 div 86400000000").as("day"))
+      .distinct()
+    val g = ud.withColumn("prev_day",
+      lag(col("day"), 1).over(
+        Window.partitionBy(col("user_id")).orderBy(col("day"))))
+    g.groupBy(col("day"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("prev_day").isNull, 1L).otherwise(0L)).as("n_new"),
+        sum(when((col("day") - col("prev_day")).between(1, 7), 1L)
+          .otherwise(0L)).as("n_retained"),
+        sum(when(col("day") - col("prev_day") >= 8, 1L).otherwise(0L))
+          .as("n_resurrected"))
       .orderBy(col("day"))
   }
 }

@@ -200,6 +200,19 @@ class ScaleSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"ivfpq recall $recall")
   }
 
+  test("q197 memoized-index path is row-identical to the one-shot operator") {
+    import org.apache.spark.sql.functions.col
+    val e = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))
+    // training is deterministic, so re-encoding through the persisted
+    // codes must change nothing but where the codes are read from
+    val oneShot = graft.operators.Scale.ivfPqTopK(e).collect().map(_.toSeq)
+    val memoized = SparkEntry.queries("q197_ann_ivfpq_topk")(spark, sf)
+      .collect().map(_.toSeq)
+    assert(memoized.toSeq === oneShot.toSeq)
+  }
+
   /** Planted clusters again: with lists ≈ clusters, residual PQ must
     * recover nearly all true neighbors through BOTH prunes (list probe
     * AND m-byte codes) plus the exact re-rank.

@@ -418,4 +418,46 @@ class StreamingSpec extends AnyFunSuite {
       rm(ckpt.toFile)
     }
   }
+
+  test("changelog checkpointing writes .changelog files (q229 mechanism)") {
+    // q229's restart certification rests on snapshot + changelog replay
+    // actually being the recovery path; if the conf silently fell back
+    // to full per-batch snapshots the oracle would still pass, so the
+    // mechanism is pinned here: the state checkpoint must contain
+    // RocksDB changelog files after a few commits.
+    val iso = spark.newSession()
+    iso.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    iso.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      "true")
+    implicit val sqlc: org.apache.spark.sql.SQLContext = iso.sqlContext
+    import iso.implicits._
+    val in = MemoryStream[Long]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-chglog")
+    val q = in.toDF().toDF("v").groupBy(col("v")).count()
+      .writeStream.format("memory").queryName("graft_chglog_sink")
+      .outputMode("update")
+      .option("checkpointLocation", ckpt.toString)
+      .start()
+    try {
+      (1 to 3).foreach { i =>
+        in.addData(i.toLong, i.toLong + 1)
+        q.processAllAvailable()
+      }
+      def walk(f: java.io.File): Seq[java.io.File] =
+        Option(f.listFiles()).map(_.toSeq.flatMap(c => c +: walk(c)))
+          .getOrElse(Seq.empty)
+      val names = walk(ckpt.toFile).map(_.getName)
+      assert(names.exists(_.endsWith(".changelog")),
+        s"expected RocksDB .changelog files under the checkpoint, " +
+          s"saw: ${names.filter(_.nonEmpty).take(40)}")
+    } finally {
+      q.stop()
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(ckpt.toFile)
+    }
+  }
 }
