@@ -16,7 +16,7 @@ object Extended {
 
   def defs: Seq[QueryDef] = Seq(q42, q43, q44, q45, q46, q90, q92, q93, q95, q97,
     q101, q117, q118, q119, q120, q121, q146, q150, q166, q168, q169,
-    q172, q188, q189, q196, q201, q202, q213, q221, q227, q235)
+    q172, q188, q189, q196, q201, q202, q213, q221, q227, q235, q241)
 
   /** q95: ORC round-trip — q44's lossless write→read check for the
     * third columnar format (ORC ships with Spark; DuckDB cannot read
@@ -1541,5 +1541,48 @@ object Extended {
       .unionByName(audit("events.user->type", e,
         col("user_id"), col("event_type")))
       .orderBy(col("fd"))
+  }
+
+  /** q241: dense surrogate-id assignment WITHOUT a global sort — the
+    * dimension-key / embedding-row-index builder every warehouse and
+    * training pipeline needs (contiguous 0..N−1 ids in a declared
+    * order), and a trap this catalog's own tooling warns about: the
+    * naive ROW_NUMBER() OVER (ORDER BY k) moves ALL data to ONE
+    * partition (Spark's WindowExec logs exactly that). Two-phase form:
+    * range-bucket each row by key (order-preserving integer div — no
+    * sampling, so deterministic, unlike repartitionByRange), count per
+    * bucket (tiny agg), exclusive-prefix-sum the counts over the
+    * B-row frame (the only global window — B rows, not N), broadcast
+    * the offsets back, and add a WITHIN-bucket row_number. Every
+    * data-sized stage stays partitioned; monotonically_increasing_id
+    * (gappy) and zipWithIndex (RDD, two passes over data) are the
+    * rejected alternatives. Oracle = the naive global ROW_NUMBER.
+    */
+  val q241: QueryDef = QueryDef.checked(
+    "q241_dense_surrogate_ids",
+    """SELECT doc_id,
+      |  ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS dense_id
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).select(col("doc_id"))
+    val nBuckets = 64L
+    // order-preserving bucketing: doc_id div width, width from the max
+    // (one bounded agg). At 100 TB the same role is played by q155's
+    // quantile-sketch cutpoints (balanced buckets under skew); ids here
+    // are near-uniform so the div grid is already balanced.
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val width = maxId / nBuckets + 1L
+    val b = docs.withColumn("b", expr(s"doc_id div $width"))
+    val offsets = b.groupBy(col("b")).agg(count(lit(1)).as("cnt"))
+      .withColumn("off",
+        coalesce(sum(col("cnt")).over(
+          Window.orderBy(col("b"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("b"), col("off"))
+    b.join(broadcast(offsets), Seq("b"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("b")).orderBy(col("doc_id"))))
+      .select(col("doc_id"),
+        (col("off") + col("rk") - 1L).as("dense_id"))
+      .orderBy(col("doc_id"))
   }
 }

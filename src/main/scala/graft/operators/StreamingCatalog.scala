@@ -57,7 +57,7 @@ object StreamingCatalog {
 
   def defs: Seq[QueryDef] =
     Seq(q130, q131, q135, q136, q138, q140, q145, q147, q149, q151, q153,
-      q158, q167, q173, q174, q193, q195, q229, q230, q236)
+      q158, q167, q173, q174, q193, q195, q229, q230, q236, q239, q240)
 
   private val SliceMax = 2000L
   private val Sentinel = "zz_sentinel"
@@ -985,6 +985,105 @@ object StreamingCatalog {
     }
     readSide(okRoot, "ok").unionByName(readSide(dlqRoot, "dlq"))
       .orderBy(col("status"), col("line"))
+    }
+  }
+
+  /** q239: FULL-OUTER stream-stream interval join — the last member of
+    * the family (inner q136, left-outer q140, semi q193): unmatched
+    * rows on BOTH sides emit null-extended once the watermark proves no
+    * counterpart can arrive — clicks with no trailing view AND views no
+    * click ever referenced. Both null-extension bookkeepings are live
+    * at once, which is the state shape the other three don't exercise.
+    * The output key is COALESCE(click user, view user) — exactly one
+    * side is null on unmatched rows. Sentinel flows through both
+    * branches (q140's rule) and its own unmatched emissions are
+    * filtered by the coalesced key.
+    */
+  val q239: QueryDef = QueryDef.checked(
+    "q239_streaming_full_outer_interval_join",
+    """WITH ev AS (
+      |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS ts_us
+      |  FROM events WHERE event_id < 2000)
+      |SELECT COALESCE(c.user_id, v.user_id) AS user_id,
+      |  c.ts_us AS click_us, v.ts_us AS view_us
+      |FROM (SELECT user_id, ts_us FROM ev WHERE event_type = 'click') c
+      |FULL JOIN (SELECT user_id, ts_us FROM ev WHERE event_type = 'view') v
+      |  ON c.user_id = v.user_id
+      | AND v.ts_us BETWEEN c.ts_us - 86400000000 AND c.ts_us
+      |ORDER BY 1, 2, 3""".stripMargin) { (s, d) =>
+    // Sentinel lead: a VIEW can still match clicks arriving up to 24 h
+    // after it (the condition read from the view side), so view-state
+    // eviction — and with it the null-extended emission — needs the
+    // watermark past view_ts + 24 h + delay; q140's 80-min default only
+    // covers the CLICK side's trailing range and would strand every
+    // unmatched view in the last day of the slice.
+    runToCompletion(s, d, "graft_q239_sink", outputMode = "append",
+      sentinelLeadMinutes = 24L * 60L + 140L) { ev =>
+      val clicks = ev
+        .filter(col("event_type") === "click" || col("event_type") === Sentinel)
+        .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+          col("ts_us").as("click_us"))
+        .withWatermark("click_ts", "1 hour")
+      val views = ev
+        .filter(col("event_type") === "view" || col("event_type") === Sentinel)
+        .select(col("user_id").as("v_user"), col("ts").as("view_ts"),
+          col("ts_us").as("view_us"))
+        .withWatermark("view_ts", "1 hour")
+      clicks.join(views,
+        col("c_user") === col("v_user") &&
+          col("view_ts") >= col("click_ts") - expr("INTERVAL 24 HOURS") &&
+          col("view_ts") <= col("click_ts"),
+        "full_outer")
+        .select(coalesce(col("c_user"), col("v_user")).as("user_id"),
+          col("click_us"), col("view_us"))
+    }
+      .filter(col("user_id") =!= -1L)
+      .orderBy(col("user_id"), col("click_us"), col("view_us"))
+  }
+
+  /** q240: streaming OBSERVED METRICS under the oracle — `observe()`
+    * publishes per-batch aggregates through QueryProgress without a
+    * second pass over the stream (q150 is the batch form; in streaming
+    * this is how a pipeline self-reports row counts / checksums for
+    * reconciliation without a shadow aggregation holding state). The
+    * replay's fixed 500-row chunks make batch MEMBERSHIP deterministic,
+    * so the per-batch metric rows are a pure function of the slice and
+    * the oracle can rebuild them from row numbers: batch = rn div 500
+    * in (ts, event_id) order. Stateless — no watermark or sentinel.
+    */
+  val q240: QueryDef = QueryDef.checked(
+    "q240_streaming_observe",
+    """WITH ordered AS (
+      |  SELECT user_id,
+      |    ROW_NUMBER() OVER (ORDER BY epoch_ns(ts), event_id) - 1 AS rn
+      |  FROM events WHERE event_id < 2000)
+      |SELECT rn // 500 AS batch_id, COUNT(*) AS n,
+      |  CAST(SUM(user_id) AS BIGINT) AS sum_uid
+      |FROM ordered GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    implicit val sqlc: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    withChecksumOff(s) {
+    val rows = slice(s, d)
+    val in = MemoryStream[(Long, Long, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-q240-ckpt")
+    val q = in.toDF().toDF("ts_us", "user_id", "event_type")
+      .observe("q240", count(lit(1)).as("n"),
+        sum(col("user_id")).as("sum_uid"))
+      .writeStream.format("memory").queryName("graft_q240_sink")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt.toString)
+      .start()
+    val observed = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    try {
+      rows.grouped(BatchRows).zipWithIndex.foreach { case (chunk, i) =>
+        in.addData(chunk: _*)
+        q.processAllAvailable()
+        val m = q.lastProgress.observedMetrics.get("q240")
+        observed += ((i.toLong, m.getAs[Long]("n"), m.getAs[Long]("sum_uid")))
+      }
+    } finally { q.stop(); rmTree(ckpt) }
+    observed.toSeq.toDF("batch_id", "n", "sum_uid")
+      .orderBy(col("batch_id"))
     }
   }
 }
