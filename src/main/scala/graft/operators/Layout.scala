@@ -21,7 +21,8 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
-  def defs: Seq[QueryDef] = Seq(q73, q79, q80, q89, q134, q148, q198, q237)
+  def defs: Seq[QueryDef] =
+    Seq(q73, q79, q80, q89, q134, q148, q198, q237, q242)
 
   /** Small-file compaction PLANNER — layout maintenance for the
     * partitioned/bucketed layouts this file writes: given per-file
@@ -499,5 +500,37 @@ object Layout {
       .select(col("day").cast("long").as("day"), col("event_type"),
         col("n"), col("min_eid"))
       .orderBy(col("day"), col("event_type"))
+  }
+
+  /** q242: BUCKET PRUNING on read — the point-lookup half of the
+    * bucketed-layout story (q80 is the join half): an equality filter
+    * on the bucket key needs only the ONE file whose hash bucket can
+    * contain the key, so the scan reads 1/numBuckets of the table —
+    * the difference between a point lookup costing a full scan and
+    * costing one file, which is how a 100 TB bucketed fact table
+    * serves key-probe queries without an index. Three probe keys via
+    * IN (each prunes independently; Spark unions the selected bucket
+    * sets). BucketingSpec pins `SelectedBucketsCount: ≤3 out of 8` in
+    * the scan node. The oracle is the plain filtered aggregate —
+    * bucketing must be semantically invisible.
+    */
+  val q242: QueryDef = QueryDef.checked(
+    "q242_bucket_pruned_lookup",
+    """SELECT l_orderkey, COUNT(*) AS n_items,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem WHERE l_orderkey IN (7, 326, 4000)
+      |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin) { (s, d) =>
+    val root = Exact.scratchDir("q242", "bktpt_").toAbsolutePath.toString
+    val Seq(liT) = Exact.scratchTables("q242", s, "graft_li_bkpt")
+    bucketedWrite(
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity")),
+      "l_orderkey", 8, liT, s"$root/li")
+    s.table(liT)
+      .filter(col("l_orderkey").isin(7L, 326L, 4000L))
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_items"),
+        Exact.sum2(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_orderkey"))
   }
 }

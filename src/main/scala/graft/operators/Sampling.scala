@@ -15,7 +15,7 @@ object Sampling {
 
   def defs: Seq[QueryDef] =
     Seq(q53, q54, q55, q56, q67, q77, q104, q106, q111, q164, q170, q171,
-      q192, q215, q225, q226, q231)
+      q192, q215, q225, q226, q231, q243)
 
   /** Generic stratified sample: at most `k` rows per stratum, selected
     * by `hashOrder` (e.g. md5 of a content column) — deterministic,
@@ -797,5 +797,53 @@ object Sampling {
         expr("CAST(1000000 * top_cents div s AS BIGINT)")
           .as("top_decile_ppm"))
       .orderBy(col("segment"))
+  }
+
+  /** q243: FIT/TRANSFORM feature binning — the train/serve discipline
+    * every feature pipeline owes its model: bin CUTPOINTS are learned
+    * on the TRAIN split only (percentile_disc quartiles of n_chars —
+    * actual data points, BIGINT-cast for the double-surface trap) and
+    * APPLIED to the held-out split as a broadcast + row-local compare
+    * (the q106/q209 discipline — never a global ntile sort, and never
+    * re-fitting on serve data, which would leak the test distribution
+    * into the feature). Split = doc_id % 10 (8/2), deterministic in
+    * both engines. Output: per-bin profile of the TEST split under
+    * TRAIN-learned boundaries — exactly what a training/serving skew
+    * monitor compares.
+    */
+  val q243: QueryDef = QueryDef.checked(
+    "q243_fit_transform_binning",
+    """WITH train AS (
+      |  SELECT n_chars FROM documents WHERE doc_id % 10 < 8),
+      |test AS (
+      |  SELECT doc_id, n_chars FROM documents WHERE doc_id % 10 >= 8),
+      |cut AS (
+      |  SELECT
+      |    percentile_disc(0.25) WITHIN GROUP (ORDER BY n_chars) AS c1,
+      |    percentile_disc(0.50) WITHIN GROUP (ORDER BY n_chars) AS c2,
+      |    percentile_disc(0.75) WITHIN GROUP (ORDER BY n_chars) AS c3
+      |  FROM train)
+      |SELECT CAST(1 + CAST(n_chars > c1 AS INT) + CAST(n_chars > c2 AS INT)
+      |    + CAST(n_chars > c3 AS INT) AS INT) AS bin,
+      |  COUNT(*) AS n_docs, MIN(n_chars) AS min_chars,
+      |  MAX(n_chars) AS max_chars
+      |FROM test, cut
+      |GROUP BY 1 ORDER BY bin""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+    val train = docs.filter(col("doc_id") % 10 < 8)
+    val test = docs.filter(col("doc_id") % 10 >= 8)
+    val cut = train.agg(
+      expr("CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY n_chars) AS BIGINT)").as("c1"),
+      expr("CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY n_chars) AS BIGINT)").as("c2"),
+      expr("CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY n_chars) AS BIGINT)").as("c3"))
+    test.crossJoin(broadcast(cut))
+      .withColumn("bin",
+        (lit(1) + (col("n_chars") > col("c1")).cast("int")
+          + (col("n_chars") > col("c2")).cast("int")
+          + (col("n_chars") > col("c3")).cast("int")).cast("int"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"), min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy(col("bin"))
   }
 }

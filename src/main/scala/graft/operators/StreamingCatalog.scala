@@ -57,7 +57,7 @@ object StreamingCatalog {
 
   def defs: Seq[QueryDef] =
     Seq(q130, q131, q135, q136, q138, q140, q145, q147, q149, q151, q153,
-      q158, q167, q173, q174, q193, q195, q229, q230, q236, q239, q240)
+      q158, q167, q173, q174, q193, q195, q229, q230, q236, q239, q240, q244)
 
   private val SliceMax = 2000L
   private val Sentinel = "zz_sentinel"
@@ -1084,6 +1084,89 @@ object StreamingCatalog {
     } finally { q.stop(); rmTree(ckpt) }
     observed.toSeq.toDF("batch_id", "n", "sum_uid")
       .orderBy(col("batch_id"))
+    }
+  }
+
+  /** q244: LATE-DATA SIDE OUTPUT — the accounting Spark's aggregations
+    * do NOT give you: rows older than the watermark are silently
+    * dropped by stateful operators, so a production ingest that must
+    * never lose data routes them instead — the foreachBatch split
+    * below is the standard construction (there is no native late-row
+    * side channel; this is the documented workaround, same family as
+    * q236's malformed-row DLQ). Arrival is deliberately OUT of
+    * event-time order (a pinned shuffle: order by event_id % 7 then
+    * time) — in-order replay would make lateness vacuous. The
+    * watermark is tracked driver-side as max-event-time-so-far − 1 h
+    * over COMPLETED batches, exactly the engine's definition, and with
+    * fixed 500-row chunks both batch membership and the per-batch
+    * watermark are pure functions of the slice — so the oracle can
+    * replay the classification: late iff ts < (running max of prior
+    * batches' max ts) − 1 h.
+    */
+  val q244: QueryDef = QueryDef.checked(
+    "q244_late_data_routing",
+    """WITH ordered AS (
+      |  SELECT event_type, epoch_ns(ts) // 1000 AS ts_us,
+      |    ROW_NUMBER() OVER (ORDER BY event_id % 7, epoch_ns(ts), event_id)
+      |      - 1 AS rn
+      |  FROM events WHERE event_id < 2000),
+      |b AS (SELECT event_type, ts_us, rn // 500 AS batch FROM ordered),
+      |bm AS (SELECT batch, MAX(ts_us) AS bmax FROM b GROUP BY batch),
+      |wm AS (
+      |  SELECT batch,
+      |    MAX(bmax) OVER (ORDER BY batch
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      - 3600000000 AS w
+      |  FROM bm)
+      |SELECT CASE WHEN w IS NOT NULL AND ts_us < w THEN 'late'
+      |  ELSE 'ontime' END AS status, event_type, COUNT(*) AS n
+      |FROM b JOIN wm USING (batch)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    implicit val sqlc: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    withChecksumOff(s) {
+    val rows = Tables.events(s, d)
+      .filter(col("event_id") < SliceMax)
+      .orderBy(expr("event_id % 7"), col("ts_ns"), col("event_id"))
+      .select(expr("ts_ns div 1000"), col("user_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSeq
+    val onRoot = Exact.scratchDir("q244on", "lateon_").toAbsolutePath.toString
+    val lateRoot = Exact.scratchDir("q244late", "latedlq_")
+      .toAbsolutePath.toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-q244-ckpt")
+    val in = MemoryStream[(Long, Long, String)]
+    val writeOn = graft.streaming.StreamingOps.idempotentBatchWriter(onRoot)
+    val writeLate = graft.streaming.StreamingOps.idempotentBatchWriter(lateRoot)
+    @volatile var wm = Long.MinValue
+    val q = in.toDF().toDF("ts_us", "user_id", "event_type")
+      .writeStream
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        val w = wm // snapshot: the watermark the engine knew ENTERING the batch
+        val batch = df.persist()
+        try {
+          writeOn(batch.filter(col("ts_us") >= w), id)
+          writeLate(batch.filter(col("ts_us") < w), id)
+        } finally { batch.unpersist(); () }
+      }
+      .option("checkpointLocation", ckpt.toString)
+      .start()
+    try {
+      rows.grouped(BatchRows).foreach { chunk =>
+        in.addData(chunk: _*)
+        q.processAllAvailable()
+        wm = math.max(wm, chunk.iterator.map(_._1).max - 3600000000L)
+      }
+    } finally { q.stop(); rmTree(ckpt) }
+    def readSide(root: String, status: String) =
+      s.read.parquet(
+          graft.streaming.StreamingOps.committedBatches(root): _*)
+        .select(col("event_type"), lit(status).as("status"))
+    readSide(onRoot, "ontime").unionByName(readSide(lateRoot, "late"))
+      .groupBy(col("status"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("status"), col("event_type"))
     }
   }
 }

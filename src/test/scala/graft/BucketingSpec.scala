@@ -82,6 +82,20 @@ class BucketingSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q242 point lookup reads only the probed buckets") {
+    val df = SparkEntry.queries("q242_bucket_pruned_lookup")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true"),
+      s"scan must use the bucketed layout:\n$plan")
+    // three probe keys hash into at most 3 of the 8 buckets — the scan
+    // must report the pruned selection, not a full bucket set
+    val sel = "SelectedBucketsCount: (\\d+) out of 8".r.findFirstMatchIn(plan)
+    assert(sel.isDefined, s"expected SelectedBucketsCount in the scan:\n$plan")
+    assert(sel.get.group(1).toInt <= 3,
+      s"expected <=3 of 8 buckets selected:\n$plan")
+  }
+
   test("bucketed writer lays out exactly one file per bucket") {
     val n = Tables.orders(spark, sf).filter(col("o_orderkey") < 5000)
       .select(col("o_orderkey"), col("o_custkey"))
