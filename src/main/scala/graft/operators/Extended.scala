@@ -16,7 +16,7 @@ object Extended {
 
   def defs: Seq[QueryDef] = Seq(q42, q43, q44, q45, q46, q90, q92, q93, q95, q97,
     q101, q117, q118, q119, q120, q121, q146, q150, q166, q168, q169,
-    q172, q188, q189, q196, q201, q202, q213, q221, q227, q235, q241)
+    q172, q188, q189, q196, q201, q202, q213, q221, q227, q235, q241, q245)
 
   /** q95: ORC round-trip — q44's lossless write→read check for the
     * third columnar format (ORC ships with Spark; DuckDB cannot read
@@ -1584,5 +1584,44 @@ object Extended {
       .select(col("doc_id"),
         (col("off") + col("rk") - 1L).as("dense_id"))
       .orderBy(col("doc_id"))
+  }
+
+  /** q245: order-independent table digest — the anti-entropy checksum
+    * two replicas (or a source system and its lake copy) compare to
+    * detect divergence WITHOUT shipping rows: per row, a 32-bit
+    * md5-derived value over the full record content; per source, the
+    * SUM of those values under two independent salts. Sums commute and
+    * merge, so the digest is insensitive to row order, partitioning,
+    * and compaction history — precisely what makes it comparable
+    * across systems — and it aggregates map-side to one row per
+    * source. Two salts because a single 32-bit sum can collide under
+    * an adversarial pair of edits; two independent sums make silent
+    * cancellation vanishingly unlikely (the standard multi-hash
+    * digest argument). The oracle recomputes the same md5 arithmetic
+    * (the q139/q211 grid idiom), certifying every row hashed cell for
+    * cell.
+    */
+  val q245: QueryDef = QueryDef.checked(
+    "q245_table_digest",
+    """WITH h AS (
+      |  SELECT source,
+      |    ('0x' || substring(md5('d1:' || CAST(doc_id AS VARCHAR) || ':'
+      |      || lang || ':' || CAST(n_chars AS VARCHAR)), 1, 8))::BIGINT AS h1,
+      |    ('0x' || substring(md5('d2:' || CAST(doc_id AS VARCHAR) || ':'
+      |      || lang || ':' || CAST(n_chars AS VARCHAR)), 1, 8))::BIGINT AS h2
+      |  FROM documents)
+      |SELECT source, COUNT(*) AS n_rows,
+      |  CAST(SUM(h1) AS BIGINT) AS digest1, CAST(SUM(h2) AS BIGINT) AS digest2
+      |FROM h GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    def h(salt: String) = expr(
+      s"""CAST(conv(substring(md5(concat('$salt:', CAST(doc_id AS STRING),
+         |  ':', lang, ':', CAST(n_chars AS STRING))), 1, 8), 16, 10)
+         |AS BIGINT)""".stripMargin.replaceAll("\n", " "))
+    Tables.documents(s, d)
+      .select(col("source"), h("d1").as("h1"), h("d2").as("h2"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("h1")).as("digest1"),
+        sum(col("h2")).as("digest2"))
+      .orderBy(col("source"))
   }
 }

@@ -13,7 +13,7 @@ object Scale {
 
   def defs: Seq[QueryDef] =
     Seq(q47, q48, q63, q72, q94, q96, q125, q139, q155, q175, q197, q211,
-      q216, q219, q228, q234)
+      q216, q219, q228, q234, q247)
 
   /** Mergeable rank/quantile sketch as a fixed-grid histogram — the
     * fourth corner of the sketch family (q96 HLL = distinct, q139 CMS =
@@ -1168,5 +1168,33 @@ object Scale {
       .agg(count(lit(1)).as("n"),
         sum(col("c_nationkey").cast("long")).as("sum_nk"))
       .orderBy(col("event_type"))
+  }
+
+  /** q247: SKETCH-merged trailing actives — the 100 TB path for q165's
+    * exact trailing-7-day distinct users: instead of re-touching seven
+    * days of (user, day) rows per output day (q165's range join — exact
+    * but O(7×) re-scan), each day aggregates ONCE into an HLL sketch
+    * (Apache DataSketches, Spark 3.5 builtins) and every trailing
+    * window is a MERGE of seven ~KB register arrays — the day→sketch
+    * table is the reusable asset, and yesterday's sketches never
+    * recompute when today arrives (the incremental property exact
+    * distinct cannot have). HLL register state is a per-register max,
+    * so merges commute and the result is deterministic for a given
+    * corpus. Rows-only (register internals are library-defined);
+    * ScaleSpec pins every day's estimate within 5 % of q165's exact
+    * count — the documented HLL error envelope at lgK=12.
+    */
+  val q247: QueryDef = QueryDef.rowsOnly("q247_hll_rolling_actives") { (s, d) =>
+    val du = Tables.events(s, d)
+      .select(expr("ts_ns div 86400000000000").as("day"), col("user_id"))
+    val daily = du.groupBy(col("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val spine = daily.select(col("day").as("rday"))
+    spine.join(daily,
+        col("day").between(col("rday") - 6, col("rday")))
+      .groupBy(col("rday"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_actives"))
+      .select(col("rday").as("day"), col("est_actives"))
+      .orderBy(col("day"))
   }
 }

@@ -15,7 +15,8 @@ import org.apache.spark.sql.expressions.Window
 object TextAnalysis {
 
   def defs: Seq[QueryDef] =
-    Seq(q34, q35, q36, q37, q49, q64, q70, q85, q86, q102, q113, q180, q191)
+    Seq(q34, q35, q36, q37, q49, q64, q70, q85, q86, q102, q113, q180, q191,
+      q246)
 
   private val stopList = TF.StopWords.map(w => s"'$w'").mkString(", ")
 
@@ -611,5 +612,50 @@ object TextAnalysis {
       .select(col("freq"), col("n_types"),
         expr("freq * n_types * 1000000 div n").as("mass_ppm"))
       .orderBy(col("freq"))
+  }
+
+  /** q246: skip-gram context pairs (window ±2) — the word2vec/GloVe
+    * training-pair extraction (q113's adjacent bigrams are the d=1
+    * slice of this): every (center, context) pair within two positions,
+    * both directions. The forward pairs are built ROW-LOCALLY (one
+    * transform over the token array — no position shuffle, the q113
+    * bigram lesson), and the backward direction is the same frame with
+    * the columns swapped — a union, not a second scan, because
+    * directed-pair counts are mirror-symmetric by construction. Shape:
+    * row-local explode → one (center, context)-keyed count (fanout ≤ 2
+    * rows per token per direction) → TakeOrdered top-20; at 100 TB
+    * nothing shuffles except the bounded pair counts.
+    */
+  val q246: QueryDef = QueryDef.checked(
+    "q246_skipgram_pairs",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS t,
+      |    generate_subscripts(string_split(text, ' '), 1) AS pos
+      |  FROM documents),
+      |fwd AS (
+      |  SELECT a.t AS c, b.t AS ctx
+      |  FROM tok a JOIN tok b
+      |    ON a.doc_id = b.doc_id AND b.pos - a.pos IN (1, 2)),
+      |bidir AS (
+      |  SELECT c, ctx FROM fwd
+      |  UNION ALL SELECT ctx, c FROM fwd),
+      |cnt AS (SELECT c, ctx, COUNT(*) AS n FROM bidir GROUP BY 1, 2)
+      |SELECT c, ctx, n FROM cnt
+      |ORDER BY n DESC, c, ctx LIMIT 20""".stripMargin) { (s, d) =>
+    val fwd = Tables.documents(s, d)
+      .select(split(col("text"), " ").as("toks"))
+      .select(explode(expr(
+        """flatten(transform(toks, (t, i) -> filter(array(
+          |  IF(i + 2 <= size(toks),
+          |    named_struct('c', t, 'ctx', element_at(toks, i + 2)), NULL),
+          |  IF(i + 3 <= size(toks),
+          |    named_struct('c', t, 'ctx', element_at(toks, i + 3)), NULL)
+          |), x -> x IS NOT NULL)))""".stripMargin)).as("p"))
+      .select(col("p.c").as("c"), col("p.ctx").as("ctx"))
+    fwd.unionByName(fwd.select(col("ctx").as("c"), col("c").as("ctx")))
+      .groupBy(col("c"), col("ctx"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("c"), col("ctx"))
+      .limit(20)
   }
 }

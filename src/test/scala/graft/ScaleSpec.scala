@@ -200,6 +200,21 @@ class ScaleSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"ivfpq recall $recall")
   }
 
+  test("q247 HLL rolling actives within 5% of the exact q165 counts") {
+    import org.apache.spark.sql.functions.col
+    val exact = SparkEntry.queries("q165_trailing_actives")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val est = SparkEntry.queries("q247_hll_rolling_actives")(spark, sf)
+      .select(col("day"), col("est_actives")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1).toDouble).toMap
+    assert(est.keySet === exact.keySet)
+    est.foreach { case (day, e) =>
+      val t = exact(day).toDouble
+      assert(math.abs(e - t) / t <= 0.05,
+        s"day $day: estimate $e vs exact $t exceeds 5%")
+    }
+  }
+
   test("q197 memoized-index path is row-identical to the one-shot operator") {
     import org.apache.spark.sql.functions.col
     val e = graft.Tables.embeddings(spark, sf)
