@@ -70,15 +70,24 @@ class DedupDfCapSpec extends AnyFunSuite {
   test("dedupClusters releases every cache except the returned frame") {
     val s = spark
     import s.implicits._
-    spark.catalog.clearCache()
-    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
-    val got = operators.Dedup.dedupClusters(pairs)
-    // exactly one persisted frame may remain: the result itself
-    val cached = spark.sparkContext.getPersistentRDDs
-    assert(cached.size <= 1,
-      s"leaked caches: ${cached.values.map(_.name).mkString(", ")}")
-    got.unpersist()
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    // Accounting is DIFF-based (new cache entries only) and retried:
+    // suites share one SparkContext and run concurrently, so absolute
+    // cache counts see other suites' frames (including deliberate
+    // session memos like q183's component assignment). A systematic
+    // leak inside dedupClusters fails every attempt; concurrent-suite
+    // noise passes on a quiet one.
+    val attempts = (1 to 3).iterator.map { _ =>
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+      val got = operators.Dedup.dedupClusters(pairs)
+      // exactly one NEW persisted frame may remain: the result itself
+      val mid = spark.sparkContext.getPersistentRDDs.keySet -- before
+      got.unpersist()
+      val after = spark.sparkContext.getPersistentRDDs.keySet -- before
+      (mid.size <= 1) && after.isEmpty
+    }
+    assert(attempts.exists(identity),
+      "dedupClusters leaked intermediate caches on all 3 attempts")
   }
 
   test("dedupClusters collapses transitive chains to one survivor") {
