@@ -22,7 +22,7 @@ import org.apache.spark.sql.functions._
 object Layout {
 
   def defs: Seq[QueryDef] =
-    Seq(q73, q79, q80, q89, q134, q148, q198, q237, q242)
+    Seq(q73, q79, q80, q89, q134, q148, q198, q237, q242, q248)
 
   /** Small-file compaction PLANNER — layout maintenance for the
     * partitioned/bucketed layouts this file writes: given per-file
@@ -532,5 +532,52 @@ object Layout {
       .agg(count(lit(1)).as("n_items"),
         Exact.sum2(col("l_quantity")).as("sum_qty"))
       .orderBy(col("l_orderkey"))
+  }
+
+  /** Compact a day-partitioned parquet root: one output file per day.
+    * `repartition(col(day))` hash-distributes whole days, so each day's
+    * rows land in exactly one task and `partitionBy(day)` writes exactly
+    * one file per day directory — the many-small-files → one-file
+    * rewrite, content-identical by construction.
+    */
+  def compactDays(s: org.apache.spark.sql.SparkSession, srcRoot: String,
+      dstRoot: String): Unit =
+    s.read.parquet(srcRoot)
+      .repartition(col("day"))
+      .write.mode("overwrite").partitionBy("day").parquet(dstRoot)
+
+  /** q248: compaction EXECUTION — q134 plans bins over file metadata;
+    * this runs the rewrite end to end, the OPTIMIZE every streaming
+    * ingest eventually owes its table: generation 1 deliberately
+    * fragments (8 writer tasks per day — exactly what per-trigger
+    * micro-batch appends produce), the compactor rewrites each day
+    * directory to ONE file. The oracle is the plain events aggregate —
+    * a compaction that loses, duplicates, or reorders-into-wrong-
+    * partition rows fails the hash; the layout half (files per day
+    * 8 → 1) is pinned in StorageLayoutSpec, because file counts are
+    * invisible to SQL on purpose. At 100 TB this runs per-partition-
+    * directory as independent jobs (the q134 planner picks WHICH) and
+    * readers see old files until the atomic swap — here gen2 is a new
+    * root, the same publish-then-flip discipline.
+    */
+  val q248: QueryDef = QueryDef.checked(
+    "q248_compaction_execution",
+    """SELECT epoch_ns(ts) // 1000 // 86400000000 AS day, event_type,
+      |  COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS sum_eid
+      |FROM events
+      |GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin) { (s, d) =>
+    val root = Exact.scratchDir("q248", "compact_").toAbsolutePath.toString
+    val ev = Tables.events(s, d).select(
+      expr("ts_ns div 1000 div 86400000000").as("day"),
+      col("event_type"), col("event_id"))
+    ev.repartition(8) // fragmented generation: 8 small files per day dir
+      .write.mode("overwrite").partitionBy("day").parquet(s"$root/gen1")
+    compactDays(s, s"$root/gen1", s"$root/gen2")
+    s.read.parquet(s"$root/gen2")
+      .groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_eid"))
+      .select(col("day").cast("long").as("day"), col("event_type"),
+        col("n"), col("sum_eid"))
+      .orderBy(col("day"), col("event_type"))
   }
 }

@@ -225,4 +225,35 @@ class StorageLayoutSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
     assert(a == b, "pruned read must equal the full-scan filter")
   }
+
+  test("q248 compaction rewrites each day directory to exactly one file") {
+    val s = spark
+    val root = java.nio.file.Files
+      .createTempDirectory(operators.Exact.fmtRoot, "compactspec_")
+      .toAbsolutePath.toString
+    val ev = graft.Tables.events(s, TestSpark.Sf0001).select(
+      expr("ts_ns div 1000 div 86400000000").as("day"),
+      col("event_type"), col("event_id"))
+    ev.repartition(8)
+      .write.mode("overwrite").partitionBy("day").parquet(s"$root/gen1")
+    operators.Layout.compactDays(s, s"$root/gen1", s"$root/gen2")
+    def filesPerDay(gen: String): Map[String, Int] =
+      new java.io.File(s"$root/$gen").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("day="))
+        .map(d => d.getName ->
+          d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    val before = filesPerDay("gen1")
+    val after = filesPerDay("gen2")
+    assert(before.keySet === after.keySet, "compaction must keep every day")
+    assert(before.values.exists(_ > 1),
+      s"fragmented generation should have multi-file days: $before")
+    assert(after.values.forall(_ == 1),
+      s"every compacted day must hold exactly one file: $after")
+    // content-identical: same (day, event_id) multiset
+    val a = s.read.parquet(s"$root/gen1").select("event_id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    val b = s.read.parquet(s"$root/gen2").select("event_id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(a == b, "compaction must be content-identical")
+  }
 }
