@@ -57,7 +57,8 @@ object StreamingCatalog {
 
   def defs: Seq[QueryDef] =
     Seq(q130, q131, q135, q136, q138, q140, q145, q147, q149, q151, q153,
-      q158, q167, q173, q174, q193, q195, q229, q230, q236, q239, q240, q244)
+      q158, q167, q173, q174, q193, q195, q229, q230, q236, q239, q240, q244,
+      q249)
 
   private val SliceMax = 2000L
   private val Sentinel = "zz_sentinel"
@@ -1167,6 +1168,97 @@ object StreamingCatalog {
       .groupBy(col("status"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("status"), col("event_type"))
+    }
+  }
+
+  /** q249: dropDuplicatesWithinWatermark under the oracle — S4's
+    * state-BOUNDED streaming dedup (q131's dropDuplicates holds every
+    * key forever; production dedup must evict or state grows without
+    * bound), previously spec-only because the semantics looked
+    * order-coupled. They are replayable; probed and pinned this round:
+    * a key admitted at event time T expires at T + delay; duplicates
+    * arriving while present are dropped and do NOT extend the expiry;
+    * the key is evicted once watermark ≥ expiry (NON-strict — measured
+    * at the exact boundary); all arithmetic in MILLISECONDS (event
+    * times truncate µs→ms before both the expiry and the watermark).
+    * Determinism recipe: event-time-ordered arrival (no late drops),
+    * and the replay thins each 500-row chunk to the FIRST row per key
+    * (≤1 row per key per batch ⇒ the kept row's identity — whose ts
+    * seeds the next expiry — is exact, not shuffle-order-dependent; a
+    * second same-batch duplicate is q131's already-certified case).
+    * The oracle replays the recursion per key with a recursive CTE
+    * over (key, occurrence#): wm(b) = running max of prior thinned
+    * batches' max t_ms − delay; emitted iff first occurrence or
+    * wm ≥ expiry. Emission is immediate (no watermark-gated output),
+    * so no sentinel.
+    */
+  val q249: QueryDef = QueryDef.checked(
+    "q249_dedup_within_watermark",
+    """WITH RECURSIVE ordered AS (
+      |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS ts_us,
+      |    ROW_NUMBER() OVER (ORDER BY epoch_ns(ts), event_id) - 1 AS rn
+      |  FROM events WHERE event_id < 2000),
+      |chunked AS (
+      |  SELECT user_id, event_type, ts_us, rn, rn // 500 AS batch
+      |  FROM ordered),
+      |thin AS (
+      |  SELECT user_id, event_type, ts_us, batch,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type, batch
+      |      ORDER BY rn) AS drn
+      |  FROM chunked),
+      |rows_k AS (
+      |  SELECT CAST(user_id AS VARCHAR) || ':' || event_type AS k,
+      |    user_id, event_type, ts_us, batch, ts_us // 1000 AS t_ms,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+      |      ORDER BY batch) AS krn
+      |  FROM thin WHERE drn = 1),
+      |bm AS (SELECT batch, MAX(t_ms) AS bmax FROM rows_k GROUP BY batch),
+      |wm AS (
+      |  SELECT batch,
+      |    MAX(bmax) OVER (ORDER BY batch
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      - 7200000 AS w
+      |  FROM bm),
+      |st(k, krn, expiry, emitted, user_id, event_type, ts_us) AS (
+      |  SELECT k, krn, t_ms + 7200000, TRUE, user_id, event_type, ts_us
+      |  FROM rows_k WHERE krn = 1
+      |  UNION ALL
+      |  SELECT r.k, r.krn,
+      |    CASE WHEN w.w >= s.expiry THEN r.t_ms + 7200000
+      |      ELSE s.expiry END,
+      |    w.w IS NOT NULL AND w.w >= s.expiry,
+      |    r.user_id, r.event_type, r.ts_us
+      |  FROM st s JOIN rows_k r ON r.k = s.k AND r.krn = s.krn + 1
+      |  JOIN wm w ON w.batch = r.batch)
+      |SELECT user_id, event_type, ts_us FROM st WHERE emitted
+      |ORDER BY user_id, event_type, ts_us""".stripMargin) { (s, d) =>
+    implicit val sqlc: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    withChecksumOff(s) {
+    val raw = slice(s, d)
+    val chunks = raw.grouped(BatchRows).map { c =>
+      val seen = scala.collection.mutable.HashSet.empty[(Long, String)]
+      c.filter(r => seen.add((r._2, r._3)))
+    }.toSeq
+    val in = MemoryStream[(Long, Long, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-q249-ckpt")
+    val q = in.toDF().toDF("ts_us", "user_id", "event_type")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"), col("ts_us"))
+      .writeStream.format("memory").queryName("graft_q249_sink")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt.toString)
+      .start()
+    try {
+      chunks.foreach { c =>
+        in.addData(c: _*)
+        q.processAllAvailable()
+      }
+    } finally { q.stop(); rmTree(ckpt) }
+    s.table("graft_q249_sink")
+      .orderBy(col("user_id"), col("event_type"), col("ts_us"))
     }
   }
 }
