@@ -22,7 +22,7 @@ import org.apache.spark.sql.functions._
 object Layout {
 
   def defs: Seq[QueryDef] =
-    Seq(q73, q79, q80, q89, q134, q148, q198, q237, q242, q248)
+    Seq(q73, q79, q80, q89, q134, q148, q198, q237, q242, q248, q250)
 
   /** Small-file compaction PLANNER — layout maintenance for the
     * partitioned/bucketed layouts this file writes: given per-file
@@ -545,6 +545,75 @@ object Layout {
     s.read.parquet(srcRoot)
       .repartition(col("day"))
       .write.mode("overwrite").partitionBy("day").parquet(dstRoot)
+
+  /** Value-index (posting lists) over a parquet root: value → the set
+    * of files containing it, built by one grouped pass over
+    * `_metadata.file_path` (a production build persists this and
+    * maintains it per-file on ingest — the contract, value → file set,
+    * is identical).
+    */
+  def valueIndexBuild(spark: org.apache.spark.sql.SparkSession,
+      path: String, valCol: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(col(valCol).as("v"))
+      .agg(collect_set(col("_metadata.file_path")).as("files"),
+        count(lit(1)).as("cnt"))
+
+  /** Point lookup through the posting lists: read ONLY the files the
+    * probed values post to, then re-apply the exact predicate. Returns
+    * (rows, filesRead, filesTotal) so callers can assert the skipping.
+    */
+  def valueIndexLookup(spark: org.apache.spark.sql.SparkSession,
+      path: String, valCol: String,
+      keys: Seq[Long]): (DataFrame, Int, Int) = {
+    val posted = valueIndexBuild(spark, path, valCol)
+      .filter(col("v").isin(keys: _*))
+      .select(explode(col("files")).as("f")).distinct()
+      .collect().map(_.getString(0))
+    val total = new java.io.File(path).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    val rows = spark.read.parquet(posted.toIndexedSeq: _*)
+      .filter(col(valCol).isin(keys: _*))
+    (rows, posted.length, total)
+  }
+
+  /** q250: value-index point lookup — the third member of the pruning
+    * triptych (q198 zone maps prune by RANGE on the clustered column,
+    * q242 bucket pruning by HASH on the bucket key; this prunes by
+    * POSTING LIST on a column the layout was NOT organized by — the
+    * secondary-access-path problem: a 100 TB fact clustered by partkey
+    * still owes point lookups on orderkey, and re-clustering for every
+    * access path is impossible). Files are range-clustered by partkey;
+    * the index maps each orderkey to the ≤7 files its basket's rows
+    * landed in (Hyperspace/DB2-style posting lists), so a 3-order probe
+    * reads a handful of 32 files and re-applies the exact predicate.
+    * Probe keys are the 3 smallest orderkeys (derived identically in
+    * the oracle). StorageLayoutSpec pins filesRead < filesTotal and
+    * pruned == full-scan equality; the oracle is the plain filtered
+    * aggregate — the index must be semantically invisible.
+    */
+  val q250: QueryDef = QueryDef.checked(
+    "q250_value_index_lookup",
+    """WITH probe AS (
+      |  SELECT DISTINCT l_orderkey AS pk FROM lineitem ORDER BY 1 LIMIT 3)
+      |SELECT l_orderkey, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem WHERE l_orderkey IN (SELECT pk FROM probe)
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val root = Exact.scratchDir("q250", "vidx_").toAbsolutePath.toString
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+    li.repartitionByRange(32, col("l_partkey"))
+      .write.mode("overwrite").parquet(root)
+    val probes = li.select(col("l_orderkey")).distinct()
+      .orderBy(col("l_orderkey")).limit(3)
+      .collect().map(_.getLong(0)).toSeq
+    val (rows, _, _) = valueIndexLookup(s, root, "l_orderkey", probes)
+    rows.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_items"),
+        Exact.sum2(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_orderkey"))
+  }
 
   /** q248: compaction EXECUTION — q134 plans bins over file metadata;
     * this runs the rewrite end to end, the OPTIMIZE every streaming

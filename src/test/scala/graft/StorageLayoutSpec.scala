@@ -226,6 +226,31 @@ class StorageLayoutSpec extends AnyFunSuite {
     assert(a == b, "pruned read must equal the full-scan filter")
   }
 
+  test("q250 value-index lookup reads fewer files and equals the full scan") {
+    val s = spark
+    val root = java.nio.file.Files
+      .createTempDirectory(operators.Exact.fmtRoot, "vidxspec_")
+      .toAbsolutePath.toString
+    val li = graft.Tables.lineitem(s, TestSpark.Sf0001)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+    li.repartitionByRange(32, col("l_partkey"))
+      .write.mode("overwrite").parquet(root)
+    val probes = li.select(col("l_orderkey")).distinct()
+      .orderBy(col("l_orderkey")).limit(3)
+      .collect().map(_.getLong(0)).toSeq
+    val (rows, nRead, nTotal) =
+      operators.Layout.valueIndexLookup(s, root, "l_orderkey", probes)
+    assert(nTotal == 32, s"expected 32 clustered files, got $nTotal")
+    assert(nRead > 0 && nRead < nTotal,
+      s"posting lists must skip files: read $nRead of $nTotal")
+    val a = rows.select("l_orderkey", "l_quantity").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    val b = li.filter(col("l_orderkey").isin(probes: _*))
+      .select("l_orderkey", "l_quantity").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    assert(a == b, "index lookup must equal the full-scan filter")
+  }
+
   test("q248 compaction rewrites each day directory to exactly one file") {
     val s = spark
     val root = java.nio.file.Files
