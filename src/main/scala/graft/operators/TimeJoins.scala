@@ -22,7 +22,7 @@ object TimeJoins {
 
   def defs: Seq[QueryDef] = Seq(q51, q52, q91, q100, q105, q107, q108, q109, q114,
     q122, q124, q162, q163, q165, q184, q185, q186, q190, q200, q203, q205,
-    q206, q207, q209, q210, q214, q217, q232, q238)
+    q206, q207, q209, q210, q214, q217, q232, q238, q251)
 
   /** As-of join: for every 'click' event, the most recent 'view' event by
     * the same user at-or-before it (order = (ts, event_id), so ties are
@@ -1522,5 +1522,76 @@ object TimeJoins {
         sum(when(col("day") - col("prev_day") >= 8, 1L).otherwise(0L))
           .as("n_resurrected"))
       .orderBy(col("day"))
+  }
+
+  /** q251: CUPED variance-reduced experiment readout — the adjustment
+    * every mature experimentation platform applies before calling a
+    * winner (Deng et al., WSDM'13): each user's PRE-period activity X
+    * predicts their POST-period metric Y, so Ŷ = Y − θ(X − X̄) with
+    * θ = cov(X,Y)/var(X) removes the predictable between-user variance
+    * and the variant delta is judged on the adjusted means. Engine
+    * discipline: per-user (x, y) cents from ONE conditional-sum pass
+    * (pre/post split at min_day + 15), θ's numerator/denominator and
+    * the variant sums all accumulate as exact integers (DECIMAL(38,0)
+    * / HUGEINT — the q196 overflow rule), and only the final readout
+    * divides, as the SAME exact integers cast to DOUBLE through the
+    * SAME expression text in both engines (the q196/q109 ROUND
+    * contract). Variant = user_id % 2 — deterministic in both engines.
+    */
+  val q251: QueryDef = QueryDef.checked(
+    "q251_cuped_readout",
+    """WITH bounds AS (
+      |  SELECT MIN(epoch_ns(ts) // 1000 // 86400000000) + 15 AS cut
+      |  FROM events),
+      |ux AS (
+      |  SELECT user_id, user_id % 2 AS variant,
+      |    CAST(SUM(CASE WHEN epoch_ns(ts) // 1000 // 86400000000 < cut
+      |      THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      ELSE 0 END) AS BIGINT) AS x,
+      |    CAST(SUM(CASE WHEN epoch_ns(ts) // 1000 // 86400000000 >= cut
+      |      THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      ELSE 0 END) AS BIGINT) AS y
+      |  FROM events, bounds GROUP BY 1, 2),
+      |g AS (
+      |  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+      |    SUM(x*y) AS sxy, SUM(x*x) AS sxx
+      |  FROM ux),
+      |v AS (
+      |  SELECT variant, COUNT(*) AS nv, SUM(x) AS sxv, SUM(y) AS syv
+      |  FROM ux GROUP BY variant)
+      |SELECT variant, CAST(nv AS BIGINT) AS n_users,
+      |  CAST(ROUND(1000000.0 * CAST(syv AS DOUBLE) / nv) AS BIGINT)
+      |    AS raw_mean_micros,
+      |  CAST(ROUND(1000000.0 * (CAST(syv AS DOUBLE) / nv
+      |    - (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE))
+      |      * (CAST(sxv AS DOUBLE) / nv - CAST(sx AS DOUBLE) / n)))
+      |    AS BIGINT) AS adj_mean_micros
+      |FROM v, g ORDER BY variant""".stripMargin) { (s, d) =>
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cut = Tables.events(s, d)
+      .agg(min(expr("ts_ns div 1000 div 86400000000"))).head().getLong(0) + 15L
+    val ux = Tables.events(s, d)
+      .select(col("user_id"),
+        expr("ts_ns div 1000 div 86400000000").as("day"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+      .groupBy(col("user_id"), (col("user_id") % 2).as("variant"))
+      .agg(sum(when(col("day") < cut, col("cents")).otherwise(0L)).as("x"),
+        sum(when(col("day") >= cut, col("cents")).otherwise(0L)).as("y"))
+    val g = ux.agg(count(lit(1)).as("n"),
+      sum(col("x").cast(dec38)).as("sx"), sum(col("y").cast(dec38)).as("sy"),
+      sum((col("x") * col("y")).cast(dec38)).as("sxy"),
+      sum((col("x") * col("x")).cast(dec38)).as("sxx"))
+    val v = ux.groupBy(col("variant"))
+      .agg(count(lit(1)).as("nv"), sum(col("x").cast(dec38)).as("sxv"),
+        sum(col("y").cast(dec38)).as("syv"))
+    v.crossJoin(broadcast(g))
+      .select(col("variant"), col("nv").cast("long").as("n_users"),
+        expr("""CAST(ROUND(1000000.0 * CAST(syv AS DOUBLE) / nv) AS BIGINT)""")
+          .as("raw_mean_micros"),
+        expr("""CAST(ROUND(1000000.0 * (CAST(syv AS DOUBLE) / nv
+                - (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE))
+                  * (CAST(sxv AS DOUBLE) / nv - CAST(sx AS DOUBLE) / n)))
+                AS BIGINT)""").as("adj_mean_micros"))
+      .orderBy(col("variant"))
   }
 }
