@@ -58,7 +58,7 @@ object StreamingCatalog {
   def defs: Seq[QueryDef] =
     Seq(q130, q131, q135, q136, q138, q140, q145, q147, q149, q151, q153,
       q158, q167, q173, q174, q193, q195, q229, q230, q236, q239, q240, q244,
-      q249)
+      q249, q252)
 
   private val SliceMax = 2000L
   private val Sentinel = "zz_sentinel"
@@ -81,9 +81,16 @@ object StreamingCatalog {
   /** Run `build(stream)` to completion over the slice in BatchRows-sized
     * micro-batches (+ sentinel), return the memory-sink table.
     */
+  /** `nSentinels`: chained stateful operators advance the watermark one
+    * operator per BATCH (the sentinel batch updates the input
+    * watermark; the downstream operator only sees the propagated value
+    * a batch later), so an N-deep stateful chain needs N sentinel
+    * rounds for the final windows to flush — each round is its own
+    * addData + processAllAvailable with a further-future timestamp.
+    */
   private def runToCompletion(
       s: SparkSession, d: String, sinkName: String, outputMode: String,
-      sentinelLeadMinutes: Long = 80L)(
+      sentinelLeadMinutes: Long = 80L, nSentinels: Int = 1)(
       build: DataFrame => DataFrame): DataFrame = {
     implicit val sqlc: org.apache.spark.sql.SQLContext = s.sqlContext
     import s.implicits._
@@ -113,8 +120,10 @@ object StreamingCatalog {
         in.addData(chunk: _*)
         q.processAllAvailable()
       }
-      in.addData((sentinelTs, -1L, Sentinel))
-      q.processAllAvailable()
+      (1 to nSentinels).foreach { k =>
+        in.addData((sentinelTs + (k - 1) * 3600000000L, -1L, Sentinel))
+        q.processAllAvailable()
+      }
     } finally {
       q.stop()
       rmTree(ckpt)
@@ -1260,5 +1269,65 @@ object StreamingCatalog {
     s.table("graft_q249_sink")
       .orderBy(col("user_id"), col("event_type"), col("ts_us"))
     }
+  }
+
+  /** q252: CHAINED join → aggregation in one streaming query — the
+    * other multi-stateful composition (q230 chains agg → agg): a
+    * stream-stream interval join (q136's click×trailing-view) feeds a
+    * windowed count of join PAIRS per click hour, two different state
+    * operator types in one plan (join buffers + window agg state),
+    * which Spark only admits since the 3.4 multi-stateful lift. The
+    * watermark the agg sees is the join's OUTPUT watermark — delayed
+    * by the join's 24 h time range (state-cleanup correctness), so the
+    * sentinel lead must clear range + window + delay (27 h here; the
+    * q239 lesson one operator deeper), and TWO sentinel rounds let the
+    * advance propagate operator by operator. The sentinel's
+    * self-match must NOT be filtered between the join and the agg:
+    * a `user != -1` there is predicate-pushed below BOTH branches'
+    * EventTimeWatermark collectors (it references the join key), the
+    * sentinel rows then never reach the stats, and the watermark
+    * freezes at the last real batch — measured, the probe watermark
+    * stuck at min(cts, vts) of batch 1 forever. Instead the sentinel's
+    * far-future windows are cut from the RESULT (they cannot overlap
+    * real hours by construction).
+    */
+  val q252: QueryDef = QueryDef.checked(
+    "q252_streaming_join_then_agg",
+    """WITH ev AS (
+      |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS ts_us
+      |  FROM events WHERE event_id < 2000),
+      |j AS (
+      |  SELECT c.ts_us AS click_us
+      |  FROM ev c JOIN ev v
+      |    ON c.event_type = 'click' AND v.event_type = 'view'
+      |   AND c.user_id = v.user_id
+      |   AND v.ts_us BETWEEN c.ts_us - 86400000000 AND c.ts_us)
+      |SELECT (click_us // 3600000000) * 3600000000 AS h_start_us,
+      |  COUNT(*) AS n_pairs
+      |FROM j GROUP BY 1 ORDER BY h_start_us""".stripMargin) { (s, d) =>
+    val maxHourUs = Tables.events(s, d).filter(col("event_id") < SliceMax)
+      .agg(max(expr("(ts_ns div 1000 div 3600000000) * 3600000000")))
+      .head().getLong(0)
+    runToCompletion(s, d, "graft_q252_sink", outputMode = "append",
+      sentinelLeadMinutes = 27L * 60L, nSentinels = 2) { ev =>
+      val clicks = ev
+        .filter(col("event_type") === "click" || col("event_type") === Sentinel)
+        .select(col("user_id"), col("ts").as("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+      val views = ev
+        .filter(col("event_type") === "view" || col("event_type") === Sentinel)
+        .select(col("user_id").as("v_user"), col("ts").as("view_ts"))
+        .withWatermark("view_ts", "1 hour")
+      clicks.join(views,
+          col("user_id") === col("v_user") &&
+            col("view_ts") >= col("click_ts") - expr("INTERVAL 24 HOURS") &&
+            col("view_ts") <= col("click_ts"))
+        .groupBy(window(col("click_ts"), "1 hour").as("h"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .select(unix_micros(col("h.start")).as("h_start_us"),
+          col("n_pairs"))
+    }
+      .filter(col("h_start_us") <= maxHourUs) // drop sentinel windows
+      .orderBy(col("h_start_us"))
   }
 }
