@@ -22,7 +22,7 @@ object TimeJoins {
 
   def defs: Seq[QueryDef] = Seq(q51, q52, q91, q100, q105, q107, q108, q109, q114,
     q122, q124, q162, q163, q165, q184, q185, q186, q190, q200, q203, q205,
-    q206, q207, q209, q210, q214, q217, q232, q238, q251)
+    q206, q207, q209, q210, q214, q217, q232, q238, q251, q253)
 
   /** As-of join: for every 'click' event, the most recent 'view' event by
     * the same user at-or-before it (order = (ts, event_id), so ties are
@@ -1593,5 +1593,105 @@ object TimeJoins {
                   * (CAST(sxv AS DOUBLE) / nv - CAST(sx AS DOUBLE) / n)))
                 AS BIGINT)""").as("adj_mean_micros"))
       .orderBy(col("variant"))
+  }
+
+  /** Weighted-interval gap sessionization: rows are (user, start_us,
+    * end_us, n) intervals; islands split when a row starts more than
+    * `gapUs` after the running max of PRIOR ends (the q214 idiom), and
+    * each island keeps its earliest start and total weight. Point
+    * events are the (start == end, n = 1) special case, which is how
+    * the history build uses it; the incremental merge feeds whole
+    * prior sessions as single weighted rows.
+    */
+  private def weightedGapSessions(rows: DataFrame,
+      gapUs: Long): DataFrame = {
+    val ord = Window.partitionBy(col("user_id"))
+      .orderBy(col("start_us"), col("end_us"))
+    val prior = ord.rowsBetween(Window.unboundedPreceding, -1)
+    rows
+      .withColumn("pmax", max(col("end_us")).over(prior))
+      .withColumn("flag",
+        when(col("pmax").isNull ||
+          col("start_us") - col("pmax") > gapUs, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("flag")).over(
+        ord.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("start_us")).as("start_us"), max(col("end_us")).as("end_us"),
+        sum(col("n")).as("n"))
+      .select(col("user_id"), col("start_us"), col("end_us"), col("n"))
+  }
+
+  /** Per-JVM memo of q253's persisted session history (the q78/q125
+    * build-once accounting — the history table IS the asset an
+    * incremental pipeline maintains; passes measure the merge path).
+    */
+  private val sessIncMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q253: INCREMENTAL sessionization — maintaining q100's gap sessions
+    * without recomputing history, the daily-ingest shape every
+    * sessionized warehouse runs: history sessions (events before the
+    * cut, persisted once) + today's events merge by the prefix-stable
+    * property of gap sessionization — only the LAST session per user
+    * can change (every earlier session is followed by a > gap silence
+    * that later events, all ≥ cut, can only widen). The merge feeds
+    * each user's last history session as ONE weighted interval row
+    * (its end carries the gap anchor, its n the event count) plus the
+    * fresh points into the same island pass, then unions the untouched
+    * history. At 100 TB: touched state = last-session-per-user
+    * (bounded by users) + today's events; history is append-only.
+    * The oracle is the FULL recompute over all events — incremental
+    * must be indistinguishable.
+    */
+  val q253: QueryDef = QueryDef.checked(
+    "q253_incremental_sessions",
+    """WITH t AS (
+      |  SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_id
+      |  FROM events),
+      |m AS (
+      |  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+      |      OR ts_us - lag(ts_us) OVER w > 3600000000 THEN 1 ELSE 0 END
+      |    AS new_sess
+      |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      |s AS (
+      |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+      |    ORDER BY ts_us, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM m)
+      |SELECT user_id, MIN(ts_us) AS sess_start_us,
+      |  COUNT(*) AS n_events
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, sess_start_us""".stripMargin) { (s, d) =>
+    val gapUs = 3600000000L
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), expr("ts_ns div 1000").as("ts_us"))
+    val cutUs = ev.agg(min(expr("ts_us div 86400000000")))
+      .head().getLong(0) * 86400000000L + 20L * 86400000000L
+    val path = sessIncMemo.computeIfAbsent(s"$d#$cutUs", _ => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(Exact.fmtRoot, "sessinc_").toAbsolutePath.toString
+      weightedGapSessions(
+        ev.filter(col("ts_us") < cutUs)
+          .select(col("user_id"), col("ts_us").as("start_us"),
+            col("ts_us").as("end_us"), lit(1L).as("n")),
+        gapUs).write.mode("overwrite").parquet(tmp)
+      tmp
+    })
+    val hist = s.read.parquet(path)
+    val wU = Window.partitionBy(col("user_id"))
+    val last = hist
+      .withColumn("mx", max(col("start_us")).over(wU))
+      .filter(col("start_us") === col("mx")).drop("mx")
+    val untouched = hist.join(
+      last.select(col("user_id"), col("start_us")),
+      Seq("user_id", "start_us"), "left_anti")
+    val fresh = ev.filter(col("ts_us") >= cutUs)
+      .select(col("user_id"), col("ts_us").as("start_us"),
+        col("ts_us").as("end_us"), lit(1L).as("n"))
+    weightedGapSessions(last.unionByName(fresh), gapUs)
+      .unionByName(untouched)
+      .select(col("user_id"), col("start_us").as("sess_start_us"),
+        col("n").as("n_events"))
+      .orderBy(col("user_id"), col("sess_start_us"))
   }
 }
