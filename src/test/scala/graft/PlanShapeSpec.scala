@@ -325,6 +325,22 @@ class PlanShapeSpec extends AnyFunSuite {
         s"session):\n$finalPlan")
   }
 
+  test("q241 dense ids keep the data-sized window bucket-partitioned") {
+    val plan = executedPlan("q241_dense_surrogate_ids")
+    val finalPlan = plan.split("== Initial Plan ==").head
+    // the data-sized row_number window must shuffle on the bucket
+    // column, and the ONLY single-partition funnel allowed is the
+    // 64-row offsets frame (the naive ROW_NUMBER() OVER (ORDER BY k)
+    // would put Exchange SinglePartition under the data window —
+    // exactly the shape the bucket-offset construction avoids)
+    assert(finalPlan.contains("hashpartitioning(b"),
+      s"expected the per-bucket data shuffle:\n$finalPlan")
+    val singles =
+      "Exchange SinglePartition".r.findAllIn(finalPlan).length
+    assert(singles <= 1,
+      s"more than one single-partition funnel ($singles):\n$finalPlan")
+  }
+
   test("q234 AQE marks the executed join as a skew-split join") {
     val plan = executedPlan("q234_aqe_skew_join")
     val finalPlan = plan.split("== Initial Plan ==").head
