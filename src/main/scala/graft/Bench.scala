@@ -31,6 +31,12 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Belt-and-suspenders for the contract emission (see the quiesce
+      // block at the end): push the StateStore maintenance tick past any
+      // plausible bench duration so the async task can't fire at all.
+      // Maintenance is snapshot/GC housekeeping for long-lived streams —
+      // not needed for these bounded runs-to-completion.
+      .config("spark.sql.streaming.stateStore.maintenanceInterval", "3600s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -167,7 +173,25 @@ object Bench {
       s""""queries_min":${jmap(identity, "%.3f")(_._2)},""" +
       s""""queries_median":${jmap(identity, "%.3f")(_._3)},""" +
       s""""queries_load1m":${jmap(identity, "%.2f")(_._4)}}""")
+    // QUIESCE, then print the contract as the absolute final write.
+    // Rounds 1–6 all produced parsed:null; r6 proved the contract line
+    // itself was clean (sbt StdoutOutput landed it raw) but an ASYNC
+    // StateStore-maintenance WARN fired after spark.stop() and landed
+    // on the captured stream AFTER the contract line (BENCH_r06 tail
+    // shows it verbatim). Order here is load-bearing:
+    //  1. stop any streaming query a catalog entry left active;
+    //  2. log level OFF — no log4j line (any thread) can print again;
+    //  3. StateStore.stop() — cancels the maintenance ScheduledExecutor
+    //     that produced the round-6 WARN (via GraftBridge: private[sql]);
+    //  4. spark.stop() — whatever it logs is already silenced;
+    //  5. contract println + explicit flush as the last stdout write.
+    spark.streams.active.foreach(q => try q.stop() catch { case _: Throwable => () })
+    spark.sparkContext.setLogLevel("OFF")
+    try org.apache.spark.sql.GraftBridge.stopStateStoreMaintenance()
+    catch { case _: Throwable => () }
+    try spark.stop() catch { case _: Throwable => () }
     println(contract)
-    spark.stop()
+    System.out.flush()
+    System.err.flush()
   }
 }

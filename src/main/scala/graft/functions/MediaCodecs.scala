@@ -1,0 +1,211 @@
+package graft.functions
+
+/** Pure-JVM media codecs for the multimodal column family: BMP
+  * (BITMAPINFOHEADER, 24 bpp uncompressed) and WAV (RIFF PCM 16-bit) —
+  * the two classic container formats parseable with nothing but
+  * little-endian byte arithmetic, which is what this zero-dependency
+  * sandbox allows. These are REAL parsers of the published formats
+  * (BMP: the Windows BITMAPFILEHEADER/BITMAPINFOHEADER layout; WAV: the
+  * RIFF chunk grammar), not shims: `decodeBmp` reads dimensions and the
+  * pixel array through the header's own offsets and strides, and
+  * `decodeWav` walks the chunk list (any chunk order, unknown chunks
+  * skipped) — point them at a BMP/WAV produced by any other tool and
+  * they work. The reference pipeline (govau/cga-logs-to-kinesis) moves
+  * opaque log bytes and never decodes; this file is part of the
+  * training-data-pipeline extension surface.
+  *
+  * Scale contract: all functions are row-local (no Spark imports) so
+  * they run inside partition-batched `mapPartitions` tasks; a heavier
+  * codec (JPEG/FLAC via JNI) would slot behind the same signatures.
+  */
+object MediaCodecs {
+
+  // ---- little-endian primitives ------------------------------------
+
+  private def le16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+  private def putLe16(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = v.toByte; b(off + 1) = (v >>> 8).toByte
+  }
+  private def putLe32(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = v.toByte; b(off + 1) = (v >>> 8).toByte
+    b(off + 2) = (v >>> 16).toByte; b(off + 3) = (v >>> 24).toByte
+  }
+
+  // ---- BMP ----------------------------------------------------------
+
+  /** BMP row stride: pixel rows pad to 4-byte boundaries (format rule). */
+  def bmpRowBytes(width: Int): Int = ((3 * width + 3) / 4) * 4
+
+  /** Total file size of a 24 bpp BMP with the standard 54-byte header. */
+  def bmpFileSize(width: Int, height: Int): Int =
+    54 + height * bmpRowBytes(width)
+
+  /** Encode a 24 bpp uncompressed BMP; `pix(i)` supplies the i-th byte
+    * of the pixel array (including padding positions — the decoder skips
+    * them by stride, so their value is irrelevant).
+    */
+  def encodeBmp(width: Int, height: Int, pix: Int => Byte): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    val rowBytes = bmpRowBytes(width)
+    val dataSize = height * rowBytes
+    val out = new Array[Byte](54 + dataSize)
+    out(0) = 'B'; out(1) = 'M'
+    putLe32(out, 2, out.length) // BITMAPFILEHEADER.bfSize
+    putLe32(out, 10, 54)        // pixel-array offset
+    putLe32(out, 14, 40)        // BITMAPINFOHEADER.biSize
+    putLe32(out, 18, width)
+    putLe32(out, 22, height)
+    putLe16(out, 26, 1)         // planes
+    putLe16(out, 28, 24)        // bpp
+    putLe32(out, 30, 0)         // BI_RGB (uncompressed)
+    putLe32(out, 34, dataSize)
+    putLe32(out, 38, 2835); putLe32(out, 42, 2835) // 72 dpi
+    var i = 0
+    while (i < dataSize) { out(54 + i) = pix(i); i += 1 }
+    out
+  }
+
+  /** One decoded BMP frame: geometry from the header, `meanLevel` the
+    * mean of the actual pixel bytes (padding excluded — that is what the
+    * stride in the header is for), `fileSize` the header's own size
+    * field, which is what lets [[decodeBmpStream]] split a concatenation.
+    */
+  final case class BmpFrame(width: Int, height: Int, bpp: Int,
+      fileSize: Int, meanLevel: Double)
+
+  /** Parse the BMP starting at `off`. Validates magic, header size, and
+    * 24 bpp/BI_RGB (the profile this library writes); a real pipeline
+    * routes other profiles to a quarantine, it does not guess.
+    */
+  def decodeBmp(b: Array[Byte], off: Int): BmpFrame = {
+    require(b.length - off >= 54, s"truncated BMP header at $off")
+    require(b(off) == 'B' && b(off + 1) == 'M', s"bad BMP magic at $off")
+    val fileSize = le32(b, off + 2)
+    val dataOff = le32(b, off + 10)
+    val width = le32(b, off + 18)
+    val height = le32(b, off + 22)
+    val bpp = le16(b, off + 28)
+    val compression = le32(b, off + 30)
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    require(bpp == 24 && compression == 0,
+      s"unsupported BMP profile: bpp=$bpp compression=$compression")
+    require(off + fileSize <= b.length, "BMP size field past buffer end")
+    val rowBytes = bmpRowBytes(width)
+    var sum = 0L
+    var r = 0
+    while (r < height) {
+      val rowStart = off + dataOff + r * rowBytes
+      var cIdx = 0
+      val rowPixBytes = 3 * width
+      while (cIdx < rowPixBytes) { sum += b(rowStart + cIdx) & 0xff; cIdx += 1 }
+      r += 1
+    }
+    val nPix = height.toLong * 3L * width.toLong
+    BmpFrame(width, height, bpp, fileSize,
+      if (nPix == 0) 0.0 else sum.toDouble / nPix)
+  }
+
+  /** Split a back-to-back concatenation of BMP files by each header's
+    * size field — the standard way to walk any frame stream whose
+    * members self-describe their length.
+    */
+  def decodeBmpStream(b: Array[Byte]): Seq[BmpFrame] = {
+    val frames = Seq.newBuilder[BmpFrame]
+    var off = 0
+    while (off < b.length) {
+      val f = decodeBmp(b, off)
+      frames += f
+      require(f.fileSize > 0, "zero-size BMP frame")
+      off += f.fileSize
+    }
+    frames.result()
+  }
+
+  // ---- WAV (RIFF PCM) ----------------------------------------------
+
+  /** Encode a mono 16-bit PCM WAV with the canonical 44-byte
+    * RIFF/fmt/data layout.
+    */
+  def encodeWavPcm16Mono(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataBytes = samples.length * 2
+    val out = new Array[Byte](44 + dataBytes)
+    out(0) = 'R'; out(1) = 'I'; out(2) = 'F'; out(3) = 'F'
+    putLe32(out, 4, 36 + dataBytes)
+    out(8) = 'W'; out(9) = 'A'; out(10) = 'V'; out(11) = 'E'
+    out(12) = 'f'; out(13) = 'm'; out(14) = 't'; out(15) = ' '
+    putLe32(out, 16, 16)          // fmt chunk size (PCM)
+    putLe16(out, 20, 1)           // audio format: PCM
+    putLe16(out, 22, 1)           // channels
+    putLe32(out, 24, sampleRate)
+    putLe32(out, 28, sampleRate * 2) // byte rate
+    putLe16(out, 32, 2)           // block align
+    putLe16(out, 34, 16)          // bits per sample
+    out(36) = 'd'; out(37) = 'a'; out(38) = 't'; out(39) = 'a'
+    putLe32(out, 40, dataBytes)
+    var i = 0
+    while (i < samples.length) { putLe16(out, 44 + 2 * i, samples(i) & 0xffff); i += 1 }
+    out
+  }
+
+  /** Decoded WAV: format fields from the fmt chunk, sample statistics
+    * from the data chunk (meanAbs = mean |amplitude|, zeroCrossings =
+    * sign changes — the two classic cheap audio features).
+    */
+  final case class WavAudio(channels: Int, sampleRate: Int,
+      bitsPerSample: Int, nSamples: Long, meanAbs: Double,
+      zeroCrossings: Long)
+
+  /** Parse a RIFF/WAVE file by walking its chunk list — chunks may come
+    * in any order and unknown chunks (LIST, fact, …) are skipped by
+    * their declared size, per the RIFF grammar. Requires PCM 16-bit
+    * (the profile this library writes).
+    */
+  def decodeWav(b: Array[Byte]): WavAudio = {
+    require(b.length >= 12, "truncated RIFF header")
+    require(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E',
+      "not a RIFF/WAVE file")
+    var channels = -1; var sampleRate = -1; var bits = -1; var fmt = -1
+    var dataOff = -1; var dataLen = -1
+    var off = 12
+    while (off + 8 <= b.length) {
+      val id = new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val size = le32(b, off + 4)
+      require(size >= 0 && off + 8 + size <= b.length,
+        s"chunk '$id' size $size past buffer end")
+      id match {
+        case "fmt " =>
+          require(size >= 16, "fmt chunk too small")
+          fmt = le16(b, off + 8)
+          channels = le16(b, off + 10)
+          sampleRate = le32(b, off + 12)
+          bits = le16(b, off + 22)
+        case "data" => dataOff = off + 8; dataLen = size
+        case _ => // unknown chunk: skip by declared size
+      }
+      off += 8 + size + (size & 1) // chunks pad to even offsets
+    }
+    require(fmt == 1 && bits == 16 && channels == 1,
+      s"unsupported WAV profile: fmt=$fmt bits=$bits channels=$channels")
+    require(dataOff >= 0, "no data chunk")
+    val n = dataLen / 2
+    var sumAbs = 0L; var zc = 0L; var prevSign = 0
+    var i = 0
+    while (i < n) {
+      val s = (le16(b, dataOff + 2 * i) << 16) >> 16 // sign-extend
+      sumAbs += math.abs(s).toLong
+      val sign = Integer.signum(s)
+      if (sign != 0) {
+        if (prevSign != 0 && sign != prevSign) zc += 1
+        prevSign = sign
+      }
+      i += 1
+    }
+    WavAudio(channels, sampleRate, bits, n.toLong,
+      if (n == 0) 0.0 else sumAbs.toDouble / n, zc)
+  }
+}

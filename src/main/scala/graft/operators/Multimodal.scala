@@ -4,11 +4,12 @@ import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** A multimodal record: opaque binary payload + typed metadata. The
-  * container has no image/audio codecs, so `payload` is derived
-  * deterministically from document text; the DECODE step is a stub (see
-  * [[Multimodal.fakeDecode]]) — the Spark-side plumbing (schema, typed
-  * Dataset, partition-batched decode, feature schema) is real and tested.
+/** A multimodal record: opaque binary payload + typed metadata.
+  * For q38 (binary plumbing) the payload is the document's raw bytes;
+  * for q39 (the codec boundary) payloads are REAL media containers —
+  * BMP / WAV / BMP-frame streams built by [[graft.functions.MediaCodecs]]
+  * — synthesized deterministically from document text, since the corpus
+  * ships no media files.
   */
 final case class MediaRecord(
     doc_id: Long,
@@ -16,15 +17,21 @@ final case class MediaRecord(
     payload: Array[Byte],
     meta: Map[String, String])
 
-/** Decoded features for one media record (fixed-shape, columnar-friendly). */
+/** Decoded container features (fixed-shape, columnar-friendly): the
+  * header-derived fields are integer-exact and oracle-checkable; the
+  * content features (mean level / amplitude) come from the decoded
+  * pixel/sample data and are certified by MultimodalSpec goldens.
+  */
 final case class MediaFeatures(
     doc_id: Long,
     media_type: String,
     width: Int,
     height: Int,
+    n_frames: Int,
+    n_samples: Long,
+    sample_rate: Int,
     n_bytes: Long,
-    feat: Array[Float],
-    checksum: Long)
+    mean_level: Double)
 
 /** Multimodal-column operators: binary payloads with typed metadata,
   * decode/feature-extract as partition-batched typed transforms.
@@ -54,30 +61,80 @@ object Multimodal {
       .as[MediaRecord]
   }
 
-  /** STUB DECODER — deterministic fake standing in for an image/audio
-    * decode (`???` boundary: a real deployment plugs a codec in here).
-    * Produces fixed-shape features from the raw bytes so the pipeline is
-    * end-to-end testable without codec libraries.
+  import graft.functions.MediaCodecs
+
+  /** Container geometry derived from n_chars — the ONLY coupling the
+    * oracle needs: dims/frame-count/sample-count are fixed by these
+    * formulas at ENCODE time, written into real headers, and read BACK
+    * from those headers at decode time, so a corrupted encoder or
+    * parser breaks the q39 hash.
     */
-  def fakeDecode(rec: MediaRecord): MediaFeatures = {
-    val bytes = rec.payload
-    val n = bytes.length
-    // fake "dimensions" from payload size; a real decoder reads the header
-    val width = 16 + (n % 64)
-    val height = 16 + ((n / 64) % 64)
-    // fake 8-dim "embedding": byte histogram moments, deterministic
-    val feat = new Array[Float](8)
-    var i = 0
-    var acc = 1125899906842597L // FNV-ish rolling checksum
-    while (i < n) {
-      val b = bytes(i) & 0xff
-      feat(b % 8) += 1.0f
-      acc = acc * 31 + b
-      i += 1
+  def bmpDims(nChars: Long): (Int, Int) =
+    ((4 + nChars % 29).toInt, (4 + (nChars / 29) % 13).toInt)
+  def videoFrames(nChars: Long): Int = (1 + nChars % 3).toInt
+  def wavSamples(nChars: Long): Int = math.min(nChars, 4096L).toInt
+  val WavRate = 8000
+
+  /** ENCODE: documents row → a real media container. Pixel bytes cycle
+    * through the document's text bytes (video frames phase-shift by
+    * frame index); audio samples center the text bytes to 16-bit PCM.
+    * Deterministic, so the pipeline is end-to-end testable without
+    * media fixtures; the containers are format-valid (goldens in
+    * MultimodalSpec decode them with the independent stream parsers).
+    */
+  def encodeContainer(docId: Long, nChars: Long,
+      text: Array[Byte]): Array[Byte] = {
+    val t = if (text.isEmpty) Array[Byte](0) else text
+    (docId % 3) match {
+      case 0 => // image: one 24 bpp BMP
+        val (w, h) = bmpDims(nChars)
+        MediaCodecs.encodeBmp(w, h, i => t(i % t.length))
+      case 1 => // audio: mono PCM16 WAV
+        val n = wavSamples(nChars)
+        val samples = new Array[Short](n)
+        var i = 0
+        while (i < n) {
+          samples(i) = (((t(i % t.length) & 0xff) - 128) * 256).toShort
+          i += 1
+        }
+        MediaCodecs.encodeWavPcm16Mono(WavRate, samples)
+      case _ => // video: K BMP frames back to back
+        val (w, h) = bmpDims(nChars)
+        val k = videoFrames(nChars)
+        val frames = (0 until k).map(f =>
+          MediaCodecs.encodeBmp(w, h, i => t((i + f) % t.length)))
+        val out = new Array[Byte](frames.map(_.length).sum)
+        var off = 0
+        frames.foreach { fr =>
+          System.arraycopy(fr, 0, out, off, fr.length); off += fr.length
+        }
+        out
     }
-    var j = 0
-    while (j < 8) { feat(j) = if (n == 0) 0f else feat(j) / n; j += 1 }
-    MediaFeatures(rec.doc_id, rec.media_type, width, height, n.toLong, feat, acc)
+  }
+
+  /** DECODE: parse the container through the real format parsers and
+    * emit fixed-shape features. Every geometry field comes from the
+    * parsed HEADERS (not from the generation formulas), which is what
+    * makes the oracle check a round-trip certificate.
+    */
+  def decodeContainer(rec: MediaRecord): MediaFeatures = rec.media_type match {
+    case "image" =>
+      val f = MediaCodecs.decodeBmp(rec.payload, 0)
+      MediaFeatures(rec.doc_id, rec.media_type, f.width, f.height,
+        n_frames = 1, n_samples = 0L, sample_rate = 0,
+        n_bytes = rec.payload.length.toLong, mean_level = f.meanLevel)
+    case "audio" =>
+      val a = MediaCodecs.decodeWav(rec.payload)
+      MediaFeatures(rec.doc_id, rec.media_type, width = 0, height = 0,
+        n_frames = 0, n_samples = a.nSamples, sample_rate = a.sampleRate,
+        n_bytes = rec.payload.length.toLong, mean_level = a.meanAbs)
+    case _ =>
+      val frames = MediaCodecs.decodeBmpStream(rec.payload)
+      MediaFeatures(rec.doc_id, rec.media_type,
+        frames.head.width, frames.head.height,
+        n_frames = frames.size, n_samples = 0L, sample_rate = 0,
+        n_bytes = rec.payload.length.toLong,
+        mean_level = frames.map(_.meanLevel).sum / frames.size)
   }
 
   /** Metadata + payload framing checks (oracle-checked: byte length and
@@ -134,24 +191,65 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
-  /** Partition-batched decode → features. `mapPartitions` with an
-    * explicit batch loop (batch size 64) mirrors the Arrow-batch shape of
-    * `mapInPandas`; the decode itself is the deterministic stub above.
-    * Rows-only check (feature values depend on the stub); MultimodalSpec
-    * pins exact values for known inputs.
+  /** q39: the CODEC boundary, end to end — encode every document into a
+    * real container (BMP image / PCM WAV / BMP-frame stream by
+    * doc_id % 3), then decode through the independent format parsers in
+    * partition-sized batches (`mapPartitions` + explicit 64-row batch
+    * loop — the Arrow-batch shape of `mapInPandas`; codec state inits
+    * once per batch, which is where a JNI decoder amortizes setup).
+    * ORACLE-CHECKED: the geometry the encoder writes into headers is a
+    * pure function of n_chars, and every output field is read back from
+    * the PARSED headers — so DuckDB replays the geometry arithmetic and
+    * any encoder/parser defect (wrong stride, bad LE field, misplaced
+    * chunk) breaks the hash. Content features (mean pixel level, mean
+    * |amplitude|, zero crossings) come from the decoded pixel/sample
+    * data and are certified against hand-built golden containers in
+    * MultimodalSpec.
     */
-  val q39: QueryDef = QueryDef.rowsOnly("q39_media_features") { (s, d) =>
+  val q39: QueryDef = QueryDef.checked(
+    "q39_media_features",
+    """WITH g AS (
+      |  SELECT doc_id, CAST(doc_id % 3 AS INT) AS mt,
+      |    CAST(4 + n_chars % 29 AS INT) AS w,
+      |    CAST(4 + (n_chars // 29) % 13 AS INT) AS h,
+      |    CAST(1 + n_chars % 3 AS INT) AS k,
+      |    LEAST(n_chars, 4096) AS ns
+      |  FROM documents),
+      |g2 AS (SELECT *, ((3 * w + 3) // 4) * 4 AS row_bytes FROM g)
+      |SELECT doc_id,
+      |  CASE mt WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+      |    AS media_type,
+      |  CAST(CASE WHEN mt = 1 THEN 0 ELSE w END AS INTEGER) AS width,
+      |  CAST(CASE WHEN mt = 1 THEN 0 ELSE h END AS INTEGER) AS height,
+      |  CAST(CASE mt WHEN 0 THEN 1 WHEN 1 THEN 0 ELSE k END AS INTEGER)
+      |    AS n_frames,
+      |  CAST(CASE WHEN mt = 1 THEN ns ELSE 0 END AS BIGINT) AS n_samples,
+      |  CAST(CASE WHEN mt = 1 THEN 8000 ELSE 0 END AS INTEGER)
+      |    AS sample_rate,
+      |  CAST(CASE mt WHEN 0 THEN 54 + h * row_bytes
+      |    WHEN 1 THEN 44 + 2 * ns
+      |    ELSE k * (54 + h * row_bytes) END AS BIGINT) AS n_bytes
+      |FROM g2 ORDER BY doc_id""".stripMargin) { (s, d) =>
     import s.implicits._
-    val feats = mediaDataset(s, d).mapPartitions { it =>
+    val recs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        element_at(typedLit(Seq("image", "audio", "video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
+        col("text"), col("n_chars"))
+      .as[(Long, String, String, Long)]
+    val feats = recs.mapPartitions { it =>
       it.grouped(64).flatMap { batch =>
-        // batch boundary: a real decoder would init codec state here once
-        batch.iterator.map(fakeDecode)
+        // batch boundary: a real codec inits its state here once
+        batch.iterator.map { case (id, mt, text, nChars) =>
+          val payload = encodeContainer(id, nChars,
+            text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          decodeContainer(MediaRecord(id, mt, payload, Map.empty))
+        }
       }
     }
     feats.toDF()
       .select(col("doc_id"), col("media_type"), col("width"), col("height"),
-        col("n_bytes"), round(element_at(col("feat"), 1), 6).as("feat0"),
-        col("checksum"))
+        col("n_frames"), col("n_samples"), col("sample_rate"), col("n_bytes"))
       .orderBy(col("doc_id"))
   }
 }

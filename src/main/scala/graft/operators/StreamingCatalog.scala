@@ -917,8 +917,12 @@ object StreamingCatalog {
       |  COUNT(*) AS n_buckets
       |FROM b GROUP BY 1, 2
       |ORDER BY h_start_us, event_type""".stripMargin) { (s, d) =>
+    // nSentinels = 2: the agg→agg chain is two stateful operators deep,
+    // and the watermark advances one operator per batch (see
+    // runToCompletion's doc) — one sentinel round relied on the trailing
+    // no-data batch propagating before stop(), a flush race.
     runToCompletion(s, d, "graft_q230_sink", outputMode = "append",
-      sentinelLeadMinutes = 140L) { ev =>
+      sentinelLeadMinutes = 140L, nSentinels = 2) { ev =>
       ev.withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n"))
@@ -1085,10 +1089,32 @@ object StreamingCatalog {
       .start()
     val observed = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
     try {
-      rows.grouped(BatchRows).zipWithIndex.foreach { case (chunk, i) =>
+      val chunks = rows.grouped(BatchRows).toSeq
+      chunks.foreach { chunk =>
         in.addData(chunk: _*)
         q.processAllAvailable()
-        val m = q.lastProgress.observedMetrics.get("q240")
+      }
+      // Progress PUBLICATION is not strictly ordered with the commit
+      // wait processAllAvailable performs: polling lastProgress inside
+      // the feed loop can read the PREVIOUS batch's entry (or a map
+      // without the 'q240' key → NPE). Collect from recentProgress
+      // keyed by batchId instead, and poll until every data batch's
+      // metrics are visible — batch membership is deterministic (fixed
+      // 500-row chunks), so the expected count is exact.
+      def collect(): Map[Long, org.apache.spark.sql.Row] =
+        q.recentProgress.toSeq
+          .filter(p => p.numInputRows > 0 &&
+            Option(p.observedMetrics).exists(_.containsKey("q240")))
+          .map(p => p.batchId -> p.observedMetrics.get("q240"))
+          .toMap
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      var got = collect()
+      while (got.size < chunks.size && System.nanoTime() < deadline) {
+        Thread.sleep(50); got = collect()
+      }
+      require(got.size == chunks.size,
+        s"q240: observed metrics for ${got.size}/${chunks.size} batches")
+      got.toSeq.sortBy(_._1).zipWithIndex.foreach { case ((_, m), i) =>
         observed += ((i.toLong, m.getAs[Long]("n"), m.getAs[Long]("sum_uid")))
       }
     } finally { q.stop(); rmTree(ckpt) }
@@ -1169,10 +1195,16 @@ object StreamingCatalog {
         wm = math.max(wm, chunk.iterator.map(_._1).max - 3600000000L)
       }
     } finally { q.stop(); rmTree(ckpt) }
-    def readSide(root: String, status: String) =
-      s.read.parquet(
-          graft.streaming.StreamingOps.committedBatches(root): _*)
+    def readSide(root: String, status: String) = {
+      val dirs = graft.streaming.StreamingOps.committedBatches(root)
+      // q236's empty-dirs fallback: a slice/SF where one side receives
+      // zero rows must read as zero counts, not a parquet path error.
+      if (dirs.isEmpty)
+        s.emptyDataFrame.select(lit("").as("event_type"))
+          .limit(0).withColumn("status", lit(status))
+      else s.read.parquet(dirs: _*)
         .select(col("event_type"), lit(status).as("status"))
+    }
     readSide(onRoot, "ontime").unionByName(readSide(lateRoot, "late"))
       .groupBy(col("status"), col("event_type"))
       .agg(count(lit(1)).as("n"))

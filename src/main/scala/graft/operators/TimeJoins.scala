@@ -1563,7 +1563,8 @@ object TimeJoins {
       |  CAST(ROUND(1000000.0 * CAST(syv AS DOUBLE) / nv) AS BIGINT)
       |    AS raw_mean_micros,
       |  CAST(ROUND(1000000.0 * (CAST(syv AS DOUBLE) / nv
-      |    - (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE))
+      |    - COALESCE(CAST(n*sxy - sx*sy AS DOUBLE)
+      |        / CAST(NULLIF(n*sxx - sx*sx, 0) AS DOUBLE), 0.0)
       |      * (CAST(sxv AS DOUBLE) / nv - CAST(sx AS DOUBLE) / n)))
       |    AS BIGINT) AS adj_mean_micros
       |FROM v, g ORDER BY variant""".stripMargin) { (s, d) =>
@@ -1588,8 +1589,15 @@ object TimeJoins {
       .select(col("variant"), col("nv").cast("long").as("n_users"),
         expr("""CAST(ROUND(1000000.0 * CAST(syv AS DOUBLE) / nv) AS BIGINT)""")
           .as("raw_mean_micros"),
+        // θ's denominator is n·var(X): zero on degenerate data (all
+        // users identical pre-period X). Spark's x/0 yields NULL while
+        // DuckDB yields ±inf — NULLIF makes the division NULL in BOTH
+        // engines, and COALESCE falls back to θ = 0 (no adjustment),
+        // the statistically correct degenerate readout. Same expression
+        // text on both sides (the q196 ROUND contract).
         expr("""CAST(ROUND(1000000.0 * (CAST(syv AS DOUBLE) / nv
-                - (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE))
+                - COALESCE(CAST(n*sxy - sx*sy AS DOUBLE)
+                    / CAST(NULLIF(n*sxx - sx*sx, 0) AS DOUBLE), 0.0)
                   * (CAST(sxv AS DOUBLE) / nv - CAST(sx AS DOUBLE) / n)))
                 AS BIGINT)""").as("adj_mean_micros"))
       .orderBy(col("variant"))

@@ -12,4 +12,16 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Unloads every loaded StateStore provider and cancels the singleton
+    * maintenance task. Called by Bench before its final contract print:
+    * the maintenance ScheduledExecutor outlives `spark.stop()` and its
+    * next tick logs `WARN StateStore: Error running maintenance thread`
+    * (SparkEnv already gone) — async output that landed AFTER the
+    * contract line in rounds 1–6 and made the driver's last-line JSON
+    * parse fail. Public at the bytecode level but `private[sql]` in
+    * source, hence this bridge.
+    */
+  def stopStateStoreMaintenance(): Unit =
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
 }

@@ -1,0 +1,111 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.MediaCodecs
+import graft.operators.{Multimodal, MediaRecord}
+
+/** Golden tests for the real media codecs behind q39: hand-built
+  * containers with known bytes, decoded through the independent parsers.
+  * These certify the CONTENT features (mean pixel level, mean amplitude,
+  * zero crossings) that the q39 oracle cannot replay (the oracle checks
+  * the header geometry round-trip).
+  */
+class MultimodalSpec extends AnyFunSuite {
+
+  test("BMP round-trip: header fields and pixel mean, padding excluded") {
+    // width 2 → rowBytes = 8: 6 pixel bytes + 2 padding bytes per row.
+    // Pixel bytes all 10; padding positions get 0xFF via the generator —
+    // a decoder that forgets the stride would average them in.
+    val w = 2; val h = 2
+    val rowBytes = MediaCodecs.bmpRowBytes(w)
+    assert(rowBytes === 8)
+    val bmp = MediaCodecs.encodeBmp(w, h,
+      i => if (i % rowBytes < 3 * w) 10.toByte else 0xFF.toByte)
+    assert(bmp.length === MediaCodecs.bmpFileSize(w, h))
+    val f = MediaCodecs.decodeBmp(bmp, 0)
+    assert(f.width === 2 && f.height === 2 && f.bpp === 24)
+    assert(f.fileSize === bmp.length)
+    assert(f.meanLevel === 10.0) // padding 0xFF excluded
+  }
+
+  test("BMP stream splits on each header's own size field") {
+    val a = MediaCodecs.encodeBmp(2, 2, _ => 1.toByte)
+    val b = MediaCodecs.encodeBmp(3, 1, _ => 2.toByte)
+    val c = MediaCodecs.encodeBmp(1, 4, _ => 3.toByte)
+    val frames = MediaCodecs.decodeBmpStream(a ++ b ++ c)
+    assert(frames.map(fr => (fr.width, fr.height)) ===
+      Seq((2, 2), (3, 1), (1, 4)))
+    assert(frames.map(_.meanLevel) === Seq(1.0, 2.0, 3.0))
+  }
+
+  test("BMP parser rejects bad magic and foreign profiles") {
+    val ok = MediaCodecs.encodeBmp(2, 2, _ => 0.toByte)
+    val badMagic = ok.clone(); badMagic(0) = 'X'.toByte
+    intercept[IllegalArgumentException](MediaCodecs.decodeBmp(badMagic, 0))
+    val badBpp = ok.clone(); badBpp(28) = 8.toByte // 8 bpp: not our profile
+    intercept[IllegalArgumentException](MediaCodecs.decodeBmp(badBpp, 0))
+    intercept[IllegalArgumentException](
+      MediaCodecs.decodeBmp(ok.take(20), 0)) // truncated header
+  }
+
+  test("WAV round-trip: format fields, meanAbs, zero crossings") {
+    val samples = Array[Short](100, -200, 300, 0, -1)
+    val wav = MediaCodecs.encodeWavPcm16Mono(8000, samples)
+    assert(wav.length === 44 + 10)
+    val a = MediaCodecs.decodeWav(wav)
+    assert(a.channels === 1 && a.sampleRate === 8000 && a.bitsPerSample === 16)
+    assert(a.nSamples === 5L)
+    assert(a.meanAbs === (100 + 200 + 300 + 0 + 1) / 5.0)
+    // sign path +,-,+,(0 skipped),- → three crossings
+    assert(a.zeroCrossings === 3L)
+  }
+
+  test("WAV chunk walk skips unknown chunks in any position") {
+    val base = MediaCodecs.encodeWavPcm16Mono(8000, Array[Short](5, -5))
+    // splice an unknown 6-byte 'LIST' chunk between fmt and data
+    // (RIFF grammar: readers skip unrecognized chunks by declared size)
+    val head = base.take(36) // RIFF..fmt chunk end
+    val tail = base.drop(36) // data chunk
+    val junk = Array[Byte]('L', 'I', 'S', 'T', 6, 0, 0, 0, 1, 2, 3, 4, 5, 6)
+    val spliced = head ++ junk ++ tail
+    // fix the RIFF size field for the inserted bytes
+    val riffSize = spliced.length - 8
+    spliced(4) = riffSize.toByte; spliced(5) = (riffSize >>> 8).toByte
+    spliced(6) = (riffSize >>> 16).toByte; spliced(7) = (riffSize >>> 24).toByte
+    val a = MediaCodecs.decodeWav(spliced)
+    assert(a.nSamples === 2L && a.meanAbs === 5.0 && a.zeroCrossings === 1L)
+  }
+
+  test("encodeContainer/decodeContainer geometry matches the q39 formulas") {
+    val text = "abc".getBytes("UTF-8")
+    for (nChars <- Seq(0L, 48L, 100L, 553L, 5000L)) {
+      val (w, h) = Multimodal.bmpDims(nChars)
+      // image (doc_id % 3 == 0)
+      val img = Multimodal.decodeContainer(MediaRecord(0L, "image",
+        Multimodal.encodeContainer(0L, nChars, text), Map.empty))
+      assert((img.width, img.height, img.n_frames) === ((w, h, 1)))
+      assert(img.n_bytes === MediaCodecs.bmpFileSize(w, h).toLong)
+      // audio (doc_id % 3 == 1)
+      val aud = Multimodal.decodeContainer(MediaRecord(1L, "audio",
+        Multimodal.encodeContainer(1L, nChars, text), Map.empty))
+      assert(aud.n_samples === Multimodal.wavSamples(nChars).toLong)
+      assert(aud.sample_rate === Multimodal.WavRate)
+      assert(aud.n_bytes === 44L + 2L * Multimodal.wavSamples(nChars))
+      // video (doc_id % 3 == 2)
+      val vid = Multimodal.decodeContainer(MediaRecord(2L, "video",
+        Multimodal.encodeContainer(2L, nChars, text), Map.empty))
+      assert(vid.n_frames === Multimodal.videoFrames(nChars))
+      assert(vid.n_bytes ===
+        Multimodal.videoFrames(nChars).toLong * MediaCodecs.bmpFileSize(w, h))
+    }
+  }
+
+  test("image content feature: pixel mean equals the text-byte cycle mean") {
+    // nChars = 0 → 4×4 BMP, rowBytes = ((12+3)/4)*4 = 12: no padding, so
+    // all 48 data bytes cycle over "ab" (97, 98) → exact mean 97.5
+    val feats = Multimodal.decodeContainer(MediaRecord(0L, "image",
+      Multimodal.encodeContainer(0L, 0L, "ab".getBytes("UTF-8")), Map.empty))
+    assert((feats.width, feats.height) === ((4, 4)))
+    assert(feats.mean_level === 97.5)
+  }
+}
