@@ -620,17 +620,116 @@ object Similarity {
     selected.map(t => (t._1, t._4, t._3)).toDF("vec_id", "rank", "score")
   }
 
-  /** q116: 10 MMR-selected vectors from the embeddings table, query =
-    * the corpus centroid. Rows-only (float scores don't cross the
-    * oracle); SimilaritySpec in ProfilingSpec-style pins diversity vs
-    * plain top-k on planted clusters.
+  /** Integer-grid MMR (L2 metric): [[mmrSelect]]'s greedy structure with
+    * exact arithmetic — vectors snapped to a 1/1000 grid, relevance
+    * −d²(q, v), redundancy −min d²(v, selected), λ = 0.7 scaled ×10 so
+    * every score is an exact INTEGER (held in doubles: |score| < 2³¹ ≪
+    * 2⁵³). Exactness is what lets a sequential greedy selection cross
+    * the DuckDB oracle: with float cosine a last-ulp tie at pick i
+    * reorders every later pick; on the grid both engines compare the
+    * same integers. Same driver-bounded loop contract as [[mmrSelect]]
+    * (k collect(1) actions, selected vectors inlined as literals).
     */
-  val q116: QueryDef = QueryDef.rowsOnly("q116_mmr_select") { (s, d) =>
-    val e = vecs(s, d)
-    val centroid = e.select(posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy(col("pos")).agg(avg(col("x")).as("m"))
+  def mmrSelectGridL2(grid: DataFrame, queryVec: Seq[Double],
+      k: Int): DataFrame = {
+    val sp = grid.sparkSession
+    import sp.implicits._
+    val qq = queryVec.map(x => x * x).sum
+    val base = grid
+      .withColumn("vv", VF.dot(col("v"), col("v")))
+      .withColumn("d2q",
+        col("vv") + lit(qq) - lit(2.0) * VF.dot(col("v"), typedLit(queryVec)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var selected = Vector.empty[(Long, Seq[Double], Double, Int)]
+    var exhausted = false
+    for (rank <- 1 to k if !exhausted) {
+      def d2(sv: Seq[Double]): org.apache.spark.sql.Column = {
+        val svv = sv.map(x => x * x).sum
+        col("vv") + lit(svv) - lit(2.0) * VF.dot(col("v"), typedLit(sv))
+      }
+      val minDiv: org.apache.spark.sql.Column = selected.map(_._2) match {
+        case Seq() => lit(0.0)
+        case Seq(one) => d2(one) * lit(3.0)
+        case svs => least(svs.map(d2): _*) * lit(3.0)
+      }
+      val top = base
+        .filter(!col("vec_id").isInCollection(selected.map(_._1)))
+        .withColumn("score", lit(-7.0) * col("d2q") + minDiv)
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(1)
+        .select(col("vec_id"), col("v"), col("score"))
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else selected = selected :+ ((top.head.getLong(0),
+        top.head.getSeq[Double](1), top.head.getDouble(2), rank))
+    }
+    base.unpersist()
+    selected.map(t => (t._1, t._4, t._3.toLong))
+      .toDF("vec_id", "rank", "score")
+  }
+
+  /** q116: 10 MMR-selected vectors from the embeddings table, query =
+    * the corpus centroid — ORACLE-CHECKED via [[mmrSelectGridL2]]'s
+    * exact arithmetic: DuckDB replays the whole greedy recursion with a
+    * recursive CTE (the q249 pattern) carrying the selected set as list
+    * columns, so selection ORDER and scores hash-match, not just
+    * membership. The centroid snaps to the grid through integer
+    * division (sum div n — truncation agrees across engines, the r6
+    * `div` finding). Float-cosine MMR stays available as [[mmrSelect]]
+    * (diversity pinned in ProfilingSpec).
+    */
+  val q116: QueryDef = QueryDef.checked(
+    "q116_mmr_select",
+    """WITH RECURSIVE
+      |w AS (
+      |  SELECT vec_id,
+      |    list_transform(CAST(embedding AS DOUBLE[]),
+      |      x -> CAST(CAST(round(x * 1000) AS BIGINT) AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |qgrid AS (
+      |  SELECT LIST(q ORDER BY pos) AS qv FROM (
+      |    SELECT pos, CAST(CAST(SUM(x) AS BIGINT) // COUNT(*) AS DOUBLE) AS q
+      |    FROM (SELECT unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM w)
+      |    GROUP BY pos)),
+      |base AS (
+      |  SELECT w.vec_id, w.v,
+      |    list_dot_product(w.v, w.v) AS vv,
+      |    list_dot_product(w.v, w.v)
+      |      + (SELECT list_dot_product(qv, qv) FROM qgrid)
+      |      - 2 * list_dot_product(w.v, (SELECT qv FROM qgrid)) AS d2q
+      |  FROM w),
+      |pick AS (
+      |  SELECT 1 AS rnk, s.vec_id, s.v, s.vv,
+      |    CAST(-7 * s.d2q AS BIGINT) AS score,
+      |    [s.vec_id] AS ids, [s.v] AS vs
+      |  FROM (SELECT * FROM base ORDER BY -7 * d2q DESC, vec_id LIMIT 1) s
+      |  UNION ALL
+      |  SELECT * FROM (
+      |    SELECT p.rnk + 1, c.vec_id, c.v, c.vv,
+      |      CAST(-7 * c.d2q + 3 * list_min(list_transform(p.vs,
+      |        sv -> list_dot_product(sv, sv) + c.vv
+      |          - 2 * list_dot_product(c.v, sv))) AS BIGINT) AS score,
+      |      list_append(p.ids, c.vec_id), list_append(p.vs, c.v)
+      |    FROM pick p JOIN base c ON NOT list_contains(p.ids, c.vec_id)
+      |    WHERE p.rnk < 10
+      |    QUALIFY row_number() OVER (ORDER BY
+      |      -7 * c.d2q + 3 * list_min(list_transform(p.vs,
+      |        sv -> list_dot_product(sv, sv) + c.vv
+      |          - 2 * list_dot_product(c.v, sv)))
+      |      DESC, c.vec_id) = 1) t
+      |)
+      |SELECT vec_id, rnk AS rank, score FROM pick ORDER BY rnk""".stripMargin) {
+    (s, d) =>
+    val g = Tables.embeddings(s, d).select(col("vec_id"),
+      expr("transform(embedding, x -> " +
+        "CAST(CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS DOUBLE))")
+        .as("v"))
+    val centroid = g.select(posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(expr("CAST(sum(x) AS BIGINT)").as("sx"), count(lit(1)).as("n"))
+      .select(col("pos"), expr("CAST(sx div n AS DOUBLE)").as("q"))
       .orderBy(col("pos")).collect().map(_.getDouble(1)).toSeq
-    mmrSelect(e, centroid, k = 10).orderBy(col("rank"))
+    mmrSelectGridL2(g, centroid, k = 10).orderBy(col("rank"))
   }
 
   /** q220: item-item collaborative filtering — the classic "customers
