@@ -32,7 +32,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - emits only complete lines; the partial tail line stays unread until
   *    its newline arrives (a deliberate improvement over the reference,
   *    which can split a line in two envelopes on an EOF race,
-  *    main.go:238-245 — documented delta);
+  *    main.go:238-245 — documented delta; `emitEofPartial=true` opts into
+  *    the reference's exact split-at-EOF behavior for byte-level parity);
   *  - survives truncation/rotation: size < committed offset → reread from
   *    0 (the `--follow=name` semantics).
   *
@@ -108,7 +109,9 @@ private[sources] class TailScan(options: CaseInsensitiveStringMap) extends Scan 
       maxBytesPerTrigger = options.getOrDefault("maxBytesPerTrigger", "0").toLong,
       listIntervalMs = options.getOrDefault("listIntervalMs", "0").toLong,
       dropAbsentAfterTriggers =
-        options.getOrDefault("dropAbsentAfterTriggers", "10").toInt)
+        options.getOrDefault("dropAbsentAfterTriggers", "10").toInt,
+      emitEofPartial =
+        options.getOrDefault("emitEofPartial", "false").toBoolean)
 }
 
 /** Offset = map(file path → bytes consumed). Hand-rolled JSON (flat
@@ -188,7 +191,7 @@ object TailOffset {
 private[sources] class TailMicroBatchStream(
     root: String, glob: String, maxBytesPerFilePerBatch: Long,
     maxFilesPerTrigger: Int, maxBytesPerTrigger: Long, listIntervalMs: Long,
-    dropAbsentAfterTriggers: Int = 10)
+    dropAbsentAfterTriggers: Int = 10, emitEofPartial: Boolean = false)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   require(maxBytesPerFilePerBatch > 0 &&
@@ -339,7 +342,8 @@ private[sources] class TailMicroBatchStream(
       val rawStart = s.getOrElse(path, 0L)
       // truncation/rotation: file shrank below committed offset → reread
       val startOff = if (endOff < rawStart) 0L else rawStart
-      if (endOff > startOff) Some(TailInputPartition(path, startOff, endOff))
+      if (endOff > startOff)
+        Some(TailInputPartition(path, startOff, endOff, emitEofPartial))
       else None
     }.toArray
   }
@@ -347,14 +351,15 @@ private[sources] class TailMicroBatchStream(
   override def createReaderFactory(): PartitionReaderFactory =
     (partition: InputPartition) => {
       val p = partition.asInstanceOf[TailInputPartition]
-      new TailPartitionReader(p.path, p.start, p.end)
+      new TailPartitionReader(p.path, p.start, p.end, p.emitPartial)
     }
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
 
-private[sources] case class TailInputPartition(path: String, start: Long, end: Long)
+private[sources] case class TailInputPartition(path: String, start: Long,
+    end: Long, emitPartial: Boolean = false)
   extends InputPartition
 
 /** Reads one file's byte range, emitting complete `\n`-terminated lines
@@ -375,8 +380,17 @@ private[sources] case class TailInputPartition(path: String, start: Long, end: L
   * unemitted until terminated — deliberate delta vs the reference, which
   * emits the EOF fragment immediately and can therefore split one logical
   * line into two envelopes on an EOF race (main.go:238-245).
+  *
+  * `emitPartial` (the opt-in `emitEofPartial` option) reproduces the
+  * reference's byte-level behavior exactly instead: no fragment adoption
+  * (the previous range already emitted its own trailing fragment) and the
+  * range's unterminated tail goes out as a line — so a line racing the
+  * reader CAN split into two emissions, which is precisely
+  * main.go:238-245's ReadString-at-EOF semantics. Default stays the
+  * exactly-once-unsplit protocol above.
   */
-private[sources] class TailPartitionReader(path: String, start: Long, end: Long)
+private[sources] class TailPartitionReader(path: String, start: Long, end: Long,
+    emitPartial: Boolean = false)
     extends PartitionReader[InternalRow] {
 
   private val pathUtf8 = UTF8String.fromString(path)
@@ -430,6 +444,26 @@ private[sources] class TailPartitionReader(path: String, start: Long, end: Long)
     try {
       val len = math.min(end, f.length())
       if (len <= start) return Iterator.empty
+      if (emitPartial) {
+        // Reference-parity path: read exactly [start, len), split on
+        // newlines, emit every segment INCLUDING the unterminated tail.
+        f.seek(start)
+        val buf = new Array[Byte]((len - start).toInt)
+        f.readFully(buf)
+        val out = mutable.ArrayBuffer[Array[Byte]]()
+        var lineStart = 0
+        var i = 0
+        while (i < buf.length) {
+          if (buf(i) == '\n') {
+            out += util.Arrays.copyOfRange(buf, lineStart, i)
+            lineStart = i + 1
+          }
+          i += 1
+        }
+        if (lineStart < buf.length)
+          out += util.Arrays.copyOfRange(buf, lineStart, buf.length)
+        return out.iterator
+      }
       // Adopt the fragment left by the previous range (see protocol
       // above) — but scan back at most ~MaxRangeBytes: a line whose start
       // lies further back than that cannot be materialized in one array

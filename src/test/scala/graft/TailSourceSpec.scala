@@ -49,6 +49,30 @@ class TailSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  /** Reference parity (main.go:238-245): ReadString('\n') at EOF emits
+    * the partial line immediately, so a line racing the reader splits
+    * into two envelopes. emitEofPartial=true reproduces that byte-level
+    * behavior; the default holds partials back (the exactly-once delta).
+    */
+  test("emitEofPartial=true emits the unterminated tail (reference parity)") {
+    val root = Files.createTempDirectory("graft-tail")
+    val f = root.resolve("app.log")
+    Files.writeString(f, "one\ntwo\npart")
+    val q = startTail(root, extraOptions = Map("emitEofPartial" -> "true"),
+      name = "tailq_parity")
+    try {
+      q.processAllAvailable()
+      // the EOF fragment "part" goes out immediately, like the reference
+      assert(rows("tailq_parity").map(_._1) === Seq("one", "part", "two"))
+      Files.writeString(f, "ial\nthree\n", StandardOpenOption.APPEND)
+      q.processAllAvailable()
+      // the completion arrives as its OWN envelope — the documented
+      // reference split ("part" + "ial"), not a rewritten "partial"
+      assert(rows("tailq_parity").map(_._1).sorted ===
+        Seq("ial", "one", "part", "three", "two"))
+    } finally q.stop()
+  }
+
   test("discovers files created after the stream starts (--retry)") {
     val root = Files.createTempDirectory("graft-tail")
     val q = startTail(root)
