@@ -167,12 +167,23 @@ object Bench {
     if (contract.length > 1950)
       System.err.println(s"[bench] WARNING contract line ${contract.length} chars " +
         "exceeds the driver's 2,000-char tail capture")
+    // Stderr audit: one JSON line per map, most important (min) LAST —
+    // any tail-capped capture keeps the end, and the three-map single
+    // line was itself ~23 KB at 253 queries. load1m only lists queries
+    // whose max 1-minute load exceeded 2× the run's start load (the
+    // contended ones — a full per-query load map is noise when quiet).
+    val loadFloor = math.max(2.0, 2.0 * math.max(startLoad, 0.0))
+    val hotLoads = results.filter(_._4 > loadFloor)
     System.err.println(
       s"""{"passes":$passes,""" +
       f""""load1m_start":$startLoad%.2f,"load1m_end":$endLoad%.2f,""" +
-      s""""queries_min":${jmap(identity, "%.3f")(_._2)},""" +
-      s""""queries_median":${jmap(identity, "%.3f")(_._3)},""" +
-      s""""queries_load1m":${jmap(identity, "%.2f")(_._4)}}""")
+      f""""load1m_floor":$loadFloor%.2f,"queries_load1m_hot":""" +
+      hotLoads.map(r => "\"" + r._1 + "\":" + "%.2f".format(r._4))
+        .mkString("{", ",", "}") + "}")
+    System.err.println(
+      s"""{"queries_median":${jmap(identity, "%.3f")(_._3)}}""")
+    System.err.println(
+      s"""{"queries_min":${jmap(identity, "%.3f")(_._2)}}""")
     // QUIESCE, then print the contract as the absolute final write.
     // Rounds 1–6 all produced parsed:null; r6 proved the contract line
     // itself was clean (sbt StdoutOutput landed it raw) but an ASYNC
