@@ -262,13 +262,47 @@ object TextAnalysis {
           when(!rRep, "repetition")).as("reasons"))
   }
 
-  /** Rolling-hash fingerprints via the custom PolyHash codegen expression:
-    * whole-document 61-bit fingerprint plus first-token-chunk hash (the
-    * building block for content-defined chunk dedup). Rows-only — the
-    * polynomial is engine-specific; PolyHashSpec pins reference values
-    * computed independently with BigInt arithmetic.
+  /** The PolyHash fold (h·257 + byte mod 2⁶¹−1 over UTF-8 bytes) as
+    * DuckDB SQL: bytes come from the hex encoding (`hx` is a
+    * to_hex(encode(...)) column), intermediates ride in HUGEINT (the
+    * h·257 product needs ~70 bits — exactly why the Spark side is a
+    * custom codegen Expression with Mersenne folding instead of plain
+    * LONG arithmetic).
     */
-  val q49: QueryDef = QueryDef.rowsOnly("q49_rolling_fingerprint") { (s, d) =>
+  private def polyFoldSql(hx: String): String =
+    s"""CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+       |    list_transform(range(0, length($hx) // 2),
+       |      i -> CAST(CAST(('0x' || substr($hx, 2*i+1, 2)) AS INT)
+       |        AS HUGEINT))),
+       |  (h, c) -> (h * 257 + c) % CAST(2305843009213693951 AS HUGEINT))
+       |  AS BIGINT)""".stripMargin
+
+  /** Rolling-hash fingerprints via the custom PolyHash codegen
+    * expression: whole-document 61-bit fingerprint plus
+    * first-token-chunk hash (the building block for content-defined
+    * chunk dedup). ORACLE-CHECKED since round 7: the polynomial is a
+    * published construction (h·B + b mod Mersenne-61), and DuckDB
+    * replays it byte-for-byte with a HUGEINT list_reduce over the
+    * UTF-8 hex — so the custom Expression's Mersenne-folding fast path
+    * (PolyHashExpr's mulShift32 decomposition) is certified against an
+    * independent 128-bit implementation on the whole corpus.
+    * PolyHashSpec keeps the BigInt reference values as unit goldens.
+    */
+  val q49: QueryDef = QueryDef.checked(
+    "q49_rolling_fingerprint",
+    s"""WITH hx AS (
+      |  SELECT doc_id,
+      |    to_hex(encode(regexp_replace(trim(lower(text)), ' +', ' ', 'g')))
+      |      AS h1,
+      |    to_hex(encode(substr(text, 1, 32))) AS h2
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id,
+      |    ${polyFoldSql("h1")} AS fp64,
+      |    ${polyFoldSql("h2")} AS head_fp
+      |  FROM hx)
+      |SELECT doc_id, fp64, head_fp, fp64 % 256 AS bucket
+      |FROM f ORDER BY doc_id""".stripMargin) { (s, d) =>
     import graft.functions.PolyHash.polyhash
     Tables.documents(s, d)
       .select(col("doc_id"),
