@@ -292,19 +292,27 @@ object Dedup {
 
   /** SimHash near-dup: 64-bit fingerprint from token-hash sign sums,
     * candidates via 4×16-bit band buckets, verified by Hamming distance.
-    * xxhash64 seeds the bit contributions, so no SQL oracle exists
-    * (rows-only check); DedupSpec cross-checks the found pairs against the
-    * exact-Jaccard truth. Aggregation is a single groupBy over exploded
-    * tokens with 64 conditional sums — partial aggregation collapses each
-    * partition before the shuffle.
+    * Token bits come from md5 since round 7 (two 32-bit halves of the
+    * digest — uniform bits, and unlike xxhash64 reproducible in ANY
+    * engine, the q53/q60/q245 idiom), and the fingerprint is carried as
+    * its four 16-bit chunk columns directly (always non-negative — no
+    * 1L<<63 sign-bit negotiation between engines): the banding needs
+    * exactly the chunks, and Hamming distance is the sum of per-chunk
+    * popcounts of XOR. Aggregation is a single groupBy over exploded
+    * tokens with 64 conditional sums — partial aggregation collapses
+    * each partition before the shuffle.
     */
   def simhashNearDups(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
     val toks = docs
       .select(col("doc_id"), explode(TF.tokens(col("text"))).as("t"))
-      .withColumn("h", xxhash64(col("t")))
+      .withColumn("hhex", md5(col("t")))
+      .withColumn("hi", expr("CAST(conv(substring(hhex, 1, 8), 16, 10) AS LONG)"))
+      .withColumn("lo", expr("CAST(conv(substring(hhex, 9, 8), 16, 10) AS LONG)"))
+    def bit(i: Int): Column =
+      if (i < 32) shiftright(col("lo"), i).bitwiseAND(lit(1L))
+      else shiftright(col("hi"), i - 32).bitwiseAND(lit(1L))
     val bitSums: Seq[Column] = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1))
-        .as(s"b$i")
+      sum(when(bit(i) === 1, 1).otherwise(-1)).as(s"b$i")
     }
     // one row per doc; persisted because the banded frame below feeds
     // BOTH sides of the candidate self-join — without it the 64-column
@@ -312,30 +320,79 @@ object Dedup {
     // action. Same cache contract as minhashNearDups (harness clears
     // between queries).
     val fps = toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"),
-        (0 until 64).map(i =>
-          when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
-          .reduce(_ + _).as("simhash"))
+      .select(col("doc_id") +: (0 until 4).map { j =>
+        (0 until 16).map(k =>
+          when(col(s"b${j * 16 + k}") > 0, lit(1L << k)).otherwise(lit(0L)))
+          .reduce(_ + _).as(s"c$j")
+      }: _*)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // band into 4 × 16-bit chunks for candidate generation
-    val banded = fps.select(col("doc_id"), col("simhash"),
-        posexplode(array((0 until 4).map(j =>
-          shiftright(col("simhash"), j * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+    val banded = fps.select(col("doc_id"),
+        col("c0"), col("c1"), col("c2"), col("c3"),
+        posexplode(array(col("c0"), col("c1"), col("c2"), col("c3"))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.chunk") === col("y.chunk") &&
           col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("x.simhash").as("fp_a"),
-        col("y.doc_id").as("doc_b"), col("y.simhash").as("fp_b"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        (0 until 4).map(j =>
+          bit_count(col(s"x.c$j").bitwiseXOR(col(s"y.c$j"))))
+          .reduce(_ + _).cast("long").as("hamming"))
       .distinct()
     cand
-      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
       .filter(col("hamming") <= maxHamming)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  val q29: QueryDef = QueryDef.rowsOnly("q29_dedup_simhash") { (s, d) =>
+  /** q29: SimHash under the oracle — possible since the md5 rebase
+    * (every bit, vote, chunk, band bucket, and popcount is deterministic
+    * arithmetic both engines implement identically), so the WHOLE
+    * pipeline — fingerprints, candidate generation, Hamming verify — is
+    * hash-checked, not just recall-bounded. CatalogSpec keeps the
+    * recall-vs-exact-Jaccard cross-check (different similarity notion).
+    */
+  val q29: QueryDef = QueryDef.checked(
+    "q29_dedup_simhash",
+    {
+      val votes = (0 until 64).map { i =>
+        val src = if (i < 32) s"(lo >> $i)" else s"(hi >> ${i - 32})"
+        s"SUM(CASE WHEN ($src & 1) = 1 THEN 1 ELSE -1 END) AS b$i"
+      }.mkString(",\n    ")
+      val chunks = (0 until 4).map { j =>
+        (0 until 16).map(k =>
+          s"(CASE WHEN b${j * 16 + k} > 0 THEN ${1L << k} ELSE 0 END)")
+          .mkString(" + ") + s" AS c$j"
+      }.mkString(",\n    ")
+      s"""WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) AS hi,
+        |    CAST(('0x' || substr(md5(t), 9, 8)) AS BIGINT) AS lo
+        |  FROM tok),
+        |votes AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    $votes
+        |  FROM h GROUP BY doc_id),
+        |fp AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    $chunks
+        |  FROM votes),
+        |banded AS MATERIALIZED (
+        |  SELECT doc_id, c0, c1, c2, c3, 0 AS band, c0 AS chunk FROM fp
+        |  UNION ALL SELECT doc_id, c0, c1, c2, c3, 1, c1 FROM fp
+        |  UNION ALL SELECT doc_id, c0, c1, c2, c3, 2, c2 FROM fp
+        |  UNION ALL SELECT doc_id, c0, c1, c2, c3, 3, c3 FROM fp),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |    CAST(bit_count(xor(x.c0, y.c0)) + bit_count(xor(x.c1, y.c1))
+        |      + bit_count(xor(x.c2, y.c2)) + bit_count(xor(x.c3, y.c3))
+        |      AS BIGINT) AS hamming
+        |  FROM banded x JOIN banded y
+        |    ON x.band = y.band AND x.chunk = y.chunk AND x.doc_id < y.doc_id)
+        |SELECT doc_a, doc_b, hamming FROM cand
+        |WHERE hamming <= 6 ORDER BY doc_a, doc_b""".stripMargin
+    }) { (s, d) =>
     simhashNearDups(Tables.documents(s, d))
   }
 
