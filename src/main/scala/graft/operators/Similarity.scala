@@ -462,10 +462,57 @@ object Similarity {
       .orderBy(col("label"), col("rnk"))
   }
 
-  /** q69: bottom-5 outliers per label over the embeddings table. */
-  val q69: QueryDef = QueryDef.rowsOnly("q69_embedding_outliers") { (s, d) =>
-    groupOutliers(Tables.embeddings(s, d)
-      .select(col("label"), col("vec_id"), VF.asDouble(col("embedding")).as("v")))
+  /** q69: top-5 farthest-from-centroid outliers per label — ORACLE-
+    * CHECKED via the q116 integer-grid discipline: vectors snap to the
+    * 1/1000 grid, the per-label centroid is the exact integer mean
+    * (sum div n — float avg() is partition-order sensitive at the last
+    * ulp, which is exactly why the cosine variant can't cross engines),
+    * and the outlier score is the exact-integer squared L2 distance.
+    * Everything DuckDB replays with one unnest + two keyed aggs + a
+    * window. The float-cosine [[groupOutliers]] stays as the library
+    * API (planted-outlier recovery spec).
+    */
+  val q69: QueryDef = QueryDef.checked(
+    "q69_embedding_outliers",
+    """WITH w AS (
+      |  SELECT vec_id, label,
+      |    list_transform(CAST(embedding AS DOUBLE[]),
+      |      x -> CAST(round(x * 1000) AS BIGINT)) AS v
+      |  FROM embeddings),
+      |ex AS (
+      |  SELECT label, vec_id, unnest(v) AS x,
+      |    generate_subscripts(v, 1) AS dim
+      |  FROM w),
+      |cen AS (
+      |  SELECT label, dim, CAST(SUM(x) AS BIGINT) // COUNT(*) AS c
+      |  FROM ex GROUP BY 1, 2),
+      |d AS (
+      |  SELECT e.label, e.vec_id,
+      |    CAST(SUM((e.x - c.c) * (e.x - c.c)) AS BIGINT) AS d2
+      |  FROM ex e JOIN cen c ON e.label = c.label AND e.dim = c.dim
+      |  GROUP BY 1, 2)
+      |SELECT label, vec_id, rnk, d2 FROM (
+      |  SELECT label, vec_id, d2,
+      |    row_number() OVER (PARTITION BY label ORDER BY d2 DESC, vec_id)
+      |      AS rnk
+      |  FROM d) t
+      |WHERE rnk <= 5 ORDER BY label, rnk""".stripMargin) { (s, d) =>
+    val grid = Tables.embeddings(s, d).select(col("label"), col("vec_id"),
+      expr("transform(embedding, x -> " +
+        "CAST(round(CAST(x AS DOUBLE) * 1000) AS LONG))").as("v"))
+    val ex = grid.select(col("label"), col("vec_id"), posexplode(col("v")))
+      .withColumnRenamed("pos", "dim").withColumnRenamed("col", "x")
+    val cen = ex.groupBy(col("label"), col("dim"))
+      .agg(expr("sum(x) div count(1)").as("c"))
+    val d2 = ex.join(cen, Seq("label", "dim"))
+      .groupBy(col("label"), col("vec_id"))
+      .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d2"))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("d2").desc, col("vec_id"))
+    d2.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("label"), col("vec_id"), col("rnk"), col("d2"))
+      .orderBy(col("label"), col("rnk"))
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023: k-means
