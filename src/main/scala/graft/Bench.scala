@@ -64,7 +64,14 @@ object Bench {
     }
 
     val startLoad = loadAvg()
+    // Optional name-prefix filter for local iteration (comma-separated,
+    // e.g. "q116,q144"); the driver never sets it. A filtered run loses
+    // the positional contract's contiguous ids and falls back to the
+    // self-describing pair array automatically.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.allDefs.map(_.name)
+      .filter(n => only.forall(_.exists(p => n.startsWith(p))))
     runOnce(names.head) // warmup
     val results0 = names.map { n =>
       val loads = scala.collection.mutable.ArrayBuffer(loadAvg())

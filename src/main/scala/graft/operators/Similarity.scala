@@ -681,37 +681,54 @@ object Similarity {
       k: Int): DataFrame = {
     val sp = grid.sparkSession
     import sp.implicits._
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val qq = queryVec.map(x => x * x).sum
-    val base = grid
+    // mind2 (min d² to any selected vector) is maintained INCREMENTALLY
+    // as a persisted column — each round folds in ONE dot product per
+    // row (least(mind2, d² to the newest pick)) instead of recomputing
+    // the least over all |selected| picks: O(k) total dots per row, not
+    // O(k²), and every round's plan stays one small projection over the
+    // cached frame (the recomputed-least form benched 3.0 s at sf0.1 vs
+    // 0.7 s for the old cosine MMR; this restores the shape). least()
+    // skips NULLs, so the unselected initial state needs no sentinel.
+    def d2To(sv: Seq[Double]): org.apache.spark.sql.Column = {
+      val svv = sv.map(x => x * x).sum
+      col("vv") + lit(svv) - lit(2.0) * VF.dot(col("v"), typedLit(sv))
+    }
+    var cur = grid
       .withColumn("vv", VF.dot(col("v"), col("v")))
       .withColumn("d2q",
         col("vv") + lit(qq) - lit(2.0) * VF.dot(col("v"), typedLit(queryVec)))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var selected = Vector.empty[(Long, Seq[Double], Double, Int)]
+      .withColumn("mind2", lit(null).cast("double"))
+      .persist(lvl)
+    var selected = Vector.empty[(Long, Double, Int)]
     var exhausted = false
     for (rank <- 1 to k if !exhausted) {
-      def d2(sv: Seq[Double]): org.apache.spark.sql.Column = {
-        val svv = sv.map(x => x * x).sum
-        col("vv") + lit(svv) - lit(2.0) * VF.dot(col("v"), typedLit(sv))
-      }
-      val minDiv: org.apache.spark.sql.Column = selected.map(_._2) match {
-        case Seq() => lit(0.0)
-        case Seq(one) => d2(one) * lit(3.0)
-        case svs => least(svs.map(d2): _*) * lit(3.0)
-      }
-      val top = base
+      val top = cur
         .filter(!col("vec_id").isInCollection(selected.map(_._1)))
-        .withColumn("score", lit(-7.0) * col("d2q") + minDiv)
+        .withColumn("score", lit(-7.0) * col("d2q") +
+          lit(3.0) * coalesce(col("mind2"), lit(0.0)))
         .orderBy(col("score").desc, col("vec_id"))
         .limit(1)
         .select(col("vec_id"), col("v"), col("score"))
         .collect()
       if (top.isEmpty) exhausted = true
-      else selected = selected :+ ((top.head.getLong(0),
-        top.head.getSeq[Double](1), top.head.getDouble(2), rank))
+      else {
+        val sv = top.head.getSeq[Double](1)
+        selected = selected :+ ((top.head.getLong(0),
+          top.head.getDouble(2), rank))
+        if (rank < k) {
+          val next = cur
+            .withColumn("mind2", least(col("mind2"), d2To(sv)))
+            .persist(lvl)
+          next.count() // materialize from the parent cache, THEN drop it
+          cur.unpersist()
+          cur = next
+        }
+      }
     }
-    base.unpersist()
-    selected.map(t => (t._1, t._4, t._3.toLong))
+    cur.unpersist()
+    selected.map(t => (t._1, t._3, t._2.toLong))
       .toDF("vec_id", "rank", "score")
   }
 
