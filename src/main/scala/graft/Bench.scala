@@ -72,6 +72,8 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.allDefs.map(_.name)
       .filter(n => only.forall(_.exists(p => n.startsWith(p))))
+    require(names.nonEmpty, s"SPARK_GRAFT_BENCH_ONLY=${only.getOrElse(Set())} " +
+      "matched no catalog query names")
     runOnce(names.head) // warmup
     val results0 = names.map { n =>
       val loads = scala.collection.mutable.ArrayBuffer(loadAvg())

@@ -38,39 +38,40 @@ object Layout {
     * deliberately do NOT memoize — there the write is the certified
     * operation itself.
     */
-  private val layoutMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   /** Root dir of the memoized layout `id` for corpus `corpus`, building
-    * it via `build(root)` on first use. */
+    * it via `build(root)` on first use ([[Exact.buildOnceDir]] carries
+    * the shared map + lifecycle). */
   private def memoizedLayout(corpus: String, id: String)(
       build: String => Unit): String =
-    layoutMemo.computeIfAbsent(s"$corpus#$id", _ => {
-      val root = java.nio.file.Files
-        .createTempDirectory(Exact.fmtRoot, s"${id}_").toAbsolutePath.toString
-      build(root)
-      root
-    })
+    Exact.buildOnceDir(s"layout#$corpus#$id", s"${id}_")(build)
 
   /** Memoized BUCKETED-table layout: like [[memoizedLayout]] but the
     * artifact is catalog table names (one per `baseNames` entry), unique
     * per (corpus, id) so different SF dirs coexist in the shared
-    * session catalog. */
+    * session catalog. Table registrations live in a SESSION catalog,
+    * not on disk, so a memo hit is revalidated against the calling
+    * session and rebuilt if a session restart dropped the tables (the
+    * parquet-path memos need no such check).
+    */
   private val tableMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
   private val tableSeq = new java.util.concurrent.atomic.AtomicLong()
 
-  private def memoizedTables(corpus: String, id: String,
-      baseNames: Seq[String])(
-      build: (String, Seq[String]) => Unit): Seq[String] =
-    tableMemo.computeIfAbsent(s"$corpus#$id", _ => {
+  private def memoizedTables(s: org.apache.spark.sql.SparkSession,
+      corpus: String, id: String, baseNames: Seq[String])(
+      build: (String, Seq[String]) => Unit): Seq[String] = {
+    def buildFresh(): Seq[String] = {
       val root = java.nio.file.Files
         .createTempDirectory(Exact.fmtRoot, s"${id}_").toAbsolutePath.toString
       val n = tableSeq.incrementAndGet()
       val names = baseNames.map(b => s"${b}_$n")
       build(root, names)
       names
-    })
+    }
+    tableMemo.compute(s"$corpus#$id", (_, prev) =>
+      if (prev != null && prev.forall(s.catalog.tableExists)) prev
+      else buildFresh())
+  }
 
   /** Small-file compaction PLANNER — layout maintenance for the
     * partitioned/bucketed layouts this file writes: given per-file
@@ -257,7 +258,7 @@ object Layout {
       |WHERE l_orderkey < 5000
       |GROUP BY l_orderkey""".stripMargin) { (s, d) =>
     val Seq(liT, ordT) =
-      memoizedTables(d, "q80bkt", Seq("graft_li_bk", "graft_ord_bk")) {
+      memoizedTables(s, d, "q80bkt", Seq("graft_li_bk", "graft_ord_bk")) {
         (root, names) =>
         val Seq(li, ord) = names
         bucketedWrite(
@@ -575,7 +576,7 @@ object Layout {
       | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
       |FROM lineitem WHERE l_orderkey IN (7, 326, 4000)
       |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin) { (s, d) =>
-    val Seq(liT) = memoizedTables(d, "q242bktpt", Seq("graft_li_bkpt")) {
+    val Seq(liT) = memoizedTables(s, d, "q242bktpt", Seq("graft_li_bkpt")) {
       (root, names) =>
       bucketedWrite(
         Tables.lineitem(s, d)

@@ -65,6 +65,26 @@ object Exact {
     new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
   private val scratchSeq = new java.util.concurrent.atomic.AtomicLong()
 
+  // Build-once artifacts: parquet-backed assets (layouts, indexes,
+  // similarity graphs) built once per (corpus, id) per JVM and re-read
+  // by every later invocation — the accounting that keeps bench passes
+  // measuring the serving path, not the build. ONE map for all owners
+  // (Layout/Graph/… pass namespaced keys) so lifecycle policy lives in
+  // one place.
+  private val buildOnceDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Root dir of the build-once artifact `key`, building via
+    * `build(root)` on first use. Deterministic builds only — the memo
+    * returns the SAME files to every later caller. */
+  def buildOnceDir(key: String, prefix: String)(build: String => Unit): String =
+    buildOnceDirs.computeIfAbsent(key, _ => {
+      val root = java.nio.file.Files.createTempDirectory(fmtRoot, prefix)
+        .toAbsolutePath.toString
+      build(root)
+      root
+    })
+
   /** New scratch dir under [[fmtRoot]]; deletes the dir the same owner
     * got last time. */
   def scratchDir(owner: String, prefix: String): java.nio.file.Path = {

@@ -500,8 +500,11 @@ object Similarity {
     val grid = Tables.embeddings(s, d).select(col("label"), col("vec_id"),
       expr("transform(embedding, x -> " +
         "CAST(round(CAST(x AS DOUBLE) * 1000) AS LONG))").as("v"))
+    // persisted: ex feeds BOTH the centroid aggregate and the distance
+    // join (the simhash fps discipline); harness clears between queries
     val ex = grid.select(col("label"), col("vec_id"), posexplode(col("v")))
       .withColumnRenamed("pos", "dim").withColumnRenamed("col", "x")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cen = ex.groupBy(col("label"), col("dim"))
       .agg(expr("sum(x) div count(1)").as("c"))
     val d2 = ex.join(cen, Seq("label", "dim"))

@@ -382,11 +382,16 @@ private[sources] case class TailInputPartition(path: String, start: Long,
   * line into two envelopes on an EOF race (main.go:238-245).
   *
   * `emitPartial` (the opt-in `emitEofPartial` option) reproduces the
-  * reference's byte-level behavior exactly instead: no fragment adoption
-  * (the previous range already emitted its own trailing fragment) and the
+  * reference's byte-level behavior instead: no fragment adoption (the
+  * previous range already emitted its own trailing fragment) and the
   * range's unterminated tail goes out as a line — so a line racing the
   * reader CAN split into two emissions, which is precisely
-  * main.go:238-245's ReadString-at-EOF semantics. Default stays the
+  * main.go:238-245's ReadString-at-EOF semantics. Parity is exact in the
+  * reference's own configuration (it reads to EOF every poll — no read
+  * caps); under this source's per-batch byte caps a capped range
+  * boundary acts as an EOF surrogate and may additionally split a line
+  * that was fully on disk — emitting is the only lossless choice, since
+  * parity mode never re-reads earlier bytes. Default stays the
   * exactly-once-unsplit protocol above.
   */
 private[sources] class TailPartitionReader(path: String, start: Long, end: Long,
