@@ -822,13 +822,131 @@ object Scale {
         .withColumn("slice", lit("__total__")))
   }
 
-  /** q96: per-source distinct-token estimates + their sketch-union
-    * total over the documents corpus.
+  /** Engine-portable HLL register table: m = 4096 registers, bucket =
+    * the first 3 md5 hex chars (12 bits), rho = 1 + the leading-zero
+    * BIT count of the next 32 hash bits (8 hex chars; 33 when they are
+    * all zero — the standard rho convention for a 32-bit suffix).
+    * Register state is (bucket -> max rho): exact integers, so builds,
+    * merges (per-register max — commutative, idempotent) and summaries
+    * are bit-identical in ANY engine with md5. This is the
+    * oracle-checkable complement of the DataSketches binary-register
+    * path ([[sliceSketchUnion]]) — same mergeability contract, portable
+    * registers instead of library-defined bytes. The leading-zero count
+    * never parses the 32-bit value: 8 - length(hex with leading zeros
+    * stripped) counts whole zero NIBBLES and the first surviving hex
+    * digit contributes its own 0-3 zero bits by a 16-way CASE — pure
+    * string ops with identical semantics in Spark and DuckDB.
     */
-  val q96: QueryDef = QueryDef.rowsOnly("q96_hll_sketch_union") { (s, d) =>
+  def hllRegisters(df: org.apache.spark.sql.DataFrame,
+      sliceCol: String, valueCol: String): org.apache.spark.sql.DataFrame =
+    df.select(col(sliceCol).as("slice"),
+        md5(col(valueCol).cast("string").cast("binary")).as("hx"))
+      .withColumn("bucket",
+        expr("CAST(conv(substring(hx, 1, 3), 16, 10) AS LONG)"))
+      .withColumn("trimmed", regexp_replace(substring(col("hx"), 4, 8), "^0*", ""))
+      .withColumn("rho", expr(
+        """CASE WHEN trimmed = '' THEN 33
+          | ELSE (8 - length(trimmed)) * 4 +
+          |   CASE WHEN substring(trimmed, 1, 1) = '1' THEN 3
+          |        WHEN substring(trimmed, 1, 1) IN ('2', '3') THEN 2
+          |        WHEN substring(trimmed, 1, 1) IN ('4', '5', '6', '7') THEN 1
+          |        ELSE 0 END + 1 END""".stripMargin))
+      .groupBy(col("slice"), col("bucket"))
+      .agg(max(col("rho")).cast("long").as("r"))
+
+  /** Register table -> per-slice estimate row. Every column is exact:
+    * the harmonic denominator is scaled by 2^33 so each register term
+    * 2^(33 - r) is an integer (r <= 33 keeps the shift in [0, 32];
+    * empty registers contribute 2^33), and D <= 4096 * 2^33 = 2^45 is
+    * exactly representable as a double — the raw estimate
+    * floor(alpha * m^2 * 2^33 / D) is ONE IEEE multiply + divide on
+    * exact operands, bit-identical across engines (alpha * m^2 * 2^33
+    * is pre-folded into the literal 0.7211 * 2^57). Small-range
+    * correction: when registers are empty and the raw estimate is
+    * under 2.5m, linear counting m * ln(m / zeros) applies, with the
+    * ln snapped by ROUND to whole counts (the q85/q86 cross-engine ln
+    * idiom; only 4096 possible inputs). The branch condition compares
+    * exact integers, so both engines take the same branch.
+    */
+  def hllEstimate(regs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    regs.groupBy(col("slice"))
+      .agg(count(lit(1)).as("n_regs"),
+        sum(col("r")).as("sum_rho"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(33 - r AS INT))")).as("dnz"))
+      .withColumn("denom",
+        (col("dnz") + (lit(4096L) - col("n_regs")) * lit(8589934592L)).cast("long"))
+      .withColumn("est_raw",
+        floor(lit(0.7211 * 144115188075855872.0) / col("denom").cast("double")).cast("long"))
+      .withColumn("zeros", (lit(4096L) - col("n_regs")).cast("long"))
+      .withColumn("est",
+        when(col("zeros") > 0 && col("est_raw") <= 10240L,
+          expr("CAST(ROUND(4096.0 * ln(4096.0 / CAST(zeros AS DOUBLE))) AS LONG)"))
+          .otherwise(col("est_raw")))
+      .select(col("slice"), col("n_regs"), col("sum_rho"), col("denom"),
+        col("est_raw"), col("est"))
+
+  /** Shared rho/register CTE text for the DuckDB replay of
+    * [[hllRegisters]] — `src` must provide (slice, v) rows.
+    */
+  private def hllRegSql(src: String): String =
+    s"""h AS (SELECT slice, md5(CAST(v AS VARCHAR)) AS hx FROM $src),
+       |bits AS (SELECT slice,
+       |    CAST(('0x' || substr(hx, 1, 3)) AS BIGINT) AS bucket,
+       |    regexp_replace(substr(hx, 4, 8), '^0*', '') AS trimmed
+       |  FROM h),
+       |rho AS (SELECT slice, bucket,
+       |    CASE WHEN trimmed = '' THEN 33
+       |         ELSE (8 - length(trimmed)) * 4 +
+       |           CASE WHEN substr(trimmed, 1, 1) = '1' THEN 3
+       |                WHEN substr(trimmed, 1, 1) IN ('2', '3') THEN 2
+       |                WHEN substr(trimmed, 1, 1) IN ('4', '5', '6', '7') THEN 1
+       |                ELSE 0 END + 1 END AS rho
+       |  FROM bits),
+       |regs AS MATERIALIZED (
+       |  SELECT slice, bucket, max(rho) AS r FROM rho GROUP BY 1, 2)""".stripMargin
+
+  /** DuckDB replay of [[hllEstimate]] over a register CTE. */
+  private def hllEstSql(regsCte: String): String =
+    s"""SELECT slice,
+       |  CAST(count(*) AS BIGINT) AS n_regs,
+       |  CAST(sum(r) AS BIGINT) AS sum_rho,
+       |  CAST(sum(1::BIGINT << (33 - r)) + (4096 - count(*)) * 8589934592 AS BIGINT) AS denom,
+       |  CAST(floor(CAST(0.7211 * 144115188075855872.0 AS DOUBLE) /
+       |    CAST(sum(1::BIGINT << (33 - r)) + (4096 - count(*)) * 8589934592 AS DOUBLE)) AS BIGINT) AS est_raw,
+       |  CASE WHEN (4096 - count(*)) > 0 AND
+       |      CAST(floor(CAST(0.7211 * 144115188075855872.0 AS DOUBLE) /
+       |        CAST(sum(1::BIGINT << (33 - r)) + (4096 - count(*)) * 8589934592 AS DOUBLE)) AS BIGINT) <= 10240
+       |    THEN CAST(ROUND(4096.0 * ln(4096.0 / CAST(4096 - count(*) AS DOUBLE))) AS BIGINT)
+       |    ELSE CAST(floor(CAST(0.7211 * 144115188075855872.0 AS DOUBLE) /
+       |      CAST(sum(1::BIGINT << (33 - r)) + (4096 - count(*)) * 8589934592 AS DOUBLE)) AS BIGINT)
+       |  END AS est
+       |FROM $regsCte GROUP BY slice""".stripMargin
+
+  /** q96: per-source distinct-token estimates + their register-union
+    * total over the documents corpus, on the PORTABLE md5-HLL —
+    * ORACLE-CHECKED end to end (DuckDB rebuilds every register, the
+    * per-register-max union, the exact scaled denominator and the
+    * corrected estimate). The DataSketches binary-sketch path stays as
+    * the [[sliceSketchUnion]] library API (ScaleSpec pins its accuracy
+    * + union == direct-global mergeability).
+    */
+  val q96: QueryDef = QueryDef.checked(
+    "q96_hll_sketch_union",
+    s"""WITH tok AS (
+       |  SELECT source AS slice, unnest(string_split(text, ' ')) AS v FROM documents),
+       |${hllRegSql("tok")},
+       |allregs AS (
+       |  SELECT slice, bucket, r FROM regs
+       |  UNION ALL
+       |  SELECT '__total__' AS slice, bucket, max(r) AS r FROM regs GROUP BY 2)
+       |${hllEstSql("allregs")}
+       |ORDER BY slice""".stripMargin) { (s, d) =>
     val tok = Tables.documents(s, d).select(col("source"),
       explode(split(col("text"), " ")).as("t"))
-    sliceSketchUnion(tok, "source", "t").orderBy(col("slice"))
+    val regs = hllRegisters(tok, "source", "t").persist()
+    val union = regs.groupBy(col("bucket")).agg(max(col("r")).as("r"))
+      .select(lit("__total__").as("slice"), col("bucket"), col("r"))
+    hllEstimate(regs.unionByName(union)).orderBy(col("slice"))
   }
 
   /** The count-min row-hash: bucket_j(t) = first-8-hex of
@@ -1173,28 +1291,47 @@ object Scale {
   /** q247: SKETCH-merged trailing actives — the 100 TB path for q165's
     * exact trailing-7-day distinct users: instead of re-touching seven
     * days of (user, day) rows per output day (q165's range join — exact
-    * but O(7×) re-scan), each day aggregates ONCE into an HLL sketch
-    * (Apache DataSketches, Spark 3.5 builtins) and every trailing
-    * window is a MERGE of seven ~KB register arrays — the day→sketch
-    * table is the reusable asset, and yesterday's sketches never
-    * recompute when today arrives (the incremental property exact
-    * distinct cannot have). HLL register state is a per-register max,
-    * so merges commute and the result is deterministic for a given
-    * corpus. Rows-only (register internals are library-defined);
-    * ScaleSpec pins every day's estimate within 5 % of q165's exact
-    * count — the documented HLL error envelope at lgK=12.
+    * but O(7×) re-scan), each day aggregates ONCE into an HLL register
+    * table (≤ 4096 (bucket, rho) rows per day) and every trailing
+    * window is a per-register MAX over seven such tables — the
+    * day→registers table is the reusable asset, and yesterday's
+    * registers never recompute when today arrives (the incremental
+    * property exact distinct cannot have). Built on the PORTABLE
+    * md5-HLL ([[hllRegisters]]/[[hllEstimate]]) so the whole pipeline —
+    * register build, trailing merge, corrected estimate — is
+    * ORACLE-CHECKED; the DataSketches binary-register form of the same
+    * merge remains via [[sliceSketchUnion]]. The day spine × registers
+    * range join duplicates at most 7 × 4096 register rows per day —
+    * bounded by the calendar, not the corpus. ScaleSpec additionally
+    * pins every day's estimate within 5 % of q165's exact count.
     */
-  val q247: QueryDef = QueryDef.rowsOnly("q247_hll_rolling_actives") { (s, d) =>
+  val q247: QueryDef = QueryDef.checked(
+    "q247_hll_rolling_actives",
+    s"""WITH du AS (
+       |  SELECT epoch_ns(ts) // 86400000000000 AS slice, user_id AS v FROM events),
+       |${hllRegSql("du")},
+       |merged AS (
+       |  SELECT s.rday AS slice, r.bucket, max(r.r) AS r
+       |  FROM (SELECT DISTINCT slice AS rday FROM regs) s
+       |  JOIN regs r ON r.slice BETWEEN s.rday - 6 AND s.rday
+       |  GROUP BY 1, 2),
+       |est AS (
+       |${hllEstSql("merged")})
+       |SELECT slice AS day, n_regs, sum_rho, denom, est_raw,
+       |  est AS est_actives
+       |FROM est ORDER BY day""".stripMargin) { (s, d) =>
     val du = Tables.events(s, d)
       .select(expr("ts_ns div 86400000000000").as("day"), col("user_id"))
-    val daily = du.groupBy(col("day"))
-      .agg(hll_sketch_agg(col("user_id")).as("sk"))
-    val spine = daily.select(col("day").as("rday"))
-    spine.join(daily,
-        col("day").between(col("rday") - 6, col("rday")))
-      .groupBy(col("rday"))
-      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_actives"))
-      .select(col("rday").as("day"), col("est_actives"))
+    val daily = hllRegisters(du, "day", "user_id").persist()
+    val spine = daily.select(col("slice").as("rday")).distinct()
+    val merged = spine.join(daily,
+        col("slice").between(col("rday") - 6, col("rday")))
+      .groupBy(col("rday"), col("bucket"))
+      .agg(max(col("r")).as("r"))
+      .select(col("rday").as("slice"), col("bucket"), col("r"))
+    hllEstimate(merged)
+      .select(col("slice").as("day"), col("n_regs"), col("sum_rho"),
+        col("denom"), col("est_raw"), col("est").as("est_actives"))
       .orderBy(col("day"))
   }
 }

@@ -358,12 +358,13 @@ class ScaleSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     val tok = Tables.documents(s2, sf).select(col("source"),
       explode(split(col("text"), " ")).as("t"))
+    // the oracle-checked portable md5-HLL catalog entry
     val got = SparkEntry.queries("q96_hll_sketch_union")(s2, sf)
+      .select(col("slice"), col("est"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val exactPer = tok.groupBy("source").agg(countDistinct(col("t")).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val exactTotal = tok.select("t").distinct().count()
-    spark.catalog.clearCache()
     exactPer.foreach { case (src, n) =>
       assert(math.abs(got(src) - n) <= math.max(2L, (n * 0.05).toLong),
         s"$src: est ${got(src)} vs exact $n")
@@ -371,13 +372,22 @@ class ScaleSpec extends AnyFunSuite {
     assert(math.abs(got("__total__") - exactTotal) <=
       math.max(2L, (exactTotal * 0.05).toLong),
       s"union est ${got("__total__")} vs exact $exactTotal")
-    // mergeability: the union of per-slice sketches must equal the
-    // sketch built directly over the whole corpus
+    // the DataSketches binary-register library path: estimates near
+    // exact, and the union of per-slice sketches must equal the sketch
+    // built directly over the whole corpus
+    val lib = graft.operators.Scale.sliceSketchUnion(tok, "source", "t")
+      .select(col("slice"), col("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    spark.catalog.clearCache()
+    exactPer.foreach { case (src, n) =>
+      assert(math.abs(lib(src) - n) <= math.max(2L, (n * 0.05).toLong),
+        s"sketch $src: est ${lib(src)} vs exact $n")
+    }
     val direct = tok.agg(
       hll_sketch_estimate(hll_sketch_agg(col("t"))).as("e"))
       .head().getLong(0)
-    assert(got("__total__") == direct,
-      s"sketch-union ${got("__total__")} != direct-global $direct")
+    assert(lib("__total__") == direct,
+      s"sketch-union ${lib("__total__")} != direct-global $direct")
   }
 
   test("property: heavy hitters equal the naive groupBy over random corpora/thresholds") {
