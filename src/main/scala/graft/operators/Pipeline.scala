@@ -37,16 +37,71 @@ object PipelineOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Varint length of the unsigned-64 wire value of `x` (negative Longs
+    * carry all 64 bits → 10 bytes; k-byte varints hold 7k bits). Inlined
+    * into the q41 oracle so DuckDB re-derives every length boundary.
+    */
+  private def vl(x: String): String =
+    s"(CASE WHEN ($x) < 0 THEN 10 WHEN ($x) < 128 THEN 1" +
+      s" WHEN ($x) < 16384 THEN 2 WHEN ($x) < 2097152 THEN 3" +
+      s" WHEN ($x) < 268435456 THEN 4 WHEN ($x) < 34359738368 THEN 5" +
+      s" WHEN ($x) < 4398046511104 THEN 6 WHEN ($x) < 562949953421312 THEN 7" +
+      s" WHEN ($x) < 72057594037927936 THEN 8 ELSE 9 END)"
+
   /** P3 round-trip at scale over ALL SIX envelope event types
     * (envelope.pb.go:49-60): each document becomes an envelope whose
     * payload type is doc_id mod 6 — LogMessage carries the text,
     * HttpStartStop carries a synthetic request (incl. the UUID request id
     * and the repeated `forwarded` chain), the metric/error types carry
-    * derived values. Deterministic bytes → deterministic summary. Rows-only
-    * (protobuf layout is not SQL-expressible); ProtoWireSpec pins golden
-    * bytes per message type.
+    * derived values. ORACLE-CHECKED since r7: the encoder's exact wire
+    * length per document is re-derived in DuckDB from the protobuf wire
+    * rules alone — 1-byte tags (all used fields < 16), varint widths by
+    * value magnitude ([[vl]]), length-delimited strings/sub-messages with
+    * their own varint'd lengths, fixed64 doubles — so every varint
+    * boundary the encoder crosses (message text bytes, nested UUID with a
+    * negative high half, doubled counters) is independently certified;
+    * `ok` additionally pins the decode(encode(e)) == e round trip.
+    * ProtoWireSpec still pins golden BYTES per message type (the length
+    * model can't see byte content).
     */
-  val q41: QueryDef = QueryDef.rowsOnly("q41_proto_roundtrip") { (s, d) =>
+  val q41: QueryDef = QueryDef.checked(
+    "q41_proto_roundtrip",
+    s"""WITH m AS (
+       |  SELECT doc_id AS id, doc_id % 6 AS branch,
+       |    strlen(text) AS tb, length(text) AS tc,
+       |    strlen(source) AS sl,
+       |    length(CAST(doc_id AS VARCHAR)) AS dg
+       |  FROM documents),
+       |c1 AS (
+       |  SELECT *,
+       |    (1 + ${vl("tb + 1")} + tb + 1) + 2
+       |      + (1 + ${vl("1700000000000000000 + id")}) + 6
+       |      + (1 + ${vl("sl")} + sl) AS lm,
+       |    1 + ${vl("id * 1000003")} + 1 + 10 AS u1,
+       |    1 + ${vl("id")} + 1 + ${vl("id + 1")} AS u2
+       |  FROM m),
+       |c2 AS (
+       |  SELECT *,
+       |    (1 + ${vl("id")}) + (1 + ${vl("id + 7")}) + (1 + ${vl("u1")} + u1)
+       |      + 2 + 2 + (1 + ${vl("6 + dg")} + 6 + dg) + 16 + 7 + 3
+       |      + (1 + ${vl("tc")}) + (1 + ${vl("u2")} + u2) + 2
+       |      + (1 + ${vl("sl")} + sl) + 10 + (1 + ${vl("5 + dg")} + 5 + dg) AS hss,
+       |    (1 + ${vl("1 + dg")} + 1 + dg) + 9 + 4 AS vm,
+       |    (1 + ${vl("1 + dg")} + 1 + dg) + (1 + ${vl("id")}) + (1 + ${vl("2 * id")}) AS ce,
+       |    (1 + ${vl("sl")} + sl) + 2 + (1 + ${vl("3 + dg")} + 3 + dg) AS er,
+       |    (1 + ${vl("sl")} + sl) + 2 + 9 + (1 + ${vl("10 * id")})
+       |      + (1 + ${vl("20 * id")}) + (1 + ${vl("30 * id")}) AS cm
+       |  FROM c1)
+       |SELECT id AS doc_id,
+       |  CAST(9 + 1 + CASE branch
+       |    WHEN 0 THEN ${vl("lm")} + lm
+       |    WHEN 1 THEN ${vl("hss")} + hss
+       |    WHEN 2 THEN ${vl("vm")} + vm
+       |    WHEN 3 THEN ${vl("ce")} + ce
+       |    WHEN 4 THEN ${vl("er")} + er
+       |    ELSE ${vl("cm")} + cm END AS BIGINT) AS wire_len,
+       |  CAST(1 AS BIGINT) AS ok
+       |FROM c2 ORDER BY doc_id""".stripMargin) { (s, d) =>
     import s.implicits._
     import graft.model.{CounterEvent, ContainerMetric, ErrorEvent, HttpStartStop, Uuid, ValueMetric}
     val roundtrip = Tables.documents(s, d)
@@ -99,9 +154,6 @@ object PipelineOps {
         (id, bytes.length.toLong, if (ok) 1L else 0L)
       }
       .toDF("doc_id", "wire_len", "ok")
-    roundtrip.agg(
-      count(lit(1)).as("n"),
-      sum(col("wire_len")).as("total_wire_bytes"),
-      sum(col("ok")).as("n_roundtrip_ok"))
+    roundtrip.orderBy(col("doc_id"))
   }
 }

@@ -306,6 +306,72 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** Engine-portable sign-LSH ANN — the [[lshTopK]] pipeline made
+    * ORACLE-CHECKABLE: hyperplane weights are ±1 drawn from one md5 hex
+    * digit of "table:plane:dim" (a pure, seedless function any engine
+    * reproduces), vector components snap to the 1e-6 integer grid
+    * (q160's proven idiom), so signature bits are signs of EXACT
+    * integer dot products, banding is exact bit arithmetic, and the
+    * re-rank is exact integer squared-L2 — on the unit-norm embeddings
+    * corpus L2 ordering IS cosine ordering (|a-b|^2 = 2 - 2cos). Same
+    * 100 TB shape as [[lshTopK]]: candidates come from an equi-join on
+    * (table, band, chunk) — never a cross join — and the exact re-rank
+    * touches candidates only; the plane table (tables x bits x dim
+    * rows) is broadcast. The float-cosine form stays the library API;
+    * this is the catalog/oracle face of the same operator.
+    */
+  def lshTopKGridL2(corpus: DataFrame, queries: DataFrame, dim: Int = 64,
+      topK: Int = 10, nTables: Int = 2, nBits: Int = 32): DataFrame = {
+    val s = corpus.sparkSession
+    def grid(df: DataFrame): DataFrame =
+      df.select(col("vec_id"), posexplode(col("v")).as(Seq("i0", "x0")))
+        .select(col("vec_id"), (col("i0") + 1).as("i"),
+          expr("CAST(ROUND(x0 * 1000000) AS LONG)").as("x"))
+    val planes = s.range(0, nTables).select(col("id").as("tbl"))
+      .crossJoin(s.range(0, nBits).select(col("id").as("p")))
+      .crossJoin(s.range(1, dim + 1).select(col("id").as("i")))
+      .withColumn("w", expr(
+        """CASE WHEN CAST(conv(substring(md5(CAST(concat(
+          |  CAST(tbl AS STRING), ':', CAST(p AS STRING), ':', CAST(i AS STRING)
+          |) AS BINARY)), 1, 1), 16, 10) AS INT) >= 8
+          |THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END""".stripMargin))
+    def chunks(df: DataFrame): DataFrame = {
+      val sig = grid(df).join(broadcast(planes), Seq("i"))
+        .groupBy(col("vec_id"), col("tbl"), col("p"))
+        .agg(sum(col("w") * col("x")).as("dot"))
+        .withColumn("bit", when(col("dot") > 0, lit(1L)).otherwise(lit(0L)))
+        .groupBy(col("vec_id"), col("tbl"))
+        .agg(sum(expr("shiftleft(bit, CAST(p AS INT))")).as("sig"))
+      val bandCols = (0 until nBits / 4).map(j =>
+        struct(lit(j.toLong).as("band"),
+          shiftright(col("sig"), j * 4).bitwiseAND(lit(0xFL)).as("chunk")))
+      sig.select(col("vec_id"), col("tbl"),
+          explode(array(bandCols: _*)).as("bc"))
+        .select(col("vec_id"), col("tbl"), col("bc.band"), col("bc.chunk"))
+    }
+    val qs = chunks(queries).select(col("vec_id").as("query_id"),
+      col("tbl"), col("band"), col("chunk"))
+    val cs = chunks(corpus).select(col("vec_id").as("neighbor_id"),
+      col("tbl"), col("band"), col("chunk"))
+    val cand = qs.join(cs, Seq("tbl", "band", "chunk"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"))
+      .distinct()
+    val gq = grid(queries).select(col("vec_id").as("query_id"),
+      col("i"), col("x").as("xq"))
+    val gc = grid(corpus).select(col("vec_id").as("neighbor_id"),
+      col("i"), col("x").as("xc"))
+    val d2 = cand.join(gq, Seq("query_id")).join(gc, Seq("neighbor_id", "i"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum((col("xq") - col("xc")) * (col("xq") - col("xc"))).as("d2"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2").asc, col("neighbor_id"))
+    d2.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("d2"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   private def vecs(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .select(col("vec_id"), VF.asDouble(col("embedding")).as("v"))
@@ -423,9 +489,50 @@ object Similarity {
     bruteForceTopK(e, e.filter(col("vec_id") < 5))
   }
 
-  val q33: QueryDef = QueryDef.rowsOnly("q33_ann_lsh_topk") { (s, d) =>
+  val q33: QueryDef = QueryDef.checked(
+    "q33_ann_lsh_topk",
+    """WITH ve AS MATERIALIZED (
+      |  SELECT vec_id, i, CAST(ROUND(v[i] * 1000000) AS BIGINT) AS x
+      |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |    unnest(generate_series(1, len(v))) AS u(i)),
+      |planes AS MATERIALIZED (
+      |  SELECT t.tbl, p.p, i.i,
+      |    CASE WHEN CAST(('0x' || substr(md5(
+      |        CAST(t.tbl AS VARCHAR) || ':' || CAST(p.p AS VARCHAR) || ':' || CAST(i.i AS VARCHAR)
+      |      ), 1, 1)) AS BIGINT) >= 8 THEN 1::BIGINT ELSE (-1)::BIGINT END AS w
+      |  FROM (SELECT unnest(generate_series(0, 1)) AS tbl) t,
+      |       (SELECT unnest(generate_series(0, 31)) AS p) p,
+      |       (SELECT unnest(generate_series(1, 64)) AS i) i),
+      |sigbits AS MATERIALIZED (
+      |  SELECT v.vec_id, pl.tbl, pl.p,
+      |    CASE WHEN SUM(pl.w * v.x) > 0 THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+      |  FROM ve v JOIN planes pl ON pl.i = v.i
+      |  GROUP BY 1, 2, 3),
+      |sigs AS MATERIALIZED (
+      |  SELECT vec_id, tbl, SUM(bit << CAST(p AS INT)) AS sig
+      |  FROM sigbits GROUP BY 1, 2),
+      |chunks AS MATERIALIZED (
+      |  SELECT vec_id, tbl, j.j AS band, (sig >> (4 * j.j)) & 15 AS chunk
+      |  FROM sigs, (SELECT unnest(generate_series(0, 7)) AS j) j),
+      |cand AS MATERIALIZED (
+      |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      |  FROM chunks q JOIN chunks c
+      |    ON q.tbl = c.tbl AND q.band = c.band AND q.chunk = c.chunk
+      |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+      |d2 AS (
+      |  SELECT cand.query_id, cand.neighbor_id,
+      |    CAST(SUM((a.x - b.x) * (a.x - b.x)) AS BIGINT) AS d2
+      |  FROM cand
+      |  JOIN ve a ON a.vec_id = cand.query_id
+      |  JOIN ve b ON b.vec_id = cand.neighbor_id AND b.i = a.i
+      |  GROUP BY 1, 2)
+      |SELECT query_id, neighbor_id, rnk, d2 FROM (
+      |  SELECT query_id, neighbor_id, d2,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS rnk
+      |  FROM d2) t
+      |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin) { (s, d) =>
     val e = vecs(s, d)
-    lshTopK(e, e.filter(col("vec_id") < 5))
+    lshTopKGridL2(e, e.filter(col("vec_id") < 5))
   }
 
   /** Per-group embedding outliers: centroid per `label` (dimension-wise

@@ -50,9 +50,10 @@ class CatalogSpec extends AnyFunSuite {
   }
 
   test("proto roundtrip query reports zero corrupt envelopes") {
-    val row = SparkEntry.queries("q41_proto_roundtrip")(spark, sf).collect().head
-    assert(row.getAs[Long]("n") === row.getAs[Long]("n_roundtrip_ok"))
-    assert(row.getAs[Long]("n") > 0)
+    val rows = SparkEntry.queries("q41_proto_roundtrip")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("ok") == 1L))
+    assert(rows.forall(_.getAs[Long]("wire_len") > 0L))
   }
 
   test("media features pipeline is deterministic and complete") {
