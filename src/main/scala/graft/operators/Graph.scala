@@ -2482,6 +2482,139 @@ object Graph {
         round(coalesce(col("bc"), lit(0.0)) * 1e6).cast("long").as("bc_ppm"))
   }
 
+  /** Integer-grid Brandes — [[betweennessExact]] with the dependency
+    * accumulation moved onto a ppm integer grid so the whole sweep is
+    * ORACLE-REPLAYABLE: δ' carries ppm units and every pushed term is
+    * integer-divided BEFORE the sum — t = (σ_v · (10^6 + δ'_w)) div σ_w
+    * — so each round is a sum of exact integers (order-free), the same
+    * per-step-floor idiom as q110's integer PageRank. σ stays the exact
+    * integer shortest-path count. Truncation drops < 1 ppm per term and
+    * σ_v/σ_w ≤ 1 on DAG edges, so the drift is bounded by the DAG edge
+    * count per root in ppm units (BetweennessSpec pins grid vs float);
+    * closed-form graphs (paths, stars) where δ is integral are EXACT.
+    * bc_ppm(v) = (Σ_roots δ'(v)) div 2. Same dataflow, rounds and state
+    * bounds as the float form; `rootFilter` gives the sampled-pivot
+    * scale path.
+    */
+  def betweennessGridPpm(undirected0: DataFrame,
+      rootFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    val und = undirected0.select(col("src"), col("dst")).distinct()
+      .localCheckpoint(true)
+    val nodes = und.select(col("src").as("node")).distinct()
+    val roots = rootFilter.fold(nodes)(f => nodes.filter(f))
+    var layer = roots.select(col("node").as("root"), col("node"),
+        lit(0).as("d"), lit(1L).as("sigma"))
+      .localCheckpoint(true)
+    var bfs = layer
+    val layers = scala.collection.mutable.ArrayBuffer(layer)
+    var depth = 0
+    while (!layer.isEmpty) {
+      depth += 1
+      val push = layer.join(und, layer("node") === und("src"))
+        .select(col("root"), col("dst").as("node"), col("sigma"))
+      val next = push
+        .join(bfs.select(col("root"), col("node")), Seq("root", "node"),
+          "left_anti")
+        .groupBy(col("root"), col("node"))
+        .agg(sum(col("sigma")).as("sigma"))
+        .withColumn("d", lit(depth))
+        .select(col("root"), col("node"), col("d"), col("sigma"))
+        .localCheckpoint(true)
+      if (!next.isEmpty) {
+        bfs = bfs.union(next).localCheckpoint(true)
+        layers += next
+      }
+      layer = next
+    }
+    // backward sweep on the ppm grid, deepest layer first; δ'(deepest)=0
+    var delta = layers.last.select(col("root"), col("node"),
+        col("sigma"), lit(0L).as("delta"))
+      .localCheckpoint(true)
+    val perLayerDeltas = scala.collection.mutable.ArrayBuffer(delta)
+    for (l <- (layers.size - 2) to 0 by -1) {
+      val w = delta
+      val contrib = w.join(und, w("node") === und("src"))
+        .select(col("root"), col("dst").as("node"),
+          col("sigma").as("sigma_w"), col("delta").as("delta_w"))
+        .join(layers(l).select(col("root"), col("node"),
+          col("sigma").as("sigma_v")), Seq("root", "node"))
+        .groupBy(col("root"), col("node"))
+        .agg(sum(expr(
+          "(sigma_v * (1000000 + delta_w)) div sigma_w")).as("delta"))
+      delta = layers(l).select(col("root"), col("node"), col("sigma"))
+        .join(contrib, Seq("root", "node"), "left")
+        .select(col("root"), col("node"), col("sigma"),
+          coalesce(col("delta"), lit(0L)).as("delta"))
+        .localCheckpoint(true)
+      perLayerDeltas += delta
+    }
+    val all = perLayerDeltas.reduce(_ unionByName _)
+    nodes.join(
+        all.filter(col("node") =!= col("root"))
+          .groupBy(col("node"))
+          .agg(sum(col("delta")).as("dsum")),
+        Seq("node"), "left")
+      .select(col("node"),
+        expr("coalesce(dsum, CAST(0 AS BIGINT)) div 2").as("bc_ppm"))
+  }
+
+  /** Shared DuckDB replay of [[betweennessGridPpm]] over the q177/q222
+    * user↔event-type graph: layers unrolled to 6 (measured max
+    * eccentricity 4 at sf0.1, 3 at sf0.01 — the q132 generous-unroll
+    * argument: post-diameter layers are empty and contribute nothing),
+    * backward sweep d5..d0 with the identical per-term integer
+    * division. `rootsWhere` filters the source set (q222's pivots).
+    */
+  private def betweennessGridSql(rootsWhere: String): String = {
+    val fwd = (1 to 6).map { k =>
+      s"""l$k AS MATERIALIZED (
+         |  SELECT l.root, u.dst AS node, SUM(l.sigma) AS sigma
+         |  FROM l${k - 1} l JOIN und u ON u.src = l.node
+         |  WHERE NOT EXISTS (SELECT 1 FROM v${k - 1} v
+         |    WHERE v.root = l.root AND v.node = u.dst)
+         |  GROUP BY 1, 2),
+         |v$k AS MATERIALIZED (
+         |  SELECT root, node FROM v${k - 1}
+         |  UNION ALL SELECT root, node FROM l$k)""".stripMargin
+    }.mkString(",\n")
+    val bwd = (5 to 0 by -1).map { k =>
+      s"""d$k AS MATERIALIZED (
+         |  SELECT l.root, l.node, l.sigma, COALESCE(c.delta, 0) AS delta
+         |  FROM l$k l LEFT JOIN (
+         |    SELECT w.root, u.dst AS node,
+         |      SUM((lv.sigma * (1000000 + w.delta)) // w.sigma) AS delta
+         |    FROM d${k + 1} w
+         |    JOIN und u ON u.src = w.node
+         |    JOIN l$k lv ON lv.root = w.root AND lv.node = u.dst
+         |    GROUP BY 1, 2) c ON c.root = l.root AND c.node = l.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ev AS MATERIALIZED (
+       |  SELECT DISTINCT user_id, event_type FROM events WHERE event_id < 3000),
+       |types AS (
+       |  SELECT event_type,
+       |    1000000 + dense_rank() OVER (ORDER BY event_type) AS tid
+       |  FROM (SELECT DISTINCT event_type FROM ev)),
+       |half AS (SELECT e.user_id AS src, t.tid AS dst
+       |  FROM ev e JOIN types t USING (event_type)),
+       |und AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT src, dst FROM half UNION ALL SELECT dst AS src, src AS dst FROM half)),
+       |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM und),
+       |l0 AS MATERIALIZED (
+       |  SELECT node AS root, node, 1::BIGINT AS sigma FROM nodes $rootsWhere),
+       |v0 AS (SELECT root, node FROM l0),
+       |$fwd,
+       |d6 AS (SELECT root, node, sigma, 0::BIGINT AS delta FROM l6),
+       |$bwd,
+       |alld AS (
+       |  ${(0 to 6).map(k => s"SELECT root, node, delta FROM d$k").mkString("\n  UNION ALL ")}),
+       |bc AS (
+       |  SELECT n.node,
+       |    CAST(COALESCE(SUM(a.delta), 0) // 2 AS BIGINT) AS bc_ppm
+       |  FROM nodes n LEFT JOIN alld a ON a.node = n.node AND a.root <> a.node
+       |  GROUP BY 1)""".stripMargin
+  }
+
   /** q177: exact all-sources betweenness on the user↔event-type
     * interaction graph (bipartite: users `user_id`, types mapped to
     * 1000000+rank; events < 3000) — the textbook broker-detection
@@ -2489,14 +2622,17 @@ object Graph {
     * shortest path routes through a type hub, and the hubs' centrality
     * ranks how much interaction each event type brokers. Small
     * diameter (≈4), so the layered sweep runs a handful of rounds.
-    * Rows-only by nature (δ is a float accumulation; ppm snapping makes
-    * the surface deterministic, but an exact SQL oracle would need
-    * shortest-path COUNTING, which a recursive CTE can only do by
-    * enumerating walks — exponential). BetweennessSpec pins the
-    * dataflow to a sequential Brandes reference on random graphs,
-    * planted closed-form shapes, and the sampled-roots estimator.
+    * ORACLE-CHECKED since r7 via [[betweennessGridPpm]]: σ is exact
+    * integer path counting (a layered unroll, not walk enumeration —
+    * the BFS anti-join keeps only shortest-path DAG edges), δ' rides
+    * the ppm integer grid with per-term floors, so DuckDB replays the
+    * whole sweep bit-for-bit. BetweennessSpec pins the float dataflow
+    * to sequential Brandes and the grid variant's drift bound.
     */
-  val q177: QueryDef = QueryDef.rowsOnly("q177_betweenness") { (s, d) =>
+  val q177: QueryDef = QueryDef.checked(
+    "q177_betweenness",
+    betweennessGridSql("") +
+      "\nSELECT node, bc_ppm FROM bc ORDER BY node") { (s, d) =>
     val ev = Tables.events(s, d).filter(col("event_id") < 3000)
       .select(col("user_id"), col("event_type")).distinct()
     val types = ev.select(col("event_type")).distinct()
@@ -2506,7 +2642,7 @@ object Graph {
       .select(col("user_id").as("src"), col("tid").as("dst"))
     val und = half.unionByName(
       half.select(col("dst").as("src"), col("src").as("dst")))
-    betweennessExact(und).orderBy(col("node"))
+    betweennessGridPpm(und).orderBy(col("node"))
   }
 
   /** q218: degree assortativity of the handoff digraph — is the graph
@@ -2572,10 +2708,23 @@ object Graph {
     * frontier frames carry |pivots|×nodes state instead of nodes². The
     * per-root machinery is IDENTICAL to q177's (one code path);
     * BetweennessSpec pins sampled runs to root-restricted sequential
-    * Brandes sums. Rows-only for q177's reason (float δ); the
-    * extrapolation stays in exact integer ppm arithmetic.
+    * Brandes sums. ORACLE-CHECKED since r7 through the same
+    * [[betweennessGridPpm]] integer-grid replay as q177 (the pivot
+    * predicate and the n/|pivots| extrapolation were always exact
+    * integer arithmetic — the float δ was the only blocker).
     */
-  val q222: QueryDef = QueryDef.rowsOnly("q222_betweenness_sampled") { (s, d) =>
+  val q222: QueryDef = QueryDef.checked(
+    "q222_betweenness_sampled",
+    betweennessGridSql("WHERE (node * 2654435761) % 4 = 0") +
+      s""",
+         |counts AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         |    CAST(SUM(CASE WHEN (node * 2654435761) % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_roots
+         |  FROM nodes)
+         |SELECT b.node, b.bc_ppm,
+         |  CAST((b.bc_ppm * c.n_nodes) // greatest(c.n_roots, 1) AS BIGINT) AS est_ppm
+         |FROM bc b CROSS JOIN counts c
+         |ORDER BY b.node""".stripMargin) { (s, d) =>
     val ev = Tables.events(s, d).filter(col("event_id") < 3000)
       .select(col("user_id"), col("event_type")).distinct()
     val types = ev.select(col("event_type")).distinct()
@@ -2586,7 +2735,7 @@ object Graph {
     val und = half.unionByName(
       half.select(col("dst").as("src"), col("src").as("dst")))
     val pivot = expr("pmod(node * 2654435761, 4) = 0")
-    val sampled = betweennessExact(und, Some(pivot))
+    val sampled = betweennessGridPpm(und, Some(pivot))
     val counts = und.select(col("src").as("node")).distinct()
       .agg(count(lit(1)).as("n_nodes"),
         sum(when(expr("pmod(node * 2654435761, 4) = 0"), 1L).otherwise(0L))

@@ -107,6 +107,45 @@ class BetweennessSpec extends AnyFunSuite {
     }
   }
 
+  test("integer-grid variant: exact on closed forms, bounded drift on random graphs") {
+    val s = spark
+    import s.implicits._
+    def runGrid(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val sym = (edges ++ edges.map(_.swap)).distinct
+      Graph.betweennessGridPpm(sym.toDF("src", "dst")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    // paths and stars have integral δ at every step — the grid must be EXACT
+    val path = (0L until 7L).sliding(2).map(p => (p(0), p(1))).toSeq
+    val gotPath = runGrid(path)
+    for (i <- 0 until 7)
+      assert(gotPath(i.toLong) == (i.toLong * (6 - i)) * 1000000L, s"pos $i")
+    val star = (2L to 8L).map(l => (1L, l))
+    val gotStar = runGrid(star)
+    assert(gotStar(1L) == 7L * 6 / 2 * 1000000L)
+    // random graphs: per-term floors drop < 1 ppm each and propagate
+    // along DAG edges with factor σv/σw ≤ 1, so the total drift per
+    // node is bounded by roots × DAG-edges in ppm units — use the
+    // loose bound n·E and require the grid to sit within it BELOW the
+    // float value (floors only ever shrink)
+    for ((p, seed) <- Seq((0.15, 41L), (0.4, 42L))) {
+      val rnd = new scala.util.Random(seed)
+      val n = 16
+      val edges = for {
+        a <- 1 to n; b <- (a + 1) to n
+        if rnd.nextDouble() < p
+      } yield (a.toLong, b.toLong)
+      val expected = brandes(edges)
+      val got = runGrid(edges)
+      val bound = n.toLong * edges.size * 2 + 2
+      for ((v, bc) <- expected) {
+        val expPpm = math.round(bc * 1e6)
+        assert(got(v) <= expPpm + 1 && got(v) >= expPpm - bound,
+          s"p=$p node $v: grid ${got(v)} vs float $expPpm (bound $bound)")
+      }
+    }
+  }
+
   test("sampled roots equal the root-restricted reference sums") {
     val rnd = new scala.util.Random(31L)
     val edges = (for {
