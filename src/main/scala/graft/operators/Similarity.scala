@@ -421,6 +421,39 @@ object Similarity {
     assign(ce)
   }
 
+  /** DuckDB replay of [[kmeansAssign]] as a reusable CTE block: `ve`
+    * (grid-snapped components), `c0` seeds (vec_id < k), `iters`
+    * unrolled assign/update rounds, and the final assignment CTE
+    * `a{iters+1}` (vec_id, cluster) — every distance, tie-break and
+    * floor-divided centroid component agrees exactly with the Spark
+    * loop. Shared by q160 (the bare clustering), q81 (SemDeDup) and
+    * q47 (IVF coarse quantizer).
+    */
+  private[operators] def gridKmeansSql(k: Int, iters: Int = 2): String = {
+    def distCte(n: Int, cents: String) =
+      s"""d$n AS MATERIALIZED (
+         |  SELECT v.vec_id, c.cid, SUM((v.x - c.c) * (v.x - c.c)) AS d
+         |  FROM ve v JOIN $cents c USING (i) GROUP BY 1, 2),
+         |a$n AS MATERIALIZED (
+         |  SELECT vec_id, cid AS cluster FROM (
+         |    SELECT vec_id, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+         |    FROM d$n) WHERE rn = 1)""".stripMargin
+    def updateCte(n: Int) =
+      s"""c$n AS MATERIALIZED (
+         |  SELECT a.cluster AS cid, v.i, CAST(SUM(v.x) // COUNT(*) AS BIGINT) AS c
+         |  FROM ve v JOIN a$n a USING (vec_id) GROUP BY 1, 2)""".stripMargin
+    val rounds = (1 to iters).map(n =>
+      s"${distCte(n, s"c${n - 1}")},\n${updateCte(n)}").mkString(",\n")
+    s"""ve AS MATERIALIZED (
+       |  SELECT vec_id, i, CAST(ROUND(v[i] * 1000000) AS BIGINT) AS x
+       |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |    unnest(generate_series(1, len(v))) AS u(i)),
+       |c0 AS (SELECT vec_id AS cid, i, x AS c FROM ve WHERE vec_id < $k),
+       |$rounds,
+       |${distCte(iters + 1, s"c$iters")}""".stripMargin
+  }
+
   /** q160: two integer-grid k-means rounds over the embeddings table
     * (k = 8, seeds = vec_ids 0–7), final assignment hash-checked
     * against DuckDB unrolling the identical assign/update arithmetic —
@@ -429,32 +462,8 @@ object Similarity {
     */
   val q160: QueryDef = QueryDef.checked(
     "q160_kmeans_intgrid",
-    {
-      def distCte(n: Int, cents: String) =
-        s"""d$n AS MATERIALIZED (
-           |  SELECT v.vec_id, c.cid, SUM((v.x - c.c) * (v.x - c.c)) AS d
-           |  FROM ve v JOIN $cents c USING (i) GROUP BY 1, 2),
-           |a$n AS MATERIALIZED (
-           |  SELECT vec_id, cid AS cluster FROM (
-           |    SELECT vec_id, cid,
-           |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-           |    FROM d$n) WHERE rn = 1)""".stripMargin
-      def updateCte(n: Int) =
-        s"""c$n AS MATERIALIZED (
-           |  SELECT a.cluster AS cid, v.i, CAST(SUM(v.x) // COUNT(*) AS BIGINT) AS c
-           |  FROM ve v JOIN a$n a USING (vec_id) GROUP BY 1, 2)""".stripMargin
-      s"""WITH ve AS MATERIALIZED (
-        |  SELECT vec_id, i, CAST(ROUND(v[i] * 1000000) AS BIGINT) AS x
-        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |    unnest(generate_series(1, len(v))) AS u(i)),
-        |c0 AS (SELECT vec_id AS cid, i, x AS c FROM ve WHERE vec_id < 8),
-        |${distCte(1, "c0")},
-        |${updateCte(1)},
-        |${distCte(2, "c1")},
-        |${updateCte(2)},
-        |${distCte(3, "c2")}
-        |SELECT vec_id, cluster FROM a3 ORDER BY vec_id""".stripMargin
-    }) { (s, d) =>
+    s"""WITH ${gridKmeansSql(8)}
+       |SELECT vec_id, cluster FROM a3 ORDER BY vec_id""".stripMargin) { (s, d) =>
     kmeansAssign(vecs(s, d), k = 8, iterations = 2).orderBy(col("vec_id"))
   }
 
@@ -675,13 +684,74 @@ object Similarity {
       .select(col("vec_id"), col("cid"), col("dup").isNull.as("keep"))
   }
 
-  /** q81: semantic dedup over the embeddings table — 16 clusters, the
-    * q31 threshold, so the drops are a cluster-restricted subset of the
-    * q31 exact pair set. Rows-only (cluster ids are engine-trained);
-    * SemDedupSpec carries the real checks.
+  /** [[semanticDedup]] on the integer grid — the ORACLE-CHECKABLE form:
+    * clusters come from [[kmeansAssign]] (exact integer k-means, the
+    * q160 replay), and the within-cluster near-dup test is exact integer
+    * squared-L2 `d2 <= threshold` on grid-snapped components. On the
+    * unit-norm corpus d2/1e12 = 2 - 2cos, so the default threshold
+    * 1_199_900_000_000 means cosine >= 0.40005 — deliberately INSIDE the
+    * float-cosine 0.4 boundary by more than the grid-snap error
+    * (<= 2*sqrt(64*d2)*1e-6 ~ 2.3e-5 at d2~2, plus ~2e-7 of norm
+    * slack), so every grid drop is also a true cosine-0.4 drop
+    * (SemDedupSpec's soundness subset survives the grid). Same
+    * keep-first semantics and Σ|cluster|² candidate bound as the float
+    * form; the candidate join rides the cluster-id equi-join, and pair
+    * distances fold per-row over zipped grid arrays (no 64x explode in
+    * the hot path).
     */
-  val q81: QueryDef = QueryDef.rowsOnly("q81_semantic_dedup") { (s, d) =>
-    semanticDedup(vecs(s, d)).orderBy(col("vec_id"))
+  def semanticDedupGridL2(vectors: DataFrame,
+      d2Threshold: Long = 1199900000000L, nClusters: Int = 16,
+      iterations: Int = 2): DataFrame = {
+    val assigned = kmeansAssign(vectors, nClusters, iterations)
+      .select(col("vec_id"), col("cluster").as("cid"))
+    val gv = vectors.select(col("vec_id"),
+      expr("transform(v, x -> CAST(ROUND(x * 1000000) AS LONG))").as("gx"))
+    val withG = assigned.join(gv, Seq("vec_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = withG.select(col("cid"), col("vec_id").as("id_a"),
+      col("gx").as("ga"))
+    val b = withG.select(col("cid"), col("vec_id").as("id_b"),
+      col("gx").as("gb"))
+    val dropped = a.join(b, Seq("cid"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(expr(
+        """aggregate(zip_with(ga, gb, (x, y) -> (x - y) * (x - y)),
+          |CAST(0 AS BIGINT), (acc, z) -> acc + z)""".stripMargin)
+        <= d2Threshold)
+      .select(col("id_b").as("vec_id")).distinct()
+      .withColumn("dup", lit(true))
+    withG.select(col("vec_id"), col("cid"))
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"), col("dup").isNull.as("keep"))
+  }
+
+  /** q81: semantic dedup over the embeddings table — 16 grid-k-means
+    * clusters, grid-L2 threshold just inside the q31 cosine-0.4
+    * boundary, so the drops are a cluster-restricted subset of the
+    * q31 exact pair set. ORACLE-CHECKED since r7 (grid clusters + exact
+    * integer pair distances replay in DuckDB); the float-cosine
+    * [[semanticDedup]] stays as the library API and SemDedupSpec pins
+    * both (soundness subset on the corpus, planted recall on the float
+    * form).
+    */
+  val q81: QueryDef = QueryDef.checked(
+    "q81_semantic_dedup",
+    s"""WITH ${gridKmeansSql(16)},
+       |asg AS MATERIALIZED (SELECT vec_id, cluster AS cid FROM a3),
+       |pd2 AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    SUM((va.x - vb.x) * (va.x - vb.x)) AS d2
+       |  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |  JOIN ve va ON va.vec_id = a.vec_id
+       |  JOIN ve vb ON vb.vec_id = b.vec_id AND vb.i = va.i
+       |  GROUP BY 1, 2),
+       |drops AS (
+       |  SELECT DISTINCT id_b AS vec_id FROM pd2
+       |  WHERE d2 <= 1199900000000)
+       |SELECT a.vec_id, a.cid, (d.vec_id IS NULL) AS keep
+       |FROM asg a LEFT JOIN drops d USING (vec_id)
+       |ORDER BY a.vec_id""".stripMargin) { (s, d) =>
+    semanticDedupGridL2(vecs(s, d)).orderBy(col("vec_id"))
   }
 
   /** Hard-negative mining for contrastive training: for each anchor,
