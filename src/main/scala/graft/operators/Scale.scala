@@ -179,16 +179,95 @@ object Scale {
       .orderBy(col("query_id"), col("rnk"))
   }
 
-  /** IVF ANN as a catalog query: k-means-trained codebook (16 lists,
-    * nprobe=4) over the embeddings table. Rows-only (codebook training is
-    * engine-defined); ScaleSpec asserts recall vs exact brute force on
-    * BOTH this corpus and a planted-cluster fixture (where the trained
-    * codebook must reach ≥0.8 recall@10 — random data caps the gain).
+  /** [[ivfTopK]] on the integer grid — the ORACLE-CHECKABLE IVF: the
+    * coarse quantizer is [[Similarity.kmeansFrames]]' exact integer
+    * k-means (the q160 replay), query probes rank centroids by exact
+    * integer L2 (nProbe smallest, (d, cid) tie-break), and candidates —
+    * corpus vectors in probed lists, reached through a BROADCAST of the
+    * tiny (queries × nProbe) probe frame onto the assignment equi-join
+    * — re-rank by exact integer squared-L2 (= cosine ordering on the
+    * unit-norm corpus). Same FAISS IVF plan shape as the float form:
+    * train on a bounded sample, one assignment pass, probes touch
+    * nProbe/nList of the corpus.
     */
-  val q47: QueryDef = QueryDef.rowsOnly("q47_ann_ivf_topk") { (s, d) =>
+  def ivfTopKGridL2(e: org.apache.spark.sql.DataFrame, nQueries: Int = 5,
+      topK: Int = 10, nCentroids: Int = 16, nProbe: Int = 4,
+      iterations: Int = 2): org.apache.spark.sql.DataFrame = {
+    val (ve, ce) = Similarity.kmeansFrames(e, nCentroids, iterations)
+    val asg = Similarity.gridAssign(ve, ce)
+      .select(col("vec_id").as("neighbor_id"), col("cluster").as("cid"))
+    val qd = ve.filter(col("vec_id") < nQueries)
+      .join(broadcast(ce), Seq("i"))
+      .groupBy(col("vec_id").as("query_id"), col("cid"))
+      .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("dq"))
+    val wp = Window.partitionBy(col("query_id"))
+      .orderBy(col("dq").asc, col("cid"))
+    val probes = qd.withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("cid"))
+    val cand = broadcast(probes).join(asg, Seq("cid"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id")).distinct()
+    val gv = e.select(col("vec_id"),
+      expr("transform(v, x -> CAST(ROUND(x * 1000000) AS LONG))").as("gx"))
+    val d2 = cand
+      .join(broadcast(gv.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("gx").as("gq"))),
+        Seq("query_id"))
+      .join(gv.select(col("vec_id").as("neighbor_id"),
+        col("gx").as("gn")), Seq("neighbor_id"))
+      .withColumn("d2", expr(
+        """aggregate(zip_with(gq, gn, (x, y) -> (x - y) * (x - y)),
+          |CAST(0 AS BIGINT), (acc, z) -> acc + z)""".stripMargin))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2").asc, col("neighbor_id"))
+    d2.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("d2"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** IVF ANN as a catalog query: grid-k-means codebook (16 lists,
+    * nprobe=4) over the embeddings table — ORACLE-CHECKED since r7
+    * (training, probing, candidates and re-rank all replay in DuckDB).
+    * The float spherical-k-means [[ivfTopK]] stays as the library API;
+    * ScaleSpec asserts recall vs exact brute force on BOTH this corpus
+    * and a planted-cluster fixture (where the trained codebook must
+    * reach ≥0.8 recall@10 — random data caps the gain).
+    */
+  val q47: QueryDef = QueryDef.checked(
+    "q47_ann_ivf_topk",
+    s"""WITH ${Similarity.gridKmeansSql(16)},
+       |asg AS MATERIALIZED (SELECT vec_id, cluster AS cid FROM a3),
+       |qd AS (
+       |  SELECT v.vec_id AS query_id, c.cid,
+       |    SUM((v.x - c.c) * (v.x - c.c)) AS dq
+       |  FROM ve v JOIN c2 c USING (i)
+       |  WHERE v.vec_id < 5 GROUP BY 1, 2),
+       |probes AS (
+       |  SELECT query_id, cid FROM (
+       |    SELECT query_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dq, cid) AS rn
+       |    FROM qd) WHERE rn <= 4),
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+       |  FROM probes p JOIN asg a ON a.cid = p.cid
+       |  WHERE a.vec_id <> p.query_id),
+       |pd2 AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |    CAST(SUM((va.x - vb.x) * (va.x - vb.x)) AS BIGINT) AS d2
+       |  FROM cand
+       |  JOIN ve va ON va.vec_id = cand.query_id
+       |  JOIN ve vb ON vb.vec_id = cand.neighbor_id AND vb.i = va.i
+       |  GROUP BY 1, 2)
+       |SELECT query_id, neighbor_id, rnk, d2 FROM (
+       |  SELECT query_id, neighbor_id, d2,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS rnk
+       |  FROM pd2) t
+       |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin) { (s, d) =>
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), VF.asDouble(col("embedding")).as("v"))
-    ivfTopK(e)
+    ivfTopKGridL2(e)
   }
 
   /** Persist a trained IVF index: `centroids` (cid, centroid) and

@@ -397,6 +397,18 @@ object Similarity {
     */
   def kmeansAssign(vectors: DataFrame, k: Int = 8,
       iterations: Int = 2): DataFrame = {
+    val (ve, ce) = kmeansFrames(vectors, k, iterations)
+    gridAssign(ve, ce)
+  }
+
+  /** The exploded-grid + trained-centroid frames behind
+    * [[kmeansAssign]], exposed so codebook consumers (IVF probing, a
+    * final assignment, list layouts) reuse ONE training pass: `ve` is
+    * (vec_id, i, x) grid components, `ce` the centroid table (cid, i, c)
+    * after `iterations` exact integer update rounds.
+    */
+  private[operators] def kmeansFrames(vectors: DataFrame, k: Int,
+      iterations: Int): (DataFrame, DataFrame) = {
     val ve = vectors
       .select(col("vec_id"), posexplode(col("v")).as(Seq("i", "x0")))
       .select(col("vec_id"), col("i"),
@@ -404,22 +416,29 @@ object Similarity {
       .localCheckpoint(true)
     var ce = ve.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("i"), col("x").as("c"))
-    def assign(cents: DataFrame): DataFrame =
-      ve.join(broadcast(cents), Seq("i"))
-        .groupBy(col("vec_id"), col("cid"))
-        .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d"))
-        .groupBy(col("vec_id"))
-        .agg(min(struct(col("d"), col("cid"))).as("m"))
-        .select(col("vec_id"), col("m.cid").as("cluster"))
     for (_ <- 1 to iterations) {
-      val a = assign(ce)
+      val a = gridAssign(ve, ce)
       ce = ve.join(a, Seq("vec_id"))
         .groupBy(col("cluster").as("cid"), col("i"))
         .agg(expr("CAST(sum(x) div count(1) AS LONG)").as("c"))
         .localCheckpoint(true)
     }
-    assign(ce)
+    (ve, ce)
   }
+
+  /** Nearest-centroid assignment over exploded grid frames: exact
+    * integer L2 per (vector, centroid), argmin via min(struct(d, cid))
+    * — the (d, cid) tie-break DuckDB replays as ROW_NUMBER ORDER BY
+    * d, cid.
+    */
+  private[operators] def gridAssign(ve: DataFrame,
+      cents: DataFrame): DataFrame =
+    ve.join(broadcast(cents), Seq("i"))
+      .groupBy(col("vec_id"), col("cid"))
+      .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cluster"))
 
   /** DuckDB replay of [[kmeansAssign]] as a reusable CTE block: `ve`
     * (grid-snapped components), `c0` seeds (vec_id < k), `iters`

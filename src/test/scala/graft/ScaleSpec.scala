@@ -60,7 +60,10 @@ class ScaleSpec extends AnyFunSuite {
     val e = Tables.embeddings(spark, sf)
       .select(col("vec_id"),
         graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))
-    val oneShot = SparkEntry.queries("q47_ann_ivf_topk")(spark, sf)
+    // the float spherical-k-means one-shot library operator (the grid
+    // variant is the q47 catalog entry; the index path persists the
+    // float codebook, so equality is against ivfTopK)
+    val oneShot = graft.operators.Scale.ivfTopK(e)
       .collect().map(_.toSeq).toSeq
     val path = java.nio.file.Files
       .createTempDirectory("ivf_spec_").toAbsolutePath.toString
