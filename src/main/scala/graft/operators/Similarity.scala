@@ -407,13 +407,19 @@ object Similarity {
     * (vec_id, i, x) grid components, `ce` the centroid table (cid, i, c)
     * after `iterations` exact integer update rounds.
     */
+  /** (vec_id, i, x) grid components of a (vec_id, v) frame — 1-based
+    * dims, 1e-6 snap; the shared explode behind training, assignment
+    * and index builds.
+    */
+  private[operators] def gridExplode(vectors: DataFrame): DataFrame =
+    vectors
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("i0", "x0")))
+      .select(col("vec_id"), (col("i0") + 1).as("i"),
+        expr("CAST(ROUND(x0 * 1000000) AS LONG)").as("x"))
+
   private[operators] def kmeansFrames(vectors: DataFrame, k: Int,
       iterations: Int): (DataFrame, DataFrame) = {
-    val ve = vectors
-      .select(col("vec_id"), posexplode(col("v")).as(Seq("i", "x0")))
-      .select(col("vec_id"), col("i"),
-        expr("CAST(ROUND(x0 * 1000000) AS LONG)").as("x"))
-      .localCheckpoint(true)
+    val ve = gridExplode(vectors).localCheckpoint(true)
     var ce = ve.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("i"), col("x").as("c"))
     for (_ <- 1 to iterations) {
@@ -448,11 +454,12 @@ object Similarity {
     * loop. Shared by q160 (the bare clustering), q81 (SemDeDup) and
     * q47 (IVF coarse quantizer).
     */
-  private[operators] def gridKmeansSql(k: Int, iters: Int = 2): String = {
-    def distCte(n: Int, cents: String) =
+  private[operators] def gridKmeansSql(k: Int, iters: Int = 2,
+      trainWhere: String = ""): String = {
+    def distCte(n: Int, cents: String, src: String) =
       s"""d$n AS MATERIALIZED (
          |  SELECT v.vec_id, c.cid, SUM((v.x - c.c) * (v.x - c.c)) AS d
-         |  FROM ve v JOIN $cents c USING (i) GROUP BY 1, 2),
+         |  FROM $src v JOIN $cents c USING (i) GROUP BY 1, 2),
          |a$n AS MATERIALIZED (
          |  SELECT vec_id, cid AS cluster FROM (
          |    SELECT vec_id, cid,
@@ -461,16 +468,21 @@ object Similarity {
     def updateCte(n: Int) =
       s"""c$n AS MATERIALIZED (
          |  SELECT a.cluster AS cid, v.i, CAST(SUM(v.x) // COUNT(*) AS BIGINT) AS c
-         |  FROM ve v JOIN a$n a USING (vec_id) GROUP BY 1, 2)""".stripMargin
+         |  FROM vt v JOIN a$n a USING (vec_id) GROUP BY 1, 2)""".stripMargin
     val rounds = (1 to iters).map(n =>
-      s"${distCte(n, s"c${n - 1}")},\n${updateCte(n)}").mkString(",\n")
+      s"${distCte(n, s"c${n - 1}", "vt")},\n${updateCte(n)}").mkString(",\n")
+    // vt = the training subset (q175 trains on the pre-cut corpus);
+    // rounds fit the codebook on vt only, the final assignment CTE
+    // (a{iters+1}) covers EVERY vector — identical to the Spark split
+    // between kmeansFrames(train) and gridAssign(full, ce)
     s"""ve AS MATERIALIZED (
        |  SELECT vec_id, i, CAST(ROUND(v[i] * 1000000) AS BIGINT) AS x
        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |    unnest(generate_series(1, len(v))) AS u(i)),
-       |c0 AS (SELECT vec_id AS cid, i, x AS c FROM ve WHERE vec_id < $k),
+       |vt AS MATERIALIZED (SELECT * FROM ve $trainWhere),
+       |c0 AS (SELECT vec_id AS cid, i, x AS c FROM vt WHERE vec_id < $k),
        |$rounds,
-       |${distCte(iters + 1, s"c$iters")}""".stripMargin
+       |${distCte(iters + 1, s"c$iters", "ve")}""".stripMargin
   }
 
   /** q160: two integer-grid k-means rounds over the embeddings table

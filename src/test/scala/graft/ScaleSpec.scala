@@ -89,6 +89,28 @@ class ScaleSpec extends AnyFunSuite {
     rm(new java.io.File(path))
   }
 
+  test("grid IVF index path is row-identical to the one-shot grid operator") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))
+    val oneShot = graft.operators.Scale.ivfTopKGridL2(e)
+      .collect().map(_.toSeq).toSeq
+    val path = java.nio.file.Files
+      .createTempDirectory("ivfgrid_spec_").toAbsolutePath.toString
+    graft.operators.Scale.saveIvfIndexGrid(e, path)
+    val viaIndex = graft.operators.Scale
+      .ivfTopKGridFromIndex(spark, path, e.filter(col("vec_id") < 5))
+      .collect().map(_.toSeq).toSeq
+    assert(viaIndex == oneShot,
+      s"grid index path diverged: ${viaIndex.take(3)} vs ${oneShot.take(3)}")
+    spark.catalog.clearCache()
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(new java.io.File(path))
+  }
+
   test("incremental IVF ingest == monolithic assignment under the same centroids") {
     import org.apache.spark.sql.functions._
     val e = Tables.embeddings(spark, sf)
