@@ -615,15 +615,164 @@ object Scale {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** Per-subspace integer k-means over a (vec_id, j, s, x) components
+    * frame (j = subspace, s = dim within it): all m codebooks train
+    * JOINTLY — j rides every join/group key, so one dataflow fits m
+    * independent quantizers (seeds = vec_id < k per subspace, exact
+    * integer distances, (d, cid) tie-break, floor-divided updates).
+    * Returns (trained codebook (j, cid, s, c), final codes
+    * (vec_id, j, code)).
+    */
+  private[operators] def subspaceKmeans(vs: org.apache.spark.sql.DataFrame,
+      codebookSize: Int, iterations: Int)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    def assign(cents: org.apache.spark.sql.DataFrame) =
+      vs.join(broadcast(cents), Seq("j", "s"))
+        .groupBy(col("vec_id"), col("j"), col("cid"))
+        .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d"))
+        .groupBy(col("vec_id"), col("j"))
+        .agg(min(struct(col("d"), col("cid"))).as("mm"))
+        .select(col("vec_id"), col("j"), col("mm.cid").as("code"))
+    var ce = vs.filter(col("vec_id") < codebookSize)
+      .select(col("j"), col("vec_id").as("cid"), col("s"), col("x").as("c"))
+    for (_ <- 1 to iterations) {
+      val a = assign(ce)
+      ce = vs.join(a, Seq("vec_id", "j"))
+        .groupBy(col("j"), col("code").as("cid"), col("s"))
+        .agg(expr("CAST(sum(x) div count(1) AS LONG)").as("c"))
+        .localCheckpoint(true)
+    }
+    (ce, assign(ce))
+  }
+
+  /** DuckDB replay of [[subspaceKmeans]]: unrolled per-subspace rounds
+    * over the components CTE `src` (vec_id, j, s, x); emits
+    * ${p}c0..${p}c$iters and the final assignment ${p}a${iters+1}.
+    */
+  private[operators] def subspaceKmeansSql(src: String, k: Int,
+      iters: Int, p: String): String = {
+    def distCte(n: Int, cents: String) =
+      s"""${p}d$n AS MATERIALIZED (
+         |  SELECT v.vec_id, v.j, c.cid, SUM((v.x - c.c) * (v.x - c.c)) AS d
+         |  FROM $src v JOIN $cents c ON c.j = v.j AND c.s = v.s
+         |  GROUP BY 1, 2, 3),
+         |${p}a$n AS MATERIALIZED (
+         |  SELECT vec_id, j, cid AS code FROM (
+         |    SELECT vec_id, j, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, cid) AS rn
+         |    FROM ${p}d$n) WHERE rn = 1)""".stripMargin
+    def updateCte(n: Int) =
+      s"""${p}c$n AS MATERIALIZED (
+         |  SELECT a.j, a.code AS cid, v.s, CAST(SUM(v.x) // COUNT(*) AS BIGINT) AS c
+         |  FROM $src v JOIN ${p}a$n a ON a.vec_id = v.vec_id AND a.j = v.j
+         |  GROUP BY 1, 2, 3)""".stripMargin
+    val rounds = (1 to iters).map(n =>
+      s"${distCte(n, s"${p}c${n - 1}")},\n${updateCte(n)}").mkString(",\n")
+    s"""${p}c0 AS (SELECT j, vec_id AS cid, s, x AS c FROM $src WHERE vec_id < $k),
+       |$rounds,
+       |${distCte(iters + 1, s"${p}c$iters")}""".stripMargin
+  }
+
+  /** [[pqTopK]] on the integer grid — ORACLE-CHECKABLE product
+    * quantization: m=8 subspace codebooks from [[subspaceKmeans]]
+    * (exact integer training), codes are the per-subspace argmin ids,
+    * ADC is a SUM of 8 exact integer table lookups (query-to-centroid
+    * subspace distances — asymmetric distance computation on the L2
+    * grid, = cosine ordering on the unit-norm corpus), and the
+    * surviving `rerank` candidates re-rank by exact full-dimension
+    * integer L2. Same FAISS PQ plan shape as the float form: the
+    * corpus side of the ADC scan carries m 1-byte codes per vector,
+    * never the d floats, and the query's m×k distance table broadcasts.
+    */
+  def pqTopKGridL2(e: org.apache.spark.sql.DataFrame, nQueries: Int = 5,
+      topK: Int = 10, m: Int = 8, codebookSize: Int = 16, rerank: Int = 64,
+      dim: Int = 64, iterations: Int = 2): org.apache.spark.sql.DataFrame = {
+    val sub = dim / m
+    val vs = Similarity.gridExplode(e)
+      .select(col("vec_id"), expr(s"(i - 1) div $sub").as("j"),
+        expr(s"(i - 1) % $sub").as("s"), col("x"))
+      .localCheckpoint(true)
+    val (ce, codes) = subspaceKmeans(vs, codebookSize, iterations)
+    val qd = vs.filter(col("vec_id") < nQueries)
+      .join(broadcast(ce), Seq("j", "s"))
+      .groupBy(col("vec_id").as("query_id"), col("j"), col("cid"))
+      .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("dq"))
+    val adc = codes.select(col("vec_id").as("neighbor_id"), col("j"),
+        col("code").as("cid"))
+      .join(broadcast(qd), Seq("j", "cid"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("dq")).as("adc"))
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("neighbor_id"))
+    val cand = adc.withColumn("crnk", row_number().over(wA))
+      .filter(col("crnk") <= rerank)
+      .select(col("query_id"), col("neighbor_id"))
+    val gv = e.select(col("vec_id"),
+      expr("transform(v, x -> CAST(ROUND(x * 1000000) AS LONG))").as("gx"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2").asc, col("neighbor_id"))
+    cand
+      .join(broadcast(gv.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("gx").as("gq"))),
+        Seq("query_id"))
+      .join(gv.select(col("vec_id").as("neighbor_id"),
+        col("gx").as("gn")), Seq("neighbor_id"))
+      .withColumn("d2", expr(
+        """aggregate(zip_with(gq, gn, (x, y) -> (x - y) * (x - y)),
+          |CAST(0 AS BIGINT), (acc, z) -> acc + z)""".stripMargin))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("d2"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   /** PQ ANN as a catalog query: 8 subspaces × 16 centroids over the
     * 64-dim embeddings table (8 dims per subspace — the standard PQ
-    * sizing), 64-candidate exact re-rank. Rows-only (codebook is
-    * engine-defined); ScaleSpec pins recall@10 vs brute force.
+    * sizing), 64-candidate exact re-rank. ORACLE-CHECKED since r7
+    * (training, codes, ADC lookups and re-rank all replay in DuckDB);
+    * the float [[pqTopK]] stays as the library API and ScaleSpec pins
+    * its recall@10 vs brute force.
     */
-  val q63: QueryDef = QueryDef.rowsOnly("q63_ann_pq_topk") { (s, d) =>
+  val q63: QueryDef = QueryDef.checked(
+    "q63_ann_pq_topk",
+    s"""WITH ve AS MATERIALIZED (
+       |  SELECT vec_id, i, CAST(ROUND(v[i] * 1000000) AS BIGINT) AS x
+       |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |    unnest(generate_series(1, len(v))) AS u(i)),
+       |vs AS MATERIALIZED (
+       |  SELECT vec_id, (i - 1) // 8 AS j, (i - 1) % 8 AS s, x FROM ve),
+       |${subspaceKmeansSql("vs", 16, 2, "p")},
+       |qd AS (
+       |  SELECT v.vec_id AS query_id, v.j, c.cid,
+       |    SUM((v.x - c.c) * (v.x - c.c)) AS dq
+       |  FROM vs v JOIN pc2 c ON c.j = v.j AND c.s = v.s
+       |  WHERE v.vec_id < 5 GROUP BY 1, 2, 3),
+       |adc AS (
+       |  SELECT q.query_id, n.vec_id AS neighbor_id, SUM(q.dq) AS adc
+       |  FROM pa3 n JOIN qd q ON q.j = n.j AND q.cid = n.code
+       |  WHERE n.vec_id <> q.query_id
+       |  GROUP BY 1, 2),
+       |cand AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS crnk
+       |    FROM adc) WHERE crnk <= 64),
+       |rd2 AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |    CAST(SUM((va.x - vb.x) * (va.x - vb.x)) AS BIGINT) AS d2
+       |  FROM cand
+       |  JOIN ve va ON va.vec_id = cand.query_id
+       |  JOIN ve vb ON vb.vec_id = cand.neighbor_id AND vb.i = va.i
+       |  GROUP BY 1, 2)
+       |SELECT query_id, neighbor_id, rnk, d2 FROM (
+       |  SELECT query_id, neighbor_id, d2,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS rnk
+       |  FROM rd2) t
+       |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin) { (s, d) =>
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), VF.asDouble(col("embedding")).as("v"))
-    pqTopK(e)
+    pqTopKGridL2(e)
   }
 
   /** IVF-PQ: the composed production ANN (FAISS IndexIVFPQ) — the coarse
@@ -664,7 +813,7 @@ object Scale {
     .withColumn("nrm", VF.norm(col("v")))
     .withColumn("vn", transform(col("v"), x => x / col("nrm")))
 
-  private[operators] def trainIvfPq(
+  private[graft] def trainIvfPq(
       e: org.apache.spark.sql.DataFrame, nCentroids: Int, m: Int,
       codebookSize: Int, sampleCap: Int): IvfPqModel = {
     def l2normalize(v: Array[Double]): Array[Double] = {
@@ -709,7 +858,7 @@ object Scale {
     * wide codegen argmax per subspace) — production persists its
     * output as THE index, which is exactly what q197's memo does.
     */
-  private[operators] def ivfPqEncode(
+  private[graft] def ivfPqEncode(
       e: org.apache.spark.sql.DataFrame,
       model: IvfPqModel): org.apache.spark.sql.DataFrame = {
     import model._
@@ -784,16 +933,6 @@ object Scale {
       .orderBy(col("query_id"), col("rnk"))
   }
 
-  /** Per-JVM memo of the q197 encoded corpus (the q78/q125/q141/q175
-    * build-once accounting: the PQ index is built and persisted once
-    * per corpus; repeated passes measure the SERVING path — probe +
-    * ADC + re-rank — which is what an index exists for). The model is
-    * re-trained each call (deterministic and cheap: bounded sample,
-    * driver k-means); only the full-corpus encode is memoized.
-    */
-  private val ivfPqMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   /** q197: IVF-PQ ANN over the embeddings table — 16 lists,
     * 8×16 residual PQ, nprobe 6, 128-candidate exact re-rank (the
     * double prune pays for wider probes). Rows-only (trained
@@ -801,18 +940,147 @@ object Scale {
     * force alongside the IVF (q47) and PQ (q63) parts, and pins the
     * memoized-index path row-identical to the one-shot operator.
     */
-  val q197: QueryDef = QueryDef.rowsOnly("q197_ann_ivfpq_topk") { (s, d) =>
+  /** [[ivfPqTopK]] on the integer grid — ORACLE-CHECKABLE IVF-PQ: the
+    * coarse quantizer is the shared integer k-means
+    * ([[Similarity.kmeansFrames]]), residuals are exact integer
+    * differences x − c_list (integer centroids keep residuals on the
+    * grid), the m=8 residual codebooks come from [[subspaceKmeans]],
+    * and the residual ADC is a SUM of exact integer lookups keyed by
+    * (probed list, subspace, code) — the FAISS IndexIVFPQ decomposition
+    * d²(q,v) ≈ Σⱼ ||q_resid,j − bookⱼ[codeⱼ]||² with residuals centered
+    * near zero so the shared codebook quantizes finely. Candidates
+    * live only in the nProbe probed lists; the `rerank` survivors
+    * re-rank by exact full-dimension integer L2.
+    */
+  def ivfPqTopKGridL2(e: org.apache.spark.sql.DataFrame, nQueries: Int = 5,
+      topK: Int = 10, nCentroids: Int = 16, nProbe: Int = 6, m: Int = 8,
+      codebookSize: Int = 16, rerank: Int = 128, dim: Int = 64,
+      iterations: Int = 2): org.apache.spark.sql.DataFrame = {
+    val sub = dim / m
+    val (ve, cce) = Similarity.kmeansFrames(e, nCentroids, iterations)
+    val asg = Similarity.gridAssign(ve, cce)
+    val ccByCluster = cce.select(col("cid").as("cluster"), col("i"), col("c"))
+    val rs = ve.join(asg, Seq("vec_id"))
+      .join(broadcast(ccByCluster), Seq("cluster", "i"))
+      .select(col("vec_id"), expr(s"(i - 1) div $sub").as("j"),
+        expr(s"(i - 1) % $sub").as("s"), (col("x") - col("c")).as("x"))
+      .localCheckpoint(true)
+    val (pce, codes0) = subspaceKmeans(rs, codebookSize, iterations)
+    val codes = codes0.join(asg, Seq("vec_id"))
+    val qve = ve.filter(col("vec_id") < nQueries)
+    val qcd = qve.join(broadcast(cce), Seq("i"))
+      .groupBy(col("vec_id").as("query_id"), col("cid"))
+      .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("dq"))
+    val wp = Window.partitionBy(col("query_id"))
+      .orderBy(col("dq").asc, col("cid"))
+    val probes = qcd.withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("cid").as("cluster"))
+    val qr = probes
+      .join(qve.select(col("vec_id").as("query_id"), col("i"), col("x")),
+        Seq("query_id"))
+      .join(broadcast(ccByCluster), Seq("cluster", "i"))
+      .select(col("query_id"), col("cluster"),
+        expr(s"(i - 1) div $sub").as("j"),
+        expr(s"(i - 1) % $sub").as("s"), (col("x") - col("c")).as("rx"))
+    val qd = qr.join(broadcast(pce), Seq("j", "s"))
+      .groupBy(col("query_id"), col("cluster"), col("j"), col("cid"))
+      .agg(sum((col("rx") - col("c")) * (col("rx") - col("c"))).as("dq"))
+    val adc = codes.select(col("vec_id").as("neighbor_id"), col("cluster"),
+        col("j"), col("code").as("cid"))
+      .join(broadcast(qd), Seq("cluster", "j", "cid"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("dq")).as("adc"))
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("neighbor_id"))
+    val cand = adc.withColumn("crnk", row_number().over(wA))
+      .filter(col("crnk") <= rerank)
+      .select(col("query_id"), col("neighbor_id"))
+    val gv = e.select(col("vec_id"),
+      expr("transform(v, x -> CAST(ROUND(x * 1000000) AS LONG))").as("gx"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2").asc, col("neighbor_id"))
+    cand
+      .join(broadcast(gv.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("gx").as("gq"))),
+        Seq("query_id"))
+      .join(gv.select(col("vec_id").as("neighbor_id"),
+        col("gx").as("gn")), Seq("neighbor_id"))
+      .withColumn("d2", expr(
+        """aggregate(zip_with(gq, gn, (x, y) -> (x - y) * (x - y)),
+          |CAST(0 AS BIGINT), (acc, z) -> acc + z)""".stripMargin))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("d2"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** q197: IVF-PQ ANN over the embeddings table — 16 lists, 8×16
+    * residual PQ, nprobe 6, 128-candidate exact re-rank (the double
+    * prune pays for wider probes). ORACLE-CHECKED since r7 (coarse
+    * training, residuals, residual codebooks, probed ADC and re-rank
+    * all replay in DuckDB — integer residuals make the whole
+    * composition exact); the float [[ivfPqTopK]] with its persisted
+    * encoded corpus stays as the library API, spec-pinned for recall
+    * and codes-reuse equality.
+    */
+  val q197: QueryDef = QueryDef.checked(
+    "q197_ann_ivfpq_topk",
+    s"""WITH ${Similarity.gridKmeansSql(16)},
+       |casg AS MATERIALIZED (SELECT vec_id, cluster FROM a3),
+       |rs AS MATERIALIZED (
+       |  SELECT v.vec_id, (v.i - 1) // 8 AS j, (v.i - 1) % 8 AS s,
+       |    v.x - c.c AS x
+       |  FROM ve v JOIN casg a ON a.vec_id = v.vec_id
+       |  JOIN c2 c ON c.cid = a.cluster AND c.i = v.i),
+       |${subspaceKmeansSql("rs", 16, 2, "p")},
+       |qcd AS (
+       |  SELECT v.vec_id AS query_id, c.cid,
+       |    SUM((v.x - c.c) * (v.x - c.c)) AS dq
+       |  FROM ve v JOIN c2 c USING (i)
+       |  WHERE v.vec_id < 5 GROUP BY 1, 2),
+       |probes AS (
+       |  SELECT query_id, cid AS cluster FROM (
+       |    SELECT query_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dq, cid) AS rn
+       |    FROM qcd) WHERE rn <= 6),
+       |qr AS (
+       |  SELECT p.query_id, p.cluster, (v.i - 1) // 8 AS j,
+       |    (v.i - 1) % 8 AS s, v.x - c.c AS rx
+       |  FROM probes p JOIN ve v ON v.vec_id = p.query_id
+       |  JOIN c2 c ON c.cid = p.cluster AND c.i = v.i),
+       |qd AS MATERIALIZED (
+       |  SELECT q.query_id, q.cluster, q.j, c.cid,
+       |    SUM((q.rx - c.c) * (q.rx - c.c)) AS dq
+       |  FROM qr q JOIN pc2 c ON c.j = q.j AND c.s = q.s
+       |  GROUP BY 1, 2, 3, 4),
+       |adc AS (
+       |  SELECT q.query_id, n.vec_id AS neighbor_id, SUM(q.dq) AS adc
+       |  FROM pa3 n JOIN casg a ON a.vec_id = n.vec_id
+       |  JOIN qd q ON q.cluster = a.cluster AND q.j = n.j AND q.cid = n.code
+       |  WHERE n.vec_id <> q.query_id
+       |  GROUP BY 1, 2),
+       |cand AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS crnk
+       |    FROM adc) WHERE crnk <= 128),
+       |rd2 AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |    CAST(SUM((va.x - vb.x) * (va.x - vb.x)) AS BIGINT) AS d2
+       |  FROM cand
+       |  JOIN ve va ON va.vec_id = cand.query_id
+       |  JOIN ve vb ON vb.vec_id = cand.neighbor_id AND vb.i = va.i
+       |  GROUP BY 1, 2)
+       |SELECT query_id, neighbor_id, rnk, d2 FROM (
+       |  SELECT query_id, neighbor_id, d2,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS rnk
+       |  FROM rd2) t
+       |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin) { (s, d) =>
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), VF.asDouble(col("embedding")).as("v"))
-    val path = ivfPqMemo.computeIfAbsent(d, _ => {
-      val tmp = java.nio.file.Files
-        .createTempDirectory(Exact.fmtRoot, "ivfpq_").toAbsolutePath.toString
-      val model = trainIvfPq(e, nCentroids = 16, m = 8, codebookSize = 16,
-        sampleCap = 2048)
-      ivfPqEncode(e, model).write.mode("overwrite").parquet(s"$tmp/codes")
-      tmp
-    })
-    ivfPqTopK(e, codesSource = Some(s.read.parquet(s"$path/codes")))
+    ivfPqTopKGridL2(e)
   }
 
   /** Distributed EXACT heavy hitters without a full-vocabulary shuffle:

@@ -240,17 +240,29 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
-  test("q197 memoized-index path is row-identical to the one-shot operator") {
+  test("persisted PQ codes reproduce the one-shot IVF-PQ operator exactly") {
     import org.apache.spark.sql.functions.col
     val e = graft.Tables.embeddings(spark, sf)
       .select(col("vec_id"),
         graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))
-    // training is deterministic, so re-encoding through the persisted
-    // codes must change nothing but where the codes are read from
+    // training is deterministic, so re-scoring through persisted codes
+    // must change nothing but where the codes are read from
     val oneShot = graft.operators.Scale.ivfPqTopK(e).collect().map(_.toSeq)
-    val memoized = SparkEntry.queries("q197_ann_ivfpq_topk")(spark, sf)
+    val path = java.nio.file.Files
+      .createTempDirectory("ivfpq_spec_").toAbsolutePath.toString
+    val model = graft.operators.Scale.trainIvfPq(e, nCentroids = 16, m = 8,
+      codebookSize = 16, sampleCap = 2048)
+    graft.operators.Scale.ivfPqEncode(e, model)
+      .write.mode("overwrite").parquet(s"$path/codes")
+    val viaCodes = graft.operators.Scale
+      .ivfPqTopK(e, codesSource = Some(spark.read.parquet(s"$path/codes")))
       .collect().map(_.toSeq)
-    assert(memoized.toSeq === oneShot.toSeq)
+    assert(viaCodes.toSeq === oneShot.toSeq)
+    spark.catalog.clearCache()
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(new java.io.File(path))
   }
 
   /** Planted clusters again: with lists ≈ clusters, residual PQ must
