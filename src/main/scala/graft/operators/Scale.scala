@@ -1752,8 +1752,12 @@ object Scale {
       .select(expr("ts_ns div 86400000000000").as("day"), col("user_id"))
     val daily = hllRegisters(du, "day", "user_id").persist()
     val spine = daily.select(col("slice").as("rday")).distinct()
-    val merged = spine.join(daily,
-        col("slice").between(col("rday") - 6, col("rday")))
+    // q165's explode+equi-join shape, NOT a range join: each register
+    // row fans out to the ≤7 window anchors it serves, the spine join
+    // keeps only days that exist — one shuffle, no nested-loop join
+    val merged = daily
+      .withColumn("rday", explode(sequence(col("slice"), col("slice") + 6)))
+      .join(spine, Seq("rday"))
       .groupBy(col("rday"), col("bucket"))
       .agg(max(col("r")).as("r"))
       .select(col("rday").as("slice"), col("bucket"), col("r"))
