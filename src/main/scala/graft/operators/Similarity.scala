@@ -322,51 +322,54 @@ object Similarity {
     */
   def lshTopKGridL2(corpus: DataFrame, queries: DataFrame, dim: Int = 64,
       topK: Int = 10, nTables: Int = 2, nBits: Int = 32): DataFrame = {
-    val s = corpus.sparkSession
-    def grid(df: DataFrame): DataFrame =
-      df.select(col("vec_id"), posexplode(col("v")).as(Seq("i0", "x0")))
-        .select(col("vec_id"), (col("i0") + 1).as("i"),
-          expr("CAST(ROUND(x0 * 1000000) AS LONG)").as("x"))
-    val planes = s.range(0, nTables).select(col("id").as("tbl"))
-      .crossJoin(s.range(0, nBits).select(col("id").as("p")))
-      .crossJoin(s.range(1, dim + 1).select(col("id").as("i")))
-      .withColumn("w", expr(
-        """CASE WHEN CAST(conv(substring(md5(CAST(concat(
-          |  CAST(tbl AS STRING), ':', CAST(p AS STRING), ':', CAST(i AS STRING)
-          |) AS BINARY)), 1, 1), 16, 10) AS INT) >= 8
-          |THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END""".stripMargin))
+    // Plane weights computed driver-side from the SAME md5 strings the
+    // oracle derives them from ("tbl:plane:dim", first hex digit >= 8
+    // → +1) — engine-portable by construction, inlined as literal
+    // arrays so signatures are ROW-LOCAL folds: no 4096× explode, no
+    // shuffle until the candidate equi-join. nTables × nBits × dim
+    // longs of literal state — KBs, a codegen constant.
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def weight(t: Int, p: Int, i: Int): Long = {
+      val h = md.digest(s"$t:$p:$i".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 0xF) >= 8) 1L else -1L
+    }
+    val planeLits = (0 until nTables).map { t =>
+      typedLit((0 until nBits).map(p =>
+        (1 to dim).map(i => weight(t, p, i))))
+    }
+    val gx = expr("transform(v, x -> CAST(ROUND(x * 1000000) AS LONG))")
+    def bitsCol(t: Int): org.apache.spark.sql.Column =
+      transform(planeLits(t), pw =>
+        when(aggregate(zip_with(col("gx"), pw, (x, w) => x * w),
+          lit(0L), (acc, z) => acc + z) > 0, lit(1L)).otherwise(lit(0L)))
     def chunks(df: DataFrame): DataFrame = {
-      val sig = grid(df).join(broadcast(planes), Seq("i"))
-        .groupBy(col("vec_id"), col("tbl"), col("p"))
-        .agg(sum(col("w") * col("x")).as("dot"))
-        .withColumn("bit", when(col("dot") > 0, lit(1L)).otherwise(lit(0L)))
-        .groupBy(col("vec_id"), col("tbl"))
-        .agg(sum(expr("shiftleft(bit, CAST(p AS INT))")).as("sig"))
-      val bandCols = (0 until nBits / 4).map(j =>
-        struct(lit(j.toLong).as("band"),
-          shiftright(col("sig"), j * 4).bitwiseAND(lit(0xFL)).as("chunk")))
-      sig.select(col("vec_id"), col("tbl"),
-          explode(array(bandCols: _*)).as("bc"))
-        .select(col("vec_id"), col("tbl"), col("bc.band"), col("bc.chunk"))
+      val withBits = (0 until nTables).foldLeft(df.withColumn("gx", gx)) {
+        case (acc, t) => acc.withColumn(s"bits$t", bitsCol(t))
+      }
+      val chunkCols = for (t <- 0 until nTables; j <- 0 until nBits / 4)
+        yield struct(lit(t.toLong).as("tbl"), lit(j.toLong).as("band"),
+          (0 until 4).map(b =>
+            element_at(col(s"bits$t"), 4 * j + b + 1) * lit(1L << b))
+            .reduce(_ + _).as("chunk"))
+      withBits.select(col("vec_id"), col("gx"),
+          explode(array(chunkCols: _*)).as("bc"))
+        .select(col("vec_id"), col("gx"),
+          col("bc.tbl"), col("bc.band"), col("bc.chunk"))
     }
     val qs = chunks(queries).select(col("vec_id").as("query_id"),
-      col("tbl"), col("band"), col("chunk"))
+      col("gx").as("gq"), col("tbl"), col("band"), col("chunk"))
     val cs = chunks(corpus).select(col("vec_id").as("neighbor_id"),
-      col("tbl"), col("band"), col("chunk"))
-    val cand = qs.join(cs, Seq("tbl", "band", "chunk"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"))
-      .distinct()
-    val gq = grid(queries).select(col("vec_id").as("query_id"),
-      col("i"), col("x").as("xq"))
-    val gc = grid(corpus).select(col("vec_id").as("neighbor_id"),
-      col("i"), col("x").as("xc"))
-    val d2 = cand.join(gq, Seq("query_id")).join(gc, Seq("neighbor_id", "i"))
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(sum((col("xq") - col("xc")) * (col("xq") - col("xc"))).as("d2"))
+      col("gx").as("gn"), col("tbl"), col("band"), col("chunk"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("d2").asc, col("neighbor_id"))
-    d2.withColumn("rnk", row_number().over(w))
+    broadcast(qs).join(cs, Seq("tbl", "band", "chunk"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("gq"), col("gn"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("d2", expr(
+        """aggregate(zip_with(gq, gn, (x, y) -> (x - y) * (x - y)),
+          |CAST(0 AS BIGINT), (acc, z) -> acc + z)""".stripMargin))
+      .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= topK)
       .select(col("query_id"), col("neighbor_id"), col("rnk"), col("d2"))
       .orderBy(col("query_id"), col("rnk"))
