@@ -77,6 +77,25 @@ class PlanShapeSpec extends AnyFunSuite {
       s"query-side broadcast expected for the probed-list join:\n$plan")
   }
 
+  test("q33 grid-LSH: no shuffle before the candidate join, query side broadcast") {
+    val plan = executedPlan("q33_ann_lsh_topk")
+    // signatures are row-local literal-plane folds — the only join the
+    // corpus side sees is the (tbl, band, chunk) candidate equi-join
+    // with the tiny query side broadcast into it
+    assert(plan.contains("BroadcastHashJoin"),
+      s"query-side broadcast expected in the LSH candidate join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"grid LSH must never fall back to a nested-loop join:\n$plan")
+  }
+
+  test("q63 grid-PQ: ADC lookups join a BROADCAST query distance table") {
+    val plan = executedPlan("q63_ann_pq_topk")
+    // the corpus side of the ADC scan carries codes only; the m×k query
+    // distance table is the broadcast build side
+    assert(plan.contains("BroadcastHashJoin"),
+      s"ADC should probe a broadcast distance table:\n$plan")
+  }
+
   test("q72 recount joins against a BROADCAST candidate set") {
     val plan = executedPlan("q72_heavy_hitters")
     // the whole point of MG+recount: the raw token stream is filtered by
