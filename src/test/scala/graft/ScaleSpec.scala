@@ -427,6 +427,24 @@ class ScaleSpec extends AnyFunSuite {
       s"sketch-union ${lib("__total__")} != direct-global $direct")
   }
 
+  test("md5-HLL estimator holds ±5% across the linear-counting and raw branches") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    // n spans both sides of the 2.5m small-range boundary (m = 4096):
+    // 60/800/8000 resolve through linear counting, 60000 through the
+    // raw harmonic estimate. Deterministic hash → a passing bound is a
+    // permanent certificate, not a flaky sample.
+    for (n <- Seq(60L, 800L, 8000L, 60000L)) {
+      val df = s.range(n).select(lit("s").as("slice"),
+        (col("id") * 7919L + 13L).as("v"))
+      val est = graft.operators.Scale.hllEstimate(
+        graft.operators.Scale.hllRegisters(df, "slice", "v"))
+        .head().getAs[Long]("est")
+      assert(math.abs(est - n) <= math.max(3L, (n * 0.05).toLong),
+        s"n=$n est=$est")
+    }
+  }
+
   test("property: heavy hitters equal the naive groupBy over random corpora/thresholds") {
     val s = spark
     import s.implicits._
