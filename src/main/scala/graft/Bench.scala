@@ -47,20 +47,41 @@ object Bench {
         try src.mkString.split("\\s+")(0).toDouble finally src.close()
       } catch { case _: Throwable => -1.0 }
 
-    def runOnce(name: String): Double = {
+    // Build-once memo attribution: several catalog queries share
+    // parquet-backed build-once assets (similarity graph, persistent
+    // indexes, layouts — operators.Exact.buildOnceDir and the
+    // owner-local memos). Whoever calls first pays the one-time build,
+    // which made a ~3–7 s phantom regression land on a DIFFERENT query
+    // each round (r7: q87/q88/q121/q196; r8: q75/q110 — same code).
+    // Every build now lands in Exact's ledger; a pass during which a
+    // build occurred is flagged, EXCLUDED from that query's min/median
+    // (a clean replacement pass is taken — builds are once-per-JVM, so
+    // the replacement measures the serving path), and itemized in the
+    // contract + stderr as an explicit setup charge.
+    val memoLedger =
+      scala.collection.mutable.ArrayBuffer.empty[(String, String, Double)]
+
+    /** (seconds, build-occurred) for one fully-materialized run. */
+    def runOnce(name: String): (Double, Boolean) = {
       // Some queries persist() intermediate frames (q28/q30/q50 shingles)
       // to make their single-pass property structural. Clear BEFORE timing
       // so every pass pays the full pipeline cost — no cross-run caching.
       spark.catalog.clearCache()
+      graft.operators.Exact.drainMemoBuilds() // stray events ≠ this pass
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          return -1.0
+          graft.operators.Exact.drainMemoBuilds()
+            .foreach { case (k, sec) => memoLedger += ((name, k, sec)) }
+          return (-1.0, false)
       }
-      (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      val builds = graft.operators.Exact.drainMemoBuilds()
+      builds.foreach { case (k, bSec) => memoLedger += ((name, k, bSec)) }
+      (sec, builds.nonEmpty)
     }
 
     val startLoad = loadAvg()
@@ -74,17 +95,29 @@ object Bench {
       .filter(n => only.forall(_.exists(p => n.startsWith(p))))
     require(names.nonEmpty, s"SPARK_GRAFT_BENCH_ONLY=${only.getOrElse(Set())} " +
       "matched no catalog query names")
-    runOnce(names.head) // warmup
+    runOnce(names.head) // warmup (its memo builds land in the ledger)
     val results0 = names.map { n =>
       val loads = scala.collection.mutable.ArrayBuffer(loadAvg())
-      val samples0 = Seq.fill(passes) { val t = runOnce(n); loads += loadAvg(); t }
-        .filter(_ >= 0)
+      // A pass that triggered a build-once memo construction is a SETUP
+      // pass: its time includes the one-time build, so it is dropped
+      // from this query's samples and replaced by one clean pass
+      // (builds are once-per-JVM — the replacement reads the memo).
+      val raw = Seq.fill(passes) {
+        val (t, built) = runOnce(n); loads += loadAvg(); (t, built)
+      }
+      val replaced = raw.filter(_._2).flatMap { _ =>
+        val (t, built) = runOnce(n); loads += loadAvg()
+        if (built) { // a second asset built on the replacement pass; one more
+          val (t2, _) = runOnce(n); loads += loadAvg(); Seq(t2)
+        } else Seq(t)
+      }
+      val samples0 = (raw.filterNot(_._2).map(_._1) ++ replaced).filter(_ >= 0)
       // One extra sample when the spread says a pass was contended: at
       // `passes`=3 this bounds the worst case (two of three contended)
       // without paying 4 passes on quiet queries.
       val samples =
         if (samples0.size >= 2 && samples0.max > 2 * samples0.min) {
-          val extra = runOnce(n); loads += loadAvg()
+          val (extra, _) = runOnce(n); loads += loadAvg()
           if (extra >= 0) samples0 :+ extra else samples0
         } else samples0
       val sorted = samples.sorted
@@ -103,7 +136,7 @@ object Bench {
     val results = results0.map { case r @ (n, minT, medT, load) =>
       if (!slowest(n)) r
       else {
-        val extra = runOnce(n)
+        val (extra, _) = runOnce(n)
         val newLoad = math.max(load, loadAvg())
         if (extra >= 0 && extra < minT) {
           System.err.println(f"[bench] reprobe $n%s: $minT%.2f -> $extra%.2f s")
@@ -168,11 +201,17 @@ object Bench {
           .map(r => s"[${qid(r._1)},${trimSec(r._2)}]")
           .mkString("[", ",", "]"))
     }
+    // One-time memo builds are an explicit SETUP charge — itemized on
+    // stderr (query that triggered, asset key, seconds) and summarized
+    // in the contract so no per-query number silently carries a build.
+    val setupSec = memoLedger.map(_._3).sum
     val contract =
       f"""{"metric":"total","value":$total%.2f,"unit":"sec",""" +
       s""""qfmt":"$qfmt",""" +
       s""""queries":$qpayload,""" +
-      f""""total_median":$totalMed%.2f,"sf":"$sfDir"}"""
+      f""""total_median":$totalMed%.2f,""" +
+      f""""setup_sec":$setupSec%.2f,"setup_builds":${memoLedger.size},""" +
+      s""""sf":"$sfDir"}"""
     if (contract.length > 1950)
       System.err.println(s"[bench] WARNING contract line ${contract.length} chars " +
         "exceeds the driver's 2,000-char tail capture")
@@ -189,6 +228,10 @@ object Bench {
       f""""load1m_floor":$loadFloor%.2f,"queries_load1m_hot":""" +
       hotLoads.map(r => "\"" + r._1 + "\":" + "%.2f".format(r._4))
         .mkString("{", ",", "}") + "}")
+    System.err.println(
+      s"""{"memo_builds":""" + memoLedger
+        .map { case (q, k, sec) => f"""["$q","$k",$sec%.2f]""" }
+        .mkString("[", ",", "]") + "}")
     System.err.println(
       s"""{"queries_median":${jmap(identity, "%.3f")(_._3)}}""")
     System.err.println(

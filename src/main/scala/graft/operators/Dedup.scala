@@ -884,7 +884,8 @@ object Dedup {
     "q78_index_incremental_dedup", incrementalOracle) { (s, d) =>
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
     val cut = (docs.agg(max(col("doc_id"))).head().getLong(0) + 1L) * 9L / 10L
-    val idxPath = indexMemo.computeIfAbsent(s"$d#$cut", _ => {
+    val idxPath = indexMemo.computeIfAbsent(s"$d#$cut",
+      k => Exact.memoBuild(s"mhidx#$k") {
       val tmp = java.nio.file.Files
         .createTempDirectory(Exact.fmtRoot, "mhidx_").toAbsolutePath.toString
       minhashSignatures(docs.filter(col("doc_id") < cut))

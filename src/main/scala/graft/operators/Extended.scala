@@ -929,7 +929,8 @@ object Extended {
       df.groupBy(col("lang")).agg(
         count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"),
         min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"))
-    val statePath = aggStateMemo.computeIfAbsent(s"$d#$cut", _ => {
+    val statePath = aggStateMemo.computeIfAbsent(s"$d#$cut",
+      k => Exact.memoBuild(s"aggst#$k") {
       val tmp = java.nio.file.Files
         .createTempDirectory(Exact.fmtRoot, "aggst_").toAbsolutePath.toString
       aggOf(docs.filter(col("doc_id") < cut))

@@ -1268,7 +1268,8 @@ object Graph {
     // and parquet-backed under fmtRoot; every run re-reads the index
     // and pays only the peel — the ingest-shaped cost a persistent
     // index exists to isolate.
-    val root = trussMemo.computeIfAbsent(s"$d#0.2", _ => {
+    val root = trussMemo.computeIfAbsent(s"$d#0.2",
+      k => Exact.memoBuild(s"tri#$k") {
       val tmp = java.nio.file.Files
         .createTempDirectory(Exact.fmtRoot, "tri_").toAbsolutePath.toString
       val e0 = canonicalEdges(cosineEdgesExact(e, 0.2))
@@ -1530,7 +1531,7 @@ object Graph {
       : (DataFrame, DataFrame, DataFrame) =
     closureMemo.computeIfAbsent(
       s"$key#${System.identityHashCode(edges0.sparkSession)}",
-      _ => closureFrames(edges0))
+      k => Exact.memoBuild(s"closure#$k")(closureFrames(edges0)))
 
   /** The doubling loop shared by [[sccByClosure]] and the q159
     * condensation profile: returns (nodes, reach = full transitive
@@ -1913,7 +1914,7 @@ object Graph {
       memoKey: Option[String]): DataFrame = memoKey match {
     case Some(k) => exclusionMemo.computeIfAbsent(
       s"$k#${System.identityHashCode(undirected0.sparkSession)}",
-      _ => exclusionLabelsBuild(undirected0))
+      mk => Exact.memoBuild(s"excl#$mk")(exclusionLabelsBuild(undirected0)))
     case None => exclusionLabelsBuild(undirected0)
   }
 
@@ -2194,7 +2195,7 @@ object Graph {
     memoKey match {
       case Some(k) => twoEcMemo.computeIfAbsent(
         s"$k#2ec#${System.identityHashCode(undirected0.sparkSession)}",
-        _ => build().localCheckpoint(true))
+        mk => Exact.memoBuild(s"2ec#$mk")(build().localCheckpoint(true)))
       case None => build()
     }
   }

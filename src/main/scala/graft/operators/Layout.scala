@@ -68,9 +68,9 @@ object Layout {
       build(root, names)
       names
     }
-    tableMemo.compute(s"$corpus#$id", (_, prev) =>
+    tableMemo.compute(s"$corpus#$id", (k, prev) =>
       if (prev != null && prev.forall(s.catalog.tableExists)) prev
-      else buildFresh())
+      else Exact.memoBuild(s"tables#$k")(buildFresh()))
   }
 
   /** Small-file compaction PLANNER — layout maintenance for the

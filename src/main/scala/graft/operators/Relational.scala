@@ -74,11 +74,39 @@ object Exact {
   private val buildOnceDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  // Build LEDGER: every build-once construction (this map AND the
+  // owner-local memos in Dedup/Extended/Graph/Layout/TimeJoins — they
+  // call memoBuild explicitly) records (key, seconds) here. Bench
+  // drains the ledger after each timed pass, so a one-time build is
+  // attributed to an explicit setup line instead of silently inflating
+  // whichever catalog query happened to run first (the r7/r8
+  // "phantom regression" pairs: q87/q88/q121/q196 one round,
+  // q75/q110 the next — same code, different first caller).
+  private val memoBuildLog =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]()
+
+  /** Run `build`, timing it and appending (key, seconds) to the
+    * build ledger. Call from inside a memo's computeIfAbsent body. */
+  def memoBuild[T](key: String)(build: => T): T = {
+    val t0 = System.nanoTime()
+    val r = build
+    memoBuildLog.add((key, (System.nanoTime() - t0) / 1e9))
+    r
+  }
+
+  /** Drain and return all build events recorded since the last drain. */
+  def drainMemoBuilds(): Seq[(String, Double)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    var e = memoBuildLog.poll()
+    while (e != null) { out += e; e = memoBuildLog.poll() }
+    out.toSeq
+  }
+
   /** Root dir of the build-once artifact `key`, building via
     * `build(root)` on first use. Deterministic builds only — the memo
     * returns the SAME files to every later caller. */
   def buildOnceDir(key: String, prefix: String)(build: String => Unit): String =
-    buildOnceDirs.computeIfAbsent(key, _ => {
+    buildOnceDirs.computeIfAbsent(key, _ => memoBuild(key) {
       val root = java.nio.file.Files.createTempDirectory(fmtRoot, prefix)
         .toAbsolutePath.toString
       build(root)

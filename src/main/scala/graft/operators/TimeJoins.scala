@@ -1675,7 +1675,8 @@ object TimeJoins {
       .select(col("user_id"), expr("ts_ns div 1000").as("ts_us"))
     val cutUs = ev.agg(min(expr("ts_us div 86400000000")))
       .head().getLong(0) * 86400000000L + 20L * 86400000000L
-    val path = sessIncMemo.computeIfAbsent(s"$d#$cutUs", _ => {
+    val path = sessIncMemo.computeIfAbsent(s"$d#$cutUs",
+      k => Exact.memoBuild(s"sessinc#$k") {
       val tmp = java.nio.file.Files
         .createTempDirectory(Exact.fmtRoot, "sessinc_").toAbsolutePath.toString
       weightedGapSessions(
