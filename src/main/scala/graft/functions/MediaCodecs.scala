@@ -93,12 +93,26 @@ object MediaCodecs {
     require(width > 0 && height > 0, s"bad dims ${width}x$height")
     require(bpp == 24 && compression == 0,
       s"unsupported BMP profile: bpp=$bpp compression=$compression")
-    require(off + fileSize <= b.length, "BMP size field past buffer end")
-    val rowBytes = bmpRowBytes(width)
+    // Bounds in LONG arithmetic: every header field is attacker-
+    // controlled 32-bit data, so fileSize/dataOff can be negative as
+    // Int (≥ 2³¹) and width·height·stride products overflow Int — an
+    // Int-typed `off + fileSize <= length` check WRAPS and passes,
+    // after which the pixel walk indexes a wrapped (wrong or OOB)
+    // offset. Widening before any arithmetic makes the checks exact;
+    // a hostile header now fails the require, never the array access.
+    require(fileSize > 0 && dataOff >= 54,
+      s"bad BMP header fields: fileSize=$fileSize dataOff=$dataOff")
+    require(off.toLong + fileSize <= b.length, "BMP size field past buffer end")
+    val rowBytes = 3L * width + (4L - (3L * width) % 4L) % 4L // stride, Long
+    val pixEnd = off.toLong + dataOff.toLong + rowBytes * height
+    require(pixEnd <= b.length,
+      s"BMP pixel array ($pixEnd bytes) past buffer end (${b.length})")
     var sum = 0L
     var r = 0
     while (r < height) {
-      val rowStart = off + dataOff + r * rowBytes
+      // safe narrowing: pixEnd <= b.length <= Int.MaxValue bounds every
+      // index below
+      val rowStart = (off.toLong + dataOff.toLong + r * rowBytes).toInt
       var cIdx = 0
       val rowPixBytes = 3 * width
       while (cIdx < rowPixBytes) { sum += b(rowStart + cIdx) & 0xff; cIdx += 1 }
@@ -175,7 +189,9 @@ object MediaCodecs {
     while (off + 8 <= b.length) {
       val id = new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
       val size = le32(b, off + 4)
-      require(size >= 0 && off + 8 + size <= b.length,
+      // Long-widened bound (same rationale as decodeBmp): a size near
+      // 2³¹ makes the Int sum wrap negative and pass the check.
+      require(size >= 0 && off.toLong + 8 + size <= b.length,
         s"chunk '$id' size $size past buffer end")
       id match {
         case "fmt " =>

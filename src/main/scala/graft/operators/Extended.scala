@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
@@ -880,13 +880,15 @@ object Extended {
       .orderBy(col("o_orderstatus"))
   }
 
-  /** Approximate sketches: HLL++ distinct count and approximate quantiles.
-    * Sketch internals are engine-specific → rows-only; ApproxSpec asserts
-    * the estimates land within tolerance of the exact answers. At 100 TB
-    * these are the ONLY affordable forms (single pass, bounded memory,
-    * mergeable partial sketches).
+  /** Builtin-sketch summary: Spark's HLL++ distinct count and
+    * approximate-percentile aggregates per return flag. Library surface
+    * only — sketch internals are engine-specific, so this frame is NOT
+    * replayable by an independent engine; ExtendedSpec certifies it by
+    * tolerance against the exact answers instead. At 100 TB these are
+    * the ONLY affordable forms (single pass, bounded memory, mergeable
+    * partial sketches).
     */
-  val q46: QueryDef = QueryDef.rowsOnly("q46_approx_sketches") { (s, d) =>
+  def builtinSketchSummary(s: SparkSession, d: String): DataFrame =
     // sketches only — mixing an exact countDistinct in forces an Expand
     // (one row per distinct-agg per input row); ExtendedSpec computes the
     // exact answers separately for the tolerance check
@@ -897,6 +899,56 @@ object Extended {
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median"),
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"))
+
+  /** q46: approximate sketches, ORACLE-CHECKED — the same two questions
+    * the builtin-sketch path answers (distinct orders + median price per
+    * return flag), re-expressed on the repo's PORTABLE sketch primitives
+    * so an independent engine replays every register and bucket exactly:
+    * distinct via the md5-HLL register table (Scale.hllRegisters /
+    * hllEstimate — the q96 machinery), median via the integer-grid
+    * histogram sketch (Scale.histogramSketch / sketchQuantiles — the
+    * q155 machinery) on price cents with $1000 buckets. Same single-pass
+    * / bounded-state / mergeable 100 TB shape as the builtins; the
+    * builtin-aggregate variant stays available as
+    * [[builtinSketchSummary]] (tolerance-pinned in ExtendedSpec — its
+    * sketch bytes are engine-internal and deliberately not a catalog
+    * gate).
+    */
+  val q46: QueryDef = QueryDef.checked(
+    "q46_approx_sketches",
+    s"""WITH src AS (
+       |  SELECT l_returnflag AS slice, l_orderkey AS v FROM lineitem),
+       |${Scale.hllRegSql("src")},
+       |hll AS (${Scale.hllEstSql("regs")}),
+       |s AS (
+       |  SELECT l_returnflag AS flag,
+       |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 100000 AS b,
+       |    CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM lineitem GROUP BY 1, 2),
+       |tot AS (SELECT flag, CAST(SUM(c) AS BIGINT) AS n FROM s GROUP BY 1),
+       |cum AS (
+       |  SELECT flag, b, SUM(c) OVER (PARTITION BY flag ORDER BY b) AS cum
+       |  FROM s)
+       |SELECT t.flag, t.n, h.est AS approx_orders,
+       |  (SELECT MIN(b) FROM cum WHERE cum.flag = t.flag
+       |     AND cum.cum * 1000000 >= t.n * 500000) * 100000 + 99999
+       |    AS approx_median_cents_ub
+       |FROM tot t JOIN hll h ON h.slice = t.flag
+       |ORDER BY t.flag""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    val est = Scale.hllEstimate(
+        Scale.hllRegisters(li, "l_returnflag", "l_orderkey"))
+      .select(col("slice").as("flag"), col("est").as("approx_orders"))
+    val sk = Scale.histogramSketch(li, "l_returnflag",
+      dec2(col("l_extendedprice")) * 100, width = 100000L)
+    Scale.sketchQuantiles(sk, "l_returnflag", width = 100000L,
+        quantilesPpm = Seq(500000L))
+      .select(col("l_returnflag").as("flag"), col("n"),
+        col("p500000_ub").as("approx_median_cents_ub"))
+      .join(est, "flag")
+      .select(col("flag"), col("n"), col("approx_orders"),
+        col("approx_median_cents_ub"))
+      .orderBy(col("flag"))
   }
 
   /** Per-JVM memo of the q168 persisted aggregate state (q78/q125/q141

@@ -30,6 +30,19 @@ object Graph {
       q156, q157, q159, q176, q177, q178, q181, q183, q194, q199, q208,
       q218, q222, q223, q224, q233)
 
+  /** Rounds-to-fixpoint ledger for the data-dependent iterative
+    * operators whose DuckDB oracles are FIXED generous unrolls (q132
+    * k-core: 12, q137 coreness: 32, q177/q222 betweenness BFS: 6
+    * layers). The generous-unroll equality argument is only sound while
+    * the measured fixpoint stays at or under the unroll — this ledger
+    * makes the margin an ASSERTED invariant (UnrollMarginSpec checks it
+    * at both oracle gate scales) instead of a comment, so corpus drift
+    * that pushes a fixpoint past its unroll fails the suite loudly
+    * before it can silently widen into an oracle mismatch.
+    */
+  val lastRounds =
+    new java.util.concurrent.ConcurrentHashMap[String, Int]()
+
   /** Materialize-and-release helper for the cache contract above. */
   private def finish(out: DataFrame, release: Boolean,
       cached: DataFrame*): DataFrame =
@@ -733,8 +746,10 @@ object Graph {
       .localCheckpoint(true)
     var prev = -1L
     var n = edges.count()
+    var peels = 0
     while (n != prev) {
       prev = n
+      peels += 1
       // persisted: keep feeds BOTH join sides — unpersisted, the degree
       // aggregation would plan (and execute) twice per round. Released
       // as soon as the round's checkpoint has materialized through it.
@@ -749,6 +764,7 @@ object Graph {
       n = edges.count()
       keep.unpersist()
     }
+    lastRounds.put("kcore", peels)
     edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
   }
 
@@ -786,6 +802,7 @@ object Graph {
       .agg(count(lit(1)).as("core"))
       .localCheckpoint(true)
     var changed = 1L
+    var rounds = 0
     while (changed > 0) {
       val byNode = org.apache.spark.sql.expressions.Window
         .partitionBy(col("src")).orderBy(col("nc").desc)
@@ -801,7 +818,9 @@ object Graph {
         .join(core.withColumnRenamed("core", "prev"), Seq("node"))
         .filter(col("core") =!= col("prev")).count()
       core = next
+      rounds += 1
     }
+    lastRounds.put("coreness", rounds)
     core
   }
 
@@ -2527,6 +2546,9 @@ object Graph {
       }
       layer = next
     }
+    // layers.size - 1 = the max BFS eccentricity actually reached — the
+    // number the oracle's 6-layer unroll must dominate
+    lastRounds.put("betweenness_depth", layers.size - 1)
     // backward sweep on the ppm grid, deepest layer first; δ'(deepest)=0
     var delta = layers.last.select(col("root"), col("node"),
         col("sigma"), lit(0L).as("delta"))

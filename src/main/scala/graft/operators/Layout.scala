@@ -456,20 +456,28 @@ object Layout {
         min(date_format(col(sortCol), "yyyy-MM-dd HH:mm:ss")).as("zmin"),
         max(date_format(col(sortCol), "yyyy-MM-dd HH:mm:ss")).as("zmax"))
 
-  /** Skipping read: consult the manifest (file-count-bounded — the one
-    * legitimate driver-side frame here, exactly a table format's
-    * manifest scan), open ONLY the files whose [zmin, zmax] interval
-    * intersects [lo, hi], then re-apply the exact predicate to the
-    * surviving rows. Returns (pruned frame, files read, files total)
-    * so callers/specs can assert the skip actually happened.
+  /** Skipping read: consult the manifest, open ONLY the files whose
+    * [zmin, zmax] interval intersects [lo, hi], then re-apply the exact
+    * predicate to the surviving rows. Pruning stays IN the manifest
+    * frame — one aggregation returns (surviving paths, total file
+    * count), so the driver holds O(matching files), never the whole
+    * manifest (at 100 TB a manifest is millions of rows; only the
+    * matching paths — bounded by the predicate's selectivity — must
+    * materialize, because the scan API takes concrete paths). Returns
+    * (pruned frame, files read, files total) so callers/specs can
+    * assert the skip actually happened.
     */
   def zoneMapRead(spark: org.apache.spark.sql.SparkSession, path: String,
       sortCol: String, lo: String, hi: String): (DataFrame, Int, Int) = {
-    val mf = zoneMapManifest(spark, path, sortCol).collect()
-    val keep = mf.filter(r =>
-        r.getString(2) >= lo && r.getString(1) < hi)
-      .map(_.getString(0))
-    val total = mf.length
+    val mf = zoneMapManifest(spark, path, sortCol)
+    // collect_list(when(pred, file)) drops the NULLs of pruned files:
+    // survivors + total in ONE manifest pass, survivors-only on the wire.
+    val r = mf.agg(
+        collect_list(when(col("zmax") >= lo && col("zmin") < hi,
+          col("file"))).as("keep"),
+        count(lit(1)).as("total")).head()
+    val keep = r.getSeq[String](0)
+    val total = r.getLong(1).toInt
     val df =
       if (keep.isEmpty)
         spark.read.parquet(path).filter(lit(false))

@@ -68,7 +68,7 @@ object PipelineOps {
     "q41_proto_roundtrip",
     s"""WITH m AS (
        |  SELECT doc_id AS id, doc_id % 6 AS branch,
-       |    strlen(text) AS tb, length(text) AS tc,
+       |    strlen(text) AS tb,
        |    strlen(source) AS sl,
        |    length(CAST(doc_id AS VARCHAR)) AS dg
        |  FROM documents),
@@ -84,7 +84,7 @@ object PipelineOps {
        |  SELECT *,
        |    (1 + ${vl("id")}) + (1 + ${vl("id + 7")}) + (1 + ${vl("u1")} + u1)
        |      + 2 + 2 + (1 + ${vl("6 + dg")} + 6 + dg) + 16 + 7 + 3
-       |      + (1 + ${vl("tc")}) + (1 + ${vl("u2")} + u2) + 2
+       |      + (1 + ${vl("tb")}) + (1 + ${vl("u2")} + u2) + 2
        |      + (1 + ${vl("sl")} + sl) + 10 + (1 + ${vl("5 + dg")} + 5 + dg) AS hss,
        |    (1 + ${vl("1 + dg")} + 1 + dg) + 9 + 4 AS vm,
        |    (1 + ${vl("1 + dg")} + 1 + dg) + (1 + ${vl("id")}) + (1 + ${vl("2 * id")}) AS ce,
@@ -125,7 +125,12 @@ object PipelineOps {
               peerType = if ((id / 6) % 2 == 0) "Client" else "Server",
               method = if ((id / 6) % 3 == 0) "GET" else "POST",
               uri = s"/docs/$id", remoteAddress = "10.0.0.1:61001",
-              userAgent = "graft", statusCode = 200, contentLength = text.length.toLong,
+              // UTF-8 BYTE length on both sides (oracle: strlen = bytes):
+              // String.length is UTF-16 code units, which diverges from
+              // DuckDB's codepoint length() on astral chars — bytes is the
+              // one definition all engines (and HTTP Content-Length) share.
+              userAgent = "graft", statusCode = 200,
+              contentLength = text.getBytes("UTF-8").length.toLong,
               applicationId = Some(Uuid(id, id + 1)), instanceIndex = Some((id % 4).toInt),
               instanceId = Some(source), forwarded = Seq("10.0.0.2", s"host-$id"))))
           case 2 => base.copy(eventType = "ValueMetric", logMessage = None,

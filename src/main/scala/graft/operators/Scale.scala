@@ -1295,6 +1295,15 @@ object Scale {
     * ln snapped by ROUND to whole counts (the q85/q86 cross-engine ln
     * idiom; only 4096 possible inputs). The branch condition compares
     * exact integers, so both engines take the same branch.
+    *
+    * The 0.7211 literal IS the standard HyperLogLog bias constant for
+    * m = 4096 registers: Flajolet et al. 2007 give
+    * alpha_m = 0.7213 / (1 + 1.079 / m), which evaluates to 0.72111…
+    * at m = 4096 — 0.7211 to the 4 significant digits this estimator
+    * pins. It is pinned as a LITERAL (not computed) because the oracle
+    * SQL must replay the identical IEEE multiply; recompute it if the
+    * register count ever changes (alpha_m is m-dependent below ~2^7,
+    * asymptotically 0.72134).
     */
   def hllEstimate(regs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     regs.groupBy(col("slice"))
@@ -1316,7 +1325,7 @@ object Scale {
   /** Shared rho/register CTE text for the DuckDB replay of
     * [[hllRegisters]] — `src` must provide (slice, v) rows.
     */
-  private def hllRegSql(src: String): String =
+  private[operators] def hllRegSql(src: String): String =
     s"""h AS (SELECT slice, md5(CAST(v AS VARCHAR)) AS hx FROM $src),
        |bits AS (SELECT slice,
        |    CAST(('0x' || substr(hx, 1, 3)) AS BIGINT) AS bucket,
@@ -1334,7 +1343,7 @@ object Scale {
        |  SELECT slice, bucket, max(rho) AS r FROM rho GROUP BY 1, 2)""".stripMargin
 
   /** DuckDB replay of [[hllEstimate]] over a register CTE. */
-  private def hllEstSql(regsCte: String): String =
+  private[operators] def hllEstSql(regsCte: String): String =
     s"""SELECT slice,
        |  CAST(count(*) AS BIGINT) AS n_regs,
        |  CAST(sum(r) AS BIGINT) AS sum_rho,

@@ -8,8 +8,8 @@ class ExtendedSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = TestSpark.Sf0001
 
-  test("approx sketches land within tolerance of exact answers") {
-    val rows = SparkEntry.queries("q46_approx_sketches")(spark, sf).collect()
+  test("builtin approx sketches land within tolerance of exact answers") {
+    val rows = graft.operators.Extended.builtinSketchSummary(spark, sf).collect()
     assert(rows.nonEmpty)
     val exact = Tables.lineitem(spark, sf)
       .groupBy(col("l_returnflag"))
@@ -21,6 +21,28 @@ class ExtendedSpec extends AnyFunSuite {
       assert(math.abs(approx - e) / e < 0.1,
         s"HLL estimate $approx too far from exact $e")
       assert(r.getAs[Double]("approx_median") > 0.0)
+    }
+  }
+
+  test("q46 portable sketches land within tolerance of exact answers") {
+    val rows = SparkEntry.queries("q46_approx_sketches")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val exact = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("exact_orders"),
+        expr("percentile(l_extendedprice, 0.5)").as("exact_median"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    rows.foreach { r =>
+      val flag = r.getAs[String]("flag")
+      val (eOrders, eMedian) = exact(flag)
+      val approx = r.getAs[Long]("approx_orders").toDouble
+      assert(math.abs(approx - eOrders) / eOrders < 0.1,
+        s"md5-HLL estimate $approx too far from exact $eOrders ($flag)")
+      // grid median: one-sided upper bound, within one $1000 bucket
+      val ubDollars = r.getAs[Long]("approx_median_cents_ub") / 100.0
+      assert(ubDollars >= eMedian && ubDollars < eMedian + 1000.0,
+        s"grid median UB $ubDollars vs exact $eMedian ($flag)")
     }
   }
 

@@ -108,4 +108,77 @@ class MultimodalSpec extends AnyFunSuite {
     assert((feats.width, feats.height) === ((4, 4)))
     assert(feats.mean_level === 97.5)
   }
+
+  // ---- cross-implementation fuzz: JDK encoders → our parsers --------
+  // The golden tests above certify the parsers against bytes THIS repo
+  // wrote; these certify them against an INDEPENDENT implementation of
+  // the same published formats (javax.imageio's BMP writer,
+  // javax.sound.sampled's WAVE writer — JDK builtins, no new deps), so
+  // a shared misreading of the spec can't hide in a self-round-trip.
+
+  test("fuzz: ImageIO-encoded BMPs decode with exact geometry and pixel mean") {
+    val rnd = new scala.util.Random(1789)
+    (0 until 12).foreach { trial =>
+      val w = 1 + rnd.nextInt(40)
+      val h = 1 + rnd.nextInt(30)
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      var sum = 0L
+      (0 until h).foreach { y =>
+        (0 until w).foreach { x =>
+          val (r, g, b) = (rnd.nextInt(256), rnd.nextInt(256), rnd.nextInt(256))
+          sum += r + g + b
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        }
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "bmp", baos),
+        "JDK has no BMP writer?")
+      val bytes = baos.toByteArray
+      val f = MediaCodecs.decodeBmp(bytes, 0)
+      assert(f.width === w && f.height === h && f.bpp === 24,
+        s"trial $trial: geometry ${f.width}x${f.height}@${f.bpp} != ${w}x$h@24")
+      // mean over pixel COMPONENT bytes is row-order-invariant, so
+      // bottom-up storage and BGR channel order cannot mask a stride bug
+      val expected = sum.toDouble / (3L * w * h)
+      assert(math.abs(f.meanLevel - expected) < 1e-9,
+        s"trial $trial: meanLevel ${f.meanLevel} != $expected")
+    }
+  }
+
+  test("fuzz: AudioSystem-encoded WAVs decode with exact sample statistics") {
+    val rnd = new scala.util.Random(1848)
+    (0 until 12).foreach { trial =>
+      val n = 1 + rnd.nextInt(2000)
+      val rate = Seq(8000, 16000, 44100)(rnd.nextInt(3))
+      val samples = Array.fill(n)((rnd.nextInt(65536) - 32768).toShort)
+      val pcm = new Array[Byte](2 * n)
+      samples.zipWithIndex.foreach { case (s, i) =>
+        pcm(2 * i) = s.toByte; pcm(2 * i + 1) = (s >> 8).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        rate.toFloat, 16, 1, 2, rate.toFloat, false) // little-endian mono
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+      val a = MediaCodecs.decodeWav(baos.toByteArray)
+      assert(a.channels === 1 && a.sampleRate === rate &&
+        a.bitsPerSample === 16 && a.nSamples === n.toLong,
+        s"trial $trial: format (${a.channels},${a.sampleRate}," +
+          s"${a.bitsPerSample},${a.nSamples}) != (1,$rate,16,$n)")
+      val expAbs = samples.map(s => math.abs(s.toInt).toLong).sum.toDouble / n
+      assert(math.abs(a.meanAbs - expAbs) < 1e-9,
+        s"trial $trial: meanAbs ${a.meanAbs} != $expAbs")
+      var zc = 0L; var prev = 0
+      samples.foreach { s =>
+        val sg = Integer.signum(s.toInt)
+        if (sg != 0) { if (prev != 0 && sg != prev) zc += 1; prev = sg }
+      }
+      assert(a.zeroCrossings === zc,
+        s"trial $trial: zeroCrossings ${a.zeroCrossings} != $zc")
+    }
+  }
 }

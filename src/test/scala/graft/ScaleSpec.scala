@@ -18,6 +18,23 @@ class ScaleSpec extends AnyFunSuite {
     assert(recall >= 0.4, s"ivf recall $recall")
   }
 
+  test("float lshTopK (library API) reaches ≥60% recall@10 vs brute force") {
+    // the grid variant is the catalog/oracle face (q33); this pins the
+    // float-cosine library API, which otherwise has no catalog caller
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"),
+      graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") < 5)
+    val brute = graft.operators.Similarity.bruteForceTopK(e, q)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = graft.operators.Similarity.lshTopK(e, q)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.count(lsh.contains).toDouble / brute.size
+    assert(recall >= 0.6, s"float lsh recall $recall")
+  }
+
   /** On clustered data (IVF's design case) the k-means-trained codebook
     * must recover the cluster structure: lists ≈ clusters, so probing 2/8
     * lists finds nearly all true neighbors. Random data (the test above)
