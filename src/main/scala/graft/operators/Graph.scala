@@ -145,13 +145,27 @@ object Graph {
         col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
       .distinct()
+    // LONG node ids through the iterations (c·2 / s·2+1 — a bijection
+    // into one id space), mapped to the oracle's 'c:'/'s:' strings only
+    // at output: the ranks are grouped sums over a bijective key, so
+    // they are bit-identical, and every per-round shuffle keys on a
+    // long instead of a concat'd string (6+ shuffles per run at sf0.1;
+    // at 100 TB the narrow fixed-width key is the difference between a
+    // compact radix-style exchange and hashing variable-length UTF-8).
     val fwd = pairs.select(
-      concat(lit("c:"), col("c").cast("string")).as("src"),
-      concat(lit("s:"), col("sk").cast("string")).as("dst"))
+      (col("c").cast("long") * 2).as("src"),
+      (col("sk").cast("long") * 2 + 1).as("dst"))
     val rev = pairs.select(
-      concat(lit("s:"), col("sk").cast("string")).as("src"),
-      concat(lit("c:"), col("c").cast("string")).as("dst"))
+      (col("sk").cast("long") * 2 + 1).as("src"),
+      (col("c").cast("long") * 2).as("dst"))
     pageRank(fwd.unionByName(rev), iterations = 3)
+      .select(
+        when(col("node") % 2 === 0,
+          concat(lit("c:"), expr("node div 2").cast("string")))
+          .otherwise(
+            concat(lit("s:"), expr("node div 2").cast("string")))
+          .as("node"),
+        col("r"))
       .orderBy(col("node"))
   }
 
@@ -308,15 +322,25 @@ object Graph {
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
       .distinct()
+    // long node ids through the iterations, strings only at output —
+    // the q110 bijection (c·2 / s·2+1); ranks are unchanged grouped
+    // sums, every iteration shuffle keys on a long
     val fwd = pairs.select(
-      concat(lit("c:"), col("c").cast("string")).as("src"),
-      concat(lit("s:"), col("sk").cast("string")).as("dst"))
+      (col("c").cast("long") * 2).as("src"),
+      (col("sk").cast("long") * 2 + 1).as("dst"))
     val rev = pairs.select(
-      concat(lit("s:"), col("sk").cast("string")).as("src"),
-      concat(lit("c:"), col("c").cast("string")).as("dst"))
+      (col("sk").cast("long") * 2 + 1).as("src"),
+      (col("c").cast("long") * 2).as("dst"))
     val seeds = pairs.filter(col("c") < 10)
-      .select(concat(lit("c:"), col("c").cast("string")).as("node"))
+      .select((col("c").cast("long") * 2).as("node"))
     personalizedPageRank(fwd.unionByName(rev), seeds, iterations = 3)
+      .select(
+        when(col("node") % 2 === 0,
+          concat(lit("c:"), expr("node div 2").cast("string")))
+          .otherwise(
+            concat(lit("s:"), expr("node div 2").cast("string")))
+          .as("node"),
+        col("r"))
       .orderBy(col("node"))
   }
 
