@@ -28,7 +28,7 @@ object Graph {
   def defs: Seq[QueryDef] =
     Seq(q110, q126, q127, q128, q129, q132, q133, q137, q141, q142, q144,
       q156, q157, q159, q176, q177, q178, q181, q183, q194, q199, q208,
-      q218, q222, q223, q224, q233)
+      q218, q222, q223, q224, q233, q254)
 
   /** Rounds-to-fixpoint ledger for the data-dependent iterative
     * operators whose DuckDB oracles are FIXED generous unrolls (q132
@@ -2241,6 +2241,143 @@ object Graph {
         mk => Exact.memoBuild(s"2ec#$mk")(build().localCheckpoint(true)))
       case None => build()
     }
+  }
+
+  /** Biconnected-component (block) LABELING: every canonical edge
+    * (lo < hi) tagged with its block's canonical label — the min edge
+    * of the block, emitted as (block_lo, block_hi). Completes the
+    * biconnectivity family: q176 flags the articulation points, q181
+    * the bridges, q183 the 2-edge-connected node partition; this is
+    * the edge partition they all summarize (a bridge is exactly a
+    * singleton block; an articulation point is exactly a node in ≥ 2
+    * blocks).
+    *
+    * Pure composition over the SAME memoized exclusion index q176/q181
+    * read (zero extra index cost under a shared memoKey): edges
+    * {x,p}, {x,q} lie in one block iff p and q are connected in
+    * G∖{x} — which is literally lbl_x(p) = lbl_x(q) in
+    * [[exclusionLabels]]'s output. So each (x, lbl) class is an
+    * intra-block edge set; star-link every class member to the class
+    * minimum and the block partition is the connected components of
+    * those links over EDGE nodes (blocks are edge-connected through
+    * shared endpoints, so endpoint-local classes generate the full
+    * partition). CC runs through the q57 large-star/small-star
+    * contraction — O(log blocks) keyed rounds, node-keyed state, the
+    * 100 TB shape.
+    *
+    * Edge ids ride a long encoding lo·k + hi (k = max node id + 1,
+    * guarded against overflow) so the stars loop shuffles fixed-width
+    * longs — the q110 discipline; a node domain past ~3·10⁹ would
+    * switch the loop to a struct-keyed stars variant instead.
+    */
+  def biconnectedLabels(undirected0: DataFrame,
+      memoKey: Option[String] = None): DataFrame = {
+    val und = undirected0.select(col("src"), col("dst")).distinct()
+    val k = und.agg(max(greatest(col("src"), col("dst")))).head() match {
+      case r if r.isNullAt(0) => 1L
+      case r => r.getLong(0) + 1L
+    }
+    require(k <= 3037000499L, // floor(sqrt(Long.Max)); encoded ids stay exact
+      s"node domain $k too wide for the long edge encoding — " +
+        "use a struct-keyed stars variant at this scale")
+    def enc(lo: org.apache.spark.sql.Column,
+        hi: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      lo * k + hi
+    val labels = exclusionLabels(undirected0, memoKey)
+    val ed = labels.select(col("x"), col("lbl"),
+      enc(least(col("x"), col("p")), greatest(col("x"), col("p"))).as("e"))
+    val gm = ed.groupBy(col("x"), col("lbl")).agg(min(col("e")).as("me"))
+    val links = ed.join(gm, Seq("x", "lbl"))
+      .filter(col("e") =!= col("me"))
+      .select(col("e").as("doc_a"), col("me").as("doc_b"))
+      .distinct()
+    val comps = Dedup.dedupClustersStars(links)
+      .select(col("doc_id").as("e"), col("cluster_id").as("m"))
+    // edges in no class pair (bridges, isolated edges) are their own
+    // singleton block — the left join's coalesce
+    und.select(least(col("src"), col("dst")).as("lo"),
+        greatest(col("src"), col("dst")).as("hi")).distinct()
+      .withColumn("e", enc(col("lo"), col("hi")))
+      .join(comps, Seq("e"), "left")
+      .select(col("lo"), col("hi"),
+        expr(s"coalesce(m, e) div ${k}L").as("block_lo"),
+        expr(s"coalesce(m, e) % ${k}L").as("block_hi"))
+  }
+
+  /** q254: block labeling of the symmetrized handoff graph — every
+    * edge tagged with its biconnected component's canonical (min-edge)
+    * label, sharing the q176/q181 memoized exclusion index. The DuckDB
+    * replay extends the q199 closure CTEs: the same x-keyed exclusion
+    * labels, then the per-(x, lbl) star links over long-encoded edge
+    * ids and a recursive reachability whose per-edge MIN reproduces the
+    * stars contraction's min-member label exactly.
+    */
+  val q254: QueryDef = QueryDef.checked(
+    "q254_biconnected_blocks",
+    """WITH RECURSIVE firsts AS MATERIALIZED (
+      |  SELECT event_type, epoch_ns(ts)//1000//3600000000 AS hr, user_id,
+      |    MIN(epoch_ns(ts)//1000) AS fts
+      |  FROM events WHERE event_id < 2000 GROUP BY 1, 2, 3),
+      |dedges AS MATERIALIZED (
+      |  SELECT DISTINCT user_id AS src,
+      |    LEAD(user_id) OVER (PARTITION BY event_type, hr
+      |      ORDER BY fts, user_id) AS dst
+      |  FROM firsts WHERE hr % 7 = 0
+      |  QUALIFY dst IS NOT NULL AND dst != user_id),
+      |und AS MATERIALIZED (
+      |  SELECT src, dst FROM dedges UNION
+      |  SELECT dst AS src, src AS dst FROM dedges),
+      |kk AS (SELECT MAX(GREATEST(src, dst)) + 1 AS k FROM und),
+      |cand AS MATERIALIZED (
+      |  SELECT src AS x FROM und GROUP BY src HAVING count(*) >= 2),
+      |rex(x, a, b) AS (
+      |  SELECT c.x, e.src, e.dst FROM und e, cand c
+      |  WHERE e.src != c.x AND e.dst != c.x
+      |  UNION
+      |  SELECT r.x, r.a, e.dst FROM rex r JOIN und e ON r.b = e.src
+      |  WHERE e.dst != r.x AND e.dst != r.a),
+      |nb AS MATERIALIZED (
+      |  SELECT c.x, u.dst AS n FROM cand c JOIN und u ON u.src = c.x),
+      |conn AS (
+      |  SELECT n1.x, n1.n AS p, n2.n AS q
+      |  FROM nb n1 JOIN nb n2 ON n1.x = n2.x
+      |  JOIN rex r ON r.x = n1.x AND r.a = n1.n AND r.b = n2.n),
+      |labels AS MATERIALIZED (
+      |  SELECT nb.x, nb.n AS p, LEAST(nb.n, COALESCE(MIN(c.q), nb.n)) AS lbl
+      |  FROM nb LEFT JOIN conn c ON c.x = nb.x AND c.p = nb.n
+      |  GROUP BY nb.x, nb.n),
+      |ed AS MATERIALIZED (
+      |  SELECT x, lbl,
+      |    LEAST(x, p) * (SELECT k FROM kk) + GREATEST(x, p) AS e
+      |  FROM labels),
+      |gm AS (SELECT x, lbl, MIN(e) AS me FROM ed GROUP BY 1, 2),
+      |links AS MATERIALIZED (
+      |  SELECT DISTINCT e, me FROM ed JOIN gm USING (x, lbl) WHERE e != me),
+      |sym AS MATERIALIZED (
+      |  SELECT e AS a, me AS b FROM links
+      |  UNION SELECT me AS a, e AS b FROM links),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM sym
+      |  UNION
+      |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+      |ae AS MATERIALIZED (
+      |  SELECT DISTINCT LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi,
+      |    LEAST(src, dst) * (SELECT k FROM kk) + GREATEST(src, dst) AS e
+      |  FROM und),
+      |lab AS (
+      |  SELECT ae.lo, ae.hi,
+      |    LEAST(ae.e, COALESCE(MIN(r.b), ae.e)) AS m
+      |  FROM ae LEFT JOIN reach r ON r.a = ae.e
+      |  GROUP BY ae.lo, ae.hi, ae.e)
+      |SELECT lo, hi,
+      |  CAST(m // (SELECT k FROM kk) AS BIGINT) AS block_lo,
+      |  CAST(m % (SELECT k FROM kk) AS BIGINT) AS block_hi
+      |FROM lab ORDER BY lo, hi""".stripMargin) { (s, d) =>
+    val e = handoffEdges(Tables.events(s, d))
+    val und = e.unionByName(
+      e.select(col("dst").as("src"), col("src").as("dst")))
+    biconnectedLabels(und, memoKey = Some(s"$d#handoff-und"))
+      .orderBy(col("lo"), col("hi"))
   }
 
   /** q183: 2-edge-connected components of the symmetrized handoff

@@ -155,4 +155,85 @@ class ArticulationSpec extends AnyFunSuite {
       assert(runBridges(edges) == bruteBridges(edges), s"random p=$p")
     }
   }
+
+  /** Reference block partition: edges e, f share a block iff they lie
+    * on a common simple cycle — computed by the standard equivalence
+    * closure over "adjacent and their far endpoints connected without
+    * the shared vertex" (exactly the relation the operator stars over).
+    */
+  private def bruteBlocks(edges: Seq[(Long, Long)]): Map[(Long, Long), Set[(Long, Long)]] = {
+    val can = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val sym = (edges ++ edges.map(_.swap)).distinct
+    val adj = sym.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    def connectedAvoiding(s: Long, t: Long, avoid: Long): Boolean = {
+      if (s == t) return true
+      val seen = scala.collection.mutable.Set(s)
+      val q = scala.collection.mutable.Queue(s)
+      while (q.nonEmpty) {
+        val v = q.dequeue()
+        for (w <- adj.getOrElse(v, Set.empty) if w != avoid && !seen(w)) {
+          if (w == t) return true
+          seen += w; q += w
+        }
+      }
+      false
+    }
+    // union-find over canonical edges
+    val parent = scala.collection.mutable.Map(can.map(e => e -> e): _*)
+    def find(e: (Long, Long)): (Long, Long) =
+      if (parent(e) == e) e else { val r = find(parent(e)); parent(e) = r; r }
+    def union(a: (Long, Long), b: (Long, Long)): Unit = {
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb
+    }
+    for {
+      e1 @ (a1, b1) <- can; e2 @ (a2, b2) <- can if e1 != e2
+      shared <- Set(a1, b1).intersect(Set(a2, b2)).headOption
+    } {
+      val p = if (a1 == shared) b1 else a1
+      val q = if (a2 == shared) b2 else a2
+      if (connectedAvoiding(p, q, shared)) union(e1, e2)
+    }
+    can.groupBy(find).map { case (_, es) => es.min -> es.toSet }
+      .flatMap { case (m, es) => es.map(_ -> es) }.toMap
+  }
+
+  private def runBlocks(edges: Seq[(Long, Long)]): Map[(Long, Long), (Long, Long)] = {
+    val s = spark
+    import s.implicits._
+    val df = edges.toDF("src", "dst")
+    val und = df.union(df.select($"dst", $"src"))
+    Graph.biconnectedLabels(und).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+  }
+
+  test("biconnected blocks: planted shapes carry the expected partition") {
+    // two triangles sharing vertex 3: two blocks (3 is the cut vertex)
+    val bowtie = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L), (5L, 3L))
+    val got = runBlocks(bowtie)
+    assert(got((1L, 2L)) == got((2L, 3L)) && got((2L, 3L)) == got((1L, 3L)))
+    assert(got((3L, 4L)) == got((4L, 5L)) && got((4L, 5L)) == got((3L, 5L)))
+    assert(got((1L, 2L)) != got((3L, 4L)))
+    // a bridge is its own singleton block
+    val barbell = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (4L, 5L), (5L, 6L), (6L, 4L), (3L, 4L))
+    val gb = runBlocks(barbell)
+    assert(gb((3L, 4L)) == ((3L, 4L)))
+    assert(gb.values.toSet.size == 3)
+  }
+
+  test("biconnected blocks: random graphs match the cycle-equivalence reference") {
+    for ((p, seed) <- Seq((0.08, 51L), (0.15, 52L))) {
+      val rnd = new scala.util.Random(seed)
+      val n = 14
+      val edges = for {
+        a <- 1 to n; b <- (a + 1) to n
+        if rnd.nextDouble() < p
+      } yield (a.toLong, b.toLong)
+      if (edges.nonEmpty) {
+        val expect = bruteBlocks(edges).map { case (e, es) => e -> es.min }
+        assert(runBlocks(edges) == expect, s"random p=$p")
+      }
+    }
+  }
 }
