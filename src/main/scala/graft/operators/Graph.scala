@@ -2609,10 +2609,15 @@ object Graph {
     var layer = roots.select(col("node").as("root"), col("node"),
         lit(0).as("d"), lit(1L).as("sigma"))
       .localCheckpoint(true)
+    // visited set = lazy union of the already-checkpointed layers: the
+    // anti-join only ever reads it, so re-materializing the growing
+    // union each round (O(depth^2) rewrites) buys nothing; one isEmpty
+    // per round decides both "keep the layer" and "stop the loop"
     var bfs = layer
     val layers = scala.collection.mutable.ArrayBuffer(layer)
     var depth = 0
-    while (!layer.isEmpty) {
+    var frontierDone = false
+    while (!frontierDone) {
       depth += 1
       val push = layer.join(und, layer("node") === und("src"))
         .select(col("root"), col("dst").as("node"), col("sigma"))
@@ -2624,8 +2629,9 @@ object Graph {
         .withColumn("d", lit(depth))
         .select(col("root"), col("node"), col("d"), col("sigma"))
         .localCheckpoint(true)
-      if (!next.isEmpty) {
-        bfs = bfs.union(next).localCheckpoint(true)
+      frontierDone = next.isEmpty
+      if (!frontierDone) {
+        bfs = bfs.union(next)
         layers += next
       }
       layer = next
@@ -2686,10 +2692,13 @@ object Graph {
     var layer = roots.select(col("node").as("root"), col("node"),
         lit(0).as("d"), lit(1L).as("sigma"))
       .localCheckpoint(true)
+    // same forward-BFS job discipline as [[betweennessExact]]: lazy
+    // visited union over checkpointed layers, one isEmpty per round
     var bfs = layer
     val layers = scala.collection.mutable.ArrayBuffer(layer)
     var depth = 0
-    while (!layer.isEmpty) {
+    var frontierDone = false
+    while (!frontierDone) {
       depth += 1
       val push = layer.join(und, layer("node") === und("src"))
         .select(col("root"), col("dst").as("node"), col("sigma"))
@@ -2701,8 +2710,9 @@ object Graph {
         .withColumn("d", lit(depth))
         .select(col("root"), col("node"), col("d"), col("sigma"))
         .localCheckpoint(true)
-      if (!next.isEmpty) {
-        bfs = bfs.union(next).localCheckpoint(true)
+      frontierDone = next.isEmpty
+      if (!frontierDone) {
+        bfs = bfs.union(next)
         layers += next
       }
       layer = next
