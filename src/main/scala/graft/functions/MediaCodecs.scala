@@ -37,8 +37,14 @@ object MediaCodecs {
 
   // ---- BMP ----------------------------------------------------------
 
-  /** BMP row stride: pixel rows pad to 4-byte boundaries (format rule). */
-  def bmpRowBytes(width: Int): Int = ((3 * width + 3) / 4) * 4
+  /** BMP row stride: pixel rows pad to 4-byte boundaries (format rule).
+    * The Long form is the single stride definition; decode uses it
+    * directly because header widths are attacker-controlled 32-bit data.
+    */
+  def bmpRowBytesL(width: Int): Long = (3L * width + 3L) / 4L * 4L
+
+  /** Int stride for encoder-side dims (validated small by callers). */
+  def bmpRowBytes(width: Int): Int = bmpRowBytesL(width).toInt
 
   /** Total file size of a 24 bpp BMP with the standard 54-byte header. */
   def bmpFileSize(width: Int, height: Int): Int =
@@ -103,10 +109,14 @@ object MediaCodecs {
     require(fileSize > 0 && dataOff >= 54,
       s"bad BMP header fields: fileSize=$fileSize dataOff=$dataOff")
     require(off.toLong + fileSize <= b.length, "BMP size field past buffer end")
-    val rowBytes = 3L * width + (4L - (3L * width) % 4L) % 4L // stride, Long
+    val rowBytes = bmpRowBytesL(width)
+    // The naive bound `off + dataOff + rowBytes*height <= length` itself
+    // overflows Long for hostile dims (rowBytes·height can exceed 2⁶³);
+    // bound by division instead, so no product is ever formed unchecked.
+    val pixAvail = b.length.toLong - off - dataOff
+    require(pixAvail >= 0 && height <= pixAvail / rowBytes,
+      s"BMP pixel array (${height}x$rowBytes bytes) past buffer end (${b.length})")
     val pixEnd = off.toLong + dataOff.toLong + rowBytes * height
-    require(pixEnd <= b.length,
-      s"BMP pixel array ($pixEnd bytes) past buffer end (${b.length})")
     var sum = 0L
     var r = 0
     while (r < height) {

@@ -111,6 +111,31 @@ object Graph {
     * iterations in DuckDB. High-degree suppliers accumulate rank from
     * the ~15× larger customer side.
     */
+  /** Symmetrized trade-graph edges on the LONG node bijection
+    * (customer c → c·2, supplier s → s·2+1) shared by q110/q126: every
+    * per-iteration shuffle keys on a fixed-width long instead of a
+    * concat'd string (at 100 TB the narrow key is the difference
+    * between a compact radix-style exchange and hashing variable-length
+    * UTF-8). Input: distinct (c, sk) pairs. [[decodeTradeNode]] is the
+    * inverse, restoring the oracles' 'c:'/'s:' form at output only.
+    */
+  private def tradeGraphEdges(pairs: DataFrame): DataFrame = {
+    val fwd = pairs.select(
+      (col("c").cast("long") * 2).as("src"),
+      (col("sk").cast("long") * 2 + 1).as("dst"))
+    val rev = pairs.select(
+      (col("sk").cast("long") * 2 + 1).as("src"),
+      (col("c").cast("long") * 2).as("dst"))
+    fwd.unionByName(rev)
+  }
+
+  /** Inverse of [[tradeGraphEdges]]' bijection: long id → 'c:n'/'s:n'
+    * (shiftright = div 2 on these non-negative ids). */
+  private def decodeTradeNode(node: org.apache.spark.sql.Column) =
+    when(node % 2 === 0,
+      concat(lit("c:"), shiftright(node, 1).cast("string")))
+      .otherwise(concat(lit("s:"), shiftright(node, 1).cast("string")))
+
   val q110: QueryDef = QueryDef.checked(
     "q110_pagerank",
     """WITH pairs AS (
@@ -145,27 +170,10 @@ object Graph {
         col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
       .distinct()
-    // LONG node ids through the iterations (c·2 / s·2+1 — a bijection
-    // into one id space), mapped to the oracle's 'c:'/'s:' strings only
-    // at output: the ranks are grouped sums over a bijective key, so
-    // they are bit-identical, and every per-round shuffle keys on a
-    // long instead of a concat'd string (6+ shuffles per run at sf0.1;
-    // at 100 TB the narrow fixed-width key is the difference between a
-    // compact radix-style exchange and hashing variable-length UTF-8).
-    val fwd = pairs.select(
-      (col("c").cast("long") * 2).as("src"),
-      (col("sk").cast("long") * 2 + 1).as("dst"))
-    val rev = pairs.select(
-      (col("sk").cast("long") * 2 + 1).as("src"),
-      (col("c").cast("long") * 2).as("dst"))
-    pageRank(fwd.unionByName(rev), iterations = 3)
-      .select(
-        when(col("node") % 2 === 0,
-          concat(lit("c:"), expr("node div 2").cast("string")))
-          .otherwise(
-            concat(lit("s:"), expr("node div 2").cast("string")))
-          .as("node"),
-        col("r"))
+    // ranks are grouped sums over [[tradeGraphEdges]]' bijective long
+    // key, so they are bit-identical to the oracle's string-keyed run
+    pageRank(tradeGraphEdges(pairs), iterations = 3)
+      .select(decodeTradeNode(col("node")).as("node"), col("r"))
       .orderBy(col("node"))
   }
 
@@ -322,25 +330,12 @@ object Graph {
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
       .distinct()
-    // long node ids through the iterations, strings only at output —
-    // the q110 bijection (c·2 / s·2+1); ranks are unchanged grouped
-    // sums, every iteration shuffle keys on a long
-    val fwd = pairs.select(
-      (col("c").cast("long") * 2).as("src"),
-      (col("sk").cast("long") * 2 + 1).as("dst"))
-    val rev = pairs.select(
-      (col("sk").cast("long") * 2 + 1).as("src"),
-      (col("c").cast("long") * 2).as("dst"))
+    // [[tradeGraphEdges]]' long bijection through the iterations,
+    // strings only at output; ranks are unchanged grouped sums
     val seeds = pairs.filter(col("c") < 10)
       .select((col("c").cast("long") * 2).as("node"))
-    personalizedPageRank(fwd.unionByName(rev), seeds, iterations = 3)
-      .select(
-        when(col("node") % 2 === 0,
-          concat(lit("c:"), expr("node div 2").cast("string")))
-          .otherwise(
-            concat(lit("s:"), expr("node div 2").cast("string")))
-          .as("node"),
-        col("r"))
+    personalizedPageRank(tradeGraphEdges(pairs), seeds, iterations = 3)
+      .select(decodeTradeNode(col("node")).as("node"), col("r"))
       .orderBy(col("node"))
   }
 
@@ -788,7 +783,11 @@ object Graph {
       n = edges.count()
       keep.unpersist()
     }
-    lastRounds.put("kcore", peels)
+    // peels counted the final no-change verification iteration too;
+    // the ledger records EFFECTIVE rounds (iterations that changed the
+    // edge set) — the number an unrolled oracle replay must dominate —
+    // matching betweenness_depth's counting convention.
+    lastRounds.put("kcore", peels - 1)
     edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
   }
 
@@ -844,7 +843,9 @@ object Graph {
       core = next
       rounds += 1
     }
-    lastRounds.put("coreness", rounds)
+    // effective rounds only (the last iteration verified changed == 0)
+    // — same convention as the kcore and betweenness_depth ledger keys
+    lastRounds.put("coreness", rounds - 1)
     core
   }
 

@@ -85,13 +85,30 @@ object Exact {
   private val memoBuildLog =
     new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]()
 
-  /** Run `build`, timing it and appending (key, seconds) to the
-    * build ledger. Call from inside a memo's computeIfAbsent body. */
+  // Builds can nest (twoEdgeComponents' 2ec# build constructs the excl#
+  // index inside its own span): each thread keeps a stack of
+  // child-time accumulators so a parent records only its EXCLUSIVE
+  // time — every key stays itemized and the ledger SUM stays the true
+  // wall cost instead of double-counting nested spans.
+  private val memoBuildNest =
+    new ThreadLocal[java.util.ArrayDeque[Array[Double]]] {
+      override def initialValue() = new java.util.ArrayDeque[Array[Double]]()
+    }
+
+  /** Run `build`, timing it and appending (key, exclusive seconds) to
+    * the build ledger. Call from inside a memo's computeIfAbsent body. */
   def memoBuild[T](key: String)(build: => T): T = {
+    val stack = memoBuildNest.get()
+    stack.push(Array(0.0))
     val t0 = System.nanoTime()
-    val r = build
-    memoBuildLog.add((key, (System.nanoTime() - t0) / 1e9))
-    r
+    try {
+      val r = build
+      val span = (System.nanoTime() - t0) / 1e9
+      memoBuildLog.add((key, span - stack.peek()(0)))
+      val it = stack.iterator(); it.next() // self
+      if (it.hasNext) it.next()(0) += span // charge the full span upward
+      r
+    } finally stack.pop()
   }
 
   /** Drain and return all build events recorded since the last drain. */

@@ -30,7 +30,12 @@ class ExtendedSpec extends AnyFunSuite {
     val exact = Tables.lineitem(spark, sf)
       .groupBy(col("l_returnflag"))
       .agg(countDistinct(col("l_orderkey")).as("exact_orders"),
-        expr("percentile(l_extendedprice, 0.5)").as("exact_median"))
+        // rank-based median (the ceil(n/2)-th order statistic) — the
+        // value the sketch's bucket actually bounds; interpolating
+        // percentile() can legitimately exceed the bucket UB when the
+        // two middle values straddle a $1000 boundary
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)")
+          .as("exact_median"))
       .collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
     rows.foreach { r =>

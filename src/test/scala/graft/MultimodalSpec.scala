@@ -48,6 +48,23 @@ class MultimodalSpec extends AnyFunSuite {
       MediaCodecs.decodeBmp(ok.take(20), 0)) // truncated header
   }
 
+  test("BMP parser rejects dims whose byte extent overflows Long") {
+    // width = height = 2^31 - 1: rowBytes*height ≈ 1.38e19 wraps past
+    // Long.MaxValue, so a product-form bound would pass and the pixel
+    // walk would index out of bounds; the division-form bound must
+    // reject it as a header error instead.
+    val ok = MediaCodecs.encodeBmp(2, 2, _ => 0.toByte)
+    val evil = ok.clone()
+    def putLe32(b: Array[Byte], off: Int, v: Int): Unit = {
+      b(off) = v.toByte; b(off + 1) = (v >>> 8).toByte
+      b(off + 2) = (v >>> 16).toByte; b(off + 3) = (v >>> 24).toByte
+    }
+    putLe32(evil, 18, Int.MaxValue) // width
+    putLe32(evil, 22, Int.MaxValue) // height
+    val e = intercept[IllegalArgumentException](MediaCodecs.decodeBmp(evil, 0))
+    assert(e.getMessage.contains("past buffer end"))
+  }
+
   test("WAV round-trip: format fields, meanAbs, zero crossings") {
     val samples = Array[Short](100, -200, 300, 0, -1)
     val wav = MediaCodecs.encodeWavPcm16Mono(8000, samples)

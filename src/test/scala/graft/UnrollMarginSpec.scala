@@ -12,8 +12,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * SCALES (sf0.001 here; sf0.01 is exercised by the driver's verify run
   * on the same corpus family) so corpus drift past an unroll fails the
   * suite with a named margin instead of surfacing as an opaque oracle
-  * hash mismatch. Measured fixpoints for context: coreness 8 (sf0.01),
-  * k-core 9-11, betweenness eccentricity 3-4.
+  * hash mismatch. All three ledger keys count EFFECTIVE rounds — the
+  * iterations that changed the data, excluding the final no-change
+  * verification pass — which is exactly the count an unrolled replay
+  * must dominate. Measured effective fixpoints for context: coreness 7
+  * (sf0.01), k-core 8-10, betweenness eccentricity 3-4.
   */
 class UnrollMarginSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
