@@ -928,13 +928,17 @@ object Extended {
        |tot AS (SELECT flag, CAST(SUM(c) AS BIGINT) AS n FROM s GROUP BY 1),
        |cum AS (
        |  SELECT flag, b, SUM(c) OVER (PARTITION BY flag ORDER BY b) AS cum
-       |  FROM s)
-       |SELECT t.flag, t.n, h.est AS approx_orders,
-       |  (SELECT MIN(b) FROM cum WHERE cum.flag = t.flag
-       |     AND cum.cum * 1000000 >= t.n * 500000) * 100000 + 99999
-       |    AS approx_median_cents_ub
-       |FROM tot t JOIN hll h ON h.slice = t.flag
-       |ORDER BY t.flag""".stripMargin) { (s, d) =>
+       |  FROM s),
+       |qb AS (
+       |  SELECT t.flag, t.n,
+       |    (SELECT MIN(b) FROM cum WHERE cum.flag = t.flag
+       |       AND cum.cum * 1000000 >= t.n * 500000) AS b50
+       |  FROM tot t)
+       |SELECT q.flag, q.n, h.est AS approx_orders,
+       |  CASE WHEN q.b50 >= 0 THEN q.b50 * 100000 + 99999
+       |       ELSE q.b50 * 100000 END AS approx_median_cents_ub
+       |FROM qb q JOIN hll h ON h.slice = q.flag
+       |ORDER BY q.flag""".stripMargin) { (s, d) =>
     val li = Tables.lineitem(s, d)
     val est = Scale.hllEstimate(
         Scale.hllRegisters(li, "l_returnflag", "l_orderkey"))

@@ -762,7 +762,8 @@ object Sampling {
       |  FROM spend)
       |SELECT segment, CAST(MAX(n) AS BIGINT) AS n_cust,
       |  CAST(SUM(cents) AS BIGINT) AS total_cents,
-      |  CAST((2000000 * SUM(r * cents) - 1000000 * (MAX(n) + 1) * SUM(cents))
+      |  CAST((2000000 * SUM(CAST(r AS HUGEINT) * cents)
+      |      - 1000000 * (MAX(n) + 1) * SUM(cents))
       |    // (MAX(n) * SUM(cents)) AS BIGINT) AS gini_ppm,
       |  CAST(1000000 * SUM(CASE WHEN r > n - (n + 9) // 10
       |      THEN cents ELSE 0 END) // SUM(cents) AS BIGINT)
@@ -786,7 +787,10 @@ object Sampling {
       .groupBy(col("segment"))
       .agg(max(col("n")).as("n_cust_raw"),
         sum(col("cents").cast(dec38)).as("s"),
-        sum((col("r") * col("cents")).cast(dec38)).as("srx"),
+        // widen BEFORE the product: r·cents wraps in 64-bit at fact
+        // scale (rk up to n, cents to 10⁹), so the per-row multiply —
+        // not just the accumulator — must run on the decimal grid
+        sum(col("r").cast(dec38) * col("cents")).as("srx"),
         sum(when(col("r") > col("top_cut"), col("cents")).otherwise(0L)
           .cast(dec38)).as("top_cents"))
       .select(col("segment"),

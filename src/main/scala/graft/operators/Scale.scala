@@ -44,6 +44,14 @@ object Scale {
     * requested quantile q (in ppm to stay on an integer grid), the
     * upper bound of the bucket containing the ceil(q·n)-th smallest
     * value. One window over the (small) sketch, never over the data.
+    * Truncate-toward-zero bucketing makes the bucket extents
+    * sign-dependent: bucket b > 0 spans [b·w, b·w+w−1], b < 0 spans
+    * [b·w−(w−1), b·w], and bucket 0 spans [−(w−1), w−1] (2w−1 values —
+    * the one double-width cell). The upper bound is therefore b·w+w−1
+    * for b ≥ 0 and b·w for b < 0 — a single unconditional `+ (w−1)`
+    * would return a value a negative bucket never contains. One-sided
+    * error: ≤ w−1 everywhere except bucket 0's ≤ 2w−2 (ScaleSpec pins
+    * both on a domain straddling zero).
     */
   def sketchQuantiles(sketch: org.apache.spark.sql.DataFrame, group: String,
       width: Long, quantilesPpm: Seq[Long]): org.apache.spark.sql.DataFrame = {
@@ -56,7 +64,9 @@ object Scale {
       cum.filter(col("cum") * 1000000L >= col("n") * q)
         .groupBy(col(group))
         .agg(min(col("b")).as("qb"))
-        .select(col(group), (col("qb") * width + (width - 1)).as(s"p${q}_ub"))
+        .select(col(group),
+          when(col("qb") >= 0, col("qb") * width + (width - 1))
+            .otherwise(col("qb") * width).as(s"p${q}_ub"))
     }.reduce(_.join(_, group)).join(tot, group)
   }
 
@@ -75,13 +85,18 @@ object Scale {
       |tot AS (SELECT flag, CAST(SUM(c) AS BIGINT) AS n FROM s GROUP BY 1),
       |cum AS (
       |  SELECT flag, b, SUM(c) OVER (PARTITION BY flag ORDER BY b) AS cum
-      |  FROM s)
-      |SELECT t.flag, t.n,
-      |  (SELECT MIN(b) FROM cum WHERE cum.flag = t.flag
-      |     AND cum.cum * 1000000 >= t.n * 500000) * 5 + 4 AS p500000_ub,
-      |  (SELECT MIN(b) FROM cum WHERE cum.flag = t.flag
-      |     AND cum.cum * 1000000 >= t.n * 950000) * 5 + 4 AS p950000_ub
-      |FROM tot t ORDER BY t.flag""".stripMargin) { (s, d) =>
+      |  FROM s),
+      |qb AS (
+      |  SELECT t.flag, t.n,
+      |    (SELECT MIN(b) FROM cum WHERE cum.flag = t.flag
+      |       AND cum.cum * 1000000 >= t.n * 500000) AS b50,
+      |    (SELECT MIN(b) FROM cum WHERE cum.flag = t.flag
+      |       AND cum.cum * 1000000 >= t.n * 950000) AS b95
+      |  FROM tot t)
+      |SELECT flag, n,
+      |  CASE WHEN b50 >= 0 THEN b50 * 5 + 4 ELSE b50 * 5 END AS p500000_ub,
+      |  CASE WHEN b95 >= 0 THEN b95 * 5 + 4 ELSE b95 * 5 END AS p950000_ub
+      |FROM qb ORDER BY flag""".stripMargin) { (s, d) =>
     val sk = histogramSketch(Tables.lineitem(s, d), "l_returnflag",
       col("l_quantity"), width = 5L)
     sketchQuantiles(sk, "l_returnflag", width = 5L,
@@ -134,10 +149,37 @@ object Scale {
     centroids
   }
 
+  /** Deterministic bounded driver-side training sample shared by every
+    * codebook trainer (the one legitimate driver-side step — a
+    * FAISS-style quantizer train): every step-th vec_id with
+    * step = CEIL(n / cap), so at most ~cap rows are ever collected.
+    * (Floor division let any corpus with cap ≤ n < 2·cap collect
+    * WHOLE — double the documented budget.) Catalog corpora carry
+    * dense 0-based vec_ids; a sparse id space only shrinks the
+    * sample, and an empty one fails loudly rather than training on
+    * nothing.
+    */
+  private def sampleVectors(e: org.apache.spark.sql.DataFrame, cap: Int,
+      normalize: Boolean = false): Array[Array[Double]] = {
+    val n = e.count()
+    val step = math.max(1L, (n + cap - 1) / cap)
+    val rows = e.filter(col("vec_id") % step === 0)
+      .orderBy(col("vec_id")).collect()
+      .map(_.getSeq[Double](1).toArray)
+    require(rows.nonEmpty,
+      s"empty training sample (n=$n, step=$step): no vec_id = 0 mod step")
+    if (normalize) rows.map(l2normalizeV) else rows
+  }
+
+  /** L2-normalize (cosine == dot afterwards); zero vectors pass through. */
+  private def l2normalizeV(v: Array[Double]): Array[Double] = {
+    val n = math.sqrt(v.map(x => x * x).sum)
+    if (n == 0.0) v else v.map(_ / n)
+  }
+
   /** IVF (inverted-file) ANN over (vec_id LONG, v ARRAY<DOUBLE>): train a
     * coarse codebook on a seeded bounded sample (≤ sampleCap rows
-    * collected — the one legitimate driver-side step, exactly a FAISS
-    * coarse-quantizer train), assign each corpus vector to its nearest
+    * collected via [[sampleVectors]]), assign each corpus vector to its nearest
     * centroid (fused-cosine per centroid, argmax via sorted struct
     * array), probe the nProbe nearest lists per query. The corpus scan
     * for assignment is one pass; the search join touches only the probed
@@ -147,12 +189,7 @@ object Scale {
   def ivfTopK(
       e: org.apache.spark.sql.DataFrame, nQueries: Int = 5, topK: Int = 10,
       nCentroids: Int = 16, nProbe: Int = 4, sampleCap: Int = 2048): org.apache.spark.sql.DataFrame = {
-    // deterministic bounded sample: every step-th vec_id
-    val n = e.count()
-    val step = math.max(1L, n / sampleCap)
-    val sample = e.filter(col("vec_id") % step === 0)
-      .orderBy(col("vec_id")).collect()
-      .map(_.getSeq[Double](1).toArray)
+    val sample = sampleVectors(e, sampleCap)
     val centroids = trainCodebook(sample, nCentroids).zipWithIndex
       .map { case (cv, cid) => (cid.toLong, cv.toSeq) }
     // nearest-centroid ranking: array of (sim, cid) structs, sorted asc
@@ -292,11 +329,7 @@ object Scale {
     */
   def saveIvfIndex(e: org.apache.spark.sql.DataFrame, path: String,
       nCentroids: Int = 16, sampleCap: Int = 2048): Unit = {
-    val n = e.count()
-    val step = math.max(1L, n / sampleCap)
-    val sample = e.filter(col("vec_id") % step === 0)
-      .orderBy(col("vec_id")).collect()
-      .map(_.getSeq[Double](1).toArray)
+    val sample = sampleVectors(e, sampleCap)
     val centroids = trainCodebook(sample, nCentroids).zipWithIndex
       .map { case (cv, cid) => (cid.toLong, cv.toSeq) }
     val sp = e.sparkSession
@@ -549,15 +582,7 @@ object Scale {
       e: org.apache.spark.sql.DataFrame, nQueries: Int = 5, topK: Int = 10,
       m: Int = 8, codebookSize: Int = 16, rerank: Int = 64,
       sampleCap: Int = 2048): org.apache.spark.sql.DataFrame = {
-    def l2normalize(v: Array[Double]): Array[Double] = {
-      val n = math.sqrt(v.map(x => x * x).sum)
-      if (n == 0.0) v else v.map(_ / n)
-    }
-    val n = e.count()
-    val step = math.max(1L, n / sampleCap)
-    val sample = e.filter(col("vec_id") % step === 0)
-      .orderBy(col("vec_id")).collect()
-      .map(r => l2normalize(r.getSeq[Double](1).toArray))
+    val sample = sampleVectors(e, sampleCap, normalize = true)
     val dim = sample.head.length
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val sub = dim / m
@@ -566,9 +591,7 @@ object Scale {
     }
 
     // normalized vector column (cosine == dot after normalization)
-    def withNorm(df: org.apache.spark.sql.DataFrame) = df
-      .withColumn("nrm", VF.norm(col("v")))
-      .withColumn("vn", transform(col("v"), x => x / col("nrm")))
+    def withNorm(df: org.apache.spark.sql.DataFrame) = withNormV(df)
 
     // encode: per subspace, argmin_c ||x - c||² == argmax_c (x·c - ||c||²/2)
     def codeCol(j: Int): org.apache.spark.sql.Column = {
@@ -816,15 +839,7 @@ object Scale {
   private[graft] def trainIvfPq(
       e: org.apache.spark.sql.DataFrame, nCentroids: Int, m: Int,
       codebookSize: Int, sampleCap: Int): IvfPqModel = {
-    def l2normalize(v: Array[Double]): Array[Double] = {
-      val n = math.sqrt(v.map(x => x * x).sum)
-      if (n == 0.0) v else v.map(_ / n)
-    }
-    val n = e.count()
-    val step = math.max(1L, n / sampleCap)
-    val sample = e.filter(col("vec_id") % step === 0)
-      .orderBy(col("vec_id")).collect()
-      .map(r => l2normalize(r.getSeq[Double](1).toArray))
+    val sample = sampleVectors(e, sampleCap, normalize = true)
     val dim = sample.head.length
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val sub = dim / m
@@ -1241,8 +1256,12 @@ object Scale {
     */
   def sliceSketchUnion(df: org.apache.spark.sql.DataFrame,
       sliceCol: String, valueCol: String): org.apache.spark.sql.DataFrame = {
+    // materialized once (#slices rows): it feeds BOTH the per-slice
+    // estimate branch and the union row — left lazy, each branch would
+    // re-scan the full input and re-sketch it
     val perSlice = df.groupBy(col(sliceCol).as("slice"))
       .agg(hll_sketch_agg(col(valueCol)).as("sk"))
+      .localCheckpoint(true)
     perSlice
       .select(col("slice"), hll_sketch_estimate(col("sk")).as("est"))
       .unionByName(perSlice.agg(

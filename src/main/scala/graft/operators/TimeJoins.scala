@@ -1554,7 +1554,8 @@ object TimeJoins {
       |  FROM events, bounds GROUP BY 1, 2),
       |g AS (
       |  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
-      |    SUM(x*y) AS sxy, SUM(x*x) AS sxx
+      |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+      |    SUM(CAST(x AS HUGEINT) * x) AS sxx
       |  FROM ux),
       |v AS (
       |  SELECT variant, COUNT(*) AS nv, SUM(x) AS sxv, SUM(y) AS syv
@@ -1580,8 +1581,10 @@ object TimeJoins {
         sum(when(col("day") >= cut, col("cents")).otherwise(0L)).as("y"))
     val g = ux.agg(count(lit(1)).as("n"),
       sum(col("x").cast(dec38)).as("sx"), sum(col("y").cast(dec38)).as("sy"),
-      sum((col("x") * col("y")).cast(dec38)).as("sxy"),
-      sum((col("x") * col("x")).cast(dec38)).as("sxx"))
+      // widen BEFORE the product (q231's rule): x·y / x·x wrap in
+      // 64-bit once a user's pre-period cents pass ~3e9
+      sum(col("x").cast(dec38) * col("y")).as("sxy"),
+      sum(col("x").cast(dec38) * col("x")).as("sxx"))
     val v = ux.groupBy(col("variant"))
       .agg(count(lit(1)).as("nv"), sum(col("x").cast(dec38)).as("sxv"),
         sum(col("y").cast(dec38)).as("syv"))

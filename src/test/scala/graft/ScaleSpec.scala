@@ -610,6 +610,41 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("quantile sketch: upper bound stays one-sided on negative domains") {
+    // truncate-toward-zero buckets are asymmetric around zero: bucket
+    // b < 0 spans [b·w−(w−1), b·w], so its upper bound is b·w, NOT
+    // b·w+w−1 (which no value in the bucket attains). Pin the contract
+    // (0 ≤ UB − v* ≤ w−1 for the exact rank-picked v*) across a domain
+    // straddling zero.
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(23)
+    val rows = (0 until 3000).map(i =>
+      (s"g${i % 2}", rnd.nextLong(101) - 50)) // values in [-50, 50]
+    val df = rows.toDF("g", "v")
+    val got = graft.operators.Scale.sketchQuantiles(
+        graft.operators.Scale.histogramSketch(df, "g", col("v"), 5L),
+        "g", 5L, Seq(250000L, 500000L, 950000L))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val byG = rows.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    got.foreach { case (g, (p25, p50, p95)) =>
+      val vs = byG(g)
+      def pick(ppm: Long): Long =
+        vs((((ppm * vs.size + 999999L) / 1000000L).toInt - 1).max(0))
+      Seq(p25 -> pick(250000L), p50 -> pick(500000L),
+          p95 -> pick(950000L)).foreach { case (ub, v) =>
+        // bucket span is w−1 except bucket 0, which truncate-toward-
+        // zero widens to [−(w−1), w−1] (span 2w−2) — the documented
+        // worst case on a domain straddling zero
+        val span = if (v > -5L && v < 5L) 8L else 4L
+        assert(ub >= v && ub - v <= span, s"$g: UB $ub vs exact $v")
+      }
+    }
+  }
+
   test("heavy hitters on an empty corpus returns an empty frame, not an NPE") {
     val s = spark
     import s.implicits._
