@@ -198,10 +198,13 @@ object Curation {
     val targetPiece = when(col("masked"),
       when(col("off") === col("s"), concat(sentinel, lit(" "), col("t")))
         .otherwise(col("t")))
+    // collect_list already skips the NULLs the otherwise-less `when`
+    // produces for suppressed pieces, so the collected array is
+    // null-free by construction — no post-filter pass needed
     def joinPieces(piece: Column): Column = concat_ws(" ",
       transform(
-        filter(array_sort(collect_list(when(piece.isNotNull,
-          struct(col("pos"), piece.as("p"))))), s => s.isNotNull),
+        array_sort(collect_list(when(piece.isNotNull,
+          struct(col("pos"), piece.as("p"))))),
         s => s.getField("p")))
     tok.groupBy(col("doc_id"))
       .agg(count(when(col("masked"), 1)).as("n_masked"),

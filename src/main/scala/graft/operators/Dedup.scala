@@ -90,6 +90,23 @@ object Dedup {
       .distinct()
   }
 
+  /** The shared pair-finder tail: join per-doc shingle sizes onto
+    * (doc_a, doc_b, inter) candidate intersection counts, score
+    * jac = inter / (na + nb − inter), keep pairs ≥ threshold. One
+    * definition so the threshold semantics and output column names
+    * cannot drift between the five finder paths (minhash, exact,
+    * df-capped, incremental, prefix-filtered). Callers order their
+    * own output. */
+  private def jaccardScored(inter: DataFrame, sizes: DataFrame,
+      threshold: Double): DataFrame =
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter"))).as("jac"))
+      .filter(col("jac") >= threshold)
+
   /** Exact content dedup: deterministic representative selection (keep
     * lowest doc_id per md5-fingerprint group) — the scalable form of
     * `dropDuplicates` when the survivor must be well-defined. One shuffle
@@ -194,12 +211,7 @@ object Dedup {
         .join(tri.select(col("doc_id").as("doc_b"), col("g").as("g2")), "doc_b")
         .filter(col("g") === col("g2"))
         .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
-      inter
-        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
-        .select(col("doc_a"), col("doc_b"),
-          (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jac"))
-        .filter(col("jac") >= threshold)
+      jaccardScored(inter, sizes, threshold)
         .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -416,12 +428,7 @@ object Dedup {
           col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
         .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         .agg(count(lit(1)).as("inter"))
-      inter
-        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
-        .select(col("doc_a"), col("doc_b"),
-          (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jac"))
-        .filter(col("jac") >= threshold)
+      jaccardScored(inter, sizes, threshold)
         .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -464,12 +471,7 @@ object Dedup {
         col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jac"))
-      .filter(col("jac") >= threshold)
+    jaccardScored(inter, sizes, threshold)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -501,8 +503,13 @@ object Dedup {
     // key (dst): the cached partitioning satisfies every iteration's
     // join distribution, so only the tiny labels frame moves per round —
     // at any scale the big side is exchanged exactly once, here.
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // row-local explode, not a two-select union: the union form scans
+    // the (expensive, usually uncached) pair pipeline once per branch;
+    // the explode symmetrizes in a single pass
+    val edges = pairs.select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .repartition(col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // init = identity fused with the first propagation round: label(id)
@@ -636,15 +643,22 @@ object Dedup {
       // round; eager=true materializes it as this round's action.
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
       // fixpoint = identical edge set; (count, Σhash) over the canonical
-      // oriented-distinct frame identifies it (decimal sum: overflow-safe
-      // under ANSI at any edge count)
+      // oriented-distinct frame screens for it (decimal sum: overflow-
+      // safe under ANSI at any edge count). The signature alone is
+      // PROBABILISTIC (a 32-bit hash-sum collision between distinct
+      // consecutive edge sets would end the loop on a non-star), so a
+      // match is CONFIRMED by one exact set check — equal counts over
+      // canonical distinct frames make an empty difference equivalent
+      // to set equality. Unequal signatures need no check (unequal ⟹
+      // unequal sets), so the exact join runs once per call, not per
+      // round.
       val row = next.agg(count(lit(1)),
         sum(hash(col("a"), col("b")).cast("decimal(38,0)"))).head()
       val newSig = (row.getLong(0),
         Option(row.get(1)).map(_.toString).getOrElse("0"))
+      converged = sig.contains(newSig) && next.exceptAll(edges).isEmpty
       edges.unpersist()
       edges = next
-      converged = sig.contains(newSig)
       sig = Some(newSig)
       iter += 1
     }
@@ -766,11 +780,13 @@ object Dedup {
     val benchG = shingles(benchmark)
       .select(col("doc_id").as("bench_id"), col("g"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // size the bloom from the REAL benchmark shingle count (the frame is
-    // persisted; the count is one cheap cached pass): the default sizing
-    // assumes 1M items → a ~1 MB filter that every task would
-    // deserialize from the plan, 16× larger than needed here
-    val nBench = benchG.count()
+    // size the bloom from the DISTINCT benchmark gram count (the frame
+    // is persisted; one cheap cached pass): the default sizing assumes
+    // 1M items → a ~1 MB filter every task would deserialize from the
+    // plan, 16× larger than needed here — and the raw (bench_id, g) row
+    // count would re-inflate it by the cross-doc gram repetition factor
+    // on near-identical eval sets, for zero accuracy gain
+    val nBench = benchG.select(col("g")).distinct().count()
     val bloomAgg = GraftBridge.column(
       new BloomFilterAggregate(new XxHash64(Seq(GraftBridge.expression(col("g")))),
         math.max(1L, nBench))
@@ -794,8 +810,10 @@ object Dedup {
     * corpus AND within itself — the daily-ingest shape (recrawled pages,
     * new dumps) where re-running all-pairs dedup over the whole corpus
     * per increment would be quadratic in total over time. Pairs are
-    * restricted to (earlier doc, new doc): the index side is never
-    * joined against itself. The joins are UNHINTED on purpose: a daily
+    * restricted to pairs touching the new batch: the index side is
+    * never joined against itself, and id order carries no meaning —
+    * an (index, new) pair is found whichever side has the larger id.
+    * The joins are UNHINTED on purpose: a daily
     * increment's shingle frame usually fits a broadcast and AQE will
     * choose one, but the increment size is caller-controlled, so
     * forcing the hint would invert on a bulk backfill (the q28/q50
@@ -812,16 +830,28 @@ object Dedup {
         allG("doc_id") === newIds("doc_b"))
       .select(col("doc_b"), col("g"))
     val sizes = allG.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = allG.join(newG,
-        allG("g") === newG("g") && allG("doc_id") < newG("doc_b"))
-      .groupBy(allG("doc_id").as("doc_a"), col("doc_b"))
+    // Pair orientation must not assume new ids are larger (recrawls and
+    // backfills interleave id spaces): one side is always a NEW doc
+    // (doc_b); the other side pairs with it when it is id-smaller, OR
+    // when it is an INDEX doc with a larger id — so an (index, new)
+    // pair is found in either id order, while a new–new pair (whose
+    // both orientations appear, since new docs are in allG too) is
+    // counted exactly once. Output is canonical (least, greatest), the
+    // exactNearDups convention, making the documented contract —
+    // exactNearDups(index ∪ new) minus index-internal pairs — hold for
+    // ANY id distribution, and keeping this path and q78's
+    // least/greatest index path in agreement.
+    val isNew = newBatch.select(col("doc_id"), lit(true).as("is_new"))
+    val tagged = allG.join(isNew, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("g"),
+        coalesce(col("is_new"), lit(false)).as("is_new"))
+    val inter = tagged.join(newG,
+        tagged("g") === newG("g") && tagged("doc_id") =!= newG("doc_b") &&
+          (tagged("doc_id") < newG("doc_b") || !tagged("is_new")))
+      .groupBy(least(tagged("doc_id"), newG("doc_b")).as("doc_a"),
+        greatest(tagged("doc_id"), newG("doc_b")).as("doc_b"))
       .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jac"))
-      .filter(col("jac") >= threshold)
+    jaccardScored(inter, sizes, threshold)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -1186,26 +1216,27 @@ object Dedup {
     val df = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
     // Global rarity position within each doc: row_number over (df, g).
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))
+    // persisted: the prefix frame feeds BOTH sides of the candidate
+    // self-join below — left lazy, the df join + per-doc ranking window
+    // would execute once per alias
     val prefix = sh.join(df, Seq("g"))
       .withColumn("pos", row_number().over(wDoc))
       .join(sizes, Seq("doc_id"))
       .filter(col("pos") <= expr("n div 2 + 1"))
       .select(col("doc_id"), col("g"), col("n"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val cand = prefix.as("x").join(prefix.as("y"),
         col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id") &&
           least(col("x.n"), col("y.n")) * 2 >= greatest(col("x.n"), col("y.n")))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     // Exact verify on candidates only: re-join the full shingle lists.
-    cand.join(sh.select(col("doc_id").as("doc_a"), col("g")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("g")), Seq("doc_b", "g"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jac"))
-      .filter(col("jac") >= 0.5)
+    jaccardScored(
+      cand.join(sh.select(col("doc_id").as("doc_a"), col("g")), Seq("doc_a"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("g")), Seq("doc_b", "g"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("inter")),
+      sizes, threshold = 0.5) // τ=0.5 is baked into the prefix length
   }
 
   /** q187: prefix-filtered near-dup pairs ≥ 0.5 — hash-checked against

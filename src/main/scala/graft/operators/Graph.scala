@@ -2011,12 +2011,17 @@ object Graph {
     var sig = Option.empty[(Long, String)]
     while (!converged && iter < maxIters) {
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      // (count, Σhash) screens for the fixpoint; a match is CONFIRMED
+      // by one exact set check (canonical distinct frames with equal
+      // counts: empty difference ⟺ equal sets) so a 32-bit hash-sum
+      // collision cannot end the contraction on a non-star — the
+      // dedupClustersStars convergence rule
       val row = next.agg(count(lit(1)),
         sum(hash(col("x"), col("a"), col("b")).cast("decimal(38,0)"))).head()
       val newSig = (row.getLong(0),
         Option(row.get(1)).map(_.toString).getOrElse("0"))
+      converged = sig.contains(newSig) && next.exceptAll(edges).isEmpty
       edges = next
-      converged = sig.contains(newSig)
       sig = Some(newSig)
       iter += 1
     }

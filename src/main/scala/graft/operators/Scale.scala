@@ -159,13 +159,13 @@ object Scale {
     * sample, and an empty one fails loudly rather than training on
     * nothing.
     */
-  private def sampleVectors(e: org.apache.spark.sql.DataFrame, cap: Int,
-      normalize: Boolean = false): Array[Array[Double]] = {
+  private[operators] def sampleVectors(e: org.apache.spark.sql.DataFrame,
+      cap: Int, normalize: Boolean = false): Array[Array[Double]] = {
     val n = e.count()
     val step = math.max(1L, (n + cap - 1) / cap)
     val rows = e.filter(col("vec_id") % step === 0)
-      .orderBy(col("vec_id")).collect()
-      .map(_.getSeq[Double](1).toArray)
+      .orderBy(col("vec_id")).select(col("v")).collect()
+      .map(_.getSeq[Double](0).toArray)
     require(rows.nonEmpty,
       s"empty training sample (n=$n, step=$step): no vec_id = 0 mod step")
     if (normalize) rows.map(l2normalizeV) else rows

@@ -693,11 +693,7 @@ object Similarity {
     */
   def semanticDedup(vectors: DataFrame, threshold: Double = 0.4,
       nClusters: Int = 16, sampleCap: Int = 2048): DataFrame = {
-    val n = vectors.count()
-    val step = math.max(1L, n / sampleCap)
-    val sample = vectors.filter(col("vec_id") % step === 0)
-      .orderBy(col("vec_id")).select(col("v")).collect()
-      .map(_.getSeq[Double](0).toArray)
+    val sample = Scale.sampleVectors(vectors, sampleCap)
     val centroids = Scale.trainCodebook(sample, nClusters).zipWithIndex
     val sims = centroids.map { case (cv, cid) =>
       struct(CosineSimilarity.cosineSim(col("v"), typedLit(cv.toSeq)).as("sim"),

@@ -144,6 +144,23 @@ class DedupDfCapSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("incremental dedup holds when new ids interleave the index's") {
+    // recrawl shape: the new batch's ids are NOT all larger than the
+    // index's — an (index, new) near-dup pair must be found whichever
+    // side has the larger id (doc_id % 5 == 0 scatters the new batch
+    // across the whole id range)
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+    val isNew = org.apache.spark.sql.functions.col("doc_id") % 5 === 0
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = pairs(operators.Dedup.exactNearDups(docs))
+    val incr = pairs(operators.Dedup.incrementalNearDups(
+      docs.filter(!isNew), docs.filter(isNew)))
+    assert(incr === full.filter(p => p._1 % 5 == 0 || p._2 % 5 == 0))
+    spark.catalog.clearCache()
+  }
+
   test("star-contraction clustering on a clean corpus returns empty") {
     val s = spark
     import s.implicits._
