@@ -94,7 +94,14 @@ object Extended {
   def cdcMerge(base: org.apache.spark.sql.DataFrame,
       changes: org.apache.spark.sql.DataFrame,
       key: String, seqCol: String = "seq"): org.apache.spark.sql.DataFrame = {
-    val w = Window.partitionBy(col(key)).orderBy(col(seqCol).desc)
+    // op breaks (key, seq) ties deterministically — 'D' sorts first, so
+    // an update and a delete sharing a sequence number (a batch/commit
+    // id rather than a per-row LSN) resolve to the DELETE on every run
+    // instead of an arbitrary row_number winner. Ties between two
+    // updates at the same seq still need a caller-side total order on
+    // seq (the changelog's job).
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(seqCol).desc, col("op"))
     base.withColumn(seqCol, lit(0L)).withColumn("op", lit("U"))
       .unionByName(changes)
       .withColumn("rn", row_number().over(w))
@@ -128,7 +135,8 @@ object Extended {
       |merged AS (
       |  SELECT o_orderkey, o_custkey, o_orderstatus
       |  FROM (SELECT * FROM base UNION ALL SELECT * FROM changes)
-      |  QUALIFY row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) = 1
+      |  QUALIFY row_number() OVER (PARTITION BY o_orderkey
+      |      ORDER BY seq DESC, op) = 1
       |    AND op <> 'D')""".stripMargin
 
   private def cdcSnapshot(s: org.apache.spark.sql.SparkSession, d: String) =
@@ -170,7 +178,10 @@ object Extended {
   def scd2History(base: org.apache.spark.sql.DataFrame,
       changes: org.apache.spark.sql.DataFrame,
       key: String, seqCol: String = "seq"): org.apache.spark.sql.DataFrame = {
-    val w = Window.partitionBy(col(key)).orderBy(col(seqCol))
+    // op tiebreak (the cdcMerge rule): equal-seq ties order
+    // deterministically ('D' first), so a delete and an update sharing
+    // a commit-id seq produce the same version chain on every run
+    val w = Window.partitionBy(col(key)).orderBy(col(seqCol), col("op"))
     base.withColumn(seqCol, lit(0L)).withColumn("op", lit("U"))
       .unionByName(changes)
       .withColumn("valid_to", lead(col(seqCol), 1).over(w))
@@ -190,7 +201,8 @@ object Extended {
     s"""WITH $cdcCtes,
       |hist AS (
       |  SELECT o_orderkey, o_custkey, o_orderstatus, seq AS valid_from,
-      |    lead(seq) OVER (PARTITION BY o_orderkey ORDER BY seq) AS valid_to, op
+      |    lead(seq) OVER (PARTITION BY o_orderkey ORDER BY seq, op)
+      |      AS valid_to, op
       |  FROM (SELECT * FROM base UNION ALL SELECT * FROM changes))
       |SELECT o_orderkey, o_custkey, o_orderstatus, valid_from, valid_to,
       |  valid_to IS NULL AS is_current
@@ -437,7 +449,13 @@ object Extended {
       lit(null).cast("string").as("__op"),
       lit(null).cast(payloadType).as("__payload"),
       col(seqCol).as("fact_seq"))
-    val w = Window.partitionBy(col(key)).orderBy(col("ord"), col("kind"))
+    // __op DESC NULLS LAST tiebreak: two VERSIONS sharing (key, ord)
+    // order 'U' before 'D', so last() carries the delete — the key
+    // reads as absent at that instant, consistent with cdcMerge's
+    // delete-wins-ties rule (facts carry null __op and sort after via
+    // kind, so their tie order is irrelevant)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("ord"), col("kind"), col("__op").desc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carriedOp = last(col("__op"), ignoreNulls = true).over(w)
     val carried = last(col("__payload"), ignoreNulls = true).over(w)
@@ -473,7 +491,8 @@ object Extended {
       |  SELECT o_orderkey, fact_seq,
       |    CASE WHEN last_value(op IGNORE NULLS) OVER w = 'D' THEN NULL
       |         ELSE last_value(o_custkey IGNORE NULLS) OVER w END AS o_custkey
-      |  FROM u WINDOW w AS (PARTITION BY o_orderkey ORDER BY ord, kind
+      |  FROM u WINDOW w AS (PARTITION BY o_orderkey
+      |    ORDER BY ord, kind, op DESC NULLS LAST
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
       |SELECT o_orderkey, fact_seq, o_custkey FROM carried
       |WHERE fact_seq IS NOT NULL
@@ -551,8 +570,15 @@ object Extended {
     */
   def tableFingerprint(df: org.apache.spark.sql.DataFrame, keyCol: String,
       cols: Seq[String], nBuckets: Int = 64): org.apache.spark.sql.DataFrame =
+    // NULLs serialize as an explicit NUL sentinel: concat_ws SKIPS null
+    // arguments, so without it ("A", NULL, "B") and ("A", "B", NULL)
+    // would collide on "A|B" and a null-shifted replica would checksum
+    // in_sync — a false negative in the primitive whose job is
+    // catching silent divergence
     df.select(pmod(col(keyCol), lit(nBuckets)).as("bucket"),
-        conv(substring(md5(concat_ws("|", cols.map(col): _*).cast("binary")), 1, 15),
+        conv(substring(md5(concat_ws("|",
+            cols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)
+          .cast("binary")), 1, 15),
           16, 10).cast(DecimalType(38, 0)).as("sig"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_rows"), sum(col("sig")).as("checksum"))
@@ -598,13 +624,17 @@ object Extended {
       |fa AS (
       |  SELECT o_orderkey % 64 AS bucket, COUNT(*) AS n_a,
       |    CAST(SUM(('0x' || substring(md5(
-      |      o_orderkey || '|' || o_custkey || '|' || o_orderstatus), 1, 15))::BIGINT)
+      |      COALESCE(o_orderkey::VARCHAR, chr(0)) || '|' ||
+      |      COALESCE(o_custkey::VARCHAR, chr(0)) || '|' ||
+      |      COALESCE(o_orderstatus, chr(0))), 1, 15))::BIGINT)
       |      AS DECIMAL(38,0)) AS cs_a
       |  FROM snap GROUP BY 1),
       |fb AS (
       |  SELECT o_orderkey % 64 AS bucket, COUNT(*) AS n_b,
       |    CAST(SUM(('0x' || substring(md5(
-      |      o_orderkey || '|' || o_custkey || '|' || o_orderstatus), 1, 15))::BIGINT)
+      |      COALESCE(o_orderkey::VARCHAR, chr(0)) || '|' ||
+      |      COALESCE(o_custkey::VARCHAR, chr(0)) || '|' ||
+      |      COALESCE(o_orderstatus, chr(0))), 1, 15))::BIGINT)
       |      AS DECIMAL(38,0)) AS cs_b
       |  FROM replica GROUP BY 1)
       |SELECT COALESCE(fa.bucket, fb.bucket) AS bucket,
@@ -1041,10 +1071,15 @@ object Extended {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // lineitems survive when their order survives — which includes
     // orphan lineitems whose order is outside the snapshot entirely
+    // deletedOrd is FACT-scale (every order of every deleted customer —
+    // grows with the data, unlike the human-scale `del` list), so the
+    // anti-join is left UNHINTED: AQE broadcasts it when it fits and
+    // shuffles when it doesn't (the q28/q50 lesson); a forced broadcast
+    // would OOM at the 100 TB scale this query narrates
     val deletedOrd = orders.join(broadcast(del),
       col("o_custkey") === col("c_custkey"), "left_semi")
     val keepLi = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_quantity"))
-      .join(broadcast(deletedOrd.select(col("o_orderkey"))),
+      .join(deletedOrd.select(col("o_orderkey")),
         col("l_orderkey") === col("o_orderkey"), "left_anti")
     val a = del.agg(count(lit(1)).as("n_deleted_subjects"))
     val b = keepOrd.agg(count(lit(1)).as("n_orders_kept"),
@@ -1528,7 +1563,9 @@ object Extended {
       .filter(col("a") >= 1)
     anc.groupBy(col("a"))
       .agg(count(lit(1)).as("n_desc"), sum(col("cnt")).as("sum_events"))
-      .join(broadcast(c.select(col("u").as("a"), lit(1).as("is_user"))),
+      // UNHINTED: c is one row per distinct user — fact-scale, not a
+      // dimension — so AQE picks broadcast only when it actually fits
+      .join(c.select(col("u").as("a"), lit(1).as("is_user")),
         Seq("a"), "left")
       .select(col("a").as("node"), col("n_desc"), col("sum_events"),
         coalesce(col("is_user"), lit(0)).as("is_user"))

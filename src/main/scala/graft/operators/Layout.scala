@@ -637,7 +637,12 @@ object Layout {
       .collect().map(_.getString(0))
     val total = new java.io.File(path).listFiles()
       .count(_.getName.endsWith(".parquet"))
-    val rows = spark.read.parquet(posted.toIndexedSeq: _*)
+    // a key that posts to no file is a MISS, not an error: the reader
+    // cannot take zero paths, so schema-project the empty frame off the
+    // table root (the zoneMapRead empty-survivor rule)
+    val rows = if (posted.isEmpty)
+      spark.read.parquet(path).filter(lit(false))
+    else spark.read.parquet(posted.toIndexedSeq: _*)
       .filter(col(valCol).isin(keys: _*))
     (rows, posted.length, total)
   }

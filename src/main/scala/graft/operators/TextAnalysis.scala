@@ -148,9 +148,12 @@ object TextAnalysis {
       |FROM top t JOIN ntok n USING (doc_id) JOIN rep r USING (doc_id)
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
     val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    // persisted: tok feeds tf, ntok AND the bigram window — one
+    // tokenize pass, not three (the bm25TopK/invertedIndex rule)
     val tok = Tables.documents(s, d)
       .select(col("doc_id"), posexplode(split(col("text"), " ")))
       .withColumnRenamed("col", "t")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tf = tok.groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
     val top = tf.groupBy(col("doc_id")).agg(max(col("c")).as("top_c"))
     val ntok = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tok"))
@@ -335,7 +338,13 @@ object TextAnalysis {
     */
   def bm25TopK(docs: DataFrame, terms: Seq[String],
       topK: Int = 20): DataFrame = {
+    // persisted: the exploded token frame feeds FOUR consumers (dl,
+    // stats, and via qtok both tf and dfq) — left lazy, the corpus
+    // tokenize/explode would execute once per consumer (the
+    // invertedIndex/perplexityScore rule; Verify/Bench clear the cache
+    // between queries)
     val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
     val stats = tok.agg(
       (count(lit(1)).cast("double") / count_distinct(col("doc_id"))).as("avgdl"),
@@ -476,8 +485,12 @@ object TextAnalysis {
     // pay the linear re-scan — never the double tokenize by accident.
     val postings = postings0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // df = DOCUMENT frequency (countDistinct doc_id), not occurrence
+    // count: a raw token-exploded frame carries repeats within a doc,
+    // and counting rows would band-filter on the wrong quantity and
+    // disagree with the collect_set posting list's own length
     val kept = postings.groupBy(col("term"))
-      .agg(count(lit(1)).as("df"))
+      .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df").between(minDf, maxDf))
     postings.join(kept, Seq("term"))
       .groupBy(col("term"), col("df"))

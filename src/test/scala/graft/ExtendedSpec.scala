@@ -80,6 +80,43 @@ class ExtendedSpec extends AnyFunSuite {
       s"got $out")
   }
 
+  test("cdcMerge: an update and a delete sharing a seq resolve to the delete") {
+    // commit-id changelogs assign one seq to a whole batch: the tie
+    // must resolve deterministically (op tiebreak, 'D' first), never
+    // to an arbitrary row_number winner
+    val s = spark
+    import s.implicits._
+    val base = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val changes = Seq(
+      (1L, "a2", 7L, "U"), (1L, "a2", 7L, "D"), // same-seq race on k=1
+      (2L, "b2", 3L, "U")
+    ).toDF("k", "v", "seq", "op")
+    val out = graft.operators.Extended.cdcMerge(base, changes, "k")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    spark.catalog.clearCache()
+    assert(out == Map(2L -> "b2"), s"got $out")
+  }
+
+  test("tableDiff: a value shifted between nullable columns is out of sync") {
+    // concat_ws skips NULL arguments — without the NUL-sentinel
+    // serialization, ("A", NULL, "x") and (NULL, "A", "x") collide and
+    // the divergence checksums as in_sync
+    val s = spark
+    import s.implicits._
+    val a = Seq((1L, Option("A"), Option.empty[String]),
+      (2L, Option("B"), Option.empty[String]))
+      .toDF("k", "c1", "c2")
+    val b = Seq((1L, Option.empty[String], Option("A")), // shifted
+      (2L, Option("B"), Option.empty[String]))
+      .toDF("k", "c1", "c2")
+    val diff = graft.operators.Extended
+      .tableDiff(a, b, "k", Seq("k", "c1", "c2"), nBuckets = 4)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    spark.catalog.clearCache()
+    assert(!diff(1L % 4), s"null-shifted bucket must differ: $diff")
+    assert(diff(2L % 4), s"untouched bucket must stay in sync: $diff")
+  }
+
   test("property: cdcMerge equals a per-key max-seq reference over random changelogs") {
     val s = spark
     import s.implicits._
