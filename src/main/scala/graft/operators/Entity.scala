@@ -40,6 +40,10 @@ object Entity {
           |  i -> concat(substring(name, 1, i - 1), '*',
           |              substring(name, i + 1, length(name))))""".stripMargin))
         .as(Seq("pos", "variant")))
+      // persisted: keyed feeds BOTH self-join sides — left lazy, the
+      // variant explosion runs once per alias (the cosineEdgesLsh rule;
+      // Verify/Bench clear the cache between queries)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     keyed.as("a").join(keyed.as("b"),
         col("a.pos") === col("b.pos") &&
           col("a.variant") === col("b.variant") &&
@@ -79,6 +83,7 @@ object Entity {
           |    i -> concat(substring(name, 1, i - 1),
           |                substring(name, i + 1, length(name)))))""".stripMargin))
         .as("variant"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     keyed.as("a").join(keyed.as("b"),
         col("a.variant") === col("b.variant") && col("a.k") < col("b.k"))
       .filter(levenshtein(col("a.name"), col("b.name")) <= 1)
@@ -118,6 +123,7 @@ object Entity {
           |                  substring(name, i + 1, j - i - 1),
           |                  substring(name, j + 1, length(name)))))))""".stripMargin))
         .as("variant"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     keyed.as("a").join(keyed.as("b"),
         col("a.variant") === col("b.variant") && col("a.k") < col("b.k"))
       .filter(levenshtein(col("a.name"), col("b.name")) <= 2)

@@ -197,10 +197,15 @@ object Graph {
   def pageRankBucketed(edges0: DataFrame, numBuckets: Int, table: String,
       path: String, iterations: Int = 3): DataFrame = {
     val s = edges0.sparkSession
+    // persisted across the write: edges feeds BOTH the degree agg and
+    // the join in one job — left lazy, the distinct subtree runs twice
+    // inside the measured build (the pageRank deg-persist rule)
     val edges = edges0.select(col("src"), col("dst")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     Layout.bucketedWrite(edges.join(deg, "src"), "src", numBuckets,
       table, path)
+    edges.unpersist()
     val withDeg = s.table(table) // (src, dst, outdeg), bucketed on src
     val nFrame = withDeg.select(col("src")).distinct()
       .agg(count(lit(1)).as("n_nodes"))
@@ -353,10 +358,16 @@ object Graph {
     */
   def labelPropagation(edges0: DataFrame, seeds: DataFrame, nodes: DataFrame,
       rounds: Int = 2, release: Boolean = false): DataFrame = {
-    val edges = edges0.select(col("src"), col("dst"))
+    // normalized inputs (the sibling-operator rule — pageRank, kCore,
+    // triangleCounts all distinct their edges): a duplicated edge would
+    // double-count its vote and flip majorities; a node seeded twice
+    // would fan the base frame out into conflicting duplicate rows —
+    // ties across duplicate seeds resolve to the smallest label, the
+    // same total order the per-round argmax uses
+    val edges = edges0.select(col("src"), col("dst")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val base = nodes.select(col("node"))
-      .join(seeds.select(col("node"), col("label").as("seed_label")),
+    val base = nodes.select(col("node")).distinct()
+      .join(seeds.groupBy(col("node")).agg(min(col("label")).as("seed_label")),
         Seq("node"), "left")
       .persist(StorageLevel.MEMORY_AND_DISK)
     var state = base.select(col("node"), col("seed_label").as("label"))
@@ -452,6 +463,11 @@ object Graph {
       bitsPerBand: Int = 2, seeds: Seq[Long] = Seq(42L, 43L),
       release: Boolean = false): DataFrame = {
     val nBits = 32
+    // unguarded, a too-wide band silently yields ZERO bands — an empty
+    // edge set that reads as "no similar pairs" — and 0 divides by zero
+    require(bitsPerBand >= 1 && bitsPerBand <= nBits &&
+      nBits % bitsPerBand == 0,
+      s"bitsPerBand must divide $nBits, got $bitsPerBand")
     val bandsPerSeed = nBits / bitsPerBand
     val mask = (1L << bitsPerBand) - 1
     val vecs = vectors.select(col("vec_id"), col("v"))
@@ -1079,19 +1095,7 @@ object Graph {
         |${levels}
         |ORDER BY start, step""".stripMargin
     }) { (s, d) =>
-    val pairs = Tables.lineitem(s, d)
-      .join(Tables.orders(s, d).filter(col("o_orderkey") < 2000),
-        col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
-      .distinct()
-    val half = pairs.as("a")
-      .join(pairs.withColumnRenamed("sk", "sk2").as("b"),
-        col("a.c") === col("b.c") && col("a.sk") < col("sk2"))
-      .select(col("a.sk").as("src"), col("sk2").as("dst"))
-      .distinct()
-    val und = half.unionByName(
-      half.select(col("dst").as("src"), col("src").as("dst")))
-    randomWalks(und, walkLen = 5, seed = 42L)
+    randomWalks(coPurchaseEdges(s, d), walkLen = 5, seed = 42L)
       .orderBy(col("start"), col("step"))
   }
 
@@ -1359,19 +1363,8 @@ object Graph {
       |FROM inter JOIN deg da ON inter.a = da.node
       |JOIN deg db ON inter.b = db.node
       |ORDER BY a, b""".stripMargin) { (s, d) =>
-    val pairs = Tables.lineitem(s, d)
-      .join(Tables.orders(s, d).filter(col("o_orderkey") < 2000),
-        col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
-      .distinct()
-    val half = pairs.as("a")
-      .join(pairs.withColumnRenamed("sk", "sk2").as("b"),
-        col("a.c") === col("b.c") && col("a.sk") < col("sk2"))
-      .select(col("a.sk").as("src"), col("sk2").as("dst"))
-      .distinct()
-    val und = half.unionByName(
-      half.select(col("dst").as("src"), col("src").as("dst")))
-    neighborOverlap(und, minShared = 3L).orderBy(col("a"), col("b"))
+    neighborOverlap(coPurchaseEdges(s, d), minShared = 3L)
+      .orderBy(col("a"), col("b"))
   }
 
   /** The DIRECTED edge base for the SCC/reachability family: the
@@ -1396,6 +1389,20 @@ object Graph {
     * the group key (type, hr) is the natural partition and no group
     * outlives its hour.
     */
+  /** The symmetrized handoff graph plus its build-once memo key — the
+    * ONE frame the articulation/bridge/biconnected/2ECC/modularity
+    * family (q176/q181/q183/q199/q254) reads. A single definition keeps
+    * every exclusionMemo/twoEcMemo consumer keyed over identical graph
+    * semantics: a divergent copy would silently read an index built
+    * from a different graph.
+    */
+  private def handoffUndirected(s: org.apache.spark.sql.SparkSession,
+      d: String): (DataFrame, Option[String]) = {
+    val e = handoffEdges(Tables.events(s, d))
+    (e.unionByName(e.select(col("dst").as("src"), col("src").as("dst"))),
+      Some(s"$d#handoff-und"))
+  }
+
   def handoffEdges(events: DataFrame, maxEventId: Long = 2000L,
       hrMod: Long = 7L): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
@@ -1477,7 +1484,12 @@ object Graph {
   def stronglyConnectedComponents(edges0: DataFrame): DataFrame = {
     var edges = edges0.select(col("src"), col("dst")).distinct()
       .localCheckpoint(true)
-    var result: DataFrame = null
+    // empty input = empty result with the output schema, not null (the
+    // sccByClosure convention — the two documented-equivalent paths
+    // must agree on every input)
+    var result: DataFrame = edges
+      .select(col("src").as("node"), col("src").as("scc_id"))
+      .limit(0)
     var remaining = edges.count()
     while (remaining > 0) {
       val nodes = edges.select(col("src").as("node"))
@@ -1520,7 +1532,7 @@ object Graph {
       val ids = claimed.groupBy(col("color")).agg(min(col("node")).as("scc_id"))
       val assigned = claimed.join(ids, Seq("color"))
         .select(col("node"), col("scc_id")).localCheckpoint(true)
-      result = if (result == null) assigned else result.union(assigned)
+      result = result.union(assigned)
       // 3. drop claimed nodes; edge-stripped leftovers are singletons
       val done = assigned.select(col("node"))
       edges = edges
@@ -2141,10 +2153,8 @@ object Graph {
       |SELECT x AS node, COUNT(DISTINCT lbl) AS n_split,
       |       COUNT(DISTINCT lbl) >= 2 AS is_articulation
       |FROM labels GROUP BY x ORDER BY node""".stripMargin) { (s, d) =>
-    val e = handoffEdges(Tables.events(s, d))
-    val und = e.unionByName(
-      e.select(col("dst").as("src"), col("src").as("dst")))
-    articulationProfile(und, memoKey = Some(s"$d#handoff-und"))
+    val (und, mk) = handoffUndirected(s, d)
+    articulationProfile(und, memoKey = mk)
       .orderBy(col("node"))
   }
 
@@ -2202,10 +2212,8 @@ object Graph {
       |SELECT DISTINCT u, v FROM (
       |  SELECT u, v FROM cbr UNION ALL SELECT u, v FROM iso)
       |ORDER BY u, v""".stripMargin) { (s, d) =>
-    val e = handoffEdges(Tables.events(s, d))
-    val und = e.unionByName(
-      e.select(col("dst").as("src"), col("src").as("dst")))
-    bridgeEdges(und, memoKey = Some(s"$d#handoff-und"))
+    val (und, mk) = handoffUndirected(s, d)
+    bridgeEdges(und, memoKey = mk)
       .orderBy(col("u"), col("v"))
   }
 
@@ -2379,10 +2387,8 @@ object Graph {
       |  CAST(m // (SELECT k FROM kk) AS BIGINT) AS block_lo,
       |  CAST(m % (SELECT k FROM kk) AS BIGINT) AS block_hi
       |FROM lab ORDER BY lo, hi""".stripMargin) { (s, d) =>
-    val e = handoffEdges(Tables.events(s, d))
-    val und = e.unionByName(
-      e.select(col("dst").as("src"), col("src").as("dst")))
-    biconnectedLabels(und, memoKey = Some(s"$d#handoff-und"))
+    val (und, mk) = handoffUndirected(s, d)
+    biconnectedLabels(und, memoKey = mk)
       .orderBy(col("lo"), col("hi"))
   }
 
@@ -2451,10 +2457,8 @@ object Graph {
       |SELECT n.v AS node, LEAST(n.v, COALESCE(MIN(r.b), n.v)) AS comp_id
       |FROM allnodes n LEFT JOIN reach2 r ON r.a = n.v
       |GROUP BY n.v ORDER BY node""".stripMargin) { (s, d) =>
-    val e = handoffEdges(Tables.events(s, d))
-    val und = e.unionByName(
-      e.select(col("dst").as("src"), col("src").as("dst")))
-    twoEdgeComponents(und, memoKey = Some(s"$d#handoff-und"))
+    val (und, mk) = handoffUndirected(s, d)
+    twoEdgeComponents(und, memoKey = mk)
       .orderBy(col("node"))
   }
 
@@ -2575,10 +2579,8 @@ object Graph {
       |    - d.deg_sum * d.deg_sum AS q_contrib
       |FROM dsum d LEFT JOIN ein e USING (comp_id)
       |ORDER BY comp_id""".stripMargin) { (s, d) =>
-    val e = handoffEdges(Tables.events(s, d))
-    val und = e.unionByName(
-      e.select(col("dst").as("src"), col("src").as("dst")))
-    val assign = twoEdgeComponents(und, memoKey = Some(s"$d#handoff-und"))
+    val (und, mk) = handoffUndirected(s, d)
+    val assign = twoEdgeComponents(und, memoKey = mk)
     modularityProfile(und, assign).orderBy(col("comp_id"))
   }
 
@@ -2829,10 +2831,14 @@ object Graph {
     * whole sweep bit-for-bit. BetweennessSpec pins the float dataflow
     * to sequential Brandes and the grid variant's drift bound.
     */
-  val q177: QueryDef = QueryDef.checked(
-    "q177_betweenness",
-    betweennessGridSql("") +
-      "\nSELECT node, bc_ppm FROM bc ORDER BY node") { (s, d) =>
+  /** The q177/q222 shared graph: users ↔ the event types they touched
+    * (event_id < 3000 slice), as one symmetrized edge frame — typed
+    * nodes disambiguated by the 1e6 tid offset. ONE definition so the
+    * exact and sampled betweenness queries certify the same topology
+    * against the same oracle CTEs.
+    */
+  private def userTypeBipartite(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
     val ev = Tables.events(s, d).filter(col("event_id") < 3000)
       .select(col("user_id"), col("event_type")).distinct()
     val types = ev.select(col("event_type")).distinct()
@@ -2840,9 +2846,19 @@ object Graph {
         .over(org.apache.spark.sql.expressions.Window.orderBy(col("event_type"))))
     val half = ev.join(broadcast(types), Seq("event_type"))
       .select(col("user_id").as("src"), col("tid").as("dst"))
-    val und = half.unionByName(
+    half.unionByName(
       half.select(col("dst").as("src"), col("src").as("dst")))
-    betweennessGridPpm(und).orderBy(col("node"))
+  }
+
+  /** The q222 pivot-sampling predicate (Knuth multiplicative hash mod
+    * 4) — one definition, referenced three times in the query body. */
+  private val pivotPredicateSql = "pmod(node * 2654435761, 4) = 0"
+
+  val q177: QueryDef = QueryDef.checked(
+    "q177_betweenness",
+    betweennessGridSql("") +
+      "\nSELECT node, bc_ppm FROM bc ORDER BY node") { (s, d) =>
+    betweennessGridPpm(userTypeBipartite(s, d)).orderBy(col("node"))
   }
 
   /** q218: degree assortativity of the handoff digraph — is the graph
@@ -2925,20 +2941,11 @@ object Graph {
          |  CAST((b.bc_ppm * c.n_nodes) // greatest(c.n_roots, 1) AS BIGINT) AS est_ppm
          |FROM bc b CROSS JOIN counts c
          |ORDER BY b.node""".stripMargin) { (s, d) =>
-    val ev = Tables.events(s, d).filter(col("event_id") < 3000)
-      .select(col("user_id"), col("event_type")).distinct()
-    val types = ev.select(col("event_type")).distinct()
-      .withColumn("tid", lit(1000000L) + dense_rank()
-        .over(org.apache.spark.sql.expressions.Window.orderBy(col("event_type"))))
-    val half = ev.join(broadcast(types), Seq("event_type"))
-      .select(col("user_id").as("src"), col("tid").as("dst"))
-    val und = half.unionByName(
-      half.select(col("dst").as("src"), col("src").as("dst")))
-    val pivot = expr("pmod(node * 2654435761, 4) = 0")
-    val sampled = betweennessGridPpm(und, Some(pivot))
+    val und = userTypeBipartite(s, d)
+    val sampled = betweennessGridPpm(und, Some(expr(pivotPredicateSql)))
     val counts = und.select(col("src").as("node")).distinct()
       .agg(count(lit(1)).as("n_nodes"),
-        sum(when(expr("pmod(node * 2654435761, 4) = 0"), 1L).otherwise(0L))
+        sum(when(expr(pivotPredicateSql), 1L).otherwise(0L))
           .as("n_roots"))
     sampled.crossJoin(broadcast(counts))
       .select(col("node"), col("bc_ppm"),
