@@ -38,14 +38,19 @@ object Exact {
     * recursive removal at JVM exit — repeated bench/verify passes write
     * unique subdirs here and nothing leaks past the process.
     */
+  /** Recursive delete — the ONE definition every scratch-lifecycle
+    * site (fmtRoot shutdown hook, scratchDir retirement, streaming
+    * checkpoint cleanup) shares. */
+  private[operators] def rmTree(p: java.nio.file.Path): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(p.toFile)
+  }
+
   lazy val fmtRoot: java.nio.file.Path = {
     val p = java.nio.file.Files.createTempDirectory("graft_fmt_")
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-      }
-      rm(p.toFile)
-    }))
+    Runtime.getRuntime.addShutdownHook(new Thread(() => rmTree(p)))
     p
   }
 
@@ -132,12 +137,7 @@ object Exact {
     * got last time. */
   def scratchDir(owner: String, prefix: String): java.nio.file.Path = {
     val fresh = java.nio.file.Files.createTempDirectory(fmtRoot, prefix)
-    Option(scratchDirs.put(owner, fresh)).foreach { old =>
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-      }
-      rm(old.toFile)
-    }
+    Option(scratchDirs.put(owner, fresh)).foreach(rmTree)
     fresh
   }
 

@@ -73,19 +73,26 @@ object StreamingCatalog {
     * query would have read.
     */
   private val sliceMemo = new java.util.concurrent.ConcurrentHashMap[
-    String, Seq[(Long, Long, String)]]()
+    String, Seq[(Long, Long, String, Long)]]()
 
-  private def slice(s: SparkSession, d: String): Seq[(Long, Long, String)] =
+  /** The memoized slice WITH event ids — q174's parity split needs the
+    * id; every other consumer reads the 3-tuple view below. */
+  private def sliceWithIds(s: SparkSession,
+      d: String): Seq[(Long, Long, String, Long)] =
     sliceMemo.computeIfAbsent(d, _ => Exact.memoBuild(s"stream-slice#$d")(
       Tables.events(s, d)
         .filter(col("event_id") < SliceMax)
         .orderBy(col("ts_ns"), col("event_id"))
         // `div`, not `/`: double division rounds at 2^60 magnitudes
         // (the Tables.events lesson) — ±1 µs here fails the hash compare
-        .select(expr("ts_ns div 1000"), col("user_id"), col("event_type"))
+        .select(expr("ts_ns div 1000"), col("user_id"), col("event_type"),
+          col("event_id"))
         .collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
         .toSeq))
+
+  private def slice(s: SparkSession, d: String): Seq[(Long, Long, String)] =
+    sliceWithIds(s, d).map(t => (t._1, t._2, t._3))
 
   /** Run `build(stream)` to completion over the slice in BatchRows-sized
     * micro-batches (+ sentinel), return the memory-sink table.
@@ -191,12 +198,7 @@ object StreamingCatalog {
     * — needed only while the stream runs; the result lives in the
     * memory sink after stop(), so per-run dirs must not accumulate.
     */
-  private def rmTree(p: java.nio.file.Path): Unit = {
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-    }
-    rm(p.toFile)
-  }
+  private def rmTree(p: java.nio.file.Path): Unit = Exact.rmTree(p)
 
   /** q130: watermarked tumbling-window counts, APPEND mode — the
     * watermark/state-store path q25 only exercises in batch. Windows on
@@ -372,10 +374,9 @@ object StreamingCatalog {
     implicit val sqlc: org.apache.spark.sql.SQLContext = s.sqlContext
     import s.implicits._
     withChecksumOff(s) {
-    val rows = Tables.events(s, d).filter(col("event_id") < SliceMax)
-      .orderBy(col("ts_ns"), col("event_id"))
-      .select(col("event_id"), col("user_id"), col("event_type"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // the shared memoized slice, with event ids for the parity split
+    val rows = sliceWithIds(s, d)
+      .map(t => (t._4, t._2, t._3)) // (event_id, user_id, event_type)
     val inA = MemoryStream[(Long, String)]
     val inB = MemoryStream[(Long, String)]
     val ckpt = java.nio.file.Files.createTempDirectory("graft-q174-ckpt")
@@ -1113,11 +1114,11 @@ object StreamingCatalog {
     */
   val q240: QueryDef = QueryDef.checked(
     "q240_streaming_observe",
-    """WITH ordered AS (
+    s"""WITH ordered AS (
       |  SELECT user_id,
       |    ROW_NUMBER() OVER (ORDER BY epoch_ns(ts), event_id) - 1 AS rn
       |  FROM events WHERE event_id < 2000)
-      |SELECT rn // 500 AS batch_id, COUNT(*) AS n,
+      |SELECT rn // $BatchRows AS batch_id, COUNT(*) AS n,
       |  CAST(SUM(user_id) AS BIGINT) AS sum_uid
       |FROM ordered GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
     implicit val sqlc: org.apache.spark.sql.SQLContext = s.sqlContext
@@ -1187,12 +1188,13 @@ object StreamingCatalog {
     */
   val q244: QueryDef = QueryDef.checked(
     "q244_late_data_routing",
-    """WITH ordered AS (
+    s"""WITH ordered AS (
       |  SELECT event_type, epoch_ns(ts) // 1000 AS ts_us,
       |    ROW_NUMBER() OVER (ORDER BY event_id % 7, epoch_ns(ts), event_id)
       |      - 1 AS rn
       |  FROM events WHERE event_id < 2000),
-      |b AS (SELECT event_type, ts_us, rn // 500 AS batch FROM ordered),
+      |b AS (SELECT event_type, ts_us, rn // $BatchRows AS batch
+      |  FROM ordered),
       |bm AS (SELECT batch, MAX(ts_us) AS bmax FROM b GROUP BY batch),
       |wm AS (
       |  SELECT batch,
@@ -1281,12 +1283,12 @@ object StreamingCatalog {
     */
   val q249: QueryDef = QueryDef.checked(
     "q249_dedup_within_watermark",
-    """WITH RECURSIVE ordered AS (
+    s"""WITH RECURSIVE ordered AS (
       |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS ts_us,
       |    ROW_NUMBER() OVER (ORDER BY epoch_ns(ts), event_id) - 1 AS rn
       |  FROM events WHERE event_id < 2000),
       |chunked AS (
-      |  SELECT user_id, event_type, ts_us, rn, rn // 500 AS batch
+      |  SELECT user_id, event_type, ts_us, rn, rn // $BatchRows AS batch
       |  FROM ordered),
       |thin AS (
       |  SELECT user_id, event_type, ts_us, batch,

@@ -80,6 +80,12 @@ object TailSource {
       stream.iterator().asScala.foreach { p =>
         if (Files.isRegularFile(p) && matcher.matches(p.getFileName)) out += p
       }
+    } catch {
+      // a file unlinked (rotation) mid-walk throws from the iterator;
+      // a partial listing is fine — the absence counters tolerate a
+      // transiently-missing file and the next trigger re-lists (the
+      // same race statSizes guards per-file)
+      case _: java.io.UncheckedIOException => ()
     } finally stream.close()
     out.sortBy(_.toString).toSeq
   }
@@ -198,6 +204,11 @@ private[sources] class TailMicroBatchStream(
     maxBytesPerFilePerBatch <= TailSource.MaxRangeBytes,
     s"maxBytesPerFilePerBatch must be in (0, ${TailSource.MaxRangeBytes}] " +
       "(the reader materializes one range as a single array)")
+  require(dropAbsentAfterTriggers > 0,
+    s"dropAbsentAfterTriggers must be positive, got $dropAbsentAfterTriggers" +
+      " — 0 or negative would evict a vanished file's committed offset on" +
+      " its FIRST absent trigger, re-reading it from byte 0 (duplicates)" +
+      " after any transient listing hiccup")
 
   // Discovery cache (driver-side; one stream instance per query run).
   private var cachedListing: Seq[String] = Nil
@@ -445,7 +456,13 @@ private[sources] class TailPartitionReader(path: String, start: Long, end: Long,
   }
 
   private def readRange(): Iterator[Array[Byte]] = {
-    val f = new RandomAccessFile(path, "r")
+    // the file can be unlinked (rotation) between offset planning on
+    // the driver and this task running: a missing file is an EMPTY
+    // range — the next trigger's absence/truncation machinery owns the
+    // recovery — never a task failure that kills the whole query
+    val f = try new RandomAccessFile(path, "r") catch {
+      case _: java.io.FileNotFoundException => return Iterator.empty
+    }
     try {
       val len = math.min(end, f.length())
       if (len <= start) return Iterator.empty

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQueryListener, TimeMode, TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, StreamingQueryListener, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Event shape used by the streaming operators (matches the `events`
   * testdata table after Tables.events).
@@ -214,16 +214,21 @@ object StreamingOps {
     Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.startsWith("_batch-") && f.getName.endsWith(".done"))
       .map(_.getName.stripPrefix("_batch-").stripSuffix(".done"))
-      .sorted.map(b => s"$root/batch=$b").toSeq
+      // numeric order: lexicographic .sorted would interleave batch 10
+      // before batch 2, breaking any consumer that replays in commit
+      // order (the natural use of an exactly-once batch log)
+      .sortBy(_.toLong).map(b => s"$root/batch=$b").toSeq
 
   /** Timer-driven sessionization on the transformWithState API: gap
     * sessions like the builtin `session_window` (q26), but with the
     * session CLOSE emitted by an event-time TIMER when the watermark
     * passes last-event + gap — the mechanism the builtin cannot expose
     * for custom semantics (emit-on-close only, partial-session
-    * heartbeats, per-key side effects at close). One registered timer
-    * per live session (the previous one is deleted on every extension),
-    * so timer state is bounded by live keys — RocksDB holds both slots.
+    * heartbeats, per-key side effects at close). State is the list of
+    * OPEN sessions per key (session_window's merge rule — an event
+    * joins or bridges sessions within gap, or opens its own); timers
+    * are bounded by live sessions, and a timer firing closes exactly
+    * the sessions whose last + gap the watermark has passed.
     */
   def sessionizeWithTimers(events: Dataset[StreamEvent],
       gapMillis: Long = 600000L)(
@@ -278,56 +283,71 @@ class TtlDedupProcessor(ttlMillis: Long)
   }
 }
 
-/** Per-user gap-session accumulator carried between micro-batches;
-  * `timer_ms` remembers the registered close timer so extension can
-  * delete it (-1 = none).
+/** One open gap-session carried between micro-batches; `timer_ms` is
+  * its registered close time (last + gap), informational once armed.
   */
 final case class SessionAgg(
     user_id: Long, start_ms: Long, last_ms: Long,
     n_events: Long, total_value: Double, timer_ms: Long)
 
-/** StatefulProcessor for [[StreamingOps.sessionizeWithTimers]]: rows
-  * extend the session and re-arm the close timer at last + gap; the
-  * timer firing (watermark passed it) emits the CLOSED session and
-  * clears state. Nothing is emitted while a session is open.
+/** StatefulProcessor for [[StreamingOps.sessionizeWithTimers]]: state
+  * is the LIST of a user's open sessions — a row joins (and possibly
+  * bridges) every session within `gap` of it, or opens a new one, the
+  * builtin session_window merge rule; folding everything into one
+  * accumulator would silently merge sessions an event-time gap should
+  * split. Each session arms a close timer at last + gap; when a timer
+  * fires (the watermark passed it), exactly the sessions whose close
+  * time has been reached emit CLOSED and leave the list — so
+  * out-of-order rows still within the watermark can extend or bridge
+  * an open session right up to the instant it is provably over.
+  * Stale timers left by extended/merged sessions fire empty.
   */
 class TimerSessionizer(gapMillis: Long)
     extends StatefulProcessor[Long, StreamEvent, UserSession] {
-  @transient private var sess: ValueState[SessionAgg] = _
+  @transient private var sess: ListState[SessionAgg] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-    sess = getHandle.getValueState[SessionAgg](
+    sess = getHandle.getListState[SessionAgg](
       "sess", Encoders.product[SessionAgg], TTLConfig.NONE)
 
   override def handleInputRows(
       uid: Long, rows: Iterator[StreamEvent],
       timerValues: TimerValues): Iterator[UserSession] = {
-    var cur = if (sess.exists()) sess.get()
-      else SessionAgg(uid, Long.MaxValue, Long.MinValue, 0L, 0.0, -1L)
+    var open = sess.get().toList
     rows.foreach { e =>
       val t = e.ts.getTime
-      cur = cur.copy(
-        start_ms = math.min(cur.start_ms, t),
-        last_ms = math.max(cur.last_ms, t),
-        n_events = cur.n_events + 1,
-        total_value = cur.total_value + e.value)
+      val (touch, keep) = open.partition(sg =>
+        t >= sg.start_ms - gapMillis && t <= sg.last_ms + gapMillis)
+      val merged = touch.foldLeft(
+        SessionAgg(uid, t, t, 1L, e.value, -1L)) { (acc, sg) =>
+        acc.copy(
+          start_ms = math.min(acc.start_ms, sg.start_ms),
+          last_ms = math.max(acc.last_ms, sg.last_ms),
+          n_events = acc.n_events + sg.n_events,
+          total_value = acc.total_value + sg.total_value)
+      }
+      open = merged :: keep
     }
-    if (cur.timer_ms >= 0) getHandle.deleteTimer(cur.timer_ms)
-    val closeAt = cur.last_ms + gapMillis
-    getHandle.registerTimer(closeAt)
-    sess.update(cur.copy(timer_ms = closeAt))
+    val armed = open.map { sg =>
+      val closeAt = sg.last_ms + gapMillis
+      getHandle.registerTimer(closeAt)
+      sg.copy(timer_ms = closeAt)
+    }
+    sess.clear()
+    if (armed.nonEmpty) sess.put(armed.toArray)
     Iterator.empty
   }
 
   override def handleExpiredTimer(
       uid: Long, timerValues: TimerValues,
       expired: ExpiredTimerInfo): Iterator[UserSession] = {
-    if (!sess.exists()) Iterator.empty
-    else {
-      val cur = sess.get()
-      sess.clear()
-      Iterator.single(UserSession(uid, cur.n_events, cur.total_value, closed = true))
-    }
+    val now = expired.getExpiryTimeInMs
+    val (closed, still) = sess.get().toList
+      .partition(sg => sg.last_ms + gapMillis <= now)
+    sess.clear()
+    if (still.nonEmpty) sess.put(still.toArray)
+    closed.sortBy(_.start_ms).iterator
+      .map(sg => UserSession(uid, sg.n_events, sg.total_value, closed = true))
   }
 }
 

@@ -331,6 +331,21 @@ class StreamingSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
       assert(rows.toSeq == Seq((1L, 2L, 3.0, true), (2L, 1L, 5.0, true)),
         s"both idle sessions closed exactly once: ${rows.toSeq}")
+      // user 9: two events 30 min apart in ONE batch — an event-time
+      // gap > 10 min must SPLIT them into two sessions (the
+      // session_window rule), not fold them into one accumulator
+      in.addData(ev(6, 60, 9, v = 1.0), ev(7, 90, 9, v = 2.0))
+      q.processAllAvailable()
+      in.addData(ev(8, 130, 3)) // advance watermark past both closes
+      q.processAllAvailable()
+      in.addData(ev(9, 131, 3)) // timers fire on the next batch
+      q.processAllAvailable()
+      val split = spark.sql(
+          "SELECT * FROM timersess WHERE user_id = 9 ORDER BY n_events")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      assert(split.toSeq == Seq((9L, 1L, 1.0, true), (9L, 1L, 2.0, true)),
+        s"a 30-min gap splits into two 1-event sessions: ${split.toSeq}")
     } finally {
       q.stop()
       prevProvider match {
