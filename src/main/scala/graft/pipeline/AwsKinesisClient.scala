@@ -144,8 +144,24 @@ final class AwsKinesisClient(
         s"""{"StreamName":${MiniJson.quote(streamName)},"ShardId":${MiniJson.quote(shardId)},""" +
           s""""ShardIteratorType":"TRIM_HORIZON"}"""
     }
-    callJson("GetShardIterator", body).get("ShardIterator")
+    try callJson("GetShardIterator", body).get("ShardIterator")
       .flatMap(Option(_)).map(_.toString)
+    catch {
+      // The service's ACTUAL expiry signal is a 4xx, not a null
+      // iterator: InvalidArgumentException when a committed sequence
+      // number has aged past retention, ResourceNotFoundException when
+      // the shard is gone. The trait contract (Kinesis.scala) maps
+      // "closed and expired" to None so the source marks the shard
+      // drained and moves on — without this mapping the driver would
+      // re-throw on every trigger and the query would wedge on a
+      // position that can never become valid again. A TRIM_HORIZON
+      // request (no committed position) failing is a real error and
+      // still propagates.
+      case e: java.io.IOException if afterSequence.isDefined &&
+          Option(e.getMessage).exists(m =>
+            m.contains("InvalidArgumentException") ||
+              m.contains("ResourceNotFoundException")) => None
+    }
   }
 
   override def getRecords(iterator: String, limit: Int): GetRecordsPage = {

@@ -72,7 +72,6 @@ final class BatchProducer(
   private var droppedBatchCount = 0L
   private var requestErrorCount = 0L
   private var recordErrorCount = 0L
-  val backoffsSeen: mutable.ArrayBuffer[Long] = mutable.ArrayBuffer()
 
   def stats: ProducerStats = ProducerStats(
     sentCount, droppedRecordCount, droppedBatchCount,
@@ -104,6 +103,17 @@ final class BatchProducer(
   /** K3–K6: one PutRecords round trip with the reference's failure policy. */
   private def sendOneBatch(): Unit = {
     if (buffer.isEmpty) return
+    // K5 fullness is measured WITH the in-flight batch still counted
+    // (pre-dequeue). The reference checks channel occupancy after the
+    // take (batchproducer.go:377-379), but its concurrent Add refills
+    // the channel during the failed round trip, so the check sees a
+    // ~full buffer; in this synchronous port nothing refills mid-send,
+    // and a post-dequeue check can NEVER reach 95% when the batch is
+    // >4% of the buffer (default 10%) — add() would livelock forever on
+    // a persistently failing endpoint, the exact hang the reference's
+    // shed exists to prevent ("In order to prevent Add from hanging
+    // indefinitely", batchproducer.go:347).
+    val fullnessAtSend = fullnessPct
     val n = math.min(config.batchSize, buffer.size)
     val batch = (0 until n).map(_ => buffer.dequeue()).toIndexedSeq
     val result = client.putRecords(batch.map(_.rec))
@@ -115,10 +125,9 @@ final class BatchProducer(
         consecutiveErrors += 1
         val backoff = config.initialBackoffMillis <<
           math.min(consecutiveErrors - 1, config.maxBackoffExponent)
-        backoffsSeen += backoff
         sleep(backoff)
         if (consecutiveErrors >= config.dropConsecutiveErrorThreshold &&
-          fullnessPct >= config.dropBufferFullnessPct) {
+          fullnessAtSend >= config.dropBufferFullnessPct) {
           // K5: shed the failed batch
           droppedBatchCount += 1
           droppedRecordCount += batch.size

@@ -157,6 +157,16 @@ private[sources] class KinesisSourceMicroBatchStream(
 
   private lazy val client = KinesisReadSource.readClient(clientName)
 
+  // Per-shard count of consecutive triggers the shard was absent from
+  // ListShards: an offset entry whose shard has been unlisted this many
+  // triggers is pruned (the shard expired past retention — its entry is
+  // dead weight rewritten into the offset log every micro-batch, and on
+  // a resharding stream the map would otherwise grow without bound).
+  // The counter absorbs transient listing hiccups, the TailSource
+  // dropAbsentAfterTriggers rule applied to shards.
+  private val DropUnlistedAfterTriggers = 10
+  private val unlistedTriggers = mutable.Map[String, Int]()
+
   override def initialOffset(): Offset = KinesisSourceOffset(Map.empty)
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
@@ -172,14 +182,15 @@ private[sources] class KinesisSourceMicroBatchStream(
     * (trim-horizon starts, sparse retention windows) — the probe keeps
     * walking those as long as the service reports data ahead
     * (millisBehindLatest > 0), bounded by `maxFetchCallsPerShard` per
-    * trigger; an empty page at the TIP (millisBehind 0) ends the probe.
+    * trigger; any page at the TIP (millisBehind 0) ends the probe.
     * Raise the call cap for streams with very deep leading gaps — probe
     * progress through a gap cannot be checkpointed (offsets are sequence
     * numbers; Kinesis has no positionless cursor), so a gap must be
     * crossed within one trigger's call budget. Committed entries for
-    * shards that vanished from the listing (closed and expired) are
-    * carried forward unchanged, so a replayed listing hiccup never
-    * resets progress.
+    * shards that vanished from the listing are carried forward for
+    * [[DropUnlistedAfterTriggers]] triggers (a listing hiccup never
+    * resets progress), then pruned as conclusively expired so the
+    * offset JSON stays bounded on a resharding stream.
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val committed = start.asInstanceOf[KinesisSourceOffset].seqs
@@ -193,6 +204,20 @@ private[sources] class KinesisSourceMicroBatchStream(
     val out = mutable.Map[String, String]() ++ committed
     val infos = client.listShards()
     val listed = infos.map(_.shardId).toSet
+    // prune entries for shards that stayed unlisted long enough to be
+    // conclusively expired (not a listing hiccup); a listed shard
+    // resets its counter
+    committed.keysIterator.foreach { shard =>
+      if (listed.contains(shard)) unlistedTriggers.remove(shard)
+      else {
+        val n = unlistedTriggers.getOrElse(shard, 0) + 1
+        unlistedTriggers(shard) = n
+        if (n >= DropUnlistedAfterTriggers) {
+          out.remove(shard)
+          unlistedTriggers.remove(shard)
+        }
+      }
+    }
     // parent gating against COMMITTED state only: a child unlocks in
     // the trigger AFTER its parent's drain commits, so parent and
     // child records can never share a micro-batch
@@ -217,41 +242,45 @@ private[sources] class KinesisSourceMicroBatchStream(
         if (rowBudget == Long.MaxValue || shardsLeft <= 1) rowBudget
         else rowBudget / shardsLeft + (if (rowBudget % shardsLeft > 0) 1L else 0L)
       shardsLeft -= 1
-      locally {
-        var last: String = null
-        var sawEnd = false
-        var taken = 0
-        var calls = 0
-        var shardBudget = allowance
-        var it = client.getShardIterator(shard,
-          committedVal.map(KinesisReadSource.stripClosed).filter(_.nonEmpty))
-        if (it.isEmpty) sawEnd = true // iterator expired: closed + aged out
-        var open = it.isDefined
-        while (open && taken < maxRecordsPerShardPerTrigger && shardBudget > 0 &&
-            calls < maxFetchCallsPerShard) {
-          val want = math.min(pageLimit.toLong,
-            math.min((maxRecordsPerShardPerTrigger - taken).toLong, shardBudget)).toInt
-          val page = client.getRecords(it.get, want)
-          calls += 1
-          if (page.records.nonEmpty) {
-            last = page.records.last.sequenceNumber
-            taken += page.records.size
-            shardBudget -= page.records.size
-            if (rowBudget != Long.MaxValue) rowBudget -= page.records.size
-          }
-          page.nextIterator match {
-            case Some(n) if page.records.nonEmpty || page.millisBehindLatest > 0 =>
-              it = Some(n) // keep walking: data ahead (possibly past a gap)
-            case Some(_) => open = false // tip reached
-            case None => open = false; sawEnd = true // closed and drained
-          }
+      var last: String = null
+      var sawEnd = false
+      var taken = 0
+      var calls = 0
+      var shardBudget = allowance
+      var it = client.getShardIterator(shard,
+        committedVal.map(KinesisReadSource.stripClosed).filter(_.nonEmpty))
+      if (it.isEmpty) sawEnd = true // iterator expired: closed + aged out
+      var open = it.isDefined
+      while (open && taken < maxRecordsPerShardPerTrigger && shardBudget > 0 &&
+          calls < maxFetchCallsPerShard) {
+        val want = math.min(pageLimit.toLong,
+          math.min((maxRecordsPerShardPerTrigger - taken).toLong, shardBudget)).toInt
+        val page = client.getRecords(it.get, want)
+        calls += 1
+        if (page.records.nonEmpty) {
+          last = page.records.last.sequenceNumber
+          taken += page.records.size
+          shardBudget -= page.records.size
+          if (rowBudget != Long.MaxValue) rowBudget -= page.records.size
         }
-        val base = if (last != null) last
-          else committedVal.map(KinesisReadSource.stripClosed).getOrElse("")
-        if (sawEnd)
-          out(shard) = base + KinesisReadSource.ClosedSuffix
-        else if (last != null) out(shard) = last
+        page.nextIterator match {
+          // millisBehind 0 on ANY page (empty or not) = tip reached —
+          // walking on would spend one guaranteed-empty GetRecords per
+          // caught-up shard per trigger (20% of the 5-calls/sec shard
+          // quota at 1 s triggers), competing with the executors'
+          // reads; any residue behind an approximate 0 is picked up
+          // next trigger
+          case Some(n) if page.millisBehindLatest > 0 =>
+            it = Some(n) // keep walking: data ahead (possibly past a gap)
+          case Some(_) => open = false // tip reached
+          case None => open = false; sawEnd = true // closed and drained
+        }
       }
+      val base = if (last != null) last
+        else committedVal.map(KinesisReadSource.stripClosed).getOrElse("")
+      if (sawEnd)
+        out(shard) = base + KinesisReadSource.ClosedSuffix
+      else if (last != null) out(shard) = last
     }
     KinesisSourceOffset(out.toMap)
   }
@@ -320,12 +349,21 @@ private[sources] class KinesisPartitionReader(
             // empty pages mid-range are normal (iterator aging through a
             // gap) — but the TIP without having seen untilSeq means the
             // committed end expired out of retention: surface the loss.
-            // The call cap guards against a service that reports data
-            // behind but never yields it.
+            // MillisBehindLatest is an APPROXIMATE metric and the wire
+            // may omit it (mapped to 0), so one empty-at-tip page is not
+            // proof of expiry — tolerate a few before declaring the
+            // committed range gone; a drained CLOSED shard (null next
+            // iterator) is conclusive immediately. The call cap guards
+            // against a service that reports data behind but never
+            // yields it.
             emptyCalls += 1
-            if (p.millisBehindLatest <= 0 || p.nextIterator.isEmpty)
+            if (p.nextIterator.isEmpty)
               throw new java.io.IOException(
                 s"$shardId: range ended before sequence $untilSeq (expired?)")
+            if (p.millisBehindLatest <= 0 && emptyCalls > 3)
+              throw new java.io.IOException(
+                s"$shardId: still at the tip before sequence $untilSeq " +
+                  s"after $emptyCalls empty pages (expired?)")
             if (emptyCalls > 10000)
               throw new java.io.IOException(
                 s"$shardId: no progress toward sequence $untilSeq " +

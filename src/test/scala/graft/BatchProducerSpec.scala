@@ -62,10 +62,10 @@ class BatchProducerSpec extends AnyFunSuite {
   }
 
   test("K5 load shed: drop batch only after ≥5 consecutive errors AND ≥95% full") {
-    // Fullness is measured on the buffer AFTER the failing batch was
-    // dequeued (reference: bufferFullnessPct over the channel,
-    // batchproducer.go:377-379), so capacity must be ≫ batch size for the
-    // threshold to be reachable — as in the real 5000/500 config.
+    // Fullness counts the in-flight batch (pre-dequeue): the reference's
+    // concurrent Add refills the channel during a failed round trip, so
+    // its post-take check still sees a ~full buffer — the synchronous
+    // analogue is measuring before the take.
     val client = new FakeKinesisClient(Seq.fill(300)(requestError))
     val p = new BatchProducer(client,
       ProducerConfig(batchSize = 5, bufferSize = 100, addBlockFullnessPct = 200), noSleep)
@@ -73,6 +73,19 @@ class BatchProducerSpec extends AnyFunSuite {
     p.flush()
     assert(p.stats.droppedBatches >= 1)
     assert(p.stats.sent + p.stats.droppedRecords === 100)
+  }
+
+  test("add() cannot livelock at the DEFAULT config on a dead endpoint") {
+    // Regression: with post-dequeue fullness, the default 500/5000
+    // (drop@95, block@99) config could never satisfy the shed check —
+    // add() spun forever re-enqueueing the same failed batch. The shed
+    // exists precisely so Add never hangs indefinitely
+    // (batchproducer.go:347).
+    val client = new FakeKinesisClient(Seq.fill(100000)(requestError))
+    val p = new BatchProducer(client, ProducerConfig(), noSleep)
+    (0 until 6000).foreach(i => p.add(rec(i), "k")) // past the 99% block
+    assert(p.stats.droppedRecords > 0,
+      "persistent failure at a full buffer must shed, not spin")
   }
 
   test("no shed below the fullness threshold: errors alone never drop") {
