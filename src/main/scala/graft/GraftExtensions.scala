@@ -1,30 +1,19 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
-import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{CosineSimilarity, PolyHash}
 
-/** Session-extension entry point: registers graft's custom expressions for
-  * SQL users. Enable with
+/** Session-extension entry point: registers graft's custom expressions
+  * for SQL users. Enable with
   * `spark.sql.extensions=graft.GraftExtensions` (or programmatically via
   * `SparkSession.builder.withExtensions(new GraftExtensions)`).
+  *
+  * Delegates to [[graft.functions.GraftFunctions.descriptors]] — the ONE
+  * registration surface (this class and
+  * `graft.functions.GraftExtensions` are interchangeable config values),
+  * so the function set, arity validation, and behavior cannot diverge
+  * between the two advertised entry points.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      new FunctionIdentifier("graft_cosine"),
-      new ExpressionInfo(
-        classOf[CosineSimilarity].getName, "graft_cosine",
-        "graft_cosine(a, b) - fused cosine similarity over float/double arrays"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        CosineSimilarity(exprs(0), exprs(1))))
-    ext.injectFunction((
-      new FunctionIdentifier("graft_polyhash"),
-      new ExpressionInfo(
-        classOf[PolyHash].getName, "graft_polyhash",
-        "graft_polyhash(str) - 61-bit polynomial rolling-hash fingerprint"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        PolyHash(exprs.head)))
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    graft.functions.GraftFunctions.descriptors.foreach(ext.injectFunction)
 }

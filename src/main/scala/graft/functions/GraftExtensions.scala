@@ -55,6 +55,22 @@ object GraftFunctions {
       (children: Seq[Expression]) => {
         require(children.size == 1, "nfc_normalize takes exactly 1 argument")
         NfcNormalize(children.head)
+      }),
+    // legacy aliases (the graft.GraftExtensions entry point's original
+    // names) — same kernels, same arity validation
+    (FunctionIdentifier("graft_cosine"),
+      info("graft_cosine",
+        "graft_cosine(a, b) - alias of cosine_sim"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_cosine takes exactly 2 arguments")
+        CosineSimilarity(children(0), children(1))
+      }),
+    (FunctionIdentifier("graft_polyhash"),
+      info("graft_polyhash",
+        "graft_polyhash(s) - alias of poly_hash"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_polyhash takes exactly 1 argument")
+        PolyHash(children.head)
       }))
 
   /** Imperative registration on a live session (idempotent — replaces

@@ -110,18 +110,23 @@ object MediaCodecs {
       s"bad BMP header fields: fileSize=$fileSize dataOff=$dataOff")
     require(off.toLong + fileSize <= b.length, "BMP size field past buffer end")
     val rowBytes = bmpRowBytesL(width)
-    // The naive bound `off + dataOff + rowBytes*height <= length` itself
-    // overflows Long for hostile dims (rowBytes·height can exceed 2⁶³);
-    // bound by division instead, so no product is ever formed unchecked.
-    val pixAvail = b.length.toLong - off - dataOff
+    // The pixel array must fit inside the frame's OWN declared fileSize,
+    // not merely the buffer: in a concatenated stream a header whose
+    // fileSize excludes its pixel array would otherwise "decode" by
+    // reading the NEXT frame's bytes as pixels and then re-parse them as
+    // a frame — overlapping, double-counted garbage. The bound is
+    // division-form because the naive product rowBytes·height overflows
+    // Long for hostile dims; it also implies the buffer bound
+    // (off + fileSize <= b.length was checked above).
+    val pixAvail = fileSize.toLong - dataOff
     require(pixAvail >= 0 && height <= pixAvail / rowBytes,
-      s"BMP pixel array (${height}x$rowBytes bytes) past buffer end (${b.length})")
-    val pixEnd = off.toLong + dataOff.toLong + rowBytes * height
+      s"BMP pixel array (${height}x$rowBytes bytes) past frame end ($fileSize)")
     var sum = 0L
     var r = 0
     while (r < height) {
-      // safe narrowing: pixEnd <= b.length <= Int.MaxValue bounds every
-      // index below
+      // safe narrowing: rowBytes·height ≤ fileSize − dataOff (the frame
+      // bound above) ⟹ off + dataOff + rowBytes·height ≤ off + fileSize
+      // ≤ b.length ≤ Int.MaxValue bounds every index below
       val rowStart = (off.toLong + dataOff.toLong + r * rowBytes).toInt
       var cIdx = 0
       val rowPixBytes = 3 * width

@@ -224,8 +224,8 @@ object ProtoWire {
     var low = 0L; var high = 0L
     while (r.hasMore) {
       val t = r.readVarint(); (t >>> 3).toInt match {
-        case 1 => low = r.readVarint()
-        case 2 => high = r.readVarint()
+        case 1 if (t & 7) == 0 => low = r.readVarint()
+        case 2 if (t & 7) == 0 => high = r.readVarint()
         case _ => r.skip((t & 7).toInt)
       }
     }
@@ -246,20 +246,20 @@ object ProtoWire {
     while (r.hasMore) {
       val t = r.readVarint(); val wt = (t & 7).toInt
       (t >>> 3).toInt match {
-        case 1 => startTs = r.readVarint()
-        case 2 => stopTs = r.readVarint()
-        case 3 => requestId = decodeUuid(r.readBytes())
-        case 4 => peerType = Envelope.peerTypeName(r.readVarint().toInt)
-        case 5 => method = Envelope.methodName(r.readVarint().toInt)
-        case 6 => uri = r.readString()
-        case 7 => remote = r.readString()
-        case 8 => agent = r.readString()
-        case 9 => status = r.readVarint().toInt
-        case 10 => contentLength = r.readVarint()
-        case 12 => appId = Some(decodeUuid(r.readBytes()))
-        case 13 => instIdx = Some(r.readVarint().toInt)
-        case 14 => instId = Some(r.readString())
-        case 15 => fwd += r.readString()
+        case 1 if wt == 0 => startTs = r.readVarint()
+        case 2 if wt == 0 => stopTs = r.readVarint()
+        case 3 if wt == 2 => requestId = decodeUuid(r.readBytes())
+        case 4 if wt == 0 => peerType = Envelope.peerTypeName(r.readVarint().toInt)
+        case 5 if wt == 0 => method = Envelope.methodName(r.readVarint().toInt)
+        case 6 if wt == 2 => uri = r.readString()
+        case 7 if wt == 2 => remote = r.readString()
+        case 8 if wt == 2 => agent = r.readString()
+        case 9 if wt == 0 => status = r.readVarint().toInt
+        case 10 if wt == 0 => contentLength = r.readVarint()
+        case 12 if wt == 2 => appId = Some(decodeUuid(r.readBytes()))
+        case 13 if wt == 0 => instIdx = Some(r.readVarint().toInt)
+        case 14 if wt == 2 => instId = Some(r.readString())
+        case 15 if wt == 2 => fwd += r.readString()
         case _ => r.skip(wt)
       }
     }
@@ -276,18 +276,25 @@ object ProtoWire {
     while (r.hasMore) {
       val t = r.readVarint(); val field = (t >>> 3).toInt; val wt = (t & 7).toInt
       field match {
-        case 1 => message = r.readBytes()
-        case 2 => mtype = Envelope.messageTypeName(r.readVarint().toInt)
-        case 3 => ts = r.readVarint()
-        case 4 => appId = Some(r.readString())
-        case 5 => srcType = r.readString()
-        case 6 => srcInst = r.readString()
+        case 1 if wt == 2 => message = r.readBytes()
+        case 2 if wt == 0 => mtype = Envelope.messageTypeName(r.readVarint().toInt)
+        case 3 if wt == 0 => ts = r.readVarint()
+        case 4 if wt == 2 => appId = Some(r.readString())
+        case 5 if wt == 2 => srcType = r.readString()
+        case 6 if wt == 2 => srcInst = r.readString()
         case _ => r.skip(wt)
       }
     }
     LogMessage(message, mtype, ts, appId, srcType, srcInst)
   }
 
+  // Every known-field case is GUARDED on its expected wire type: a
+  // corrupt or adversarial tag carrying the wrong type falls through to
+  // the wire-type-driven skip (the proto-correct lenient behavior), so
+  // one bad field can never misalign the rest of the stream — e.g. a
+  // varint arriving where a length-delimited string is expected would
+  // otherwise consume its payload byte as a length prefix and swallow
+  // arbitrary following bytes.
   def decode(bytes: Array[Byte]): Envelope = {
     val r = new Reader(bytes)
     var origin = ""; var eventType = ""
@@ -303,19 +310,19 @@ object ProtoWire {
     while (r.hasMore) {
       val t = r.readVarint(); val field = (t >>> 3).toInt; val wt = (t & 7).toInt
       field match {
-        case 1 => origin = r.readString()
-        case 2 => eventType = Envelope.eventTypeName(r.readVarint().toInt)
-        case 6 => ts = Some(r.readVarint())
-        case 7 => httpStartStop = Some(decodeHttpStartStop(r.readBytes()))
-        case 8 => logMessage = Some(decodeLogMessage(r.readBytes()))
+        case 1 if wt == 2 => origin = r.readString()
+        case 2 if wt == 0 => eventType = Envelope.eventTypeName(r.readVarint().toInt)
+        case 6 if wt == 0 => ts = Some(r.readVarint())
+        case 7 if wt == 2 => httpStartStop = Some(decodeHttpStartStop(r.readBytes()))
+        case 8 if wt == 2 => logMessage = Some(decodeLogMessage(r.readBytes()))
         case 9 =>
           val n = new Reader(r.readBytes())
           var name = ""; var v = 0.0; var unit = ""
           while (n.hasMore) {
             val tt = n.readVarint(); (tt >>> 3).toInt match {
-              case 1 => name = n.readString()
-              case 2 => v = java.lang.Double.longBitsToDouble(n.readFixed64())
-              case 3 => unit = n.readString()
+              case 1 if (tt & 7) == 2 => name = n.readString()
+              case 2 if (tt & 7) == 1 => v = java.lang.Double.longBitsToDouble(n.readFixed64())
+              case 3 if (tt & 7) == 2 => unit = n.readString()
               case _ => n.skip((tt & 7).toInt)
             }
           }
@@ -325,9 +332,9 @@ object ProtoWire {
           var name = ""; var delta = 0L; var total: Option[Long] = None
           while (n.hasMore) {
             val tt = n.readVarint(); (tt >>> 3).toInt match {
-              case 1 => name = n.readString()
-              case 2 => delta = n.readVarint()
-              case 3 => total = Some(n.readVarint())
+              case 1 if (tt & 7) == 2 => name = n.readString()
+              case 2 if (tt & 7) == 0 => delta = n.readVarint()
+              case 3 if (tt & 7) == 0 => total = Some(n.readVarint())
               case _ => n.skip((tt & 7).toInt)
             }
           }
@@ -337,9 +344,9 @@ object ProtoWire {
           var src = ""; var code = 0; var msg = ""
           while (n.hasMore) {
             val tt = n.readVarint(); (tt >>> 3).toInt match {
-              case 1 => src = n.readString()
-              case 2 => code = n.readVarint().toInt
-              case 3 => msg = n.readString()
+              case 1 if (tt & 7) == 2 => src = n.readString()
+              case 2 if (tt & 7) == 0 => code = n.readVarint().toInt
+              case 3 if (tt & 7) == 2 => msg = n.readString()
               case _ => n.skip((tt & 7).toInt)
             }
           }
@@ -351,28 +358,28 @@ object ProtoWire {
           var memQ, diskQ: Option[Long] = None
           while (n.hasMore) {
             val tt = n.readVarint(); (tt >>> 3).toInt match {
-              case 1 => app = n.readString()
-              case 2 => idx = n.readVarint().toInt
-              case 3 => cpu = java.lang.Double.longBitsToDouble(n.readFixed64())
-              case 4 => mem = n.readVarint()
-              case 5 => disk = n.readVarint()
-              case 6 => memQ = Some(n.readVarint())
-              case 7 => diskQ = Some(n.readVarint())
+              case 1 if (tt & 7) == 2 => app = n.readString()
+              case 2 if (tt & 7) == 0 => idx = n.readVarint().toInt
+              case 3 if (tt & 7) == 1 => cpu = java.lang.Double.longBitsToDouble(n.readFixed64())
+              case 4 if (tt & 7) == 0 => mem = n.readVarint()
+              case 5 if (tt & 7) == 0 => disk = n.readVarint()
+              case 6 if (tt & 7) == 0 => memQ = Some(n.readVarint())
+              case 7 if (tt & 7) == 0 => diskQ = Some(n.readVarint())
               case _ => n.skip((tt & 7).toInt)
             }
           }
           containerMetric = Some(ContainerMetric(app, idx, cpu, mem, disk, memQ, diskQ))
-        case 13 => deployment = Some(r.readString())
-        case 14 => job = Some(r.readString())
-        case 15 => index = Some(r.readString())
-        case 16 => ip = Some(r.readString())
+        case 13 if (t & 7) == 2 => deployment = Some(r.readString())
+        case 14 if (t & 7) == 2 => job = Some(r.readString())
+        case 15 if (t & 7) == 2 => index = Some(r.readString())
+        case 16 if (t & 7) == 2 => ip = Some(r.readString())
         case 17 =>
           val n = new Reader(r.readBytes())
           var k = ""; var v = ""
           while (n.hasMore) {
             val tt = n.readVarint(); (tt >>> 3).toInt match {
-              case 1 => k = n.readString()
-              case 2 => v = n.readString()
+              case 1 if (tt & 7) == 2 => k = n.readString()
+              case 2 if (tt & 7) == 2 => v = n.readString()
               case _ => n.skip((tt & 7).toInt)
             }
           }

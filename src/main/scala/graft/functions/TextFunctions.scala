@@ -35,12 +35,18 @@ object TextFunctions {
   def shingleSet(text: Column, n: Int): Column =
     array_distinct(tokenNgrams(tokens(text), n))
 
-  /** Exact Jaccard similarity of two (distinct-element) array columns.
-    * Integer sizes divided in double — bit-deterministic in any engine.
+  /** Exact Jaccard similarity of two (distinct-element) array columns —
+    * |a∩b| / |a∪b|, each set operation built ONCE in the expression
+    * tree (the sum-minus-intersect denominator duplicated the intersect
+    * subexpression). Integer sizes divided in double — bit-deterministic
+    * in any engine. Two empty sets score a defined 1.0 (identical), not
+    * a NULL from 0/0.
     */
-  def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") /
-      (size(a) + size(b) - size(array_intersect(a, b)))
+  def jaccard(a: Column, b: Column): Column = {
+    val union = size(array_union(a, b))
+    when(union === 0, lit(1.0))
+      .otherwise(size(array_intersect(a, b)).cast("double") / union)
+  }
 
   /** English-ish stopword list used by the language-ID heuristic and the
     * quality score (kept tiny + explicit so the DuckDB oracle can inline

@@ -50,7 +50,14 @@ object VectorFunctions {
       val planeLit = typedLit(plane)
       val proj = aggregate(
         zip_with(vec, planeLit, (x, p) => x * p), lit(0.0), (acc, v) => acc + v)
-      when(proj >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+      // proj is NULL when the vector's length differs from `dim`
+      // (zip_with pads with nulls): the signature must be NULL then,
+      // not bit 0 — an unconditional otherwise(0) gave EVERY
+      // wrong-dimension vector the same signature 0, silently
+      // degenerating the LSH equi-join into one all-pairs bucket.
+      // NULL band keys drop out of the join instead.
+      when(proj >= 0, shiftleft(lit(1L), i))
+        .when(proj < 0, lit(0L)) // else NULL propagates through the sum
     }
     bits.reduce(_ + _)
   }

@@ -130,6 +130,10 @@ object Multimodal {
         n_bytes = rec.payload.length.toLong, mean_level = a.meanAbs)
     case _ =>
       val frames = MediaCodecs.decodeBmpStream(rec.payload)
+      // a descriptive failure naming the record, not a bare
+      // NoSuchElementException from frames.head on an empty payload
+      require(frames.nonEmpty,
+        s"doc ${rec.doc_id}: ${rec.media_type} payload decodes to 0 frames")
       MediaFeatures(rec.doc_id, rec.media_type,
         frames.head.width, frames.head.height,
         n_frames = frames.size, n_samples = 0L, sample_rate = 0,

@@ -36,4 +36,22 @@ class CosineExprSpec extends AnyFunSuite {
       .filter(col("cs").between(-1.0000001, 1.0000001)).count()
     assert(n === 10L)
   }
+
+  test("NULL contract matches the composed form: mismatch, null element, zero norm") {
+    // the composed zip_with/aggregate/divide form yields NULL on a
+    // length mismatch (padding nulls), a null element, and a zero-norm
+    // side (divide by zero) — the fused kernel must do the same, never
+    // a prefix-truncated score, an NPE, or a NaN
+    val rows = spark.sql(
+      """SELECT
+        |  cosine_sim(array(3.0d), array(3.0d, 4.0d)) AS mismatch,
+        |  cosine_sim(array(1.0d, cast(null as double)), array(1.0d, 1.0d)) AS nullel,
+        |  cosine_sim(array(0.0d, 0.0d), array(1.0d, 2.0d)) AS zeronorm,
+        |  cosine_sim(array(3.0d, 4.0d), array(3.0d, 4.0d)) AS same
+        |""".stripMargin).head()
+    assert(rows.isNullAt(0), "length mismatch must be NULL")
+    assert(rows.isNullAt(1), "null element must be NULL")
+    assert(rows.isNullAt(2), "zero norm must be NULL")
+    assert(rows.getDouble(3) === 1.0)
+  }
 }

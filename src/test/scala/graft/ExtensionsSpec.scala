@@ -82,8 +82,27 @@ class ExtensionsSpec extends AnyFunSuite {
     }
     new graft.functions.GraftExtensions().apply(ext)
     assert(collected.map(_._1.funcName).toSet ==
-      Set("cosine_sim", "poly_hash", "nfc_normalize"))
+      Set("cosine_sim", "poly_hash", "nfc_normalize",
+        "graft_cosine", "graft_polyhash"))
     assert(collected.toSeq == GraftFunctions.descriptors)
+    // graft.GraftExtensions (the top-level entry point) must inject the
+    // IDENTICAL descriptor set — one registration surface, two config
+    // spellings
+    val collected2 = scala.collection.mutable.ArrayBuffer.empty[
+      (org.apache.spark.sql.catalyst.FunctionIdentifier,
+        org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+        Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+          org.apache.spark.sql.catalyst.expressions.Expression)]
+    val ext2 = new org.apache.spark.sql.SparkSessionExtensions {
+      override def injectFunction(
+          fd: (org.apache.spark.sql.catalyst.FunctionIdentifier,
+            org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+            Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+              org.apache.spark.sql.catalyst.expressions.Expression)): Unit =
+        collected2 += fd
+    }
+    new graft.GraftExtensions().apply(ext2)
+    assert(collected2.toSeq == GraftFunctions.descriptors)
   }
 
   test("nfc_normalize: ASCII identity fast path, recomposition, SQL==API") {

@@ -62,7 +62,7 @@ class MultimodalSpec extends AnyFunSuite {
     putLe32(evil, 18, Int.MaxValue) // width
     putLe32(evil, 22, Int.MaxValue) // height
     val e = intercept[IllegalArgumentException](MediaCodecs.decodeBmp(evil, 0))
-    assert(e.getMessage.contains("past buffer end"))
+    assert(e.getMessage.contains("past frame end"))
   }
 
   test("WAV round-trip: format fields, meanAbs, zero crossings") {
