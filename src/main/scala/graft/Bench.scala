@@ -139,14 +139,20 @@ object Bench {
         val (extra, _) = runOnce(n)
         val newLoad = math.max(load, loadAvg())
         if (extra >= 0 && extra < minT) {
-          System.err.println(f"[bench] reprobe $n%s: $minT%.2f -> $extra%.2f s")
+          System.err.println(s"[bench] reprobe $n: ${"%.2f".formatLocal(java.util.Locale.ROOT, minT)} -> ${"%.2f".formatLocal(java.util.Locale.ROOT, extra)} s")
           (n, extra, medT, newLoad)
         } else (n, minT, medT, newLoad)
       }
     }
+    // Locale-FIXED numeric formatting: the contract line must be valid
+    // JSON on ANY default locale — a comma-decimal locale (de_DE) would
+    // render 12,34 and the driver would record the round as unparsed.
+    def fmt(prec: String, v: Double): String =
+      prec.formatLocal(java.util.Locale.ROOT, v)
+    def fmt2(v: Double): String = fmt("%.2f", v)
     def jmap(key: String => String, prec: String)(
         f: ((String, Double, Double, Double)) => Double): String =
-      results.map(r => "\"" + key(r._1) + "\":" + prec.format(f(r)))
+      results.map(r => "\"" + key(r._1) + "\":" + fmt(prec, f(r)))
         .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val totalMed = results.map(_._3).filter(_ >= 0).sum
@@ -176,7 +182,7 @@ object Bench {
       numId(name).filter(i => idCounts(i) == 1).map(_.toString)
         .getOrElse("\"" + name + "\"")
     def trimSec(v: Double): String = {
-      val s = f"$v%.2f"
+      val s = fmt2(v)
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse else s
     }
     // POSITIONAL form when the catalog's numeric ids are exactly 1..N
@@ -206,11 +212,11 @@ object Bench {
     // in the contract so no per-query number silently carries a build.
     val setupSec = memoLedger.map(_._3).sum
     val contract =
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec",""" +
+      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec",""" +
       s""""qfmt":"$qfmt",""" +
       s""""queries":$qpayload,""" +
-      f""""total_median":$totalMed%.2f,""" +
-      f""""setup_sec":$setupSec%.2f,"setup_builds":${memoLedger.size},""" +
+      s""""total_median":${fmt2(totalMed)},""" +
+      s""""setup_sec":${fmt2(setupSec)},"setup_builds":${memoLedger.size},""" +
       s""""sf":"$sfDir"}"""
     if (contract.length > 1950)
       System.err.println(s"[bench] WARNING contract line ${contract.length} chars " +
@@ -224,13 +230,13 @@ object Bench {
     val hotLoads = results.filter(_._4 > loadFloor)
     System.err.println(
       s"""{"passes":$passes,""" +
-      f""""load1m_start":$startLoad%.2f,"load1m_end":$endLoad%.2f,""" +
-      f""""load1m_floor":$loadFloor%.2f,"queries_load1m_hot":""" +
-      hotLoads.map(r => "\"" + r._1 + "\":" + "%.2f".format(r._4))
+      s""""load1m_start":${fmt2(startLoad)},"load1m_end":${fmt2(endLoad)},""" +
+      s""""load1m_floor":${fmt2(loadFloor)},"queries_load1m_hot":""" +
+      hotLoads.map(r => "\"" + r._1 + "\":" + fmt2(r._4))
         .mkString("{", ",", "}") + "}")
     System.err.println(
       s"""{"memo_builds":""" + memoLedger
-        .map { case (q, k, sec) => f"""["$q","$k",$sec%.2f]""" }
+        .map { case (q, k, sec) => s"""["$q","$k",${fmt2(sec)}]""" }
         .mkString("[", ",", "]") + "}")
     System.err.println(
       s"""{"queries_median":${jmap(identity, "%.3f")(_._3)}}""")

@@ -51,12 +51,18 @@ object Tables {
           .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
           .select(cols.head, cols.tail: _*)
       case _ =>
-        // TIMESTAMP(MICROS) file: loads as TIMESTAMP_NTZ; cast to the
-        // session-zone TimestampType (UTC session → same instant) so
-        // downstream window/event-time semantics match the nanos path,
-        // and synthesize the nanos column losslessly from micros.
-        raw.withColumn("ts", expr("CAST(ts AS TIMESTAMP)"))
-          .withColumn("ts_ns", expr("unix_micros(ts) * 1000L"))
+        // TIMESTAMP(MICROS) file: loads as TIMESTAMP_NTZ. The epoch is
+        // derived with a pure-NTZ timestampdiff from the epoch wall
+        // clock — session-zone-INDEPENDENT, unlike CAST(ts AS
+        // TIMESTAMP), which interprets the wall clock in the session
+        // zone and would shift every derived value on any session that
+        // didn't pin UTC (the same logical dataset must yield the same
+        // epochs regardless of which parquet encoding generation it
+        // shipped in). ts is then rebuilt as a true instant from the
+        // micros, matching the nanos path exactly.
+        raw.withColumn("ts_ns", expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) * 1000L"))
+          .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
           .select(cols.head, cols.tail: _*)
     }
   }

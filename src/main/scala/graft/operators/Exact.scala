@@ -41,7 +41,7 @@ object Exact {
   /** Recursive delete — the ONE definition every scratch-lifecycle
     * site (fmtRoot shutdown hook, scratchDir retirement, streaming
     * checkpoint cleanup) shares. */
-  private[operators] def rmTree(p: java.nio.file.Path): Unit = {
+  private[graft] def rmTree(p: java.nio.file.Path): Unit = {
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
     }

@@ -175,7 +175,14 @@ object CredentialsProvider {
       now: () => Instant = () => Instant.now()): CredentialsProvider = {
     val base = accessKey match {
       case Some(a) =>
-        Static(SigV4.Credentials(a, secretKey.getOrElse("")))
+        // fail FAST on a half-configured static pair (the fromEnv
+        // rule): an empty secret would sign every request with key
+        // "AWS4" and surface only as runtime SignatureDoesNotMatch
+        // with no hint of the misconfiguration
+        val sk = secretKey.getOrElse(throw new IllegalArgumentException(
+          "accessKey set but secretKey missing — static credentials " +
+            "need both (or neither, to use instance metadata)"))
+        Static(SigV4.Credentials(a, sk))
       case None => instanceMetadata(get, now = now)
     }
     roleArn match {
@@ -187,9 +194,13 @@ object CredentialsProvider {
   /** Production GET transport (JDK HTTP client; the metadata service is
     * plain HTTP inside the instance).
     */
+  // one client per JVM (the AwsKinesisClient.httpTransport rule) — a
+  // fresh HttpClient per metadata GET would leak a selector thread and
+  // connection pool on every credential refresh until GC
+  private lazy val metadataHttpClient = java.net.http.HttpClient.newHttpClient()
+
   lazy val httpGet: HttpGet = { url =>
-    val client = java.net.http.HttpClient.newHttpClient()
-    val resp = client.send(
+    val resp = metadataHttpClient.send(
       java.net.http.HttpRequest.newBuilder(java.net.URI.create(url)).GET().build(),
       java.net.http.HttpResponse.BodyHandlers.ofString())
     (resp.statusCode(), resp.body())

@@ -32,6 +32,21 @@ object SigV4 {
   private val DateStampFmt =
     DateTimeFormatter.ofPattern("yyyyMMdd").withZone(ZoneOffset.UTC)
 
+  /** Locale-FIXED lowercase: a plain toLowerCase under a Turkish-class
+    * default locale maps 'I' to dotless ı, producing a non-ASCII header
+    * name in both the canonical request and the wire map — every
+    * request then fails signature validation. */
+  private def canonKey(k: String): String =
+    k.toLowerCase(java.util.Locale.ROOT)
+
+  /** SigV4 Trimall: trim AND collapse sequential internal spaces — AWS
+    * canonicalizes the received value the same way, so signing the
+    * uncollapsed form guarantees SignatureDoesNotMatch on any header
+    * value with doubled spaces. Applied before both signing and the
+    * returned wire map, so signed == sent. */
+  private def canonValue(v: String): String =
+    v.trim.replaceAll(" +", " ")
+
   def hmacSha256(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
     val mac = Mac.getInstance("HmacSHA256")
     mac.init(new SecretKeySpec(key, "HmacSHA256"))
@@ -83,7 +98,7 @@ object SigV4 {
     // canonical step would sign a value different from the transmitted
     // one and guarantee SignatureDoesNotMatch on whitespace-padded input.
     val allHeaders: Map[String, String] =
-      headers.map { case (k, v) => k.toLowerCase -> v.trim } ++
+      headers.map { case (k, v) => canonKey(k) -> canonValue(v) } ++
         Map("host" -> host, "x-amz-date" -> amzDate) ++
         creds.sessionToken.map("x-amz-security-token" -> _)
 
@@ -96,7 +111,7 @@ object SigV4 {
       .mkString("&")
 
     val sortedHeaders = allHeaders.toSeq
-      .map { case (k, v) => k.toLowerCase -> v.trim }
+      .map { case (k, v) => canonKey(k) -> canonValue(v) }
       .sortBy(_._1)
     val canonicalHeaders = sortedHeaders.map { case (k, v) => s"$k:$v\n" }.mkString
     val signedHeaders = sortedHeaders.map(_._1).mkString(";")
@@ -136,9 +151,14 @@ object SigV4 {
       now: Instant): String = {
     val amzDate = AmzDateFmt.format(now)
     val dateStamp = DateStampFmt.format(now)
-    val allHeaders = headers ++ Map("host" -> host, "x-amz-date" -> amzDate)
-    val sortedHeaders = allHeaders.toSeq
-      .map { case (k, v) => k.toLowerCase -> v.trim }.sortBy(_._1)
+    // same canonicalization ORDER as sign(): caller keys lowercase
+    // BEFORE merging, so a mixed-case "Host" collides with the
+    // generated entry instead of producing a duplicated header the
+    // real signer never emits
+    val allHeaders = headers.map { case (k, v) =>
+      canonKey(k) -> canonValue(v) } ++
+      Map("host" -> host, "x-amz-date" -> amzDate)
+    val sortedHeaders = allHeaders.toSeq.sortBy(_._1)
     val canonicalRequest = Seq(
       method,
       if (path.isEmpty) "/" else uriEscape(path, keepSlash = true),
