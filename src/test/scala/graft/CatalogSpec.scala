@@ -63,4 +63,16 @@ class CatalogSpec extends AnyFunSuite {
     val again = SparkEntry.queries("q39_media_features")(spark, sf).collect()
     assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
+
+  test("BenchBaselines names exactly track the declared catalog") {
+    // drift guard: a renamed/removed query with a stale baseline entry
+    // would silently lose its wave re-probe (Bench only probes names it
+    // can look up), and a new query should be pinned next round
+    val declared = SparkEntry.allDefs.map(_.name).toSet
+    val pinned = BenchBaselines.sec.keySet
+    assert((pinned -- declared).isEmpty,
+      s"baseline entries for unknown queries: ${(pinned -- declared).toSeq.sorted}")
+    assert((declared -- pinned).isEmpty,
+      s"declared queries missing a baseline pin: ${(declared -- pinned).toSeq.sorted}")
+  }
 }
