@@ -48,17 +48,35 @@ case class CosineSimilarity(left: Expression, right: Expression)
   @inline private def elem(arr: ArrayData, isFloat: Boolean, i: Int): Double =
     if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
 
+  // Static element-nullability, hoisted once per plan: a side whose
+  // ArrayType carries containsNull = false (array literals via typedLit,
+  // array(...) of non-null columns, aggregation-built vectors) provably
+  // has no null elements, so its per-element isNullAt test is dead code
+  // — dropping it keeps the O(d) inner loop of the O(n²) pair joins
+  // pure multiply-accumulate. Parquet-sourced arrays say
+  // containsNull = true (the writer's schema default even for dense
+  // data), so THOSE keep the per-element check: the check is the null
+  // contract, and narrowing the type on a caller's say-so would turn a
+  // wrong certificate into silently-read garbage values rather than a
+  // plan error — not worth the branch it saves.
+  private lazy val leftMayHaveNullElems =
+    left.dataType.asInstanceOf[ArrayType].containsNull
+  private lazy val rightMayHaveNullElems =
+    right.dataType.asInstanceOf[ArrayType].containsNull
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val lf = left.dataType.asInstanceOf[ArrayType].elementType == FloatType
     val rf = right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    val lcn = leftMayHaveNullElems
+    val rcn = rightMayHaveNullElems
     val n = x.numElements()
     if (n != y.numElements()) return null
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
-      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      if ((lcn && x.isNullAt(i)) || (rcn && y.isNullAt(i))) return null
       val xv = elem(x, lf, i)
       val yv = elem(y, rf, i)
       dot += xv * yv; na += xv * xv; nb += yv * yv
@@ -84,14 +102,26 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
       // same NULL contract as the interpreted path: length mismatch,
-      // null element, or zero-norm side → NULL, not a truncated score
+      // null element, or zero-norm side → NULL, not a truncated score.
+      // Element null tests are emitted ONLY for sides whose static type
+      // says elements may be null (containsNull) — a typedLit query
+      // vector or array()-built side compiles to the check-free
+      // multiply-accumulate loop (see leftMayHaveNullElems).
+      val elemNullTest = (leftMayHaveNullElems, rightMayHaveNullElems) match {
+        case (true, true) => s"$a.isNullAt($i) || $b.isNullAt($i)"
+        case (true, false) => s"$a.isNullAt($i)"
+        case (false, true) => s"$b.isNullAt($i)"
+        case (false, false) => ""
+      }
+      val guard = if (elemNullTest.isEmpty) ""
+        else s"if ($elemNullTest) { ${ev.isNull} = true; break; }"
       s"""
          |int $n = $a.numElements();
          |if ($n != $b.numElements()) { ${ev.isNull} = true; }
          |else {
          |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
-         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $guard
          |    double $xv = ${leftGet(a, i)};
          |    double $yv = ${rightGet(b, i)};
          |    $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;

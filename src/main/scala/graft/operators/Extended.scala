@@ -1317,15 +1317,67 @@ object Extended {
   /** q196: exact grouped covariance / Pearson-r² at FACT scale — the
     * overflow-safe discipline: on integer cent grids the textbook
     * numerators (n·Σxy − Σx·Σy etc.) exceed BIGINT at ~10²¹ for 100k+
-    * rows of 10⁷-cent values, so every sum accumulates as
-    * DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — EXACT integers end to
-    * end — and only the final numerators cast to DOUBLE (both engines
-    * round the same exact integer to the same nearest double). r² is
-    * then an integer ppm via the identical ROUND text in both engines.
-    * One map-side-combined aggregation over the fact table; 3 output
-    * rows. The single-pass mergeable-state cousin of q121's moments and
-    * q122's per-series slope.
+    * rows of 10⁷-cent values, so sums must leave 64 bits before the
+    * final arithmetic — but running the WHOLE fact scan through
+    * DECIMAL(38,0) accumulators pays 128-bit adds on every row (the
+    * measured 2.6× over the long-sum plan). Two-stage exact shape
+    * instead ([[exactMomentSums]]): stage 1 sums PLAIN LONGS per
+    * (flag, 4096-row chunk) — chunk = monotonically_increasing_id()
+    * >> 12, so a chunk never exceeds 2¹² rows and each partial stays
+    * provably inside 2⁶³ for element magnitudes up to 4.7×10⁷ cents
+    * (√(2⁶³∕2¹²); the TPC-H price grid tops out at 10⁷ — 4.7×
+    * headroom, and an out-of-domain value fails loudly under ANSI
+    * rather than wrapping); stage 2 widens the per-chunk partials to
+    * DECIMAL(38,0) and merges per flag. Long addition is exact,
+    * decimal addition is exact, so the merged sums are bit-identical
+    * to the all-decimal form and to DuckDB's HUGEINT — the oracle
+    * text is unchanged. Only
+    * the final numerators cast to DOUBLE (both engines round the same
+    * exact integer to the same nearest double); r² is an integer ppm
+    * via the identical ROUND text. At 100 TB stage 1 is map-side hash
+    * aggregation on (flag, chunk) — rows/4096 partials cross the wire,
+    * stage 2 is flag-count rows. The single-pass mergeable-state cousin
+    * of q121's moments and q122's per-series slope.
     */
+  /** The two-stage exact moment-sum kernel (q196's stage 1+2, factored
+    * so ExtendedSpec can pin the overflow bound directly): given rows
+    * (flag, x, y) of BIGINT grid values, returns per-flag EXACT
+    * n/Σx/Σy/Σxy/Σx²/Σy² with count as BIGINT and sums as
+    * DECIMAL(38,0). Stage 1 sums plain longs per (flag, ≤2¹²-row
+    * chunk); stage 2 widens the per-chunk partials to decimal and
+    * merges per flag — bit-identical to an all-decimal accumulation
+    * (long and decimal addition are both exact) at long-sum speed over
+    * the fact scan. Sound for |x|,|y| ≤ 4.7×10⁷ (√(2⁶³∕2¹²) ≈ 4.74×10⁷
+    * bounds the worst per-chunk Σy²) — $470k in cents per value, 4.7×
+    * headroom over the TPC-H price grid's 10⁷-cent maximum; a wider
+    * value grid needs a smaller chunk shift (or the all-decimal form).
+    * (Chunk ids are partition-unique while a partition holds < 2³³
+    * rows — mono-id's counter field; a cross-partition chunk collision
+    * past that would merely double one chunk's row bound, still 2×
+    * inside 2⁶³ at the TPC-H grid.)
+    * Out-of-bound magnitudes fail LOUDLY under ANSI (long-overflow
+    * error), never as a silent wrap.
+    */
+  def exactMomentSums(c: DataFrame): DataFrame = {
+    val dec38 = DecimalType(38, 0)
+    val partial = c
+      .withColumn("chunk", shiftright(monotonically_increasing_id(), 12))
+      .groupBy(col("flag"), col("chunk")).agg(
+        count(lit(1)).as("pn"),
+        sum(col("x")).as("px"),
+        sum(col("y")).as("py"),
+        sum(col("x") * col("y")).as("pxy"),
+        sum(col("x") * col("x")).as("pxx"),
+        sum(col("y") * col("y")).as("pyy"))
+    partial.groupBy(col("flag")).agg(
+      sum(col("pn")).as("n"),
+      sum(col("px").cast(dec38)).as("sx"),
+      sum(col("py").cast(dec38)).as("sy"),
+      sum(col("pxy").cast(dec38)).as("sxy"),
+      sum(col("pxx").cast(dec38)).as("sxx"),
+      sum(col("pyy").cast(dec38)).as("syy"))
+  }
+
   val q196: QueryDef = QueryDef.checked(
     "q196_grouped_correlation",
     """WITH c AS (
@@ -1349,18 +1401,11 @@ object Extended {
       |    ELSE CAST(ROUND(1000000.0 * covd * covd / (vxd * vyd)) AS BIGINT)
       |  END AS r2_ppm
       |FROM k ORDER BY flag""".stripMargin) { (s, d) =>
-    val dec38 = DecimalType(38, 0)
     val c = Tables.lineitem(s, d).select(
       col("l_returnflag").as("flag"),
       expr("CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)").as("x"),
       expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("y"))
-    val m = c.groupBy(col("flag")).agg(
-      count(lit(1)).as("n"),
-      sum(col("x").cast(dec38)).as("sx"),
-      sum(col("y").cast(dec38)).as("sy"),
-      sum((col("x") * col("y")).cast(dec38)).as("sxy"),
-      sum((col("x") * col("x")).cast(dec38)).as("sxx"),
-      sum((col("y") * col("y")).cast(dec38)).as("syy"))
+    val m = exactMomentSums(c)
     m.select(col("flag"), col("n"),
         expr("CAST(n*sxy - sx*sy AS DOUBLE)").as("covd"),
         expr("CAST(n*sxx - sx*sx AS DOUBLE)").as("vxd"),

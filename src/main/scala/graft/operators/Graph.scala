@@ -357,18 +357,37 @@ object Graph {
     * once across rounds.
     */
   def labelPropagation(edges0: DataFrame, seeds: DataFrame, nodes: DataFrame,
-      rounds: Int = 2, release: Boolean = false): DataFrame = {
+      rounds: Int = 2, release: Boolean = false,
+      normalized: Boolean = false): DataFrame = {
     // normalized inputs (the sibling-operator rule — pageRank, kCore,
     // triangleCounts all distinct their edges): a duplicated edge would
     // double-count its vote and flip majorities; a node seeded twice
     // would fan the base frame out into conflicting duplicate rows —
     // ties across duplicate seeds resolve to the smallest label, the
-    // same total order the per-round argmax uses
-    val edges = edges0.select(col("src"), col("dst")).distinct()
+    // same total order the per-round argmax uses.
+    // `normalized = true` is the caller's certificate that ALL THREE
+    // inputs are already normal: edges distinct (src, dst) pairs, nodes
+    // unique, seeds one row per node — true by construction for the
+    // catalog path ([[similarityEdges]]' memoized graph is
+    // strictly-ordered unique pairs symmetrized once; nodes and seeds
+    // project the embeddings primary key) — so the defensive distinct /
+    // min-per-key shuffle stages drop out of every catalog query that
+    // reads the shared graph (three whole exchange stages at the
+    // framework's fixed per-stage cost; the frames here are small but
+    // the stages are not free, and at 100 TB the edge distinct is a
+    // full-graph shuffle). GraphEdgeSpec pins the duplicate-edge vote
+    // and duplicate-seed rules on the DEFAULT path and certificate ≡
+    // default on certified inputs; the certificate never changes
+    // results, only plans.
+    val edges = (if (normalized) edges0.select(col("src"), col("dst"))
+      else edges0.select(col("src"), col("dst")).distinct())
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val base = nodes.select(col("node")).distinct()
-      .join(seeds.groupBy(col("node")).agg(min(col("label")).as("seed_label")),
-        Seq("node"), "left")
+    val seedLabels =
+      if (normalized) seeds.select(col("node"), col("label").as("seed_label"))
+      else seeds.groupBy(col("node")).agg(min(col("label")).as("seed_label"))
+    val baseNodes = if (normalized) nodes.select(col("node"))
+      else nodes.select(col("node")).distinct()
+    val base = baseNodes.join(seedLabels, Seq("node"), "left")
       .persist(StorageLevel.MEMORY_AND_DISK)
     var state = base.select(col("node"), col("seed_label").as("label"))
     for (_ <- 1 to rounds) {
@@ -523,9 +542,10 @@ object Graph {
   def labelSpreadBySimilarity(vectors: DataFrame, seeds: DataFrame,
       rounds: Int = 2, threshold: Double = 0.3,
       edgeSource: (DataFrame, Double) => DataFrame = cosineEdgesExact,
-      release: Boolean = false): DataFrame =
+      release: Boolean = false, normalizedEdges: Boolean = false): DataFrame =
     labelPropagation(edgeSource(vectors, threshold), seeds,
-      vectors.select(col("vec_id").as("node")), rounds, release)
+      vectors.select(col("vec_id").as("node")), rounds, release,
+      normalized = normalizedEdges)
 
   /** q127: spread the first-100 embedding labels over the cosine-0.3
     * similarity graph for two rounds — hash-checked (including nodes
@@ -571,10 +591,13 @@ object Graph {
         col("label"))
     val seeds = e.filter(col("vec_id") < 100)
       .select(col("vec_id").as("node"), col("label"))
-    // edgeSource taps the memoized corpus graph — same edges, built once
+    // edgeSource taps the memoized corpus graph — same edges, built
+    // once; distinct-by-construction, so the defensive re-distinct is
+    // certified away (normalizedEdges)
     labelSpreadBySimilarity(e.select(col("vec_id"), col("v")), seeds,
         rounds = 2, threshold = 0.3,
-        edgeSource = (_, t) => similarityEdges(s, d, t))
+        edgeSource = (_, t) => similarityEdges(s, d, t),
+        normalizedEdges = true)
       .orderBy(col("node"))
   }
 
@@ -1948,13 +1971,29 @@ object Graph {
     * component?" does not need reachability PAIRS materialized.
     * Contract, don't close.) Neighbor labels then canonicalize per
     * (x, component) as min member — every step an equi-join + keyed
-    * agg, no per-vertex driver loop. At 100 TB restrict `cand` to the
-    * suspects that matter (hubs, known bridges) and the same dataflow
-    * runs on the induced candidate set.
+    * agg, no per-vertex driver loop.
+    *
+    * SCALE BOUNDARY (the betweenness q177/q222 rule applied to this
+    * family): the joint seed is |cand|·|E| rows — with cand = every
+    * deg-≥2 node that is Θ(V·E), fine for the memoized catalog graph
+    * (built once per corpus, ~10⁵·10⁴ rows here) but a wall on a
+    * 100 TB graph where V·E has no business existing. The scale path
+    * is `candidates`: pass the suspect set that actually needs
+    * auditing (hubs by degree, endpoints of suspected bridges, a
+    * region's boundary nodes, or a uniform sample for a cut-density
+    * estimate) and the SAME dataflow runs with seed |candidates|·|E| —
+    * per-candidate output is exact regardless of the set (subproblems
+    * are independent by construction; ArticulationSpec pins
+    * restricted ≡ full∣restricted). A candidate run bypasses the
+    * memo: the memoized index is defined as the full-candidate one.
     */
   def articulationProfile(undirected0: DataFrame,
-      memoKey: Option[String] = None): DataFrame =
-    exclusionLabels(undirected0, memoKey)
+      memoKey: Option[String] = None,
+      candidates: Option[DataFrame] = None): DataFrame =
+    (candidates match {
+      case Some(c) => exclusionLabelsBuild(undirected0, Some(c))
+      case None => exclusionLabels(undirected0, memoKey)
+    })
       .groupBy(col("x").as("node"))
       .agg(countDistinct(col("lbl")).as("n_split"))
       .withColumn("is_articulation", col("n_split") >= 2)
@@ -2057,11 +2096,19 @@ object Graph {
     * then canonicalize per (x, component) as the min NEIGHBOR of x in
     * that component (neighbors isolated in G∖{x} label themselves).
     */
-  private def exclusionLabelsBuild(undirected0: DataFrame): DataFrame = {
+  private def exclusionLabelsBuild(undirected0: DataFrame,
+      candidates: Option[DataFrame] = None): DataFrame = {
     val und = undirected0.select(col("src"), col("dst")).distinct()
       .localCheckpoint(true)
-    val cand = und.groupBy(col("src").as("x")).agg(count(lit(1)).as("deg"))
+    // candidate restriction (the 100 TB path — see articulationProfile's
+    // scale-boundary note): a supplied suspect set semi-joins INTO the
+    // deg-≥2 rule, never replaces it — a deg-≤1 suspect has nothing to
+    // split and would only seed dead subproblems
+    val candAll = und.groupBy(col("src").as("x")).agg(count(lit(1)).as("deg"))
       .filter(col("deg") >= 2).select(col("x"))
+    val cand = candidates.fold(candAll)(c =>
+        candAll.join(c.select(col(c.columns.head).as("x")), Seq("x"),
+          "left_semi"))
       .localCheckpoint(true)
     val nb = und.join(cand, und("src") === cand("x"))
       .select(col("x"), col("dst").as("n"))
@@ -2088,6 +2135,13 @@ object Graph {
     * class-size readout of [[exclusionLabels]]; edges whose BOTH
     * endpoints have degree 1 (isolated edges, no candidate side) are
     * bridges by definition and union in via the degree rule.
+    *
+    * Scale boundary: inherits [[articulationProfile]]'s |cand|·|E|
+    * seed. The candidate-restricted form of the same readout answers
+    * "is THIS edge a bridge?" for a suspect edge list — pass the
+    * suspect endpoints as candidates to the exclusion build and read
+    * the singleton classes; full-graph bridge enumeration at 100 TB
+    * belongs on the per-WCC decomposition, not one joint run.
     */
   def bridgeEdges(undirected0: DataFrame,
       memoKey: Option[String] = None): DataFrame = {
@@ -2283,6 +2337,18 @@ object Graph {
     * guarded against overflow) so the stars loop shuffles fixed-width
     * longs — the q110 discipline; a node domain past ~3·10⁹ would
     * switch the loop to a struct-keyed stars variant instead.
+    *
+    * Scale boundary: block labeling is a WHOLE-GRAPH partition, so it
+    * inherits the full-candidate |cand|·|E| exclusion seed and cannot
+    * take the suspect-set shortcut (a block's extent depends on every
+    * cut vertex on its boundary). The 100 TB decomposition is
+    * structural instead: connected components are independent (a block
+    * never crosses a WCC), so shard by WCC label first — each
+    * component's exclusion index is |cand_c|·|E_c|, and the Σ over
+    * components is a component-size-squared sum, not V·E of the whole
+    * graph. Within one pathological mega-component, fall back to
+    * articulation points from the candidate-restricted profile (hubs
+    * first) and label only the regions between them.
     */
   def biconnectedLabels(undirected0: DataFrame,
       memoKey: Option[String] = None): DataFrame = {

@@ -101,6 +101,33 @@ class ArticulationSpec extends AnyFunSuite {
     }
   }
 
+  test("candidate restriction: per-candidate output is exact and equals " +
+      "the full profile restricted (the 100 TB suspect-set path)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(77L)
+    val n = 24
+    val edges = (for {
+      a <- 1 to n; b <- (a + 1) to n
+      if rnd.nextDouble() < 0.12
+    } yield (a.toLong, b.toLong)) ++ Seq((30L, 31L), (31L, 32L)) // planted path
+    val sym = (edges ++ edges.map(_.swap)).distinct
+    val df = sym.toDF("src", "dst")
+    val full = Graph.articulationProfile(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    // suspects: a mix of true cut vertices, non-cut candidates, and a
+    // degree-1 node (must drop out — nothing to split)
+    val suspects = (full.keys.take(5).toSeq :+ 31L :+ 30L).distinct
+    val got = Graph.articulationProfile(df,
+        candidates = Some(suspects.toDF("node")))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val wanted = full.view.filterKeys(suspects.contains).toMap
+    assert(got == wanted,
+      s"restricted run must equal the full profile on the suspect set: " +
+        s"got $got, wanted $wanted")
+    assert(!got.contains(30L), "a degree-1 suspect seeds no subproblem")
+  }
+
   /** Bridge reference: remove the edge, BFS from one endpoint, check
     * the other endpoint became unreachable.
     */

@@ -321,4 +321,37 @@ class ExtendedSpec extends AnyFunSuite {
     assert(csv.getAs[Long]("n") === json.getAs[Long]("n"))
     assert(csv.getAs[Long]("sum_key") === json.getAs[Long]("sum_key"))
   }
+
+  test("exactMomentSums: chunked long partials stay exact at the " +
+      "documented magnitude bound (q196's overflow discipline)") {
+    val s = spark
+    import s.implicits._
+    // 12k rows at |x|,|y| up to the documented 4.7×10⁷-cent bound:
+    // Σy² ≈ 12000·(4.7×10⁷)² ≈ 2.7×10¹⁹ — wraps 2⁶³ ≈ 9.2×10¹⁸ as ONE
+    // long sum, but each ≤4096-row chunk partial stays below
+    // 2¹²·(4.7×10⁷)² ≈ 9.0×10¹⁸ < 2⁶³; the decimal merge must
+    // reproduce the BigInt reference digit for digit.
+    val rnd = new scala.util.Random(196L)
+    val rows = (1 to 12000).map { _ =>
+      val flag = if (rnd.nextBoolean()) "A" else "B"
+      val x = (rnd.nextDouble() * 2 - 1) * 4.7e7
+      val y = (rnd.nextDouble() * 2 - 1) * 4.7e7
+      (flag, x.toLong, y.toLong)
+    }
+    val got = graft.operators.Extended
+      .exactMomentSums(rows.toDF("flag", "x", "y").repartition(8))
+      .collect().map { r =>
+        r.getString(0) -> ((r.getLong(1), Seq(2, 3, 4, 5, 6)
+          .map(i => BigInt(r.getDecimal(i).toBigInteger))))
+      }.toMap
+    val expect = rows.groupBy(_._1).map { case (f, rs) =>
+      val xs = rs.map(t => BigInt(t._2)); val ys = rs.map(t => BigInt(t._3))
+      f -> ((rs.size.toLong, Seq(
+        xs.sum, ys.sum,
+        xs.zip(ys).map { case (a, b) => a * b }.sum,
+        xs.map(a => a * a).sum, ys.map(b => b * b).sum)))
+    }
+    assert(got == expect,
+      s"two-stage merge must be BigInt-exact: got $got expected $expect")
+  }
 }

@@ -302,6 +302,37 @@ class GraphEdgeSpec extends AnyFunSuite {
     assert(core5.isEmpty, "no 5-core exists in a 5-clique")
   }
 
+  test("labelPropagation: duplicate edges do not double-vote, duplicate " +
+      "seeds take the min label, and the normalized certificate only " +
+      "changes the plan") {
+    val s = spark
+    import s.implicits._
+    // 1 votes for 3 once even when the edge repeats 3×; 2 votes once —
+    // with honest single votes the (n desc, label) argmax picks 2's
+    // label "a" over 1's "b" on the count tie broken by label order...
+    // unless 1's duplicated edge triple-counts and wins. Seeds: node 2
+    // seeded twice with ("z", "a") must resolve to "a" (min).
+    val edges = Seq((1L, 3L), (1L, 3L), (1L, 3L), (2L, 3L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    val seeds = Seq((1L, "b"), (2L, "z"), (2L, "a")).toDF("node", "label")
+    val nodes = Seq(1L, 2L, 3L).toDF("node")
+    val out = Graph.labelPropagation(edges, seeds, nodes, rounds = 1)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out(3L).contains("a"),
+      s"one vote per distinct edge, min label per duplicated seed: $out")
+    // certificate path: NORMAL inputs through normalized=true must give
+    // the same result as the defensive default on those same inputs
+    val nEdges = Seq((1L, 3L), (2L, 3L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    val nSeeds = Seq((1L, "b"), (2L, "a")).toDF("node", "label")
+    def run(norm: Boolean): Map[Long, Option[String]] =
+      Graph.labelPropagation(nEdges, nSeeds, nodes, rounds = 2,
+          normalized = norm)
+        .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(run(norm = true) == run(norm = false),
+      "the certificate must never change results on certified inputs")
+  }
+
   test("release=true results match release=false results") {
     val s = spark
     import s.implicits._
