@@ -39,8 +39,19 @@ object TextFunctions {
     * |a∩b| / |a∪b|, each set operation built ONCE in the expression
     * tree (the sum-minus-intersect denominator duplicated the intersect
     * subexpression). Integer sizes divided in double — bit-deterministic
-    * in any engine. Two empty sets score a defined 1.0 (identical), not
-    * a NULL from 0/0.
+    * in any engine.
+    *
+    * EMPTY∕EMPTY CONVENTION — read before filtering on a threshold:
+    * two empty sets score a defined 1.0 (identical sets), not a NULL
+    * from 0/0. Under a `jaccard(...) >= t` near-dup filter this means
+    * every pair of blank documents (whitespace-only text, shingle
+    * window longer than the token list) reports as a PERFECT duplicate
+    * — which is usually what a dedup pipeline wants (blank docs ARE
+    * mutual duplicates), but is a behavior flip from the NULL-drops-out
+    * semantics a 0/0 division would give. Callers that must NOT pair
+    * blanks should pre-filter `size(a) > 0` (the Dedup operators do:
+    * their shingle frames explode per gram, so empty-set docs never
+    * reach the pair join at all).
     */
   def jaccard(a: Column, b: Column): Column = {
     val union = size(array_union(a, b))

@@ -190,9 +190,12 @@ final class AwsKinesisClient(
       // on the wire (documented API) — must map to None, not NPE
       nextIterator = obj.get("NextShardIterator").flatMap(Option(_))
         .map(_.toString),
+      // absent on the wire stays ABSENT (None): the metric is optional
+      // and approximate — mapping omission to 0 would read as "tip
+      // reached" and stall a backlogged shard at one page per trigger
       millisBehindLatest = obj.get("MillisBehindLatest") match {
-        case Some(d: Double) => d.toLong
-        case _ => 0L
+        case Some(d: Double) => Some(d.toLong)
+        case _ => None
       })
   }
 

@@ -36,11 +36,16 @@ final case class ReadRecord(
     arrivalEpochMs: Long)
 
 /** One GetRecords page: records + the continuation iterator (None when
-  * the shard is closed and fully consumed).
+  * the shard is closed and fully consumed). `millisBehindLatest` is
+  * None when the response OMITS the metric — the wire field is
+  * approximate and optional, and collapsing absent to 0 would make a
+  * backlogged shard read as "at the tip" (the admission probe would
+  * degrade to one page per trigger); a present 0 is the only true
+  * tip signal.
   */
 final case class GetRecordsPage(
     records: Seq[ReadRecord], nextIterator: Option[String],
-    millisBehindLatest: Long)
+    millisBehindLatest: Option[Long])
 
 /** One shard with its reshard lineage: a split's children carry the
   * parent's id; a merge's child carries both parents (ParentShardId +
@@ -135,7 +140,7 @@ final class FakeKinesisStream(nShards: Int = 2) extends KinesisClient
         if (closed(idx) && after >= buf.size) None
         else Some(s"${iterator.substring(0, sep)}:$after")
       GetRecordsPage(page, next,
-        millisBehindLatest = (buf.size - after).toLong.max(0))
+        millisBehindLatest = Some((buf.size - after).toLong.max(0)))
     }
 
   private def shardOf(shardId: String): Int =

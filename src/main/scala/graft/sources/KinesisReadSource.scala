@@ -124,7 +124,9 @@ private[sources] class KinesisSourceScan(options: CaseInsensitiveStringMap)
         "maxRecordsPerShardPerTrigger", "10000").toInt,
       pageLimit = options.getOrDefault("pageLimit", "1000").toInt,
       maxFetchCallsPerShard = options.getOrDefault(
-        "maxFetchCallsPerShard", "100").toInt)
+        "maxFetchCallsPerShard", "100").toInt,
+      pruneClosedUnlistedAfterTriggers = options.getOrDefault(
+        "pruneClosedUnlistedAfterTriggers", "3600").toInt)
 }
 
 /** Offset = map(shardId → last-consumed sequence number). Same
@@ -152,19 +154,27 @@ object KinesisSourceOffset {
 
 private[sources] class KinesisSourceMicroBatchStream(
     clientName: String, maxRecordsPerShardPerTrigger: Int, pageLimit: Int,
-    maxFetchCallsPerShard: Int = 100)
+    maxFetchCallsPerShard: Int = 100,
+    pruneClosedUnlistedAfterTriggers: Int = 3600)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   private lazy val client = KinesisReadSource.readClient(clientName)
 
   // Per-shard count of consecutive triggers the shard was absent from
-  // ListShards: an offset entry whose shard has been unlisted this many
-  // triggers is pruned (the shard expired past retention — its entry is
-  // dead weight rewritten into the offset log every micro-batch, and on
-  // a resharding stream the map would otherwise grow without bound).
-  // The counter absorbs transient listing hiccups, the TailSource
-  // dropAbsentAfterTriggers rule applied to shards.
-  private val DropUnlistedAfterTriggers = 10
+  // ListShards. Only a CLOSED (fully drained, `!closed`-marked) entry
+  // is ever pruned, and only after `pruneClosedUnlistedAfterTriggers`
+  // consecutive unlisted triggers (default 3600 ≈ an hour at 1 s
+  // triggers — sized against API/IAM incident durations, configurable
+  // against the stream's retention): a closed entry is pure gating
+  // metadata whose worst case after a wrong prune is a re-drain of
+  // already-aged-out data, and pruning it keeps the offset map from
+  // growing one entry per reshard forever. An OPEN shard's committed
+  // sequence is NEVER pruned — the position is irreplaceable, and a
+  // ListShards outage longer than any fixed threshold would otherwise
+  // restart the shard from TRIM_HORIZON and re-emit every retained
+  // record as duplicates (open entries outlive an outage of any
+  // length; they cost ~40 bytes each and only exist while the shard
+  // has not drained).
   private val unlistedTriggers = mutable.Map[String, Int]()
 
   override def initialOffset(): Offset = KinesisSourceOffset(Map.empty)
@@ -187,10 +197,13 @@ private[sources] class KinesisSourceMicroBatchStream(
     * progress through a gap cannot be checkpointed (offsets are sequence
     * numbers; Kinesis has no positionless cursor), so a gap must be
     * crossed within one trigger's call budget. Committed entries for
-    * shards that vanished from the listing are carried forward for
-    * [[DropUnlistedAfterTriggers]] triggers (a listing hiccup never
-    * resets progress), then pruned as conclusively expired so the
-    * offset JSON stays bounded on a resharding stream.
+    * shards that vanished from the listing are carried forward — OPEN
+    * entries indefinitely (a listing outage must never reset progress
+    * to TRIM_HORIZON), CLOSED ones for `pruneClosedUnlistedAfterTriggers`
+    * consecutive unlisted triggers before being pruned as conclusively
+    * expired, which is what keeps the offset JSON bounded on a
+    * resharding stream (reshards close parents; closed entries are the
+    * ones that accumulate).
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val committed = start.asInstanceOf[KinesisSourceOffset].seqs
@@ -204,15 +217,18 @@ private[sources] class KinesisSourceMicroBatchStream(
     val out = mutable.Map[String, String]() ++ committed
     val infos = client.listShards()
     val listed = infos.map(_.shardId).toSet
-    // prune entries for shards that stayed unlisted long enough to be
-    // conclusively expired (not a listing hiccup); a listed shard
-    // resets its counter
+    // prune CLOSED entries for shards that stayed unlisted long enough
+    // to be conclusively expired (not a listing hiccup); a listed shard
+    // resets its counter; an open entry is never pruned (see the
+    // counter's field comment — its committed position is the only
+    // thing standing between an outage and a TRIM_HORIZON re-read)
     committed.keysIterator.foreach { shard =>
       if (listed.contains(shard)) unlistedTriggers.remove(shard)
       else {
         val n = unlistedTriggers.getOrElse(shard, 0) + 1
         unlistedTriggers(shard) = n
-        if (n >= DropUnlistedAfterTriggers) {
+        if (n >= pruneClosedUnlistedAfterTriggers &&
+            committed.get(shard).exists(KinesisReadSource.isClosed)) {
           out.remove(shard)
           unlistedTriggers.remove(shard)
         }
@@ -264,13 +280,20 @@ private[sources] class KinesisSourceMicroBatchStream(
           if (rowBudget != Long.MaxValue) rowBudget -= page.records.size
         }
         page.nextIterator match {
-          // millisBehind 0 on ANY page (empty or not) = tip reached —
-          // walking on would spend one guaranteed-empty GetRecords per
-          // caught-up shard per trigger (20% of the 5-calls/sec shard
-          // quota at 1 s triggers), competing with the executors'
-          // reads; any residue behind an approximate 0 is picked up
-          // next trigger
-          case Some(n) if page.millisBehindLatest > 0 =>
+          // a PRESENT millisBehind 0 on ANY page (empty or not) = tip
+          // reached — walking on would spend one guaranteed-empty
+          // GetRecords per caught-up shard per trigger (20% of the
+          // 5-calls/sec shard quota at 1 s triggers), competing with
+          // the executors' reads; any residue behind an approximate 0
+          // is picked up next trigger. When the response OMITS the
+          // metric (None — optional wire field), a non-empty page keeps
+          // the walk going (records prove data flow; treating omission
+          // as 0 would cap a backlogged shard at one page per trigger)
+          // and an empty page ends it (no way to tell gap from tip
+          // without the metric; stopping costs at most one trigger of
+          // latency, walking blind costs the whole call budget).
+          case Some(n) if page.millisBehindLatest.map(_ > 0)
+              .getOrElse(page.records.nonEmpty) =>
             it = Some(n) // keep walking: data ahead (possibly past a gap)
           case Some(_) => open = false // tip reached
           case None => open = false; sawEnd = true // closed and drained
@@ -349,18 +372,19 @@ private[sources] class KinesisPartitionReader(
             // empty pages mid-range are normal (iterator aging through a
             // gap) — but the TIP without having seen untilSeq means the
             // committed end expired out of retention: surface the loss.
-            // MillisBehindLatest is an APPROXIMATE metric and the wire
-            // may omit it (mapped to 0), so one empty-at-tip page is not
-            // proof of expiry — tolerate a few before declaring the
-            // committed range gone; a drained CLOSED shard (null next
-            // iterator) is conclusive immediately. The call cap guards
-            // against a service that reports data behind but never
-            // yields it.
+            // MillisBehindLatest is an APPROXIMATE metric, so one
+            // empty-at-tip page is not proof of expiry — tolerate a few
+            // before declaring the committed range gone; an OMITTED
+            // metric (None) is no tip evidence at all and falls through
+            // to the plain no-progress cap; a drained CLOSED shard
+            // (null next iterator) is conclusive immediately. The call
+            // cap guards against a service that reports data behind but
+            // never yields it.
             emptyCalls += 1
             if (p.nextIterator.isEmpty)
               throw new java.io.IOException(
                 s"$shardId: range ended before sequence $untilSeq (expired?)")
-            if (p.millisBehindLatest <= 0 && emptyCalls > 3)
+            if (p.millisBehindLatest.exists(_ <= 0) && emptyCalls > 3)
               throw new java.io.IOException(
                 s"$shardId: still at the tip before sequence $untilSeq " +
                   s"after $emptyCalls empty pages (expired?)")

@@ -96,7 +96,7 @@ class KinesisSourceSpec extends AnyFunSuite {
     assert(new String(r.data, UTF_8) == "payload")
     assert(r.arrivalEpochMs == 1700000000000L)
     assert(page.nextIterator == Some("it-next"))
-    assert(page.millisBehindLatest == 250L)
+    assert(page.millisBehindLatest.contains(250L))
   }
 
   test("a service error surfaces as IOException with the error __type") {
@@ -145,12 +145,12 @@ class KinesisSourceSpec extends AnyFunSuite {
     }
     override def getRecords(it: String, limit: Int): GetRecordsPage = it match {
       case "it-0" | "it-1" | "it-2" => // the gap: empty but data ahead
-        GetRecordsPage(Nil, Some("it-" + (it.drop(3).toInt + 1)), 100L)
+        GetRecordsPage(Nil, Some("it-" + (it.drop(3).toInt + 1)), Some(100L))
       case "it-3" =>
-        GetRecordsPage(Seq(rec("1", "a"), rec("2", "b")), Some("it-5"), 0L)
+        GetRecordsPage(Seq(rec("1", "a"), rec("2", "b")), Some("it-5"), Some(0L))
       case "it-4" =>
-        GetRecordsPage(Seq(rec("2", "b")), Some("it-5"), 0L)
-      case "it-5" => GetRecordsPage(Nil, Some("it-5"), 0L) // the tip
+        GetRecordsPage(Seq(rec("2", "b")), Some("it-5"), Some(0L))
+      case "it-5" => GetRecordsPage(Nil, Some("it-5"), Some(0L)) // the tip
       case other => fail(s"unexpected iterator $other")
     }
   }
@@ -170,6 +170,136 @@ class KinesisSourceSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(1))).toSet
     assert(got == Set(("1", "a"), ("2", "b")),
       s"records beyond the gap must be read exactly once: $got")
+  }
+
+  test("an omitted MillisBehindLatest maps to None — absent is not tip") {
+    val (client, _) = scripted(Seq(
+      (200, """{"Records":[],"NextShardIterator":"it-next"}""")))
+    val page = client.getRecords("it-0", 10)
+    assert(page.millisBehindLatest.isEmpty,
+      "the optional wire metric must stay absent, not collapse to 0")
+  }
+
+  /** A service whose GetRecords responses OMIT MillisBehindLatest
+    * entirely: the probe must keep walking while pages carry records
+    * (records prove data flow) and stop on the first EMPTY page — under
+    * the old absent→0 mapping every page read as "tip reached" and a
+    * backlogged shard degraded to one page per trigger.
+    */
+  private class NoMetricClient extends graft.pipeline.KinesisClient
+      with graft.pipeline.KinesisReadClient {
+    import graft.pipeline.{GetRecordsPage, ReadRecord}
+    val shard = "shardId-000000000000"
+    override def putRecords(records: Seq[graft.pipeline.KinesisRecord])
+        : graft.pipeline.PutRecordsResult =
+      fail("read-only fixture")
+    private def rec(seq: String, p: String) =
+      ReadRecord(seq, "k", p.getBytes(UTF_8), seq.toLong)
+    override def listShards(): Seq[graft.pipeline.ShardInfo] =
+      Seq(graft.pipeline.ShardInfo(shard))
+    override def getShardIterator(
+        shardId: String, after: Option[String]): Option[String] = after match {
+      case None => Some("p0")
+      case Some("3") => Some("p3") // reader resume past the final record
+      case Some(other) => fail(s"unexpected resume point $other")
+    }
+    override def getRecords(it: String, limit: Int): GetRecordsPage = it match {
+      case "p0" => GetRecordsPage(Seq(rec("1", "a")), Some("p1"), None)
+      case "p1" => GetRecordsPage(Seq(rec("2", "b")), Some("p2"), None)
+      case "p2" => GetRecordsPage(Seq(rec("3", "c")), Some("p3"), None)
+      case "p3" => GetRecordsPage(Nil, Some("p3"), None)
+      case other => fail(s"unexpected iterator $other")
+    }
+  }
+
+  test("absent millisBehindLatest: probe walks record-bearing pages in ONE trigger") {
+    KinesisClientRegistry.register("nometric-stream", () => new NoMetricClient)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-knm").toString
+    val q = spark.readStream.format("graft-kinesis-source")
+      .option("client", "nometric-stream")
+      .load()
+      .selectExpr("CAST(data AS STRING) AS payload")
+      .writeStream.format("memory").queryName("knm_out")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+      .start()
+    q.awaitTermination(30000)
+    val got = spark.table("knm_out").collect().map(_.getString(0)).toSet
+    assert(got == Set("a", "b", "c"),
+      s"one trigger must admit every record-bearing page, got: $got")
+  }
+
+  /** Listing-visibility wrapper: hides chosen shards from ListShards
+    * while leaving reads intact — the ListShards-outage fixture.
+    */
+  private class HidableStream(val inner: FakeKinesisStream)
+      extends graft.pipeline.KinesisClient with graft.pipeline.KinesisReadClient {
+    @volatile var hidden: Set[String] = Set.empty
+    override def putRecords(records: Seq[graft.pipeline.KinesisRecord])
+        : graft.pipeline.PutRecordsResult = inner.putRecords(records)
+    override def listShards(): Seq[graft.pipeline.ShardInfo] =
+      inner.listShards().filterNot(s => hidden(s.shardId))
+    override def getShardIterator(
+        shardId: String, after: Option[String]): Option[String] =
+      inner.getShardIterator(shardId, after)
+    override def getRecords(it: String, limit: Int): graft.pipeline.GetRecordsPage =
+      inner.getRecords(it, limit)
+  }
+
+  /** Latest committed source-offset JSON from a streaming checkpoint
+    * (offsets/<batchId>: version line, metadata line, then one offset
+    * line per source — ours is the only source).
+    */
+  private def latestOffsetJson(ckpt: String): String = {
+    val dir = new java.io.File(ckpt, "offsets")
+    val f = dir.listFiles().filter(_.getName.forall(_.isDigit))
+      .maxBy(_.getName.toLong)
+    val src = scala.io.Source.fromFile(f)
+    try src.getLines().toSeq.last finally src.close()
+  }
+
+  test("an OPEN shard's committed offset survives any ListShards outage; " +
+      "a CLOSED one prunes after the threshold") {
+    val stream = new HidableStream(new FakeKinesisStream(nShards = 2))
+    KinesisClientRegistry.register("hide-stream", () => stream)
+    val s0 = "shardId-000000000000"
+    val s1 = "shardId-000000000001"
+    stream.inner.inject(s0, "k0", "a".getBytes(UTF_8))
+    stream.inner.inject(s1, "k1", "b".getBytes(UTF_8))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-khide").toString
+    val q = spark.readStream.format("graft-kinesis-source")
+      .option("client", "hide-stream")
+      .option("pruneClosedUnlistedAfterTriggers", "1") // worst case: 1 trigger
+      .load()
+      .selectExpr("CAST(data AS STRING) AS payload")
+      .writeStream.format("memory").queryName("khide_out")
+      .option("checkpointLocation", ckpt)
+      .start()
+    // force at least one more committed trigger after a state change
+    def kick(tag: Int): Unit = {
+      stream.inner.inject(s1, "k1", s"kick$tag".getBytes(UTF_8))
+      q.processAllAvailable()
+    }
+    try {
+      q.processAllAvailable() // both shards committed
+      stream.hidden = Set(s0) // outage: s0 vanishes while OPEN
+      kick(1); kick(2)        // well past the 1-trigger threshold
+      assert(latestOffsetJson(ckpt).contains(s0),
+        "an OPEN shard's position is irreplaceable — never pruned, " +
+          s"got: ${latestOffsetJson(ckpt)}")
+      // close + drain s0, then hide it again: NOW it may prune
+      stream.hidden = Set.empty
+      stream.inner.inject(s0, "k0", "last".getBytes(UTF_8))
+      stream.inner.closeShard(s0)
+      q.processAllAvailable() // drains s0, commits the !closed marker
+      assert(latestOffsetJson(ckpt).contains(s0 + "\":"),
+        "drained shard carries its closed marker before the outage")
+      stream.hidden = Set(s0)
+      kick(3); kick(4)
+      assert(!latestOffsetJson(ckpt).contains(s0),
+        "a CLOSED (drained) entry prunes once conclusively expired, " +
+          s"got: ${latestOffsetJson(ckpt)}")
+    } finally q.stop()
   }
 
   test("a shard added mid-stream is picked up; a closed shard drains cleanly") {
