@@ -821,7 +821,8 @@ object Dedup {
     * the index-internal pairs, which is what the oracle checks.
     */
   def incrementalNearDups(index: DataFrame, newBatch: DataFrame,
-      threshold: Double = 0.5, persistShingles: Boolean = true): DataFrame = {
+      threshold: Double = 0.5, persistShingles: Boolean = true,
+      newIdsAreLarger: Boolean = false): DataFrame = {
     val allG0 = shingles(index.unionByName(newBatch))
     val allG = if (persistShingles)
       allG0.persist(StorageLevel.MEMORY_AND_DISK) else allG0
@@ -841,16 +842,35 @@ object Dedup {
     // exactNearDups(index ∪ new) minus index-internal pairs — hold for
     // ANY id distribution, and keeping this path and q78's
     // least/greatest index path in agreement.
-    val isNew = newBatch.select(col("doc_id"), lit(true).as("is_new"))
-    val tagged = allG.join(isNew, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("g"),
-        coalesce(col("is_new"), lit(false)).as("is_new"))
-    val inter = tagged.join(newG,
-        tagged("g") === newG("g") && tagged("doc_id") =!= newG("doc_b") &&
-          (tagged("doc_id") < newG("doc_b") || !tagged("is_new")))
-      .groupBy(least(tagged("doc_id"), newG("doc_b")).as("doc_a"),
-        greatest(tagged("doc_id"), newG("doc_b")).as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
+    //
+    // `newIdsAreLarger = true` is the caller's CERTIFICATE that every
+    // new doc_id exceeds every index doc_id (the monotone-ingest /
+    // sequence-assigned-id case — q65's cut-at-the-top construction
+    // guarantees it): then "id-smaller, or index with larger id"
+    // collapses to plain doc_id < doc_b, the is-new tag join over the
+    // whole shingle frame drops out, and least/greatest are the
+    // identity — the exact r8 plan shape. Same answer by construction
+    // (DedupDfCapSpec pins certificate ≡ general on monotone ids); a
+    // WRONG certificate silently drops inverted (index, new) pairs, so
+    // certify only what id assignment actually guarantees.
+    val inter =
+      if (newIdsAreLarger)
+        allG.join(newG,
+            allG("g") === newG("g") && allG("doc_id") < newG("doc_b"))
+          .groupBy(allG("doc_id").as("doc_a"), newG("doc_b"))
+          .agg(count(lit(1)).as("inter"))
+      else {
+        val isNew = newBatch.select(col("doc_id"), lit(true).as("is_new"))
+        val tagged = allG.join(isNew, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("g"),
+            coalesce(col("is_new"), lit(false)).as("is_new"))
+        tagged.join(newG,
+            tagged("g") === newG("g") && tagged("doc_id") =!= newG("doc_b") &&
+              (tagged("doc_id") < newG("doc_b") || !tagged("is_new")))
+          .groupBy(least(tagged("doc_id"), newG("doc_b")).as("doc_a"),
+            greatest(tagged("doc_id"), newG("doc_b")).as("doc_b"))
+          .agg(count(lit(1)).as("inter"))
+      }
     jaccardScored(inter, sizes, threshold)
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -883,9 +903,12 @@ object Dedup {
     "q65_incremental_dedup", incrementalOracle) { (s, d) =>
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
     val cut = (docs.agg(max(col("doc_id"))).head().getLong(0) + 1L) * 9L / 10L
+    // the cut construction puts every new id above every index id, so
+    // the orientation certificate is true by construction here
     incrementalNearDups(
       docs.filter(col("doc_id") < cut),
-      docs.filter(col("doc_id") >= cut))
+      docs.filter(col("doc_id") >= cut),
+      newIdsAreLarger = true)
   }
 
   /** q78: the SAME incremental answer via the PERSISTENT signature

@@ -144,6 +144,24 @@ class DedupDfCapSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("newIdsAreLarger certificate equals the general path on monotone ids") {
+    // q65's catalog shape: the new batch is the top of the id range, so
+    // the certified fast path (no is-new tag join) must agree pair for
+    // pair and score for score with the general tagged join
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+    val cut = 400L
+    val c = org.apache.spark.sql.functions.col("doc_id")
+    def scored(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val general = scored(operators.Dedup.incrementalNearDups(
+      docs.filter(c < cut), docs.filter(c >= cut)))
+    spark.catalog.clearCache()
+    val certified = scored(operators.Dedup.incrementalNearDups(
+      docs.filter(c < cut), docs.filter(c >= cut), newIdsAreLarger = true))
+    assert(certified === general)
+    spark.catalog.clearCache()
+  }
+
   test("incremental dedup holds when new ids interleave the index's") {
     // recrawl shape: the new batch's ids are NOT all larger than the
     // index's — an (index, new) near-dup pair must be found whichever
