@@ -113,12 +113,15 @@ object Bench {
       // three tries all built is DROPPED with a stderr note rather than
       // recorded dirty.
       val replaced = raw.filter(_._2).flatMap { _ =>
+        // a FAILED replacement run (t = -1, built = false) must not
+        // satisfy the search — the next retry may produce the clean
+        // sample this slot exists to collect
         val clean = (1 to 3).iterator.map { _ =>
           val r = runOnce(n); loads += loadAvg(); r
-        }.collectFirst { case (t, false) => t }
+        }.collectFirst { case (t, false) if t >= 0 => t }
         if (clean.isEmpty)
-          System.err.println(s"[bench] $n: replacement pass still building " +
-            "after 3 tries; sample dropped")
+          System.err.println(s"[bench] $n: no clean replacement pass " +
+            "after 3 tries (still building or failing); sample dropped")
         clean
       }
       val samples1 = (raw.filterNot(_._2).map(_._1) ++ replaced).filter(_ >= 0)
@@ -168,22 +171,23 @@ object Bench {
     def overBaseline(n: String, minT: Double): Boolean =
       minT >= 0 && BenchBaselines.sec.get(n).exists(b =>
         minT > 1.5 * b && minT - b > 0.25)
-    val reprobeBudget = new java.util.concurrent.atomic.AtomicInteger(64)
+    var reprobeBudget = 64 // sequential loop; a plain counter suffices
     val results = results0
       .map { case r @ (n, minT, medT, load) =>
         val extras = scala.collection.mutable.ArrayBuffer.empty[Double]
-        def probe(): Unit = if (reprobeBudget.getAndDecrement() > 0) {
+        def curMin: Double =
+          (minT +: extras.toSeq).filter(_ >= 0).minOption.getOrElse(minT)
+        def probe(): Unit = if (reprobeBudget > 0) {
+          reprobeBudget -= 1
           val (t, built) = runOnce(n)
           if (t >= 0 && !built) extras += t
-        } else reprobeBudget.incrementAndGet()
+        }
         if (slowest(n)) probe()
-        if (overBaseline(n, (minT +: extras.toSeq).filter(_ >= 0).minOption.getOrElse(minT)))
-          probe()
-        if (overBaseline(n, (minT +: extras.toSeq).filter(_ >= 0).minOption.getOrElse(minT)))
-          probe()
+        if (overBaseline(n, curMin)) probe()
+        if (overBaseline(n, curMin)) probe()
         if (extras.isEmpty) r
         else {
-          val newMin = (minT +: extras.toSeq).filter(_ >= 0).min
+          val newMin = curMin
           val newLoad = math.max(load, loadAvg())
           if (newMin < minT)
             System.err.println(s"[bench] reprobe $n: ${"%.2f".formatLocal(java.util.Locale.ROOT, minT)} -> ${"%.2f".formatLocal(java.util.Locale.ROOT, newMin)} s")

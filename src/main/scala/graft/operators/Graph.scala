@@ -542,10 +542,10 @@ object Graph {
   def labelSpreadBySimilarity(vectors: DataFrame, seeds: DataFrame,
       rounds: Int = 2, threshold: Double = 0.3,
       edgeSource: (DataFrame, Double) => DataFrame = cosineEdgesExact,
-      release: Boolean = false, normalizedEdges: Boolean = false): DataFrame =
+      release: Boolean = false, normalizedInputs: Boolean = false): DataFrame =
     labelPropagation(edgeSource(vectors, threshold), seeds,
       vectors.select(col("vec_id").as("node")), rounds, release,
-      normalized = normalizedEdges)
+      normalized = normalizedInputs)
 
   /** q127: spread the first-100 embedding labels over the cosine-0.3
     * similarity graph for two rounds — hash-checked (including nodes
@@ -592,12 +592,13 @@ object Graph {
     val seeds = e.filter(col("vec_id") < 100)
       .select(col("vec_id").as("node"), col("label"))
     // edgeSource taps the memoized corpus graph — same edges, built
-    // once; distinct-by-construction, so the defensive re-distinct is
-    // certified away (normalizedEdges)
+    // once. normalizedInputs certifies ALL inputs normal: the graph is
+    // distinct-by-construction, nodes and seeds project the embeddings
+    // primary key (unique)
     labelSpreadBySimilarity(e.select(col("vec_id"), col("v")), seeds,
         rounds = 2, threshold = 0.3,
         edgeSource = (_, t) => similarityEdges(s, d, t),
-        normalizedEdges = true)
+        normalizedInputs = true)
       .orderBy(col("node"))
   }
 

@@ -152,6 +152,16 @@ object KinesisSourceOffset {
         .map { case (k, v) => k -> v.toString })
 }
 
+private[sources] object KinesisSourceMicroBatchStream {
+  /** Consecutive empty pages the admission probe will walk past when
+    * the service OMITS MillisBehindLatest (gap vs tip undecidable):
+    * crosses short leading gaps while bounding the per-trigger call
+    * burn of a metric-omitting caught-up shard. See the probe's match
+    * arm for the full tradeoff.
+    */
+  val MaxBlindGapPages = 10
+}
+
 private[sources] class KinesisSourceMicroBatchStream(
     clientName: String, maxRecordsPerShardPerTrigger: Int, pageLimit: Int,
     maxFetchCallsPerShard: Int = 100,
@@ -236,9 +246,28 @@ private[sources] class KinesisSourceMicroBatchStream(
     }
     // parent gating against COMMITTED state only: a child unlocks in
     // the trigger AFTER its parent's drain commits, so parent and
-    // child records can never share a micro-batch
-    def parentDrained(p: String): Boolean =
-      !listed.contains(p) || committed.get(p).exists(KinesisReadSource.isClosed)
+    // child records can never share a micro-batch. An UNLISTED parent
+    // is NOT assumed drained while it still has an open committed
+    // entry — during a ListShards outage (the exact scenario the
+    // never-prune-open rule above defends against) that parent may
+    // still hold unread records, and unlocking the child would emit
+    // them out of order when the listing recovers. The child stays
+    // gated for the same pruneClosedUnlistedAfterTriggers window; past
+    // it the parent is treated as conclusively expired (a true
+    // retention expiry never relists) and the child proceeds — the
+    // documented residual: an outage LONGER than the threshold that
+    // then recovers with undrained parent data reorders across the
+    // reshard boundary, traded against a child blocked forever on a
+    // genuinely expired parent. A parent with NO committed entry was
+    // never read at all — there is no drain state to wait on, and an
+    // unlisted never-read parent is almost surely pre-retention
+    // history; it gates only while still listed.
+    def parentDrained(p: String): Boolean = committed.get(p) match {
+      case Some(v) => KinesisReadSource.isClosed(v) ||
+        (!listed.contains(p) &&
+          unlistedTriggers.getOrElse(p, 0) >= pruneClosedUnlistedAfterTriggers)
+      case None => !listed.contains(p)
+    }
     val eligible = infos.filter { info =>
       !committed.get(info.shardId).exists(KinesisReadSource.isClosed) &&
         info.parentIds.forall(parentDrained)
@@ -267,6 +296,7 @@ private[sources] class KinesisSourceMicroBatchStream(
         committedVal.map(KinesisReadSource.stripClosed).filter(_.nonEmpty))
       if (it.isEmpty) sawEnd = true // iterator expired: closed + aged out
       var open = it.isDefined
+      var blindEmpty = 0 // consecutive empty pages with NO behind-metric
       while (open && taken < maxRecordsPerShardPerTrigger && shardBudget > 0 &&
           calls < maxFetchCallsPerShard) {
         val want = math.min(pageLimit.toLong,
@@ -286,16 +316,29 @@ private[sources] class KinesisSourceMicroBatchStream(
           // 5-calls/sec shard quota at 1 s triggers), competing with
           // the executors' reads; any residue behind an approximate 0
           // is picked up next trigger. When the response OMITS the
-          // metric (None — optional wire field), a non-empty page keeps
-          // the walk going (records prove data flow; treating omission
-          // as 0 would cap a backlogged shard at one page per trigger)
-          // and an empty page ends it (no way to tell gap from tip
-          // without the metric; stopping costs at most one trigger of
-          // latency, walking blind costs the whole call budget).
-          case Some(n) if page.millisBehindLatest.map(_ > 0)
-              .getOrElse(page.records.nonEmpty) =>
+          // metric (None — optional wire field; real Kinesis documents
+          // and always sends it, so None means an alternate/fake
+          // implementation), a non-empty page keeps the walk going
+          // (records prove data flow; treating omission as 0 would cap
+          // a backlogged shard at one page per trigger) and an empty
+          // page spends one of [[KinesisSourceMicroBatchStream
+          // .MaxBlindGapPages]] blind-gap credits — gap progress is not
+          // checkpointable (offsets are sequence numbers), so a leading
+          // empty gap must be crossed within one trigger's walk or the
+          // shard re-walks it every trigger; the credit bound crosses
+          // short gaps while capping what a metric-omitting CAUGHT-UP
+          // shard burns per trigger at MaxBlindGapPages calls. A
+          // metric-omitting service with leading gaps wider than the
+          // credit needs the metric (that is the honest boundary).
+          case Some(n) if page.millisBehindLatest.exists(_ > 0) =>
+            blindEmpty = 0
             it = Some(n) // keep walking: data ahead (possibly past a gap)
-          case Some(_) => open = false // tip reached
+          case Some(n) if page.millisBehindLatest.isEmpty &&
+              (page.records.nonEmpty ||
+                blindEmpty < KinesisSourceMicroBatchStream.MaxBlindGapPages) =>
+            blindEmpty = if (page.records.nonEmpty) 0 else blindEmpty + 1
+            it = Some(n) // metric absent: walk on records / gap credits
+          case Some(_) => open = false // tip (present 0, or credits spent)
           case None => open = false; sawEnd = true // closed and drained
         }
       }

@@ -326,17 +326,21 @@ class ExtendedSpec extends AnyFunSuite {
       "documented magnitude bound (q196's overflow discipline)") {
     val s = spark
     import s.implicits._
-    // 12k rows at |x|,|y| up to the documented 4.7×10⁷-cent bound:
-    // Σy² ≈ 12000·(4.7×10⁷)² ≈ 2.7×10¹⁹ — wraps 2⁶³ ≈ 9.2×10¹⁸ as ONE
-    // long sum, but each ≤4096-row chunk partial stays below
+    // 12k rows at EXACTLY the documented 4.7×10⁷-cent magnitude bound
+    // (random signs — fixed magnitude, not uniform draws: a uniform
+    // draw's E[y²] = M²∕3 keeps the per-flag long sum under 2⁶³ and the
+    // test would pass even with the decimal widening deleted): per-flag
+    // Σy² = 6000·(4.7×10⁷)² ≈ 1.3×10¹⁹ — wraps 2⁶³ ≈ 9.2×10¹⁸ as ONE
+    // long sum — while each ≤4096-row chunk partial stays below
     // 2¹²·(4.7×10⁷)² ≈ 9.0×10¹⁸ < 2⁶³; the decimal merge must
     // reproduce the BigInt reference digit for digit.
     val rnd = new scala.util.Random(196L)
+    val M = 47_000_000L
     val rows = (1 to 12000).map { _ =>
       val flag = if (rnd.nextBoolean()) "A" else "B"
-      val x = (rnd.nextDouble() * 2 - 1) * 4.7e7
-      val y = (rnd.nextDouble() * 2 - 1) * 4.7e7
-      (flag, x.toLong, y.toLong)
+      val x = if (rnd.nextBoolean()) M else -M
+      val y = if (rnd.nextBoolean()) M else -M
+      (flag, x, y)
     }
     val got = graft.operators.Extended
       .exactMomentSums(rows.toDF("flag", "x", "y").repartition(8))
@@ -353,5 +357,24 @@ class ExtendedSpec extends AnyFunSuite {
     }
     assert(got == expect,
       s"two-stage merge must be BigInt-exact: got $got expected $expect")
+  }
+
+  test("exactMomentSums fails LOUDLY past the documented magnitude bound") {
+    // one full 4096-row chunk of same-sign 5.5×10⁷ values: the chunk
+    // partial Σy² = 4096·(5.5×10⁷)² ≈ 1.24×10¹⁹ > 2⁶³ — ANSI must
+    // surface the overflow as an error, never a silent wrap
+    val s = spark
+    import s.implicits._
+    val rows = (1 to 8192).map(_ => ("A", 55_000_000L, 55_000_000L))
+    val e = intercept[Exception] {
+      graft.operators.Extended
+        .exactMomentSums(rows.toDF("flag", "x", "y").repartition(1))
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.toLowerCase.contains("overflow")),
+      s"expected a loud long-overflow error, got: $e")
   }
 }

@@ -302,6 +302,41 @@ class KinesisSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("a reshard child stays gated while its UNLISTED parent still has " +
+      "an open committed entry (outage must not reorder the split)") {
+    val stream = new HidableStream(new FakeKinesisStream(nShards = 1))
+    KinesisClientRegistry.register("gate-stream", () => stream)
+    val p = "shardId-000000000000"
+    stream.inner.inject(p, "k", "p1".getBytes(UTF_8))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-kgate").toString
+    val q = spark.readStream.format("graft-kinesis-source")
+      .option("client", "gate-stream")
+      .load()
+      .selectExpr("shard_id", "CAST(data AS STRING) AS payload")
+      .writeStream.format("memory").queryName("kgate_out")
+      .option("checkpointLocation", ckpt)
+      .start()
+    def rows(): Set[(String, String)] = spark.table("kgate_out").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    try {
+      q.processAllAvailable() // p committed, still OPEN (no close marker)
+      val child = stream.inner.addShard(p)
+      stream.inner.inject(child, "k", "c1".getBytes(UTF_8))
+      stream.hidden = Set(p) // ListShards outage hides the undrained parent
+      q.processAllAvailable()
+      q.processAllAvailable()
+      assert(rows() == Set((p, "p1")),
+        "an unlisted parent with an open committed entry may still hold " +
+          s"unread records — the child must stay gated: ${rows()}")
+      // outage ends; the parent closes and drains, then the child flows
+      stream.hidden = Set.empty
+      stream.inner.closeShard(p)
+      q.processAllAvailable()
+      assert(rows() == Set((p, "p1"), (child, "c1")),
+        s"child must flow once the recovered parent's drain committed: ${rows()}")
+    } finally q.stop()
+  }
+
   test("a shard added mid-stream is picked up; a closed shard drains cleanly") {
     implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
     val stream = new FakeKinesisStream(nShards = 1)
