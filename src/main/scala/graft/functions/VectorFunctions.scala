@@ -22,6 +22,18 @@ object VectorFunctions {
   /** Cast to ARRAY<DOUBLE> for stable arithmetic. */
   def asDouble(v: Column): Column = v.cast("array<double>")
 
+  /** [[asDouble]] plus the dense-corpus boundary validation
+    * ([[KnownDenseArray]]): one O(d) null scan per INPUT row, loud
+    * failure on a null element, and a `containsNull = false` output
+    * type that lets [[CosineSimilarity]] codegen its check-free
+    * multiply-accumulate loop inside the O(n²) pair stages. Use for
+    * corpora whose generator guarantees density (the catalog
+    * embeddings); keep plain [[asDouble]] where a null element must
+    * map to a NULL score instead of failing the query.
+    */
+  def asDoubleDense(v: Column): Column =
+    KnownDenseArray.denseChecked(asDouble(v))
+
   /** Sequential-fold dot product of two double arrays. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)

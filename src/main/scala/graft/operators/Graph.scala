@@ -434,7 +434,7 @@ object Graph {
     val path = Exact.buildOnceDir(s"simedges#$d#$threshold", "simedges_") {
       p =>
       val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), VF.asDouble(col("embedding")).as("v"))
+        .select(col("vec_id"), VF.asDoubleDense(col("embedding")).as("v"))
       cosineEdgesExact(e, threshold).write.mode("overwrite").parquet(p)
     }
     s.read.parquet(path)
@@ -587,7 +587,7 @@ object Graph {
       |FROM nodes n LEFT JOIN w2 w ON n.node = w.node
       |ORDER BY n.node""".stripMargin) { (s, d) =>
     val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), VF.asDouble(col("embedding")).as("v"),
+      .select(col("vec_id"), VF.asDoubleDense(col("embedding")).as("v"),
         col("label"))
     val seeds = e.filter(col("vec_id") < 100)
       .select(col("vec_id").as("node"), col("label"))
@@ -1333,7 +1333,7 @@ object Graph {
         |SELECT lo, hi FROM g17 ORDER BY 1, 2""".stripMargin
     }) { (s, d) =>
     val e = Tables.embeddings(s, d).filter(col("vec_id") < 1000)
-      .select(col("vec_id"), VF.asDouble(col("embedding")).as("v"))
+      .select(col("vec_id"), VF.asDoubleDense(col("embedding")).as("v"))
     // Persisted triangle index (q78/q125 accounting): the O(n²) edge
     // build + wedge enumeration are a deterministic function of the
     // corpus, so they are built once per (corpus, threshold) per JVM

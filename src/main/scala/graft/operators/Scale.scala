@@ -311,7 +311,7 @@ object Scale {
   val q47: QueryDef = QueryDef.checked(
     "q47_ann_ivf_topk", ivfGridQuerySql("")) { (s, d) =>
     val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), VF.asDouble(col("embedding")).as("v"))
+      .select(col("vec_id"), VF.asDoubleDense(col("embedding")).as("v"))
     ivfTopKGridL2(e)
   }
 
@@ -382,7 +382,7 @@ object Scale {
     ivfGridQuerySql(
       "WHERE vec_id < (SELECT (max(vec_id) + 1) * 9 // 10 FROM embeddings)")) { (s, d) =>
     val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), VF.asDouble(col("embedding")).as("v"))
+      .select(col("vec_id"), VF.asDoubleDense(col("embedding")).as("v"))
     val cut = (e.agg(max(col("vec_id"))).head().getLong(0) + 1L) * 9L / 10L
     val path = Exact.buildOnceDir(s"$d#ivfgridinc#$cut", "ivfginc_") { p =>
       saveIvfIndexGrid(e.filter(col("vec_id") < cut), p)
@@ -519,7 +519,7 @@ object Scale {
   val q125: QueryDef = QueryDef.checked(
     "q125_ann_ivf_index", ivfGridQuerySql("")) { (s, d) =>
     val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), VF.asDouble(col("embedding")).as("v"))
+      .select(col("vec_id"), VF.asDoubleDense(col("embedding")).as("v"))
     val path = Exact.buildOnceDir(s"$d#ivfgrid", "ivfg_")(p =>
       saveIvfIndexGrid(e, p))
     ivfTopKGridFromIndex(s, path, e.filter(col("vec_id") < 5))
@@ -794,7 +794,7 @@ object Scale {
        |  FROM rd2) t
        |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin) { (s, d) =>
     val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), VF.asDouble(col("embedding")).as("v"))
+      .select(col("vec_id"), VF.asDoubleDense(col("embedding")).as("v"))
     pqTopKGridL2(e)
   }
 
@@ -1094,7 +1094,7 @@ object Scale {
        |  FROM rd2) t
        |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin) { (s, d) =>
     val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), VF.asDouble(col("embedding")).as("v"))
+      .select(col("vec_id"), VF.asDoubleDense(col("embedding")).as("v"))
     ivfPqTopKGridL2(e)
   }
 

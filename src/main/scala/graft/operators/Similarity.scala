@@ -376,8 +376,11 @@ object Similarity {
   }
 
   private def vecs(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    // dense-certified load: validates each row's array once and narrows
+    // the element type to non-null, so every O(n²) cosine stage below
+    // codegens without per-element null tests (VF.asDoubleDense)
     Tables.embeddings(s, d)
-      .select(col("vec_id"), VF.asDouble(col("embedding")).as("v"))
+      .select(col("vec_id"), VF.asDoubleDense(col("embedding")).as("v"))
 
   /** Integer-grid k-means — the corpus clustering primitive (SemDeDup's
     * cluster stage, IVF's coarse quantizer, topic bucketing) made

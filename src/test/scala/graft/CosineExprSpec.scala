@@ -37,6 +37,47 @@ class CosineExprSpec extends AnyFunSuite {
     assert(n === 10L)
   }
 
+  test("denseChecked narrows the type, passes dense data through " +
+      "bit-identically, and fails LOUDLY on a null element") {
+    import org.apache.spark.sql.types.ArrayType
+    val e = Tables.embeddings(spark, TestSpark.Sf0001).limit(40)
+    // type narrows: containsNull = false on the certified column
+    val certified = e.select(col("vec_id"),
+      VF.asDoubleDense(col("embedding")).as("v"))
+    assert(!certified.schema("v").dataType.asInstanceOf[ArrayType].containsNull,
+      "the validator must narrow the element type to non-null")
+    // same pair scores as the raw (containsNull=true) path, bit for bit
+    def pairScores(vdf: org.apache.spark.sql.DataFrame): Map[(Long, Long), Double] = {
+      val a = vdf.select(col("vec_id").as("ia"), col("v").as("va"))
+      val b = vdf.select(col("vec_id").as("ib"), col("v").as("vb"))
+      a.join(b, col("ia") < col("ib"))
+        .select(col("ia"), col("ib"),
+          CosineSimilarity.cosineSim(col("va"), col("vb")).as("cs"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+        .toMap
+    }
+    val raw = e.select(col("vec_id"), VF.asDouble(col("embedding")).as("v"))
+    assert(pairScores(certified) == pairScores(raw),
+      "check-free fast loop must score identically to the checked loop")
+    // a null element fails the query instead of silently narrowing
+    val s = spark
+    import s.implicits._
+    val corrupt = Seq((1L, Seq[java.lang.Double](1.0, null, 3.0)))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      corrupt.select(VF.asDoubleDense(col("embedding"))).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("dense-array certificate violated")),
+      s"null element must fail loudly, got: $ex")
+    // a NULL whole array stays NULL (nullSafe wrapper)
+    val nullArr = Seq((1L, null: Seq[java.lang.Double]))
+      .toDF("vec_id", "embedding")
+      .select(VF.asDoubleDense(col("embedding")).as("v")).head()
+    assert(nullArr.isNullAt(0), "a null ARRAY value passes through as NULL")
+  }
+
   test("NULL contract matches the composed form: mismatch, null element, zero norm") {
     // the composed zip_with/aggregate/divide form yields NULL on a
     // length mismatch (padding nulls), a null element, and a zero-norm
