@@ -164,10 +164,11 @@ object Bench {
     //    BenchBaselines entry by > 0.10 s absolute (up to two extra
     //    samples, stopping once back inside 1.5×) — catches the
     //    mid-priced wave victims the absolute rule's threshold misses.
-    //    The absolute slack exists so a 0.1 s query isn't re-run over
-    //    scheduler jitter; 0.15 s was chosen after a wave run where
-    //    four sub-0.2 s-pin queries landed 0.19–0.25 s over pin (>2×
-    //    on the letter) and 0.25 s let all four slip; 0.15 still missed a 0.14-over case.
+    //    The absolute slack exists so a sub-0.1 s query isn't re-run
+    //    over scheduler jitter. 0.10 s is the tuned value: a wave run
+    //    left four sub-0.2 s-pin queries 0.14–0.25 s over pin (>2× on
+    //    the gate's letter) — a 0.25 s slack let all four slip and
+    //    0.15 s still missed the 0.14-over case.
     //    Pinned numbers only ever decide WHO gets re-sampled, never
     //    what is reported. Total extra passes bounded (worst observed
     //    wave covered ~26 queries; 64 caps a pathological run).

@@ -327,7 +327,8 @@ private[sources] class KinesisSourceMicroBatchStream(
           // empty gap must be crossed within one trigger's walk or the
           // shard re-walks it every trigger; the credit bound crosses
           // short gaps while capping what a metric-omitting CAUGHT-UP
-          // shard burns per trigger at MaxBlindGapPages calls. A
+          // shard burns per trigger at MaxBlindGapPages + 1 calls (the
+          // credit-spending empties plus the page that stops it). A
           // metric-omitting service with leading gaps wider than the
           // credit needs the metric (that is the honest boundary).
           case Some(n) if page.millisBehindLatest.exists(_ > 0) =>

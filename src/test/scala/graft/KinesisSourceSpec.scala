@@ -182,9 +182,13 @@ class KinesisSourceSpec extends AnyFunSuite {
 
   /** A service whose GetRecords responses OMIT MillisBehindLatest
     * entirely: the probe must keep walking while pages carry records
-    * (records prove data flow) and stop on the first EMPTY page — under
-    * the old absent→0 mapping every page read as "tip reached" and a
-    * backlogged shard degraded to one page per trigger.
+    * (records prove data flow) and, on empty pages, walk on through up
+    * to MaxBlindGapPages blind-gap credits before stopping — under the
+    * old absent→0 mapping every page read as "tip reached" and a
+    * backlogged shard degraded to one page per trigger. (The p3
+    * self-loop below therefore costs the probe MaxBlindGapPages + 1
+    * calls at the tip — the documented price of a metric-omitting
+    * service.)
     */
   private class NoMetricClient extends graft.pipeline.KinesisClient
       with graft.pipeline.KinesisReadClient {
