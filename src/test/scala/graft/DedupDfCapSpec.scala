@@ -162,6 +162,27 @@ class DedupDfCapSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("property: monotone-split certificate == general path across random cuts") {
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+    val maxId = docs.agg(org.apache.spark.sql.functions.max("doc_id"))
+      .head().getLong(0)
+    val c = org.apache.spark.sql.functions.col("doc_id")
+    def scored(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val rnd = new scala.util.Random(65L)
+    for (trial <- 1 to 2) {
+      // any cut is a valid monotone split of this corpus's dense id range
+      val cut = 1L + rnd.nextLong(maxId)
+      val general = scored(operators.Dedup.incrementalNearDups(
+        docs.filter(c < cut), docs.filter(c >= cut)))
+      spark.catalog.clearCache()
+      val certified = scored(operators.Dedup.incrementalNearDups(
+        docs.filter(c < cut), docs.filter(c >= cut), newIdsAreLarger = true))
+      assert(certified === general, s"trial $trial cut=$cut")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("incremental dedup holds when new ids interleave the index's") {
     // recrawl shape: the new batch's ids are NOT all larger than the
     // index's — an (index, new) near-dup pair must be found whichever

@@ -333,6 +333,33 @@ class GraphEdgeSpec extends AnyFunSuite {
       "the certificate must never change results on certified inputs")
   }
 
+  test("property: labelPropagation normalized certificate == default " +
+      "across random normalized graphs and round counts") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(127L)
+    for (trial <- 1 to 3) {
+      val n = 12 + rnd.nextInt(10)
+      val half = (0 until 40).map(_ =>
+          (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(p => p._1 != p._2).distinct
+      val edges = (half ++ half.map(p => (p._2, p._1))).distinct
+        .toDF("src", "dst") // distinct by construction — certifiable
+      val nodes = (0L until n.toLong).toDF("node")
+      val seeds = (0L until n.toLong).filter(_ => rnd.nextBoolean())
+        .map(i => (i, s"l${rnd.nextInt(3)}")).toDF("node", "label")
+      val rounds = 1 + rnd.nextInt(2)
+      def run(norm: Boolean): Map[Long, Option[String]] =
+        Graph.labelPropagation(edges, seeds, nodes, rounds,
+            normalized = norm)
+          .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(run(norm = true) == run(norm = false),
+        s"trial $trial (n=$n rounds=$rounds): certificate must not " +
+          "change results on certified inputs")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("release=true results match release=false results") {
     val s = spark
     import s.implicits._
