@@ -360,6 +360,40 @@ class PlanShapeSpec extends AnyFunSuite {
       s"more than one single-partition funnel ($singles):\n$finalPlan")
   }
 
+  test("q196 stage-1 partials accumulate as LONGS; decimal appears only " +
+      "in the per-flag merge") {
+    // the perf shape behind exactMomentSums: reverting the inner
+    // aggregate to DECIMAL(38,0) sums would pass the oracle (both are
+    // exact) while re-paying 128-bit adds on every fact row — pin the
+    // two-stage long-then-decimal structure at the logical-plan level
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    import org.apache.spark.sql.types.{DecimalType, LongType}
+    val df = SparkEntry.queries("q196_grouped_correlation")(spark, sf)
+    val aggs = df.queryExecution.optimizedPlan.collect { case a: Aggregate => a }
+    assert(aggs.size == 2, s"expected exactly two aggregation stages, " +
+      s"got ${aggs.size}:\n${df.queryExecution.optimizedPlan}")
+    // collect() order is top-down: head = the flag merge, last = the
+    // chunk stage over the scan
+    val inner = aggs.last
+    val innerSumTypes = inner.aggregateExpressions
+      .flatMap(_.collect {
+        case ae: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+            if ae.aggregateFunction.prettyName == "sum" =>
+          ae.aggregateFunction.dataType
+      })
+    assert(innerSumTypes.nonEmpty && innerSumTypes.forall(_ == LongType),
+      s"stage-1 sums must be LONG, got $innerSumTypes")
+    val outer = aggs.head
+    val outerSumTypes = outer.aggregateExpressions
+      .flatMap(_.collect {
+        case ae: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+            if ae.aggregateFunction.prettyName == "sum" =>
+          ae.aggregateFunction.dataType
+      })
+    assert(outerSumTypes.count(_.isInstanceOf[DecimalType]) == 5,
+      s"the five merged moment sums must be DECIMAL(38,0), got $outerSumTypes")
+  }
+
   test("q234 AQE marks the executed join as a skew-split join") {
     val plan = executedPlan("q234_aqe_skew_join")
     val finalPlan = plan.split("== Initial Plan ==").head
