@@ -171,34 +171,39 @@ object Bench {
     //    0.15 s still missed the 0.14-over case.
     //    Pinned numbers only ever decide WHO gets re-sampled, never
     //    what is reported. Total extra passes bounded (worst observed
-    //    wave covered ~26 queries; 64 caps a pathological run).
+    //    wave covered ~26 queries; 64 caps a pathological run), and
+    //    the budget spends WORST-RATIO-FIRST: on a run where the whole
+    //    host is slow, dozens of mildly-over tiny queries must not
+    //    drain the budget in catalog order before the 6× outliers —
+    //    the gate exposure lives at the top of the ratio ranking.
     val slowest = results0.filter(_._2 > 2.0).sortBy(-_._2).take(8).map(_._1).toSet
     def overBaseline(n: String, minT: Double): Boolean =
       minT >= 0 && BenchBaselines.sec.get(n).exists(b =>
         minT > 1.5 * b && minT - b > 0.10)
     var reprobeBudget = 64 // sequential loop; a plain counter suffices
-    val results = results0
-      .map { case r @ (n, minT, medT, load) =>
-        val extras = scala.collection.mutable.ArrayBuffer.empty[Double]
-        def curMin: Double =
-          (minT +: extras.toSeq).filter(_ >= 0).minOption.getOrElse(minT)
-        def probe(): Unit = if (reprobeBudget > 0) {
-          reprobeBudget -= 1
-          val (t, built) = runOnce(n)
-          if (t >= 0 && !built) extras += t
-        }
-        if (slowest(n)) probe()
-        if (overBaseline(n, curMin)) probe()
-        if (overBaseline(n, curMin)) probe()
-        if (extras.isEmpty) r
-        else {
-          val newMin = curMin
-          val newLoad = math.max(load, loadAvg())
-          if (newMin < minT)
-            System.err.println(s"[bench] reprobe $n: ${"%.2f".formatLocal(java.util.Locale.ROOT, minT)} -> ${"%.2f".formatLocal(java.util.Locale.ROOT, newMin)} s")
-          (n, newMin, medT, newLoad)
-        }
+    val minNow = scala.collection.mutable.Map(results0.map(r => r._1 -> r._2): _*)
+    val loadNow = scala.collection.mutable.Map(results0.map(r => r._1 -> r._4): _*)
+    def probe(n: String): Unit = if (reprobeBudget > 0) {
+      reprobeBudget -= 1
+      val (t, built) = runOnce(n)
+      loadNow(n) = math.max(loadNow(n), loadAvg())
+      if (t >= 0 && !built && (minNow(n) < 0 || t < minNow(n))) {
+        System.err.println(s"[bench] reprobe $n: ${"%.2f".formatLocal(java.util.Locale.ROOT, minNow(n))} -> ${"%.2f".formatLocal(java.util.Locale.ROOT, t)} s")
+        minNow(n) = t
       }
+    }
+    // absolute rule first (biggest wall-clock victims), then the
+    // baseline suspects in descending min∕pin ratio, two rounds so a
+    // first re-probe that lands inside another wave gets one more shot
+    slowest.toSeq.sortBy(n => -minNow(n)).foreach(probe)
+    def suspectsByRatio: Seq[String] = results0.map(_._1)
+      .filter(n => overBaseline(n, minNow(n)))
+      .sortBy(n => -(minNow(n) / BenchBaselines.sec(n)))
+    suspectsByRatio.foreach(probe)
+    suspectsByRatio.foreach(probe) // still-over survivors, re-ranked
+    val results = results0.map { case (n, _, medT, _) =>
+      (n, minNow(n), medT, loadNow(n))
+    }
     // Locale-FIXED numeric formatting: the contract line must be valid
     // JSON on ANY default locale — a comma-decimal locale (de_DE) would
     // render 12,34 and the driver would record the round as unparsed.
