@@ -21,7 +21,8 @@ import org.apache.spark.sql.expressions.Window
 object Curation {
 
   def defs: Seq[QueryDef] =
-    Seq(q59, q60, q61, q66, q74, q75, q76, q84, q115, q123, q143, q154)
+    Seq(q59, q60, q61, q66, q74, q75, q76, q84, q115, q123, q143, q154,
+      q255, q256)
 
   /** Top-`k` distinctive terms per document, ranked by tf/df (document
     * frequency as the rarity signal — the idf log is monotonic in 1/df,
@@ -791,5 +792,159 @@ object Curation {
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
     val (_, encoded) = vocabEncode(Tables.documents(s, d))
     encoded.orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------------
+  // BPE tokenizer training + application (q255/q256) — the full greedy
+  // merge LOOP on top of q76's single-round pair statistic.
+  // ---------------------------------------------------------------------
+
+  /** Greedy BPE training (Sennrich et al. 2016's classic word-type
+    * algorithm): words become character sequences with an end-of-word
+    * marker `_`, and each round merges the most frequent ADJACENT symbol
+    * pair across the (word-type, frequency) table. Returns the ordered
+    * merge list and the final segmented vocabulary frame
+    * (w, freq, seg — symbols joined by a DOUBLE space).
+    *
+    * Determinism/oracle contract: pair application is
+    * `regexp_replace(seg, "lhs  rhs", "lhsrhs")` over the double-space
+    * joint — both Java's replaceAll and DuckDB's RE2 global replace scan
+    * left-to-right and resume AFTER each match, which is exactly BPE's
+    * greedy non-overlapping application ("l l l l" merges to
+    * "ll ll", never "ll l l" — verified byte-identical in both engines).
+    * Pair counting, by contrast, counts EVERY adjacent position
+    * (overlapping), which is what reference BPE trainers do. Ties break
+    * (count DESC, lhs, rhs) — ASCII binary order in both engines.
+    *
+    * Scale shape: the ONLY corpus-scale work is the one word-frequency
+    * aggregation (map-side combined; word types ≪ corpus by Heaps' law —
+    * this is why production BPE trainers operate on the word-type table).
+    * The loop itself is vocabulary-local: per round, one row-local
+    * adjacent-pair explode + one map-side-combined agg over the persisted
+    * vocab frame, and a ONE-ROW argmax collect — the same bounded,
+    * inherently-sequential driver step as MMR's k rounds (greedy argmax
+    * is the algorithm, not a distribution shortcut). Merge rules apply
+    * as literal regexp_replace — broadcast-free codegen constants.
+    *
+    * Spark-side patterns are `Pattern.quote`d so arbitrary vocab symbols
+    * are safe; the catalog oracle writes them plain, valid because the
+    * documents corpus is pure [a-z] words (quoting is semantically
+    * identity there).
+    */
+  def bpeTrain(docs: DataFrame, rounds: Int = 6)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
+    var seg = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .withColumn("seg",
+        concat(regexp_replace(col("w"), "(.)", "$1  "), lit("_")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val best = seg
+        .withColumn("s", split(col("seg"), "  "))
+        .select(col("freq"), explode(expr(
+          """transform(slice(s, 1, size(s) - 1),
+            |  (x, i) -> struct(x AS lhs, element_at(s, i + 2) AS rhs))"""
+            .stripMargin)).as("pr"))
+        .groupBy(col("pr.lhs").as("lhs"), col("pr.rhs").as("rhs"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true // every word fully merged
+      else {
+        val (lhs, rhs, cnt) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((r, lhs, rhs, cnt))
+        seg = seg.withColumn("seg", regexp_replace(col("seg"),
+          java.util.regex.Pattern.quote(s"$lhs  $rhs"),
+          java.util.regex.Matcher.quoteReplacement(lhs + rhs)))
+        r += 1
+      }
+    }
+    (merges.toSeq, seg)
+  }
+
+  /** Shared DuckDB replay of [[bpeTrain]]: CTEs `w0..w{rounds}` (the
+    * segmented vocab after each merge) and `b1..b{rounds}` (each round's
+    * winning pair). The unroll assumes every round finds a pair — true
+    * for any natural-language corpus at catalog scale (the Spark loop's
+    * early-stop is spec-pinned on degenerate inputs instead).
+    */
+  private def bpeOracleCtes(rounds: Int): String = {
+    val base =
+      """w0 AS (
+        |  SELECT w, count(*) AS freq,
+        |         regexp_replace(w, '(.)', '\1  ', 'g') || '_' AS seg
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY w)""".stripMargin
+    val steps = (1 to rounds).map { r =>
+      s"""p$r AS (
+         |  SELECT s[i] AS lhs, s[i+1] AS rhs, CAST(SUM(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT freq, string_split(seg, '  ') AS s FROM w${r - 1}),
+         |       unnest(generate_series(1, len(s) - 1)) AS u(i)
+         |  GROUP BY 1, 2),
+         |b$r AS (
+         |  SELECT lhs, rhs, cnt FROM p$r ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+         |w$r AS (
+         |  SELECT w, freq,
+         |    regexp_replace(seg, b.lhs || '  ' || b.rhs, b.lhs || b.rhs, 'g') AS seg
+         |  FROM w${r - 1}, b$r b)""".stripMargin
+    }
+    (base +: steps).mkString(",\n")
+  }
+
+  private val bpeRounds = 6
+
+  /** q255: the 6-round BPE merge table over the documents corpus —
+    * round, winning pair, and its frequency-weighted adjacent count,
+    * hash-checked against DuckDB unrolling the identical train loop
+    * (same grid, same tie-break, same greedy replace semantics).
+    */
+  val q255: QueryDef = QueryDef.checked(
+    "q255_bpe_train", {
+      val union = (1 to bpeRounds)
+        .map(r => s"SELECT $r AS round, lhs, rhs, cnt FROM b$r")
+        .mkString("\nUNION ALL ")
+      s"""WITH ${bpeOracleCtes(bpeRounds)}
+         |SELECT CAST(round AS INT) AS round, lhs, rhs, cnt FROM (
+         |$union) ORDER BY round""".stripMargin
+    }) { (s, d) =>
+    val (merges, _) = bpeTrain(Tables.documents(s, d), bpeRounds)
+    import s.implicits._
+    merges.toDF("round", "lhs", "rhs", "cnt").orderBy(col("round"))
+  }
+
+  /** q256: ENCODE the corpus with the learned merges — per document, the
+    * word count and the post-BPE token count. The vocabulary is encoded
+    * once (row-local regexp cascade over word types), then the exploded
+    * corpus word stream joins it broadcast — the corpus itself never
+    * shuffles on anything but doc_id for the final per-doc agg. This is
+    * the train→apply pair every tokenizer pipeline runs; token counts
+    * feed q66's packing and q143's budget fill.
+    */
+  val q256: QueryDef = QueryDef.checked(
+    "q256_bpe_encode",
+    s"""WITH ${bpeOracleCtes(bpeRounds)},
+       |enc AS (
+       |  SELECT w, CAST(len(string_split(seg, '  ')) AS BIGINT) AS n_tok
+       |  FROM w$bpeRounds),
+       |dw AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+       |SELECT dw.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(enc.n_tok) AS BIGINT) AS n_tokens
+       |FROM dw JOIN enc USING (w)
+       |GROUP BY dw.doc_id ORDER BY dw.doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val (_, vocabSeg) = bpeTrain(docs, bpeRounds)
+    val enc = vocabSeg.select(col("w"),
+      size(split(col("seg"), "  ")).cast("long").as("n_tok"))
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .join(broadcast(enc), "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_tok")).as("n_tokens"))
+      .orderBy(col("doc_id"))
   }
 }

@@ -16,7 +16,8 @@ object Extended {
 
   def defs: Seq[QueryDef] = Seq(q42, q43, q44, q45, q46, q90, q92, q93, q95, q97,
     q101, q117, q118, q119, q120, q121, q146, q150, q166, q168, q169,
-    q172, q188, q189, q196, q201, q202, q213, q221, q227, q235, q241, q245)
+    q172, q188, q189, q196, q201, q202, q213, q221, q227, q235, q241, q245,
+    q257)
 
   /** q95: ORC round-trip — q44's lossless write→read check for the
     * third columnar format (ORC ships with Spark; DuckDB cannot read
@@ -1197,6 +1198,75 @@ object Extended {
       .filter(col("k") > 0)
       .select(lit("*").as("nation"), lit("*").as("segment"),
         col("tot").as("n_rows"))
+    released.unionAll(suppressed).orderBy(col("nation"), col("segment"))
+  }
+
+  /** q257: l-diversity release (k = 10, l = 3) — the stricter privacy
+    * gate on top of q188's k-anonymity: an equivalence class under the
+    * quasi-identifiers (c_nationkey, c_mktsegment) is released only when
+    * it has ≥ k members AND ≥ l distinct SENSITIVE values (account
+    * balance in $1000 bands — exact integer cents, `div`-truncated, the
+    * cross-engine idiom), so a released class never lets an attacker who
+    * has located someone in it infer the sensitive attribute (the
+    * homogeneity attack k-anonymity alone admits). Failing classes
+    * collapse into one generalized row whose n_rows AND n_sens are
+    * recomputed exactly over the union of their members — a sum of
+    * per-class distinct counts would overcount shared values.
+    *
+    * Scale shape: one map-side-combined agg over the quasi-identifiers
+    * (#classes bounded by the QI domain), a broadcast of the tiny class
+    * verdict table back onto the rows for the suppressed-side exact
+    * distinct, and a broadcast-scale union. Nothing after the first
+    * combine grows with the fact data.
+    */
+  val q257: QueryDef = QueryDef.checked(
+    "q257_l_diversity",
+    """WITH r AS (
+      |  SELECT c_nationkey, c_mktsegment,
+      |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) // 100000 AS sens
+      |  FROM customer),
+      |g AS (
+      |  SELECT c_nationkey, c_mktsegment, COUNT(*) AS n,
+      |    COUNT(DISTINCT sens) AS l FROM r GROUP BY 1, 2),
+      |released AS (
+      |  SELECT CAST(c_nationkey AS VARCHAR) AS nation, c_mktsegment AS segment,
+      |    CAST(n AS BIGINT) AS n_rows, CAST(l AS BIGINT) AS n_sens
+      |  FROM g WHERE n >= 10 AND l >= 3),
+      |supp AS (
+      |  SELECT '*' AS nation, '*' AS segment,
+      |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |    CAST(COUNT(DISTINCT r.sens) AS BIGINT) AS n_sens
+      |  FROM r JOIN g ON r.c_nationkey = g.c_nationkey
+      |    AND r.c_mktsegment = g.c_mktsegment
+      |  WHERE NOT (g.n >= 10 AND g.l >= 3) HAVING COUNT(*) > 0)
+      |SELECT * FROM released UNION ALL SELECT * FROM supp
+      |ORDER BY nation, segment""".stripMargin) { (s, d) =>
+    lDiversityRelease(Tables.customer(s, d), k = 10, l = 3)
+  }
+
+  /** The library form of q257 (see its scaladoc): release classes under
+    * (c_nationkey, c_mktsegment) meeting both thresholds; generalize the
+    * rest into one exactly-recomputed suppressed row.
+    */
+  def lDiversityRelease(customer: DataFrame, k: Int, l: Int): DataFrame = {
+    val rows = customer.select(col("c_nationkey"), col("c_mktsegment"),
+      expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) div 100000")
+        .as("sens"))
+    val g = rows.groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), count_distinct(col("sens")).as("l"))
+    val ok = col("n") >= k && col("l") >= l
+    val released = g.filter(ok)
+      .select(col("c_nationkey").cast("string").as("nation"),
+        col("c_mktsegment").as("segment"),
+        col("n").as("n_rows"), col("l").as("n_sens"))
+    val suppressed = rows
+      .join(broadcast(g.filter(!ok)
+          .select(col("c_nationkey"), col("c_mktsegment"))),
+        Seq("c_nationkey", "c_mktsegment"))
+      .agg(count(lit(1)).as("n_rows"), count_distinct(col("sens")).as("n_sens"))
+      .filter(col("n_rows") > 0)
+      .select(lit("*").as("nation"), lit("*").as("segment"),
+        col("n_rows"), col("n_sens"))
     released.unionAll(suppressed).orderBy(col("nation"), col("segment"))
   }
 

@@ -18,7 +18,8 @@ import org.apache.spark.sql.expressions.Window
 object Similarity {
 
   def defs: Seq[QueryDef] =
-    Seq(q31, q32, q33, q69, q71, q81, q98, q99, q116, q160, q161, q220)
+    Seq(q31, q32, q33, q69, q71, q81, q98, q99, q116, q160, q161, q220,
+      q258, q259)
 
   /** Symmetric per-vector int8 quantization — the 4× storage cut that
     * makes a 100 TB float32 embedding corpus a 25 TB one: each vector
@@ -1060,5 +1061,135 @@ object Similarity {
       .select(col("i"), col("j"), col("c"), col("score_ppm"),
         col("rnk").cast("long").as("rnk"))
       .orderBy(col("i"), col("rnk"))
+  }
+
+  /** Per-label centroid drift between two corpus snapshots — the
+    * embedding-space regression monitor: when the encoder or the
+    * upstream mix changes, per-class centroids move, and the per-label
+    * L1 shift (on the 1e-6 integer grid — exact, order-independent,
+    * hash-checkable) is the cheap signal that catches it before any
+    * downstream eval does. One pass over the exploded components with
+    * BOTH snapshots' sums as conditional aggregates (no self-join, no
+    * second scan); #groups = labels × dims, so everything after the
+    * map-side combine is broadcast-scale. Means are `div`-truncated
+    * integer microunits — the q160 idiom, bit-identical in any engine.
+    */
+  def centroidDrift(vectors: DataFrame,
+      snapACol: org.apache.spark.sql.Column): DataFrame =
+    vectors
+      .select(col("label"), snapACol.as("snap_a"), posexplode(col("v")))
+      .select(col("label"), col("snap_a"),
+        col("pos"), round(col("col") * 1000000).cast("long").as("x"))
+      .groupBy(col("label"), col("pos"))
+      .agg(
+        sum(when(col("snap_a"), col("x"))).as("sa"),
+        count(when(col("snap_a"), lit(1))).as("na"),
+        sum(when(!col("snap_a"), col("x"))).as("sb"),
+        count(when(!col("snap_a"), lit(1))).as("nb"))
+      .select(col("label"), col("na"), col("nb"),
+        abs(expr("sa div na") - expr("sb div nb")).as("delta"))
+      .groupBy(col("label"))
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        sum(col("delta")).as("l1_drift_micro"))
+      .orderBy(col("label"))
+
+  /** q258: drift between the even-id and odd-id halves of the embeddings
+    * table standing in for two snapshot generations, hash-checked against
+    * the identical grid arithmetic in DuckDB.
+    */
+  val q258: QueryDef = QueryDef.checked(
+    "q258_centroid_drift",
+    """WITH ve AS (
+      |  SELECT label, vec_id % 2 = 0 AS snap_a, i,
+      |    CAST(ROUND(v[i] * 1000000) AS BIGINT) AS x
+      |  FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |    unnest(generate_series(1, len(v))) AS u(i)),
+      |g AS (
+      |  SELECT label, i,
+      |    SUM(CASE WHEN snap_a THEN x END) AS sa,
+      |    COUNT(CASE WHEN snap_a THEN 1 END) AS na,
+      |    SUM(CASE WHEN NOT snap_a THEN x END) AS sb,
+      |    COUNT(CASE WHEN NOT snap_a THEN 1 END) AS nb
+      |  FROM ve GROUP BY 1, 2)
+      |SELECT label, CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b,
+      |  CAST(SUM(ABS(sa // na - sb // nb)) AS BIGINT) AS l1_drift_micro
+      |FROM g GROUP BY label ORDER BY label""".stripMargin) { (s, d) =>
+    centroidDrift(
+      Tables.embeddings(s, d).select(col("vec_id"), col("label"),
+        VF.asDoubleDense(col("embedding")).as("v")),
+      snapACol = col("vec_id") % 2 === 0)
+  }
+
+  /** kNN label prediction — the classifier eval loop run AS a query:
+    * held-out vectors (every 10th id) are labeled by the majority vote
+    * of their 5 cosine-nearest training neighbors (ties: larger vote
+    * count, then smaller label — deterministic in both engines). This is
+    * the standard embedding-quality probe (a kNN accuracy that tracks
+    * linear-probe accuracy) run entirely as a dataflow: the exact
+    * [[bruteForceTopK]] scan-and-rank (broadcast queries, streamed
+    * corpus) is the test-scale truth; at 100 TB the identical vote sits
+    * on top of the LSH/IVF candidate paths (q33/q47) — the scorer is
+    * pluggable, the vote is a (query × k)-sized agg either way.
+    */
+  def knnClassify(train: DataFrame, test: DataFrame, k: Int = 5): DataFrame = {
+    val topk = bruteForceTopK(
+      train.select(col("vec_id"), col("v")),
+      test.select(col("vec_id"), col("v")), topK = k)
+    val votes = topk
+      .join(train.select(col("vec_id").as("neighbor_id"),
+        col("label").as("nlabel")), "neighbor_id")
+      .groupBy(col("query_id"), col("nlabel"))
+      .agg(count(lit(1)).as("votes"))
+    val pred = votes
+      .groupBy(col("query_id"))
+      .agg(max(struct(col("votes"), (-col("nlabel")).as("negl"))).as("m"))
+      .select(col("query_id"), (-col("m.negl")).as("pred_label"))
+    pred
+      .join(test.select(col("vec_id").as("query_id"),
+        col("label").as("true_label")), "query_id")
+      .select(col("query_id").as("vec_id"), col("true_label"),
+        col("pred_label"),
+        (col("true_label") === col("pred_label")).cast("int").as("is_correct"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** q259: 5-NN vote over the 90/10 id split of the embeddings table,
+    * hash-checked — per test vector, the true label, the voted label,
+    * and the hit flag — against the identical rank/vote/tie arithmetic
+    * in DuckDB.
+    */
+  val q259: QueryDef = QueryDef.checked(
+    "q259_knn_classify",
+    """WITH sims AS (
+      |  SELECT q.vec_id AS query_id, q.label AS qlabel,
+      |    c.vec_id AS neighbor_id, c.label AS nlabel,
+      |    list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+      |      / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+      |         * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))) AS cs
+      |  FROM embeddings q JOIN embeddings c
+      |    ON q.vec_id % 10 = 0 AND c.vec_id % 10 <> 0),
+      |nn AS (
+      |  SELECT query_id, qlabel, nlabel FROM (
+      |    SELECT query_id, qlabel, nlabel,
+      |      row_number() OVER (PARTITION BY query_id
+      |        ORDER BY cs DESC, neighbor_id) AS rnk
+      |    FROM sims) t WHERE rnk <= 5),
+      |votes AS (
+      |  SELECT query_id, qlabel, nlabel, COUNT(*) AS votes
+      |  FROM nn GROUP BY 1, 2, 3),
+      |pred AS (
+      |  SELECT query_id, qlabel, nlabel AS pred_label FROM (
+      |    SELECT query_id, qlabel, nlabel,
+      |      row_number() OVER (PARTITION BY query_id
+      |        ORDER BY votes DESC, nlabel) AS rn
+      |    FROM votes) t WHERE rn = 1)
+      |SELECT query_id AS vec_id, qlabel AS true_label, pred_label,
+      |  CAST(qlabel = pred_label AS INT) AS is_correct
+      |FROM pred ORDER BY vec_id""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("label"),
+      VF.asDoubleDense(col("embedding")).as("v"))
+    knnClassify(
+      train = e.filter(col("vec_id") % 10 =!= 0),
+      test = e.filter(col("vec_id") % 10 === 0))
   }
 }

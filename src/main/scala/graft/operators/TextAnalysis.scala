@@ -16,7 +16,7 @@ object TextAnalysis {
 
   def defs: Seq[QueryDef] =
     Seq(q34, q35, q36, q37, q49, q64, q70, q85, q86, q102, q113, q180, q191,
-      q246)
+      q246, q260)
 
   private val stopList = TF.StopWords.map(w => s"'$w'").mkString(", ")
 
@@ -704,5 +704,71 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("c"), col("ctx"))
       .limit(20)
+  }
+
+  /** Per-document suffix-array construction by PREFIX DOUBLING — the
+    * index machinery behind exact substring dedup (q82/q83 detect fixed-k
+    * spans; a suffix array answers EVERY k at once — Manber & Myers 1990,
+    * and the sort-based distributed form is the standard large-corpus
+    * construction, cf. Lee et al. 2022's suffix-array dedup). Round 0
+    * ranks each position by its character code; round k doubles the
+    * compared prefix: rank_{2k}(i) = dense_rank(rank_k(i),
+    * rank_k(i+k)), with positions past the end carried as 0 — smaller
+    * than every real rank, which makes a shorter suffix order before its
+    * extensions exactly as binary string comparison does. ⌈log₂ maxLen⌉
+    * rounds; suffixes of one document are pairwise distinct (lengths
+    * differ), so the final dense rank is the 1..n suffix-array
+    * permutation.
+    *
+    * Scale/plan shape: every window is keyed by doc_id — ONE exchange,
+    * then each doubling round is an in-partition sort (rank_k(i+k) is a
+    * `lead`, never a self-join, because positions are contiguous).
+    * Documents are independent, so the corpus parallelizes per-doc;
+    * the cap is per-partition doc length (a single multi-GB document
+    * needs the corpus-global variant: concatenate with per-doc
+    * separators and key windows by range buckets — the same dataflow
+    * with a range repartition per round; documented, not built — no
+    * catalog table has such rows).
+    */
+  def suffixRanks(docs: DataFrame, maxLenLog2: Int = 10): DataFrame = {
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    // Explicit-width repartition, not ENSURE_REQUIREMENTS: the position
+    // frame is NARROW (3 ints/row), so AQE's advisory-size coalescing
+    // collapses the one exchange to a single partition and every
+    // doubling round's sorts run on one thread. A user-specified
+    // partition count is exempt from coalescing; all 2·log L window
+    // sorts then run at full width with no further exchange (same key).
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    var df = docs
+      .select(col("doc_id"), explode(sequence(lit(0),
+        length(col("text")) - 1)).as("pos"), col("text"))
+      .select(col("doc_id"), col("pos"),
+        ascii(expr("substring(text, pos + 1, 1)")).as("r"))
+      .repartition(par, col("doc_id"))
+    for (k <- (0 until maxLenLog2).map(1 << _)) {
+      val ord = Window.partitionBy(col("doc_id"))
+        .orderBy(col("r"), col("rn"))
+      df = df
+        .withColumn("rn", coalesce(lead(col("r"), k).over(byPos), lit(0)))
+        .withColumn("r", dense_rank().over(ord))
+    }
+    df.select(col("doc_id"), col("pos").cast("long").as("pos"),
+      col("r").cast("long").as("rnk"))
+  }
+
+  /** q260: the full within-doc suffix array of every document, hash-
+    * checked — all ~n·avgLen positions — against DuckDB ordering the
+    * materialized suffix strings directly (binary collation == the
+    * 0-sentinel doubling order; both engines see pure-ASCII text).
+    */
+  val q260: QueryDef = QueryDef.checked(
+    "q260_suffix_array",
+    """SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos,
+      |  CAST(row_number() OVER (PARTITION BY doc_id
+      |    ORDER BY substr(text, CAST(u.i AS INT))) AS BIGINT) AS rnk
+      |FROM documents, unnest(generate_series(1, len(text))) AS u(i)
+      |ORDER BY doc_id, pos""".stripMargin) { (s, d) =>
+    suffixRanks(Tables.documents(s, d))
+      .orderBy(col("doc_id"), col("pos"))
   }
 }

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the r11 training-pipeline operators: the BPE merge loop
+  * (greedy-application semantics, overlap counting, tie-breaks, early
+  * stop), the encode pass, centroid drift, kNN voting, and the
+  * l-diversity release rule — each against hand-computed truths.
+  */
+class TrainingOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import operators.{Curation, Extended, Similarity}
+
+  private def docsOf(texts: String*) = {
+    import spark.implicits._
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+  }
+
+  test("bpeTrain: hand-computed merge sequence, ties, early stop") {
+    // ab×3, abc×2 → pairs r1: (a,b)=5, (b,_)=3, (b,c)=2, (c,_)=2.
+    // r3 is a TIE at cnt=2 between (ab,c) and (c,_) → lhs 'ab' < 'c'.
+    // r5 finds no pair (every word one symbol) → loop stops at 4 merges.
+    val (merges, seg) = Curation.bpeTrain(docsOf("ab ab ab", "abc abc"), 6)
+    assert(merges === Seq(
+      (1, "a", "b", 5L), (2, "ab", "_", 3L),
+      (3, "ab", "c", 2L), (4, "abc", "_", 2L)))
+    val segs = seg.collect().map(r =>
+      r.getAs[String]("w") -> r.getAs[String]("seg")).toMap
+    assert(segs === Map("ab" -> "ab_", "abc" -> "abc_"))
+    spark.catalog.clearCache()
+  }
+
+  test("bpeTrain: overlapping pairs count fully, application is greedy") {
+    // "aaaa" → a  a  a  a  _: (a,a) counts 3 (overlaps), application
+    // merges greedily left-to-right → aa  aa  _ (never aa  a  a  _).
+    // r2 ties at 1 between (aa,aa) and (aa,_) → rhs '_' < 'aa'.
+    val (merges, seg) = Curation.bpeTrain(docsOf("aaaa"), 3)
+    assert(merges === Seq(
+      (1, "a", "a", 3L), (2, "aa", "_", 1L), (3, "aa", "aa_", 1L)))
+    assert(seg.collect().head.getAs[String]("seg") === "aaaa_")
+    spark.catalog.clearCache()
+  }
+
+  test("bpe encode: per-word token counts follow the learned merges") {
+    val docs = docsOf("ab ab ab", "abc abc")
+    // After 2 merges ((a,b) then (ab,_)): ab → [ab_] = 1 token,
+    // abc → [ab, c, _] = 3 tokens.
+    val (_, seg) = Curation.bpeTrain(docs, 2)
+    val nTok = seg.select(col("w"),
+        size(split(col("seg"), "  ")).as("n")).collect()
+      .map(r => r.getAs[String]("w") -> r.getAs[Int]("n")).toMap
+    assert(nTok === Map("ab" -> 1, "abc" -> 3))
+    spark.catalog.clearCache()
+  }
+
+  test("centroidDrift: identical halves drift 0, planted shift is exact") {
+    import spark.implicits._
+    val vecs = Seq(
+      // label 1: even/odd ids carry identical vectors → zero drift
+      (0L, 1, Seq(0.5, 0.25)), (1L, 1, Seq(0.5, 0.25)),
+      // label 2: dim-1 mean moves 0.50 → 0.75 → 250000 micro-L1
+      (2L, 2, Seq(0.5, 0.5)), (3L, 2, Seq(0.75, 0.5))
+    ).toDF("vec_id", "label", "v")
+    val out = Similarity.centroidDrift(vecs, col("vec_id") % 2 === 0)
+      .collect().map(r => r.getAs[Int]("label") ->
+        r.getAs[Long]("l1_drift_micro")).toMap
+    assert(out === Map(1 -> 0L, 2 -> 250000L))
+  }
+
+  test("knnClassify: planted clusters score 100%, vote ties pick min label") {
+    import spark.implicits._
+    // Two orthogonal directions; test points sit exactly on a cluster
+    // direction → all 2 neighbors of that cluster outrank the other.
+    val train = Seq(
+      (10L, 7, Seq(1.0, 0.0)), (11L, 7, Seq(0.9, 0.1)),
+      (20L, 3, Seq(0.0, 1.0)), (21L, 3, Seq(0.1, 0.9))
+    ).toDF("vec_id", "label", "v")
+    val test = Seq(
+      (1L, 7, Seq(1.0, 0.05)), (2L, 3, Seq(0.05, 1.0))
+    ).toDF("vec_id", "label", "v")
+    val out = Similarity.knnClassify(train, test, k = 2).collect()
+    assert(out.forall(_.getAs[Int]("is_correct") == 1))
+
+    // Equidistant single test point, k=2 → one vote each for labels
+    // 7 and 3 → deterministic tie-break picks the SMALLER label.
+    val tied = Seq((1L, 7, Seq(1.0, 1.0))).toDF("vec_id", "label", "v")
+    val tie = Similarity.knnClassify(
+      train.filter(col("vec_id").isin(10L, 20L)), tied, k = 2).collect().head
+    assert(tie.getAs[Int]("pred_label") === 3)
+  }
+
+  test("suffixRanks: hand-computed suffix arrays, sentinel orders prefixes first") {
+    // banana: sorted suffixes a < ana < anana < banana < na < nana
+    // → rank by position: 4 3 6 2 5 1
+    // "ab ab": " ab" < "ab" < "ab ab" < "b" < "b ab" exercises BOTH the
+    // space character and the 0-sentinel rule (a suffix orders before
+    // its extensions, exactly like binary string comparison).
+    val out = operators.TextAnalysis.suffixRanks(docsOf("banana", "ab ab"))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("pos")) ->
+        r.getAs[Long]("rnk")).toMap
+    assert((0 to 5).map(p => out((0L, p.toLong))) === Seq(4, 3, 6, 2, 5, 1))
+    assert((0 to 4).map(p => out((1L, p.toLong))) === Seq(3, 5, 1, 2, 4))
+  }
+
+  test("lDiversityRelease: homogeneous class suppressed despite k, union recount exact") {
+    import spark.implicits._
+    def rows(nation: Int, seg: String, bals: Seq[Double]) =
+      bals.map(b => (nation, seg, b))
+    val customer = (
+      // class A: 12 rows, all in the same $1000 band → k ok, l = 1 → suppressed
+      rows(1, "AUTO", Seq.fill(12)(500.0)) ++
+      // class B: 12 rows across 3 bands → released
+      rows(2, "AUTO", Seq.fill(4)(500.0) ++ Seq.fill(4)(1500.0) ++ Seq.fill(4)(2500.0)) ++
+      // class C: 5 rows (fails k) across 2 bands, one shared with A
+      rows(3, "AUTO", Seq(500.0, 500.0, 1500.0, 1500.0, 3500.0))
+    ).toDF("c_nationkey", "c_mktsegment", "c_acctbal")
+    val out = Extended.lDiversityRelease(customer, k = 10, l = 3).collect()
+      .map(r => (r.getAs[String]("nation"), r.getAs[String]("segment"),
+        r.getAs[Long]("n_rows"), r.getAs[Long]("n_sens"))).toSet
+    // suppressed union = A(12 rows, band {0}) + C(5 rows, bands {0,1,3})
+    // → 17 rows, 3 distinct bands (band 0 counted ONCE, not summed)
+    assert(out === Set(
+      ("2", "AUTO", 12L, 3L),
+      ("*", "*", 17L, 3L)))
+  }
+}
