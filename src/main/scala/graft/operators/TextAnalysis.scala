@@ -16,7 +16,7 @@ object TextAnalysis {
 
   def defs: Seq[QueryDef] =
     Seq(q34, q35, q36, q37, q49, q64, q70, q85, q86, q102, q113, q180, q191,
-      q246, q260)
+      q246, q260, q261)
 
   private val stopList = TF.StopWords.map(w => s"'$w'").mkString(", ")
 
@@ -756,6 +756,22 @@ object TextAnalysis {
       col("r").cast("long").as("rnk"))
   }
 
+  /** The corpus suffix array as a build-once parquet asset (the q78/q125
+    * persistent-index discipline): the ⌈log₂ L⌉ doubling rounds run once
+    * per (corpus, JVM) — itemized in the bench's setup ledger — and both
+    * q260 (the index itself) and q261 (its LCP application) serve from
+    * the materialized (doc_id, pos, rnk) table. This IS the 100 TB
+    * shape: Lee et al. build the suffix array once and run every dedup
+    * query against it.
+    */
+  def suffixRankTable(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val path = Exact.buildOnceDir(s"sa#$d", "graft_sa_") { p =>
+      suffixRanks(Tables.documents(s, d)).write.mode("overwrite").parquet(p)
+    }
+    s.read.parquet(path)
+  }
+
   /** q260: the full within-doc suffix array of every document, hash-
     * checked — all ~n·avgLen positions — against DuckDB ordering the
     * materialized suffix strings directly (binary collation == the
@@ -768,7 +784,102 @@ object TextAnalysis {
       |    ORDER BY substr(text, CAST(u.i AS INT))) AS BIGINT) AS rnk
       |FROM documents, unnest(generate_series(1, len(text))) AS u(i)
       |ORDER BY doc_id, pos""".stripMargin) { (s, d) =>
-    suffixRanks(Tables.documents(s, d))
-      .orderBy(col("doc_id"), col("pos"))
+    suffixRankTable(s, d).orderBy(col("doc_id"), col("pos"))
+  }
+
+  /** Longest repeated substring per document (capped at `cap` chars) —
+    * the suffix array's canonical application and the statistic behind
+    * suffix-array dedup: the LRS is exactly the max LCP between
+    * RANK-ADJACENT suffixes (any two occurrences of a repeat are
+    * prefixes of two suffixes, and the pair minimizing rank distance is
+    * adjacent), so one `lead` over the rank order replaces the O(n²)
+    * all-pairs scan. Overlapping occurrences count, per the standard
+    * definition ("aaaa" → "aaa").
+    *
+    * Plan shape: pairs are built NARROW (doc, pos_a, pos_b) by a rank-
+    * ordered window over the memoized index; text joins once per doc
+    * and is immediately projected to two ≤cap-char slices, so the
+    * argmax window shuffles ~2·cap bytes per position, never whole
+    * documents. The char-compare fold is row-local codegen; cross-
+    * engine exactness comes from substring-past-end = '' in both
+    * engines and the (len DESC, substring, pos) tie rule.
+    */
+  def longestRepeatedSubstring(sr: DataFrame, docs: DataFrame,
+      cap: Int = 64): DataFrame = {
+    val byRank = Window.partitionBy(col("doc_id")).orderBy(col("rnk"))
+    // Same explicit-width rule as suffixRanks: the index frame is
+    // narrow, and AQE's advisory coalescing would run the whole LCP
+    // pass on one partition.
+    val par = sr.sparkSession.sparkContext.defaultParallelism
+    val pairs = sr
+      .repartition(par, col("doc_id"))
+      .withColumn("pos_b", lead(col("pos"), 1).over(byRank))
+      .filter(col("pos_b").isNotNull)
+      .join(docs.select(col("doc_id"), col("text")), "doc_id")
+      .select(col("doc_id"), col("pos"),
+        expr(s"substring(text, pos + 1, $cap)").as("sa"),
+        expr(s"substring(text, pos_b + 1, $cap)").as("sb"))
+    // LCP by the power-of-two ladder: l += step when the next `step`
+    // chars agree (truncated-substring equality == string-prefix
+    // equality, so running past a slice's end is self-correcting).
+    // 7 substring compares per row, ALL codegen — the per-char
+    // higher-order-function fold this replaces was interpreted and
+    // O(cap²) per row (substring(k,1) rescans from the start), which
+    // measured ~100× slower at sf0.1.
+    require(Integer.bitCount(cap) == 1, s"cap must be a power of two: $cap")
+    val laddered = (0 to Integer.numberOfTrailingZeros(cap)).reverse
+      .map(1 << _)
+      .foldLeft(pairs.withColumn("lcp", lit(0))) { (df, step) =>
+        df.withColumn("lcp", col("lcp") +
+          when(col("lcp") + step <= cap &&
+            expr(s"substring(sa, lcp + 1, $step)") ===
+              expr(s"substring(sb, lcp + 1, $step)"), lit(step))
+            .otherwise(lit(0)))
+      }
+    val best = Window.partitionBy(col("doc_id"))
+      .orderBy(col("lcp").desc, col("lrs"), col("pos"))
+    laddered
+      .withColumn("lrs", expr("substring(sa, 1, lcp)"))
+      .withColumn("rn", row_number().over(best))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lcp").cast("long").as("lrs_len"),
+        col("lrs"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q261: per-doc longest repeated substring (cap 64) off the memoized
+    * q260 index, hash-checked — length AND the substring itself —
+    * against DuckDB replaying rank-adjacent LCPs with the identical
+    * mismatch-scan and tie rule.
+    */
+  val q261: QueryDef = QueryDef.checked(
+    "q261_longest_repeat",
+    """WITH sr AS (
+      |  SELECT doc_id, u.i - 1 AS pos, text,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY substr(text, CAST(u.i AS INT))) AS rnk
+      |  FROM documents, unnest(generate_series(1, len(text))) AS u(i)),
+      |pr AS (
+      |  SELECT doc_id, pos,
+      |    substr(text, CAST(pos + 1 AS INT), 64) AS sa,
+      |    substr(text, CAST(lead(pos) OVER (PARTITION BY doc_id ORDER BY rnk)
+      |      + 1 AS INT), 64) AS sb
+      |  FROM sr
+      |  QUALIFY lead(pos) OVER (PARTITION BY doc_id ORDER BY rnk) IS NOT NULL),
+      |lc AS (
+      |  SELECT doc_id, pos,
+      |    coalesce(list_min(list_filter(range(1, 65),
+      |      k -> substr(sa, CAST(k AS INT), 1) <> substr(sb, CAST(k AS INT), 1))),
+      |      65) - 1 AS lcp,
+      |    sa
+      |  FROM pr),
+      |best AS (
+      |  SELECT doc_id, lcp, substr(sa, 1, CAST(lcp AS INT)) AS lrs,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY lcp DESC, substr(sa, 1, CAST(lcp AS INT)), pos) AS rn
+      |  FROM lc)
+      |SELECT doc_id, CAST(lcp AS BIGINT) AS lrs_len, lrs
+      |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    longestRepeatedSubstring(suffixRankTable(s, d), Tables.documents(s, d))
   }
 }

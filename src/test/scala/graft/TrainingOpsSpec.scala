@@ -104,6 +104,18 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert((0 to 4).map(p => out((1L, p.toLong))) === Seq(3, 5, 1, 2, 4))
   }
 
+  test("longestRepeatedSubstring: classic cases incl. overlapping repeats") {
+    // banana → "ana" (rank-adjacent lcp 3); aaaa → "aaa" (overlap counts);
+    // abcabc → "abc" (the repeat spans half the string).
+    val docs = docsOf("banana", "aaaa", "abcabc")
+    val out = operators.TextAnalysis.longestRepeatedSubstring(
+        operators.TextAnalysis.suffixRanks(docs), docs)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("lrs_len"), r.getAs[String]("lrs"))).toMap
+    assert(out === Map(0L -> ((3L, "ana")), 1L -> ((3L, "aaa")),
+      2L -> ((3L, "abc"))))
+  }
+
   test("lDiversityRelease: homogeneous class suppressed despite k, union recount exact") {
     import spark.implicits._
     def rows(nation: Int, seg: String, bals: Seq[Double]) =
