@@ -829,7 +829,11 @@ object Curation {
     * Spark-side patterns are `Pattern.quote`d so arbitrary vocab symbols
     * are safe; the catalog oracle writes them plain, valid because the
     * documents corpus is pure [a-z] words (quoting is semantically
-    * identity there).
+    * identity there). One input contract does remain: words must not
+    * contain the end-of-word marker `_` or a double space themselves
+    * (a literal `_` would alias the marker symbol) — real tokenizers
+    * pre-normalize exactly this way, and the catalog corpus satisfies
+    * it by construction.
     */
   def bpeTrain(docs: DataFrame, rounds: Int = 6)
       : (Seq[(Int, String, String, Long)], DataFrame) = {

@@ -739,7 +739,11 @@ object TextAnalysis {
     // partition count is exempt from coalescing; all 2·log L window
     // sorts then run at full width with no further exchange (same key).
     val par = docs.sparkSession.sparkContext.defaultParallelism
+    // Empty texts must drop BEFORE the position explode: Spark's
+    // two-arg sequence() infers a DESCENDING step when start > stop,
+    // so sequence(0, -1) is [0, -1] — two phantom positions — not [].
     var df = docs
+      .filter(length(col("text")) > 0)
       .select(col("doc_id"), explode(sequence(lit(0),
         length(col("text")) - 1)).as("pos"), col("text"))
       .select(col("doc_id"), col("pos"),

@@ -104,6 +104,12 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert((0 to 4).map(p => out((1L, p.toLong))) === Seq(3, 5, 1, 2, 4))
   }
 
+  test("suffixRanks: empty text yields no rows (two-arg sequence() would phantom [0,-1])") {
+    val out = operators.TextAnalysis.suffixRanks(docsOf("", "ab")).collect()
+    assert(out.forall(_.getAs[Long]("doc_id") == 1L))
+    assert(out.length === 2)
+  }
+
   test("longestRepeatedSubstring: classic cases incl. overlapping repeats") {
     // banana → "ana" (rank-adjacent lcp 3); aaaa → "aaa" (overlap counts);
     // abcabc → "abc" (the repeat spans half the string).
