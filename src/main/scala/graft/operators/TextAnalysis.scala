@@ -16,7 +16,7 @@ object TextAnalysis {
 
   def defs: Seq[QueryDef] =
     Seq(q34, q35, q36, q37, q49, q64, q70, q85, q86, q102, q113, q180, q191,
-      q246, q260, q261)
+      q246, q260, q261, q262)
 
   private val stopList = TF.StopWords.map(w => s"'$w'").mkString(", ")
 
@@ -849,6 +849,179 @@ object TextAnalysis {
       .select(col("doc_id"), col("lcp").cast("long").as("lrs_len"),
         col("lrs"))
       .orderBy(col("doc_id"))
+  }
+
+  /** CORPUS-GLOBAL suffix ranks — q260's doubling lifted from per-doc
+    * windows to a global order, the index Lee et al.-style CROSS-document
+    * dedup needs. Suffixes never extend past their document (an implicit
+    * separator), so the i+k lookup stays a doc-keyed `lead`; what
+    * changes is the re-ranking, which must now be a GLOBAL rank — and a
+    * global window is Spark's single-partition trap (q241's scaladoc).
+    * Each round therefore ranks two-phase: the (rank, next-rank) pair
+    * packs into one long `c = r·(N+1) + rn` (lexicographic pair order ==
+    * integer order; rn = 0 sentinel past doc end), rows bucket by the
+    * order-preserving `c div width`, bucket COUNTS prefix-sum into
+    * offsets (a B-row frame — the only global window), and the global
+    * rank is `offset + rank() within bucket` — rank(), not row_number,
+    * so EQUAL prefixes share a rank (ties are semantics here: equal
+    * suffixes from different docs must collide). Every data-sized stage
+    * stays partitioned; rounds localCheckpoint (the iterative-loop
+    * lineage discipline). Ranks reflect min(|suffix|, 2^maxLenLog2)
+    * prefixes — the fixed unroll IS the contract (q144 stance), sized
+    * 1024 ≥ 2× the longest catalog document.
+    *
+    * 100 TB notes: the div-grid buckets assume the packed keys spread —
+    * true once round 1 mixes char pairs; under adversarial skew swap in
+    * q155's quantile cutpoints. rank() within a bucket is int-bounded;
+    * buckets scale with the corpus so a bucket stays ≪ 2³¹.
+    */
+  def globalSuffixRanks(docs: DataFrame, buckets: Int = 64,
+      maxLenLog2: Int = 10): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val base = docs
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), explode(sequence(lit(0),
+        length(col("text")) - 1)).as("pos"), col("text"))
+      .select(col("doc_id"), col("pos"),
+        ascii(expr("substring(text, pos + 1, 1)")).cast("long").as("r"))
+      .repartition(par, col("doc_id"))
+      .localCheckpoint(true)
+    val n = base.count()
+    // BOTH pack components can be raw ASCII in round 0 (≤ 127) and
+    // ranks ≤ N afterwards, so the radix must dominate both — packing
+    // with radix N+1 on a tiny corpus would let a 3-digit char code
+    // spill into the high digit and reorder the pairs.
+    val radix = math.max(n, 127L) + 1L
+    val width = radix * radix / buckets + 1L
+    var df = base
+    for (k <- (0 until maxLenLog2).map(1 << _)) {
+      val paired = df
+        .withColumn("c", col("r") * radix +
+          coalesce(lead(col("r"), k).over(byPos), lit(0L)))
+        .withColumn("bkt", expr(s"c div ${width}L"))
+      val offs = paired.groupBy(col("bkt")).agg(count(lit(1)).as("cnt"))
+        .withColumn("off", coalesce(sum(col("cnt")).over(
+          Window.orderBy(col("bkt"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("bkt"), col("off"))
+      df = paired.join(broadcast(offs), Seq("bkt"))
+        .withColumn("r", (col("off") + rank().over(
+          Window.partitionBy(col("bkt")).orderBy(col("c")))).cast("long"))
+        .select(col("doc_id"), col("pos"), col("r"))
+        .localCheckpoint(true)
+    }
+    df.select(col("doc_id"), col("pos").cast("long").as("pos"),
+      col("r").as("grank"))
+  }
+
+  /** The global index as a build-once parquet asset (the
+    * [[suffixRankTable]] discipline, corpus-global flavor). */
+  def globalSuffixRankTable(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val path = Exact.buildOnceDir(s"gsa#$d", "graft_gsa_") { p =>
+      globalSuffixRanks(Tables.documents(s, d))
+        .write.mode("overwrite").parquet(p)
+    }
+    s.read.parquet(path)
+  }
+
+  /** Longest substrings shared ACROSS documents — the cross-doc
+    * complement of [[longestRepeatedSubstring]] and the exact statistic
+    * suffix-array dedup removes: any substring common to two documents
+    * heads a contiguous global-rank interval containing suffixes of
+    * both, so some RANK-ADJACENT pair with differing doc_ids attains the
+    * max — adjacency over the global order replaces the all-pairs scan,
+    * exactly as in the single-doc case. Neighbor pairing avoids the
+    * global-window trap a second time: a dense global row id comes from
+    * the same two-phase bucket/offset machinery (row_number now — the
+    * id must be unique) and neighbors meet in an EQUI-join on idx+1.
+    * Text joins once per doc, projects to ≤cap-char slices before any
+    * pair shuffle; LCP is the q261 codegen ladder clamped by both slice
+    * lengths (two equal short suffixes must report their true length,
+    * not the cap).
+    */
+  def crossDocSharedSpans(gsr: DataFrame, docs: DataFrame, cap: Int = 64,
+      topK: Int = 10, buckets: Int = 64): DataFrame = {
+    require(Integer.bitCount(cap) == 1, s"cap must be a power of two: $cap")
+    val par = gsr.sparkSession.sparkContext.defaultParallelism
+    val n = gsr.count()
+    val width = n / buckets + 1L
+    val b = gsr.withColumn("bkt", expr(s"grank div ${width}L"))
+      .repartition(par, col("bkt"))
+    val offs = b.groupBy(col("bkt")).agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum(col("cnt")).over(
+        Window.orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bkt"), col("off"))
+    val indexed = b.join(broadcast(offs), Seq("bkt"))
+      .withColumn("idx", col("off") + row_number().over(
+        Window.partitionBy(col("bkt"))
+          .orderBy(col("grank"), col("doc_id"), col("pos"))).cast("long"))
+      .join(docs.select(col("doc_id"), col("text")), "doc_id")
+      .select(col("idx"), col("doc_id"), col("pos"),
+        expr(s"substring(text, pos + 1, $cap)").as("s"))
+    val lhs = indexed.select(col("idx"), col("doc_id").as("doc_a"),
+      col("pos").as("pos_a"), col("s").as("sa"))
+    val rhs = indexed.select((col("idx") - 1L).as("idx"),
+      col("doc_id").as("doc_b"), col("pos").as("pos_b"), col("s").as("sb"))
+    val pairs = lhs.join(rhs, Seq("idx"))
+      .filter(col("doc_a") =!= col("doc_b"))
+    val laddered = (0 to Integer.numberOfTrailingZeros(cap)).reverse
+      .map(1 << _)
+      .foldLeft(pairs.withColumn("lcp", lit(0))) { (df, step) =>
+        df.withColumn("lcp", col("lcp") +
+          when(col("lcp") + step <= cap &&
+            expr(s"substring(sa, lcp + 1, $step)") ===
+              expr(s"substring(sb, lcp + 1, $step)"), lit(step))
+            .otherwise(lit(0)))
+      }
+    laddered
+      .withColumn("lcp", least(col("lcp"), length(col("sa")),
+        length(col("sb"))))
+      .withColumn("lrs", expr("substring(sa, 1, lcp)"))
+      .select(col("lcp").cast("long").as("lrs_len"), col("lrs"),
+        col("doc_a"), col("pos_a").cast("long").as("pos_a"),
+        col("doc_b"), col("pos_b").cast("long").as("pos_b"))
+      .orderBy(col("lrs_len").desc, col("lrs"), col("doc_a"), col("pos_a"),
+        col("doc_b"), col("pos_b"))
+      .limit(topK)
+  }
+
+  /** q262: the 10 longest cross-document shared substrings (cap 64) off
+    * the memoized global index, hash-checked — length, substring, and
+    * both (doc, pos) witnesses — against DuckDB sorting materialized
+    * suffixes globally and replaying the identical adjacency, clamp,
+    * and tie rules.
+    */
+  val q262: QueryDef = QueryDef.checked(
+    "q262_crossdoc_spans",
+    """WITH sfx AS (
+      |  SELECT doc_id, u.i - 1 AS pos,
+      |    substr(text, CAST(u.i AS INT), 64) AS s64,
+      |    substr(text, CAST(u.i AS INT)) AS sf
+      |  FROM documents, unnest(generate_series(1, len(text))) AS u(i)),
+      |ord AS (
+      |  SELECT doc_id, pos, s64,
+      |    lead(doc_id) OVER w AS doc_b, lead(pos) OVER w AS pos_b,
+      |    lead(s64) OVER w AS sb
+      |  FROM sfx WINDOW w AS (ORDER BY sf, doc_id, pos)
+      |  QUALIFY lead(doc_id) OVER w IS NOT NULL
+      |    AND lead(doc_id) OVER w <> doc_id),
+      |lc AS (
+      |  SELECT doc_id AS doc_a, pos AS pos_a, doc_b, pos_b, s64,
+      |    least(coalesce(list_min(list_filter(range(1, 65),
+      |      k -> substr(s64, CAST(k AS INT), 1) <> substr(sb, CAST(k AS INT), 1))),
+      |      65) - 1, len(s64), len(sb)) AS lcp
+      |  FROM ord)
+      |SELECT CAST(lcp AS BIGINT) AS lrs_len,
+      |  substr(s64, 1, CAST(lcp AS INT)) AS lrs,
+      |  doc_a, CAST(pos_a AS BIGINT) AS pos_a,
+      |  doc_b, CAST(pos_b AS BIGINT) AS pos_b
+      |FROM lc
+      |ORDER BY lrs_len DESC, lrs, doc_a, pos_a, doc_b, pos_b
+      |LIMIT 10""".stripMargin) { (s, d) =>
+    crossDocSharedSpans(globalSuffixRankTable(s, d), Tables.documents(s, d))
   }
 
   /** q261: per-doc longest repeated substring (cap 64) off the memoized

@@ -122,6 +122,41 @@ class TrainingOpsSpec extends AnyFunSuite {
       2L -> ((3L, "abc"))))
   }
 
+  test("globalSuffixRanks: global order matches sorted suffixes, ties collide") {
+    // docs: "ab", "aba" — all suffixes sorted globally:
+    //   a(1,2) < ab(0,0) < aba(1,0) < b(0,1) = b?  no: b(0,1) vs ba(1,1):
+    //   "a" < "ab" < "aba" < "b" < "ba"; the two equal suffixes would tie.
+    // Here all five are distinct; add doc 2 = "b" to create a TIE with
+    // doc 0's suffix "b" — rank() must give both the same grank.
+    val out = operators.TextAnalysis.globalSuffixRanks(
+        docsOf("ab", "aba", "b"))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("pos")) ->
+        r.getAs[Long]("grank")).toMap
+    // sorted: a(1,2)=1, ab(0,0)=2, aba(1,0)=3, b(0,1)=4, b(2,0)=4, ba(1,1)=6
+    assert(out === Map(
+      (1L, 2L) -> 1L, (0L, 0L) -> 2L, (1L, 0L) -> 3L,
+      (0L, 1L) -> 4L, (2L, 0L) -> 4L, (1L, 1L) -> 6L))
+  }
+
+  test("crossDocSharedSpans: cross-doc max found, within-doc repeats excluded, short-equal clamp") {
+    // "xyzab" and "qxyzc" share "xyz" (3); "abab" repeats within itself
+    // only — it must NOT contribute a length-2 "ab" cross-doc row beyond
+    // what "xyzab" provides ("ab" IS shared between xyzab and abab).
+    val docs = docsOf("xyzab", "qxyzc", "abab")
+    val top = operators.TextAnalysis.crossDocSharedSpans(
+      operators.TextAnalysis.globalSuffixRanks(docs), docs).collect()
+    assert(top.head.getAs[Long]("lrs_len") === 3L)
+    assert(top.head.getAs[String]("lrs") === "xyz")
+
+    // equal SHORT suffixes across docs: "zabc"/"yabc" share exactly
+    // "abc" — the clamp must report 3, not the 64 cap.
+    val d2 = docsOf("zabc", "yabc")
+    val t2 = operators.TextAnalysis.crossDocSharedSpans(
+      operators.TextAnalysis.globalSuffixRanks(d2), d2).collect()
+    assert(t2.head.getAs[Long]("lrs_len") === 3L)
+    assert(t2.head.getAs[String]("lrs") === "abc")
+  }
+
   test("lDiversityRelease: homogeneous class suppressed despite k, union recount exact") {
     import spark.implicits._
     def rows(nation: Int, seg: String, bals: Seq[Double]) =
