@@ -730,6 +730,25 @@ object TextAnalysis {
     * with a range repartition per round; documented, not built — no
     * catalog table has such rows).
     */
+  /** Seed rank covering the first 2^`seedLog2` characters in ONE
+    * row-local expression: on a pure-ASCII corpus, 8 chars pack into
+    * one long as 8 base-128 digits (Horner form, codegen'd), with
+    * past-the-end reading as digit 0 — the same smaller-than-every-
+    * real-rank sentinel the doubling uses, so pack order == prefix
+    * order including the shorter-suffix-first rule. Cuts 3 of the 10
+    * doubling rounds. Non-ASCII corpora (probed, one bounded agg) fall
+    * back to the single-char seed — code points can exceed 7 bits.
+    */
+  private def asciiSeed(seedChars: Int): org.apache.spark.sql.Column =
+    (0 until seedChars).foldLeft(lit(0L)) { (acc, j) =>
+      acc * 128L + ascii(expr(s"substring(text, pos + ${j + 1}, 1)"))
+        .cast("long")
+    }
+
+  private def maxCharCode(positions: DataFrame): Int =
+    positions.agg(max(ascii(expr("substring(text, pos + 1, 1)"))))
+      .head().getInt(0)
+
   def suffixRanks(docs: DataFrame, maxLenLog2: Int = 10): DataFrame = {
     val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     // Explicit-width repartition, not ENSURE_REQUIREMENTS: the position
@@ -742,18 +761,23 @@ object TextAnalysis {
     // Empty texts must drop BEFORE the position explode: Spark's
     // two-arg sequence() infers a DESCENDING step when start > stop,
     // so sequence(0, -1) is [0, -1] — two phantom positions — not [].
-    var df = docs
+    val base = docs
       .filter(length(col("text")) > 0)
       .select(col("doc_id"), explode(sequence(lit(0),
         length(col("text")) - 1)).as("pos"), col("text"))
+    val seedLog2 = if (maxCharCode(base) <= 127) 3 else 0
+    var df = base
       .select(col("doc_id"), col("pos"),
-        ascii(expr("substring(text, pos + 1, 1)")).as("r"))
+        asciiSeed(1 << seedLog2).as("r"))
       .repartition(par, col("doc_id"))
-    for (k <- (0 until maxLenLog2).map(1 << _)) {
+    // dense_rank on the (r, rn) PAIR — no packing, so the seed's 2^56
+    // magnitude needs no normalization round here (contrast
+    // globalSuffixRanks, whose packed key must bound r).
+    for (k <- (seedLog2 until maxLenLog2).map(1 << _)) {
       val ord = Window.partitionBy(col("doc_id"))
         .orderBy(col("r"), col("rn"))
       df = df
-        .withColumn("rn", coalesce(lead(col("r"), k).over(byPos), lit(0)))
+        .withColumn("rn", coalesce(lead(col("r"), k).over(byPos), lit(0L)))
         .withColumn("r", dense_rank().over(ord))
     }
     df.select(col("doc_id"), col("pos").cast("long").as("pos"),
@@ -879,37 +903,50 @@ object TextAnalysis {
       maxLenLog2: Int = 10): DataFrame = {
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val base = docs
-      .filter(length(col("text")) > 0)
-      .select(col("doc_id"), explode(sequence(lit(0),
-        length(col("text")) - 1)).as("pos"), col("text"))
-      .select(col("doc_id"), col("pos"),
-        ascii(expr("substring(text, pos + 1, 1)")).cast("long").as("r"))
-      .repartition(par, col("doc_id"))
-      .localCheckpoint(true)
-    val n = base.count()
-    // BOTH pack components can be raw ASCII in round 0 (≤ 127) and
-    // ranks ≤ N afterwards, so the radix must dominate both — packing
-    // with radix N+1 on a tiny corpus would let a 3-digit char code
-    // spill into the high digit and reorder the pairs.
-    val radix = math.max(n, 127L) + 1L
-    val width = radix * radix / buckets + 1L
-    var df = base
-    for (k <- (0 until maxLenLog2).map(1 << _)) {
-      val paired = df
-        .withColumn("c", col("r") * radix +
-          coalesce(lead(col("r"), k).over(byPos), lit(0L)))
-        .withColumn("bkt", expr(s"c div ${width}L"))
-      val offs = paired.groupBy(col("bkt")).agg(count(lit(1)).as("cnt"))
+
+    /** One two-phase global rank of column `c` (see the scaladoc):
+      * order-preserving div-grid buckets under `width`, bucket-count
+      * offset prefix-sum, within-bucket rank() so equal keys collide.
+      */
+    def globalRank(df: DataFrame, width: Long): DataFrame = {
+      val b = df.withColumn("bkt", expr(s"c div ${width}L"))
+      val offs = b.groupBy(col("bkt")).agg(count(lit(1)).as("cnt"))
         .withColumn("off", coalesce(sum(col("cnt")).over(
           Window.orderBy(col("bkt"))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
         .select(col("bkt"), col("off"))
-      df = paired.join(broadcast(offs), Seq("bkt"))
+      b.join(broadcast(offs), Seq("bkt"))
         .withColumn("r", (col("off") + rank().over(
           Window.partitionBy(col("bkt")).orderBy(col("c")))).cast("long"))
         .select(col("doc_id"), col("pos"), col("r"))
-        .localCheckpoint(true)
+    }
+
+    val chars = docs
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), explode(sequence(lit(0),
+        length(col("text")) - 1)).as("pos"), col("text"))
+    val seedLog2 = if (maxCharCode(chars) <= 127) 3 else 0
+    // largest raw seed value: 8 full base-128 digits, or one code point
+    val seedMax = if (seedLog2 == 3) (1L << 56) - 1L else 0x10FFFFL
+    val seeded = chars
+      .select(col("doc_id"), col("pos"), asciiSeed(1 << seedLog2).as("r"))
+      .repartition(par, col("doc_id"))
+      .localCheckpoint(true)
+    val n = seeded.count()
+    // Seed values are NORMALIZED to global ranks before any pairing, so
+    // from the first doubling round on r ≤ N and the pack radix is
+    // simply N+1 — this is also what makes the non-ASCII fallback sound
+    // for ANY code-point size on ANY corpus size (the previous
+    // max(N,127) radix silently assumed 7-bit seeds).
+    val radix = n + 1L
+    val width = radix * radix / buckets + 1L
+    var df = globalRank(seeded.withColumn("c", col("r")),
+      seedMax / buckets + 1L).localCheckpoint(true)
+    for (k <- (seedLog2 until maxLenLog2).map(1 << _)) {
+      df = globalRank(
+        df.withColumn("c", col("r") * radix +
+          coalesce(lead(col("r"), k).over(byPos), lit(0L))),
+        width).localCheckpoint(true)
     }
     df.select(col("doc_id"), col("pos").cast("long").as("pos"),
       col("r").as("grank"))
