@@ -806,12 +806,21 @@ object Curation {
     * merge list and the final segmented vocabulary frame
     * (w, freq, seg — symbols joined by a DOUBLE space).
     *
-    * Determinism/oracle contract: pair application is
-    * `regexp_replace(seg, "lhs  rhs", "lhsrhs")` over the double-space
-    * joint — both Java's replaceAll and DuckDB's RE2 global replace scan
-    * left-to-right and resume AFTER each match, which is exactly BPE's
-    * greedy non-overlapping application ("l l l l" merges to
-    * "ll ll", never "ll l l" — verified byte-identical in both engines).
+    * Determinism/oracle contract: pair application must be SYMBOL-aware
+    * — once multi-char symbols exist, a raw substring replace of
+    * `"lhs  rhs"` can fire across symbol boundaries (lhs matching a
+    * longer symbol's suffix: after (t,h)→`th`, the pair (h,e_) must NOT
+    * rewrite `th  e_` to `the_`). Spark applies merges with Sennrich's
+    * own anchoring — `(?<!\S)` / `(?!\S)` lookarounds around the quoted
+    * pair, so both ends of a match sit on symbol boundaries, and
+    * because lookarounds are zero-width the greedy left-to-right
+    * non-overlap of replaceAll is preserved (`l l l l` → `ll ll`,
+    * never `ll l l`). DuckDB's RE2 lacks lookarounds, so the oracle
+    * replays the identical semantics as a left fold over the split
+    * symbol list (merge when the accumulator's LAST symbol equals lhs
+    * and the incoming symbol equals rhs; the fused symbol lhs||rhs can
+    * never re-match lhs, which is exactly resume-after-match) —
+    * equivalence spec-pinned on both the boundary and the overlap case.
     * Pair counting, by contrast, counts EVERY adjacent position
     * (overlapping), which is what reference BPE trainers do. Ties break
     * (count DESC, lhs, rhs) — ASCII binary order in both engines.
@@ -827,9 +836,8 @@ object Curation {
     * as literal regexp_replace — broadcast-free codegen constants.
     *
     * Spark-side patterns are `Pattern.quote`d so arbitrary vocab symbols
-    * are safe; the catalog oracle writes them plain, valid because the
-    * documents corpus is pure [a-z] words (quoting is semantically
-    * identity there). One input contract does remain: words must not
+    * are safe; the oracle's list fold compares symbols by literal
+    * equality, safe for any symbol. One input contract does remain: words must not
     * contain the end-of-word marker `_` or a double space themselves
     * (a literal `_` would alias the marker symbol) — real tokenizers
     * pre-normalize exactly this way, and the catalog corpus satisfies
@@ -863,7 +871,7 @@ object Curation {
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += ((r, lhs, rhs, cnt))
         seg = seg.withColumn("seg", regexp_replace(col("seg"),
-          java.util.regex.Pattern.quote(s"$lhs  $rhs"),
+          "(?<!\\S)" + java.util.regex.Pattern.quote(s"$lhs  $rhs") + "(?!\\S)",
           java.util.regex.Matcher.quoteReplacement(lhs + rhs)))
         r += 1
       }
@@ -894,7 +902,11 @@ object Curation {
          |  SELECT lhs, rhs, cnt FROM p$r ORDER BY cnt DESC, lhs, rhs LIMIT 1),
          |w$r AS (
          |  SELECT w, freq,
-         |    regexp_replace(seg, b.lhs || '  ' || b.rhs, b.lhs || b.rhs, 'g') AS seg
+         |    array_to_string(list_reduce(
+         |      list_transform(string_split(seg, '  '), s -> [s]),
+         |      (acc, x) -> CASE WHEN acc[-1] = b.lhs AND x[1] = b.rhs
+         |                  THEN list_append(acc[:-2], b.lhs || b.rhs)
+         |                  ELSE list_append(acc, x[1]) END), '  ') AS seg
          |  FROM w${r - 1}, b$r b)""".stripMargin
     }
     (base +: steps).mkString(",\n")

@@ -1073,6 +1073,13 @@ object Similarity {
     * second scan); #groups = labels × dims, so everything after the
     * map-side combine is broadcast-scale. Means are `div`-truncated
     * integer microunits — the q160 idiom, bit-identical in any engine.
+    *
+    * Contract: only labels present in BOTH snapshots are reported — a
+    * label with na=0 or nb=0 has no drift to measure (the mean on the
+    * empty side is undefined), and emitting it would otherwise surface
+    * as a silent NULL in the monitor. A vanished/new class is its own
+    * signal: diff the output's label set against the input's (one agg),
+    * don't read it off a NULL drift row.
     */
   def centroidDrift(vectors: DataFrame,
       snapACol: org.apache.spark.sql.Column): DataFrame =
@@ -1086,6 +1093,7 @@ object Similarity {
         count(when(col("snap_a"), lit(1))).as("na"),
         sum(when(!col("snap_a"), col("x"))).as("sb"),
         count(when(!col("snap_a"), lit(1))).as("nb"))
+      .filter(col("na") > 0 && col("nb") > 0)
       .select(col("label"), col("na"), col("nb"),
         abs(expr("sa div na") - expr("sb div nb")).as("delta"))
       .groupBy(col("label"))
@@ -1113,7 +1121,7 @@ object Similarity {
       |  FROM ve GROUP BY 1, 2)
       |SELECT label, CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b,
       |  CAST(SUM(ABS(sa // na - sb // nb)) AS BIGINT) AS l1_drift_micro
-      |FROM g GROUP BY label ORDER BY label""".stripMargin) { (s, d) =>
+      |FROM g WHERE na > 0 AND nb > 0 GROUP BY label ORDER BY label""".stripMargin) { (s, d) =>
     centroidDrift(
       Tables.embeddings(s, d).select(col("vec_id"), col("label"),
         VF.asDoubleDense(col("embedding")).as("v")),

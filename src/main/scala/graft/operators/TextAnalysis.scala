@@ -881,35 +881,48 @@ object TextAnalysis {
     * separator), so the i+k lookup stays a doc-keyed `lead`; what
     * changes is the re-ranking, which must now be a GLOBAL rank — and a
     * global window is Spark's single-partition trap (q241's scaladoc).
-    * Each round therefore ranks two-phase: the (rank, next-rank) pair
-    * packs into one long `c = r·(N+1) + rn` (lexicographic pair order ==
-    * integer order; rn = 0 sentinel past doc end), rows bucket by the
-    * order-preserving `c div width`, bucket COUNTS prefix-sum into
+    * Each round therefore ranks two-phase, on the (rank, next-rank)
+    * PAIR directly (rn = 0 sentinel past doc end): rows bucket by the
+    * order-preserving `c1 div width` — bucketing on the first component
+    * alone is order-preserving for the lexicographic pair order, and
+    * after the first round c1 is a dense-ish global rank ≤ N, so the
+    * grid is uniform BY CONSTRUCTION — bucket COUNTS prefix-sum into
     * offsets (a B-row frame — the only global window), and the global
-    * rank is `offset + rank() within bucket` — rank(), not row_number,
-    * so EQUAL prefixes share a rank (ties are semantics here: equal
-    * suffixes from different docs must collide). Every data-sized stage
-    * stays partitioned; rounds localCheckpoint (the iterative-loop
-    * lineage discipline). Ranks reflect min(|suffix|, 2^maxLenLog2)
-    * prefixes — the fixed unroll IS the contract (q144 stance), sized
-    * 1024 ≥ 2× the longest catalog document.
+    * rank is `offset + rank() within bucket ORDER BY (c1, c2)` —
+    * rank(), not row_number, so EQUAL prefixes share a rank (ties are
+    * semantics here: equal suffixes from different docs must collide).
+    * Earlier versions packed the pair into one long `r·(N+1) + rn`,
+    * which silently overflows Int64 once N ≥ 3 037 000 499 positions
+    * (~3 GB of text — far below the 100 TB target); two-column ranking
+    * has no radix and therefore no size limit, and it lets the first
+    * doubling pair RAW 8-char seeds instead of first normalizing them
+    * to ranks — one fewer global round. Every data-sized stage stays
+    * partitioned; rounds localCheckpoint (the iterative-loop lineage
+    * discipline). Ranks reflect min(|suffix|, 2^maxLenLog2) prefixes —
+    * the fixed unroll IS the contract (q144 stance), sized 1024 ≥ 2×
+    * the longest catalog document.
     *
-    * 100 TB notes: the div-grid buckets assume the packed keys spread —
-    * true once round 1 mixes char pairs; under adversarial skew swap in
-    * q155's quantile cutpoints. rank() within a bucket is int-bounded;
-    * buckets scale with the corpus so a bucket stays ≪ 2³¹.
+    * 100 TB notes: only the FIRST round's grid depends on data spread
+    * (raw seeds bucket by their top base-128 digit ≈ the first char, so
+    * an all-lowercase corpus fills ~14 of 64 cells); under adversarial
+    * skew swap in q155's quantile cutpoints for that round. From round
+    * 2 on c1 is a global rank — uniform regardless of text. rank()
+    * within a bucket is int-bounded; buckets scale with the corpus so
+    * a bucket stays ≪ 2³¹.
     */
   def globalSuffixRanks(docs: DataFrame, buckets: Int = 64,
       maxLenLog2: Int = 10): DataFrame = {
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
 
-    /** One two-phase global rank of column `c` (see the scaladoc):
-      * order-preserving div-grid buckets under `width`, bucket-count
-      * offset prefix-sum, within-bucket rank() so equal keys collide.
+    /** One two-phase global rank of the (c1, c2) pair (see the
+      * scaladoc): order-preserving div-grid buckets on c1 under
+      * `width`, bucket-count offset prefix-sum, within-bucket rank()
+      * over (c1, c2) so equal pairs collide. No packing — no radix, no
+      * Int64 ceiling.
       */
     def globalRank(df: DataFrame, width: Long): DataFrame = {
-      val b = df.withColumn("bkt", expr(s"c div ${width}L"))
+      val b = df.withColumn("bkt", expr(s"c1 div ${width}L"))
       val offs = b.groupBy(col("bkt")).agg(count(lit(1)).as("cnt"))
         .withColumn("off", coalesce(sum(col("cnt")).over(
           Window.orderBy(col("bkt"))
@@ -917,7 +930,8 @@ object TextAnalysis {
         .select(col("bkt"), col("off"))
       b.join(broadcast(offs), Seq("bkt"))
         .withColumn("r", (col("off") + rank().over(
-          Window.partitionBy(col("bkt")).orderBy(col("c")))).cast("long"))
+          Window.partitionBy(col("bkt"))
+            .orderBy(col("c1"), col("c2")))).cast("long"))
         .select(col("doc_id"), col("pos"), col("r"))
     }
 
@@ -933,20 +947,20 @@ object TextAnalysis {
       .repartition(par, col("doc_id"))
       .localCheckpoint(true)
     val n = seeded.count()
-    // Seed values are NORMALIZED to global ranks before any pairing, so
-    // from the first doubling round on r ≤ N and the pack radix is
-    // simply N+1 — this is also what makes the non-ASCII fallback sound
-    // for ANY code-point size on ANY corpus size (the previous
-    // max(N,127) radix silently assumed 7-bit seeds).
-    val radix = n + 1L
-    val width = radix * radix / buckets + 1L
-    var df = globalRank(seeded.withColumn("c", col("r")),
-      seedMax / buckets + 1L).localCheckpoint(true)
+    val width = n / buckets + 1L
+    var df = seeded
+    var seedRound = true
     for (k <- (seedLog2 until maxLenLog2).map(1 << _)) {
+      // Round 1 pairs the RAW seeds (values up to seedMax) — its grid
+      // width must span the seed range; every later round's c1 is a
+      // global rank ≤ n.
+      val w = if (seedRound) seedMax / buckets + 1L else width
       df = globalRank(
-        df.withColumn("c", col("r") * radix +
-          coalesce(lead(col("r"), k).over(byPos), lit(0L))),
-        width).localCheckpoint(true)
+        df.withColumn("c1", col("r"))
+          .withColumn("c2",
+            coalesce(lead(col("r"), k).over(byPos), lit(0L))),
+        w).localCheckpoint(true)
+      seedRound = false
     }
     df.select(col("doc_id"), col("pos").cast("long").as("pos"),
       col("r").as("grank"))

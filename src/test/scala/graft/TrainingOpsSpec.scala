@@ -43,6 +43,24 @@ class TrainingOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("bpeTrain: a learned pair abutting a longer fused symbol stays put") {
+    // tha×9, the×4, he×6. Hand-trace: r1 (t,h)=13; r2 (e,_)=10;
+    // r3 tie at 9 → (a,_) by lhs; r4 (th,a_)=9; r5 (h,e_)=6 — at this
+    // point 'the' is segmented th  e_, and the h inside the fused 'th'
+    // must NOT satisfy lhs=h (an unanchored replace rewrote it to
+    // the_, stealing r6); r6 (th,e_)=4 then fuses 'the' legitimately.
+    val corpus = (Seq.fill(9)("tha") ++ Seq.fill(4)("the") ++
+      Seq.fill(6)("he")).mkString(" ")
+    val (merges, seg) = Curation.bpeTrain(docsOf(corpus), 6)
+    assert(merges === Seq(
+      (1, "t", "h", 13L), (2, "e", "_", 10L), (3, "a", "_", 9L),
+      (4, "th", "a_", 9L), (5, "h", "e_", 6L), (6, "th", "e_", 4L)))
+    val segs = seg.collect().map(r =>
+      r.getAs[String]("w") -> r.getAs[String]("seg")).toMap
+    assert(segs === Map("tha" -> "tha_", "the" -> "the_", "he" -> "he_"))
+    spark.catalog.clearCache()
+  }
+
   test("bpe encode: per-word token counts follow the learned merges") {
     val docs = docsOf("ab ab ab", "abc abc")
     // After 2 merges ((a,b) then (ab,_)): ab → [ab_] = 1 token,
@@ -61,7 +79,9 @@ class TrainingOpsSpec extends AnyFunSuite {
       // label 1: even/odd ids carry identical vectors → zero drift
       (0L, 1, Seq(0.5, 0.25)), (1L, 1, Seq(0.5, 0.25)),
       // label 2: dim-1 mean moves 0.50 → 0.75 → 250000 micro-L1
-      (2L, 2, Seq(0.5, 0.5)), (3L, 2, Seq(0.75, 0.5))
+      (2L, 2, Seq(0.5, 0.5)), (3L, 2, Seq(0.75, 0.5)),
+      // label 3: snapshot B only (odd id) → excluded, never a NULL row
+      (5L, 3, Seq(0.1, 0.2))
     ).toDF("vec_id", "label", "v")
     val out = Similarity.centroidDrift(vecs, col("vec_id") % 2 === 0)
       .collect().map(r => r.getAs[Int]("label") ->
