@@ -22,7 +22,7 @@ object Curation {
 
   def defs: Seq[QueryDef] =
     Seq(q59, q60, q61, q66, q74, q75, q76, q84, q115, q123, q143, q154,
-      q255, q256)
+      q255, q256, q264, q265)
 
   /** Top-`k` distinctive terms per document, ranked by tf/df (document
     * frequency as the rarity signal — the idf log is monotonic in 1/df,
@@ -962,5 +962,125 @@ object Curation {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"), sum(col("n_tok")).as("n_tokens"))
       .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Data-selection scoring (q264) + tokenizer eval (q265)
+  // ---------------------------------------------------------------------
+
+  /** Hashed-n-gram importance weights — Moore–Lewis (ACL 2010) cross-
+    * entropy difference over a HASHED feature space, i.e. the scoring
+    * half of DSIR (Xie et al. 2023, arXiv:2302.03169): score(doc) =
+    * Σ_tokens [ log P_in(bucket) − log P_gen(bucket) ] with
+    * add-one-smoothed bucket unigram models. High scores = looks like
+    * the in-domain sample; selection takes the top of the ranking (or
+    * samples ∝ exp(score), DSIR's variant).
+    *
+    * Determinism: buckets come from the first 8 hex chars of md5 — the
+    * portable-hash idiom (q46) that both engines compute identically —
+    * and the per-bucket log-ratio is snapped to integer micro-nats
+    * (the q86 idiom: one IEEE div of exact integer products < 2⁵³,
+    * one ln, one round — ≤ `buckets` distinct values), so per-doc
+    * scores are BIGINT sums, order-independent and hash-exact.
+    *
+    * Scale shape: ONE conditional-aggregate pass over the token stream
+    * builds both models (the q258 both-sides-in-one-pass idiom — the
+    * in-domain sample is usually a tiny fraction, but this form never
+    * scans twice even when it is not); the model is `buckets` rows —
+    * broadcast — so scoring is a map-side join + per-doc agg. The token
+    * stream shuffles once on bucket and once on doc_id; at 100 TB both
+    * are the minimum possible (the second collapses under map-side
+    * combine to one row per doc per partition).
+    */
+  def importanceWeights(docs: DataFrame, inDomain: Column,
+      buckets: Int = 256): DataFrame = {
+    val b = docs
+      .select(col("doc_id"), inDomain.as("in_dom"),
+        explode(split(col("text"), " ")).as("t"))
+      .select(col("doc_id"), col("in_dom"),
+        (conv(substring(md5(col("t").cast("binary")), 1, 8), 16, 10)
+          .cast("long") % buckets).as("bkt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = b.groupBy(col("bkt"))
+      .agg(count(lit(1)).as("cg"),
+        sum(when(col("in_dom"), 1L).otherwise(0L)).as("ci"))
+    val tots = counts.agg(sum(col("cg")).as("n_gen"), sum(col("ci")).as("n_in"))
+    val lr = counts.crossJoin(tots)
+      .select(col("bkt"),
+        round(lit(1000000.0) * log(
+          ((col("ci") + lit(1.0)) * (col("n_gen") + lit(buckets))) /
+            ((col("cg") + lit(1.0)) * (col("n_in") + lit(buckets)))))
+          .cast("long").as("lr_micro"))
+    b.join(broadcast(lr), "bkt")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("lr_micro")).as("score_micro"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q264: DSIR-style importance scores with lang='en' documents as the
+    * in-domain sample, hash-checked against DuckDB building the same
+    * 256-bucket md5 models on the same micro-nat grid.
+    */
+  val q264: QueryDef = QueryDef.checked(
+    "q264_importance_weights",
+    """WITH tok AS (
+      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t FROM documents),
+      |b AS (
+      |  SELECT doc_id,
+      |    CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 256 AS bkt,
+      |    lang = 'en' AS in_dom FROM tok),
+      |counts AS (
+      |  SELECT bkt, count(*) AS cg,
+      |    SUM(CASE WHEN in_dom THEN 1 ELSE 0 END) AS ci
+      |  FROM b GROUP BY bkt),
+      |tot AS (SELECT SUM(cg) AS n_gen, SUM(ci) AS n_in FROM counts),
+      |lr AS (
+      |  SELECT bkt,
+      |    CAST(ROUND(1000000.0 * LN(
+      |      ((ci + 1.0) * (t.n_gen + 256)) /
+      |      ((cg + 1.0) * (t.n_in + 256)))) AS BIGINT) AS lr_micro
+      |  FROM counts CROSS JOIN tot t)
+      |SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+      |  CAST(SUM(lr.lr_micro) AS BIGINT) AS score_micro
+      |FROM b JOIN lr USING (bkt)
+      |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin) { (s, d) =>
+    importanceWeights(Tables.documents(s, d), inDomain = col("lang") === "en")
+  }
+
+  /** q265: tokenizer FERTILITY by corpus segment — BPE tokens per word
+    * in ppm, the standard tokenizer-eval readout (a segment whose
+    * fertility is far above the corpus mean is being over-fragmented —
+    * under-represented in the merge table — and will cost
+    * disproportionate sequence length at training time). Reuses the
+    * q255 learned merges; the corpus word stream joins the encoded
+    * vocabulary broadcast and collapses to one row per (lang, source).
+    */
+  val q265: QueryDef = QueryDef.checked(
+    "q265_tokenizer_fertility",
+    s"""WITH ${bpeOracleCtes(bpeRounds)},
+       |enc AS (
+       |  SELECT w, CAST(len(string_split(seg, '  ')) AS BIGINT) AS n_tok
+       |  FROM w$bpeRounds),
+       |dw AS (
+       |  SELECT lang, source, unnest(string_split(text, ' ')) AS w
+       |  FROM documents)
+       |SELECT dw.lang, dw.source, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(enc.n_tok) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(enc.n_tok) * 1000000 // count(*) AS BIGINT) AS fertility_ppm
+       |FROM dw JOIN enc USING (w)
+       |GROUP BY dw.lang, dw.source
+       |ORDER BY dw.lang, dw.source""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val (_, vocabSeg) = bpeTrain(docs, bpeRounds)
+    val enc = vocabSeg.select(col("w"),
+      size(split(col("seg"), "  ")).cast("long").as("n_tok"))
+    docs.select(col("lang"), col("source"),
+        explode(split(col("text"), " ")).as("w"))
+      .join(broadcast(enc), "w")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_tok")).as("n_tokens"))
+      .withColumn("fertility_ppm",
+        expr("(n_tokens * 1000000L) div n_words"))
+      .orderBy(col("lang"), col("source"))
   }
 }

@@ -23,7 +23,7 @@ object Dedup {
 
   def defs: Seq[QueryDef] =
     Seq(q27, q28, q29, q30, q50, q57, q58, q62, q65, q78, q82, q83, q87, q88,
-      q182, q187)
+      q182, q187, q263, q267)
 
   /** Shared oracle CTE: distinct token-trigram shingles per document —
     * the SQL twin of [[shingles]], used by every shingle-based oracle
@@ -1269,6 +1269,184 @@ object Dedup {
     nearDupOracle) { (s, d) =>
     prefixFilterNearDups(Tables.documents(s, d))
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Duplicate-span REMOVAL accounting — the removal side of Lee et
+    * al. 2022's ExactSubstr dedup (arXiv:2107.06499): a character is
+    * removable iff it lies inside some substring of length ≥ L that
+    * also occurs in ANOTHER document. Computed without a suffix array:
+    * a position p is dup-covered iff its fixed-L window `text[p, p+L)`
+    * occurs in ≥ 2 distinct documents, and the union of those windows
+    * is EXACTLY the chars-inside-duplicated-spans set (a duplicated
+    * span of length m ≥ L marks all of its m chars via its m−L+1
+    * window starts; conversely every covered char sits inside a
+    * duplicated window). Per doc, the union is the classic
+    * gaps-and-islands merge: equal-length intervals sorted by start
+    * break islands where the gap ≥ L.
+    *
+    * Scale shape: ONE corpus-scale shuffle — the gram exchange.
+    * "Occurs in ≥ 2 distinct docs" is `min(doc_id) ≠ max(doc_id)` over
+    * the gram's partition, so a single whole-partition window marks
+    * positions in the same pass that grouped them (measured 3× faster
+    * than the groupBy(count_distinct)+join-back form it replaced: no
+    * distinct expansion, no second scan of the gram frame, no join —
+    * see tools/Q263Variants). Under adversarial gram skew (one
+    * boilerplate line owning a data-sized partition) switch back to
+    * groupBy(min, max)+join — partial aggregation is skew-immune and
+    * was only ~1.8× slower here. At 100 TB additionally hash each
+    * L-gram to 8–16 bytes with xxhash64 before the exchange so the
+    * shuffle carries hashes, not text (exactness then needs a verify
+    * pass or an accepted 2⁻⁶⁴ collision rate, the Lee et al. trade).
+    * The island merge is doc-local window work over only the MARKED
+    * positions, and the final join returns one row per document.
+    * Explicit-width repartition per the suffixRanks rule — the marked
+    * frame is narrow and AQE would coalesce it to one partition.
+    */
+  def exactSubstrRemoval(docs: DataFrame, l: Int = 20): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val grams = docs
+      .filter(length(col("text")) >= l)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), length(col("text")) - l)).as("p"),
+        col("text"))
+      .select(col("doc_id"), col("p"),
+        expr(s"substring(text, p + 1, $l)").as("gram"))
+    val wg = Window.partitionBy(col("gram"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    val spans = grams
+      .withColumn("mn", min(col("doc_id")).over(wg))
+      .withColumn("mx", max(col("doc_id")).over(wg))
+      .filter(col("mn") =!= col("mx"))
+      .select(col("doc_id"), col("p"))
+      .repartition(par, col("doc_id"))
+      .withColumn("brk",
+        when(col("p") - coalesce(lag(col("p"), 1).over(w),
+          lit(Long.MinValue / 2)) >= l, lit(1L)).otherwise(lit(0L)))
+      .withColumn("isl",
+        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg((max(col("p")) + l - min(col("p"))).as("chars"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"), sum(col("chars")).as("dup_chars"))
+    docs.select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+        (col("n_chars") -
+          coalesce(col("dup_chars"), lit(0L))).as("keep_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q263: per-document ExactSubstr removal accounting at L=20 —
+    * span count, removable chars, surviving chars — hash-checked
+    * against DuckDB running the identical window/island replay.
+    */
+  val q263: QueryDef = QueryDef.checked(
+    "q263_exactsubstr_removal",
+    """WITH g AS (
+      |  SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS p,
+      |         substr(text, CAST(u.i AS INT), 20) AS gram
+      |  FROM documents, unnest(generate_series(1, len(text) - 19)) AS u(i)),
+      |dup AS (
+      |  SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+      |m AS (SELECT doc_id, p FROM g JOIN dup USING (gram)),
+      |isl AS (
+      |  SELECT doc_id, p,
+      |    CASE WHEN lag(p) OVER w IS NULL OR p - lag(p) OVER w >= 20
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM m WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+      |grp AS (
+      |  SELECT doc_id, p,
+      |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY p) AS isl_id FROM isl),
+      |spans AS (
+      |  SELECT doc_id, isl_id, MIN(p) AS s, MAX(p) + 20 AS e
+      |  FROM grp GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT doc_id, COUNT(*) AS n_spans, SUM(e - s) AS dup
+      |  FROM spans GROUP BY doc_id)
+      |SELECT d.doc_id, CAST(len(d.text) AS BIGINT) AS n_chars,
+      |  CAST(COALESCE(a.n_spans, 0) AS BIGINT) AS n_spans,
+      |  CAST(COALESCE(a.dup, 0) AS BIGINT) AS dup_chars,
+      |  CAST(len(d.text) - COALESCE(a.dup, 0) AS BIGINT) AS keep_chars
+      |FROM documents d LEFT JOIN agg a USING (doc_id)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    exactSubstrRemoval(Tables.documents(s, d))
+  }
+
+  /** The near-dup cluster assignment as a build-once parquet asset
+    * (the q78/q125 persistent-index discipline): the exact pair
+    * pipeline + label propagation run once per (corpus, JVM) — bench
+    * setup ledger — and survivor policies serve from the materialized
+    * (doc_id, cluster_id, keep) table. The 100 TB shape: cluster once,
+    * answer every keep-policy question from the assignment table.
+    */
+  def dedupClusterTable(s: SparkSession, d: String): DataFrame = {
+    val path = graft.operators.Exact.buildOnceDir(
+      s"dupclusters#$d", "graft_clu_") { p =>
+      val clu = dedupClusters(exactNearDups(Tables.documents(s, d)))
+      clu.write.mode("overwrite").parquet(p)
+      clu.unpersist()
+      s.catalog.clearCache()
+    }
+    s.read.parquet(path)
+  }
+
+  /** QUALITY-aware survivor selection per near-dup cluster — the keep
+    * policy production dedup actually runs: not "keep lowest id" (q57's
+    * `keep` bit) but "keep the best document of each duplicate set"
+    * (here: longest text, ties to the smaller doc_id — swap in any
+    * scorer frame). One window over the cluster-assignment table joined
+    * to the per-doc metric, then a per-cluster conditional aggregate;
+    * both shuffle only cluster-member rows (docs in no pair never enter
+    * the frame — at 100 TB the assignment table is a small fraction of
+    * the corpus).
+    */
+  def clusterSurvivors(clusters: DataFrame, metric: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("len").desc, col("doc_id"))
+    clusters.join(metric, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        max(when(col("rn") === 1, col("doc_id"))).as("survivor_id"),
+        max(when(col("rn") === 1, col("len"))).as("kept_chars"),
+        (sum(col("len")) -
+          max(when(col("rn") === 1, col("len")))).as("dropped_chars"))
+      .orderBy(col("cluster_id"))
+  }
+
+  /** q267: longest-document survivor per exact-near-dup cluster, from
+    * the memoized cluster table — hash-checked against DuckDB rebuilding
+    * the clusters with q57's recursive reachability CTE and applying the
+    * same (len DESC, doc_id) policy.
+    */
+  val q267: QueryDef = QueryDef.checked(
+    "q267_cluster_survivors",
+    s"""WITH RECURSIVE
+       |pairs AS ($nearDupOracle),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |walk(id, label) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.id),
+       |clu AS (SELECT id AS doc_id, min(label) AS cluster_id FROM walk GROUP BY id),
+       |ranked AS (
+       |  SELECT clu.cluster_id, clu.doc_id, CAST(len(d.text) AS BIGINT) AS len,
+       |    row_number() OVER (PARTITION BY clu.cluster_id
+       |      ORDER BY len(d.text) DESC, clu.doc_id) AS rn
+       |  FROM clu JOIN documents d USING (doc_id))
+       |SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+       |  MAX(CASE WHEN rn = 1 THEN doc_id END) AS survivor_id,
+       |  MAX(CASE WHEN rn = 1 THEN len END) AS kept_chars,
+       |  CAST(SUM(len) - MAX(CASE WHEN rn = 1 THEN len END) AS BIGINT) AS dropped_chars
+       |FROM ranked GROUP BY cluster_id ORDER BY cluster_id""".stripMargin) {
+    (s, d) =>
+    clusterSurvivors(dedupClusterTable(s, d),
+      Tables.documents(s, d)
+        .select(col("doc_id"), length(col("text")).cast("long").as("len")))
   }
 
   val q182: QueryDef = QueryDef.checked(

@@ -19,7 +19,7 @@ object Similarity {
 
   def defs: Seq[QueryDef] =
     Seq(q31, q32, q33, q69, q71, q81, q98, q99, q116, q160, q161, q220,
-      q258, q259)
+      q258, q259, q266)
 
   /** Symmetric per-vector int8 quantization — the 4× storage cut that
     * makes a 100 TB float32 embedding corpus a 25 TB one: each vector
@@ -1199,5 +1199,83 @@ object Similarity {
     knnClassify(
       train = e.filter(col("vec_id") % 10 =!= 0),
       test = e.filter(col("vec_id") % 10 === 0))
+  }
+
+  /** Matryoshka truncation eval (Kusupati et al. 2022,
+    * arXiv:2205.13147): recall@k of the ranking induced by the FIRST
+    * dTrunc dimensions against the full-dimension ranking — the
+    * measurement that decides whether a corpus can serve ANN from a
+    * prefix slice at 1/(d/dTrunc) the storage and FLOPs. Both rankings
+    * come from ONE scan: each (query, candidate) row scores full and
+    * truncated cosine side by side (two codegen'd kernels over the same
+    * loaded vectors), then two windows over the same query partition —
+    * one exchange, two sorts. The truth set left-joins the truncated
+    * set and counts hits; output is integer (overlap count + ppm).
+    *
+    * Scale shape: this is an EVAL operator — run over a query SAMPLE
+    * (brute-force truth is the point; |queries| ≪ corpus, broadcast),
+    * exactly like q32/q259. The per-pair frame feeds both windows and
+    * the join's two sides, so it persists for the action.
+    */
+  def matryoshkaRecall(corpus: DataFrame, queries: DataFrame,
+      dTrunc: Int = 16, topK: Int = 10): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("v").as("vq"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("v").as("vc"))
+    val rk = broadcast(q).join(c, col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        CosineSimilarity.cosineSim(col("vq"), col("vc")).as("cs_full"),
+        CosineSimilarity.cosineSim(
+          slice(col("vq"), 1, dTrunc), slice(col("vc"), 1, dTrunc))
+          .as("cs_trunc"))
+      .withColumn("r_full", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cs_full").desc, col("neighbor_id"))))
+      .withColumn("r_trunc", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cs_trunc").desc, col("neighbor_id"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val truth = rk.filter(col("r_full") <= topK)
+      .select(col("query_id"), col("neighbor_id"))
+    val trunc = rk.filter(col("r_trunc") <= topK)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+    truth.join(trunc, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("hit")).as("n_common"))
+      .withColumn("recall_ppm",
+        expr(s"n_common * (1000000 div $topK)"))
+      .orderBy(col("query_id"))
+  }
+
+  /** q266: recall@10 of the 16-dim prefix against the full 64 dims for
+    * the first 50 vectors as queries, hash-checked against DuckDB
+    * slicing and ranking the same doubles.
+    */
+  val q266: QueryDef = QueryDef.checked(
+    "q266_matryoshka_recall",
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |sims AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    list_dot_product(q.v, c.v)
+      |      / (sqrt(list_dot_product(q.v, q.v))
+      |         * sqrt(list_dot_product(c.v, c.v))) AS cs_full,
+      |    list_dot_product(q.v[1:16], c.v[1:16])
+      |      / (sqrt(list_dot_product(q.v[1:16], q.v[1:16]))
+      |         * sqrt(list_dot_product(c.v[1:16], c.v[1:16]))) AS cs_trunc
+      |  FROM v q JOIN v c ON q.vec_id < 50 AND c.vec_id <> q.vec_id),
+      |rk AS (
+      |  SELECT query_id, neighbor_id,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cs_full DESC, neighbor_id) AS r_full,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cs_trunc DESC, neighbor_id) AS r_trunc
+      |  FROM sims)
+      |SELECT a.query_id, CAST(COUNT(b.neighbor_id) AS BIGINT) AS n_common,
+      |  CAST(COUNT(b.neighbor_id) * 100000 AS BIGINT) AS recall_ppm
+      |FROM (SELECT query_id, neighbor_id FROM rk WHERE r_full <= 10) a
+      |LEFT JOIN (SELECT query_id, neighbor_id FROM rk WHERE r_trunc <= 10) b
+      |  USING (query_id, neighbor_id)
+      |GROUP BY a.query_id ORDER BY a.query_id""".stripMargin) { (s, d) =>
+    val e = vecs(s, d)
+    matryoshkaRecall(e, e.filter(col("vec_id") < 50))
   }
 }

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the r12 selection/curation operators — ExactSubstr removal
+  * accounting, DSIR importance weights, matryoshka truncation recall,
+  * and quality-aware cluster survivors — against hand-computed truths
+  * (importance weights against an offline-verified md5-bucket golden).
+  */
+class SelectionOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import operators.{Curation, Dedup, Similarity}
+
+  test("exactSubstrRemoval: islands merge, gaps split, short docs survive") {
+    import spark.implicits._
+    // l=4. Shared grams: abcd/bcde (docs 0,2,3,4), cdef (docs 0,1,4).
+    // doc0 marks p0,p1,p2 -> one island [0,6). doc1 marks p2 -> [2,6).
+    // doc2/doc3 mark p2,p3 -> [2,7). doc4 marks p0 and p8 - gap 8 >= 4
+    // -> TWO islands [0,4)+[8,12). doc5 is shorter than l -> no grams,
+    // still emitted with zero dup.
+    val docs = Seq(
+      (0L, "abcdefgh"), (1L, "qqcdefqq"), (2L, "mnabcdeuv"),
+      (3L, "klabcdest"), (4L, "abcdXXXXcdef"), (5L, "xy")
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactSubstrRemoval(docs, l = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out === Array(
+      (0L, 8L, 1L, 6L, 2L), (1L, 8L, 1L, 4L, 4L), (2L, 9L, 1L, 5L, 4L),
+      (3L, 9L, 1L, 5L, 4L), (4L, 12L, 2L, 8L, 4L), (5L, 2L, 0L, 0L, 2L)))
+  }
+
+  test("importanceWeights: md5-bucket golden, in-domain ranks above out") {
+    import spark.implicits._
+    // Golden micro-nat scores verified offline against the DuckDB
+    // oracle formula on the same corpus (4 tokens, no bucket
+    // collisions at B=256: alpha->163, beta->176, delta->248,
+    // gamma->215).
+    val docs = Seq(
+      (0L, "alpha alpha beta", "en"), (1L, "alpha gamma", "en"),
+      (2L, "delta delta gamma", "fr"), (3L, "beta delta", "fr")
+    ).toDF("doc_id", "text", "lang")
+    val out = Curation.importanceWeights(docs, col("lang") === "en")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out === Array(
+      (0L, 3L, -348537L), (1L, 2L, -367513L),
+      (2L, 3L, -3121125L), (3L, 2L, -1753807L)))
+    // the selection property the scorer exists for: in-domain docs
+    // outrank out-of-domain ones
+    assert(out.filter(t => t._1 <= 1).map(_._3).min >
+      out.filter(t => t._1 >= 2).map(_._3).max)
+    spark.catalog.clearCache()
+  }
+
+  test("matryoshkaRecall: full/truncated agreement scores full recall") {
+    import spark.implicits._
+    // dTrunc=1, topK=1, 2-dim. Query 0 = [1,0]: id 20 = [2,0] is the
+    // unambiguous best under BOTH rankings (full cos 1.0 vs negative
+    // for id 21; trunc cos 1.0 vs -1.0) -> overlap 1.
+    val corpus = Seq(
+      (0L, Seq(1.0, 0.0)), (20L, Seq(2.0, 0.0)), (21L, Seq(-1.0, 0.5))
+    ).toDF("vec_id", "v")
+    val out = Similarity.matryoshkaRecall(
+        corpus, corpus.filter(col("vec_id") === 0), dTrunc = 1, topK = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out === Array((0L, 1L, 1000000L)))
+    spark.catalog.clearCache()
+  }
+
+  test("matryoshkaRecall: engineered disagreement yields zero overlap") {
+    import spark.implicits._
+    // Query 0 = [1,0]; candidate 5 = [0.6,0.8] (full cos .6), candidate
+    // 6 = [0.8,-0.6] (full cos .8 - full best). Truncated to dim 1 both
+    // have cos 1.0; id tiebreak picks 5. Full top1 = 6, trunc top1 = 5.
+    val corpus = Seq(
+      (0L, Seq(1.0, 0.0)), (5L, Seq(0.6, 0.8)), (6L, Seq(0.8, -0.6))
+    ).toDF("vec_id", "v")
+    val out = Similarity.matryoshkaRecall(
+        corpus, corpus.filter(col("vec_id") === 0), dTrunc = 1, topK = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out === Array((0L, 0L, 0L)))
+    spark.catalog.clearCache()
+  }
+
+  test("clusterSurvivors: longest wins, id breaks ties, drops accounted") {
+    import spark.implicits._
+    // cluster 1 = {1,2,3} lens 5,9,9: survivor 2 (len tie with 3, id
+    // wins), dropped 5+9=14. cluster 7 = {7,8} lens 4,6: survivor 8.
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L))
+      .toDF("doc_id", "cluster_id")
+    val metric = Seq((1L, 5L), (2L, 9L), (3L, 9L), (7L, 4L), (8L, 6L))
+      .toDF("doc_id", "len")
+    val out = Dedup.clusterSurvivors(clusters, metric).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out === Array(
+      (1L, 3L, 2L, 9L, 14L), (7L, 2L, 8L, 6L, 4L)))
+  }
+}
