@@ -22,7 +22,7 @@ object Curation {
 
   def defs: Seq[QueryDef] =
     Seq(q59, q60, q61, q66, q74, q75, q76, q84, q115, q123, q143, q154,
-      q255, q256, q264, q265)
+      q255, q256, q264, q265, q268)
 
   /** Top-`k` distinctive terms per document, ranked by tf/df (document
     * frequency as the rarity signal — the idf log is monotonic in 1/df,
@@ -1045,6 +1045,87 @@ object Curation {
       |FROM b JOIN lr USING (bkt)
       |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin) { (s, d) =>
     importanceWeights(Tables.documents(s, d), inDomain = col("lang") === "en")
+  }
+
+  /** GLOBAL greedy selection under a token budget: take documents in
+    * descending-score order until the cumulative token count exceeds
+    * the budget — the selection step that sits on top of any scorer
+    * (here q264's importance weights; swap in perplexity, quality, or
+    * a blend). The global running sum is the q241/q262 TWO-PHASE shape,
+    * never a single-partition window: rows bucket by an
+    * order-preserving div-grid over the score (range from one 2-long
+    * driver-side agg — bounded by construction), bucket token totals
+    * prefix-sum into offsets (a B-row frame, the only global window),
+    * and each row's cum = offset + running sum within its bucket
+    * ordered (score DESC, doc_id). Equal scores share a bucket, so the
+    * two-phase sum is exactly the global-window sum.
+    */
+  def selectByScoreBudget(scored: DataFrame, budget: Long,
+      buckets: Int = 64): DataFrame = {
+    val stats = scored
+      .agg(min(col("score_micro")).as("mn"), max(col("score_micro")).as("mx"))
+      .head()
+    if (stats.isNullAt(0))
+      return scored.select(col("doc_id"), col("n_tok"), col("score_micro"),
+        lit(0L).as("cum_tok")).limit(0)
+    val (mn, mx) = (stats.getLong(0), stats.getLong(1))
+    val width = (mx - mn) / buckets + 1L
+    val b = scored.withColumn("bkt",
+      expr(s"(${mx}L - score_micro) div ${width}L"))
+    val offs = b.groupBy(col("bkt")).agg(sum(col("n_tok")).as("cnt"))
+      .withColumn("off", coalesce(sum(col("cnt")).over(
+        Window.orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bkt"), col("off"))
+    b.join(broadcast(offs), Seq("bkt"))
+      .withColumn("cum_tok", col("off") + sum(col("n_tok")).over(
+        Window.partitionBy(col("bkt"))
+          .orderBy(col("score_micro").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("cum_tok") <= budget)
+      .select(col("doc_id"), col("n_tok"), col("score_micro"), col("cum_tok"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q268: the 5,000-token greedy selection over q264's importance
+    * ranking — hash-checked (including every cum_tok prefix value)
+    * against DuckDB running the plain global window the two-phase form
+    * must reproduce exactly.
+    */
+  val q268: QueryDef = QueryDef.checked(
+    "q268_selection_by_score",
+    """WITH tok AS (
+      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t FROM documents),
+      |b AS (
+      |  SELECT doc_id,
+      |    CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 256 AS bkt,
+      |    lang = 'en' AS in_dom FROM tok),
+      |counts AS (
+      |  SELECT bkt, count(*) AS cg,
+      |    SUM(CASE WHEN in_dom THEN 1 ELSE 0 END) AS ci
+      |  FROM b GROUP BY bkt),
+      |tot AS (SELECT SUM(cg) AS n_gen, SUM(ci) AS n_in FROM counts),
+      |lr AS (
+      |  SELECT bkt,
+      |    CAST(ROUND(1000000.0 * LN(
+      |      ((ci + 1.0) * (t.n_gen + 256)) /
+      |      ((cg + 1.0) * (t.n_in + 256)))) AS BIGINT) AS lr_micro
+      |  FROM counts CROSS JOIN tot t),
+      |scored AS (
+      |  SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+      |    CAST(SUM(lr.lr_micro) AS BIGINT) AS score_micro
+      |  FROM b JOIN lr USING (bkt) GROUP BY b.doc_id),
+      |cum AS (
+      |  SELECT doc_id, n_tok, score_micro,
+      |    CAST(SUM(n_tok) OVER (ORDER BY score_micro DESC, doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+      |  FROM scored)
+      |SELECT doc_id, n_tok, score_micro, cum_tok FROM cum
+      |WHERE cum_tok <= 5000 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    selectByScoreBudget(
+      importanceWeights(Tables.documents(s, d),
+        inDomain = col("lang") === "en"),
+      budget = 5000L)
   }
 
   /** q265: tokenizer FERTILITY by corpus segment — BPE tokens per word

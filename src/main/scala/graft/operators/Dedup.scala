@@ -23,7 +23,7 @@ object Dedup {
 
   def defs: Seq[QueryDef] =
     Seq(q27, q28, q29, q30, q50, q57, q58, q62, q65, q78, q82, q83, q87, q88,
-      q182, q187, q263, q267)
+      q182, q187, q263, q267, q269, q270)
 
   /** Shared oracle CTE: distinct token-trigram shingles per document —
     * the SQL twin of [[shingles]], used by every shingle-based oracle
@@ -1447,6 +1447,75 @@ object Dedup {
     clusterSurvivors(dedupClusterTable(s, d),
       Tables.documents(s, d)
         .select(col("doc_id"), length(col("text")).cast("long").as("len")))
+  }
+
+  /** Leave-one-out trigram NOVELTY per document — the diversity
+    * complement of the dup statistics: the fraction of a doc's distinct
+    * shingles found in NO other document. Low novelty = boilerplate /
+    * template mass even when no pair crosses the near-dup threshold;
+    * the standard corpus-diversity readout next to q263's removal
+    * accounting. Same single-exchange shape as q263: "appears in
+    * another doc" is min(doc_id) ≠ max(doc_id) over the shingle's
+    * window partition, marked in the same pass that grouped it, then
+    * one per-doc agg.
+    */
+  def noveltyRates(docs: DataFrame): DataFrame = {
+    val wg = Window.partitionBy(col("g"))
+    shingles(docs)
+      .withColumn("novel",
+        min(col("doc_id")).over(wg) === max(col("doc_id")).over(wg))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("novel"), 1L).otherwise(0L)).as("novel_grams"))
+      .withColumn("novelty_ppm",
+        expr("(novel_grams * 1000000L) div n_grams"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q270: per-doc trigram novelty, hash-checked. */
+  val q270: QueryDef = QueryDef.checked(
+    "q270_novelty_rates",
+    s"""WITH $shingleCte,
+       |marked AS (
+       |  SELECT doc_id, g,
+       |    min(doc_id) OVER (PARTITION BY g)
+       |      = max(doc_id) OVER (PARTITION BY g) AS novel
+       |  FROM tri)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+       |  CAST(SUM(CASE WHEN novel THEN 1 ELSE 0 END) AS BIGINT) AS novel_grams,
+       |  CAST(SUM(CASE WHEN novel THEN 1 ELSE 0 END) * 1000000
+       |    // COUNT(*) AS BIGINT) AS novelty_ppm
+       |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    noveltyRates(Tables.documents(s, d))
+  }
+
+  /** q269: cross-source duplication AFFINITY — near-dup pair counts by
+    * normalized (source_a ≤ source_b) — the provenance matrix that
+    * shows which feeds copy which (a hot off-diagonal cell = one feed
+    * mirrors another; a hot diagonal = a feed re-posts itself). The
+    * pair frame is small by construction; the doc→source map joins it
+    * twice (AQE broadcasts), then one keyed agg.
+    */
+  val q269: QueryDef = QueryDef.checked(
+    "q269_source_dup_affinity",
+    s"""WITH pairs AS ($nearDupOracle)
+       |SELECT least(da.source, db.source) AS source_a,
+       |  greatest(da.source, db.source) AS source_b,
+       |  CAST(COUNT(*) AS BIGINT) AS n_pairs
+       |FROM pairs JOIN documents da ON pairs.doc_a = da.doc_id
+       |           JOIN documents db ON pairs.doc_b = db.doc_id
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val src = docs.select(col("doc_id"), col("source"))
+    exactNearDups(docs)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")),
+        "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")),
+        "doc_b")
+      .groupBy(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("source_a"), col("source_b"))
   }
 
   val q182: QueryDef = QueryDef.checked(

@@ -83,6 +83,40 @@ class SelectionOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("selectByScoreBudget: greedy prefix exact across buckets, ties by id") {
+    import spark.implicits._
+    // buckets=2 forces the cross-bucket path: scores 90,80,10,10,5 with
+    // tokens 3,4,2,2,5 and budget 9 -> greedy order (90,80,10@id3,
+    // 10@id4,5): cums 3,7,9,11,16 -> keep first three (ids 1,2,3).
+    val scored = Seq(
+      (1L, 3L, 90L), (2L, 4L, 80L), (3L, 2L, 10L), (4L, 2L, 10L),
+      (5L, 5L, 5L)
+    ).toDF("doc_id", "n_tok", "score_micro")
+    val out = Curation.selectByScoreBudget(scored, budget = 9L, buckets = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out === Array((1L, 3L, 90L, 3L), (2L, 4L, 80L, 7L),
+      (3L, 2L, 10L, 9L)))
+    // empty input: no NPE, empty output
+    assert(Curation.selectByScoreBudget(
+      scored.filter(col("doc_id") < 0), budget = 9L).count() === 0L)
+  }
+
+  test("noveltyRates: shared trigram marks both docs, unique stays novel") {
+    import spark.implicits._
+    // doc0/doc1 share exactly the trigram "x y z"; every other trigram
+    // is unique. doc0 grams: {a b x, b x y, x y z} -> 2/3 novel
+    // (666666 ppm). doc1 grams: {x y z, y z q, z q r} -> 2/3 novel.
+    // doc2 fully unique -> 1000000 ppm.
+    val docs = Seq(
+      (0L, "a b x y z"), (1L, "x y z q r"), (2L, "m n o p")
+    ).toDF("doc_id", "text")
+    val out = Dedup.noveltyRates(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out === Array((0L, 3L, 2L, 666666L), (1L, 3L, 2L, 666666L),
+      (2L, 2L, 2L, 1000000L)))
+  }
+
   test("clusterSurvivors: longest wins, id breaks ties, drops accounted") {
     import spark.implicits._
     // cluster 1 = {1,2,3} lens 5,9,9: survivor 2 (len tie with 3, id
