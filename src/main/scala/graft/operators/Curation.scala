@@ -22,7 +22,7 @@ object Curation {
 
   def defs: Seq[QueryDef] =
     Seq(q59, q60, q61, q66, q74, q75, q76, q84, q115, q123, q143, q154,
-      q255, q256, q264, q265, q268)
+      q255, q256, q264, q265, q268, q271)
 
   /** Top-`k` distinctive terms per document, ranked by tf/df (document
     * frequency as the rarity signal — the idf log is monotonic in 1/df,
@@ -1126,6 +1126,58 @@ object Curation {
       importanceWeights(Tables.documents(s, d),
         inDomain = col("lang") === "en"),
       budget = 5000L)
+  }
+
+  /** q271: BLOCKLIST phrase hits — the multi-pattern boilerplate filter
+    * every curation pipeline runs (banned phrases, license headers,
+    * navigation chrome). The blocklist here is self-mined: the top-5
+    * most document-frequent trigram phrases (a deterministic stand-in
+    * for a curated list — the operator is the same for any phrase
+    * frame). Matching is a LEFT join on a substring-contains condition
+    * against the BROADCAST phrase list — k row-local `contains` tests
+    * per document (Spark compiles `Contains`, no regex), never a
+    * shuffle of the corpus; at 100 TB with thousands of phrases the
+    * same shape holds with an Aho–Corasick UDF or a token-anchored
+    * equi-join prefilter, documented here as the scale escalation.
+    */
+  val q271: QueryDef = QueryDef.checked(
+    "q271_blocklist_hits",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS t,
+      |    generate_subscripts(string_split(text, ' '), 1) AS pos FROM documents),
+      |tri AS (
+      |  SELECT DISTINCT doc_id, t || ' ' || lead(t) OVER w || ' ' || lead(t, 2) OVER w AS g
+      |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+      |  QUALIFY lead(t, 2) OVER w IS NOT NULL),
+      |block AS (
+      |  SELECT g FROM (
+      |    SELECT g, row_number() OVER (ORDER BY COUNT(*) DESC, g) AS rn
+      |    FROM tri GROUP BY g) WHERE rn <= 5),
+      |hits AS (
+      |  SELECT d.doc_id, COUNT(b.g) AS n_hits
+      |  FROM documents d LEFT JOIN block b
+      |    ON d.text LIKE '%' || b.g || '%'
+      |  GROUP BY d.doc_id)
+      |SELECT doc_id, CAST(n_hits AS BIGINT) AS n_hits,
+      |  CAST(n_hits > 0 AS INT) AS flagged
+      |FROM hits ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    // top-5 via global sort+limit, NOT a row_number window: Spark
+    // compiles orderBy().limit(k) to TakeOrderedAndProject (per-
+    // partition top-k, merged on the driver) — the vocabulary never
+    // collapses into one partition
+    val block = Dedup.shingles(docs)
+      .groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("g"))
+      .limit(5)
+      .select(col("g"))
+    docs.select(col("doc_id"), col("text"))
+      .join(broadcast(block), col("text").contains(col("g")), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(col("g")).as("n_hits"))
+      .select(col("doc_id"), col("n_hits"),
+        (col("n_hits") > 0).cast("int").as("flagged"))
+      .orderBy(col("doc_id"))
   }
 
   /** q265: tokenizer FERTILITY by corpus segment — BPE tokens per word

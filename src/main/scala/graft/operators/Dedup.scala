@@ -23,7 +23,7 @@ object Dedup {
 
   def defs: Seq[QueryDef] =
     Seq(q27, q28, q29, q30, q50, q57, q58, q62, q65, q78, q82, q83, q87, q88,
-      q182, q187, q263, q267, q269, q270)
+      q182, q187, q263, q267, q269, q270, q273)
 
   /** Shared oracle CTE: distinct token-trigram shingles per document —
     * the SQL twin of [[shingles]], used by every shingle-based oracle
@@ -1516,6 +1516,46 @@ object Dedup {
         greatest(col("sa"), col("sb")).as("source_b"))
       .agg(count(lit(1)).as("n_pairs"))
       .orderBy(col("source_a"), col("source_b"))
+  }
+
+  /** q273: near-dup-aware SAMPLING WEIGHTS — the GPT-3-style soft
+    * alternative to hard dedup removal: each document's sampling weight
+    * is 1/|its near-dup cluster| (ppm grid), so a duplicate SET
+    * contributes one document's worth of expected mass while unique
+    * docs keep weight 1. Serves from the memoized cluster table
+    * ([[dedupClusterTable]] — cluster once, answer every policy); one
+    * cluster-size agg + two left joins, corpus never reshuffled.
+    */
+  val q273: QueryDef = QueryDef.checked(
+    "q273_dedup_sampling_weights",
+    s"""WITH RECURSIVE
+       |pairs AS ($nearDupOracle),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |walk(id, label) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.id),
+       |clu AS (SELECT id AS doc_id, min(label) AS cluster_id FROM walk GROUP BY id),
+       |csz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM clu GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(csz.cluster_size, 1) AS BIGINT) AS cluster_size,
+       |  CAST(1000000 // COALESCE(csz.cluster_size, 1) AS BIGINT) AS weight_ppm
+       |FROM documents d
+       |LEFT JOIN clu ON d.doc_id = clu.doc_id
+       |LEFT JOIN csz ON clu.cluster_id = csz.cluster_id
+       |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    val clu = dedupClusterTable(s, d)
+    val csz = clu.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(clu.select(col("doc_id"), col("cluster_id")), Seq("doc_id"), "left")
+      .join(csz, Seq("cluster_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"),
+        expr("1000000L div coalesce(cluster_size, 1L)").as("weight_ppm"))
+      .orderBy(col("doc_id"))
   }
 
   val q182: QueryDef = QueryDef.checked(

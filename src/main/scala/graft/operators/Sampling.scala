@@ -15,7 +15,7 @@ object Sampling {
 
   def defs: Seq[QueryDef] =
     Seq(q53, q54, q55, q56, q67, q77, q104, q106, q111, q164, q170, q171,
-      q192, q215, q225, q226, q231, q243)
+      q192, q215, q225, q226, q231, q243, q272)
 
   /** Generic stratified sample: at most `k` rows per stratum, selected
     * by `hashOrder` (e.g. md5 of a content column) — deterministic,
@@ -849,5 +849,42 @@ object Sampling {
       .agg(count(lit(1)).as("n_docs"), min(col("n_chars")).as("min_chars"),
         max(col("n_chars")).as("max_chars"))
       .orderBy(col("bin"))
+  }
+
+  /** q272: within-source rank CALIBRATION of a quality score — the
+    * percentile-normalization step run before any cross-source quality
+    * threshold: raw scores are not comparable across sources (different
+    * length/style distributions), so each doc gets its percentile rank
+    * WITHIN its source, snapped to ppm integers ((rank−1)·10⁶ div
+    * (n−1), rank ties broken by doc_id so both engines agree). One
+    * source-keyed window — the calibration shuffles each stratum once
+    * and nothing else. Token count stands in for the score; any scorer
+    * frame drops in.
+    */
+  val q272: QueryDef = QueryDef.checked(
+    "q272_quality_calibration",
+    """WITH q AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS score
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, source, score,
+      |    rank() OVER (PARTITION BY source ORDER BY score, doc_id) AS rnk,
+      |    COUNT(*) OVER (PARTITION BY source) AS n
+      |  FROM q)
+      |SELECT doc_id, source, score,
+      |  CAST((rnk - 1) * 1000000 // (n - 1) AS BIGINT) AS pct_ppm
+      |FROM r WHERE n > 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("source"))
+    val q = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("score"))
+    q.withColumn("rnk",
+        rank().over(w.orderBy(col("score"), col("doc_id"))))
+      .withColumn("n", count(lit(1)).over(w))
+      .filter(col("n") > 1)
+      .select(col("doc_id"), col("source"), col("score"),
+        expr("((rnk - 1) * 1000000L) div (n - 1)").as("pct_ppm"))
+      .orderBy(col("doc_id"))
   }
 }
