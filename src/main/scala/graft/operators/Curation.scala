@@ -22,7 +22,7 @@ object Curation {
 
   def defs: Seq[QueryDef] =
     Seq(q59, q60, q61, q66, q74, q75, q76, q84, q115, q123, q143, q154,
-      q255, q256, q264, q265, q268, q271)
+      q255, q256, q264, q265, q268, q271, q274)
 
   /** Top-`k` distinctive terms per document, ranked by tf/df (document
     * frequency as the rarity signal — the idf log is monotonic in 1/df,
@@ -1178,6 +1178,94 @@ object Curation {
       .select(col("doc_id"), col("n_hits"),
         (col("n_hits") > 0).cast("int").as("flagged"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Ranking AUC of a scorer against a binary label, Mann–Whitney
+    * rank-sum form — the eval every data-selection scorer gets before
+    * its threshold goes live: AUC = P(random positive outranks random
+    * negative) = (Σ ranks of positives − n₊(n₊+1)/2) / (n₊·n₋), exact
+    * integers throughout (ranks are unique under the (score, doc_id)
+    * order, so no tie fractions). The GLOBAL rank is the q268 two-phase
+    * bucket/offset shape — score div-grid, bucket-count prefix-sum,
+    * within-bucket row_number — never a single-partition window; the
+    * final statistic is one aggregate.
+    */
+  def scoreAuc(labeled: DataFrame, buckets: Int = 64): DataFrame = {
+    val stats = labeled
+      .agg(min(col("score_micro")).as("mn"), max(col("score_micro")).as("mx"))
+      .head()
+    require(!stats.isNullAt(0), "scoreAuc needs a non-empty frame")
+    val (mn, mx) = (stats.getLong(0), stats.getLong(1))
+    val width = (mx - mn) / buckets + 1L
+    val b = labeled.withColumn("bkt",
+      expr(s"(score_micro - ${mn}L) div ${width}L"))
+    val offs = b.groupBy(col("bkt")).agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum(col("cnt")).over(
+        Window.orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bkt"), col("off"))
+    b.join(broadcast(offs), Seq("bkt"))
+      .withColumn("rnk", col("off") + row_number().over(
+        Window.partitionBy(col("bkt"))
+          .orderBy(col("score_micro"), col("doc_id"))))
+      .agg(sum(col("pos")).as("n_pos"),
+        (count(lit(1)) - sum(col("pos"))).as("n_neg"),
+        sum(when(col("pos") === 1, col("rnk")).otherwise(0L)).as("rsum"))
+      .select(col("n_pos"), col("n_neg"),
+        expr("rsum - (n_pos * (n_pos + 1)) div 2").as("u_stat"),
+        expr("((rsum - (n_pos * (n_pos + 1)) div 2) * 1000000L)" +
+          " div (n_pos * n_neg)").as("auc_ppm"))
+  }
+
+  /** q274: AUC of the q264 importance score against the in-domain
+    * (lang='en') label — "did the scorer separate?", the one-row
+    * readout that gates a selection threshold. Hash-checked against
+    * DuckDB running the plain global rank the two-phase form must
+    * reproduce.
+    */
+  val q274: QueryDef = QueryDef.checked(
+    "q274_score_auc",
+    """WITH tok AS (
+      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t FROM documents),
+      |b AS (
+      |  SELECT doc_id,
+      |    CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 256 AS bkt,
+      |    lang = 'en' AS in_dom FROM tok),
+      |counts AS (
+      |  SELECT bkt, count(*) AS cg,
+      |    SUM(CASE WHEN in_dom THEN 1 ELSE 0 END) AS ci
+      |  FROM b GROUP BY bkt),
+      |tot AS (SELECT SUM(cg) AS n_gen, SUM(ci) AS n_in FROM counts),
+      |lr AS (
+      |  SELECT bkt,
+      |    CAST(ROUND(1000000.0 * LN(
+      |      ((ci + 1.0) * (t.n_gen + 256)) /
+      |      ((cg + 1.0) * (t.n_in + 256)))) AS BIGINT) AS lr_micro
+      |  FROM counts CROSS JOIN tot t),
+      |scored AS (
+      |  SELECT b.doc_id, CAST(SUM(lr.lr_micro) AS BIGINT) AS score_micro
+      |  FROM b JOIN lr USING (bkt) GROUP BY b.doc_id),
+      |lab AS (
+      |  SELECT s.doc_id, s.score_micro, CAST(d.lang = 'en' AS INT) AS pos
+      |  FROM scored s JOIN documents d USING (doc_id)),
+      |rk AS (
+      |  SELECT doc_id, score_micro, pos,
+      |    row_number() OVER (ORDER BY score_micro, doc_id) AS rnk
+      |  FROM lab)
+      |SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+      |  CAST(COUNT(*) - SUM(pos) AS BIGINT) AS n_neg,
+      |  CAST(SUM(CASE WHEN pos = 1 THEN rnk ELSE 0 END)
+      |    - SUM(pos) * (SUM(pos) + 1) // 2 AS BIGINT) AS u_stat,
+      |  CAST((SUM(CASE WHEN pos = 1 THEN rnk ELSE 0 END)
+      |    - SUM(pos) * (SUM(pos) + 1) // 2) * 1000000
+      |    // (SUM(pos) * (COUNT(*) - SUM(pos))) AS BIGINT) AS auc_ppm
+      |FROM rk""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val labeled = importanceWeights(docs, inDomain = col("lang") === "en")
+      .select(col("doc_id"), col("score_micro"))
+      .join(docs.select(col("doc_id"),
+        (col("lang") === "en").cast("int").as("pos")), "doc_id")
+    scoreAuc(labeled)
   }
 
   /** q265: tokenizer FERTILITY by corpus segment — BPE tokens per word

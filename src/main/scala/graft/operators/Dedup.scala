@@ -23,7 +23,7 @@ object Dedup {
 
   def defs: Seq[QueryDef] =
     Seq(q27, q28, q29, q30, q50, q57, q58, q62, q65, q78, q82, q83, q87, q88,
-      q182, q187, q263, q267, q269, q270, q273)
+      q182, q187, q263, q267, q269, q270, q273, q275, q276)
 
   /** Shared oracle CTE: distinct token-trigram shingles per document —
     * the SQL twin of [[shingles]], used by every shingle-based oracle
@@ -1556,6 +1556,136 @@ object Dedup {
         coalesce(col("cluster_size"), lit(1L)).as("cluster_size"),
         expr("1000000L div coalesce(cluster_size, 1L)").as("weight_ppm"))
       .orderBy(col("doc_id"))
+  }
+
+  /** q275: the DEDUP REPORT — cluster-size histogram + removable-doc
+    * accounting off the memoized cluster table: per size, how many
+    * clusters, how many docs they hold, and how many a keep-one policy
+    * removes. The one-page summary every dedup pass prints before
+    * anyone approves the deletion; two keyed aggs over the (small)
+    * assignment table.
+    */
+  val q275: QueryDef = QueryDef.checked(
+    "q275_dedup_report",
+    s"""WITH RECURSIVE
+       |pairs AS ($nearDupOracle),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |walk(id, label) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.id),
+       |clu AS (SELECT id AS doc_id, min(label) AS cluster_id FROM walk GROUP BY id),
+       |csz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM clu GROUP BY 1)
+       |SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       |  CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       |  CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST((cluster_size - 1) * COUNT(*) AS BIGINT) AS n_removable
+       |FROM csz GROUP BY cluster_size ORDER BY cluster_size""".stripMargin) {
+    (s, d) =>
+    dedupClusterTable(s, d)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"),
+        ((col("cluster_size") - 1) * col("n_clusters")).as("n_removable"))
+      .orderBy(col("cluster_size"))
+  }
+
+  /** PORTABLE-minhash signature calibration: for every exact near-dup
+    * pair, the 64-permutation MinHash Jaccard ESTIMATE (matching
+    * component fraction) next to the exact Jaccard — the estimator-
+    * quality diagnostic run before trusting signature-only similarity
+    * at scale (where exact verify is too expensive to run on every
+    * pair). Hash family is md5-derived end to end (hash values AND the
+    * per-permutation (a, b) coefficients), so DuckDB replays every
+    * signature component bit-for-bit — the portable twin of the
+    * xxhash64 production family in [[minhashNearDups]] (same estimator,
+    * engine-checkable constants). Signatures are the usual 64 codegen'd
+    * min-aggregates; the estimate is a row-local 64-slot zip over
+    * candidate pairs only.
+    */
+  def minhashCalibration(docs: DataFrame, nPerm: Int = 64): DataFrame = {
+    val P = 2147483647L
+    def md5Long(s: String, hexChars: Int): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.map("%02x".format(_)).mkString.take(hexChars), 16)
+    }
+    val aCoefs = (0 until nPerm).map(p => 1L + md5Long(s"a:$p", 7) % (P - 1))
+    val bCoefs = (0 until nPerm).map(p => md5Long(s"b:$p", 7) % P)
+    val tri = shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    val sizes = tri.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val nd = tri.as("x").join(tri.as("y"),
+        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .filter(col("inter") * 2 >= col("na") + col("nb") - col("inter"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("(inter * 1000000L) div (na + nb - inter)").as("exact_ppm"))
+    val hv = tri.select(col("doc_id"),
+      (conv(substring(md5(col("g").cast("binary")), 1, 15), 16, 10)
+        .cast("long") % P).as("hv"))
+    val minCols = (0 until nPerm).map(p =>
+      min((lit(aCoefs(p)) * col("hv") + lit(bCoefs(p))) % P).as(s"m$p"))
+    val sig = hv.groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"),
+        array((0 until nPerm).map(p => col(s"m$p")): _*).as("sig"))
+    nd.join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sa")), "doc_a")
+      .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("exact_ppm"),
+        expr(s"(size(filter(zip_with(sa, sb, (x, y) -> x = y), v -> v))" +
+          s" * 1000000) div $nPerm").cast("long").as("est_ppm"))
+      .withColumn("abs_err_ppm", abs(col("exact_ppm") - col("est_ppm")))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** q276: the calibration table over the exact near-dup pairs,
+    * signature components replayed bit-for-bit in DuckDB.
+    */
+  val q276: QueryDef = QueryDef.checked(
+    "q276_minhash_calibration",
+    s"""WITH $shingleCte,
+       |pair AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |  FROM tri a JOIN tri b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id),
+       |nd AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(inter * 1000000 // (sa.n + sb.n - inter) AS BIGINT) AS exact_ppm
+       |  FROM pair JOIN sizes sa ON doc_a = sa.doc_id
+       |            JOIN sizes sb ON doc_b = sb.doc_id
+       |  WHERE 2 * inter >= sa.n + sb.n - inter),
+       |h AS (
+       |  SELECT doc_id, CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT)
+       |    % 2147483647 AS hv
+       |  FROM tri),
+       |perm AS (
+       |  SELECT p, 1 + CAST(('0x' || substr(md5('a:' || p), 1, 7)) AS BIGINT)
+       |    % 2147483646 AS a,
+       |    CAST(('0x' || substr(md5('b:' || p), 1, 7)) AS BIGINT) % 2147483647 AS b
+       |  FROM (SELECT unnest(generate_series(0, 63)) AS p)),
+       |sig AS (
+       |  SELECT h.doc_id, perm.p, MIN((perm.a * h.hv + perm.b) % 2147483647) AS m
+       |  FROM h CROSS JOIN perm GROUP BY 1, 2),
+       |est AS (
+       |  SELECT nd.doc_a, nd.doc_b,
+       |    CAST(SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) * 1000000 // 64
+       |      AS BIGINT) AS est_ppm
+       |  FROM nd JOIN sig sa ON sa.doc_id = nd.doc_a
+       |          JOIN sig sb ON sb.doc_id = nd.doc_b AND sb.p = sa.p
+       |  GROUP BY 1, 2)
+       |SELECT nd.doc_a, nd.doc_b, nd.exact_ppm, est.est_ppm,
+       |  CAST(ABS(nd.exact_ppm - est.est_ppm) AS BIGINT) AS abs_err_ppm
+       |FROM nd JOIN est USING (doc_a, doc_b)
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    minhashCalibration(Tables.documents(s, d))
   }
 
   val q182: QueryDef = QueryDef.checked(
