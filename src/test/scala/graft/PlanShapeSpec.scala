@@ -404,4 +404,35 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!finalPlan.contains("BroadcastHashJoin"),
       s"broadcast would dissolve the skew instead of splitting it:\n$finalPlan")
   }
+
+  test("q263 marks dup grams in ONE gram exchange - window, no join-back") {
+    val plan = executedPlan("q263_exactsubstr_removal")
+    // the min!=max marking must ride the same window pass that grouped
+    // the grams: exactly one data-sized join is allowed (the final
+    // one-row-per-doc left join), never a gram-keyed join-back
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val joins = "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findAllIn(finalPlan).size
+    assert(joins <= 2,
+      s"q263 should have no gram join-back (doc-level left join + at most one AQE artifact), saw $joins joins:\n$finalPlan")
+    assert(finalPlan.contains("Window"),
+      s"expected the gram-partition window marking pass:\n$finalPlan")
+  }
+
+  test("q271 mines its blocklist with TakeOrderedAndProject, not a global window") {
+    val plan = executedPlan("q271_blocklist_hits")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k blocklist must be distributed top-k:\n$plan")
+    // a global row_number would appear as a Window with no partition key
+    assert(!plan.contains("Window [row_number()"),
+      s"no global row_number window expected:\n$plan")
+  }
+
+  test("q268/q274 two-phase global rank broadcasts the bucket-offset frame") {
+    for (name <- Seq("q268_selection_by_score", "q274_score_auc")) {
+      val plan = executedPlan(name)
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$name: the B-row offset frame must join broadcast:\n$plan")
+    }
+  }
 }

@@ -102,6 +102,20 @@ class SelectionOpsSpec extends AnyFunSuite {
       scored.filter(col("doc_id") < 0), budget = 9L).count() === 0L)
   }
 
+  test("scoreAuc: rank-sum across buckets matches hand-computed AUC") {
+    import spark.implicits._
+    // buckets=2 (scores 5..30, width 13 -> {5,10} vs {20,30,30}).
+    // Ascending (score, doc_id) ranks: d4->1, d1->2, d2->3, d3->4,
+    // d5->5. Positives d1,d3 -> rsum 6, U = 6 - 2*3/2 = 3,
+    // AUC = 3/(2*3) = 0.5 exactly.
+    val labeled = Seq(
+      (1L, 10L, 1), (2L, 20L, 0), (3L, 30L, 1), (4L, 5L, 0), (5L, 30L, 0)
+    ).toDF("doc_id", "score_micro", "pos")
+    val r = Curation.scoreAuc(labeled, buckets = 2).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((2L, 3L, 3L, 500000L)))
+  }
+
   test("noveltyRates: shared trigram marks both docs, unique stays novel") {
     import spark.implicits._
     // doc0/doc1 share exactly the trigram "x y z"; every other trigram
