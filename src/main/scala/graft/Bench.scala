@@ -268,15 +268,47 @@ object Bench {
           .mkString("[", ",", "]"))
     }
     // One-time memo builds are an explicit SETUP charge — itemized on
-    // stderr (query that triggered, asset key, seconds) and summarized
-    // in the contract so no per-query number silently carries a build.
+    // stderr (query that triggered, seconds) and summarized in the
+    // contract so no per-query number silently carries a build.
     val setupSec = memoLedger.map(_._3).sum
+    val loadFloor = math.max(2.0, 2.0 * math.max(startLoad, 0.0))
+    // Wave-vs-persistent LETTER (round-12 instrument, IN the contract as
+    // of round 13 — the r12 letter lived on stderr, which the driver
+    // does not keep, so the judge could not read the attribution it was
+    // built to provide). Every query whose post-re-probe min still
+    // exceeds its letter threshold gets a one-row attribution:
+    //  - "w" (wave): host contention OBSERVED during its sampling window
+    //    (max 1-minute load above the hot floor) or median ≥ 2× min
+    //    (some passes clean, some not) — expect a quiet-rerun snap-back;
+    //  - "p" (persistent): quiet samples, tight spread, still over —
+    //    that is the code (or a stale pin), not the host.
+    // Threshold 1.5× pin (+0.10 s absolute slack), widened to 2× for
+    // PROVISIONAL pins (builder-host minima awaiting their first driver
+    // sample — ADVICE r12: a provisional pin under-estimating contention
+    // would otherwise misfire the letter on every new query). Contract
+    // rows are [id, min, pin, "w"|"p"], worst-ratio-first, capped so the
+    // line stays under the driver's 2,000-char tail capture; the FULL
+    // letter (names + observed load) still goes to stderr.
+    val overPin = results.flatMap { case (n, minT, medT, loadMax) =>
+      val factor = if (BenchBaselines.provisional(n)) 2.0 else 1.5
+      BenchBaselines.sec.get(n)
+        .filter(b => minT >= 0 && minT > factor * b && minT - b > 0.10)
+        .map { b =>
+          val wave = loadMax > loadFloor || (minT > 0 && medT >= 2 * minT)
+          (n, minT, b, loadMax, if (wave) "wave" else "persistent")
+        }
+    }.sortBy { case (_, minT, b, _, _) => -(minT / b) }
+    val letterJson = overPin.take(12)
+      .map { case (n, minT, b, _, v) =>
+        s"""[${qid(n)},${trimSec(minT)},${trimSec(b)},"${v.take(1)}"]""" }
+      .mkString("[", ",", "]")
     val contract =
       s"""{"metric":"total","value":${fmt2(total)},"unit":"sec",""" +
       s""""qfmt":"$qfmt",""" +
       s""""queries":$qpayload,""" +
       s""""total_median":${fmt2(totalMed)},""" +
       s""""setup_sec":${fmt2(setupSec)},"setup_builds":${memoLedger.size},""" +
+      s""""letter":$letterJson,"letter_n":${overPin.size},""" +
       s""""sf":"$sfDir"}"""
     if (contract.length > 1950)
       System.err.println(s"[bench] WARNING contract line ${contract.length} chars " +
@@ -286,7 +318,6 @@ object Bench {
     // line was itself ~23 KB at 253 queries. load1m only lists queries
     // whose max 1-minute load exceeded 2× the run's start load (the
     // contended ones — a full per-query load map is noise when quiet).
-    val loadFloor = math.max(2.0, 2.0 * math.max(startLoad, 0.0))
     val hotLoads = results.filter(_._4 > loadFloor)
     System.err.println(
       s"""{"passes":$passes,""" +
@@ -298,27 +329,10 @@ object Bench {
       s"""{"memo_builds":""" + memoLedger
         .map { case (q, k, sec) => s"""["$q","$k",${fmt2(sec)}]""" }
         .mkString("[", ",", "]") + "}")
-    // Wave-vs-persistent LETTER (round-12 addition): every query whose
-    // post-re-probe min still exceeds 1.5× its pin gets a one-row
-    // attribution so the round judge reads cause, not just ratio.
-    //  - "wave": host contention was OBSERVED during this query's
-    //    sampling window (its max 1-minute load exceeded the hot floor)
-    //    or its median ≥ 2× its min (classic wave signature: some
-    //    passes clean, some not) — expect a snap-back on a quiet rerun;
-    //  - "persistent": every sample ran on a quiet host with a tight
-    //    min/median spread and the number STILL holds — that is the
-    //    code (or a stale pin), not the host.
-    val overPin = results.flatMap { case (n, minT, medT, loadMax) =>
-      BenchBaselines.sec.get(n)
-        .filter(b => minT >= 0 && minT > 1.5 * b && minT - b > 0.10)
-        .map { b =>
-          val wave = loadMax > loadFloor || (minT > 0 && medT >= 2 * minT)
-          (n, minT, b, loadMax, if (wave) "wave" else "persistent")
-        }
-    }
+    // Full letter (names + observed load) for stderr auditing — the
+    // compact [id, min, pin, flag] form went into the contract above.
     System.err.println(
       s"""{"over_pin_letter":""" + overPin
-        .sortBy { case (_, minT, b, _, _) => -(minT / b) }
         .map { case (n, minT, b, loadMax, v) =>
           s"""["$n",${fmt2(minT)},${fmt2(b)},${fmt2(loadMax)},"$v"]""" }
         .mkString("[", ",", "]") + "}")
