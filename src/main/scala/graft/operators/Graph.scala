@@ -1432,10 +1432,45 @@ object Graph {
   private val edgeFrameMemo =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
+  /** The six session-scoped memo maps, registered for end-of-context
+    * eviction (see [[sessionSuffix]]).
+    */
+  private lazy val sessionScopedMemos: Seq[java.util.concurrent.ConcurrentHashMap[String, _]] =
+    Seq(edgeFrameMemo, closureMemo, layersMemo, exclusionMemo,
+      twoEcMemo, blockMemo)
+
+  private val memoCleanupRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+
+  /** Session-scoped memo key suffix with LIFECYCLE: frames memoized
+    * under a stopped session are unusable (their checkpointed RDDs died
+    * with the context), so the first suffix request per session
+    * registers a context-end listener that purges every entry carrying
+    * this session's suffix from all six maps. The maps therefore cannot
+    * accumulate frames across stopped sessions, and a GC-recycled
+    * identity hash cannot alias a dead session's frame to a new one
+    * (ADVICE r12) — the purge runs before any later session could
+    * plausibly collide on the hash.
+    */
+  private def sessionSuffix(s: org.apache.spark.sql.SparkSession): String = {
+    val h = System.identityHashCode(s)
+    if (memoCleanupRegistered.add(h)) {
+      val suffix = s"#$h"
+      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          sessionScopedMemos.foreach(_.keySet.removeIf(_.endsWith(suffix)))
+          memoCleanupRegistered.remove(h)
+        }
+      })
+    }
+    s"#$h"
+  }
+
   private def memoEdgeFrame(s: org.apache.spark.sql.SparkSession,
       key: String)(build: => DataFrame): DataFrame =
     edgeFrameMemo.computeIfAbsent(
-      s"$key#${System.identityHashCode(s)}",
+      s"$key${sessionSuffix(s)}",
       _ => Exact.memoBuild(key)(build.localCheckpoint(true)))
 
   private def handoffUndirected(s: org.apache.spark.sql.SparkSession,
@@ -1630,7 +1665,7 @@ object Graph {
   private def closureFramesMemo(edges0: DataFrame, key: String)
       : (DataFrame, DataFrame, DataFrame) =
     closureMemo.computeIfAbsent(
-      s"$key#${System.identityHashCode(edges0.sparkSession)}",
+      s"$key${sessionSuffix(edges0.sparkSession)}",
       k => Exact.memoBuild(s"closure#$k")(closureFrames(edges0)))
 
   /** The doubling loop shared by [[sccByClosure]] and the q159
@@ -1856,7 +1891,7 @@ object Graph {
     }
     val lp = memoKey match {
       case Some(k) => layersMemo.computeIfAbsent(
-        s"$k#layers#${System.identityHashCode(edges0.sparkSession)}",
+        s"$k#layers${sessionSuffix(edges0.sparkSession)}",
         mk => Exact.memoBuild(s"layers#$mk")(buildLp()))
       case None => buildLp()
     }
@@ -1956,7 +1991,7 @@ object Graph {
     }
     memoKey match {
       case Some(k) => layersMemo.computeIfAbsent(
-        s"$k#minplus$rounds#${System.identityHashCode(wedges.sparkSession)}",
+        s"$k#minplus$rounds${sessionSuffix(wedges.sparkSession)}",
         mk => Exact.memoBuild(s"minplus#$mk")(build()))
       case None => build()
     }
@@ -2063,7 +2098,7 @@ object Graph {
   private def exclusionLabels(undirected0: DataFrame,
       memoKey: Option[String]): DataFrame = memoKey match {
     case Some(k) => exclusionMemo.computeIfAbsent(
-      s"$k#${System.identityHashCode(undirected0.sparkSession)}",
+      s"$k${sessionSuffix(undirected0.sparkSession)}",
       mk => Exact.memoBuild(s"excl#$mk")(exclusionLabelsBuild(undirected0)))
     case None => exclusionLabelsBuild(undirected0)
   }
@@ -2360,7 +2395,7 @@ object Graph {
     // like the closure/exclusion indexes
     memoKey match {
       case Some(k) => twoEcMemo.computeIfAbsent(
-        s"$k#2ec#${System.identityHashCode(undirected0.sparkSession)}",
+        s"$k#2ec${sessionSuffix(undirected0.sparkSession)}",
         mk => Exact.memoBuild(s"2ec#$mk")(build().localCheckpoint(true)))
       case None => build()
     }
@@ -2452,7 +2487,7 @@ object Graph {
     }
     memoKey match {
       case Some(key) => blockMemo.computeIfAbsent(
-        s"$key#blocks#${System.identityHashCode(undirected0.sparkSession)}",
+        s"$key#blocks${sessionSuffix(undirected0.sparkSession)}",
         mk => Exact.memoBuild(s"blocks#$mk")(build().localCheckpoint(true)))
       case None => build()
     }

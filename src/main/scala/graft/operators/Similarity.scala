@@ -1241,8 +1241,11 @@ object Similarity {
     truth.join(trunc, Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("query_id"))
       .agg(count(col("hit")).as("n_common"))
+      // multiply BEFORE the integer division: n_common * (1e6 div k)
+      // loses the remainder whenever k does not divide 1e6 (k=3 full
+      // recall would read 999999 ppm) — ADVICE r12, exact for any k
       .withColumn("recall_ppm",
-        expr(s"n_common * (1000000 div $topK)"))
+        expr(s"(n_common * 1000000L) div $topK"))
       .orderBy(col("query_id"))
   }
 

@@ -328,21 +328,23 @@ object TimeJoins {
     * chi-square statistic come out in EXACT integer arithmetic —
     * χ² = N(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) with the ratio snapped to a
     * micro grid — so the readout hash-matches across engines (the
-    * float χ² itself never crosses an engine boundary). Shape: distinct
-    * users + distinct converters (both map-side combined), one
-    * left join, one global conditional agg → a single row.
+    * float χ² itself never crosses an engine boundary). Shape: ONE
+    * keyed aggregate over the event log (map-side combined) computes
+    * user-distinctness and ever-converted together — the naive
+    * distinct-users ⟕ distinct-converters form costs two full
+    * exchanges of the log plus a join for the identical 2×2 table (at
+    * 100 TB that is two extra shuffles of the widest table in the
+    * system; on the bench it was 6 AQE jobs vs 4, a 2× fixed-latency
+    * level shift — round-13 fix, tools/Q109Profile) — then the
+    * hash-split and one global conditional agg → a single row.
     */
   def abTestReadout(events: DataFrame, goalType: String,
       goalMinValue: Double, salt: String = "exp1"): DataFrame = {
-    val users = Sampling.hashSplit(
-      events.select(col("user_id")).distinct(), "user_id",
-      Seq("A" -> 0.5, "B" -> 0.5), salt = salt)
-    val converted = events
-      .filter(col("event_type") === goalType && col("value") >= goalMinValue)
-      .select(col("user_id")).distinct()
-      .withColumn("conv", lit(1L))
-    val table = users.join(converted, Seq("user_id"), "left")
-      .select(col("split"), coalesce(col("conv"), lit(0L)).as("conv"))
+    val perUser = events.groupBy(col("user_id")).agg(
+      max(when(col("event_type") === goalType &&
+        col("value") >= goalMinValue, 1L).otherwise(0L)).as("conv"))
+    val table = Sampling.hashSplit(perUser, "user_id",
+        Seq("A" -> 0.5, "B" -> 0.5), salt = salt)
       .agg(
         sum(when(col("split") === "A", 1L).otherwise(0L)).as("n_a"),
         sum(when(col("split") === "A", col("conv")).otherwise(0L)).as("conv_a"),
