@@ -22,7 +22,7 @@ object Curation {
 
   def defs: Seq[QueryDef] =
     Seq(q59, q60, q61, q66, q74, q75, q76, q84, q115, q123, q143, q154,
-      q255, q256, q264, q265, q268, q271, q274)
+      q255, q256, q264, q265, q268, q271, q274, q277, q279, q280, q281)
 
   /** Top-`k` distinctive terms per document, ranked by tf/df (document
     * frequency as the rarity signal — the idf log is monotonic in 1/df,
@@ -1136,9 +1136,18 @@ object Curation {
     * frame). Matching is a LEFT join on a substring-contains condition
     * against the BROADCAST phrase list — k row-local `contains` tests
     * per document (Spark compiles `Contains`, no regex), never a
-    * shuffle of the corpus; at 100 TB with thousands of phrases the
-    * same shape holds with an Aho–Corasick UDF or a token-anchored
-    * equi-join prefilter, documented here as the scale escalation.
+    * shuffle of the corpus.
+    *
+    * Hit semantics are SUBSTRING containment, deliberately (ADVICE
+    * r12): a mined trigram also matches inside longer words or across
+    * token boundaries ("a b c" hits "xa b cy") — the raw-bytes
+    * semantics a license-header / banned-string filter wants, and the
+    * oracle's LIKE is the identical predicate. For TOKEN-anchored
+    * semantics (phrase = consecutive whole tokens) and for lists in
+    * the 1000s where k row-local contains tests stop scaling, use
+    * [[blocklistHitsLarge]] (q277): distinct doc n-grams broadcast-
+    * equi-joined against the phrase list — per-doc cost independent of
+    * k, corpus never shuffled. Measured crossover in its scaladoc.
     */
   val q271: QueryDef = QueryDef.checked(
     "q271_blocklist_hits",
@@ -1303,5 +1312,449 @@ object Curation {
       .withColumn("fertility_ppm",
         expr("(n_tokens * 1000000L) div n_words"))
       .orderBy(col("lang"), col("source"))
+  }
+
+  /** The word-TYPE table — the one corpus touch every tokenizer op
+    * shares (the q255 BPE shape): at 100 TB the corpus is scanned once
+    * for (word, frequency) and every training iteration runs on the
+    * type table, which is vocabulary-sized, not corpus-sized.
+    */
+  private def wordTypes(docs: DataFrame): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+
+  /** Viterbi segmentation of each word type under a piece→cost model —
+    * the decode step of a unigram-LM (SentencePiece-style) tokenizer
+    * (Kudo 2018, arXiv:1804.10959). The whole DP runs ROW-LOCALLY as
+    * one `aggregate` over the word's positions: dp[j] = the best
+    * (cost, n_pieces, seg) struct over pieces ending at j, where
+    * "best" is the STRUCT ordering on (cost, n, seg) — Spark's struct
+    * comparison is field-lexicographic, which IS the tie-break and is
+    * replayed verbatim by the oracle's ORDER BY cost, n, seg. Piece
+    * costs come from one broadcast map (crossJoin of a 1-row
+    * `map_from_entries` frame — the scalar-frame idiom), so the type
+    * table never shuffles and no driver loop runs: one pass, however
+    * long the longest word.
+    *
+    * DP-vs-full-enumeration equivalence (the oracle enumerates ALL
+    * segmentations recursively and takes the (cost, n, seg) minimum):
+    * prefix-optimality holds for this order — two prefixes at the same
+    * position with equal cost and equal n have equal-length seg
+    * strings, so appending any common suffix preserves their
+    * lexicographic order, and cost/n compose additively; hence
+    * min-per-position DP = min over full paths.
+    *
+    * A word with NO segmentation under the model (a character absent
+    * from the piece map) yields a NULL row — callers that include all
+    * single characters (both catalog models do) never produce one.
+    */
+  private def viterbiSeg(types: DataFrame, pieces: DataFrame,
+      maxLen: Int): DataFrame = {
+    val m = pieces.agg(map_from_entries(
+      collect_list(struct(col("g"), col("cost")))).as("m"))
+    types.crossJoin(broadcast(m))
+      .withColumn("dp", expr(
+        s"""aggregate(
+           |  sequence(1, length(w)),
+           |  array(named_struct('cost', CAST(0 AS BIGINT), 'n', 0, 'seg', '')),
+           |  (acc, j) -> acc || array(
+           |    array_min(filter(transform(sequence(1, $maxLen),
+           |      L -> CASE WHEN j - L >= 0
+           |                 AND element_at(m, substring(w, j - L + 1, L)) IS NOT NULL
+           |                 AND element_at(acc, j - L + 1) IS NOT NULL
+           |        THEN named_struct(
+           |          'cost', element_at(acc, j - L + 1).cost
+           |                  + element_at(m, substring(w, j - L + 1, L)),
+           |          'n', element_at(acc, j - L + 1).n + 1,
+           |          'seg', CASE WHEN element_at(acc, j - L + 1).seg = ''
+           |                 THEN substring(w, j - L + 1, L)
+           |                 ELSE element_at(acc, j - L + 1).seg || ' '
+           |                      || substring(w, j - L + 1, L) END)
+           |        ELSE NULL END),
+           |      x -> x IS NOT NULL))))""".stripMargin))
+      .select(col("w"), col("freq"),
+        element_at(col("dp"), length(col("w")) + 1).as("best"))
+      .select(col("w"), col("freq"), col("best.seg").as("seg"),
+        col("best.n").as("n"), col("best.cost").as("cost"))
+  }
+
+  /** Unigram-LM (SentencePiece-style) tokenizer TRAINER — the other
+    * production tokenizer family next to BPE (q255): where BPE grows a
+    * vocabulary bottom-up by merging, unigram-LM starts from a LARGE
+    * seed of candidate pieces and PRUNES to size under a unigram
+    * language model (Kudo 2018). This implementation is one hard-EM
+    * (Viterbi) round with frequency pruning — the deterministic core
+    * of the SentencePiece trainer (which runs ~2 EM sub-iterations per
+    * prune round with soft forward–backward counts; the soft-count
+    * escalation is a documented variant, not built):
+    *   1. SEED — every substring of length ≤ `maxLen` of every word
+    *      type, position-counted and frequency-weighted; single chars
+    *      always kept (the coverage guarantee), longer pieces need
+    *      `minCount`. Seed cost = integer micro-nat -log p (one ln of
+    *      an integer ratio — the q86 parity grid).
+    *   2. E-STEP — [[viterbiSeg]] segments every word TYPE once; piece
+    *      counts are the frequency-weighted counts over those best
+    *      segmentations.
+    *   3. PRUNE — keep all single chars plus the top-`kMulti`
+    *      multi-char pieces by (count DESC, piece) — distributed
+    *      top-k, TakeOrderedAndProject.
+    *   4. M-STEP — re-score the surviving vocabulary add-one smoothed
+    *      (pruned-away mass renormalizes; unused chars keep a finite
+    *      cost), same micro-nat grid.
+    * Scale: the corpus is touched ONCE (the type table); seed, DP,
+    * counts, and pruning all run at vocabulary scale. Output: one row
+    * per final piece (piece, cnt, cost_micro).
+    */
+  def unigramLmTrain(docs: DataFrame, kMulti: Int = 40, maxLen: Int = 4,
+      minCount: Long = 2L): DataFrame = {
+    val ty = wordTypes(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sub = ty.select(col("freq"), explode(expr(
+        s"""flatten(transform(sequence(1, length(w)),
+           |  i -> filter(transform(sequence(1, $maxLen),
+           |    L -> CASE WHEN i + L - 1 <= length(w)
+           |         THEN substring(w, i, L) ELSE NULL END),
+           |    x -> x IS NOT NULL)))""".stripMargin)).as("g"))
+      .groupBy(col("g")).agg(sum(col("freq")).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seed = sub.filter(length(col("g")) === 1 || col("cnt") >= minCount)
+    val sc = seed.crossJoin(broadcast(seed.agg(sum(col("cnt")).as("t"))))
+      .select(col("g"),
+        expr("CAST(ROUND(1000000.0 * LN(t * 1.0 / cnt)) AS BIGINT)").as("cost"))
+    val ec = viterbiSeg(ty, sc, maxLen)
+      .select(col("freq"), explode(split(col("seg"), " ")).as("g"))
+      .groupBy(col("g")).agg(sum(col("freq")).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fin = sub.filter(length(col("g")) === 1).select(col("g"))
+      .unionByName(ec.filter(length(col("g")) > 1)
+        .orderBy(col("cnt").desc, col("g")).limit(kMulti).select(col("g")))
+    val fc = fin.join(ec, Seq("g"), "left")
+      .select(col("g"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+    fc.crossJoin(broadcast(
+        fc.agg(sum(col("cnt")).as("t"), count(lit(1)).as("nv"))))
+      .select(col("g").as("piece"), col("cnt"),
+        expr("CAST(ROUND(1000000.0 * LN((t + nv) * 1.0 / (cnt + 1))) AS BIGINT)")
+          .as("cost_micro"))
+      .orderBy(col("piece"))
+  }
+
+  /** ENCODE the corpus with the trained unigram LM: Viterbi-segment
+    * the word TYPES under the final smoothed model (one broadcast-map
+    * DP pass, [[viterbiSeg]]), then roll piece counts up per
+    * (lang, source) — tokens-per-word fertility, the q265 readout, so
+    * BPE and unigram-LM are directly comparable on the same corpus.
+    */
+  def unigramLmEncode(docs: DataFrame, kMulti: Int = 40, maxLen: Int = 4,
+      minCount: Long = 2L): DataFrame = {
+    val model = unigramLmTrain(docs, kMulti, maxLen, minCount)
+      .select(col("piece").as("g"), col("cost_micro").as("cost"))
+    val enc = viterbiSeg(wordTypes(docs), model, maxLen)
+      .select(col("w"), col("n"))
+    docs.select(col("lang"), col("source"),
+        explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .join(broadcast(enc), "w")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n")).as("n_pieces"))
+      .withColumn("fertility_ppm",
+        expr("(n_pieces * 1000000L) div n_words"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  /** Shared DuckDB replay of [[unigramLmTrain]] (maxLen 4, minCount 2,
+    * kMulti 40): the seed, an ALL-PATHS recursive enumeration of word
+    * segmentations with the (cost, n, seg) minimum — the full-search
+    * form whose equivalence to the Spark DP is argued at
+    * [[viterbiSeg]] — the E-counts, the prune, and the smoothed
+    * re-score. `fsc` is the final piece→cost model q281's second
+    * Viterbi pass reads.
+    */
+  private val unigramOracleCtes: String =
+    """WITH RECURSIVE ty AS (
+      |  SELECT w, CAST(count(*) AS BIGINT) AS freq
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  GROUP BY w),
+      |sub AS (
+      |  SELECT substr(w, CAST(i AS INT), CAST(L AS INT)) AS g,
+      |         CAST(SUM(freq) AS BIGINT) AS cnt
+      |  FROM ty, unnest(generate_series(1, len(w))) AS u(i),
+      |       unnest(generate_series(1, 4)) AS v(L)
+      |  WHERE i + L - 1 <= len(w)
+      |  GROUP BY 1),
+      |seed AS (
+      |  SELECT g, cnt FROM sub WHERE len(g) = 1 OR cnt >= 2),
+      |stot AS (SELECT SUM(cnt) AS t FROM seed),
+      |sc AS (
+      |  SELECT g, CAST(ROUND(1000000.0 * LN(s.t * 1.0 / cnt)) AS BIGINT) AS cost
+      |  FROM seed CROSS JOIN stot s),
+      |p AS (
+      |  SELECT w, 0 AS pos, CAST(0 AS BIGINT) AS cost, 0 AS n, '' AS seg FROM ty
+      |  UNION ALL
+      |  SELECT p.w, p.pos + len(sc.g), p.cost + sc.cost, p.n + 1,
+      |         CASE WHEN p.seg = '' THEN sc.g ELSE p.seg || ' ' || sc.g END
+      |  FROM p JOIN sc ON sc.g = substr(p.w, p.pos + 1, len(sc.g))
+      |  WHERE p.pos < len(p.w)),
+      |vit AS (
+      |  SELECT w, seg FROM (
+      |    SELECT w, seg,
+      |      row_number() OVER (PARTITION BY w ORDER BY cost, n, seg) AS rn
+      |    FROM p WHERE pos = len(w)) WHERE rn = 1),
+      |ec AS (
+      |  SELECT t.g, CAST(SUM(ty.freq) AS BIGINT) AS cnt
+      |  FROM vit JOIN ty USING (w), unnest(string_split(vit.seg, ' ')) AS t(g)
+      |  GROUP BY t.g),
+      |fin AS (
+      |  SELECT g FROM sub WHERE len(g) = 1
+      |  UNION ALL
+      |  SELECT g FROM (
+      |    SELECT g, row_number() OVER (ORDER BY cnt DESC, g) AS rn
+      |    FROM ec WHERE len(g) > 1) WHERE rn <= 40),
+      |fc AS (
+      |  SELECT f.g, COALESCE(ec.cnt, 0) AS cnt FROM fin f LEFT JOIN ec USING (g)),
+      |ft AS (SELECT SUM(cnt) AS t, COUNT(*) AS nv FROM fc),
+      |fsc AS (
+      |  SELECT fc.g, fc.cnt,
+      |    CAST(ROUND(1000000.0 * LN((ft.t + ft.nv) * 1.0 / (fc.cnt + 1)))
+      |      AS BIGINT) AS cost
+      |  FROM fc CROSS JOIN ft)""".stripMargin
+
+  /** q280: the trained unigram-LM vocabulary over the documents corpus
+    * — final piece, Viterbi E-count, smoothed micro-nat cost —
+    * hash-checked against DuckDB running the identical seed / full-
+    * search Viterbi / prune / re-score train loop.
+    */
+  val q280: QueryDef = QueryDef.checked(
+    "q280_unigram_lm_train",
+    s"""$unigramOracleCtes
+       |SELECT g AS piece, cnt, cost AS cost_micro
+       |FROM fsc ORDER BY piece""".stripMargin) { (s, d) =>
+    unigramLmTrain(Tables.documents(s, d))
+  }
+
+  /** q281: ENCODE the corpus with the trained unigram LM — per
+    * (lang, source) word/piece counts and fertility ppm, the q265
+    * readout, so the two tokenizer families are directly comparable.
+    * Hash-checked against DuckDB re-running the train CTEs and a
+    * second full-search Viterbi pass under the final model.
+    */
+  val q281: QueryDef = QueryDef.checked(
+    "q281_unigram_lm_encode",
+    s"""$unigramOracleCtes,
+       |p2 AS (
+       |  SELECT w, 0 AS pos, CAST(0 AS BIGINT) AS cost, 0 AS n, '' AS seg FROM ty
+       |  UNION ALL
+       |  SELECT p2.w, p2.pos + len(f.g), p2.cost + f.cost, p2.n + 1,
+       |         CASE WHEN p2.seg = '' THEN f.g ELSE p2.seg || ' ' || f.g END
+       |  FROM p2 JOIN fsc f ON f.g = substr(p2.w, p2.pos + 1, len(f.g))
+       |  WHERE p2.pos < len(p2.w)),
+       |enc AS (
+       |  SELECT w, n FROM (
+       |    SELECT w, n,
+       |      row_number() OVER (PARTITION BY w ORDER BY cost, n, seg) AS rn
+       |    FROM p2 WHERE pos = len(w)) WHERE rn = 1),
+       |dw AS (
+       |  SELECT lang, source, unnest(string_split(text, ' ')) AS w FROM documents)
+       |SELECT dw.lang, dw.source, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(enc.n) AS BIGINT) AS n_pieces,
+       |  CAST(SUM(enc.n) * 1000000 // count(*) AS BIGINT) AS fertility_ppm
+       |FROM dw JOIN enc USING (w)
+       |GROUP BY dw.lang, dw.source
+       |ORDER BY dw.lang, dw.source""".stripMargin) { (s, d) =>
+    unigramLmEncode(Tables.documents(s, d))
+  }
+
+  /** The composed DATA-SELECTION pipeline (VERDICT r12 item 7) — the
+    * end-to-end run a selection user actually performs, with every
+    * intermediate exposed (the q75/curateStages pattern):
+    *   1. SCORE  — [[importanceWeights]] (q264's DSIR/Moore–Lewis
+    *      cross-entropy difference) over the corpus;
+    *   2. GATE   — [[scoreAuc]] (q274's Mann–Whitney readout) against
+    *      the in-domain label; the pipeline only selects if the scorer
+    *      demonstrably separates (auc ≥ `gatePpm`). The gate is a
+    *      1-row driver readout — the bounded-driver-round precedent
+    *      (BPE argmax, MMR greedy): a scalar decides a plan branch;
+    *   3. SELECT — [[selectByScoreBudget]] (q268's greedy prefix under
+    *      a token budget, two-phase global cumsum);
+    *   4. REPORT — one summary row: corpus size, gate readout, selected
+    *      doc/token counts, and the selection's in-domain share (the
+    *      "did selection actually skew in-domain" audit).
+    * Returns (scored, auc, selected, summary). Every stage keeps its
+    * own catalog oracle (q264/q274/q268); the composition's count flow
+    * is oracle-checked as q279.
+    */
+  def selectionPipelineStages(docs: DataFrame, inDomain: Column,
+      budget: Long, gatePpm: Long)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    // scored feeds the AUC gate, the selection, and the report —
+    // persist per the curateStages discipline (doc-sized frame)
+    val scored = importanceWeights(docs, inDomain)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val labeled = scored.select(col("doc_id"), col("n_tok"), col("score_micro"))
+      .join(docs.select(col("doc_id"), inDomain.cast("int").as("pos")),
+        "doc_id")
+    val auc = scoreAuc(labeled)
+    val aucPpm = auc.head().getLong(3) // the gate: one scalar, one row
+    val selected =
+      if (aucPpm >= gatePpm) selectByScoreBudget(scored, budget)
+      else scored.select(col("doc_id"), col("n_tok"), col("score_micro"),
+        lit(0L).as("cum_tok")).limit(0)
+    val selReport = selected
+      .join(docs.select(col("doc_id"), inDomain.cast("long").as("pos")),
+        "doc_id")
+      .agg(count(lit(1)).as("n_selected"),
+        coalesce(sum(col("n_tok")), lit(0L)).as("tok_selected"),
+        sum(col("pos")).as("n_sel_in"))
+    val summary = docs.agg(count(lit(1)).as("n_in"))
+      .crossJoin(auc.select(col("auc_ppm"),
+        (col("auc_ppm") >= gatePpm).cast("int").as("gate_passed")))
+      .crossJoin(selReport)
+      .select(col("n_in"), col("auc_ppm"), col("gate_passed"),
+        col("n_selected"), col("tok_selected"),
+        when(col("n_selected") > 0,
+          expr("(n_sel_in * 1000000L) div n_selected"))
+          .as("in_domain_sel_ppm"))
+    (scored, auc, selected, summary)
+  }
+
+  /** q279: the composed score→gate→select→report pipeline over the
+    * catalog corpus (in-domain = lang 'en', 5,000-token budget, AUC
+    * gate 0.55) — the summary row hash-checked against DuckDB running
+    * all four stages inline with the same CASE-gated selection.
+    */
+  val q279: QueryDef = QueryDef.checked(
+    "q279_selection_pipeline",
+    """WITH tok AS (
+      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t FROM documents),
+      |b AS (
+      |  SELECT doc_id,
+      |    CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 256 AS bkt,
+      |    lang = 'en' AS in_dom FROM tok),
+      |counts AS (
+      |  SELECT bkt, count(*) AS cg,
+      |    SUM(CASE WHEN in_dom THEN 1 ELSE 0 END) AS ci
+      |  FROM b GROUP BY bkt),
+      |tot AS (SELECT SUM(cg) AS n_gen, SUM(ci) AS n_in FROM counts),
+      |lr AS (
+      |  SELECT bkt,
+      |    CAST(ROUND(1000000.0 * LN(
+      |      ((ci + 1.0) * (t.n_gen + 256)) /
+      |      ((cg + 1.0) * (t.n_in + 256)))) AS BIGINT) AS lr_micro
+      |  FROM counts CROSS JOIN tot t),
+      |scored AS (
+      |  SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+      |    CAST(SUM(lr.lr_micro) AS BIGINT) AS score_micro
+      |  FROM b JOIN lr USING (bkt) GROUP BY b.doc_id),
+      |lab AS (
+      |  SELECT s.doc_id, s.n_tok, s.score_micro,
+      |    CAST(d.lang = 'en' AS INT) AS pos
+      |  FROM scored s JOIN documents d USING (doc_id)),
+      |rk AS (
+      |  SELECT doc_id, score_micro, pos,
+      |    row_number() OVER (ORDER BY score_micro, doc_id) AS rnk FROM lab),
+      |auc AS (
+      |  SELECT CAST((SUM(CASE WHEN pos = 1 THEN rnk ELSE 0 END)
+      |    - SUM(pos) * (SUM(pos) + 1) // 2) * 1000000
+      |    // (SUM(pos) * (COUNT(*) - SUM(pos))) AS BIGINT) AS auc_ppm
+      |  FROM rk),
+      |cum AS (
+      |  SELECT doc_id, n_tok, pos,
+      |    CAST(SUM(n_tok) OVER (ORDER BY score_micro DESC, doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+      |  FROM lab),
+      |sel AS (SELECT * FROM cum, auc
+      |  WHERE auc.auc_ppm >= 550000 AND cum_tok <= 5000)
+      |SELECT
+      |  CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_in,
+      |  (SELECT auc_ppm FROM auc) AS auc_ppm,
+      |  CAST((SELECT auc_ppm FROM auc) >= 550000 AS INT) AS gate_passed,
+      |  CAST((SELECT count(*) FROM sel) AS BIGINT) AS n_selected,
+      |  CAST(COALESCE((SELECT sum(n_tok) FROM sel), 0) AS BIGINT) AS tok_selected,
+      |  CAST((SELECT sum(pos) FROM sel) * 1000000
+      |    // (SELECT count(*) FROM sel) AS BIGINT) AS in_domain_sel_ppm""".stripMargin) { (s, d) =>
+    selectionPipelineStages(Tables.documents(s, d),
+      inDomain = col("lang") === "en",
+      budget = 5000L, gatePpm = 550000L)._4
+  }
+
+  /** Blocklist phrase hits at LARGE list sizes (the q271 escalation,
+    * VERDICT r12 item 5): per-document count of blocklist phrases
+    * present, with TOKEN-anchored semantics — a phrase of n tokens hits
+    * iff it appears as n consecutive whole tokens (what a mined-phrase
+    * or banned-n-gram list means; q271's substring form is the
+    * raw-bytes alternative). Shape: each document's distinct n-grams
+    * are built ROW-LOCALLY (one `transform` over the token array — no
+    * token explode, no per-doc window, so the corpus is never shuffled
+    * to make grams), then exploded and equi-joined against the
+    * BROADCAST phrase list — a hash probe per gram into a table built
+    * once per task, the equi-join realization of an Aho–Corasick pass.
+    * Only MATCHED (doc, phrase) rows survive into the per-doc count, so
+    * the one aggregation shuffles hits, not grams. Per-document cost is
+    * O(tokens), INDEPENDENT of list size k, vs q271's k contains-scans
+    * of the text (O(k·|text|)): measured on the catalog corpus at
+    * sf0.1 (tools/Q277Crossover, min-of-3, matching cost only), the
+    * contains form ran 0.31 s at k=5, 0.46 s at k=100, 2.10 s at
+    * k=1000 (linear in k once k dominates); this form measured a flat
+    * 0.67–1.08 s across k=5..1000 — crossover ≈ k≈150 on these short
+    * documents, earlier the longer the text. At 100 TB the same plan holds
+    * until the phrase list itself outgrows a broadcast (~10⁷ phrases),
+    * where the gram–phrase join shifts to a shuffle join on gram hash.
+    */
+  def blocklistHitsLarge(docs: DataFrame, phrases: DataFrame,
+      n: Int = 3): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(expr(
+        s"""CASE WHEN size(toks) >= $n
+           |  THEN array_distinct(transform(sequence(1, size(toks) - ${n - 1}),
+           |    i -> concat_ws(' ', slice(toks, i, $n))))
+           |  ELSE array() END""".stripMargin)).as("g"))
+    val hits = grams
+      .join(broadcast(phrases.select(col("g"))), Seq("g"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+    docs.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).cast("int").as("flagged"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q277: token-anchored blocklist hits against a 1000-phrase list
+    * (self-mined: the 1000 most document-frequent trigrams — the
+    * deterministic stand-in for a curated list at the scale where
+    * q271's per-phrase contains tests stop being viable). Hash-checked
+    * against DuckDB running the same mining and token-trigram
+    * equi-join.
+    */
+  val q277: QueryDef = QueryDef.checked(
+    "q277_blocklist_large",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS t,
+      |    generate_subscripts(string_split(text, ' '), 1) AS pos FROM documents),
+      |tri AS (
+      |  SELECT DISTINCT doc_id, t || ' ' || lead(t) OVER w || ' ' || lead(t, 2) OVER w AS g
+      |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+      |  QUALIFY lead(t, 2) OVER w IS NOT NULL),
+      |block AS (
+      |  SELECT g FROM (
+      |    SELECT g, row_number() OVER (ORDER BY COUNT(*) DESC, g) AS rn
+      |    FROM tri GROUP BY g) WHERE rn <= 1000),
+      |hits AS (
+      |  SELECT t.doc_id, COUNT(*) AS n_hits FROM tri t JOIN block b USING (g)
+      |  GROUP BY t.doc_id)
+      |SELECT d.doc_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+      |  CAST(COALESCE(h.n_hits, 0) > 0 AS INT) AS flagged
+      |FROM documents d LEFT JOIN hits h USING (doc_id)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    // top-1000 by (df DESC, g): orderBy().limit() = TakeOrderedAndProject
+    // (per-partition top-k merged on the driver), the q271 discipline
+    val block = Dedup.shingles(docs)
+      .groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("g"))
+      .limit(1000)
+      .select(col("g"))
+    blocklistHitsLarge(docs, block)
   }
 }

@@ -23,7 +23,7 @@ object Dedup {
 
   def defs: Seq[QueryDef] =
     Seq(q27, q28, q29, q30, q50, q57, q58, q62, q65, q78, q82, q83, q87, q88,
-      q182, q187, q263, q267, q269, q270, q273, q275, q276)
+      q182, q187, q263, q267, q269, q270, q273, q275, q276, q278)
 
   /** Shared oracle CTE: distinct token-trigram shingles per document —
     * the SQL twin of [[shingles]], used by every shingle-based oracle
@@ -1293,24 +1293,47 @@ object Dedup {
     * see tools/Q263Variants). Under adversarial gram skew (one
     * boilerplate line owning a data-sized partition) switch back to
     * groupBy(min, max)+join — partial aggregation is skew-immune and
-    * was only ~1.8× slower here. At 100 TB additionally hash each
-    * L-gram to 8–16 bytes with xxhash64 before the exchange so the
-    * shuffle carries hashes, not text (exactness then needs a verify
-    * pass or an accepted 2⁻⁶⁴ collision rate, the Lee et al. trade).
+    * was only ~1.8× slower here. At 100 TB hash each L-gram to 8
+    * bytes with xxhash64 before the exchange so the shuffle carries
+    * hashes, not text — [[exactSubstrRemovalHashed]] (q278) ships that
+    * variant (exactness then rides an accepted ~2⁻⁶⁴ per-pair collision
+    * rate, the Lee et al. trade; a collision can only ADD a spurious
+    * mark, never lose one).
     * The island merge is doc-local window work over only the MARKED
     * positions, and the final join returns one row per document.
     * Explicit-width repartition per the suffixRanks rule — the marked
     * frame is narrow and AQE would coalesce it to one partition.
     */
-  def exactSubstrRemoval(docs: DataFrame, l: Int = 20): DataFrame = {
+  def exactSubstrRemoval(docs: DataFrame, l: Int = 20): DataFrame =
+    substrRemovalCore(docs, l, hashGrams = false)
+
+  /** The 100 TB shuffle shape of [[exactSubstrRemoval]]: the gram
+    * exchange carries `xxhash64(gram)` — 8 bytes per position instead
+    * of L characters (2.5× narrower exchange rows at L=20 before
+    * page/offset overheads; the gap grows linearly in L). Results are
+    * identical to the exact form unless two DIFFERENT L-grams collide
+    * in 64 bits AND land in different docs AND neither gram is
+    * otherwise duplicated — probability ≈ n²·2⁻⁶⁵ over n distinct
+    * grams (≈10⁻⁹ even at 10⁸ grams), and the failure mode is one
+    * spuriously marked window, never a lost mark. Equality to the
+    * exact form on the catalog corpus is spec-pinned, and q278's
+    * oracle is the SAME exact-form SQL as q263 — the driver gate
+    * itself re-certifies collision-freeness every round.
+    */
+  def exactSubstrRemovalHashed(docs: DataFrame, l: Int = 20): DataFrame =
+    substrRemovalCore(docs, l, hashGrams = true)
+
+  private def substrRemovalCore(docs: DataFrame, l: Int,
+      hashGrams: Boolean): DataFrame = {
     val par = docs.sparkSession.sparkContext.defaultParallelism
+    val rawGram = expr(s"substring(text, p + 1, $l)")
     val grams = docs
       .filter(length(col("text")) >= l)
       .select(col("doc_id"),
         explode(sequence(lit(0), length(col("text")) - l)).as("p"),
         col("text"))
       .select(col("doc_id"), col("p"),
-        expr(s"substring(text, p + 1, $l)").as("gram"))
+        (if (hashGrams) xxhash64(rawGram) else rawGram).as("gram"))
     val wg = Window.partitionBy(col("gram"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
     val spans = grams
@@ -1338,12 +1361,12 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  /** q263: per-document ExactSubstr removal accounting at L=20 —
-    * span count, removable chars, surviving chars — hash-checked
-    * against DuckDB running the identical window/island replay.
+  /** ONE oracle for the exact (q263) and hashed-gram (q278) removal
+    * paths — the hashed form is result-identical by design, so the
+    * exact-form SQL certifies both (and a 64-bit gram collision, if
+    * one ever occurred, would surface as a q278 hash mismatch).
     */
-  val q263: QueryDef = QueryDef.checked(
-    "q263_exactsubstr_removal",
+  private val exactSubstrOracle: String =
     """WITH g AS (
       |  SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS p,
       |         substr(text, CAST(u.i AS INT), 20) AS gram
@@ -1370,8 +1393,24 @@ object Dedup {
       |  CAST(COALESCE(a.dup, 0) AS BIGINT) AS dup_chars,
       |  CAST(len(d.text) - COALESCE(a.dup, 0) AS BIGINT) AS keep_chars
       |FROM documents d LEFT JOIN agg a USING (doc_id)
-      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      |ORDER BY doc_id""".stripMargin
+
+  /** q263: per-document ExactSubstr removal accounting at L=20 —
+    * span count, removable chars, surviving chars — hash-checked
+    * against DuckDB running the identical window/island replay.
+    */
+  val q263: QueryDef = QueryDef.checked(
+    "q263_exactsubstr_removal", exactSubstrOracle) { (s, d) =>
     exactSubstrRemoval(Tables.documents(s, d))
+  }
+
+  /** q278: the hashed-gram removal accounting (VERDICT r12 item 6) —
+    * identical output through an 8-byte-per-position exchange,
+    * certified against the exact-form oracle.
+    */
+  val q278: QueryDef = QueryDef.checked(
+    "q278_exactsubstr_hashed", exactSubstrOracle) { (s, d) =>
+    exactSubstrRemovalHashed(Tables.documents(s, d))
   }
 
   /** The near-dup cluster assignment as a build-once parquet asset

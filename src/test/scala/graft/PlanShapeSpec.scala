@@ -419,6 +419,34 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected the gram-partition window marking pass:\n$finalPlan")
   }
 
+  test("q278's gram exchange carries an 8-byte hash, not L-char text") {
+    val plan = executedPlan("q278_exactsubstr_hashed")
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(finalPlan.contains("xxhash64"),
+      s"expected xxhash64 gram hashing on the exchange input:\n$finalPlan")
+    // a LongType attribute prints with the L suffix (gram#123L); the
+    // exact form's string gram would print bare — this is the narrow-
+    // shuffle claim the variant exists for
+    assert("hashpartitioning\\(gram#\\d+L".r.findFirstIn(finalPlan).isDefined,
+      s"the gram exchange key must be the 8-byte hash (bigint):\n$finalPlan")
+    val exact = executedPlan("q263_exactsubstr_removal")
+      .split("== Initial Plan ==").head
+    assert("hashpartitioning\\(gram#\\d+L".r.findFirstIn(exact).isEmpty,
+      "control: the exact form's gram key should be the string itself")
+  }
+
+  test("q277 matches through a broadcast phrase join, corpus never shuffled for grams") {
+    val plan = executedPlan("q277_blocklist_large")
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(finalPlan.contains("BroadcastHashJoin"),
+      s"phrase list must broadcast:\n$finalPlan")
+    // the MATCHING side builds grams row-locally — a transform over the
+    // token array feeding the broadcast probe (the mining side's
+    // shingles window is the blocklist build, not the per-doc path)
+    assert(finalPlan.contains("transform(sequence(1"),
+      s"q277's probe grams must come from a row-local transform:\n$finalPlan")
+  }
+
   test("q271 mines its blocklist with TakeOrderedAndProject, not a global window") {
     val plan = executedPlan("q271_blocklist_hits")
     assert(plan.contains("TakeOrderedAndProject"),
@@ -428,8 +456,9 @@ class PlanShapeSpec extends AnyFunSuite {
       s"no global row_number window expected:\n$plan")
   }
 
-  test("q268/q274 two-phase global rank broadcasts the bucket-offset frame") {
-    for (name <- Seq("q268_selection_by_score", "q274_score_auc")) {
+  test("q268/q274/q225 two-phase global rank broadcasts the bucket-offset frame") {
+    for (name <- Seq("q268_selection_by_score", "q274_score_auc",
+        "q225_quantile_norm")) {
       val plan = executedPlan(name)
       assert(plan.contains("BroadcastHashJoin"),
         s"$name: the B-row offset frame must join broadcast:\n$plan")

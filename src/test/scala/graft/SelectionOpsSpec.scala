@@ -145,4 +145,90 @@ class SelectionOpsSpec extends AnyFunSuite {
     assert(out === Array(
       (1L, 3L, 2L, 9L, 14L), (7L, 2L, 8L, 6L, 4L)))
   }
+
+  test("selectionPipeline: AUC gate branches selection, report stays consistent") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha alpha beta", "en"), (1L, "alpha gamma", "en"),
+      (2L, "delta delta gamma", "fr"), (3L, "beta delta", "fr")
+    ).toDF("doc_id", "text", "lang")
+    // gate set above any achievable AUC: selection must NOT run —
+    // empty selected frame, zeroed counts, null in-domain share
+    val (_, _, selF, sumF) = Curation.selectionPipelineStages(
+      docs, col("lang") === "en", budget = 100L, gatePpm = 1000001L)
+    assert(selF.count() === 0L)
+    val rf = sumF.collect().head
+    assert((rf.getLong(0), rf.getInt(2), rf.getLong(3), rf.getLong(4)) ===
+      ((4L, 0, 0L, 0L)))
+    assert(rf.isNullAt(5))
+    // gate at 0: selection runs and must equal the direct q268 call
+    val (scored, auc, selT, sumT) = Curation.selectionPipelineStages(
+      docs, col("lang") === "en", budget = 5L, gatePpm = 0L)
+    assert(auc.collect().head.getLong(3) === 1000000L) // perfect scorer here
+    assert(selT.collect().toSeq ===
+      Curation.selectByScoreBudget(scored, budget = 5L).collect().toSeq)
+    val rt = sumT.collect().head
+    // budget 5: greedy takes doc0 (3 tok) then doc1 (2 tok) — both en
+    assert((rt.getInt(2), rt.getLong(3), rt.getLong(4), rt.getLong(5)) ===
+      ((1, 2L, 5L, 1000000L)))
+    spark.catalog.clearCache()
+  }
+
+  test("exactSubstrRemovalHashed equals the exact form, catalog corpus included") {
+    import spark.implicits._
+    // the SelectionOpsSpec q263 fixture (islands merge, gaps split,
+    // short docs) plus the sf0.001 catalog corpus: the hashed exchange
+    // must reproduce the exact form's output bit for bit
+    val hand = Seq(
+      (0L, "abcdefgh"), (1L, "qqcdefqq"), (2L, "mnabcdeuv"),
+      (3L, "klabcdest"), (4L, "abcdXXXXcdef"), (5L, "xy")
+    ).toDF("doc_id", "text")
+    assert(Dedup.exactSubstrRemovalHashed(hand, l = 4).collect().toSeq ===
+      Dedup.exactSubstrRemoval(hand, l = 4).collect().toSeq)
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+    assert(Dedup.exactSubstrRemovalHashed(docs).collect().toSeq ===
+      Dedup.exactSubstrRemoval(docs).collect().toSeq)
+    spark.catalog.clearCache()
+  }
+
+  test("blocklistHitsLarge: token-anchored hits, boundary non-hit, short docs") {
+    import spark.implicits._
+    // phrases: "a b c", "p q r". doc0 contains "a b c" as whole tokens
+    // (1 hit). doc1 contains it only inside longer tokens ("xa b cy") —
+    // a SUBSTRING match (q271 semantics) but NOT a token-anchored one:
+    // must be 0 here (the ADVICE-r12 divergence case, pinned). doc2
+    // hits both phrases once each, duplicated occurrences of "p q r"
+    // counted ONCE (distinct-phrase count). doc3 has fewer tokens than
+    // n=3: zero grams, still emitted with 0.
+    val docs = Seq(
+      (0L, "m a b c n"), (1L, "xa b cy"), (2L, "a b c p q r p q r"),
+      (3L, "a b")
+    ).toDF("doc_id", "text")
+    val phrases = Seq("a b c", "p q r").toDF("g")
+    val out = operators.Curation.blocklistHitsLarge(docs, phrases)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out === Array((0L, 1L, 1), (1L, 0L, 0), (2L, 2L, 1),
+      (3L, 0L, 0)))
+    // cross-check: q271's substring form DOES hit doc1 — the semantic
+    // divergence both scaladocs document
+    assert(docs.filter(col("doc_id") === 1L)
+      .join(broadcast(phrases), col("text").contains(col("g")))
+      .count() === 1L)
+  }
+
+  test("matryoshkaRecall ppm grid is exact when topK does not divide 1e6") {
+    import spark.implicits._
+    // topK=3 with full agreement must read exactly 1000000 ppm, not
+    // 3 * (1000000 div 3) = 999999 (ADVICE r12): query [1,0] against
+    // candidates on the positive x-axis — both rankings identical.
+    val corpus = Seq(
+      (0L, Seq(1.0, 0.0)), (10L, Seq(2.0, 0.0)), (11L, Seq(3.0, 0.1)),
+      (12L, Seq(4.0, 0.2)), (13L, Seq(-5.0, 0.0))
+    ).toDF("vec_id", "v")
+    val out = Similarity.matryoshkaRecall(
+        corpus, corpus.filter(col("vec_id") === 0), dTrunc = 1, topK = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out === Array((0L, 3L, 1000000L)))
+    spark.catalog.clearCache()
+  }
 }

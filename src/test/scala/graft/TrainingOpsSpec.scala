@@ -198,4 +198,45 @@ class TrainingOpsSpec extends AnyFunSuite {
       ("2", "AUTO", 12L, 3L),
       ("*", "*", 17L, 3L)))
   }
+
+  test("unigramLmTrain: hand-traced seed, Viterbi, prune, smoothed re-score") {
+    // corpus "ab ab b": types ab(2), b(1). Seed (maxLen 4, minCount 2):
+    // a:2, b:3, ab:2, t=7 -> costs a/ab ln(7/2)=1252763, b ln(7/3)=847298.
+    // Viterbi: "ab" -> [ab] (1252763) beats [a b] (2100061); "b" -> [b].
+    // E-counts: ab:2, b:1. Final vocab = chars {a, b} + top multi {ab};
+    // a unused -> cnt 0. Smoothed (t=3, nv=3): cost = round(1e6*ln(6/(cnt+1))):
+    // a 1791759, b 1098612, ab 693147.
+    val out = Curation.unigramLmTrain(docsOf("ab ab b")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out === Array(
+      ("a", 0L, 1791759L), ("ab", 2L, 693147L), ("b", 1L, 1098612L)))
+  }
+
+  test("unigramLmTrain: equal-cost segmentations break by (cost, n, seg)") {
+    // corpus "abc", maxLen 2, minCount 1: seed {a,b,c,ab,bc} all cnt 1,
+    // all cost ln(5)=1609438. "abc" has [ab c] and [a bc] TIED on cost
+    // (2x) and n (2); seg order "a bc" < "ab c" -> bc gets the E-count,
+    // ab gets none and is pruned. Final: chars a/b/c + {bc};
+    // counts a:1, bc:1, b:0, c:0; smoothed over t=2, nv=4: ln(6/(cnt+1)).
+    val out = Curation.unigramLmTrain(
+        docsOf("abc"), kMulti = 40, maxLen = 2, minCount = 1L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out === Array(
+      ("a", 1L, 1098612L), ("b", 0L, 1791759L), ("bc", 1L, 1098612L),
+      ("c", 0L, 1791759L)))
+  }
+
+  test("unigramLmEncode: fertility from the final model's Viterbi pass") {
+    import spark.implicits._
+    // same tie-break corpus: final model a/bc cheap (1098612), b/c dear
+    // (1791759). "abc" encodes [a bc] (2197224, n 2) over [a b c]
+    // (4682130, n 3) -> 1 word, 2 pieces, 2000000 ppm.
+    val docs = Seq((0L, "abc", "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = Curation.unigramLmEncode(
+        docs, kMulti = 40, maxLen = 2, minCount = 1L).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out === Array(("en", "s0", 1L, 2L, 2000000L)))
+  }
 }
