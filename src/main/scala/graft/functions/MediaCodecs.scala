@@ -83,11 +83,16 @@ object MediaCodecs {
   final case class BmpFrame(width: Int, height: Int, bpp: Int,
       fileSize: Int, meanLevel: Double)
 
-  /** Parse the BMP starting at `off`. Validates magic, header size, and
-    * 24 bpp/BI_RGB (the profile this library writes); a real pipeline
-    * routes other profiles to a quarantine, it does not guess.
+  final case class BmpHeader(width: Int, height: Int, dataOff: Int,
+      fileSize: Int)
+
+  /** Parse and validate ONLY the BMP header at `off` — the geometry a
+    * patch/tile manifest needs (q282), without touching a pixel byte.
+    * Same validation discipline as [[decodeBmp]] (which builds on
+    * this): long-widened bounds so hostile 32-bit fields fail the
+    * require, never the array access.
     */
-  def decodeBmp(b: Array[Byte], off: Int): BmpFrame = {
+  def decodeBmpHeader(b: Array[Byte], off: Int): BmpHeader = {
     require(b.length - off >= 54, s"truncated BMP header at $off")
     require(b(off) == 'B' && b(off + 1) == 'M', s"bad BMP magic at $off")
     val fileSize = le32(b, off + 2)
@@ -109,6 +114,17 @@ object MediaCodecs {
     require(fileSize > 0 && dataOff >= 54,
       s"bad BMP header fields: fileSize=$fileSize dataOff=$dataOff")
     require(off.toLong + fileSize <= b.length, "BMP size field past buffer end")
+    BmpHeader(width, height, dataOff, fileSize)
+  }
+
+  /** Parse the BMP starting at `off`. Validates magic, header size, and
+    * 24 bpp/BI_RGB (the profile this library writes); a real pipeline
+    * routes other profiles to a quarantine, it does not guess.
+    */
+  def decodeBmp(b: Array[Byte], off: Int): BmpFrame = {
+    val hd = decodeBmpHeader(b, off)
+    val (width, height, dataOff, fileSize) =
+      (hd.width, hd.height, hd.dataOff, hd.fileSize)
     val rowBytes = bmpRowBytesL(width)
     // The pixel array must fit inside the frame's OWN declared fileSize,
     // not merely the buffer: in a concatenated stream a header whose
@@ -134,7 +150,8 @@ object MediaCodecs {
       r += 1
     }
     val nPix = height.toLong * 3L * width.toLong
-    BmpFrame(width, height, bpp, fileSize,
+    // bpp = 24 by the header validation above (the only profile parsed)
+    BmpFrame(width, height, 24, fileSize,
       if (nPix == 0) 0.0 else sum.toDouble / nPix)
   }
 

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** A multimodal record: opaque binary payload + typed metadata.
@@ -44,7 +44,7 @@ final case class MediaFeatures(
   */
 object Multimodal {
 
-  def defs: Seq[QueryDef] = Seq(q38, q39, q212)
+  def defs: Seq[QueryDef] = Seq(q38, q39, q212, q282)
 
   /** documents → typed multimodal dataset (payload = UTF-8 bytes of text;
     * media_type cycles image/audio/video by doc_id).
@@ -255,5 +255,73 @@ object Multimodal {
       .select(col("doc_id"), col("media_type"), col("width"), col("height"),
         col("n_frames"), col("n_samples"), col("sample_rate"), col("n_bytes"))
       .orderBy(col("doc_id"))
+  }
+
+  /** ViT-style PATCH MANIFEST over a parsed-header image frame — the
+    * scheduling half of a patch-extraction pipeline, the q212 pattern
+    * applied to images: per image, one row per `patch`×`patch` tile
+    * (edge tiles clipped) with the FILE BYTE OFFSET of the tile's
+    * top-left pixel (BMP rows are bottom-up and 4-byte padded, so
+    * byte_off = data_off + (h−1−pr·patch)·stride + 3·pc·patch). The
+    * grid is a row-local nested `transform` + one explode — zero
+    * shuffle — and the offsets make it a RANGE-READ plan: at 100 TB
+    * the decode fleet fetches exactly the byte ranges of the patches
+    * it owns instead of whole payloads, and nothing downstream of the
+    * header parse ever moves a pixel. Input columns:
+    * (doc_id, w, h, data_off).
+    */
+  def patchManifest(imgs: DataFrame, patch: Int = 4): DataFrame =
+    imgs.select(col("doc_id"), col("w"), col("h"),
+        explode(expr(
+          s"""flatten(transform(sequence(0, (h + ${patch - 1}) div $patch - 1),
+             |  pr -> transform(sequence(0, (w + ${patch - 1}) div $patch - 1),
+             |    pc -> named_struct(
+             |      'patch_row', CAST(pr AS INT), 'patch_col', CAST(pc AS INT),
+             |      'patch_w', CAST(least($patch, w - pc * $patch) AS INT),
+             |      'patch_h', CAST(least($patch, h - pr * $patch) AS INT),
+             |      'byte_off', CAST(data_off
+             |        + (h - 1 - pr * $patch) * (((3 * w + 3) div 4) * 4)
+             |        + 3 * pc * $patch AS BIGINT)))))""".stripMargin)).as("p"))
+      .select(col("doc_id"), col("w"), col("h"), col("p.patch_row"),
+        col("p.patch_col"), col("p.patch_w"), col("p.patch_h"),
+        col("p.byte_off"))
+      .orderBy(col("doc_id"), col("patch_row"), col("patch_col"))
+
+  /** q282: the 4×4 patch manifest of every image row, geometry taken
+    * from the PARSED BMP headers (encode → header-only decode — the
+    * q39 round-trip discipline: the oracle derives the same grid from
+    * the generation formulas and a literal data_off 54, so a corrupted
+    * encoder, header writer, or parser breaks the hash).
+    */
+  val q282: QueryDef = QueryDef.checked(
+    "q282_patch_manifest",
+    """WITH img AS (
+      |  SELECT doc_id, CAST(4 + n_chars % 29 AS INT) AS w,
+      |         CAST(4 + (n_chars // 29) % 13 AS INT) AS h
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |g AS (
+      |  SELECT doc_id, w, h, CAST(pr AS INT) AS patch_row,
+      |         CAST(pc AS INT) AS patch_col
+      |  FROM img,
+      |    unnest(generate_series(0, (h + 3) // 4 - 1)) AS r(pr),
+      |    unnest(generate_series(0, (w + 3) // 4 - 1)) AS c(pc))
+      |SELECT doc_id, w, h, patch_row, patch_col,
+      |  CAST(LEAST(4, w - patch_col * 4) AS INT) AS patch_w,
+      |  CAST(LEAST(4, h - patch_row * 4) AS INT) AS patch_h,
+      |  CAST(54 + (h - 1 - patch_row * 4) * (((3 * w + 3) // 4) * 4)
+      |    + 3 * patch_col * 4 AS BIGINT) AS byte_off
+      |FROM g ORDER BY doc_id, patch_row, patch_col""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val imgs = Tables.documents(s, d)
+      .filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .as[(Long, String, Long)]
+      .mapPartitions(_.map { case (id, text, nChars) =>
+        val payload = encodeContainer(id, nChars,
+          text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val hd = MediaCodecs.decodeBmpHeader(payload, 0)
+        (id, hd.width, hd.height, hd.dataOff)
+      }).toDF("doc_id", "w", "h", "data_off")
+    patchManifest(imgs)
   }
 }

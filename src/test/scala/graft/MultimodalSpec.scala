@@ -163,6 +163,28 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("patchManifest: edge clipping and bottom-up byte offsets, hand-computed") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // 6x5 image, 4x4 patches -> 2x2 grid with clipped edges
+    // (patch_w: 4,2; patch_h: 4,1). stride = ((3*6+3) div 4)*4 = 20.
+    // byte_off(pr,pc) = 54 + (5-1-pr*4)*20 + 3*pc*4:
+    //   (0,0): 54+4*20= 134   (0,1): 134+12 = 146
+    //   (1,0): 54+0*20 = 54   (1,1): 66
+    val imgs = Seq((7L, 6, 5, 54)).toDF("doc_id", "w", "h", "data_off")
+    val out = Multimodal.patchManifest(imgs).collect()
+      .map(r => (r.getInt(3), r.getInt(4), r.getInt(5), r.getInt(6),
+        r.getLong(7)))
+    assert(out === Array(
+      (0, 0, 4, 4, 134L), (0, 1, 2, 4, 146L),
+      (1, 0, 4, 1, 54L), (1, 1, 2, 1, 66L)))
+    // header-parse certificate: the geometry q282 feeds comes from the
+    // real header bytes, not the generation formulas
+    val payload = MediaCodecs.encodeBmp(6, 5, _ => 1)
+    val hd = MediaCodecs.decodeBmpHeader(payload, 0)
+    assert((hd.width, hd.height, hd.dataOff) === ((6, 5, 54)))
+  }
+
   test("fuzz: AudioSystem-encoded WAVs decode with exact sample statistics") {
     val rnd = new scala.util.Random(1848)
     (0 until 12).foreach { trial =>
