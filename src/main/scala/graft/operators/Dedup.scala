@@ -23,7 +23,7 @@ object Dedup {
 
   def defs: Seq[QueryDef] =
     Seq(q27, q28, q29, q30, q50, q57, q58, q62, q65, q78, q82, q83, q87, q88,
-      q182, q187, q263, q267, q269, q270, q273, q275, q276, q278)
+      q182, q187, q263, q267, q269, q270, q273, q275, q276, q278, q283)
 
   /** Shared oracle CTE: distinct token-trigram shingles per document —
     * the SQL twin of [[shingles]], used by every shingle-based oracle
@@ -1498,9 +1498,25 @@ object Dedup {
     * window partition, marked in the same pass that grouped it, then
     * one per-doc agg.
     */
-  def noveltyRates(docs: DataFrame): DataFrame = {
-    val wg = Window.partitionBy(col("g"))
+  def noveltyRates(docs: DataFrame): DataFrame =
+    noveltyCore(docs, hashGrams = false)
+
+  /** The 100 TB shuffle shape of [[noveltyRates]] (the q278 trade
+    * applied to the trigram exchange): the gram-partition window keys
+    * on `xxhash64(g)` — 8 bytes per shingle instead of the gram text.
+    * Results are identical unless two DIFFERENT grams collide in 64
+    * bits across documents; the failure mode here is one gram falsely
+    * marked NON-novel (min≠max via the colliding partner) — novelty
+    * can only be under-reported, never inflated, at ≈n²·2⁻⁶⁵
+    * probability. Certified against the SAME exact-form oracle.
+    */
+  def noveltyRatesHashed(docs: DataFrame): DataFrame =
+    noveltyCore(docs, hashGrams = true)
+
+  private def noveltyCore(docs: DataFrame, hashGrams: Boolean): DataFrame = {
+    val wg = Window.partitionBy(col("gk"))
     shingles(docs)
+      .withColumn("gk", if (hashGrams) xxhash64(col("g")) else col("g"))
       .withColumn("novel",
         min(col("doc_id")).over(wg) === max(col("doc_id")).over(wg))
       .groupBy(col("doc_id"))
@@ -1511,9 +1527,10 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  /** q270: per-doc trigram novelty, hash-checked. */
-  val q270: QueryDef = QueryDef.checked(
-    "q270_novelty_rates",
+  /** ONE oracle for the exact (q270) and hashed-gram (q283) novelty
+    * paths — the q263/q278 convention.
+    */
+  private val noveltyOracle: String =
     s"""WITH $shingleCte,
        |marked AS (
        |  SELECT doc_id, g,
@@ -1524,8 +1541,21 @@ object Dedup {
        |  CAST(SUM(CASE WHEN novel THEN 1 ELSE 0 END) AS BIGINT) AS novel_grams,
        |  CAST(SUM(CASE WHEN novel THEN 1 ELSE 0 END) * 1000000
        |    // COUNT(*) AS BIGINT) AS novelty_ppm
-       |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+       |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** q270: per-doc trigram novelty, hash-checked. */
+  val q270: QueryDef = QueryDef.checked(
+    "q270_novelty_rates", noveltyOracle) { (s, d) =>
     noveltyRates(Tables.documents(s, d))
+  }
+
+  /** q283: the hashed-gram novelty accounting, certified against the
+    * exact-form oracle (the q278 convention — the driver gate itself
+    * re-certifies collision-freeness every round).
+    */
+  val q283: QueryDef = QueryDef.checked(
+    "q283_novelty_hashed", noveltyOracle) { (s, d) =>
+    noveltyRatesHashed(Tables.documents(s, d))
   }
 
   /** q269: cross-source duplication AFFINITY — near-dup pair counts by

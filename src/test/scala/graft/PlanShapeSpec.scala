@@ -435,6 +435,20 @@ class PlanShapeSpec extends AnyFunSuite {
       "control: the exact form's gram key should be the string itself")
   }
 
+  test("q283's novelty window keys on the 8-byte gram hash") {
+    // the xxhash64 itself folds into a HashAggregate's result
+    // projection (not printed); the narrow-shuffle CLAIM is the
+    // exchange key type — bigint gk, not the gram string
+    val plan = executedPlan("q283_novelty_hashed")
+      .split("== Initial Plan ==").head
+    assert("hashpartitioning\\(gk#\\d+L".r.findFirstIn(plan).isDefined,
+      s"the gram-partition window must key on the bigint hash:\n$plan")
+    val exact = executedPlan("q270_novelty_rates")
+      .split("== Initial Plan ==").head
+    assert("hashpartitioning\\(gk#\\d+L".r.findFirstIn(exact).isEmpty,
+      "control: the exact form's window keys on the gram string")
+  }
+
   test("q277 matches through a broadcast phrase join, corpus never shuffled for grams") {
     val plan = executedPlan("q277_blocklist_large")
     val finalPlan = plan.split("== Initial Plan ==").head

@@ -191,6 +191,19 @@ class SelectionOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("noveltyRatesHashed equals the exact form, catalog corpus included") {
+    import spark.implicits._
+    val hand = Seq(
+      (0L, "a b x y z"), (1L, "x y z q r"), (2L, "m n o p")
+    ).toDF("doc_id", "text")
+    assert(Dedup.noveltyRatesHashed(hand).collect().toSeq ===
+      Dedup.noveltyRates(hand).collect().toSeq)
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+    assert(Dedup.noveltyRatesHashed(docs).collect().toSeq ===
+      Dedup.noveltyRates(docs).collect().toSeq)
+    spark.catalog.clearCache()
+  }
+
   test("blocklistHitsLarge: token-anchored hits, boundary non-hit, short docs") {
     import spark.implicits._
     // phrases: "a b c", "p q r". doc0 contains "a b c" as whole tokens
