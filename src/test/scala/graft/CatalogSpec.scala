@@ -74,5 +74,10 @@ class CatalogSpec extends AnyFunSuite {
       s"baseline entries for unknown queries: ${(pinned -- declared).toSeq.sorted}")
     assert((declared -- pinned).isEmpty,
       s"declared queries missing a baseline pin: ${(declared -- pinned).toSeq.sorted}")
+    // the provisional set feeds the letter's widened 2x threshold: a
+    // stale name after a rename would silently hold NOTHING to 2x
+    // while the renamed query gets the tight 1.5x letter it shouldn't
+    assert((BenchBaselines.provisional -- declared).isEmpty,
+      s"provisional entries for unknown queries: ${(BenchBaselines.provisional -- declared).toSeq.sorted}")
   }
 }
