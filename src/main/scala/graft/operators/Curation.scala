@@ -22,7 +22,8 @@ object Curation {
 
   def defs: Seq[QueryDef] =
     Seq(q59, q60, q61, q66, q74, q75, q76, q84, q115, q123, q143, q154,
-      q255, q256, q264, q265, q268, q271, q274, q277, q279, q280, q281)
+      q255, q256, q264, q265, q268, q271, q274, q277, q279, q280, q281,
+      q284)
 
   /** Top-`k` distinctive terms per document, ranked by tf/df (document
     * frequency as the rarity signal — the idf log is monotonic in 1/df,
@@ -1335,7 +1336,11 @@ object Curation {
     * costs come from one broadcast map (crossJoin of a 1-row
     * `map_from_entries` frame — the scalar-frame idiom), so the type
     * table never shuffles and no driver loop runs: one pass, however
-    * long the longest word.
+    * long the longest word. Map probes use `try_element_at` so the
+    * missing-piece-is-NULL semantics the DP depends on holds under
+    * `spark.sql.ansi.enabled=true` too (plain `element_at` would throw
+    * MAP_KEY_DOES_NOT_EXIST on the routinely-probed below-minCount
+    * substrings).
     *
     * DP-vs-full-enumeration equivalence (the oracle enumerates ALL
     * segmentations recursively and takes the (cost, n, seg) minimum):
@@ -1361,11 +1366,11 @@ object Curation {
            |  (acc, j) -> acc || array(
            |    array_min(filter(transform(sequence(1, $maxLen),
            |      L -> CASE WHEN j - L >= 0
-           |                 AND element_at(m, substring(w, j - L + 1, L)) IS NOT NULL
+           |                 AND try_element_at(m, substring(w, j - L + 1, L)) IS NOT NULL
            |                 AND element_at(acc, j - L + 1) IS NOT NULL
            |        THEN named_struct(
            |          'cost', element_at(acc, j - L + 1).cost
-           |                  + element_at(m, substring(w, j - L + 1, L)),
+           |                  + try_element_at(m, substring(w, j - L + 1, L)),
            |          'n', element_at(acc, j - L + 1).n + 1,
            |          'seg', CASE WHEN element_at(acc, j - L + 1).seg = ''
            |                 THEN substring(w, j - L + 1, L)
@@ -1564,6 +1569,223 @@ object Curation {
     unigramLmEncode(Tables.documents(s, d))
   }
 
+  /** Unigram-LM trainer with SOFT (forward–backward) expected counts —
+    * the full-EM E-step SentencePiece actually runs (Kudo 2018 §3.2),
+    * next to q280's hard-EM (Viterbi) round: instead of crediting only
+    * the single best segmentation, every piece occurrence (i, L) in a
+    * word earns its POSTERIOR mass α(i−1)·p·β(i+L−1)/Z, summed
+    * frequency-weighted over word types. Both lattice passes run
+    * ROW-LOCALLY as one `aggregate` over positions each (the
+    * [[viterbiSeg]] idiom with a sum instead of a struct-min), probing
+    * the same broadcast piece→probability map — the type table never
+    * shuffles and no driver loop runs; the one piece-keyed agg sums the
+    * per-occurrence expectations.
+    *
+    * Oracle parity (why a DOUBLE DP is hash-safe here): the recurrences
+    * use only IEEE +, ×, / on identical operands in an identical
+    * association order in both engines (each op correctly rounded by
+    * IEEE 754 — no libm, no reassociation: Spark's fold and the
+    * oracle's explicit `x1+x2+x3+x4` both left-associate, products are
+    * parenthesized `(a*p)*b`, and DuckDB's vectorized interpreter
+    * evaluates SQL operators one at a time, so no FMA contraction), and
+    * the only readout quantizes at the END: e_ppm =
+    * ⌊10⁶·((a·p)·b)/Z⌋ per occurrence. The DuckDB oracle replays the
+    * same forward/backward recurrences as recursive CTEs carrying a
+    * rolling 4-slot state. Words whose Z underflows to exactly 0.0
+    * (impossible until word lengths × piece costs exceed the double
+    * exponent range) are skipped by both engines under the same guard.
+    *
+    * Prune and M-step mirror q280 on the ppm count grid: chars always
+    * kept, top-`kMulti` multi-char pieces by (soft count DESC, piece),
+    * add-one-smoothed micro-nat re-score. At 100 TB the shape is
+    * q280's: one corpus scan builds the word-TYPE table; seed, both
+    * lattice passes, expectation, prune, and re-score all run at
+    * vocabulary scale.
+    */
+  def unigramLmSoftTrain(docs: DataFrame, kMulti: Int = 40, maxLen: Int = 4,
+      minCount: Long = 2L): DataFrame = {
+    val ty = wordTypes(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sub = ty.select(col("freq"), explode(expr(
+        s"""flatten(transform(sequence(1, length(w)),
+           |  i -> filter(transform(sequence(1, $maxLen),
+           |    L -> CASE WHEN i + L - 1 <= length(w)
+           |         THEN substring(w, i, L) ELSE NULL END),
+           |    x -> x IS NOT NULL)))""".stripMargin)).as("g"))
+      .groupBy(col("g")).agg(sum(col("freq")).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seed = sub.filter(length(col("g")) === 1 || col("cnt") >= minCount)
+    val pr = seed.crossJoin(broadcast(seed.agg(sum(col("cnt")).as("t"))))
+      .select(col("g"), (col("cnt") * lit(1.0) / col("t")).as("p"))
+    val m = pr.agg(map_from_entries(
+      collect_list(struct(col("g"), col("p")))).as("m"))
+    // forward: fw[j+1] = a(j); a(j) = Σ_L a(j−L)·p(w[j−L+1..j])
+    val fwSql =
+      s"""aggregate(
+         |  sequence(1, length(w)),
+         |  array(CAST(1.0 AS DOUBLE)),
+         |  (acc, j) -> acc || array(
+         |    aggregate(transform(sequence(1, $maxLen),
+         |      L -> CASE WHEN j - L >= 0
+         |                AND try_element_at(m, substring(w, j - L + 1, L)) IS NOT NULL
+         |        THEN element_at(acc, j - L + 1)
+         |             * try_element_at(m, substring(w, j - L + 1, L))
+         |        ELSE CAST(0.0 AS DOUBLE) END),
+         |      CAST(0.0 AS DOUBLE), (s, x) -> s + x)))""".stripMargin
+    // backward, built from the word's end: bwrev[k+1] = b(len−k);
+    // b(j) = Σ_L b(j+L)·p(w[j+1..j+L])
+    val bwSql =
+      s"""aggregate(
+         |  sequence(1, length(w)),
+         |  array(CAST(1.0 AS DOUBLE)),
+         |  (acc, k) -> acc || array(
+         |    aggregate(transform(sequence(1, $maxLen),
+         |      L -> CASE WHEN k - L >= 0
+         |                AND try_element_at(m, substring(w, length(w) - k + 1, L)) IS NOT NULL
+         |        THEN element_at(acc, k - L + 1)
+         |             * try_element_at(m, substring(w, length(w) - k + 1, L))
+         |        ELSE CAST(0.0 AS DOUBLE) END),
+         |      CAST(0.0 AS DOUBLE), (s, x) -> s + x)))""".stripMargin
+    val ePairsSql =
+      s"""flatten(transform(sequence(1, length(w)),
+         |  i -> filter(transform(sequence(1, $maxLen),
+         |    L -> CASE WHEN i + L - 1 <= length(w)
+         |              AND try_element_at(m, substring(w, i, L)) IS NOT NULL
+         |      THEN named_struct('g', substring(w, i, L),
+         |        'e', CAST(FLOOR(1000000.0 * (((element_at(fw, i)
+         |               * try_element_at(m, substring(w, i, L)))
+         |               * element_at(bwrev, length(w) - (i + L - 1) + 1))
+         |               / z)) AS BIGINT))
+         |      ELSE NULL END),
+         |    x -> x IS NOT NULL)))""".stripMargin
+    val ec = ty.crossJoin(broadcast(m))
+      .withColumn("fw", expr(fwSql))
+      .withColumn("bwrev", expr(bwSql))
+      .withColumn("z", element_at(col("fw"), length(col("w")) + 1))
+      .filter(col("z") > 0.0)
+      .select(col("freq"), explode(expr(ePairsSql)).as("pe"))
+      .groupBy(col("pe.g").as("g"))
+      .agg(sum(col("freq") * col("pe.e")).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fin = sub.filter(length(col("g")) === 1).select(col("g"))
+      .unionByName(ec.filter(length(col("g")) > 1)
+        .orderBy(col("cnt").desc, col("g")).limit(kMulti).select(col("g")))
+    val fc = fin.join(ec, Seq("g"), "left")
+      .select(col("g"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+    fc.crossJoin(broadcast(
+        fc.agg(sum(col("cnt")).as("t"), count(lit(1)).as("nv"))))
+      .select(col("g").as("piece"), col("cnt").as("cnt_ppm"),
+        expr("CAST(ROUND(1000000.0 * LN((t + nv) * 1.0 / (cnt + 1))) AS BIGINT)")
+          .as("cost_micro"))
+      .orderBy(col("piece"))
+  }
+
+  /** q284: the soft-count (forward–backward) unigram-LM vocabulary —
+    * final piece, posterior expected count on the ppm grid, smoothed
+    * micro-nat cost. Hash-checked against DuckDB replaying the seed,
+    * both lattice recurrences (recursive CTEs with a rolling 4-slot
+    * state), the per-occurrence posterior readout, the prune, and the
+    * re-score, with every float op structurally identical (see
+    * [[unigramLmSoftTrain]]'s parity argument).
+    */
+  val q284: QueryDef = QueryDef.checked(
+    "q284_unigram_lm_soft",
+    """WITH RECURSIVE ty AS (
+      |  SELECT w, CAST(count(*) AS BIGINT) AS freq
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  GROUP BY w),
+      |sub AS (
+      |  SELECT substr(w, CAST(i AS INT), CAST(L AS INT)) AS g,
+      |         CAST(SUM(freq) AS BIGINT) AS cnt
+      |  FROM ty, unnest(generate_series(1, len(w))) AS u(i),
+      |       unnest(generate_series(1, 4)) AS v(L)
+      |  WHERE i + L - 1 <= len(w)
+      |  GROUP BY 1),
+      |seed AS (
+      |  SELECT g, cnt FROM sub WHERE len(g) = 1 OR cnt >= 2),
+      |stot AS (SELECT SUM(cnt) AS t FROM seed),
+      |pr AS (
+      |  SELECT g, cnt * 1.0 / s.t AS p FROM seed CROSS JOIN stot s),
+      |fw AS (
+      |  SELECT w, 0 AS j, CAST(0.0 AS DOUBLE) AS a3, CAST(0.0 AS DOUBLE) AS a2,
+      |         CAST(0.0 AS DOUBLE) AS a1, CAST(1.0 AS DOUBLE) AS a0
+      |  FROM ty
+      |  UNION ALL
+      |  SELECT w, j + 1, a2, a1, a0,
+      |    (CASE WHEN (SELECT p FROM pr WHERE g = substr(w, j + 1, 1)) IS NOT NULL
+      |      THEN a0 * (SELECT p FROM pr WHERE g = substr(w, j + 1, 1))
+      |      ELSE 0.0 END)
+      |    + (CASE WHEN j - 1 >= 0
+      |        AND (SELECT p FROM pr WHERE g = substr(w, j, 2)) IS NOT NULL
+      |      THEN a1 * (SELECT p FROM pr WHERE g = substr(w, j, 2))
+      |      ELSE 0.0 END)
+      |    + (CASE WHEN j - 2 >= 0
+      |        AND (SELECT p FROM pr WHERE g = substr(w, j - 1, 3)) IS NOT NULL
+      |      THEN a2 * (SELECT p FROM pr WHERE g = substr(w, j - 1, 3))
+      |      ELSE 0.0 END)
+      |    + (CASE WHEN j - 3 >= 0
+      |        AND (SELECT p FROM pr WHERE g = substr(w, j - 2, 4)) IS NOT NULL
+      |      THEN a3 * (SELECT p FROM pr WHERE g = substr(w, j - 2, 4))
+      |      ELSE 0.0 END)
+      |  FROM fw WHERE j < len(w)),
+      |bw AS (
+      |  SELECT w, len(w) AS j, CAST(1.0 AS DOUBLE) AS b0, CAST(0.0 AS DOUBLE) AS b1,
+      |         CAST(0.0 AS DOUBLE) AS b2, CAST(0.0 AS DOUBLE) AS b3
+      |  FROM ty
+      |  UNION ALL
+      |  SELECT w, j - 1,
+      |    (CASE WHEN (SELECT p FROM pr WHERE g = substr(w, j, 1)) IS NOT NULL
+      |      THEN b0 * (SELECT p FROM pr WHERE g = substr(w, j, 1))
+      |      ELSE 0.0 END)
+      |    + (CASE WHEN j + 1 <= len(w)
+      |        AND (SELECT p FROM pr WHERE g = substr(w, j, 2)) IS NOT NULL
+      |      THEN b1 * (SELECT p FROM pr WHERE g = substr(w, j, 2))
+      |      ELSE 0.0 END)
+      |    + (CASE WHEN j + 2 <= len(w)
+      |        AND (SELECT p FROM pr WHERE g = substr(w, j, 3)) IS NOT NULL
+      |      THEN b2 * (SELECT p FROM pr WHERE g = substr(w, j, 3))
+      |      ELSE 0.0 END)
+      |    + (CASE WHEN j + 3 <= len(w)
+      |        AND (SELECT p FROM pr WHERE g = substr(w, j, 4)) IS NOT NULL
+      |      THEN b3 * (SELECT p FROM pr WHERE g = substr(w, j, 4))
+      |      ELSE 0.0 END),
+      |    b0, b1, b2
+      |  FROM bw WHERE j > 0),
+      |z AS (SELECT w, a0 AS z FROM fw WHERE j = len(w)),
+      |occ AS (
+      |  SELECT ty.w, ty.freq, CAST(i AS INT) AS i, CAST(L AS INT) AS L,
+      |         substr(ty.w, CAST(i AS INT), CAST(L AS INT)) AS g
+      |  FROM ty, unnest(generate_series(1, len(w))) AS u(i),
+      |       unnest(generate_series(1, 4)) AS v(L)
+      |  WHERE i + L - 1 <= len(w)),
+      |e AS (
+      |  SELECT occ.w, occ.freq, occ.g,
+      |    CAST(FLOOR(1000000.0 * (((fa.a0 * pr.p) * fb.b0) / z.z)) AS BIGINT) AS e_ppm
+      |  FROM occ
+      |  JOIN pr ON pr.g = occ.g
+      |  JOIN fw fa ON fa.w = occ.w AND fa.j = occ.i - 1
+      |  JOIN bw fb ON fb.w = occ.w AND fb.j = occ.i + occ.L - 1
+      |  JOIN z ON z.w = occ.w
+      |  WHERE z.z > 0),
+      |softc AS (
+      |  SELECT g, CAST(SUM(freq * e_ppm) AS BIGINT) AS cnt FROM e GROUP BY g),
+      |fin AS (
+      |  SELECT g FROM sub WHERE len(g) = 1
+      |  UNION ALL
+      |  SELECT g FROM (
+      |    SELECT g, row_number() OVER (ORDER BY cnt DESC, g) AS rn
+      |    FROM softc WHERE len(g) > 1) WHERE rn <= 40),
+      |fc AS (
+      |  SELECT f.g, COALESCE(softc.cnt, 0) AS cnt FROM fin f LEFT JOIN softc USING (g)),
+      |ft AS (SELECT SUM(cnt) AS t, COUNT(*) AS nv FROM fc)
+      |SELECT fc.g AS piece, fc.cnt AS cnt_ppm,
+      |  CAST(ROUND(1000000.0 * LN((ft.t + ft.nv) * 1.0 / (fc.cnt + 1)))
+      |    AS BIGINT) AS cost_micro
+      |FROM fc CROSS JOIN ft
+      |ORDER BY piece""".stripMargin) { (s, d) =>
+    unigramLmSoftTrain(Tables.documents(s, d))
+  }
+
   /** The composed DATA-SELECTION pipeline (VERDICT r12 item 7) — the
     * end-to-end run a selection user actually performs, with every
     * intermediate exposed (the q75/curateStages pattern):
@@ -1594,6 +1816,10 @@ object Curation {
       .join(docs.select(col("doc_id"), inDomain.cast("int").as("pos")),
         "doc_id")
     val auc = scoreAuc(labeled)
+    // the gate readout is the ONE AUC evaluation (ADVICE r13: the
+    // summary used to crossJoin the auc frame, recomputing the full
+    // Mann–Whitney aggregation over the doc-sized labeled frame) — the
+    // summary reuses this row's scalars as literals
     val aucPpm = auc.head().getLong(3) // the gate: one scalar, one row
     val selected =
       if (aucPpm >= gatePpm) selectByScoreBudget(scored, budget)
@@ -1606,8 +1832,8 @@ object Curation {
         coalesce(sum(col("n_tok")), lit(0L)).as("tok_selected"),
         sum(col("pos")).as("n_sel_in"))
     val summary = docs.agg(count(lit(1)).as("n_in"))
-      .crossJoin(auc.select(col("auc_ppm"),
-        (col("auc_ppm") >= gatePpm).cast("int").as("gate_passed")))
+      .select(col("n_in"), lit(aucPpm).as("auc_ppm"),
+        lit(if (aucPpm >= gatePpm) 1 else 0).as("gate_passed"))
       .crossJoin(selReport)
       .select(col("n_in"), col("auc_ppm"), col("gate_passed"),
         col("n_selected"), col("tok_selected"),

@@ -1593,11 +1593,21 @@ object Extended {
     * between a plain shuffle join, q219's salting, and AQE skew-split:
     * the key-frequency distribution of a prospective join key (count
     * quantiles, max, and the exact traffic share of the top 1% hottest
-    * keys in ppm). One map-side-combined count agg; the stats agg and
-    * the top-1% cut both run over #DISTINCT KEYS rows, not data rows —
-    * the global rank window is bounded by key cardinality (and at
-    * 100 TB you'd threshold-prefilter candidates above p99 before
-    * ranking). All readouts are exact integers.
+    * keys in ppm). One map-side-combined count agg builds the key-count
+    * frame (persisted — one fact scan serves every readout); the global
+    * (cnt DESC, k) rank runs through the q241/q268/q225 TWO-PHASE
+    * bucket/offset machinery, never a single-partition window: keys
+    * bucket by a descending div-grid on cnt (range from one bounded
+    * 1-row driver agg; equal counts share a bucket so ties stay
+    * bucket-local), bucket counts prefix-sum into offsets over the
+    * B-row frame (the only global window), rank = offset + within-
+    * bucket row_number. The exact percentiles come from the SAME ranks
+    * — percentile_disc(q) is by definition the value at ascending
+    * position ⌈q·n⌉ = descending position n+1−⌈q·n⌉ (ties share the
+    * value, so the tie-break is immaterial) — not from a single-reduce
+    * percentile buffer that would hold all n_keys values in one task.
+    * One conditional aggregate reads off top-1% traffic and both
+    * percentiles in a single pass. All readouts are exact integers.
     */
   val q221: QueryDef = QueryDef.checked(
     "q221_skew_diagnostic",
@@ -1622,22 +1632,45 @@ object Extended {
       |FROM st, top""".stripMargin) { (s, d) =>
     val c = Tables.lineitem(s, d)
       .groupBy(col("l_partkey").as("k")).agg(count(lit(1)).as("cnt"))
-    val st = c.agg(
-      count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"),
-      max(col("cnt")).as("max_cnt"),
-      expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY cnt) AS BIGINT)")
-        .as("p50_cnt"),
-      expr("CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY cnt) AS BIGINT)")
-        .as("p99_cnt"))
-    val r = c.withColumn("rnk",
-      row_number().over(Window.orderBy(col("cnt").desc, col("k"))))
-    val top = r.crossJoin(broadcast(st.select(col("n_keys"))))
-      .filter(col("rnk") <= expr("(n_keys + 99) div 100"))
-      .agg(sum(col("cnt")).as("top_cnt"), count(lit(1)).as("top_keys"))
-    broadcast(st).crossJoin(broadcast(top))
-      .select(col("n_rows"), col("n_keys"), col("max_cnt"), col("p50_cnt"),
-        col("p99_cnt"), col("top_keys"),
-        expr("(1000000L * top_cnt) div n_rows").as("top1pct_share_ppm"))
+      .persist()
+    val st = c.agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"),
+      max(col("cnt")).as("max_cnt"), min(col("cnt")).as("min_cnt")).head()
+    if (st.isNullAt(2)) {
+      // empty source: mirror selectByScoreBudget's guard — an empty
+      // frame with the result schema, never an NPE on the null agg
+      c.select(lit(0L).as("n_rows"), lit(0L).as("n_keys"),
+        lit(0L).as("max_cnt"), lit(0L).as("p50_cnt"), lit(0L).as("p99_cnt"),
+        lit(0L).as("top_keys"), lit(0L).as("top1pct_share_ppm")).limit(0)
+    } else {
+      val nKeys = st.getLong(0); val nRows = st.getLong(1)
+      val maxCnt = st.getLong(2); val minCnt = st.getLong(3)
+      val buckets = 64
+      val width = (maxCnt - minCnt) / buckets + 1L
+      val nTop = (nKeys + 99L) / 100L
+      // percentile_disc(q) = value at ascending rank ceil(q*n); read it
+      // at the mirrored descending rank n+1-ceil(q*n)
+      val d50 = nKeys + 1L - (nKeys + 1L) / 2L
+      val d99 = nKeys + 1L - (99L * nKeys + 99L) / 100L
+      val b = c.withColumn("bkt", expr(s"(${maxCnt}L - cnt) div ${width}L"))
+      val offs = b.groupBy(col("bkt")).agg(count(lit(1)).as("bn"))
+        .withColumn("off", coalesce(sum(col("bn")).over(
+          Window.orderBy(col("bkt"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("bkt"), col("off"))
+      val ranked = b.join(broadcast(offs), Seq("bkt"))
+        .select(col("cnt"), (col("off") + row_number().over(
+          Window.partitionBy(col("bkt"))
+            .orderBy(col("cnt").desc, col("k")))).as("rnk"))
+      ranked.agg(
+          sum(when(col("rnk") <= nTop, col("cnt"))).as("top_cnt"),
+          count(when(col("rnk") <= nTop, lit(1))).as("top_keys"),
+          max(when(col("rnk") === d50, col("cnt"))).as("p50_cnt"),
+          max(when(col("rnk") === d99, col("cnt"))).as("p99_cnt"))
+        .select(lit(nRows).as("n_rows"), lit(nKeys).as("n_keys"),
+          lit(maxCnt).as("max_cnt"), col("p50_cnt"), col("p99_cnt"),
+          col("top_keys"),
+          expr(s"(1000000L * top_cnt) div ${nRows}L").as("top1pct_share_ppm"))
+    }
   }
 
   /** q227: hierarchical rollup — subtree aggregation over a forest, the

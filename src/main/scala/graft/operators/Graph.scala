@@ -1445,12 +1445,18 @@ object Graph {
   /** Session-scoped memo key suffix with LIFECYCLE: frames memoized
     * under a stopped session are unusable (their checkpointed RDDs died
     * with the context), so the first suffix request per session
-    * registers a context-end listener that purges every entry carrying
-    * this session's suffix from all six maps. The maps therefore cannot
-    * accumulate frames across stopped sessions, and a GC-recycled
-    * identity hash cannot alias a dead session's frame to a new one
-    * (ADVICE r12) — the purge runs before any later session could
-    * plausibly collide on the hash.
+    * registers a CONTEXT-end listener that purges every entry carrying
+    * this session's suffix from all six maps. The guarantee is
+    * cross-CONTEXT: the maps cannot accumulate frames across stopped
+    * SparkContexts, and a GC-recycled identity hash cannot alias a dead
+    * context's frame into a later context (ADVICE r12) — the purge runs
+    * at context end, before any session of a NEW context could collide
+    * on the hash. Within one long-lived context, sessions created and
+    * discarded (`newSession`) keep their entries until context end —
+    * their checkpointed RDDs are still alive and correct there (memos
+    * key on the DATA, suffixed per session only for isolation), so this
+    * is retention, not staleness; intra-context session churn at scale
+    * should reuse one session per graph workload (ADVICE r13).
     */
   private def sessionSuffix(s: org.apache.spark.sql.SparkSession): String = {
     val h = System.identityHashCode(s)

@@ -686,6 +686,12 @@ object Sampling {
     val st = docs
       .agg(min(col("n_chars")).as("mn"), max(col("n_chars")).as("mx"),
         count(lit(1)).as("n")).head()
+    if (st.isNullAt(0)) {
+      // empty source: mirror selectByScoreBudget's guard — the old
+      // global-window form returned an empty frame here, not an NPE
+      docs.select(col("doc_id"), col("source"), col("n_chars"),
+        col("n_chars").as("norm_chars")).limit(0)
+    } else {
     val (mn, mx, n) = (st.getLong(0), st.getLong(1), st.getLong(2))
     val buckets = 64
     val width = (mx - mn) / buckets + 1L
@@ -705,6 +711,7 @@ object Sampling {
       .select(col("doc_id"), col("source"), col("n_chars"),
         col("gv").as("norm_chars"))
       .orderBy(col("doc_id"))
+    }
   }
 
   /** q226: weighted median — the robust-stats cut q164/q171/q192 leave

@@ -478,4 +478,25 @@ class PlanShapeSpec extends AnyFunSuite {
         s"$name: the B-row offset frame must join broadcast:\n$plan")
     }
   }
+
+  test("q221 ranks the key frame two-phase - no single-partition window " +
+      "or percentile buffer over the keys") {
+    val plan = executedPlan("q221_skew_diagnostic")
+    val finalPlan = plan.split("== Initial Plan ==").head
+    // the key-sized row_number window must shuffle on the bucket column
+    // (the q241/q268 discipline) and the offsets frame must broadcast
+    assert(finalPlan.contains("hashpartitioning(bkt"),
+      s"expected the per-bucket key-frame shuffle:\n$finalPlan")
+    assert(finalPlan.contains("BroadcastHashJoin"),
+      s"the B-row offset frame must join broadcast:\n$finalPlan")
+    // the exact percentiles now come from the same two-phase ranks —
+    // never a single-reduce percentile buffer holding all n_keys values
+    assert(!finalPlan.contains("percentile"),
+      s"no single-reduce percentile aggregate expected:\n$finalPlan")
+    // allowed single-partition funnels: the <=65-row offsets window and
+    // the 1-row final readout agg — never the data- or key-sized frame
+    val singles = "Exchange SinglePartition".r.findAllIn(finalPlan).length
+    assert(singles <= 2,
+      s"more than two single-partition funnels ($singles):\n$finalPlan")
+  }
 }

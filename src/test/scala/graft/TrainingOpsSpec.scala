@@ -226,6 +226,29 @@ class TrainingOpsSpec extends AnyFunSuite {
       ("c", 0L, 1791759L)))
   }
 
+  test("unigramLmSoftTrain: hand-traced forward-backward posteriors") {
+    // corpus "ab ab b b": types ab(2), b(2). Seed counts a:2, b:4,
+    // ab:2, t=8 -> EXACT binary probabilities p(a)=.25, p(b)=.5,
+    // p(ab)=.25 (so the lattice doubles are hand-computable).
+    // Word "ab": alpha = [1, .25, .375], Z=.375; beta = [.375, .5, 1].
+    //   occ a(1,1): 1*.25*.5/.375  = 1/3 -> floor(1e6*x) = 333333
+    //   occ ab(1,2): 1*.25*1/.375  = 2/3 -> 666666
+    //   occ b(2,1): .25*.5*1/.375  = 1/3 -> 333333
+    // Word "b": Z=.5; occ b(1,1) = 1.0 exactly -> 1000000.
+    // Soft counts (freq-weighted): a 2*333333=666666,
+    // ab 2*666666=1333332, b 2*333333+2*1000000=2666666 — the
+    // POSTERIOR SPLIT hard-EM can't produce (q280 credits ab:2, a:0).
+    // M-step re-uses q280's proven smoothing formula on these counts.
+    val out = Curation.unigramLmSoftTrain(docsOf("ab ab b b")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val cnts = Map("a" -> 666666L, "ab" -> 1333332L, "b" -> 2666666L)
+    val t = cnts.values.sum; val nv = cnts.size
+    val expected = cnts.toSeq.sortBy(_._1).map { case (g, c) =>
+      (g, c, math.round(1e6 * math.log((t + nv) * 1.0 / (c + 1))))
+    }.toArray
+    assert(out === expected)
+  }
+
   test("unigramLmEncode: fertility from the final model's Viterbi pass") {
     import spark.implicits._
     // same tie-break corpus: final model a/bc cheap (1098612), b/c dear
