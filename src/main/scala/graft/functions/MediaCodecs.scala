@@ -171,6 +171,43 @@ object MediaCodecs {
     frames.result()
   }
 
+  /** 56-bit horizontal-difference perceptual hash (dHash) of the BMP at
+    * the start of `payload` — the classic near-duplicate image
+    * fingerprint (compare neighboring cells of a downsampled grayscale
+    * grid; one bit per comparison), sized to 8 rows × 7 column
+    * comparisons so the hash stays in the non-negative half of a
+    * BIGINT (no sign-bit portability hazards in either engine).
+    * Geometry comes from the PARSED header ([[decodeBmpHeader]]);
+    * sampling is nearest-neighbor on the pixel-array grid (row r of 8
+    * maps to array row r·h/8, column c of 8 to pixel c·w/8 — integer
+    * division, so both engines agree exactly); gray = (b+g+r)/3 of the
+    * sampled pixel's three data bytes. Row-local: no Spark imports, so
+    * it runs inside partition-batched `mapPartitions` tasks next to the
+    * other codecs.
+    */
+  def dHash56(payload: Array[Byte]): Long = {
+    val hd = decodeBmpHeader(payload, 0)
+    val stride = bmpRowBytes(hd.width)
+    def gray(x: Int, rArr: Int): Int = {
+      val o = hd.dataOff + rArr * stride + 3 * x
+      ((payload(o) & 0xff) + (payload(o + 1) & 0xff)
+        + (payload(o + 2) & 0xff)) / 3
+    }
+    var h = 0L
+    var r = 0
+    while (r < 8) {
+      val y = r * hd.height / 8
+      var c = 0
+      while (c < 7) {
+        if (gray((c + 1) * hd.width / 8, y) > gray(c * hd.width / 8, y))
+          h |= 1L << (r * 7 + c)
+        c += 1
+      }
+      r += 1
+    }
+    h
+  }
+
   // ---- WAV (RIFF PCM) ----------------------------------------------
 
   /** Encode a mono 16-bit PCM WAV with the canonical 44-byte

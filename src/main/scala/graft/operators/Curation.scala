@@ -23,7 +23,7 @@ object Curation {
   def defs: Seq[QueryDef] =
     Seq(q59, q60, q61, q66, q74, q75, q76, q84, q115, q123, q143, q154,
       q255, q256, q264, q265, q268, q271, q274, q277, q279, q280, q281,
-      q284)
+      q284, q286)
 
   /** Top-`k` distinctive terms per document, ranked by tf/df (document
     * frequency as the rarity signal — the idf log is monotonic in 1/df,
@@ -1924,10 +1924,15 @@ object Curation {
     * 0.67–1.08 s across k=5..1000 — crossover ≈ k≈150 on these short
     * documents, earlier the longer the text. At 100 TB the same plan holds
     * until the phrase list itself outgrows a broadcast (~10⁷ phrases),
-    * where the gram–phrase join shifts to a shuffle join on gram hash.
+    * where `broadcastList = false` shifts the gram–phrase join to a
+    * SHUFFLE join keyed on xxhash64(gram) — the q278/q283 trade: both
+    * sides exchange an 8-byte bigint instead of the gram string, no
+    * per-task phrase table is built, and a 64-bit collision can only
+    * ADD a spurious hit, so running the exact-form oracle against the
+    * hashed plan (q286) re-certifies collision-freeness every round.
     */
   def blocklistHitsLarge(docs: DataFrame, phrases: DataFrame,
-      n: Int = 3): DataFrame = {
+      n: Int = 3, broadcastList: Boolean = true): DataFrame = {
     val grams = docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), explode(expr(
@@ -1935,8 +1940,17 @@ object Curation {
            |  THEN array_distinct(transform(sequence(1, size(toks) - ${n - 1}),
            |    i -> concat_ws(' ', slice(toks, i, $n))))
            |  ELSE array() END""".stripMargin)).as("g"))
-    val hits = grams
-      .join(broadcast(phrases.select(col("g"))), Seq("g"))
+    val matched =
+      if (broadcastList)
+        grams.join(broadcast(phrases.select(col("g"))), Seq("g"))
+      else
+        // beyond the broadcast ceiling: hash both sides to 8 bytes and
+        // shuffle on the bigint key (hint pins the shuffle at test
+        // scale, where size stats would elect a broadcast)
+        grams.select(col("doc_id"), xxhash64(col("g")).as("gk"))
+          .join(phrases.select(xxhash64(col("g")).as("gk")).hint("shuffle_hash"),
+            Seq("gk"))
+    val hits = matched
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
     docs.select(col("doc_id"))
       .join(hits, Seq("doc_id"), "left")
@@ -1982,5 +1996,42 @@ object Curation {
       .limit(1000)
       .select(col("g"))
     blocklistHitsLarge(docs, block)
+  }
+
+  /** q286: q277's beyond-broadcast path — the same mining and the same
+    * token-anchored semantics, but the gram–phrase join SHUFFLES on
+    * xxhash64(gram) (the shape for ≥10⁷-phrase lists, where no per-task
+    * phrase table fits). The oracle is q277's EXACT string-form SQL, so
+    * the driver gate re-certifies 64-bit collision-freeness every round
+    * (a collision can only add a spurious hit) — the q278/q283
+    * precedent; the plan pin holds the exchange to the bigint key.
+    */
+  val q286: QueryDef = QueryDef.checked(
+    "q286_blocklist_shuffle",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS t,
+      |    generate_subscripts(string_split(text, ' '), 1) AS pos FROM documents),
+      |tri AS (
+      |  SELECT DISTINCT doc_id, t || ' ' || lead(t) OVER w || ' ' || lead(t, 2) OVER w AS g
+      |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+      |  QUALIFY lead(t, 2) OVER w IS NOT NULL),
+      |block AS (
+      |  SELECT g FROM (
+      |    SELECT g, row_number() OVER (ORDER BY COUNT(*) DESC, g) AS rn
+      |    FROM tri GROUP BY g) WHERE rn <= 1000),
+      |hits AS (
+      |  SELECT t.doc_id, COUNT(*) AS n_hits FROM tri t JOIN block b USING (g)
+      |  GROUP BY t.doc_id)
+      |SELECT d.doc_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+      |  CAST(COALESCE(h.n_hits, 0) > 0 AS INT) AS flagged
+      |FROM documents d LEFT JOIN hits h USING (doc_id)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val block = Dedup.shingles(docs)
+      .groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("g"))
+      .limit(1000)
+      .select(col("g"))
+    blocklistHitsLarge(docs, block, broadcastList = false)
   }
 }

@@ -44,7 +44,7 @@ final case class MediaFeatures(
   */
 object Multimodal {
 
-  def defs: Seq[QueryDef] = Seq(q38, q39, q212, q282)
+  def defs: Seq[QueryDef] = Seq(q38, q39, q212, q282, q285)
 
   /** documents → typed multimodal dataset (payload = UTF-8 bytes of text;
     * media_type cycles image/audio/video by doc_id).
@@ -323,5 +323,115 @@ object Multimodal {
         (id, hd.width, hd.height, hd.dataOff)
       }).toDF("doc_id", "w", "h", "data_off")
     patchManifest(imgs)
+  }
+
+  /** Perceptual-hash near-duplicate detection over an image corpus —
+    * the image analogue of q28's MinHash/LSH text dedup, connecting the
+    * codec surface to the dedup machinery. Input: one (doc_id, phash)
+    * row per image ([[graft.functions.MediaCodecs.dHash56]] over the
+    * decoded pixel grid — row-local, computed inside the same
+    * partition-batched decode pass as every other codec op). Candidate
+    * generation is BANDED, never all-pairs: the 56-bit hash splits into
+    * 4 bands of 14 bits, images equi-join on (band index, band value),
+    * and only band-colliding pairs pay the Hamming verify
+    * (bit_count(h₁ XOR h₂) ≤ `maxHamming`). Pigeonhole guarantee: any
+    * pair within Hamming distance 3 shares at least one intact band and
+    * is always found; distances 4..maxHamming are found unless the
+    * flips spread across all four bands (the standard LSH recall trade,
+    * replayed identically by the oracle). At 100 TB the band join
+    * shuffles 4 rows of 20 bytes per image — the hash exchange is
+    * narrower than any pixel move, and the verify touches only
+    * colliding pairs. Output: one row per image with its hash and its
+    * verified near-duplicate partner count.
+    */
+  def phashDedup(imgs: DataFrame, maxHamming: Int = 6): DataFrame = {
+    val ph = imgs
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = ph.select(col("doc_id"), col("phash"),
+        explode(expr(
+          """transform(sequence(0, 3), i -> named_struct(
+            |  'band_i', CAST(i AS INT),
+            |  'band_v', shiftright(phash, CAST(14 * i AS INT)) & 16383L))"""
+            .stripMargin)).as("b"))
+      .select(col("doc_id"), col("phash"), col("b.band_i"), col("b.band_v"))
+    val cand = bands.select(col("band_i"), col("band_v"),
+        col("doc_id").as("da"), col("phash").as("ha"))
+      .join(bands.select(col("band_i"), col("band_v"),
+        col("doc_id").as("db"), col("phash").as("hb")),
+        Seq("band_i", "band_v"))
+      .filter(col("da") < col("db"))
+      .select(col("da"), col("db"), col("ha"), col("hb")).distinct()
+    val ver = cand.filter(expr(s"bit_count(ha ^ hb) <= $maxHamming"))
+    val partners = ver.select(col("da").as("doc_id"))
+      .unionByName(ver.select(col("db").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_partners"))
+    ph.join(partners, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("phash"),
+        coalesce(col("n_partners"), lit(0L)).as("n_partners"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q285: dHash near-dup detection over the image rows — encode each
+    * image document into its real BMP, hash the DECODED pixel grid
+    * (header-parsed geometry — the q39/q282 round-trip discipline), and
+    * run the banded Hamming dedup. The oracle replays the hash from the
+    * generation formulas (pixel bytes cycle the text bytes) and the
+    * identical banding/verify pipeline, so a corrupted encoder, header
+    * parser, sampler, or band split breaks the hash check.
+    */
+  val q285: QueryDef = QueryDef.checked(
+    "q285_phash_dedup",
+    """WITH img AS (
+      |  SELECT doc_id, text, octet_length(encode(text)) AS tl,
+      |    CAST(4 + n_chars % 29 AS INT) AS w,
+      |    CAST(4 + (n_chars // 29) % 13 AS INT) AS h,
+      |    CAST(((3 * (4 + n_chars % 29) + 3) // 4) * 4 AS INT) AS stride
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |bits AS (
+      |  SELECT doc_id, CAST(r AS INT) AS r, CAST(c AS INT) AS c,
+      |    (ascii(substr(text, CAST(((r * h // 8) * stride + 3 * (c * w // 8)) % tl AS INT) + 1, 1))
+      |     + ascii(substr(text, CAST((((r * h // 8) * stride + 3 * (c * w // 8)) + 1) % tl AS INT) + 1, 1))
+      |     + ascii(substr(text, CAST((((r * h // 8) * stride + 3 * (c * w // 8)) + 2) % tl AS INT) + 1, 1))) // 3 AS g1,
+      |    (ascii(substr(text, CAST(((r * h // 8) * stride + 3 * ((c + 1) * w // 8)) % tl AS INT) + 1, 1))
+      |     + ascii(substr(text, CAST((((r * h // 8) * stride + 3 * ((c + 1) * w // 8)) + 1) % tl AS INT) + 1, 1))
+      |     + ascii(substr(text, CAST((((r * h // 8) * stride + 3 * ((c + 1) * w // 8)) + 2) % tl AS INT) + 1, 1))) // 3 AS g2
+      |  FROM img,
+      |    unnest(generate_series(0, 7)) AS rr(r),
+      |    unnest(generate_series(0, 6)) AS cc(c)),
+      |ph AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CASE WHEN g2 > g1
+      |      THEN 1::BIGINT << CAST(r * 7 + c AS INT) ELSE 0 END) AS BIGINT)
+      |      AS phash
+      |  FROM bits GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, phash, CAST(i AS INT) AS band_i,
+      |    CAST((phash >> CAST(14 * i AS INT)) & 16383 AS BIGINT) AS band_v
+      |  FROM ph, unnest(generate_series(0, 3)) AS bi(i)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+      |    a.phash AS ha, b.phash AS hb
+      |  FROM bands a JOIN bands b
+      |    ON a.band_i = b.band_i AND a.band_v = b.band_v
+      |    AND a.doc_id < b.doc_id),
+      |ver AS (SELECT da, db FROM cand WHERE bit_count(xor(ha, hb)) <= 6),
+      |partners AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_partners FROM (
+      |    SELECT da AS doc_id FROM ver UNION ALL SELECT db FROM ver)
+      |  GROUP BY doc_id)
+      |SELECT ph.doc_id, ph.phash, COALESCE(p.n_partners, 0) AS n_partners
+      |FROM ph LEFT JOIN partners p USING (doc_id)
+      |ORDER BY ph.doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val imgs = Tables.documents(s, d)
+      .filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .as[(Long, String, Long)]
+      .mapPartitions(_.map { case (id, text, nChars) =>
+        val payload = encodeContainer(id, nChars,
+          text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        (id, MediaCodecs.dHash56(payload))
+      }).toDF("doc_id", "phash")
+    phashDedup(imgs)
   }
 }

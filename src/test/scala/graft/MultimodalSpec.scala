@@ -185,6 +185,73 @@ class MultimodalSpec extends AnyFunSuite {
     assert((hd.width, hd.height, hd.dataOff) === ((6, 5, 54)))
   }
 
+  test("dHash56: hand-computed bits on engineered gradients") {
+    // constant image: every sampled gray equal -> no comparison fires
+    assert(MediaCodecs.dHash56(MediaCodecs.encodeBmp(8, 8, _ => 7)) === 0L)
+    // 8x8, stride 24 (3*8 pixel bytes, no padding). One bright pixel at
+    // array row 0, x=7: gray(7,0)=90 > gray(x,0)=30 elsewhere. Sampled
+    // row r=0 maps to array row 0 only for r=0 (r*8/8 = r). Column
+    // samples x_c = c. Only comparison (r=0, c=6): g(7) > g(6) -> bit
+    // r*7+c = 6. All other rows constant.
+    val bmp = MediaCodecs.encodeBmp(8, 8, i =>
+      if (i < 24 && i / 3 == 7) 90.toByte else 30.toByte)
+    assert(MediaCodecs.dHash56(bmp) === (1L << 6))
+    // descending gradient on row 0: g decreasing -> no g2 > g1 bit; and
+    // ascending -> all 7 bits of row 0
+    val asc = MediaCodecs.encodeBmp(8, 8, i =>
+      if (i < 24) (10 * (i / 3)).toByte else 5.toByte)
+    assert(MediaCodecs.dHash56(asc) === 0x7fL)
+  }
+
+  test("phashDedup: planted duplicates found, banding bounds honest") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // literal hashes exercise the band/verify logic directly:
+    //  - 10 and 11: identical (hamming 0) -> partners
+    //  - 20 and 21: 3 flips, all in band 0 -> >=1 intact band, found
+    //  - 30 and 31: 4 flips spread one per band -> NO shared band, the
+    //    documented pigeonhole miss (recall trade, mirrored by oracle)
+    //  - 40 and 41: share bands 1..3 but hamming 14 (> 6) -> candidate
+    //    generated, verify filters it
+    val h10 = 0x31415926535897L
+    val h20 = 0x123456789abcL
+    val h21 = h20 ^ 0x7L // 3 flips in band 0
+    val h30 = 0x0fedcba98765L
+    val h31 = h30 ^ ((1L << 0) | (1L << 14) | (1L << 28) | (1L << 42))
+    val h40 = 0x0deadbeef135L
+    val h41 = h40 ^ 0x3fffL // 14 flips, all in band 0
+    val imgs = Seq(
+      (10L, h10), (11L, h10), (20L, h20), (21L, h21),
+      (30L, h30), (31L, h31), (40L, h40), (41L, h41)
+    ).toDF("doc_id", "phash")
+    val out = Multimodal.phashDedup(imgs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out === Map(10L -> 1L, 11L -> 1L, 20L -> 1L, 21L -> 1L,
+      30L -> 0L, 31L -> 0L, 40L -> 0L, 41L -> 0L))
+    spark.catalog.clearCache()
+  }
+
+  test("phashDedup end-to-end: identical texts yield identical images and pair up") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val text = "the quick brown fox jumps over the lazy dog"
+    val other = "a completely different document body with other bytes"
+    val imgs = Seq((0L, text), (3L, text), (6L, other))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", org.apache.spark.sql.functions
+        .length(org.apache.spark.sql.functions.col("text")).cast("long"))
+      .as[(Long, String, Long)]
+      .mapPartitions(_.map { case (id, t, n) =>
+        val payload = Multimodal.encodeContainer(id, n,
+          t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        (id, MediaCodecs.dHash56(payload))
+      }).toDF("doc_id", "phash")
+    val out = Multimodal.phashDedup(imgs).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(out === Array((0L, 1L), (3L, 1L), (6L, 0L)))
+    spark.catalog.clearCache()
+  }
+
   test("fuzz: AudioSystem-encoded WAVs decode with exact sample statistics") {
     val rnd = new scala.util.Random(1848)
     (0 until 12).foreach { trial =>

@@ -479,6 +479,21 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q286's phrase join shuffles on the 8-byte gram hash, no broadcast build") {
+    val plan = executedPlan("q286_blocklist_shuffle")
+    val finalPlan = plan.split("== Initial Plan ==").head
+    // the beyond-broadcast claim: the gram-phrase join must exchange on
+    // the bigint xxhash64 key (gk#...L), not build a phrase hash table
+    assert(finalPlan.contains("xxhash64"),
+      s"expected xxhash64 gram hashing on both join inputs:\n$finalPlan")
+    assert("hashpartitioning\\(gk#\\d+L".r.findFirstIn(finalPlan).isDefined,
+      s"the phrase join must shuffle on the bigint gram hash:\n$finalPlan")
+    val control = executedPlan("q277_blocklist_large")
+      .split("== Initial Plan ==").head
+    assert("hashpartitioning\\(gk#\\d+L".r.findFirstIn(control).isEmpty,
+      "control: the broadcast form has no gram-hash exchange")
+  }
+
   test("q221 ranks the key frame two-phase - no single-partition window " +
       "or percentile buffer over the keys") {
     val plan = executedPlan("q221_skew_diagnostic")

@@ -229,6 +229,29 @@ class SelectionOpsSpec extends AnyFunSuite {
       .count() === 1L)
   }
 
+  test("blocklistHitsLarge: shuffle-on-gram-hash path equals the broadcast form") {
+    import spark.implicits._
+    // the beyond-broadcast fallback (q286) must be result-identical to
+    // the broadcast form absent 64-bit collisions — on the hand corpus
+    // AND on the catalog corpus with its self-mined 1000-phrase list
+    val docs = Seq(
+      (0L, "m a b c n"), (1L, "xa b cy"), (2L, "a b c p q r p q r"),
+      (3L, "a b")
+    ).toDF("doc_id", "text")
+    val phrases = Seq("a b c", "p q r").toDF("g")
+    assert(operators.Curation.blocklistHitsLarge(docs, phrases,
+        broadcastList = false).collect().toSeq ===
+      operators.Curation.blocklistHitsLarge(docs, phrases).collect().toSeq)
+    val corpus = Tables.documents(spark, TestSpark.Sf0001)
+    val block = Dedup.shingles(corpus)
+      .groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("g")).limit(1000).select(col("g"))
+    assert(operators.Curation.blocklistHitsLarge(corpus, block,
+        broadcastList = false).collect().toSeq ===
+      operators.Curation.blocklistHitsLarge(corpus, block).collect().toSeq)
+    spark.catalog.clearCache()
+  }
+
   test("matryoshkaRecall ppm grid is exact when topK does not divide 1e6") {
     import spark.implicits._
     // topK=3 with full agreement must read exactly 1000000 ppm, not
