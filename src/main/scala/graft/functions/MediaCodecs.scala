@@ -242,12 +242,16 @@ object MediaCodecs {
       bitsPerSample: Int, nSamples: Long, meanAbs: Double,
       zeroCrossings: Long)
 
-  /** Parse a RIFF/WAVE file by walking its chunk list — chunks may come
-    * in any order and unknown chunks (LIST, fact, …) are skipped by
-    * their declared size, per the RIFF grammar. Requires PCM 16-bit
-    * (the profile this library writes).
+  private final case class WavChunks(fmt: Int, channels: Int,
+      sampleRate: Int, bits: Int, dataOff: Int, dataLen: Int)
+
+  /** Walk a RIFF/WAVE chunk list — chunks may come in any order and
+    * unknown chunks (LIST, fact, …) are skipped by their declared
+    * size, per the RIFF grammar — and validate the PCM-16-mono profile
+    * (the one this library writes). Shared by [[decodeWav]] and
+    * [[aHash56Wav]].
     */
-  def decodeWav(b: Array[Byte]): WavAudio = {
+  private def walkWavChunks(b: Array[Byte]): WavChunks = {
     require(b.length >= 12, "truncated RIFF header")
     require(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
       b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E',
@@ -277,7 +281,17 @@ object MediaCodecs {
     require(fmt == 1 && bits == 16 && channels == 1,
       s"unsupported WAV profile: fmt=$fmt bits=$bits channels=$channels")
     require(dataOff >= 0, "no data chunk")
-    val n = dataLen / 2
+    WavChunks(fmt, channels, sampleRate, bits, dataOff, dataLen)
+  }
+
+  /** Parse a RIFF/WAVE file ([[walkWavChunks]]) and emit the classic
+    * cheap audio features from its PCM data.
+    */
+  def decodeWav(b: Array[Byte]): WavAudio = {
+    val c = walkWavChunks(b)
+    val (sampleRate, bits, channels) = (c.sampleRate, c.bits, c.channels)
+    val dataOff = c.dataOff
+    val n = c.dataLen / 2
     var sumAbs = 0L; var zc = 0L; var prevSign = 0
     var i = 0
     while (i < n) {
@@ -292,5 +306,36 @@ object MediaCodecs {
     }
     WavAudio(channels, sampleRate, bits, n.toLong,
       if (n == 0) 0.0 else sumAbs.toDouble / n, zc)
+  }
+
+  /** 56-bit energy-difference audio fingerprint of a PCM-16-mono WAV —
+    * the audio sibling of [[dHash56]]: the sample stream splits into 57
+    * index-proportional windows (sample i lands in window ⌊i·57/n⌋ —
+    * integer arithmetic, so both engines agree exactly; short clips
+    * leave trailing windows empty at energy 0), window energy = Σ|s|
+    * (exact BIGINT — no floats anywhere), and bit k compares
+    * neighboring energies E(k+1) > E(k), k = 0..55. Same non-negative
+    * BIGINT shape as dHash56, so the banded Hamming dedup
+    * ([[graft.operators.Multimodal.phashDedup]]) serves both
+    * modalities unchanged.
+    */
+  def aHash56Wav(payload: Array[Byte]): Long = {
+    val c = walkWavChunks(payload)
+    val n = c.dataLen / 2
+    if (n == 0) return 0L
+    val e = new Array[Long](57)
+    var i = 0
+    while (i < n) {
+      val s = (le16(payload, c.dataOff + 2 * i) << 16) >> 16 // sign-extend
+      e((i.toLong * 57L / n).toInt) += math.abs(s).toLong
+      i += 1
+    }
+    var h = 0L
+    var k = 0
+    while (k < 56) {
+      if (e(k + 1) > e(k)) h |= 1L << k
+      k += 1
+    }
+    h
   }
 }

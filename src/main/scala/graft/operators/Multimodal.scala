@@ -44,7 +44,7 @@ final case class MediaFeatures(
   */
 object Multimodal {
 
-  def defs: Seq[QueryDef] = Seq(q38, q39, q212, q282, q285)
+  def defs: Seq[QueryDef] = Seq(q38, q39, q212, q282, q285, q287)
 
   /** documents → typed multimodal dataset (payload = UTF-8 bytes of text;
     * media_type cycles image/audio/video by doc_id).
@@ -433,5 +433,81 @@ object Multimodal {
         (id, MediaCodecs.dHash56(payload))
       }).toDF("doc_id", "phash")
     phashDedup(imgs)
+  }
+
+  /** q287: energy-fingerprint near-dup detection over the AUDIO rows —
+    * encode each audio document into its real PCM WAV, fingerprint the
+    * DECODED sample stream ([[graft.functions.MediaCodecs.aHash56Wav]]
+    * — all-integer window energies through the real chunk walk), and
+    * run the SAME banded Hamming dedup as q285 (the fingerprint was
+    * shaped to reuse it — one dedup operator serves both modalities).
+    * The oracle replays the energies from the generation formulas
+    * (sample i = (text byte − 128)·256 cycling), so a corrupted
+    * encoder, chunk walker, window assignment, or band split breaks
+    * the hash. Honest corpus note: this corpus plants NEAR-dup TEXTS,
+    * not near-dup audio — a one-token edit shifts every subsequent
+    * sample byte and re-divides the windows, so (unlike q285's sparse
+    * pixel sampling) no catalog pair survives within Hamming 6 and the
+    * catalog partner counts are all 0; the dedup path itself is proven
+    * by MultimodalSpec's planted identical/near-identical clips and by
+    * q285 sharing the identical banding code.
+    */
+  val q287: QueryDef = QueryDef.checked(
+    "q287_audio_fp_dedup",
+    """WITH aud AS (
+      |  SELECT doc_id, text, octet_length(encode(text)) AS tl,
+      |    CAST(LEAST(n_chars, 4096) AS BIGINT) AS n
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |samp AS (
+      |  SELECT doc_id,
+      |    ABS((ascii(substr(text, CAST(i % tl AS INT) + 1, 1)) - 128) * 256) AS a,
+      |    CAST(i * 57 // n AS INT) AS k
+      |  FROM aud, unnest(generate_series(0, n - 1)) AS u(i)
+      |  WHERE n > 0),
+      |en AS (SELECT doc_id, k, CAST(SUM(a) AS BIGINT) AS e
+      |  FROM samp GROUP BY doc_id, k),
+      |grid AS (
+      |  SELECT doc_id, CAST(k AS INT) AS k
+      |  FROM aud, unnest(generate_series(0, 56)) AS g(k)),
+      |ee AS (
+      |  SELECT grid.doc_id, grid.k, COALESCE(en.e, 0) AS e
+      |  FROM grid LEFT JOIN en USING (doc_id, k)),
+      |ph AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CASE WHEN e_next > e THEN 1::BIGINT << k ELSE 0 END)
+      |      AS BIGINT) AS phash
+      |  FROM (SELECT doc_id, k, e,
+      |          lead(e) OVER (PARTITION BY doc_id ORDER BY k) AS e_next
+      |        FROM ee)
+      |  WHERE k <= 55 GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, phash, CAST(i AS INT) AS band_i,
+      |    CAST((phash >> CAST(14 * i AS INT)) & 16383 AS BIGINT) AS band_v
+      |  FROM ph, unnest(generate_series(0, 3)) AS bi(i)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+      |    a.phash AS ha, b.phash AS hb
+      |  FROM bands a JOIN bands b
+      |    ON a.band_i = b.band_i AND a.band_v = b.band_v
+      |    AND a.doc_id < b.doc_id),
+      |ver AS (SELECT da, db FROM cand WHERE bit_count(xor(ha, hb)) <= 6),
+      |partners AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_partners FROM (
+      |    SELECT da AS doc_id FROM ver UNION ALL SELECT db FROM ver)
+      |  GROUP BY doc_id)
+      |SELECT ph.doc_id, ph.phash, COALESCE(p.n_partners, 0) AS n_partners
+      |FROM ph LEFT JOIN partners p USING (doc_id)
+      |ORDER BY ph.doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val clips = Tables.documents(s, d)
+      .filter(col("doc_id") % 3 === 1)
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .as[(Long, String, Long)]
+      .mapPartitions(_.map { case (id, text, nChars) =>
+        val payload = encodeContainer(id, nChars,
+          text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        (id, MediaCodecs.aHash56Wav(payload))
+      }).toDF("doc_id", "phash")
+    phashDedup(clips)
   }
 }

@@ -252,6 +252,48 @@ class MultimodalSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("aHash56Wav: hand-computed energy-difference bits") {
+    // 57 samples -> window k = i (one sample per window), E_k = |s_k|
+    def wav(f: Int => Short) =
+      MediaCodecs.encodeWavPcm16Mono(8000, Array.tabulate(57)(f))
+    // constant energies: no comparison fires
+    assert(MediaCodecs.aHash56Wav(wav(_ => 100)) === 0L)
+    // strictly increasing energies: all 56 bits
+    assert(MediaCodecs.aHash56Wav(wav(i => ((i + 1) * 100).toShort)) ===
+      (1L << 56) - 1L)
+    // one spike at window 7: only E(7) > E(6) fires (bit 6); E(8) < E(7)
+    // clears bit 7; everything else equal
+    assert(MediaCodecs.aHash56Wav(
+      wav(i => if (i == 7) 1000 else 100)) === (1L << 6))
+    // sign-insensitivity: energies use |s|
+    assert(MediaCodecs.aHash56Wav(
+      wav(i => if (i == 7) -1000 else 100)) === (1L << 6))
+    // empty data chunk: fingerprint 0
+    assert(MediaCodecs.aHash56Wav(
+      MediaCodecs.encodeWavPcm16Mono(8000, Array.empty[Short])) === 0L)
+  }
+
+  test("audio fingerprint dedup: planted identical clips pair up") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val text = "repeated audio clip body with some words"
+    val other = "an entirely different clip whose energies differ"
+    val clips = Seq((1L, text), (4L, text), (7L, other))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", org.apache.spark.sql.functions
+        .length(org.apache.spark.sql.functions.col("text")).cast("long"))
+      .as[(Long, String, Long)]
+      .mapPartitions(_.map { case (id, t, n) =>
+        val payload = Multimodal.encodeContainer(id, n,
+          t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        (id, MediaCodecs.aHash56Wav(payload))
+      }).toDF("doc_id", "phash")
+    val out = Multimodal.phashDedup(clips).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(out === Array((1L, 1L), (4L, 1L), (7L, 0L)))
+    spark.catalog.clearCache()
+  }
+
   test("fuzz: AudioSystem-encoded WAVs decode with exact sample statistics") {
     val rnd = new scala.util.Random(1848)
     (0 until 12).foreach { trial =>
