@@ -185,11 +185,17 @@ object MediaCodecs {
     * it runs inside partition-batched `mapPartitions` tasks next to the
     * other codecs.
     */
-  def dHash56(payload: Array[Byte]): Long = {
-    val hd = decodeBmpHeader(payload, 0)
+  def dHash56(payload: Array[Byte]): Long = dHash56At(payload, 0)
+
+  /** [[dHash56]] of the BMP at byte offset `off` — the form a frame
+    * STREAM walker uses to hash every frame in place (no per-frame
+    * copies; the q288 shared-frame video dedup).
+    */
+  def dHash56At(payload: Array[Byte], off: Int): Long = {
+    val hd = decodeBmpHeader(payload, off)
     val stride = bmpRowBytes(hd.width)
     def gray(x: Int, rArr: Int): Int = {
-      val o = hd.dataOff + rArr * stride + 3 * x
+      val o = off + hd.dataOff + rArr * stride + 3 * x
       ((payload(o) & 0xff) + (payload(o + 1) & 0xff)
         + (payload(o + 2) & 0xff)) / 3
     }

@@ -44,7 +44,7 @@ final case class MediaFeatures(
   */
 object Multimodal {
 
-  def defs: Seq[QueryDef] = Seq(q38, q39, q212, q282, q285, q287)
+  def defs: Seq[QueryDef] = Seq(q38, q39, q212, q282, q285, q287, q288)
 
   /** documents → typed multimodal dataset (payload = UTF-8 bytes of text;
     * media_type cycles image/audio/video by doc_id).
@@ -509,5 +509,135 @@ object Multimodal {
         (id, MediaCodecs.aHash56Wav(payload))
       }).toDF("doc_id", "phash")
     phashDedup(clips)
+  }
+
+  /** SHARED-FRAME video near-dup detection — the third modality on the
+    * same banding machinery: every frame of every video is dHash-ed
+    * ([[graft.functions.MediaCodecs.dHash56]] over each frame of the
+    * decoded stream), frame hashes band exactly like q285's image
+    * hashes, and two VIDEOS pair up when ANY of their frame pairs
+    * band-collides within the Hamming budget — the natural
+    * clip-reuse/re-edit semantics (a shared scene links the videos;
+    * frame order and count need not match). Input: one
+    * (doc_id, f, fhash) row per frame. The band join exchanges
+    * 4 rows × 20 bytes per FRAME; pair verification de-dups to the
+    * video level before counting. Output: one row per video with its
+    * frame count, min frame hash (a stable video-level fingerprint),
+    * and verified partner count.
+    */
+  def frameDedup(frames: DataFrame, maxHamming: Int = 6): DataFrame = {
+    val fh = frames
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = fh.select(col("doc_id"), col("fhash"),
+        explode(expr(
+          """transform(sequence(0, 3), i -> named_struct(
+            |  'band_i', CAST(i AS INT),
+            |  'band_v', shiftright(fhash, CAST(14 * i AS INT)) & 16383L))"""
+            .stripMargin)).as("b"))
+      .select(col("doc_id"), col("fhash"), col("b.band_i"), col("b.band_v"))
+    val cand = bands.select(col("band_i"), col("band_v"),
+        col("doc_id").as("da"), col("fhash").as("ha"))
+      .join(bands.select(col("band_i"), col("band_v"),
+        col("doc_id").as("db"), col("fhash").as("hb")),
+        Seq("band_i", "band_v"))
+      .filter(col("da") < col("db"))
+      .select(col("da"), col("db"), col("ha"), col("hb")).distinct()
+    val ver = cand.filter(expr(s"bit_count(ha ^ hb) <= $maxHamming"))
+      .select(col("da"), col("db")).distinct() // frame pairs -> video pairs
+    val partners = ver.select(col("da").as("doc_id"))
+      .unionByName(ver.select(col("db").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_partners"))
+    fh.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"), min(col("fhash")).as("min_fhash"))
+      .join(partners, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_frames"), col("min_fhash"),
+        coalesce(col("n_partners"), lit(0L)).as("n_partners"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q288: shared-frame near-dup detection over the VIDEO rows —
+    * encode each video document into its real BMP-frame stream, dHash
+    * every DECODED frame (the stream parser walks the concatenation by
+    * each header's own size field — the q39 discipline), and run the
+    * frame-level banded Hamming dedup. The oracle replays every frame
+    * hash from the generation formulas (frame f's pixel bytes cycle
+    * the text with phase +f) and the identical banding, so a corrupted
+    * encoder, stream splitter, sampler, or band split breaks the hash.
+    */
+  val q288: QueryDef = QueryDef.checked(
+    "q288_video_frame_dedup",
+    """WITH vid AS (
+      |  SELECT doc_id, text, octet_length(encode(text)) AS tl,
+      |    CAST(4 + n_chars % 29 AS INT) AS w,
+      |    CAST(4 + (n_chars // 29) % 13 AS INT) AS h,
+      |    CAST(((3 * (4 + n_chars % 29) + 3) // 4) * 4 AS INT) AS stride,
+      |    CAST(1 + n_chars % 3 AS INT) AS k
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |fr AS (
+      |  SELECT vid.*, CAST(f AS INT) AS f
+      |  FROM vid, unnest(generate_series(0, k - 1)) AS ff(f)),
+      |bits AS (
+      |  SELECT doc_id, f, CAST(r AS INT) AS r, CAST(c AS INT) AS c,
+      |    (ascii(substr(text, CAST((((r * h // 8) * stride + 3 * (c * w // 8)) + f) % tl AS INT) + 1, 1))
+      |     + ascii(substr(text, CAST((((r * h // 8) * stride + 3 * (c * w // 8)) + 1 + f) % tl AS INT) + 1, 1))
+      |     + ascii(substr(text, CAST((((r * h // 8) * stride + 3 * (c * w // 8)) + 2 + f) % tl AS INT) + 1, 1))) // 3 AS g1,
+      |    (ascii(substr(text, CAST((((r * h // 8) * stride + 3 * ((c + 1) * w // 8)) + f) % tl AS INT) + 1, 1))
+      |     + ascii(substr(text, CAST((((r * h // 8) * stride + 3 * ((c + 1) * w // 8)) + 1 + f) % tl AS INT) + 1, 1))
+      |     + ascii(substr(text, CAST((((r * h // 8) * stride + 3 * ((c + 1) * w // 8)) + 2 + f) % tl AS INT) + 1, 1))) // 3 AS g2
+      |  FROM fr,
+      |    unnest(generate_series(0, 7)) AS rr(r),
+      |    unnest(generate_series(0, 6)) AS cc(c)),
+      |fh AS (
+      |  SELECT doc_id, f,
+      |    CAST(SUM(CASE WHEN g2 > g1
+      |      THEN 1::BIGINT << CAST(r * 7 + c AS INT) ELSE 0 END) AS BIGINT)
+      |      AS fhash
+      |  FROM bits GROUP BY doc_id, f),
+      |bands AS (
+      |  SELECT doc_id, f, fhash, CAST(i AS INT) AS band_i,
+      |    CAST((fhash >> CAST(14 * i AS INT)) & 16383 AS BIGINT) AS band_v
+      |  FROM fh, unnest(generate_series(0, 3)) AS bi(i)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+      |    a.fhash AS ha, b.fhash AS hb
+      |  FROM bands a JOIN bands b
+      |    ON a.band_i = b.band_i AND a.band_v = b.band_v
+      |    AND a.doc_id < b.doc_id),
+      |ver AS (
+      |  SELECT DISTINCT da, db FROM cand WHERE bit_count(xor(ha, hb)) <= 6),
+      |partners AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_partners FROM (
+      |    SELECT da AS doc_id FROM ver UNION ALL SELECT db FROM ver)
+      |  GROUP BY doc_id),
+      |vh AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+      |    MIN(fhash) AS min_fhash
+      |  FROM fh GROUP BY doc_id)
+      |SELECT vh.doc_id, vh.n_frames, vh.min_fhash,
+      |  COALESCE(p.n_partners, 0) AS n_partners
+      |FROM vh LEFT JOIN partners p USING (doc_id)
+      |ORDER BY vh.doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val frames = Tables.documents(s, d)
+      .filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .as[(Long, String, Long)]
+      .mapPartitions(_.flatMap { case (id, text, nChars) =>
+        val payload = encodeContainer(id, nChars,
+          text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        // walk the stream by each frame header's own size field and
+        // dHash every frame at its offset (no per-frame copies)
+        val offs = Seq.newBuilder[Int]
+        var off = 0
+        while (off < payload.length) {
+          val hd = MediaCodecs.decodeBmpHeader(payload, off)
+          offs += off
+          off += hd.fileSize
+        }
+        offs.result().zipWithIndex.map { case (o, f) =>
+          (id, f, MediaCodecs.dHash56At(payload, o))
+        }
+      }).toDF("doc_id", "f", "fhash")
+    frameDedup(frames)
   }
 }

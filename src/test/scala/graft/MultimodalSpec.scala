@@ -294,6 +294,67 @@ class MultimodalSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("dHash56At: in-place frame hashing equals standalone hashing") {
+    val a = MediaCodecs.encodeBmp(8, 8, i =>
+      if (i < 24 && i / 3 == 7) 90.toByte else 30.toByte)
+    val b = MediaCodecs.encodeBmp(8, 8, i =>
+      if (i < 24) (10 * (i / 3)).toByte else 5.toByte)
+    val stream = a ++ b
+    assert(MediaCodecs.dHash56At(stream, 0) === MediaCodecs.dHash56(a))
+    assert(MediaCodecs.dHash56At(stream, a.length) === MediaCodecs.dHash56(b))
+  }
+
+  test("frameDedup: shared frame links videos, multi-frame matches count once") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val h1 = 0x31415926535897L
+    val h2 = 0x123456789abcL
+    val hX = 0x0fedcba98765L
+    val hY = h1 ^ ((1L << 0) | (1L << 14) | (1L << 28) | (1L << 42)) // no shared band with h1
+    // A{h1,h2} and B{h1,h2}: TWO matching frame pairs -> ONE video pair.
+    // C{hY}: 4 flips spread one per band vs h1 -> no candidate.
+    val frames = Seq(
+      (10L, 0, h1), (10L, 1, h2),
+      (20L, 0, h2), (20L, 1, h1),
+      (30L, 0, hY), (31L, 0, hX)
+    ).toDF("doc_id", "f", "fhash")
+    val out = Multimodal.frameDedup(frames).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(out === Array((10L, 2L, 1L), (20L, 2L, 1L), (30L, 1L, 0L),
+      (31L, 1L, 0L)))
+    spark.catalog.clearCache()
+  }
+
+  test("video frame dedup end-to-end: identical texts pair, frame order ignored") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val text = "two videos rendered from the same document body"
+    val other = "a different video source document with other frames"
+    val frames = Seq((2L, text), (5L, text), (8L, other))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", org.apache.spark.sql.functions
+        .length(org.apache.spark.sql.functions.col("text")).cast("long"))
+      .as[(Long, String, Long)]
+      .mapPartitions(_.flatMap { case (id, t, n) =>
+        val payload = Multimodal.encodeContainer(id, n,
+          t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val offs = Seq.newBuilder[Int]
+        var off = 0
+        while (off < payload.length) {
+          val hd = MediaCodecs.decodeBmpHeader(payload, off)
+          offs += off
+          off += hd.fileSize
+        }
+        offs.result().zipWithIndex.map { case (o, f) =>
+          (id, f, MediaCodecs.dHash56At(payload, o))
+        }
+      }).toDF("doc_id", "f", "fhash")
+    val out = Multimodal.frameDedup(frames).collect()
+      .map(r => (r.getLong(0), r.getLong(3)))
+    assert(out === Array((2L, 1L), (5L, 1L), (8L, 0L)))
+    spark.catalog.clearCache()
+  }
+
   test("fuzz: AudioSystem-encoded WAVs decode with exact sample statistics") {
     val rnd = new scala.util.Random(1848)
     (0 until 12).foreach { trial =>
