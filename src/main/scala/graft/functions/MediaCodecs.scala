@@ -171,6 +171,29 @@ object MediaCodecs {
     frames.result()
   }
 
+  /** Byte offsets of every frame in a back-to-back BMP concatenation —
+    * the walk [[decodeBmpStream]] performs, without touching a pixel:
+    * each header is parsed and geometry-validated (pixel array must
+    * fit the frame's own declared fileSize — the overlap guard), then
+    * the walk advances by that fileSize. The offset list a per-frame
+    * hasher ([[dHash56At]], q288) consumes in place.
+    */
+  def bmpStreamOffsets(b: Array[Byte]): Seq[Int] = {
+    val offs = Seq.newBuilder[Int]
+    var off = 0
+    while (off < b.length) {
+      val hd = decodeBmpHeader(b, off)
+      val rowBytes = bmpRowBytesL(hd.width)
+      val pixAvail = hd.fileSize.toLong - hd.dataOff
+      require(pixAvail >= 0 && hd.height <= pixAvail / rowBytes,
+        s"BMP pixel array (${hd.height}x$rowBytes bytes) past frame end (${hd.fileSize})")
+      offs += off
+      require(hd.fileSize > 0, "zero-size BMP frame")
+      off += hd.fileSize
+    }
+    offs.result()
+  }
+
   /** 56-bit horizontal-difference perceptual hash (dHash) of the BMP at
     * the start of `payload` — the classic near-duplicate image
     * fingerprint (compare neighboring cells of a downsampled grayscale
@@ -193,7 +216,17 @@ object MediaCodecs {
     */
   def dHash56At(payload: Array[Byte], off: Int): Long = {
     val hd = decodeBmpHeader(payload, off)
-    val stride = bmpRowBytes(hd.width)
+    // the same pixel-array-fits-the-frame guard as decodeBmp (long
+    // stride first — an Int-form stride on a hostile width wraps): a
+    // header whose fileSize excludes its pixel array must fail the
+    // require here, never index past the frame into the next frame's
+    // bytes (the q288 stream case) or past the buffer
+    val rowBytes = bmpRowBytesL(hd.width)
+    val pixAvail = hd.fileSize.toLong - hd.dataOff
+    require(pixAvail >= 0 && hd.height <= pixAvail / rowBytes,
+      s"BMP pixel array (${hd.height}x$rowBytes bytes) past frame end (${hd.fileSize})")
+    // safe narrowing: height*rowBytes <= fileSize <= Int.MaxValue
+    val stride = rowBytes.toInt
     def gray(x: Int, rArr: Int): Int = {
       val o = off + hd.dataOff + rArr * stride + 3 * x
       ((payload(o) & 0xff) + (payload(o + 1) & 0xff)

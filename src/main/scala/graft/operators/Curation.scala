@@ -1967,6 +1967,19 @@ object Curation {
     * against DuckDB running the same mining and token-trigram
     * equi-join.
     */
+  /** The self-mined 1000-phrase blocklist q277 and q286 share (the
+    * 1000 most document-frequent trigrams): orderBy().limit() =
+    * TakeOrderedAndProject, the q271 distributed-top-k discipline.
+    * ONE definition — q286's oracle assumes it mines the IDENTICAL
+    * list as q277, so the mining must never diverge between them.
+    */
+  private def minedBlocklist(docs: DataFrame): DataFrame =
+    Dedup.shingles(docs)
+      .groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("g"))
+      .limit(1000)
+      .select(col("g"))
+
   val q277: QueryDef = QueryDef.checked(
     "q277_blocklist_large",
     """WITH tok AS (
@@ -1988,14 +2001,7 @@ object Curation {
       |FROM documents d LEFT JOIN hits h USING (doc_id)
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
-    // top-1000 by (df DESC, g): orderBy().limit() = TakeOrderedAndProject
-    // (per-partition top-k merged on the driver), the q271 discipline
-    val block = Dedup.shingles(docs)
-      .groupBy(col("g")).agg(count(lit(1)).as("df"))
-      .orderBy(col("df").desc, col("g"))
-      .limit(1000)
-      .select(col("g"))
-    blocklistHitsLarge(docs, block)
+    blocklistHitsLarge(docs, minedBlocklist(docs))
   }
 
   /** q286: q277's beyond-broadcast path — the same mining and the same
@@ -2027,11 +2033,6 @@ object Curation {
       |FROM documents d LEFT JOIN hits h USING (doc_id)
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
-    val block = Dedup.shingles(docs)
-      .groupBy(col("g")).agg(count(lit(1)).as("df"))
-      .orderBy(col("df").desc, col("g"))
-      .limit(1000)
-      .select(col("g"))
-    blocklistHitsLarge(docs, block, broadcastList = false)
+    blocklistHitsLarge(docs, minedBlocklist(docs), broadcastList = false)
   }
 }

@@ -1636,11 +1636,14 @@ object Extended {
     val st = c.agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"),
       max(col("cnt")).as("max_cnt"), min(col("cnt")).as("min_cnt")).head()
     if (st.isNullAt(2)) {
-      // empty source: mirror selectByScoreBudget's guard — an empty
-      // frame with the result schema, never an NPE on the null agg
-      c.select(lit(0L).as("n_rows"), lit(0L).as("n_keys"),
-        lit(0L).as("max_cnt"), lit(0L).as("p50_cnt"), lit(0L).as("p99_cnt"),
-        lit(0L).as("top_keys"), lit(0L).as("top1pct_share_ppm")).limit(0)
+      // empty source: the oracle's aggregate CTEs still emit ONE row
+      // (n_keys 0, top_keys 0, everything else NULL) — mirror that
+      // exact row, never an NPE on the null agg and never a 0-row
+      // frame the oracle would mismatch
+      val nulL = lit(null).cast("long")
+      s.range(1).select(nulL.as("n_rows"), lit(0L).as("n_keys"),
+        nulL.as("max_cnt"), nulL.as("p50_cnt"), nulL.as("p99_cnt"),
+        lit(0L).as("top_keys"), nulL.as("top1pct_share_ppm"))
     } else {
       val nKeys = st.getLong(0); val nRows = st.getLong(1)
       val maxCnt = st.getLong(2); val minCnt = st.getLong(3)

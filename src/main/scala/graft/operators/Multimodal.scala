@@ -344,24 +344,40 @@ object Multimodal {
     * colliding pairs. Output: one row per image with its hash and its
     * verified near-duplicate partner count.
     */
-  def phashDedup(imgs: DataFrame, maxHamming: Int = 6): DataFrame = {
-    val ph = imgs
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bands = ph.select(col("doc_id"), col("phash"),
+  /** The shared banded-Hamming candidate/verify core behind all three
+    * modality dedups: split each 56-bit hash into 4 bands of 14 bits,
+    * equi-join hash rows on (band index, band value), and keep the
+    * (da < db) pairs within `maxHamming` — one implementation, so a
+    * band-geometry or verify change can never silently diverge between
+    * the image ([[phashDedup]]) and video ([[frameDedup]]) paths.
+    * Input needs (doc_id, h); output is the distinct verified
+    * (da, db) pair set.
+    */
+  private def bandedHammingPairs(hashed: DataFrame,
+      maxHamming: Int): DataFrame = {
+    val bands = hashed.select(col("doc_id"), col("h"),
         explode(expr(
           """transform(sequence(0, 3), i -> named_struct(
             |  'band_i', CAST(i AS INT),
-            |  'band_v', shiftright(phash, CAST(14 * i AS INT)) & 16383L))"""
+            |  'band_v', shiftright(h, CAST(14 * i AS INT)) & 16383L))"""
             .stripMargin)).as("b"))
-      .select(col("doc_id"), col("phash"), col("b.band_i"), col("b.band_v"))
-    val cand = bands.select(col("band_i"), col("band_v"),
-        col("doc_id").as("da"), col("phash").as("ha"))
+      .select(col("doc_id"), col("h"), col("b.band_i"), col("b.band_v"))
+    bands.select(col("band_i"), col("band_v"),
+        col("doc_id").as("da"), col("h").as("ha"))
       .join(bands.select(col("band_i"), col("band_v"),
-        col("doc_id").as("db"), col("phash").as("hb")),
+        col("doc_id").as("db"), col("h").as("hb")),
         Seq("band_i", "band_v"))
       .filter(col("da") < col("db"))
       .select(col("da"), col("db"), col("ha"), col("hb")).distinct()
-    val ver = cand.filter(expr(s"bit_count(ha ^ hb) <= $maxHamming"))
+      .filter(expr(s"bit_count(ha ^ hb) <= $maxHamming"))
+      .select(col("da"), col("db"))
+  }
+
+  def phashDedup(imgs: DataFrame, maxHamming: Int = 6): DataFrame = {
+    val ph = imgs
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ver = bandedHammingPairs(ph.select(col("doc_id"),
+      col("phash").as("h")), maxHamming)
     val partners = ver.select(col("da").as("doc_id"))
       .unionByName(ver.select(col("db").as("doc_id")))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_partners"))
@@ -528,22 +544,9 @@ object Multimodal {
   def frameDedup(frames: DataFrame, maxHamming: Int = 6): DataFrame = {
     val fh = frames
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bands = fh.select(col("doc_id"), col("fhash"),
-        explode(expr(
-          """transform(sequence(0, 3), i -> named_struct(
-            |  'band_i', CAST(i AS INT),
-            |  'band_v', shiftright(fhash, CAST(14 * i AS INT)) & 16383L))"""
-            .stripMargin)).as("b"))
-      .select(col("doc_id"), col("fhash"), col("b.band_i"), col("b.band_v"))
-    val cand = bands.select(col("band_i"), col("band_v"),
-        col("doc_id").as("da"), col("fhash").as("ha"))
-      .join(bands.select(col("band_i"), col("band_v"),
-        col("doc_id").as("db"), col("fhash").as("hb")),
-        Seq("band_i", "band_v"))
-      .filter(col("da") < col("db"))
-      .select(col("da"), col("db"), col("ha"), col("hb")).distinct()
-    val ver = cand.filter(expr(s"bit_count(ha ^ hb) <= $maxHamming"))
-      .select(col("da"), col("db")).distinct() // frame pairs -> video pairs
+    val ver = bandedHammingPairs(fh.select(col("doc_id"),
+        col("fhash").as("h")), maxHamming)
+      .distinct() // frame pairs -> video pairs
     val partners = ver.select(col("da").as("doc_id"))
       .unionByName(ver.select(col("db").as("doc_id")))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_partners"))
@@ -625,17 +628,11 @@ object Multimodal {
       .mapPartitions(_.flatMap { case (id, text, nChars) =>
         val payload = encodeContainer(id, nChars,
           text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        // walk the stream by each frame header's own size field and
-        // dHash every frame at its offset (no per-frame copies)
-        val offs = Seq.newBuilder[Int]
-        var off = 0
-        while (off < payload.length) {
-          val hd = MediaCodecs.decodeBmpHeader(payload, off)
-          offs += off
-          off += hd.fileSize
-        }
-        offs.result().zipWithIndex.map { case (o, f) =>
-          (id, f, MediaCodecs.dHash56At(payload, o))
+        // walk the stream by each frame header's own size field
+        // (geometry-validated) and dHash every frame at its offset —
+        // no per-frame copies
+        MediaCodecs.bmpStreamOffsets(payload).zipWithIndex.map {
+          case (o, f) => (id, f, MediaCodecs.dHash56At(payload, o))
         }
       }).toDF("doc_id", "f", "fhash")
     frameDedup(frames)

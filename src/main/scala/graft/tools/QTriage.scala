@@ -47,7 +47,9 @@ object QTriage {
         println(f"[triage] $q pass $pass wall $sec%.3f s jobs $nj load $l")
         sec
       }
-      val warm = walls.drop(1) // pass 0 may carry a memoized build
+      // pass 0 may carry a memoized build; with a single pass it is
+      // all we have
+      val warm = if (walls.size > 1) walls.drop(1) else walls
       val sorted = warm.sorted
       println(f"[triage] $q WARM-MIN ${sorted.head}%.3f s " +
         f"median ${sorted(sorted.size / 2)}%.3f s (over ${warm.size} warm passes)")

@@ -338,15 +338,8 @@ class MultimodalSpec extends AnyFunSuite {
       .mapPartitions(_.flatMap { case (id, t, n) =>
         val payload = Multimodal.encodeContainer(id, n,
           t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        val offs = Seq.newBuilder[Int]
-        var off = 0
-        while (off < payload.length) {
-          val hd = MediaCodecs.decodeBmpHeader(payload, off)
-          offs += off
-          off += hd.fileSize
-        }
-        offs.result().zipWithIndex.map { case (o, f) =>
-          (id, f, MediaCodecs.dHash56At(payload, o))
+        MediaCodecs.bmpStreamOffsets(payload).zipWithIndex.map {
+          case (o, f) => (id, f, MediaCodecs.dHash56At(payload, o))
         }
       }).toDF("doc_id", "f", "fhash")
     val out = Multimodal.frameDedup(frames).collect()
