@@ -44,7 +44,8 @@ final case class MediaFeatures(
   */
 object Multimodal {
 
-  def defs: Seq[QueryDef] = Seq(q38, q39, q212, q282, q285, q287, q288)
+  def defs: Seq[QueryDef] =
+    Seq(q38, q39, q212, q282, q285, q287, q288, q289)
 
   /** documents → typed multimodal dataset (payload = UTF-8 bytes of text;
     * media_type cycles image/audio/video by doc_id).
@@ -353,15 +354,23 @@ object Multimodal {
     * Input needs (doc_id, h); output is the distinct verified
     * (da, db) pair set.
     */
-  private def bandedHammingPairs(hashed: DataFrame,
-      maxHamming: Int): DataFrame = {
-    val bands = hashed.select(col("doc_id"), col("h"),
+  /** Band rows of a (doc_id, h) hash frame — the exchange/index unit
+    * of the banded dedup: one (doc_id, h, band_i, band_v) row per
+    * 14-bit band. This is also the PERSISTED shape of the q289 media
+    * fingerprint index.
+    */
+  private def phashBands(hashed: DataFrame): DataFrame =
+    hashed.select(col("doc_id"), col("h"),
         explode(expr(
           """transform(sequence(0, 3), i -> named_struct(
             |  'band_i', CAST(i AS INT),
             |  'band_v', shiftright(h, CAST(14 * i AS INT)) & 16383L))"""
             .stripMargin)).as("b"))
       .select(col("doc_id"), col("h"), col("b.band_i"), col("b.band_v"))
+
+  private def bandedHammingPairs(hashed: DataFrame,
+      maxHamming: Int): DataFrame = {
+    val bands = phashBands(hashed)
     bands.select(col("band_i"), col("band_v"),
         col("doc_id").as("da"), col("h").as("ha"))
       .join(bands.select(col("band_i"), col("band_v"),
@@ -636,5 +645,136 @@ object Multimodal {
         }
       }).toDF("doc_id", "f", "fhash")
     frameDedup(frames)
+  }
+
+  /** Incremental media dedup against a PERSISTENT fingerprint index —
+    * the q65/q78 daily-ingest shape for images (and, unchanged, any
+    * other 56-bit fingerprint): the corpus's band rows
+    * ([[phashBands]]) are built once and stored; each ingest batch
+    * hashes ONLY its own images, computes its own band rows, and
+    * joins increment-side bands against index ∪ increment —
+    * index×increment and increment×increment candidates, NEVER
+    * index×index (the left side carries both, the right side is the
+    * increment, and da < db with index ids below every increment id
+    * orients each pair once). Hamming verify as everywhere; output is
+    * one row per INCREMENT image with its hash and its verified
+    * partner count over the whole corpus.
+    */
+  def phashIndexDedup(indexBands: DataFrame, incHashes: DataFrame,
+      maxHamming: Int = 6): DataFrame = {
+    val inc = incHashes
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val incBands = phashBands(inc.select(col("doc_id"), col("phash").as("h")))
+    val ver = indexBands.unionByName(incBands)
+      .select(col("band_i"), col("band_v"),
+        col("doc_id").as("da"), col("h").as("ha"))
+      .join(incBands.select(col("band_i"), col("band_v"),
+        col("doc_id").as("db"), col("h").as("hb")),
+        Seq("band_i", "band_v"))
+      .filter(col("da") < col("db"))
+      .select(col("da"), col("db"), col("ha"), col("hb")).distinct()
+      .filter(expr(s"bit_count(ha ^ hb) <= $maxHamming"))
+      .select(col("da"), col("db"))
+    // partner counts for increment docs only — an increment doc can sit
+    // on the da side of an increment×increment pair, so count both
+    // directions, da restricted to increment membership
+    val partners = ver.select(col("da").as("doc_id"))
+      .join(inc.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .unionByName(ver.select(col("db").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_partners"))
+    inc.join(partners, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("phash"),
+        coalesce(col("n_partners"), lit(0L)).as("n_partners"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-JVM memo of persistent-index locations keyed by (corpus dir,
+    * cut) — the q78 accounting: a persistent index is built once
+    * (charged to the setup ledger) and queried per increment; the
+    * hashes are deterministic, so the memoized index is bit-identical
+    * to a fresh build.
+    */
+  private val phashIndexMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q289: the image-ingest path end to end — band rows of the
+    * existing image corpus persisted to parquet (build memoized, the
+    * q78 discipline), the newest-10% batch hashed fresh and matched
+    * increment-vs-index + within-increment. The oracle replays the
+    * full hash/band/verify pipeline with pairs restricted to
+    * max-side-in-increment, so the persisted index must reproduce the
+    * one-shot answer exactly or the gate fails (the q78 certificate).
+    */
+  val q289: QueryDef = QueryDef.checked(
+    "q289_phash_index_dedup",
+    """WITH img AS (
+      |  SELECT doc_id, text, octet_length(encode(text)) AS tl,
+      |    CAST(4 + n_chars % 29 AS INT) AS w,
+      |    CAST(4 + (n_chars // 29) % 13 AS INT) AS h,
+      |    CAST(((3 * (4 + n_chars % 29) + 3) // 4) * 4 AS INT) AS stride
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |cut AS (SELECT (MAX(doc_id) + 1) * 9 // 10 AS c FROM img),
+      |bits AS (
+      |  SELECT doc_id, CAST(r AS INT) AS r, CAST(c AS INT) AS c,
+      |    (ascii(substr(text, CAST(((r * h // 8) * stride + 3 * (c * w // 8)) % tl AS INT) + 1, 1))
+      |     + ascii(substr(text, CAST((((r * h // 8) * stride + 3 * (c * w // 8)) + 1) % tl AS INT) + 1, 1))
+      |     + ascii(substr(text, CAST((((r * h // 8) * stride + 3 * (c * w // 8)) + 2) % tl AS INT) + 1, 1))) // 3 AS g1,
+      |    (ascii(substr(text, CAST(((r * h // 8) * stride + 3 * ((c + 1) * w // 8)) % tl AS INT) + 1, 1))
+      |     + ascii(substr(text, CAST((((r * h // 8) * stride + 3 * ((c + 1) * w // 8)) + 1) % tl AS INT) + 1, 1))
+      |     + ascii(substr(text, CAST((((r * h // 8) * stride + 3 * ((c + 1) * w // 8)) + 2) % tl AS INT) + 1, 1))) // 3 AS g2
+      |  FROM img,
+      |    unnest(generate_series(0, 7)) AS rr(r),
+      |    unnest(generate_series(0, 6)) AS cc(c)),
+      |ph AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CASE WHEN g2 > g1
+      |      THEN 1::BIGINT << CAST(r * 7 + c AS INT) ELSE 0 END) AS BIGINT)
+      |      AS phash
+      |  FROM bits GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, phash, CAST(i AS INT) AS band_i,
+      |    CAST((phash >> CAST(14 * i AS INT)) & 16383 AS BIGINT) AS band_v
+      |  FROM ph, unnest(generate_series(0, 3)) AS bi(i)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+      |    a.phash AS ha, b.phash AS hb
+      |  FROM bands a JOIN bands b
+      |    ON a.band_i = b.band_i AND a.band_v = b.band_v
+      |    AND a.doc_id < b.doc_id
+      |  WHERE b.doc_id >= (SELECT c FROM cut)),
+      |ver AS (SELECT da, db FROM cand WHERE bit_count(xor(ha, hb)) <= 6),
+      |partners AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_partners FROM (
+      |    SELECT da AS doc_id FROM ver WHERE da >= (SELECT c FROM cut)
+      |    UNION ALL SELECT db FROM ver)
+      |  GROUP BY doc_id)
+      |SELECT ph.doc_id, ph.phash, COALESCE(p.n_partners, 0) AS n_partners
+      |FROM ph LEFT JOIN partners p USING (doc_id)
+      |WHERE ph.doc_id >= (SELECT c FROM cut)
+      |ORDER BY ph.doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val imgDocs = Tables.documents(s, d)
+      .filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("text"), col("n_chars"))
+    val cut = (imgDocs.agg(max(col("doc_id"))).head().getLong(0) + 1L) * 9L / 10L
+    def hashed(df: DataFrame): DataFrame = df
+      .as[(Long, String, Long)]
+      .mapPartitions(_.map { case (id, text, nChars) =>
+        val payload = encodeContainer(id, nChars,
+          text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        (id, MediaCodecs.dHash56(payload))
+      }).toDF("doc_id", "phash")
+    val idxPath = phashIndexMemo.computeIfAbsent(s"$d#$cut",
+      k => graft.operators.Exact.memoBuild(s"phidx#$k") {
+        val tmp = java.nio.file.Files
+          .createTempDirectory(graft.operators.Exact.fmtRoot, "phidx_")
+          .toAbsolutePath.toString
+        phashBands(hashed(imgDocs.filter(col("doc_id") < cut))
+            .select(col("doc_id"), col("phash").as("h")))
+          .write.mode("overwrite").parquet(s"$tmp/bands")
+        s"$tmp/bands"
+      })
+    phashIndexDedup(s.read.parquet(idxPath),
+      hashed(imgDocs.filter(col("doc_id") >= cut)))
   }
 }

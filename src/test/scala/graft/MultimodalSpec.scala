@@ -348,6 +348,33 @@ class MultimodalSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("phashIndexDedup: index matches, within-increment matches, never index x index") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val hA = 0x31415926535897L
+    val hB = hA ^ ((1L << 0) | (1L << 14) | (1L << 28) | (1L << 42)) // no shared band with hA
+    def bandsOf(rows: (Long, Long)*) = rows.flatMap { case (id, h) =>
+      (0 until 4).map(i => (id, h, i, (h >> (14 * i)) & 16383L))
+    }.toDF("doc_id", "h", "band_i", "band_v")
+    // index hit: increment doc 100 matches index doc 1; 101 matches nothing
+    val out1 = Multimodal.phashIndexDedup(bandsOf((1L, hA)),
+        Seq((100L, hA), (101L, hB)).toDF("doc_id", "phash")).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(out1 === Array((100L, 1L), (101L, 0L)))
+    // within-increment hit with an EMPTY index
+    val out2 = Multimodal.phashIndexDedup(bandsOf(),
+        Seq((100L, hA), (101L, hA)).toDF("doc_id", "phash")).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(out2 === Array((100L, 1L), (101L, 1L)))
+    // index x index pairs never surface: two identical INDEX docs, an
+    // unrelated increment -> one output row, zero partners
+    val out3 = Multimodal.phashIndexDedup(bandsOf((1L, hA), (2L, hA)),
+        Seq((100L, hB)).toDF("doc_id", "phash")).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(out3 === Array((100L, 0L)))
+    spark.catalog.clearCache()
+  }
+
   test("fuzz: AudioSystem-encoded WAVs decode with exact sample statistics") {
     val rnd = new scala.util.Random(1848)
     (0 until 12).foreach { trial =>
