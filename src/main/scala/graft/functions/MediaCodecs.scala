@@ -235,10 +235,15 @@ object MediaCodecs {
     var h = 0L
     var r = 0
     while (r < 8) {
-      val y = r * hd.height / 8
+      // sample coordinates in LONG first (ADVICE r14): r·height and
+      // (c+1)·width overflow Int for dims near 2³¹/8 that still pass
+      // the division-form geometry guard (e.g. width=1, huge height) —
+      // the quotient is ≤ height/width, so the narrowing back is exact
+      val y = (r.toLong * hd.height / 8L).toInt
       var c = 0
       while (c < 7) {
-        if (gray((c + 1) * hd.width / 8, y) > gray(c * hd.width / 8, y))
+        if (gray(((c + 1).toLong * hd.width / 8L).toInt, y) >
+            gray((c.toLong * hd.width / 8L).toInt, y))
           h |= 1L << (r * 7 + c)
         c += 1
       }

@@ -407,19 +407,20 @@ object Multimodal {
   val q285: QueryDef = QueryDef.checked(
     "q285_phash_dedup",
     """WITH img AS (
-      |  SELECT doc_id, text, octet_length(encode(text)) AS tl,
+      |  SELECT doc_id, GREATEST(octet_length(encode(text)), 1) AS tl,
+      |    COALESCE(NULLIF(hex(encode(text)), ''), '00') AS hx,
       |    CAST(4 + n_chars % 29 AS INT) AS w,
       |    CAST(4 + (n_chars // 29) % 13 AS INT) AS h,
       |    CAST(((3 * (4 + n_chars % 29) + 3) // 4) * 4 AS INT) AS stride
       |  FROM documents WHERE doc_id % 3 = 0),
       |bits AS (
       |  SELECT doc_id, CAST(r AS INT) AS r, CAST(c AS INT) AS c,
-      |    (ascii(substr(text, CAST(((r * h // 8) * stride + 3 * (c * w // 8)) % tl AS INT) + 1, 1))
-      |     + ascii(substr(text, CAST((((r * h // 8) * stride + 3 * (c * w // 8)) + 1) % tl AS INT) + 1, 1))
-      |     + ascii(substr(text, CAST((((r * h // 8) * stride + 3 * (c * w // 8)) + 2) % tl AS INT) + 1, 1))) // 3 AS g1,
-      |    (ascii(substr(text, CAST(((r * h // 8) * stride + 3 * ((c + 1) * w // 8)) % tl AS INT) + 1, 1))
-      |     + ascii(substr(text, CAST((((r * h // 8) * stride + 3 * ((c + 1) * w // 8)) + 1) % tl AS INT) + 1, 1))
-      |     + ascii(substr(text, CAST((((r * h // 8) * stride + 3 * ((c + 1) * w // 8)) + 2) % tl AS INT) + 1, 1))) // 3 AS g2
+      |    (('0x' || substr(hx, 2 * CAST(((r * h // 8) * stride + 3 * (c * w // 8)) % tl AS INT) + 1, 2))::INT
+      |     + ('0x' || substr(hx, 2 * CAST((((r * h // 8) * stride + 3 * (c * w // 8)) + 1) % tl AS INT) + 1, 2))::INT
+      |     + ('0x' || substr(hx, 2 * CAST((((r * h // 8) * stride + 3 * (c * w // 8)) + 2) % tl AS INT) + 1, 2))::INT) // 3 AS g1,
+      |    (('0x' || substr(hx, 2 * CAST(((r * h // 8) * stride + 3 * ((c + 1) * w // 8)) % tl AS INT) + 1, 2))::INT
+      |     + ('0x' || substr(hx, 2 * CAST((((r * h // 8) * stride + 3 * ((c + 1) * w // 8)) + 1) % tl AS INT) + 1, 2))::INT
+      |     + ('0x' || substr(hx, 2 * CAST((((r * h // 8) * stride + 3 * ((c + 1) * w // 8)) + 2) % tl AS INT) + 1, 2))::INT) // 3 AS g2
       |  FROM img,
       |    unnest(generate_series(0, 7)) AS rr(r),
       |    unnest(generate_series(0, 6)) AS cc(c)),
@@ -480,12 +481,13 @@ object Multimodal {
   val q287: QueryDef = QueryDef.checked(
     "q287_audio_fp_dedup",
     """WITH aud AS (
-      |  SELECT doc_id, text, octet_length(encode(text)) AS tl,
+      |  SELECT doc_id, GREATEST(octet_length(encode(text)), 1) AS tl,
+      |    COALESCE(NULLIF(hex(encode(text)), ''), '00') AS hx,
       |    CAST(LEAST(n_chars, 4096) AS BIGINT) AS n
       |  FROM documents WHERE doc_id % 3 = 1),
       |samp AS (
       |  SELECT doc_id,
-      |    ABS((ascii(substr(text, CAST(i % tl AS INT) + 1, 1)) - 128) * 256) AS a,
+      |    ABS((('0x' || substr(hx, 2 * CAST(i % tl AS INT) + 1, 2))::INT - 128) * 256) AS a,
       |    CAST(i * 57 // n AS INT) AS k
       |  FROM aud, unnest(generate_series(0, n - 1)) AS u(i)
       |  WHERE n > 0),
@@ -579,7 +581,8 @@ object Multimodal {
   val q288: QueryDef = QueryDef.checked(
     "q288_video_frame_dedup",
     """WITH vid AS (
-      |  SELECT doc_id, text, octet_length(encode(text)) AS tl,
+      |  SELECT doc_id, GREATEST(octet_length(encode(text)), 1) AS tl,
+      |    COALESCE(NULLIF(hex(encode(text)), ''), '00') AS hx,
       |    CAST(4 + n_chars % 29 AS INT) AS w,
       |    CAST(4 + (n_chars // 29) % 13 AS INT) AS h,
       |    CAST(((3 * (4 + n_chars % 29) + 3) // 4) * 4 AS INT) AS stride,
@@ -590,12 +593,12 @@ object Multimodal {
       |  FROM vid, unnest(generate_series(0, k - 1)) AS ff(f)),
       |bits AS (
       |  SELECT doc_id, f, CAST(r AS INT) AS r, CAST(c AS INT) AS c,
-      |    (ascii(substr(text, CAST((((r * h // 8) * stride + 3 * (c * w // 8)) + f) % tl AS INT) + 1, 1))
-      |     + ascii(substr(text, CAST((((r * h // 8) * stride + 3 * (c * w // 8)) + 1 + f) % tl AS INT) + 1, 1))
-      |     + ascii(substr(text, CAST((((r * h // 8) * stride + 3 * (c * w // 8)) + 2 + f) % tl AS INT) + 1, 1))) // 3 AS g1,
-      |    (ascii(substr(text, CAST((((r * h // 8) * stride + 3 * ((c + 1) * w // 8)) + f) % tl AS INT) + 1, 1))
-      |     + ascii(substr(text, CAST((((r * h // 8) * stride + 3 * ((c + 1) * w // 8)) + 1 + f) % tl AS INT) + 1, 1))
-      |     + ascii(substr(text, CAST((((r * h // 8) * stride + 3 * ((c + 1) * w // 8)) + 2 + f) % tl AS INT) + 1, 1))) // 3 AS g2
+      |    (('0x' || substr(hx, 2 * CAST((((r * h // 8) * stride + 3 * (c * w // 8)) + f) % tl AS INT) + 1, 2))::INT
+      |     + ('0x' || substr(hx, 2 * CAST((((r * h // 8) * stride + 3 * (c * w // 8)) + 1 + f) % tl AS INT) + 1, 2))::INT
+      |     + ('0x' || substr(hx, 2 * CAST((((r * h // 8) * stride + 3 * (c * w // 8)) + 2 + f) % tl AS INT) + 1, 2))::INT) // 3 AS g1,
+      |    (('0x' || substr(hx, 2 * CAST((((r * h // 8) * stride + 3 * ((c + 1) * w // 8)) + f) % tl AS INT) + 1, 2))::INT
+      |     + ('0x' || substr(hx, 2 * CAST((((r * h // 8) * stride + 3 * ((c + 1) * w // 8)) + 1 + f) % tl AS INT) + 1, 2))::INT
+      |     + ('0x' || substr(hx, 2 * CAST((((r * h // 8) * stride + 3 * ((c + 1) * w // 8)) + 2 + f) % tl AS INT) + 1, 2))::INT) // 3 AS g2
       |  FROM fr,
       |    unnest(generate_series(0, 7)) AS rr(r),
       |    unnest(generate_series(0, 6)) AS cc(c)),
@@ -654,24 +657,31 @@ object Multimodal {
     * hashes ONLY its own images, computes its own band rows, and
     * joins increment-side bands against index ∪ increment —
     * index×increment and increment×increment candidates, NEVER
-    * index×index (the left side carries both, the right side is the
-    * increment, and da < db with index ids below every increment id
-    * orients each pair once). Hamming verify as everywhere; output is
-    * one row per INCREMENT image with its hash and its verified
-    * partner count over the whole corpus.
+    * index×index. Pair orientation comes from a SIDE TAG, not from
+    * doc_id ordering (ADVICE r14: the former da < db orientation
+    * silently dropped index-vs-increment pairs whenever an index id
+    * exceeded an increment id — a precondition only q289's cut
+    * happened to satisfy): an index-side row pairs with every
+    * colliding increment row (it can never appear on the right, so
+    * each such pair exists exactly once), while increment-side rows
+    * keep da < db to emit each within-increment pair once. No id
+    * ordering between index and increment is assumed. Hamming verify
+    * as everywhere; output is one row per INCREMENT image with its
+    * hash and its verified partner count over the whole corpus.
     */
   def phashIndexDedup(indexBands: DataFrame, incHashes: DataFrame,
       maxHamming: Int = 6): DataFrame = {
     val inc = incHashes
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val incBands = phashBands(inc.select(col("doc_id"), col("phash").as("h")))
-    val ver = indexBands.unionByName(incBands)
+    val ver = indexBands.withColumn("a_inc", lit(0))
+      .unionByName(incBands.withColumn("a_inc", lit(1)))
       .select(col("band_i"), col("band_v"),
-        col("doc_id").as("da"), col("h").as("ha"))
+        col("doc_id").as("da"), col("h").as("ha"), col("a_inc"))
       .join(incBands.select(col("band_i"), col("band_v"),
         col("doc_id").as("db"), col("h").as("hb")),
         Seq("band_i", "band_v"))
-      .filter(col("da") < col("db"))
+      .filter(col("a_inc") === 0 || col("da") < col("db"))
       .select(col("da"), col("db"), col("ha"), col("hb")).distinct()
       .filter(expr(s"bit_count(ha ^ hb) <= $maxHamming"))
       .select(col("da"), col("db"))
@@ -708,7 +718,8 @@ object Multimodal {
   val q289: QueryDef = QueryDef.checked(
     "q289_phash_index_dedup",
     """WITH img AS (
-      |  SELECT doc_id, text, octet_length(encode(text)) AS tl,
+      |  SELECT doc_id, GREATEST(octet_length(encode(text)), 1) AS tl,
+      |    COALESCE(NULLIF(hex(encode(text)), ''), '00') AS hx,
       |    CAST(4 + n_chars % 29 AS INT) AS w,
       |    CAST(4 + (n_chars // 29) % 13 AS INT) AS h,
       |    CAST(((3 * (4 + n_chars % 29) + 3) // 4) * 4 AS INT) AS stride
@@ -716,12 +727,12 @@ object Multimodal {
       |cut AS (SELECT (MAX(doc_id) + 1) * 9 // 10 AS c FROM img),
       |bits AS (
       |  SELECT doc_id, CAST(r AS INT) AS r, CAST(c AS INT) AS c,
-      |    (ascii(substr(text, CAST(((r * h // 8) * stride + 3 * (c * w // 8)) % tl AS INT) + 1, 1))
-      |     + ascii(substr(text, CAST((((r * h // 8) * stride + 3 * (c * w // 8)) + 1) % tl AS INT) + 1, 1))
-      |     + ascii(substr(text, CAST((((r * h // 8) * stride + 3 * (c * w // 8)) + 2) % tl AS INT) + 1, 1))) // 3 AS g1,
-      |    (ascii(substr(text, CAST(((r * h // 8) * stride + 3 * ((c + 1) * w // 8)) % tl AS INT) + 1, 1))
-      |     + ascii(substr(text, CAST((((r * h // 8) * stride + 3 * ((c + 1) * w // 8)) + 1) % tl AS INT) + 1, 1))
-      |     + ascii(substr(text, CAST((((r * h // 8) * stride + 3 * ((c + 1) * w // 8)) + 2) % tl AS INT) + 1, 1))) // 3 AS g2
+      |    (('0x' || substr(hx, 2 * CAST(((r * h // 8) * stride + 3 * (c * w // 8)) % tl AS INT) + 1, 2))::INT
+      |     + ('0x' || substr(hx, 2 * CAST((((r * h // 8) * stride + 3 * (c * w // 8)) + 1) % tl AS INT) + 1, 2))::INT
+      |     + ('0x' || substr(hx, 2 * CAST((((r * h // 8) * stride + 3 * (c * w // 8)) + 2) % tl AS INT) + 1, 2))::INT) // 3 AS g1,
+      |    (('0x' || substr(hx, 2 * CAST(((r * h // 8) * stride + 3 * ((c + 1) * w // 8)) % tl AS INT) + 1, 2))::INT
+      |     + ('0x' || substr(hx, 2 * CAST((((r * h // 8) * stride + 3 * ((c + 1) * w // 8)) + 1) % tl AS INT) + 1, 2))::INT
+      |     + ('0x' || substr(hx, 2 * CAST((((r * h // 8) * stride + 3 * ((c + 1) * w // 8)) + 2) % tl AS INT) + 1, 2))::INT) // 3 AS g2
       |  FROM img,
       |    unnest(generate_series(0, 7)) AS rr(r),
       |    unnest(generate_series(0, 6)) AS cc(c)),
@@ -756,7 +767,13 @@ object Multimodal {
     val imgDocs = Tables.documents(s, d)
       .filter(col("doc_id") % 3 === 0)
       .select(col("doc_id"), col("text"), col("n_chars"))
-    val cut = (imgDocs.agg(max(col("doc_id"))).head().getLong(0) + 1L) * 9L / 10L
+    // null-guarded (ADVICE r14): an empty image slice makes max() NULL;
+    // cut 0 then routes everything (i.e. nothing) to the increment side,
+    // mirroring the oracle's empty-img-CTE behavior instead of an NPE —
+    // the q221/normalizeCharsCols empty-source discipline.
+    val maxRow = imgDocs.agg(max(col("doc_id"))).head()
+    val cut =
+      if (maxRow.isNullAt(0)) 0L else (maxRow.getLong(0) + 1L) * 9L / 10L
     def hashed(df: DataFrame): DataFrame = df
       .as[(Long, String, Long)]
       .mapPartitions(_.map { case (id, text, nChars) =>
