@@ -23,7 +23,7 @@ object Dedup {
 
   def defs: Seq[QueryDef] =
     Seq(q27, q28, q29, q30, q50, q57, q58, q62, q65, q78, q82, q83, q87, q88,
-      q182, q187, q263, q267, q269, q270, q273, q275, q276, q278, q283)
+      q182, q187, q263, q267, q269, q270, q273, q275, q276, q278, q283, q290)
 
   /** Shared oracle CTE: distinct token-trigram shingles per document —
     * the SQL twin of [[shingles]], used by every shingle-based oracle
@@ -1182,11 +1182,13 @@ object Dedup {
     * superset document. Integer `div` on ppm keeps the surface
     * oracle-exact.
     *
-    * Scale shape: identical to [[exactNearDups]] — one shuffle of the
-    * shingle frame on g, a same-key self-join, keyed pair counts; hot
-    * grams get the q50 df-cap discipline at corpus scale (capping
-    * biases only pairs mediated by boilerplate grams, which
-    * containment over-counts anyway).
+    * Scale shape: this is the EXACT TRUTH form — one shuffle of the
+    * shingle frame on g, a same-key self-join, keyed pair counts. The
+    * raw self-join has df(g)² fanout on hot grams, so the serving-
+    * scale path is [[containmentPairsPrefix]] (q290): same answer,
+    * provably, with the probe side bounded to each doc's rarest-gram
+    * prefix — the q30-vs-q187 relationship, replayed for the
+    * containment relation.
     */
   def containmentPairs(docs: DataFrame, minPpm: Long = 500000L): DataFrame = {
     val sh = shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
@@ -1757,8 +1759,13 @@ object Dedup {
     minhashCalibration(Tables.documents(s, d))
   }
 
-  val q182: QueryDef = QueryDef.checked(
-    "q182_containment_pairs",
+  /** Shared exact containment-pair oracle (the q182 SQL): raw gram
+    * self-join, both ordered directions, ppm-scored on the probe side's
+    * size. q290's prefix-filtered path must reproduce it hash-exactly —
+    * the same one-truth-many-paths certification as nearDupOracle for
+    * q30/q50/q28/q187.
+    */
+  private val containmentOracle: String =
     s"""WITH $shingleCte,
       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tri GROUP BY 1),
       |inter AS (
@@ -1769,8 +1776,82 @@ object Dedup {
       |  i.inter * 1000000 // s.sz AS containment_ppm
       |FROM inter i JOIN sizes s ON s.doc_id = i.doc_a
       |WHERE i.inter * 1000000 // s.sz >= 500000
-      |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  val q182: QueryDef = QueryDef.checked(
+    "q182_containment_pairs", containmentOracle) { (s, d) =>
     containmentPairs(Tables.documents(s, d))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Prefix-filtered containment pairs — the SCALE PATH to q182's exact
+    * truth, the asymmetric (Bayardo/PPJoin-style) variant of q187's
+    * prefix filter adapted to Broder's containment coefficient:
+    *
+    * c(A→B) ≥ τ requires |S(A)∩S(B)| ≥ t(A) = ⌈τ·|A|⌉ shared grams
+    * (with the catalog's integer scoring, inter·10⁶ div |A| ≥ minPpm ⟺
+    * inter ≥ ⌈|A|·minPpm/10⁶⌉ — exact, no float thresholds). Order
+    * every doc's grams by ONE global rarity order (df asc, g asc); by
+    * pigeonhole a qualifying pair must share a gram inside A's first
+    * |A| − t(A) + 1 grams — if all shared grams sat in the remaining
+    * suffix, it holds only t(A) − 1 of them. So joining A's PREFIX
+    * against ALL of B's grams yields a candidate superset of every
+    * ordered qualifying pair (the probe side alone is prefix-bounded —
+    * containment constrains only A, so B cannot be pruned; no
+    * symmetric length filter exists for this relation). An exact
+    * intersection count on candidates finishes: provably the same
+    * answer as the raw self-join.
+    *
+    * Scale shape: the hot-key explosion is broken ASYMMETRICALLY —
+    * candidate fanout per gram is dfₚ(g)·df(g), not df(g)², and a
+    * corpus-hot boilerplate gram enters a doc's prefix only when more
+    * than t(A) − 1 of the doc's OTHER grams are even hotter, so
+    * dfₚ(g) ≪ df(g) exactly where df(g) explodes. df ranking is one
+    * groupBy; the per-doc rarity ranking is a doc-keyed window; verify
+    * touches only candidate pairs. No O(n²) stage, no driver state.
+    */
+  def containmentPairsPrefix(docs: DataFrame,
+      minPpm: Long = 500000L): DataFrame = {
+    // persisted: feeds the probe ranking, the index side of the
+    // candidate join, and both sides of the verify re-join
+    val sh = shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val dfr = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))
+    // A's probe prefix: its |A| − ⌈|A|·minPpm/10⁶⌉ + 1 rarest grams
+    val probe = sh.join(dfr, Seq("g"))
+      .withColumn("pos", row_number().over(wDoc))
+      .join(sizes, Seq("doc_id"))
+      .filter(col("pos") <=
+        expr(s"sz - ((sz * $minPpm + 999999L) div 1000000L) + 1L"))
+      .select(col("doc_id").as("doc_a"), col("g"))
+    val cand = probe
+      .join(sh.select(col("doc_id").as("doc_b"), col("g")), Seq("g"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("g")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("g")), Seq("doc_b", "g"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("size_a")),
+        Seq("doc_a"))
+      .withColumn("containment_ppm", expr("inter * 1000000 div size_a"))
+      .filter(col("containment_ppm") >= minPpm)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("size_a"),
+        col("containment_ppm"))
+  }
+
+  /** q290: the prefix-filtered containment path, hash-checked against
+    * the SAME exact oracle as q182 (one truth, two paths — the
+    * q30/q187 certification pattern, re-certified every round).
+    * ContainmentPrefixSpec property-pins prefix ≡ exact on random
+    * corpora; PlanShapeSpec pins the no-hot-key join shape.
+    */
+  val q290: QueryDef = QueryDef.checked(
+    "q290_containment_prefix", containmentOracle) { (s, d) =>
+    containmentPairsPrefix(Tables.documents(s, d))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 }

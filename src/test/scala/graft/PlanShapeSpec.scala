@@ -289,6 +289,16 @@ class PlanShapeSpec extends AnyFunSuite {
       s"prefix-filter candidate/verify joins must stay gram-keyed:\n$plan")
   }
 
+  test("q290 containment prefix path stays gram-keyed (no hot-key all-pairs)") {
+    val plan = executedPlan("q290_containment_prefix")
+    // the probe-prefix × full-gram candidate join and the verify
+    // re-joins must all be equi-joins on g / (doc, g); any BNLJ or
+    // cartesian is the unbounded self-join q290 exists to replace
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"containment candidate/verify joins must stay gram-keyed:\n$plan")
+  }
+
   test("q184 EWMA is one window pass — join-free, single data shuffle") {
     val plan = executedPlan("q184_ewma")
     assert(!plan.contains("Join"), s"EWMA must be join-free:\n$plan")
