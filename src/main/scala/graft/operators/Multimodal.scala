@@ -698,6 +698,21 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Closes the q289 ingest loop (VERDICT r14 item 3): the increment's
+    * own band rows appended to the persistent index after matching, so
+    * the NEXT day's batch matches against everything ingested so far —
+    * day N+1's `phashIndexDedup(append(index, dayN), dayN+1)` is
+    * certified ≡ a fresh full index build by MultimodalSpec (the q175
+    * incremental-IVF precedent). The appended frame has exactly the
+    * persisted index shape ([[phashBands]] rows), so the caller
+    * parquets it back over the old index; nothing is re-hashed — the
+    * increment's bands are the same 4 rows × 20 bytes per image the
+    * match step already computed.
+    */
+  def phashIndexAppend(indexBands: DataFrame, incHashes: DataFrame): DataFrame =
+    indexBands.unionByName(
+      phashBands(incHashes.select(col("doc_id"), col("phash").as("h"))))
+
   /** Per-JVM memo of persistent-index locations keyed by (corpus dir,
     * cut) — the q78 accounting: a persistent index is built once
     * (charged to the setup ledger) and queried per increment; the

@@ -372,6 +372,51 @@ class MultimodalSpec extends AnyFunSuite {
         Seq((100L, hB)).toDF("doc_id", "phash")).collect()
       .map(r => (r.getLong(0), r.getLong(2)))
     assert(out3 === Array((100L, 0L)))
+    // ADVICE-r14 orientation fix: index ids ABOVE increment ids — the
+    // old da<db orientation silently dropped this pair; the side tag
+    // must find it regardless of id order
+    val out4 = Multimodal.phashIndexDedup(bandsOf((500L, hA)),
+        Seq((7L, hA)).toDF("doc_id", "phash")).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(out4 === Array((7L, 1L)))
+    spark.catalog.clearCache()
+  }
+
+  test("ingest loop closes: append-then-match equals a fresh index rebuild") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // hand-built 56-bit hashes: hA/hA2 within Hamming 2 (share 3 bands),
+    // hB shares no band with hA, hC is a third independent value
+    val hA = 0x31415926535897L
+    val hA2 = hA ^ 3L
+    val hB = hA ^ ((1L << 0) | (1L << 14) | (1L << 28) | (1L << 42))
+    val hC = 0x2718281828459L
+    def bandsOf(rows: (Long, Long)*) = rows.flatMap { case (id, h) =>
+      (0 until 4).map(i => (id, h, i, (h >> (14 * i)) & 16383L))
+    }.toDF("doc_id", "h", "band_i", "band_v")
+    def hashes(rows: (Long, Long)*) = rows.toDF("doc_id", "phash")
+    val idx0 = bandsOf((1L, hA), (2L, hB))
+    val day1 = hashes((10L, hA2), (11L, hC)) // 10 matches index doc 1
+    val day2 = hashes((20L, hA), (21L, hC), (22L, hC))
+    // day-1 match, then APPEND day 1's bands to the index
+    val r1 = Multimodal.phashIndexDedup(idx0, day1).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(r1 === Array((10L, 1L), (11L, 0L)))
+    val idx1 = Multimodal.phashIndexAppend(idx0, day1)
+    // day-2 against the appended index: 20 pairs with index 1 AND
+    // day-1's 10 (Hamming 2); 21/22 pair with day-1's 11 and each other
+    val viaAppend = Multimodal.phashIndexDedup(idx1, day2).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(viaAppend === Array((20L, 2L), (21L, 2L), (22L, 2L)))
+    // the q175 certificate: the appended index is indistinguishable
+    // from a fresh full rebuild over everything ingested so far
+    val rebuilt = bandsOf((1L, hA), (2L, hB), (10L, hA2), (11L, hC))
+    val viaRebuild = Multimodal.phashIndexDedup(rebuilt, day2).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(viaAppend === viaRebuild)
+    // and appending is idempotent in shape: another append composes
+    val idx2 = Multimodal.phashIndexAppend(idx1, day2)
+    assert(idx2.count() === (2 + 2 + 3) * 4L)
     spark.catalog.clearCache()
   }
 
