@@ -363,6 +363,66 @@ object MediaCodecs {
     * ([[graft.operators.Multimodal.phashDedup]]) serves both
     * modalities unchanged.
     */
+  /** Content-anchored 56-bit fingerprints of a PCM-16-mono WAV — the
+    * SHIFT-TOLERANT audio near-dup path (q291), fixing the edit
+    * fragility [[aHash56Wav]] documents: that fingerprint's windows
+    * are index-proportional, so one inserted sample re-divides every
+    * window and no near-identical clip survives it. Here window
+    * placement is CONTENT-DEFINED (the rsync/LBFS chunking idea, the
+    * audio analogue of q61's winnowing): position i ≥ 3 is an ANCHOR
+    * iff the md5 of the last four |sample| values (comma-joined
+    * decimal — the established md5-portability trick, replayed
+    * verbatim by DuckDB's md5 on the same string) has its leading
+    * 32 bits ≡ 0 mod `mod`, and each anchor fingerprints the 114
+    * samples after it: 57 two-sample energies E_k = |s|(i+1+2k) +
+    * |s|(i+2+2k), bit k set iff E(k+1) > E(k) — the [[aHash56Wav]]
+    * comparator over a content-anchored window, so the result reuses
+    * the unchanged banded-Hamming dedup operator. A clip shifted by s
+    * samples has identical anchors at shifted positions with
+    * identical windows, hence identical fingerprints: byte-shifted
+    * duplicates collide at Hamming 0, and an edit loses only the
+    * anchors whose key or window crosses it. Expected anchor density
+    * 1/mod per eligible position. Returns (anchor index, hash) pairs;
+    * clips shorter than 119 samples yield none.
+    */
+  def anchorHashes56Wav(payload: Array[Byte], mod: Int = 32): Seq[(Int, Long)] = {
+    val c = walkWavChunks(payload)
+    val n = c.dataLen / 2
+    val a = new Array[Long](math.max(n, 0))
+    var i = 0
+    while (i < n) {
+      val s = (le16(payload, c.dataOff + 2 * i) << 16) >> 16 // sign-extend
+      a(i) = math.abs(s).toLong
+      i += 1
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = Seq.newBuilder[(Int, Long)]
+    i = 3
+    while (i + 114 < n) {
+      md.reset()
+      val key = s"${a(i - 3)},${a(i - 2)},${a(i - 1)},${a(i)}"
+      val d = md.digest(key.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      // the first 8 hex chars of the digest as an unsigned 32-bit value —
+      // exactly ('0x' || substr(md5(key), 1, 8))::BIGINT on the SQL side
+      val head = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      if (head % mod == 0) {
+        var h = 0L
+        var k = 0
+        var ePrev = a(i + 1) + a(i + 2)
+        while (k < 56) {
+          val eNext = a(i + 3 + 2 * k) + a(i + 4 + 2 * k)
+          if (eNext > ePrev) h |= 1L << k
+          ePrev = eNext
+          k += 1
+        }
+        out += ((i, h))
+      }
+      i += 1
+    }
+    out.result()
+  }
+
   def aHash56Wav(payload: Array[Byte]): Long = {
     val c = walkWavChunks(payload)
     val n = c.dataLen / 2

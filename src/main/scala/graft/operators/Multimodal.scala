@@ -45,7 +45,7 @@ final case class MediaFeatures(
 object Multimodal {
 
   def defs: Seq[QueryDef] =
-    Seq(q38, q39, q212, q282, q285, q287, q288, q289)
+    Seq(q38, q39, q212, q282, q285, q287, q288, q289, q291)
 
   /** documents → typed multimodal dataset (payload = UTF-8 bytes of text;
     * media_type cycles image/audio/video by doc_id).
@@ -91,14 +91,7 @@ object Multimodal {
         val (w, h) = bmpDims(nChars)
         MediaCodecs.encodeBmp(w, h, i => t(i % t.length))
       case 1 => // audio: mono PCM16 WAV
-        val n = wavSamples(nChars)
-        val samples = new Array[Short](n)
-        var i = 0
-        while (i < n) {
-          samples(i) = (((t(i % t.length) & 0xff) - 128) * 256).toShort
-          i += 1
-        }
-        MediaCodecs.encodeWavPcm16Mono(WavRate, samples)
+        encodeWavClip(nChars, t)
       case _ => // video: K BMP frames back to back
         val (w, h) = bmpDims(nChars)
         val k = videoFrames(nChars)
@@ -111,6 +104,24 @@ object Multimodal {
         }
         out
     }
+  }
+
+  /** The audio branch of [[encodeContainer]] as a standalone encoder —
+    * any document rendered as its PCM16 WAV clip (samples center the
+    * text bytes: (byte − 128)·256, capped at [[wavSamples]]): q291's
+    * whole-corpus audio rendition uses it directly, so the planted
+    * near-dup texts become genuinely byte-shifted sample streams.
+    */
+  def encodeWavClip(nChars: Long, text: Array[Byte]): Array[Byte] = {
+    val t = if (text.isEmpty) Array[Byte](0) else text
+    val n = wavSamples(nChars)
+    val samples = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      samples(i) = (((t(i % t.length) & 0xff) - 128) * 256).toShort
+      i += 1
+    }
+    MediaCodecs.encodeWavPcm16Mono(WavRate, samples)
   }
 
   /** DECODE: parse the container through the real format parsers and
@@ -476,7 +487,10 @@ object Multimodal {
     * pixel sampling) no catalog pair survives within Hamming 6 and the
     * catalog partner counts are all 0; the dedup path itself is proven
     * by MultimodalSpec's planted identical/near-identical clips and by
-    * q285 sharing the identical banding code.
+    * q285 sharing the identical banding code. The SHIFT-TOLERANT
+    * recall path is q291 ([[audioAnchorDedup]]): content-anchored
+    * windows that survive exactly the edits these index-proportional
+    * windows cannot.
     */
   val q287: QueryDef = QueryDef.checked(
     "q287_audio_fp_dedup",
@@ -808,5 +822,124 @@ object Multimodal {
       })
     phashIndexDedup(s.read.parquet(idxPath),
       hashed(imgDocs.filter(col("doc_id") >= cut)))
+  }
+
+  /** SHIFT-TOLERANT audio near-dup detection — content-anchored
+    * fingerprints ([[graft.functions.MediaCodecs.anchorHashes56Wav]]:
+    * md5-CDC anchor placement + 57-energy comparator windows) run
+    * through the UNCHANGED banded-Hamming operator with q288's
+    * any-frame-pair semantics: two clips pair when ANY of their
+    * anchored windows collide within the Hamming budget. This is the
+    * recall path q287's whole-clip fingerprint cannot provide (its
+    * index-proportional windows make one inserted sample flip every
+    * downstream window — documented there): anchors move WITH the
+    * content, so byte-shifted duplicates collide at Hamming 0 and an
+    * edit loses only the anchors it touches.
+    *
+    * Input: `frames` = (doc_id, i, fhash) anchor rows; `clips` = the
+    * full clip list (anchor-less clips still get an output row).
+    * Output: one row per clip with its anchor count and verified
+    * partner count.
+    *
+    * Scale shape: hashing is partition-local inside the decode pass;
+    * the band join exchanges 4 rows × 20 bytes per ANCHOR (density
+    * 1/32 of samples — ~n/8 bytes per clip, narrower than the clip
+    * itself); verify touches only band-colliding pairs; anchor pairs
+    * de-dup to clip pairs before counting. Never all-pairs.
+    */
+  def audioAnchorDedup(frames: DataFrame, clips: DataFrame,
+      maxHamming: Int = 6): DataFrame = {
+    val fh = frames
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ver = bandedHammingPairs(fh.select(col("doc_id"),
+        col("fhash").as("h")), maxHamming)
+      .distinct() // anchor pairs -> clip pairs
+    val partners = ver.select(col("da").as("doc_id"))
+      .unionByName(ver.select(col("db").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_partners"))
+    clips.select(col("doc_id"))
+      .join(fh.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_anchors")), Seq("doc_id"), "left")
+      .join(partners, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_anchors"), lit(0L)).as("n_anchors"),
+        coalesce(col("n_partners"), lit(0L)).as("n_partners"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q291: shift-tolerant audio dedup over the WHOLE corpus rendered
+    * as PCM clips ([[encodeWavClip]] — every document, not just the
+    * doc_id%3 audio slice, so the corpus's planted near-dup texts
+    * become genuinely byte-shifted/edited sample streams and the
+    * operator's recall is demonstrated on real data at both sfs:
+    * unlike q287, partner counts here are NONZERO). The oracle
+    * replays anchor placement (md5 over the |sample| key string),
+    * window energies, and the identical banding from the generation
+    * formulas, so a corrupted chunk walker, anchor scan, energy
+    * comparator, or band split breaks the hash.
+    */
+  val q291: QueryDef = QueryDef.checked(
+    "q291_audio_anchor_dedup",
+    """WITH aud AS (
+      |  SELECT doc_id, GREATEST(octet_length(encode(text)), 1) AS tl,
+      |    COALESCE(NULLIF(hex(encode(text)), ''), '00') AS hx,
+      |    CAST(LEAST(n_chars, 4096) AS BIGINT) AS n
+      |  FROM documents),
+      |samp AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS i,
+      |    ABS((('0x' || substr(hx, 2 * CAST(i % tl AS INT) + 1, 2))::INT - 128) * 256) AS a
+      |  FROM aud, unnest(generate_series(0, n - 1)) AS u(i)
+      |  WHERE n > 0),
+      |keyed AS (
+      |  SELECT doc_id, i, a,
+      |    lag(a, 3) OVER w AS a3, lag(a, 2) OVER w AS a2, lag(a, 1) OVER w AS a1
+      |  FROM samp WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+      |anch AS (
+      |  SELECT k.doc_id, k.i
+      |  FROM keyed k JOIN aud ON aud.doc_id = k.doc_id
+      |  WHERE k.a3 IS NOT NULL AND k.i + 114 < aud.n
+      |    AND ('0x' || substr(md5(k.a3 || ',' || k.a2 || ',' || k.a1 || ',' || k.a), 1, 8))::BIGINT % 32 = 0),
+      |en AS (
+      |  SELECT an.doc_id, an.i, CAST(k AS INT) AS k,
+      |    ABS((('0x' || substr(hx, 2 * CAST((an.i + 1 + 2*k) % tl AS INT) + 1, 2))::INT - 128) * 256)
+      |    + ABS((('0x' || substr(hx, 2 * CAST((an.i + 2 + 2*k) % tl AS INT) + 1, 2))::INT - 128) * 256) AS e
+      |  FROM anch an JOIN aud USING (doc_id), unnest(generate_series(0, 56)) AS g(k)),
+      |fh AS (
+      |  SELECT doc_id, i,
+      |    CAST(SUM(CASE WHEN e_next > e THEN 1::BIGINT << k ELSE 0 END) AS BIGINT) AS fhash
+      |  FROM (SELECT doc_id, i, k, e,
+      |          lead(e) OVER (PARTITION BY doc_id, i ORDER BY k) AS e_next FROM en)
+      |  WHERE k <= 55 GROUP BY doc_id, i),
+      |bands AS (
+      |  SELECT doc_id, fhash, CAST(bi AS INT) AS band_i,
+      |    CAST((fhash >> CAST(14 * bi AS INT)) & 16383 AS BIGINT) AS band_v
+      |  FROM fh, unnest(generate_series(0, 3)) AS b(bi)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db, a.fhash AS ha, b.fhash AS hb
+      |  FROM bands a JOIN bands b
+      |    ON a.band_i = b.band_i AND a.band_v = b.band_v AND a.doc_id < b.doc_id),
+      |ver AS (SELECT DISTINCT da, db FROM cand WHERE bit_count(xor(ha, hb)) <= 6),
+      |partners AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_partners FROM (
+      |    SELECT da AS doc_id FROM ver UNION ALL SELECT db FROM ver)
+      |  GROUP BY doc_id),
+      |na AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_anchors FROM anch GROUP BY doc_id)
+      |SELECT aud.doc_id, COALESCE(na.n_anchors, 0) AS n_anchors,
+      |  COALESCE(p.n_partners, 0) AS n_partners
+      |FROM aud LEFT JOIN na USING (doc_id) LEFT JOIN partners p USING (doc_id)
+      |ORDER BY aud.doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("n_chars"))
+    val frames = docs
+      .as[(Long, String, Long)]
+      .mapPartitions(_.flatMap { case (id, text, nChars) =>
+        val payload = encodeWavClip(nChars,
+          text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        MediaCodecs.anchorHashes56Wav(payload).map {
+          case (i, h) => (id, i, h)
+        }
+      }).toDF("doc_id", "i", "fhash")
+    audioAnchorDedup(frames, docs.select(col("doc_id")))
   }
 }

@@ -420,6 +420,76 @@ class MultimodalSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("anchorHashes56Wav: anchors shift with the content, hashes unchanged") {
+    val rnd = new scala.util.Random(291)
+    val body = Array.fill(1200)((rnd.nextInt(65536) - 32768).toShort)
+    val junk = Array.fill(50)((rnd.nextInt(65536) - 32768).toShort)
+    val a = MediaCodecs.encodeWavPcm16Mono(8000, body)
+    val b = MediaCodecs.encodeWavPcm16Mono(8000, junk ++ body)
+    val ha = MediaCodecs.anchorHashes56Wav(a)
+    val hb = MediaCodecs.anchorHashes56Wav(b)
+    assert(ha.nonEmpty, "1200 random samples should yield ~37 anchors")
+    // every anchor of A whose window fits reappears in B at +50 with the
+    // identical fingerprint — the shift-invariance contract
+    val hbMap = hb.toMap
+    ha.foreach { case (i, h) =>
+      assert(hbMap.get(i + 50).contains(h),
+        s"anchor at $i (hash $h) must reappear at ${i + 50} in the shifted clip")
+    }
+    // and the index-proportional whole-clip fingerprint is NOT shift
+    // tolerant here (the q287 fragility q291 exists to fix)
+    assert(MediaCodecs.aHash56Wav(a) !== MediaCodecs.aHash56Wav(b))
+  }
+
+  test("audioAnchorDedup: byte-shifted planted clips pair; q287 path misses them") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(1291)
+    val body = Array.fill(1000)((rnd.nextInt(65536) - 32768).toShort)
+    val shift = Array.fill(37)((rnd.nextInt(65536) - 32768).toShort)
+    def wav(s: Array[Short]) = MediaCodecs.encodeWavPcm16Mono(8000, s)
+    val clips: Seq[(Long, Array[Byte])] = Seq(
+      0L -> wav(body),
+      1L -> wav(shift ++ body), // byte-shifted duplicate of 0
+      2L -> wav(Array.fill(1000)((rnd.nextInt(65536) - 32768).toShort)),
+      3L -> wav(Array.fill(1000)((rnd.nextInt(65536) - 32768).toShort)))
+    val frames = clips.flatMap { case (id, p) =>
+      MediaCodecs.anchorHashes56Wav(p).map { case (i, h) => (id, i, h) }
+    }.toDF("doc_id", "i", "fhash")
+    val clipIds = clips.map(_._1).toDF("doc_id")
+    val out = operators.Multimodal.audioAnchorDedup(frames, clipIds)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(out(0L) === 1L && out(1L) === 1L,
+      s"shifted pair must be found: $out")
+    assert(out(2L) === 0L && out(3L) === 0L)
+    // the whole-clip q287 fingerprints of the pair differ beyond the
+    // Hamming budget — the documented miss this operator fixes
+    val d = java.lang.Long.bitCount(
+      MediaCodecs.aHash56Wav(clips(0)._2) ^ MediaCodecs.aHash56Wav(clips(1)._2))
+    assert(d > 6, s"whole-clip fingerprints should diverge (hamming $d)")
+    spark.catalog.clearCache()
+  }
+
+  test("anchorHashes56Wav: single-sample edit loses only the anchors it touches") {
+    val rnd = new scala.util.Random(2291)
+    val body = Array.fill(1500)((rnd.nextInt(65536) - 32768).toShort)
+    val edited = body.clone()
+    edited(700) = (edited(700) ^ 0x5a5a).toShort
+    val ha = MediaCodecs.anchorHashes56Wav(
+      MediaCodecs.encodeWavPcm16Mono(8000, body))
+    val hb = MediaCodecs.anchorHashes56Wav(
+      MediaCodecs.encodeWavPcm16Mono(8000, edited)).toMap
+    assert(ha.nonEmpty)
+    // anchors whose key window and energy window both avoid sample 700
+    // must survive byte-for-byte; the edit can only touch i in
+    // [700-114, 700+3]
+    val untouched = ha.filter { case (i, _) => i + 114 < 700 || i - 3 > 700 }
+    assert(untouched.nonEmpty)
+    untouched.foreach { case (i, h) =>
+      assert(hb.get(i).contains(h), s"anchor at $i should survive the edit")
+    }
+  }
+
   test("fuzz: AudioSystem-encoded WAVs decode with exact sample statistics") {
     val rnd = new scala.util.Random(1848)
     (0 until 12).foreach { trial =>
