@@ -23,7 +23,7 @@ object Curation {
   def defs: Seq[QueryDef] =
     Seq(q59, q60, q61, q66, q74, q75, q76, q84, q115, q123, q143, q154,
       q255, q256, q264, q265, q268, q271, q274, q277, q279, q280, q281,
-      q284, q286)
+      q284, q286, q292)
 
   /** Top-`k` distinctive terms per document, ranked by tf/df (document
     * frequency as the rarity signal — the idf log is monotonic in 1/df,
@@ -1602,21 +1602,18 @@ object Curation {
     * lattice passes, expectation, prune, and re-score all run at
     * vocabulary scale.
     */
-  def unigramLmSoftTrain(docs: DataFrame, kMulti: Int = 40, maxLen: Int = 4,
-      minCount: Long = 2L): DataFrame = {
-    val ty = wordTypes(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sub = ty.select(col("freq"), explode(expr(
-        s"""flatten(transform(sequence(1, length(w)),
-           |  i -> filter(transform(sequence(1, $maxLen),
-           |    L -> CASE WHEN i + L - 1 <= length(w)
-           |         THEN substring(w, i, L) ELSE NULL END),
-           |    x -> x IS NOT NULL)))""".stripMargin)).as("g"))
-      .groupBy(col("g")).agg(sum(col("freq")).as("cnt"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val seed = sub.filter(length(col("g")) === 1 || col("cnt") >= minCount)
-    val pr = seed.crossJoin(broadcast(seed.agg(sum(col("cnt")).as("t"))))
-      .select(col("g"), (col("cnt") * lit(1.0) / col("t")).as("p"))
+  /** One soft (forward–backward) E-STEP as a vocabulary-scale frame op:
+    * word types × a broadcast piece→probability map → frequency-
+    * weighted posterior expected counts on the ppm grid — the lattice
+    * machinery of [[unigramLmSoftTrain]], factored out so the iterated
+    * trainer ([[unigramLmEmTrain]], q292) re-runs it per round against
+    * each round's re-estimated model. Both lattice passes run
+    * ROW-LOCALLY as one `aggregate` over positions each; the IEEE
+    * association order is part of the oracle-parity contract (see
+    * [[unigramLmSoftTrain]]) and must not be reassociated.
+    */
+  private def softExpectedCounts(ty: DataFrame, pr: DataFrame,
+      maxLen: Int): DataFrame = {
     val m = pr.agg(map_from_entries(
       collect_list(struct(col("g"), col("p")))).as("m"))
     // forward: fw[j+1] = a(j); a(j) = Σ_L a(j−L)·p(w[j−L+1..j])
@@ -1658,7 +1655,7 @@ object Curation {
          |               / z)) AS BIGINT))
          |      ELSE NULL END),
          |    x -> x IS NOT NULL)))""".stripMargin
-    val ec = ty.crossJoin(broadcast(m))
+    ty.crossJoin(broadcast(m))
       .withColumn("fw", expr(fwSql))
       .withColumn("bwrev", expr(bwSql))
       .withColumn("z", element_at(col("fw"), length(col("w")) + 1))
@@ -1666,6 +1663,24 @@ object Curation {
       .select(col("freq"), explode(expr(ePairsSql)).as("pe"))
       .groupBy(col("pe.g").as("g"))
       .agg(sum(col("freq") * col("pe.e")).as("cnt"))
+  }
+
+  def unigramLmSoftTrain(docs: DataFrame, kMulti: Int = 40, maxLen: Int = 4,
+      minCount: Long = 2L): DataFrame = {
+    val ty = wordTypes(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sub = ty.select(col("freq"), explode(expr(
+        s"""flatten(transform(sequence(1, length(w)),
+           |  i -> filter(transform(sequence(1, $maxLen),
+           |    L -> CASE WHEN i + L - 1 <= length(w)
+           |         THEN substring(w, i, L) ELSE NULL END),
+           |    x -> x IS NOT NULL)))""".stripMargin)).as("g"))
+      .groupBy(col("g")).agg(sum(col("freq")).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seed = sub.filter(length(col("g")) === 1 || col("cnt") >= minCount)
+    val pr = seed.crossJoin(broadcast(seed.agg(sum(col("cnt")).as("t"))))
+      .select(col("g"), (col("cnt") * lit(1.0) / col("t")).as("p"))
+    val ec = softExpectedCounts(ty, pr, maxLen)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val fin = sub.filter(length(col("g")) === 1).select(col("g"))
       .unionByName(ec.filter(length(col("g")) > 1)
@@ -1784,6 +1799,200 @@ object Curation {
       |FROM fc CROSS JOIN ft
       |ORDER BY piece""".stripMargin) { (s, d) =>
     unigramLmSoftTrain(Tables.documents(s, d))
+  }
+
+  /** ITERATED unigram-LM EM — the Sennrich/SentencePiece trainer loop
+    * the single-round q284 stops short of (VERDICT r14 item 5): run the
+    * certified soft E-step ([[softExpectedCounts]]) REPEATEDLY against
+    * a PRUNE SCHEDULE, re-estimating the model between rounds.
+    * Round r: E-step under the current model → keep all single chars +
+    * the top-`schedule(r)` multi-char pieces by (soft count DESC,
+    * piece) → M-step re-estimates p(g) = (cnt+1)/(t+nv) add-one
+    * smoothed over the survivors (chars keep nonzero probability, so
+    * lattice coverage never breaks). The schedule narrows toward the
+    * final budget (default 80 → 40: SentencePiece's shrink-toward-
+    * target discipline at this catalog's vocabulary scale); the final
+    * round's counts are re-scored on the q280 micro-nat grid.
+    *
+    * The driver loop is the q255 BPE precedent: `schedule.length`
+    * bounded rounds, each exchanging only a broadcast vocabulary-sized
+    * model map — the corpus is touched ONCE (the word-TYPE table,
+    * persisted) and every per-round stage runs at vocabulary scale.
+    * Oracle parity: round boundaries pass INTEGER ppm counts between
+    * engines, and the only float ops are the same structurally-IEEE
+    * lattice recurrences q284 certifies plus one exact-rounded
+    * (cnt+1)·1.0/(t+nv) division of integers — so the multi-round
+    * pipeline is hash-exact end to end.
+    */
+  def unigramLmEmTrain(docs: DataFrame, schedule: Seq[Int] = Seq(80, 40),
+      maxLen: Int = 4, minCount: Long = 2L): DataFrame = {
+    require(schedule.nonEmpty, "EM schedule must have at least one round")
+    val ty = wordTypes(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sub = ty.select(col("freq"), explode(expr(
+        s"""flatten(transform(sequence(1, length(w)),
+           |  i -> filter(transform(sequence(1, $maxLen),
+           |    L -> CASE WHEN i + L - 1 <= length(w)
+           |         THEN substring(w, i, L) ELSE NULL END),
+           |    x -> x IS NOT NULL)))""".stripMargin)).as("g"))
+      .groupBy(col("g")).agg(sum(col("freq")).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val chars = sub.filter(length(col("g")) === 1).select(col("g"))
+    val seed = sub.filter(length(col("g")) === 1 || col("cnt") >= minCount)
+    var pr = seed.crossJoin(broadcast(seed.agg(sum(col("cnt")).as("t"))))
+      .select(col("g"), (col("cnt") * lit(1.0) / col("t")).as("p"))
+    var fc: DataFrame = null
+    schedule.foreach { k =>
+      val ec = softExpectedCounts(ty, pr, maxLen)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val fin = chars.unionByName(ec.filter(length(col("g")) > 1)
+        .orderBy(col("cnt").desc, col("g")).limit(k).select(col("g")))
+      fc = fin.join(ec, Seq("g"), "left")
+        .select(col("g"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // M-step: add-one-smoothed probabilities over the survivors feed
+      // the NEXT round's lattice (exact integer operands, one IEEE
+      // division — cross-engine identical)
+      pr = fc.crossJoin(broadcast(
+          fc.agg(sum(col("cnt")).as("t"), count(lit(1)).as("nv"))))
+        .select(col("g"),
+          ((col("cnt") + lit(1L)) * lit(1.0) / (col("t") + col("nv"))).as("p"))
+    }
+    fc.crossJoin(broadcast(
+        fc.agg(sum(col("cnt")).as("t"), count(lit(1)).as("nv"))))
+      .select(col("g").as("piece"), col("cnt").as("cnt_ppm"),
+        expr("CAST(ROUND(1000000.0 * LN((t + nv) * 1.0 / (cnt + 1))) AS BIGINT)")
+          .as("cost_micro"))
+      .orderBy(col("piece"))
+  }
+
+  /** One unrolled soft-EM lattice round of the q292 ORACLE, generated
+    * per round so the two rounds cannot structurally diverge (the q255
+    * unrolled-CTE precedent): forward/backward recursive CTEs carrying
+    * a rolling 4-slot state against the round's model `pr`, the
+    * per-occurrence posterior ppm readout, and the soft-count roll-up.
+    */
+  private def softRoundCtes(r: Int, pr: String): String =
+    s"""fw$r AS (
+       |  SELECT w, 0 AS j, CAST(0.0 AS DOUBLE) AS a3, CAST(0.0 AS DOUBLE) AS a2,
+       |         CAST(0.0 AS DOUBLE) AS a1, CAST(1.0 AS DOUBLE) AS a0
+       |  FROM ty
+       |  UNION ALL
+       |  SELECT w, j + 1, a2, a1, a0,
+       |    (CASE WHEN (SELECT p FROM $pr WHERE g = substr(w, j + 1, 1)) IS NOT NULL
+       |      THEN a0 * (SELECT p FROM $pr WHERE g = substr(w, j + 1, 1))
+       |      ELSE 0.0 END)
+       |    + (CASE WHEN j - 1 >= 0
+       |        AND (SELECT p FROM $pr WHERE g = substr(w, j, 2)) IS NOT NULL
+       |      THEN a1 * (SELECT p FROM $pr WHERE g = substr(w, j, 2))
+       |      ELSE 0.0 END)
+       |    + (CASE WHEN j - 2 >= 0
+       |        AND (SELECT p FROM $pr WHERE g = substr(w, j - 1, 3)) IS NOT NULL
+       |      THEN a2 * (SELECT p FROM $pr WHERE g = substr(w, j - 1, 3))
+       |      ELSE 0.0 END)
+       |    + (CASE WHEN j - 3 >= 0
+       |        AND (SELECT p FROM $pr WHERE g = substr(w, j - 2, 4)) IS NOT NULL
+       |      THEN a3 * (SELECT p FROM $pr WHERE g = substr(w, j - 2, 4))
+       |      ELSE 0.0 END)
+       |  FROM fw$r WHERE j < len(w)),
+       |bw$r AS (
+       |  SELECT w, len(w) AS j, CAST(1.0 AS DOUBLE) AS b0, CAST(0.0 AS DOUBLE) AS b1,
+       |         CAST(0.0 AS DOUBLE) AS b2, CAST(0.0 AS DOUBLE) AS b3
+       |  FROM ty
+       |  UNION ALL
+       |  SELECT w, j - 1,
+       |    (CASE WHEN (SELECT p FROM $pr WHERE g = substr(w, j, 1)) IS NOT NULL
+       |      THEN b0 * (SELECT p FROM $pr WHERE g = substr(w, j, 1))
+       |      ELSE 0.0 END)
+       |    + (CASE WHEN j + 1 <= len(w)
+       |        AND (SELECT p FROM $pr WHERE g = substr(w, j, 2)) IS NOT NULL
+       |      THEN b1 * (SELECT p FROM $pr WHERE g = substr(w, j, 2))
+       |      ELSE 0.0 END)
+       |    + (CASE WHEN j + 2 <= len(w)
+       |        AND (SELECT p FROM $pr WHERE g = substr(w, j, 3)) IS NOT NULL
+       |      THEN b2 * (SELECT p FROM $pr WHERE g = substr(w, j, 3))
+       |      ELSE 0.0 END)
+       |    + (CASE WHEN j + 3 <= len(w)
+       |        AND (SELECT p FROM $pr WHERE g = substr(w, j, 4)) IS NOT NULL
+       |      THEN b3 * (SELECT p FROM $pr WHERE g = substr(w, j, 4))
+       |      ELSE 0.0 END),
+       |    b0, b1, b2
+       |  FROM bw$r WHERE j > 0),
+       |z$r AS (SELECT w, a0 AS z FROM fw$r WHERE j = len(w)),
+       |e$r AS (
+       |  SELECT occ.w, occ.freq, occ.g,
+       |    CAST(FLOOR(1000000.0 * (((fa.a0 * p.p) * fb.b0) / z.z)) AS BIGINT) AS e_ppm
+       |  FROM occ
+       |  JOIN $pr p ON p.g = occ.g
+       |  JOIN fw$r fa ON fa.w = occ.w AND fa.j = occ.i - 1
+       |  JOIN bw$r fb ON fb.w = occ.w AND fb.j = occ.i + occ.L - 1
+       |  JOIN z$r z ON z.w = occ.w
+       |  WHERE z.z > 0),
+       |softc$r AS MATERIALIZED (
+       |  SELECT g, CAST(SUM(freq * e_ppm) AS BIGINT) AS cnt FROM e$r GROUP BY g)"""
+      .stripMargin
+
+  /** q292: the iterated (2-round, 80→40 prune schedule) soft-EM
+    * unigram-LM vocabulary. Hash-checked against DuckDB replaying BOTH
+    * unrolled rounds — seed model, lattice 1, prune to 80, smoothed
+    * re-estimate, lattice 2 under the round-2 model, prune to 40,
+    * final micro-nat re-score.
+    */
+  val q292: QueryDef = QueryDef.checked(
+    "q292_unigram_lm_em_iter",
+    s"""WITH RECURSIVE ty AS MATERIALIZED (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  GROUP BY w),
+       |sub AS MATERIALIZED (
+       |  SELECT substr(w, CAST(i AS INT), CAST(L AS INT)) AS g,
+       |         CAST(SUM(freq) AS BIGINT) AS cnt
+       |  FROM ty, unnest(generate_series(1, len(w))) AS u(i),
+       |       unnest(generate_series(1, 4)) AS v(L)
+       |  WHERE i + L - 1 <= len(w)
+       |  GROUP BY 1),
+       |seed AS MATERIALIZED (
+       |  SELECT g, cnt FROM sub WHERE len(g) = 1 OR cnt >= 2),
+       |stot AS MATERIALIZED (SELECT SUM(cnt) AS t FROM seed),
+       |pr1 AS MATERIALIZED (
+       |  SELECT g, cnt * 1.0 / s.t AS p FROM seed CROSS JOIN stot s),
+       |occ AS MATERIALIZED (
+       |  SELECT ty.w, ty.freq, CAST(i AS INT) AS i, CAST(L AS INT) AS L,
+       |         substr(ty.w, CAST(i AS INT), CAST(L AS INT)) AS g
+       |  FROM ty, unnest(generate_series(1, len(w))) AS u(i),
+       |       unnest(generate_series(1, 4)) AS v(L)
+       |  WHERE i + L - 1 <= len(w)),
+       |${softRoundCtes(1, "pr1")},
+       |fin1 AS MATERIALIZED (
+       |  SELECT g FROM sub WHERE len(g) = 1
+       |  UNION ALL
+       |  SELECT g FROM (
+       |    SELECT g, row_number() OVER (ORDER BY cnt DESC, g) AS rn
+       |    FROM softc1 WHERE len(g) > 1) WHERE rn <= 80),
+       |fc1 AS MATERIALIZED (
+       |  SELECT f.g, COALESCE(softc1.cnt, 0) AS cnt
+       |  FROM fin1 f LEFT JOIN softc1 USING (g)),
+       |ft1 AS MATERIALIZED (SELECT SUM(cnt) AS t, COUNT(*) AS nv FROM fc1),
+       |pr2 AS MATERIALIZED (
+       |  SELECT fc1.g, (fc1.cnt + 1) * 1.0 / (ft1.t + ft1.nv) AS p
+       |  FROM fc1 CROSS JOIN ft1),
+       |${softRoundCtes(2, "pr2")},
+       |fin2 AS MATERIALIZED (
+       |  SELECT g FROM sub WHERE len(g) = 1
+       |  UNION ALL
+       |  SELECT g FROM (
+       |    SELECT g, row_number() OVER (ORDER BY cnt DESC, g) AS rn
+       |    FROM softc2 WHERE len(g) > 1) WHERE rn <= 40),
+       |fc2 AS MATERIALIZED (
+       |  SELECT f.g, COALESCE(softc2.cnt, 0) AS cnt
+       |  FROM fin2 f LEFT JOIN softc2 USING (g)),
+       |ft2 AS MATERIALIZED (SELECT SUM(cnt) AS t, COUNT(*) AS nv FROM fc2)
+       |SELECT fc2.g AS piece, fc2.cnt AS cnt_ppm,
+       |  CAST(ROUND(1000000.0 * LN((ft2.t + ft2.nv) * 1.0 / (fc2.cnt + 1)))
+       |    AS BIGINT) AS cost_micro
+       |FROM fc2 CROSS JOIN ft2
+       |ORDER BY piece""".stripMargin) { (s, d) =>
+    unigramLmEmTrain(Tables.documents(s, d))
   }
 
   /** The composed DATA-SELECTION pipeline (VERDICT r12 item 7) — the

@@ -318,6 +318,95 @@ class TrainingOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("unigramLmEmTrain: property vs an independent in-memory 2-round EM") {
+    // the single-round reference above, iterated with the q292 prune
+    // schedule and the smoothed (cnt+1)/(t+nv) M-step between rounds —
+    // same IEEE-structural arithmetic, so the comparison stays ===
+    def emReference(texts: Seq[String], schedule: Seq[Int],
+        maxLen: Int = 4, minCount: Long = 2L): Seq[(String, Long, Long)] = {
+      val ty = texts.flatMap(_.split(" ")).filter(_.nonEmpty)
+        .groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+      val sub = scala.collection.mutable.Map.empty[String, Long]
+      for ((w, f) <- ty; i <- 1 to w.length; l <- 1 to maxLen
+           if i + l - 1 <= w.length) {
+        val g = w.substring(i - 1, i - 1 + l)
+        sub(g) = sub.getOrElse(g, 0L) + f
+      }
+      val seed = sub.filter { case (g, c) => g.length == 1 || c >= minCount }
+      val t0 = seed.values.sum
+      var p: Map[String, Double] =
+        seed.map { case (g, c) => g -> (c * 1.0 / t0) }.toMap
+      val chars = sub.keys.filter(_.length == 1).toSeq
+      var fc: Seq[(String, Long)] = Nil
+      for (k <- schedule) {
+        val counts = scala.collection.mutable.Map.empty[String, Long]
+        for ((w, f) <- ty) {
+          val n = w.length
+          val a = new Array[Double](n + 1); a(0) = 1.0
+          for (j <- 1 to n) {
+            var s = 0.0
+            for (l <- 1 to maxLen if j - l >= 0)
+              p.get(w.substring(j - l, j)).foreach(pp => s += a(j - l) * pp)
+            a(j) = s
+          }
+          val b = new Array[Double](n + 1); b(n) = 1.0
+          for (j <- n - 1 to 0 by -1) {
+            var s = 0.0
+            for (l <- 1 to maxLen if j + l <= n)
+              p.get(w.substring(j, j + l)).foreach(pp => s += b(j + l) * pp)
+            b(j) = s
+          }
+          val z = a(n)
+          if (z > 0.0)
+            for (i <- 1 to n; l <- 1 to maxLen if i + l - 1 <= n) {
+              val g = w.substring(i - 1, i - 1 + l)
+              p.get(g).foreach { pp =>
+                val e = math.floor(
+                  1000000.0 * (((a(i - 1) * pp) * b(i + l - 1)) / z)).toLong
+                counts(g) = counts.getOrElse(g, 0L) + f * e
+              }
+            }
+        }
+        val multi = counts.filter(_._1.length > 1).toSeq
+          .sortBy { case (g, c) => (-c, g) }.take(k).map(_._1)
+        val fin = (chars ++ multi).distinct
+        fc = fin.map(g => g -> counts.getOrElse(g, 0L))
+        val t = fc.map(_._2).sum; val nv = fc.size
+        p = fc.map { case (g, c) => g -> ((c + 1L) * 1.0 / (t + nv)) }.toMap
+      }
+      val t2 = fc.map(_._2).sum; val nv = fc.size
+      fc.sortBy(_._1).map { case (g, c) =>
+        (g, c, math.round(1e6 * math.log((t2 + nv) * 1.0 / (c + 1))))
+      }
+    }
+    val rnd = new scala.util.Random(2926)
+    for (trial <- 0 until 2) {
+      val words = Seq.fill(6 + rnd.nextInt(6))(
+        Seq.fill(1 + rnd.nextInt(7))("abc" (rnd.nextInt(3))).mkString)
+      val texts = Seq.fill(3)(
+        Seq.fill(4 + rnd.nextInt(5))(words(rnd.nextInt(words.size)))
+          .mkString(" "))
+      val schedule = Seq(Seq(8, 4), Seq(10, 6, 3))(trial % 2)
+      val out = Curation.unigramLmEmTrain(docsOf(texts: _*), schedule)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(out === emReference(texts, schedule),
+        s"trial $trial schedule $schedule corpus $texts")
+    }
+  }
+
+  test("unigramLmEmTrain: a 1-round schedule reproduces unigramLmSoftTrain") {
+    // the iterated trainer with schedule Seq(40) IS the certified
+    // single-round q284 — pins that the loop refactor changed nothing
+    val texts = Seq("abab bab ab", "bab ab ab cc", "cc abab bab")
+    val single = Curation.unigramLmSoftTrain(docsOf(texts: _*)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val looped = Curation.unigramLmEmTrain(docsOf(texts: _*), Seq(40))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(looped === single)
+  }
+
   test("unigramLmEncode: fertility from the final model's Viterbi pass") {
     import spark.implicits._
     // same tie-break corpus: final model a/bc cheap (1098612), b/c dear
