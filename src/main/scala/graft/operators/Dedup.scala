@@ -1791,43 +1791,61 @@ object Dedup {
     * c(A→B) ≥ τ requires |S(A)∩S(B)| ≥ t(A) = ⌈τ·|A|⌉ shared grams
     * (with the catalog's integer scoring, inter·10⁶ div |A| ≥ minPpm ⟺
     * inter ≥ ⌈|A|·minPpm/10⁶⌉ — exact, no float thresholds). Order
-    * every doc's grams by ONE global rarity order (df asc, g asc); by
-    * pigeonhole a qualifying pair must share a gram inside A's first
-    * |A| − t(A) + 1 grams — if all shared grams sat in the remaining
-    * suffix, it holds only t(A) − 1 of them. So joining A's PREFIX
-    * against ALL of B's grams yields a candidate superset of every
-    * ordered qualifying pair (the probe side alone is prefix-bounded —
-    * containment constrains only A, so B cannot be pruned; no
-    * symmetric length filter exists for this relation). An exact
-    * intersection count on candidates finishes: provably the same
-    * answer as the raw self-join.
+    * every doc's grams by ONE global rarity order (df asc, g asc).
+    * Let g* be the shared gram MINIMAL in that global order. The ≥
+    * t(A) shared grams all rank at or after g* inside each doc's own
+    * ordering, so they need t(A) slots from pos(g*) onward — hence
+    *   pos_A(g*) ≤ |A| − t(A) + 1   AND   pos_B(g*) ≤ |B| − t(A) + 1:
+    * the SAME witness gram lies in A's probe prefix and within B's
+    * first |B| − t(A) + 1 grams. The candidate join is therefore
+    * prefix(A) ⋈ ranked(B) on g with the residual
+    * pos_b ≤ |B| − t(A) + 1 (which also subsumes the |B| ≥ t(A)
+    * length filter) — an equi-join plus a per-match predicate, still
+    * a provable candidate superset of every ordered qualifying pair.
+    * An exact intersection count on candidates finishes: the same
+    * answer as the raw self-join, certified per round by the shared
+    * oracle. (B's bound must use t(A), which depends on the probe —
+    * that is why the residual is a join predicate, not a
+    * pre-filter; containment has no symmetric length filter.)
     *
-    * Scale shape: the hot-key explosion is broken ASYMMETRICALLY —
-    * candidate fanout per gram is dfₚ(g)·df(g), not df(g)², and a
-    * corpus-hot boilerplate gram enters a doc's prefix only when more
-    * than t(A) − 1 of the doc's OTHER grams are even hotter, so
-    * dfₚ(g) ≪ df(g) exactly where df(g) explodes. df ranking is one
-    * groupBy; the per-doc rarity ranking is a doc-keyed window; verify
-    * touches only candidate pairs. No O(n²) stage, no driver state.
+    * Scale shape: the hot-key explosion is broken on BOTH sides —
+    * the probe carries only each doc's rarest |A| − t(A) + 1 grams
+    * (a corpus-hot gram enters a prefix only when > t(A) − 1 of the
+    * doc's other grams are even hotter), and the index side's
+    * positional residual drops a hot gram (which ranks LAST in its
+    * doc's rarity order, pos_b ≈ |B|) for every probe with
+    * t(A) > 1 — so a boilerplate gram shared by everything
+    * contributes candidates only for near-trivial probes instead of
+    * df(g)² pairs. df ranking is one groupBy; the per-doc rarity
+    * ranking is a doc-keyed window computed ONCE and persisted for
+    * probe, index, and verify. No O(n²) stage, no driver state.
     */
   def containmentPairsPrefix(docs: DataFrame,
       minPpm: Long = 500000L): DataFrame = {
-    // persisted: feeds the probe ranking, the index side of the
-    // candidate join, and both sides of the verify re-join
     val sh = shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val dfr = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))
-    // A's probe prefix: its |A| − ⌈|A|·minPpm/10⁶⌉ + 1 rarest grams
-    val probe = sh.join(dfr, Seq("g"))
+    // one ranked frame serves the probe prefix, the indexed prefix,
+    // and (projected) both verify sides
+    val ranked = sh.join(dfr, Seq("g"))
       .withColumn("pos", row_number().over(wDoc))
       .join(sizes, Seq("doc_id"))
+      .select(col("doc_id"), col("g"), col("pos"), col("sz"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // A's probe prefix: its |A| − t(A) + 1 rarest grams
+    val probe = ranked
       .filter(col("pos") <=
         expr(s"sz - ((sz * $minPpm + 999999L) div 1000000L) + 1L"))
-      .select(col("doc_id").as("doc_a"), col("g"))
+      .select(col("doc_id").as("doc_a"), col("g"), col("sz").as("sz_a"))
     val cand = probe
-      .join(sh.select(col("doc_id").as("doc_b"), col("g")), Seq("g"))
+      .join(ranked.select(col("doc_id").as("doc_b"), col("g"),
+        col("pos").as("pos_b"), col("sz").as("sz_b")), Seq("g"))
       .filter(col("doc_a") =!= col("doc_b"))
+      // indexed-prefix residual: the minimal shared gram must sit
+      // within B's first |B| − t(A) + 1 positions
+      .filter(col("pos_b") <=
+        col("sz_b") - expr(s"(sz_a * $minPpm + 999999L) div 1000000L") + lit(1L))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
     cand
