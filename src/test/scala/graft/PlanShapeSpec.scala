@@ -289,6 +289,33 @@ class PlanShapeSpec extends AnyFunSuite {
       s"prefix-filter candidate/verify joins must stay gram-keyed:\n$plan")
   }
 
+  test("q291 anchor dedup stays band-keyed (no nested loop anywhere)") {
+    val plan = executedPlan("q291_audio_anchor_dedup")
+    // anchor hashing is partition-local; the only joins are the
+    // (band_i, band_v) equi-join and the doc_id-keyed readout joins —
+    // a BNLJ/cartesian would be the all-pairs clip comparison the
+    // banding exists to prevent
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"anchor candidate/readout joins must stay keyed:\n$plan")
+  }
+
+  test("q292 iterated EM exchanges only broadcast 1-row appends per round") {
+    val plan = executedPlan("q292_unigram_lm_em_iter")
+    assert(!plan.contains("CartesianProduct"),
+      s"no true cartesian anywhere in the EM loop:\n$plan")
+    // every nested loop must be a 1-row broadcast append (the q32
+    // convention): seed totals, per-round model map + survivor totals,
+    // final readout totals — 6 for the 2-round schedule; a corpus- or
+    // vocab-sized nested loop would mean a round's model stopped
+    // broadcasting
+    val bnljs = "BroadcastNestedLoopJoin".r.findAllIn(
+      plan.split("== Initial Plan ==").head).length
+    assert(bnljs <= 6,
+      s"only the 1-row totals/model appends may be nested loops, " +
+        s"found $bnljs:\n$plan")
+  }
+
   test("q290 containment prefix path stays gram-keyed (no hot-key all-pairs)") {
     val plan = executedPlan("q290_containment_prefix")
     // the probe-prefix × full-gram candidate join and the verify
