@@ -56,7 +56,7 @@ import org.apache.spark.sql.functions._
 object StreamingCatalog {
 
   def defs: Seq[QueryDef] =
-    Seq(q130, q131, q135, q136, q138, q140, q145, q147, q149, q151, q153,
+    Seq(q130, q131, q135, q136, q138, q140, q145, q147, q149, q151, q153, q293,
       q158, q167, q173, q174, q193, q195, q229, q230, q236, q239, q240, q244,
       q249, q252)
 
@@ -760,6 +760,116 @@ object StreamingCatalog {
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_emissions"), max(col("n")).as("final_n"),
         max(col("last_us")).as("last_us"))
+      .orderBy(col("user_id"))
+  }
+
+  /** q293's StatefulProcessor — the Spark-4 `transformWithState`
+    * arbitrary-state API (the successor to q151's mapGroupsWithState),
+    * exercising all THREE typed state variables per user key:
+    * a ValueState running total, a MapState of per-event-type counts,
+    * and a ListState holding the last 3 micro-batch timestamp maxima
+    * (batch maxima, not raw arrivals, so the emission is invariant to
+    * the per-key iterator order within a batch — the q151 order-safety
+    * discipline). One emission per (user, batch-with-data) in update
+    * mode. TimeMode.None / TTLConfig.NONE: timers and TTL expiry are
+    * wall-clock-dependent and cannot sit under a deterministic hash
+    * oracle — StreamingOps' TTL dedup + timer sessionization own that
+    * surface at spec level.
+    */
+  private[graft] class TwsUserLedger
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, String), (Long, Long, Long, Long, Long)] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{ListState, MapState, OutputMode,
+      TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var n: ValueState[Long] = _
+    @transient private var perType: MapState[String, Long] = _
+    @transient private var recent: ListState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      n = getHandle.getValueState[Long]("n", Encoders.scalaLong, TTLConfig.NONE)
+      perType = getHandle.getMapState[String, Long](
+        "perType", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+      recent = getHandle.getListState[Long](
+        "recent", Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(user: Long,
+        rows: Iterator[(Long, Long, String)],
+        timerValues: TimerValues): Iterator[(Long, Long, Long, Long, Long)] = {
+      var c = 0L
+      var bmax = Long.MinValue
+      rows.foreach { case (_, tsUs, tpe) =>
+        c += 1
+        if (tsUs > bmax) bmax = tsUs
+        val prev = if (perType.containsKey(tpe)) perType.getValue(tpe) else 0L
+        perType.updateValue(tpe, prev + 1L)
+      }
+      val total = (if (n.exists()) n.get() else 0L) + c
+      n.update(total)
+      val last3 = (recent.get().toSeq :+ bmax).takeRight(3)
+      recent.clear()
+      last3.foreach(recent.appendValue)
+      var nTypes = 0L
+      var topN = 0L
+      perType.values().foreach { v => nTypes += 1; if (v > topN) topN = v }
+      Iterator.single((user, total, nTypes, topN, last3.sum))
+    }
+  }
+
+  /** q293: `transformWithState` under the driver oracle — the Spark-4
+    * arbitrary-state operator run end to end on the RocksDB provider
+    * (which the API requires; the q158 isolated-session discipline
+    * keeps the provider conf from leaking into the shared session).
+    * The oracle replays the per-batch emission structure from the
+    * deterministic slice chunking: emissions per user = batches
+    * containing that user; the final readout columns (running total,
+    * distinct types, hottest type count, last-3-batch maxima sum)
+    * each replay one of the three state variables, so a broken
+    * ValueState/MapState/ListState round trip through RocksDB breaks
+    * a different column's hash.
+    */
+  val q293: QueryDef = QueryDef.checked(
+    "q293_tws_user_ledger",
+    s"""WITH ev AS (
+      |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS ts_us,
+      |    (ROW_NUMBER() OVER (ORDER BY ts, event_id) - 1) // $BatchRows AS b
+      |  FROM events WHERE event_id < 2000),
+      |bm AS (SELECT user_id, b, MAX(ts_us) AS bmax FROM ev GROUP BY 1, 2),
+      |l3 AS (
+      |  SELECT user_id, CAST(SUM(bmax) AS BIGINT) AS last3_sum FROM (
+      |    SELECT user_id, bmax,
+      |      row_number() OVER (PARTITION BY user_id ORDER BY b DESC) AS rn
+      |    FROM bm) WHERE rn <= 3 GROUP BY 1),
+      |tt AS (
+      |  SELECT user_id, CAST(MAX(n) AS BIGINT) AS top_type_n FROM (
+      |    SELECT user_id, event_type, COUNT(*) AS n FROM ev GROUP BY 1, 2)
+      |  GROUP BY 1)
+      |SELECT ev.user_id, COUNT(DISTINCT ev.b) AS n_emissions,
+      |  COUNT(*) AS final_n,
+      |  CAST(COUNT(DISTINCT ev.event_type) AS BIGINT) AS n_types,
+      |  MAX(tt.top_type_n) AS top_type_n, MAX(l3.last3_sum) AS last3_sum
+      |FROM ev JOIN tt USING (user_id) JOIN l3 USING (user_id)
+      |GROUP BY ev.user_id ORDER BY ev.user_id""".stripMargin) { (s, d) =>
+    val iso = s.newSession()
+    iso.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    runToCompletion(iso, d, "graft_q293_sink", outputMode = "update") { ev =>
+      val sess = ev.sparkSession
+      import sess.implicits._
+      ev.select(col("user_id"), col("ts_us"), col("event_type"))
+        .as[(Long, Long, String)]
+        .groupByKey(_._1)
+        .transformWithState(new TwsUserLedger,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+        .toDF("user_id", "n", "n_types", "top_type_n", "last3_sum")
+    }
+      .filter(col("user_id") =!= -1L)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_emissions"),
+        max(col("n")).as("final_n"),
+        expr("max_by(n_types, n)").as("n_types"),
+        expr("max_by(top_type_n, n)").as("top_type_n"),
+        expr("max_by(last3_sum, n)").as("last3_sum"))
       .orderBy(col("user_id"))
   }
 

@@ -141,6 +141,60 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("TwsUserLedger: hand-computed value/map/list state across batches") {
+    implicit val s = spark
+    implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import s.implicits._
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[(Long, Long, String)] // (user, ts_us, type)
+    val q = in.toDS()
+      .groupByKey(_._1)
+      .transformWithState(new operators.StreamingCatalog.TwsUserLedger,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      .toDF("user_id", "n", "n_types", "top_type_n", "last3_sum")
+      .writeStream.format("memory").queryName("tws_ledger")
+      .outputMode("update").start()
+    try {
+      // batch 1: user 7 sees a,a,b (bmax 30); user 8 sees c (bmax 5)
+      in.addData((7L, 10L, "a"), (7L, 30L, "a"), (7L, 20L, "b"), (8L, 5L, "c"))
+      q.processAllAvailable()
+      // batch 2: user 7 sees b,b (bmax 40) -> totals 5; types a:2 b:3;
+      // list [30, 40] -> last3_sum 70
+      in.addData((7L, 40L, "b"), (7L, 35L, "b"))
+      q.processAllAvailable()
+      // batches 3+4: two more user-7 batches -> list keeps LAST 3 maxima
+      in.addData((7L, 50L, "a"))
+      q.processAllAvailable()
+      in.addData((7L, 60L, "c"))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT n, n_types, top_type_n, last3_sum FROM tws_ledger " +
+          "WHERE user_id = 7 ORDER BY n").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      // emissions: (3,2,2,30) then (5,2,3,70) then (6,2,3,120:[30,40,50])
+      // then (7,3,3,150:[40,50,60]) — the batch-1 maximum ages OUT
+      assert(rows === Array((3L, 2L, 2L, 30L), (5L, 2L, 3L, 70L),
+        (6L, 2L, 3L, 120L), (7L, 3L, 3L, 150L)))
+      val u8 = spark.sql(
+        "SELECT n, n_types, top_type_n, last3_sum FROM tws_ledger " +
+          "WHERE user_id = 8").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(u8 === Array((1L, 1L, 1L, 5L)))
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   // NOTE: a TimeMode.ProcessingTime query performs TTL maintenance on
   // every trigger, so it NEVER goes idle: processAllAvailable() does not
   // converge and even Trigger.AvailableNow does not terminate (both
