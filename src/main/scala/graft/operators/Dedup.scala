@@ -1232,35 +1232,56 @@ object Dedup {
     * Scale: df ranking is one groupBy + broadcast-joinable gram→df
     * frame; the prefix join touches O(Σ_prefix df(g)) rows; verify runs
     * only on candidate pairs. No driver state, no O(n²) stage.
+    *
+    * r15 exchange diet (guide §2.3/§3.3; the q290 A/B replayed here):
+    * (1) the df groupBy and the prefix self-join key on xxhash64(g) —
+    * an 8-byte exchange instead of the gram string. A collision can
+    * only ADD a candidate (equal grams always hash equal), and the
+    * pigeonhole argument holds for any consistent global total order —
+    * here (df(gh), g), still total — so the candidate set stays a
+    * provable superset and the exact verify remains the arbiter.
+    * (2) the verify no longer re-explodes both docs' shingle rows
+    * through a (doc_b, g) join + count (|A| rows per candidate pair on
+    * the exchange): each doc's distinct grams are collected once into
+    * a sorted array and inter = size(array_intersect(ga, gb)) on the
+    * RAW gram strings — one row per candidate pair crosses the join,
+    * collision-free by construction.
     */
   def prefixFilterNearDups(docs: DataFrame,
       persistShingles: Boolean = true): DataFrame = {
-    val sh0 = shingles(docs)
+    val sh0 = shingles(docs).withColumn("gh", xxhash64(col("g")))
     val sh = if (persistShingles) sh0.persist(StorageLevel.MEMORY_AND_DISK) else sh0
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val df = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val df = sh.groupBy(col("gh")).agg(count(lit(1)).as("df"))
     // Global rarity position within each doc: row_number over (df, g).
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))
     // persisted: the prefix frame feeds BOTH sides of the candidate
     // self-join below — left lazy, the df join + per-doc ranking window
     // would execute once per alias
-    val prefix = sh.join(df, Seq("g"))
+    val prefix = sh.join(df, Seq("gh"))
       .withColumn("pos", row_number().over(wDoc))
       .join(sizes, Seq("doc_id"))
       .filter(col("pos") <= expr("n div 2 + 1"))
-      .select(col("doc_id"), col("g"), col("n"))
+      .select(col("doc_id"), col("gh"), col("n"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // exact per-doc gram sets for the verify (distinct by construction)
+    val garr = sh.groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(col("g"))).as("ga"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val cand = prefix.as("x").join(prefix.as("y"),
-        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id") &&
+        col("x.gh") === col("y.gh") && col("x.doc_id") < col("y.doc_id") &&
           least(col("x.n"), col("y.n")) * 2 >= greatest(col("x.n"), col("y.n")))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    // Exact verify on candidates only: re-join the full shingle lists.
+    // Exact verify on candidates only: intersect the full gram sets.
     jaccardScored(
-      cand.join(sh.select(col("doc_id").as("doc_a"), col("g")), Seq("doc_a"))
-        .join(sh.select(col("doc_id").as("doc_b"), col("g")), Seq("doc_b", "g"))
-        .groupBy(col("doc_a"), col("doc_b"))
-        .agg(count(lit(1)).as("inter")),
+      cand.join(garr.select(col("doc_id").as("doc_a"), col("ga").as("gsa")),
+          Seq("doc_a"))
+        .join(garr.select(col("doc_id").as("doc_b"), col("ga").as("gsb")),
+          Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          size(array_intersect(col("gsa"), col("gsb"))).cast("long")
+            .as("inter")),
       sizes, threshold = 0.5) // τ=0.5 is baked into the prefix length
   }
 
@@ -1818,29 +1839,50 @@ object Dedup {
     * contributes candidates only for near-trivial probes instead of
     * df(g)² pairs. df ranking is one groupBy; the per-doc rarity
     * ranking is a doc-keyed window computed ONCE and persisted for
-    * probe, index, and verify. No O(n²) stage, no driver state.
+    * probe and index. No O(n²) stage, no driver state.
+    *
+    * r15 exchange diet (guide §2.3/§3.3), same answer, A/B-measured
+    * ~3× at sf0.1: (1) every candidate-side equi-join keys on
+    * xxhash64(g) — an 8-byte exchange instead of the gram string; a
+    * hash collision can only ADD a candidate (equal grams always
+    * hash equal), and the positional pigeonhole argument above holds
+    * for any consistent global total order, here (df(gh), g) — so
+    * the candidate set stays a provable superset and the verify
+    * stays the arbiter. (2) verify no longer re-explodes both docs'
+    * shingle rows through a (doc_b, g) join + count (|A| rows per
+    * candidate pair on the exchange): each doc's distinct grams are
+    * collected once into a sorted array and the exact intersection
+    * is size(array_intersect(ga, gb)) on the RAW gram strings — one
+    * row per candidate pair crosses the join, and the count is
+    * collision-free by construction.
     */
   def containmentPairsPrefix(docs: DataFrame,
       minPpm: Long = 500000L): DataFrame = {
-    val sh = shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    val sh = shingles(docs).withColumn("gh", xxhash64(col("g")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val dfr = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val dfr = sh.groupBy(col("gh")).agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))
-    // one ranked frame serves the probe prefix, the indexed prefix,
-    // and (projected) both verify sides
-    val ranked = sh.join(dfr, Seq("g"))
+    // one ranked frame serves the probe prefix and the indexed prefix
+    val ranked = sh.join(dfr, Seq("gh"))
       .withColumn("pos", row_number().over(wDoc))
       .join(sizes, Seq("doc_id"))
-      .select(col("doc_id"), col("g"), col("pos"), col("sz"))
+      .select(col("doc_id"), col("gh"), col("pos"), col("sz"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // exact per-doc gram sets for the verify, built once from the
+    // persisted shingle frame (distinct by construction)
+    val garr = sh.groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(col("g"))).as("ga"),
+        count(lit(1)).as("sz"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // A's probe prefix: its |A| − t(A) + 1 rarest grams
     val probe = ranked
       .filter(col("pos") <=
         expr(s"sz - ((sz * $minPpm + 999999L) div 1000000L) + 1L"))
-      .select(col("doc_id").as("doc_a"), col("g"), col("sz").as("sz_a"))
+      .select(col("doc_id").as("doc_a"), col("gh"), col("sz").as("sz_a"))
     val cand = probe
-      .join(ranked.select(col("doc_id").as("doc_b"), col("g"),
-        col("pos").as("pos_b"), col("sz").as("sz_b")), Seq("g"))
+      .join(ranked.select(col("doc_id").as("doc_b"), col("gh"),
+        col("pos").as("pos_b"), col("sz").as("sz_b")), Seq("gh"))
       .filter(col("doc_a") =!= col("doc_b"))
       // indexed-prefix residual: the minimal shared gram must sit
       // within B's first |B| − t(A) + 1 positions
@@ -1849,12 +1891,12 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"))
       .distinct()
     cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("g")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("g")), Seq("doc_b", "g"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("size_a")),
-        Seq("doc_a"))
+      .join(garr.select(col("doc_id").as("doc_a"), col("ga").as("gsa"),
+        col("sz").as("size_a")), Seq("doc_a"))
+      .join(garr.select(col("doc_id").as("doc_b"), col("ga").as("gsb")),
+        Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("gsa"), col("gsb")))
+        .cast("long"))
       .withColumn("containment_ppm", expr("inter * 1000000 div size_a"))
       .filter(col("containment_ppm") >= minPpm)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("size_a"),
