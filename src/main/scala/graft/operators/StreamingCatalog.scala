@@ -123,6 +123,19 @@ object StreamingCatalog {
     implicit val sqlc: org.apache.spark.sql.SQLContext = s.sqlContext
     import s.implicits._
     withChecksumOff(s) {
+    // No-data micro-batches OFF for the run-to-completion replays
+    // (r15, guide §1/§2: measured on q252 — HALF the micro-batches were
+    // empty watermark-apply batches at ~0.7 s of fixed machinery each).
+    // Emission then rides the NEXT data batch, so one extra sentinel
+    // round below replaces the trailing no-data flush; the emitted SET
+    // is unchanged (oracle hash-certified at both sfs for all 19
+    // queries through this harness). q229/q249 keep their own harnesses
+    // on the default: q249's oracle models no-data-batch eviction
+    // timing, and q229's restart replays are watermark-cadence-pinned.
+    val noData = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val priorNoData = s.conf.getOption(noData)
+    s.conf.set(noData, "false")
+    try {
     val rows = slice(s, d)
     val maxTs = rows.iterator.map(_._1).max
     // sentinel: watermark delay (1 h) + lead past the last real event —
@@ -148,7 +161,10 @@ object StreamingCatalog {
         in.addData(chunk: _*)
         q.processAllAvailable()
       }
-      (1 to nSentinels).foreach { k =>
+      // +1 round vs the no-data-batch world: each sentinel is now the
+      // only batch of its processAllAvailable, so the final
+      // watermark-apply step needs one more data-carrying batch
+      (1 to nSentinels + 1).foreach { k =>
         in.addData((sentinelTs + (k - 1) * 3600000000L, -1L, Sentinel))
         q.processAllAvailable()
       }
@@ -157,6 +173,12 @@ object StreamingCatalog {
       rmTree(ckpt)
     }
     s.table(sinkName)
+    } finally {
+      priorNoData match {
+        case Some(v) => s.conf.set(noData, v)
+        case None => s.conf.unset(noData)
+      }
+    }
     }
   }
 
@@ -181,10 +203,29 @@ object StreamingCatalog {
     *    — the conf is read at stream START, so it must wrap the whole
     *    run-to-completion, which every harness in this file does.
     */
+  /** Replay-scoped conf pins (restored after the body):
+    *  - checkpoint file checksums off (pure replay-harness I/O);
+    *  - shuffle/state partitions sized to the REPLAY's state, not the
+    *    session default. A stateful operator commits one store instance
+    *    per shuffle partition per micro-batch; this 2,000-row bounded
+    *    slice carries ~KB of state per operator, so at the session's 32
+    *    (or the prior pin of 4) the batch runtime was dominated by
+    *    per-instance commit/fsync I/O — measured on q252: ~0.6–0.8 s of
+    *    symmetricHashJoin commit per batch against ~6 KB of state, ×8
+    *    batches. Guide §2.2 (fewer, larger partitions — size partitions
+    *    to data, here ~one store per replay) applied to streaming
+    *    state. Production streams size this to state volume via
+    *    `spark.graft.streaming.replayPartitions`; results are
+    *    partition-count-invariant (keyed aggs/joins + final orderBy —
+    *    the oracle hash compare certifies it at both sfs).
+    */
   private def withChecksumOff[T](s: SparkSession)(body: => T): T = {
+    val replayParts =
+      s.conf.getOption("spark.graft.streaming.replayPartitions")
+        .getOrElse("1")
     val pins = Seq(
       "spark.sql.streaming.checkpoint.fileChecksum.enabled" -> "false",
-      "spark.sql.shuffle.partitions" -> "4")
+      "spark.sql.shuffle.partitions" -> replayParts)
     val prior = pins.map { case (k, _) => k -> s.conf.getOption(k) }
     pins.foreach { case (k, v) => s.conf.set(k, v) }
     try body
