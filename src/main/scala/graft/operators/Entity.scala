@@ -75,6 +75,13 @@ object Entity {
     */
   def fuzzyKeyPairsVarLen(df: DataFrame, keyCol: String,
       nameCol: String): DataFrame = {
+    // r15 (guide §2.3): the deletion-neighborhood string is ONLY a
+    // blocking key, so the self-join keys on its xxhash64 — an 8-byte
+    // exchange instead of the variant string. A collision can only ADD
+    // a candidate pair, the exact levenshtein filter is the arbiter,
+    // and FastSS recall is untouched (a true d ≤ 1 pair shares a REAL
+    // variant, whose hashes are equal); `distinct` canonicalizes as
+    // before.
     val keyed = df
       .select(col(keyCol).as("k"), col(nameCol).cast("string").as("name"))
       .select(col("k"), col("name"), explode(expr(
@@ -83,9 +90,10 @@ object Entity {
           |    i -> concat(substring(name, 1, i - 1),
           |                substring(name, i + 1, length(name)))))""".stripMargin))
         .as("variant"))
+      .select(col("k"), col("name"), xxhash64(col("variant")).as("vh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     keyed.as("a").join(keyed.as("b"),
-        col("a.variant") === col("b.variant") && col("a.k") < col("b.k"))
+        col("a.vh") === col("b.vh") && col("a.k") < col("b.k"))
       .filter(levenshtein(col("a.name"), col("b.name")) <= 1)
       .select(col("a.k").as("key_a"), col("b.k").as("key_b"),
         col("a.name").as("name_a"), col("b.name").as("name_b"))
@@ -109,6 +117,9 @@ object Entity {
     */
   def fuzzyKeyPairsD2(df: DataFrame, keyCol: String,
       nameCol: String): DataFrame = {
+    // same r15 hashed-blocking-key form as [[fuzzyKeyPairsVarLen]]:
+    // collisions only add candidates, the levenshtein ≤ 2 filter is
+    // exact, FastSS depth-2 recall is hash-invariant
     val keyed = df
       .select(col(keyCol).as("k"), col(nameCol).cast("string").as("name"))
       .select(col("k"), col("name"), explode(expr(
@@ -123,9 +134,10 @@ object Entity {
           |                  substring(name, i + 1, j - i - 1),
           |                  substring(name, j + 1, length(name)))))))""".stripMargin))
         .as("variant"))
+      .select(col("k"), col("name"), xxhash64(col("variant")).as("vh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     keyed.as("a").join(keyed.as("b"),
-        col("a.variant") === col("b.variant") && col("a.k") < col("b.k"))
+        col("a.vh") === col("b.vh") && col("a.k") < col("b.k"))
       .filter(levenshtein(col("a.name"), col("b.name")) <= 2)
       .select(col("a.k").as("key_a"), col("b.k").as("key_b"),
         col("a.name").as("name_a"), col("b.name").as("name_b"))

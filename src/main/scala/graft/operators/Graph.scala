@@ -89,18 +89,41 @@ object Graph {
     // persist it (node-sized) so the edge distinct+agg runs once
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // r15 (guide §2.4 — keyed ops sharing one exchange): the cached
+    // loop-invariant edge frame is persisted ALREADY hash-partitioned
+    // and sorted on `src`, so every iteration's edges⋈rank sort-merge
+    // join serves the (edge-sized) side straight from cache and only
+    // the node-sized rank side is exchanged/sorted per round — the
+    // in-memory analogue of q133's on-disk bucketed layout. Profiled
+    // before the change: each iteration re-exchanged + re-sorted the
+    // full cached edge frame (~2× the build cost per round at sf0.1).
     val withDeg = edges.join(deg, "src")
+      .repartition(col("src")).sortWithinPartitions(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK) // reused every iteration
     val nFrame = deg.agg(count(lit(1)).as("n_nodes"))
     var rank = deg.crossJoin(broadcast(nFrame))
       .selectExpr("src AS node", "CAST(1000000000 div n_nodes AS LONG) AS r")
-    for (_ <- 1 to iterations) {
-      rank = withDeg.join(rank, withDeg("src") === rank("node"))
-        .selectExpr("dst", "r div outdeg AS contrib")
-        .groupBy(col("dst")).agg(sum(col("contrib")).as("s"))
-        .crossJoin(broadcast(nFrame))
-        .selectExpr("dst AS node",
-          "CAST(150000000 div n_nodes + (85 * s) div 100 AS LONG) AS r")
+    for (it <- 1 to iterations) {
+      rank =
+        if (it == 1)
+          // r15 first-round shortcut: the uniform init is the SAME
+          // constant 1e9 div n for every node, so round 1's join
+          // against it collapses to a scan + keyed agg — identical
+          // integer arithmetic ((1e9 div n) div outdeg per edge),
+          // zero joins, certified by the unchanged unrolled oracle
+          withDeg.crossJoin(broadcast(nFrame))
+            .selectExpr("dst",
+              "CAST(1000000000 div n_nodes AS LONG) div outdeg AS contrib")
+            .groupBy(col("dst")).agg(sum(col("contrib")).as("s"))
+            .crossJoin(broadcast(nFrame))
+            .selectExpr("dst AS node",
+              "CAST(150000000 div n_nodes + (85 * s) div 100 AS LONG) AS r")
+        else withDeg.join(rank, withDeg("src") === rank("node"))
+          .selectExpr("dst", "r div outdeg AS contrib")
+          .groupBy(col("dst")).agg(sum(col("contrib")).as("s"))
+          .crossJoin(broadcast(nFrame))
+          .selectExpr("dst AS node",
+            "CAST(150000000 div n_nodes + (85 * s) div 100 AS LONG) AS r")
     }
     finish(rank, release, deg, withDeg)
   }
@@ -212,13 +235,24 @@ object Graph {
     var rank = withDeg.select(col("src")).distinct()
       .crossJoin(broadcast(nFrame))
       .selectExpr("src AS node", "CAST(1000000000 div n_nodes AS LONG) AS r")
-    for (_ <- 1 to iterations) {
-      rank = withDeg.join(rank, withDeg("src") === rank("node"))
-        .selectExpr("dst", "r div outdeg AS contrib")
-        .groupBy(col("dst")).agg(sum(col("contrib")).as("s"))
-        .crossJoin(broadcast(nFrame))
-        .selectExpr("dst AS node",
-          "CAST(150000000 div n_nodes + (85 * s) div 100 AS LONG) AS r")
+    for (it <- 1 to iterations) {
+      rank =
+        if (it == 1)
+          // same r15 first-round shortcut as pageRank: uniform init is
+          // one constant, so round 1 is a bucketed scan + keyed agg
+          withDeg.crossJoin(broadcast(nFrame))
+            .selectExpr("dst",
+              "CAST(1000000000 div n_nodes AS LONG) div outdeg AS contrib")
+            .groupBy(col("dst")).agg(sum(col("contrib")).as("s"))
+            .crossJoin(broadcast(nFrame))
+            .selectExpr("dst AS node",
+              "CAST(150000000 div n_nodes + (85 * s) div 100 AS LONG) AS r")
+        else withDeg.join(rank, withDeg("src") === rank("node"))
+          .selectExpr("dst", "r div outdeg AS contrib")
+          .groupBy(col("dst")).agg(sum(col("contrib")).as("s"))
+          .crossJoin(broadcast(nFrame))
+          .selectExpr("dst AS node",
+            "CAST(150000000 div n_nodes + (85 * s) div 100 AS LONG) AS r")
     }
     rank
   }
@@ -264,7 +298,10 @@ object Graph {
     val edges = edges0.select(col("src"), col("dst")).distinct()
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // pre-partitioned + sorted on src in cache, so each round's SMJ
+    // exchanges only the node-sized rank side (see pageRank, r15)
     val withDeg = edges.join(deg, "src")
+      .repartition(col("src")).sortWithinPartitions(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val seedSet = seeds.select(col("node")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)

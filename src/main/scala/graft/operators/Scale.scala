@@ -230,8 +230,8 @@ object Scale {
   def ivfTopKGridL2(e: org.apache.spark.sql.DataFrame, nQueries: Int = 5,
       topK: Int = 10, nCentroids: Int = 16, nProbe: Int = 4,
       iterations: Int = 2): org.apache.spark.sql.DataFrame = {
-    val (ve, ce) = Similarity.kmeansFrames(e, nCentroids, iterations)
-    val asg = Similarity.gridAssign(ve, ce)
+    val (ve, gva, ce) = Similarity.kmeansFramesGv(e, nCentroids, iterations)
+    val asg = Similarity.assignArrays(gva, ce)
       .select(col("vec_id").as("neighbor_id"), col("cluster").as("cid"))
     val qd = ve.filter(col("vec_id") < nQueries)
       .join(broadcast(ce), Seq("i"))
@@ -442,11 +442,11 @@ object Scale {
     */
   def saveIvfIndexGrid(e: org.apache.spark.sql.DataFrame, path: String,
       nCentroids: Int = 16, iterations: Int = 2): Unit = {
-    val (ve, ce) = Similarity.kmeansFrames(e, nCentroids, iterations)
+    val (_, gva, ce) = Similarity.kmeansFramesGv(e, nCentroids, iterations)
     ce.write.mode("overwrite").parquet(s"$path/gcentroids")
     val gv = e.select(col("vec_id"),
       expr("transform(v, x -> CAST(ROUND(x * 1000000) AS LONG))").as("gx"))
-    Similarity.gridAssign(ve, ce)
+    Similarity.assignArrays(gva, ce)
       .join(gv, Seq("vec_id"))
       .select(col("vec_id"), col("gx"), col("cluster").as("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(s"$path/glists")
@@ -649,13 +649,29 @@ object Scale {
   private[operators] def subspaceKmeans(vs: org.apache.spark.sql.DataFrame,
       codebookSize: Int, iterations: Int)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
-    def assign(cents: org.apache.spark.sql.DataFrame) =
-      vs.join(broadcast(cents), Seq("j", "s"))
-        .groupBy(col("vec_id"), col("j"), col("cid"))
-        .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d"))
+    // r15 array-native assign (the Similarity.assignArrays treatment
+    // per subspace): the exploded form joined every (vec, j, s, x) row
+    // against all k codes — n·dim·k rows through a two-level hash agg;
+    // now each (vec, j) subvector is one 8-wide array row, codes are
+    // broadcast (j, cid, cv) arrays, d = aggregate(zip_with(...)) in
+    // codegen, argmin over n·m·k rows. Identical exact integer sums in
+    // s-order → identical codes, same oracle.
+    val gvj = vs.groupBy(col("vec_id"), col("j"))
+      .agg(transform(array_sort(collect_list(struct(col("s"), col("x")))),
+        p => p.getField("x")).as("gx"))
+      .localCheckpoint(true)
+    def assign(cents: org.apache.spark.sql.DataFrame) = {
+      val carr = cents.groupBy(col("j"), col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("s"), col("c")))),
+          p => p.getField("c")).as("cv"))
+      gvj.join(broadcast(carr), Seq("j"))
+        .select(col("vec_id"), col("j"), col("cid"), expr(
+          """aggregate(zip_with(gx, cv, (x, c) -> (x - c) * (x - c)),
+            |CAST(0 AS BIGINT), (acc, z) -> acc + z)""".stripMargin).as("d"))
         .groupBy(col("vec_id"), col("j"))
         .agg(min(struct(col("d"), col("cid"))).as("mm"))
         .select(col("vec_id"), col("j"), col("mm.cid").as("code"))
+    }
     var ce = vs.filter(col("vec_id") < codebookSize)
       .select(col("j"), col("vec_id").as("cid"), col("s"), col("x").as("c"))
     for (_ <- 1 to iterations) {
@@ -972,8 +988,8 @@ object Scale {
       codebookSize: Int = 16, rerank: Int = 128, dim: Int = 64,
       iterations: Int = 2): org.apache.spark.sql.DataFrame = {
     val sub = dim / m
-    val (ve, cce) = Similarity.kmeansFrames(e, nCentroids, iterations)
-    val asg = Similarity.gridAssign(ve, cce)
+    val (ve, gva, cce) = Similarity.kmeansFramesGv(e, nCentroids, iterations)
+    val asg = Similarity.assignArrays(gva, cce)
     val ccByCluster = cce.select(col("cid").as("cluster"), col("i"), col("c"))
     val rs = ve.join(asg, Seq("vec_id"))
       .join(broadcast(ccByCluster), Seq("cluster", "i"))

@@ -404,8 +404,8 @@ object Similarity {
     */
   def kmeansAssign(vectors: DataFrame, k: Int = 8,
       iterations: Int = 2): DataFrame = {
-    val (ve, ce) = kmeansFrames(vectors, k, iterations)
-    gridAssign(ve, ce)
+    val (_, gv, ce) = kmeansFramesGv(vectors, k, iterations)
+    assignArrays(gv, ce)
   }
 
   /** The exploded-grid + trained-centroid frames behind
@@ -426,32 +426,75 @@ object Similarity {
 
   private[operators] def kmeansFrames(vectors: DataFrame, k: Int,
       iterations: Int): (DataFrame, DataFrame) = {
+    val (ve, _, ce) = kmeansFramesGv(vectors, k, iterations)
+    (ve, ce)
+  }
+
+  /** [[kmeansFrames]] + the checkpointed vector-ARRAY view `gv` (one
+    * row per vector), so callers that assign again after training
+    * ([[kmeansAssign]], the IVF/IVF-PQ builders) reuse it instead of
+    * re-grouping the exploded frame (r15). */
+  private[operators] def kmeansFramesGv(vectors: DataFrame, k: Int,
+      iterations: Int): (DataFrame, DataFrame, DataFrame) = {
     val ve = gridExplode(vectors).localCheckpoint(true)
+    // r15: the vector-ARRAY view backs the per-round assigns (see
+    // gridAssign) — built once per training run; the exploded `ve`
+    // stays the currency for centroid updates and the returned frames
+    val gv = vecArrays(ve).localCheckpoint(true)
     var ce = ve.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("i"), col("x").as("c"))
     for (_ <- 1 to iterations) {
-      val a = gridAssign(ve, ce)
+      val a = assignArrays(gv, ce)
       ce = ve.join(a, Seq("vec_id"))
         .groupBy(col("cluster").as("cid"), col("i"))
         .agg(expr("CAST(sum(x) div count(1) AS LONG)").as("c"))
         .localCheckpoint(true)
     }
-    (ve, ce)
+    (ve, gv, ce)
   }
 
-  /** Nearest-centroid assignment over exploded grid frames: exact
-    * integer L2 per (vector, centroid), argmin via min(struct(d, cid))
-    * — the (d, cid) tie-break DuckDB replays as ROW_NUMBER ORDER BY
-    * d, cid.
+  /** (vec_id, gx: array<long>) view of an exploded grid frame — dims
+    * re-assembled in i-order (i is unique per vec, so the (i, x)
+    * struct sort IS the dim order). */
+  private[operators] def vecArrays(ve: DataFrame): DataFrame =
+    ve.groupBy(col("vec_id"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("x")))),
+        p => p.getField("x")).as("gx"))
+
+  /** Nearest-centroid assignment, array-native (r15, guide §2.3/§4):
+    * the former exploded form broadcast-joined every (vec_id, i, x)
+    * row against all k centroids — n·dim·k intermediate rows through a
+    * two-level hash aggregate (≈20M rows at sf0.1) — to compute sums a
+    * row-local loop expresses directly. Now: k broadcast centroid
+    * ARRAYS × n vector arrays, d = aggregate(zip_with(gx, cv,
+    * (x−c)²)) in whole-stage codegen, then one n·k-row argmin agg
+    * (≈60× fewer aggregated rows). The SAME exact integer sums in
+    * dim order — integer addition is order-free, so distances,
+    * (d, cid) tie-breaks and every downstream hash are bit-identical
+    * (the oracle replays the exploded formulation and still matches).
     */
-  private[operators] def gridAssign(ve: DataFrame,
-      cents: DataFrame): DataFrame =
-    ve.join(broadcast(cents), Seq("i"))
-      .groupBy(col("vec_id"), col("cid"))
-      .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d"))
+  private[operators] def assignArrays(gv: DataFrame,
+      cents: DataFrame): DataFrame = {
+    val carr = cents.groupBy(col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
+        p => p.getField("c")).as("cv"))
+    gv.crossJoin(broadcast(carr))
+      .select(col("vec_id"), col("cid"), expr(
+        """aggregate(zip_with(gx, cv, (x, c) -> (x - c) * (x - c)),
+          |CAST(0 AS BIGINT), (acc, z) -> acc + z)""".stripMargin).as("d"))
       .groupBy(col("vec_id"))
       .agg(min(struct(col("d"), col("cid"))).as("m"))
       .select(col("vec_id"), col("m.cid").as("cluster"))
+  }
+
+  /** Nearest-centroid assignment over exploded grid frames — the
+    * public form consumed by codebook users; delegates to the
+    * array-native assign (identical integer arithmetic, see
+    * [[assignArrays]]).
+    */
+  private[operators] def gridAssign(ve: DataFrame,
+      cents: DataFrame): DataFrame =
+    assignArrays(vecArrays(ve), cents)
 
   /** DuckDB replay of [[kmeansAssign]] as a reusable CTE block: `ve`
     * (grid-snapped components), `c0` seeds (vec_id < k), `iters`
